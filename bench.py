@@ -1,0 +1,72 @@
+#!/usr/bin/env python3
+"""Benchmark: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed to completion (count of the result) — results
+are small aggregates, so timing measures scan/shuffle/agg work, not
+driver materialization of big data.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from poet_cloud_cost_etl_spark.queries import QUERIES  # noqa: E402
+from poet_cloud_cost_etl_spark.session import build_session  # noqa: E402
+
+# Headline set: the flagship costs pipeline + the heaviest operator of
+# each family (scan+agg, broadcast join, outer join, window, dedup/
+# similarity/text once implemented).
+HEADLINE = [
+    "costs_by_service_30d",
+    "costs_union_view",
+    "costs_by_account",
+    "q1_pricing_summary",
+    "join_broadcast_dim",
+    "join_left_outer",
+    "window_topn_per_group",
+    "window_running_total",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = build_session(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # Warm the JVM + file-system metadata once; not counted.
+    QUERIES[names[0]](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

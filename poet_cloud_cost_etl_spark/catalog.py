@@ -1,0 +1,60 @@
+"""Test-data catalog: register the driver parquet tables as temp views.
+
+Mirrors the reference's implicit catalog (one DuckDB relation per S3
+report path, ``/root/reference/src/main.py:75-122``) as Spark temp
+views so every query is runnable through ``spark.sql`` as well as the
+DataFrame API. At scale these would be external tables over
+``provider=/year=/month=`` partition layouts; the fixtures are single
+parquet files, so registration is a plain read.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as TIMESTAMP(NANOS) in the fixture parquet. Spark
+# reads them as long ns (spark.sql.legacy.parquet.nanosAsLong); we
+# convert with exact integer division to µs — byte-identical to
+# DuckDB's own ns→µs truncation on read, so oracle timestamps match.
+NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Read every fixture table and register it as a temp view."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table (no view side-effect)."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in NANOS_TS_COLUMNS.get(name, []):
+        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df

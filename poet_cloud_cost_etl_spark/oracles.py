@@ -1,0 +1,239 @@
+"""DuckDB oracle SQL twins for every entry in ``queries.QUERIES``.
+
+Same name, same output column names, same deterministic-value
+conventions (integer-cents money, derived averages, rounded ratios) —
+see queries.py module docstring. Tables are pre-registered DuckDB
+views over the same parquet files.
+"""
+
+from __future__ import annotations
+
+ORACLES: dict[str, str] = {}
+
+
+def _cents(expr: str) -> str:
+    return f"CAST(ROUND(({expr})*100) AS BIGINT)"
+
+
+# Normalized events→costs projection, reused by several oracles.
+EVENTS_COSTS = """
+    SELECT
+        CAST(ts AS DATE) AS date,
+        CAST(user_id AS VARCHAR) AS account_id,
+        event_type AS service,
+        CAST(NULL AS VARCHAR) AS region,
+        value AS cost,
+        'USD' AS currency,
+        'aws' AS cloud_provider,
+        'events' AS source_table,
+        TIMESTAMP '2026-01-01 00:00:00' AS sync_timestamp
+    FROM events
+"""
+
+ORDERS_COSTS = """
+    SELECT
+        CAST(o_orderdate AS DATE) AS date,
+        CAST(o_custkey AS VARCHAR) AS account_id,
+        o_orderpriority AS service,
+        o_orderstatus AS region,
+        o_totalprice AS cost,
+        'USD' AS currency,
+        'gcp' AS cloud_provider,
+        'orders' AS source_table,
+        TIMESTAMP '2026-01-01 00:00:00' AS sync_timestamp
+    FROM orders
+"""
+
+COSTS_VIEW = f"({EVENTS_COSTS} UNION ALL {ORDERS_COSTS})"
+
+ORACLES["costs_normalize_events"] = EVENTS_COSTS
+
+ORACLES["costs_union_view"] = f"""
+    SELECT
+        cloud_provider,
+        service,
+        CAST(SUM({_cents('cost')}) AS BIGINT) AS cost_cents,
+        COUNT(*) AS n_rows,
+        CAST(SUM({_cents('cost')}) AS DOUBLE) / 100.0 AS total_cost
+    FROM {COSTS_VIEW} costs
+    GROUP BY cloud_provider, service
+"""
+
+ORACLES["costs_by_service_30d"] = f"""
+    SELECT service, CAST(cost_cents AS DOUBLE) / 100.0 AS total
+    FROM (
+        SELECT service, CAST(SUM({_cents('cost')}) AS BIGINT) AS cost_cents
+        FROM ({EVENTS_COSTS}) costs
+        WHERE date >= DATE '2024-01-15'
+        GROUP BY service
+    )
+    ORDER BY total DESC, service
+"""
+
+ORACLES["costs_daily_trend"] = f"""
+    SELECT date, CAST(SUM({_cents('cost')}) AS DOUBLE) / 100.0 AS daily_cost
+    FROM ({EVENTS_COSTS}) costs
+    GROUP BY date
+    ORDER BY date
+"""
+
+ORACLES["costs_by_account"] = f"""
+    SELECT
+        account_id,
+        CAST(SUM({_cents('cost')}) AS DOUBLE) / 100.0 AS total_cost,
+        COUNT(*) AS n_items
+    FROM {COSTS_VIEW} costs
+    GROUP BY account_id
+"""
+
+ORACLES["top_accounts"] = f"""
+    SELECT account_id, CAST(SUM({_cents('cost')}) AS DOUBLE) / 100.0 AS total_cost
+    FROM ({EVENTS_COSTS}) costs
+    GROUP BY account_id
+    ORDER BY total_cost DESC, account_id
+    LIMIT 10
+"""
+
+ORACLES["account_filter_in"] = f"""
+    SELECT
+        account_id,
+        service,
+        CAST(SUM({_cents('cost')}) AS BIGINT) AS cost_cents,
+        COUNT(*) AS n
+    FROM ({EVENTS_COSTS}) costs
+    WHERE account_id IN ('7', '23', '42', '99', '111')
+       OR (account_id = '3' AND service = 'purchase')
+       OR (account_id = '58' AND service = 'click')
+    GROUP BY account_id, service
+"""
+
+ORACLES["q1_pricing_summary"] = f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(qty_cents AS DOUBLE) / 100.0 AS sum_qty,
+        CAST(base_cents AS DOUBLE) / 100.0 AS sum_base_price,
+        CAST(disc_cents AS DOUBLE) / 100.0 AS sum_disc_price,
+        CAST(charge_cents AS DOUBLE) / 100.0 AS sum_charge,
+        ROUND(CAST(qty_cents AS DOUBLE) / count_order / 100.0, 4) AS avg_qty,
+        ROUND(CAST(base_cents AS DOUBLE) / count_order / 100.0, 4) AS avg_price,
+        count_order
+    FROM (
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(SUM({_cents('l_quantity')}) AS BIGINT) AS qty_cents,
+            CAST(SUM({_cents('l_extendedprice')}) AS BIGINT) AS base_cents,
+            CAST(SUM({_cents('l_extendedprice' + "*(1-l_discount)")}) AS BIGINT) AS disc_cents,
+            CAST(SUM({_cents('l_extendedprice' + "*(1-l_discount)*(1+l_tax)")}) AS BIGINT)
+                AS charge_cents,
+            COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    )
+    ORDER BY l_returnflag, l_linestatus
+"""
+
+ORACLES["join_broadcast_dim"] = f"""
+    SELECT
+        s_name,
+        CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}) AS DOUBLE) / 100.0 AS revenue,
+        COUNT(*) AS n_items
+    FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_name
+"""
+
+ORACLES["join_chain_dims"] = f"""
+    SELECT
+        r_name,
+        COUNT(*) AS n_customers,
+        CAST(SUM({_cents('c_acctbal')}) AS DOUBLE) / 100.0 AS total_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+"""
+
+ORACLES["join_left_outer"] = f"""
+    SELECT
+        c_custkey,
+        c_mktsegment,
+        COUNT(o_orderkey) AS order_count,
+        CAST(COALESCE(CAST(SUM(CASE WHEN o_orderkey IS NOT NULL
+                THEN {_cents('o_totalprice')} END) AS BIGINT), 0) AS DOUBLE) / 100.0
+            AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+"""
+
+ORACLES["join_semi"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_active_customers
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+"""
+
+ORACLES["join_anti"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_inactive_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    GROUP BY c_mktsegment
+"""
+
+ORACLES["window_topn_per_group"] = """
+    SELECT p_brand, p_partkey, p_retailprice, rn
+    FROM (
+        SELECT
+            p_brand, p_partkey, p_retailprice,
+            ROW_NUMBER() OVER (
+                PARTITION BY p_brand
+                ORDER BY p_retailprice DESC, p_partkey ASC
+            ) AS rn
+        FROM part
+    )
+    WHERE rn <= 3
+"""
+
+DAILY_REVENUE = f"""
+    SELECT
+        CAST(o_orderdate AS DATE) AS order_date,
+        CAST(SUM({_cents('o_totalprice')}) AS BIGINT) AS rev_cents
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+ORACLES["window_lag_delta"] = f"""
+    SELECT
+        order_date,
+        CAST(rev_cents AS DOUBLE) / 100.0 AS daily_revenue,
+        CAST(rev_cents - LAG(rev_cents, 1) OVER (ORDER BY order_date) AS DOUBLE) / 100.0
+            AS delta_vs_prev_day
+    FROM ({DAILY_REVENUE})
+"""
+
+ORACLES["window_moving_avg"] = f"""
+    SELECT
+        order_date,
+        CAST(rev_cents AS DOUBLE) / 100.0 AS daily_revenue,
+        ROUND(
+            CAST(SUM(rev_cents) OVER w AS DOUBLE)
+            / (COUNT(*) OVER w) / 100.0, 4) AS ma7
+    FROM ({DAILY_REVENUE})
+    WINDOW w AS (ORDER BY order_date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+ORACLES["window_running_total"] = f"""
+    SELECT
+        account_id,
+        date,
+        CAST(SUM(day_cents) OVER (
+            PARTITION BY account_id ORDER BY date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) / 100.0 AS running_cost
+    FROM (
+        SELECT account_id, date, CAST(SUM({_cents('cost')}) AS BIGINT) AS day_cents
+        FROM ({EVENTS_COSTS}) costs
+        GROUP BY account_id, date
+    )
+"""

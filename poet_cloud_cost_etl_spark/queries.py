@@ -1,0 +1,439 @@
+"""Query registry: every implemented operator from SURVEY §2, as a
+(spark, sf_dir) -> DataFrame callable. Each entry has a DuckDB oracle
+twin in ``oracles.py`` (same name, same column names/aliases).
+
+Cross-engine determinism conventions (so the driver's value-hash
+matches):
+
+- **Money/quantity aggregates run in integer cents**: per-row
+  ``CAST(ROUND(x*100) AS BIGINT)`` then exact integer SUM. Double
+  summation is order-dependent (Spark's parallel partial aggregation
+  vs DuckDB's sequential scan would differ in the last ulps); integer
+  sums are exact and identical. Dollar outputs are derived as
+  ``CAST(sum_cents AS DOUBLE)/100.0`` — a single exact division.
+- Averages are derived from exact integer sums and counts, never from
+  engine-native AVG accumulators.
+- Similarities/ratios are rounded to 4-6 decimals on both sides.
+- Every ORDER BY carries a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from datetime import datetime
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .accounts import Account, AccountRegistry
+from .catalog import table
+from .operators.normalize import normalize_mapped
+from .operators.union_view import create_costs_view
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+# Fixed sync timestamp: determinism across the Spark/DuckDB runs
+# (the reference mints datetime.utcnow() per run, main.py:72).
+SYNC_TS = datetime(2026, 1, 1, 0, 0, 0)
+SYNC_TS_SQL = "TIMESTAMP '2026-01-01 00:00:00'"
+
+# Fixture analog of the reference's 27-account registry
+# (/root/reference/src/accounts.py:3-52): events.user_id plays the
+# account; two accounts are region(nation)-restricted.
+REGISTRY = AccountRegistry(
+    [
+        Account("7", "alpha"),
+        Account("23", "bravo"),
+        Account("42", "charlie"),
+        Account("99", "delta"),
+        Account("111", "echo"),
+        Account("3", "foxtrot-restricted", region="purchase"),
+        Account("58", "golf-restricted", region="click"),
+    ]
+)
+
+
+def query(name: str):
+    def deco(fn):
+        QUERIES[name] = fn
+        return fn
+
+    return deco
+
+
+def cents(col: Column) -> Column:
+    """Exact-integer money representation (see module docstring)."""
+    return F.round(col * 100, 0).cast("long")
+
+
+def dollars(sum_cents: Column) -> Column:
+    return (sum_cents.cast("double") / F.lit(100.0)).alias("x")
+
+
+# ---------------------------------------------------------------------------
+# The normalized-costs pipeline (reference parity: SURVEY §2.1-2.5)
+# ---------------------------------------------------------------------------
+
+
+def events_as_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize the ``events`` fixture into the 9-column costs schema
+    (events.user_id→account, event_type→service, value→cost). This is
+    the engine's stand-in for one CUR report path
+    (reference main.py:75-122 loop body)."""
+    ev = table(spark, sf_dir, "events")
+    return normalize_mapped(
+        ev,
+        source_table="events",
+        mapping={
+            "date": F.col("ts").cast("date"),
+            "account_id": F.col("user_id").cast("string"),
+            "service": F.col("event_type"),
+            "region": F.lit(None),
+            "cost": F.col("value"),
+            "currency": F.lit("USD"),
+        },
+        cloud_provider="aws",
+        sync_timestamp=SYNC_TS,
+    )
+
+
+def orders_as_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second 'report path': orders as a different provider's costs."""
+    o = table(spark, sf_dir, "orders")
+    return normalize_mapped(
+        o,
+        source_table="orders",
+        mapping={
+            "date": F.col("o_orderdate").cast("date"),
+            "account_id": F.col("o_custkey").cast("string"),
+            "service": F.col("o_orderpriority"),
+            "region": F.col("o_orderstatus"),
+            "cost": F.col("o_totalprice"),
+            "currency": F.lit("USD"),
+        },
+        cloud_provider="gcp",
+        sync_timestamp=SYNC_TS,
+    )
+
+
+def costs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: the unified ``costs`` view over both normalized sources."""
+    return create_costs_view(
+        spark,
+        {
+            "events": events_as_costs(spark, sf_dir),
+            "orders": orders_as_costs(spark, sf_dir),
+        },
+    )
+
+
+@query("costs_normalize_events")
+def q_costs_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/N1-N5: the normalize projection itself (row-level parity)."""
+    return events_as_costs(spark, sf_dir)
+
+
+@query("costs_union_view")
+def q_costs_union_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 + A3: provider×service totals over the unified view."""
+    costs = costs_view(spark, sf_dir)
+    return (
+        costs.groupBy("cloud_provider", "service")
+        .agg(
+            F.sum(cents(F.col("cost"))).alias("cost_cents"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .withColumn("total_cost", F.col("cost_cents").cast("double") / 100.0)
+    )
+
+
+@query("costs_by_service_30d")
+def q_costs_by_service_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship (A2/O1/P8): total cost by service over a date window —
+    the reference's headline query (README.md:125-130), with the
+    CURRENT_DATE anchor fixed to the fixture's time range for
+    determinism."""
+    costs = events_as_costs(spark, sf_dir)
+    return (
+        costs.filter(F.col("date") >= F.lit("2024-01-15"))
+        .groupBy("service")
+        .agg(F.sum(cents(F.col("cost"))).alias("cost_cents"))
+        .select(
+            "service",
+            (F.col("cost_cents").cast("double") / 100.0).alias("total"),
+        )
+        .orderBy(F.desc("total"), "service")
+    )
+
+
+@query("costs_daily_trend")
+def q_costs_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: daily cost trend (README.md:137-141)."""
+    costs = events_as_costs(spark, sf_dir)
+    return (
+        costs.groupBy("date")
+        .agg(F.sum(cents(F.col("cost"))).alias("cost_cents"))
+        .select("date", (F.col("cost_cents").cast("double") / 100.0).alias("daily_cost"))
+        .orderBy("date")
+    )
+
+
+@query("costs_by_account")
+def q_costs_by_account(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: cost by account (README.md:132-135)."""
+    costs = costs_view(spark, sf_dir)
+    return (
+        costs.groupBy("account_id")
+        .agg(
+            F.sum(cents(F.col("cost"))).alias("cost_cents"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "account_id",
+            (F.col("cost_cents").cast("double") / 100.0).alias("total_cost"),
+            "n_items",
+        )
+    )
+
+
+@query("top_accounts")
+def q_top_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+O3: top-10 accounts by spend — TakeOrderedAndProject on the
+    Spark side (no full sort at scale)."""
+    costs = events_as_costs(spark, sf_dir)
+    return (
+        costs.groupBy("account_id")
+        .agg(F.sum(cents(F.col("cost"))).alias("cost_cents"))
+        .select("account_id", (F.col("cost_cents").cast("double") / 100.0).alias("total_cost"))
+        .orderBy(F.desc("total_cost"), "account_id")
+        .limit(10)
+    )
+
+
+@query("account_filter_in")
+def q_account_filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3/P6: registry-compiled predicate (IN-list for unrestricted
+    accounts, OR of (account,service) conjunctions for restricted
+    ones) pushed into the scan — aws_cur.py:77-118 parity."""
+    costs = events_as_costs(spark, sf_dir)
+    pred = REGISTRY.where(F.col("account_id"), F.col("service"))
+    return (
+        costs.filter(pred)
+        .groupBy("account_id", "service")
+        .agg(F.sum(cents(F.col("cost"))).alias("cost_cents"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query("q1_pricing_summary")
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A6 on the TPC-H-ish fact: pricing summary (Q1 analog).
+    Demonstrates partial (map-side) aggregation: 4 groups from 600k
+    rows means the shuffle moves only partial aggregates."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    g = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("base_cents"),
+            F.sum(cents(disc_price)).alias("disc_cents"),
+            F.sum(cents(charge)).alias("charge_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        (F.col("qty_cents").cast("double") / 100.0).alias("sum_qty"),
+        (F.col("base_cents").cast("double") / 100.0).alias("sum_base_price"),
+        (F.col("disc_cents").cast("double") / 100.0).alias("sum_disc_price"),
+        (F.col("charge_cents").cast("double") / 100.0).alias("sum_charge"),
+        F.round(F.col("qty_cents").cast("double") / F.col("count_order") / 100.0, 4).alias(
+            "avg_qty"
+        ),
+        F.round(F.col("base_cents").cast("double") / F.col("count_order") / 100.0, 4).alias(
+            "avg_price"
+        ),
+        "count_order",
+    ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Joins (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@query("join_broadcast_dim")
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: fact⋈dim with an explicit broadcast — the fact side never
+    shuffles for the join (checked in tests/test_plans.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    sup = table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey, "inner")
+        .groupBy("s_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "revenue_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "s_name",
+            (F.col("revenue_cents").cast("double") / 100.0).alias("revenue"),
+            "n_items",
+        )
+    )
+
+
+@query("join_chain_dims")
+def q_join_chain_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: multi-hop dim chain customer→nation→region (both hops
+    broadcast-able; Catalyst reorders freely)."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).alias("acctbal_cents"),
+        )
+        .select(
+            "r_name",
+            "n_customers",
+            (F.col("acctbal_cents").cast("double") / 100.0).alias("total_acctbal"),
+        )
+    )
+
+
+@query("join_left_outer")
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer — customers keep a row even with zero orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("order_count"),
+            F.sum(F.when(F.col("o_orderkey").isNotNull(), cents(F.col("o_totalprice")))).alias(
+                "cents_nullable"
+            ),
+        )
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "order_count",
+            (F.coalesce(F.col("cents_nullable"), F.lit(0)).cast("double") / 100.0).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query("join_semi")
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-semi — the reference's IN-list account filter
+    (aws_cur.py:77-83) is semantically this join."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+@query("join_anti")
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti — customers with no orders."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive_customers"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@query("window_topn_per_group")
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: top-3 parts by retail price per brand via row_number."""
+    p = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rn")
+    )
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).alias("rev_cents"))
+    )
+
+
+@query("window_lag_delta")
+def q_window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: day-over-day revenue delta (anomaly-detection primitive,
+    reference roadmap README.md:50). Exact integer cents arithmetic."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("order_date")
+    return daily.select(
+        "order_date",
+        (F.col("rev_cents").cast("double") / 100.0).alias("daily_revenue"),
+        (
+            (F.col("rev_cents") - F.lag("rev_cents", 1).over(w)).cast("double") / 100.0
+        ).alias("delta_vs_prev_day"),
+    )
+
+
+@query("window_moving_avg")
+def q_window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: 7-day moving average — frame-spec rolling agg, derived from
+    exact windowed integer sums/counts."""
+    daily = _daily_revenue(spark, sf_dir)
+    w = Window.orderBy("order_date").rowsBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        (F.col("rev_cents").cast("double") / 100.0).alias("daily_revenue"),
+        F.round(
+            F.sum("rev_cents").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+            / 100.0,
+            4,
+        ).alias("ma7"),
+    )
+
+
+@query("window_running_total")
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running (cumulative) cost per account over time."""
+    costs = events_as_costs(spark, sf_dir)
+    daily = costs.groupBy("account_id", "date").agg(
+        F.sum(cents(F.col("cost"))).alias("day_cents")
+    )
+    w = (
+        Window.partitionBy("account_id")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "account_id",
+        "date",
+        (F.sum("day_cents").over(w).cast("double") / 100.0).alias("running_cost"),
+    )
