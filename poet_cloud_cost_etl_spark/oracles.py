@@ -174,13 +174,6 @@ ORACLES["join_semi"] = """
     GROUP BY c_mktsegment
 """
 
-ORACLES["join_anti"] = """
-    SELECT c_mktsegment, COUNT(*) AS n_inactive_customers
-    FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
-    GROUP BY c_mktsegment
-"""
-
 ORACLES["window_topn_per_group"] = """
     SELECT p_brand, p_partkey, p_retailprice, rn
     FROM (
@@ -236,4 +229,160 @@ ORACLES["window_running_total"] = f"""
         FROM ({EVENTS_COSTS}) costs
         GROUP BY account_id, date
     )
+"""
+
+# --- batch 2: aggregates / set ops / scalar funcs / asof+range joins ---
+
+ORACLES["join_anti"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_inactive_customers
+    FROM customer
+    WHERE c_custkey NOT IN (
+        SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+    )
+    GROUP BY c_mktsegment
+"""
+
+ORACLES["agg_stats"] = f"""
+    SELECT
+        l_returnflag,
+        n,
+        n_parts,
+        min_price,
+        max_price,
+        ROUND(CAST(price_cents AS DOUBLE) / n / 100.0, 4) AS avg_price,
+        stddev_price
+    FROM (
+        SELECT
+            l_returnflag,
+            COUNT(*) AS n,
+            COUNT(DISTINCT l_partkey) AS n_parts,
+            MIN(l_extendedprice) AS min_price,
+            MAX(l_extendedprice) AS max_price,
+            CAST(SUM({_cents('l_extendedprice')}) AS BIGINT) AS price_cents,
+            ROUND(STDDEV_SAMP(l_extendedprice), 2) AS stddev_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+"""
+
+ORACLES["agg_rollup"] = f"""
+    SELECT
+        cloud_provider,
+        service,
+        CAST(GROUPING(cloud_provider) AS INTEGER) AS g_provider,
+        CAST(GROUPING(service) AS INTEGER) AS g_service,
+        CAST(SUM({_cents('cost')}) AS DOUBLE) / 100.0 AS total_cost,
+        COUNT(*) AS n
+    FROM {COSTS_VIEW} costs
+    GROUP BY ROLLUP(cloud_provider, service)
+"""
+
+ORACLES["agg_cube"] = f"""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(SUM({_cents('l_quantity')}) AS DOUBLE) / 100.0 AS sum_qty,
+        COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+# agg_approx_distinct: intentionally no oracle (sketch outputs are
+# engine-specific) — driver runs its rows-only check.
+
+ORACLES["set_intersect"] = """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+ORACLES["set_except"] = """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+ORACLES["json_extract_props"] = """
+    SELECT
+        event_type,
+        CAST(SUM(k) AS BIGINT) AS k_sum,
+        MIN(k) AS k_min,
+        MAX(k) AS k_max,
+        COUNT(k) AS n_with_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    GROUP BY event_type
+"""
+
+ORACLES["string_funcs"] = """
+    SELECT
+        p_partkey,
+        UPPER(p_name) AS name_upper,
+        CAST(LEN(STRING_SPLIT(p_name, ' ')) AS INTEGER) AS n_words,
+        STRING_SPLIT(p_name, ' ')[1] AS first_word,
+        REPLACE(p_brand, 'Brand#', 'B') AS brand_code,
+        SUBSTRING(p_type, 1, 5) AS type_prefix,
+        CAST(LENGTH(p_name) AS INTEGER) AS name_len,
+        CONCAT_WS('|', p_brand, p_type) AS brand_type
+    FROM part
+"""
+
+ORACLES["date_funcs"] = """
+    SELECT
+        o_orderkey,
+        CAST(o_orderdate AS DATE) AS order_date,
+        CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+        CAST(MONTH(o_orderdate) AS INTEGER) AS o_month,
+        CAST(DAY(o_orderdate) AS INTEGER) AS o_day,
+        CAST(QUARTER(o_orderdate) AS INTEGER) AS o_quarter,
+        CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        CAST(o_orderdate - INTERVAL 30 DAY AS DATE) AS minus_30d,
+        LAST_DAY(CAST(o_orderdate AS DATE)) AS month_end,
+        CAST(DATE_DIFF('day', CAST(o_orderdate AS DATE), DATE '1999-01-01') AS INTEGER)
+            AS days_to_1999,
+        CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start
+    FROM orders
+"""
+
+ORACLES["math_funcs"] = """
+    SELECT
+        p_partkey,
+        ROUND(SQRT(p_retailprice), 6) AS sqrt_price,
+        POW(CAST(p_size AS DOUBLE), 2) AS size_sq,
+        CAST(ABS(p_size - 25) AS INTEGER) AS abs_dev,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        CAST(p_partkey % 7 AS BIGINT) AS key_mod7
+    FROM part
+"""
+
+ORACLES["join_asof"] = """
+    SELECT
+        p.event_id,
+        p.user_id,
+        p.ts,
+        p.purchase_value,
+        c.ts AS last_click_ts,
+        c.click_value AS last_click_value
+    FROM (
+        SELECT event_id, user_id, ts, value AS purchase_value
+        FROM events WHERE event_type = 'purchase'
+    ) p
+    ASOF LEFT JOIN (
+        SELECT user_id, ts, value AS click_value
+        FROM events WHERE event_type = 'click'
+    ) c
+    ON p.user_id = c.user_id AND c.ts <= p.ts
+"""
+
+ORACLES["join_range"] = """
+    SELECT e1.user_id AS u, COUNT(*) AS n_pairs
+    FROM events e1 JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+    GROUP BY e1.user_id
 """

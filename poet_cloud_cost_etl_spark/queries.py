@@ -352,9 +352,11 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("join_anti")
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4: left-anti — customers with no orders."""
+    """J4: left-anti — customers with no high-value (>450k) orders.
+    (The filter keeps the anti side non-trivial: every customer has
+    *some* order in the fixtures.)"""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
@@ -437,3 +439,269 @@ def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date",
         (F.sum("day_cents").over(w).cast("double") / 100.0).alias("running_cost"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Aggregate family completion (SURVEY §2.5 A6/A7)
+# ---------------------------------------------------------------------------
+
+
+@query("agg_stats")
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: avg/min/max/count-distinct/stddev per group. Averages come
+    from exact integer sums; stddev is rounded (engine accumulation
+    order differs at the last ulps)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("price_cents"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            "n_parts",
+            "min_price",
+            "max_price",
+            F.round(F.col("price_cents").cast("double") / F.col("n") / 100.0, 4).alias(
+                "avg_price"
+            ),
+            "stddev_price",
+        )
+    )
+
+
+@query("agg_rollup")
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: ROLLUP over (cloud_provider, service) on the costs view —
+    subtotals + grand total, with GROUPING indicators."""
+    costs = costs_view(spark, sf_dir)
+    return (
+        costs.rollup("cloud_provider", "service")
+        .agg(
+            F.grouping("cloud_provider").cast("int").alias("g_provider"),
+            F.grouping("service").cast("int").alias("g_service"),
+            F.sum(cents(F.col("cost"))).alias("cost_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "cloud_provider",
+            "service",
+            "g_provider",
+            "g_service",
+            (F.col("cost_cents").cast("double") / 100.0).alias("total_cost"),
+            "n",
+        )
+    )
+
+
+@query("agg_cube")
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: CUBE over (l_returnflag, l_linestatus)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).alias("qty_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("qty_cents").cast("double") / 100.0).alias("sum_qty"),
+            "n",
+        )
+    )
+
+
+@query("agg_approx_distinct")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: approximate aggregates (HLL count-distinct + approximate
+    percentiles). No SQL oracle — sketch outputs are engine-specific;
+    the driver records a rows-only check. At 100 TB these replace
+    exact distinct counts that would shuffle every key."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.4 U3)
+# ---------------------------------------------------------------------------
+
+
+@query("set_intersect")
+def q_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: customers with both open ('O') and finished ('F') orders."""
+    o = table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_c.intersect(fin_c)
+
+
+@query("set_except")
+def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: customers with open orders but no finished ones."""
+    o = table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_c.subtract(fin_c)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@query("json_extract_props")
+def q_json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: JSON extraction from the events.props string column —
+    multimodal/typed-metadata entry point. get_json_object compiles to
+    a JVM-side path evaluation (no UDF)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count("k").alias("n_with_k"),
+        )
+    )
+
+
+@query("string_funcs")
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2: lower/upper/replace/split/trim/substring — the name-
+    canonicalization function family, row-level over part."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.size(F.split(F.col("p_name"), " ")).alias("n_words"),
+        F.split(F.col("p_name"), " ").getItem(0).alias("first_word"),
+        F.regexp_replace(F.col("p_brand"), "Brand#", "B").alias("brand_code"),
+        F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("|", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@query("date_funcs")
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4: date part extraction + arithmetic (partition-pruning
+    building blocks: year()/month() are how CUR month partitions are
+    derived, aws_cur.py:68-75)."""
+    o = table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("order_date"),
+        F.year(d).alias("o_year"),
+        F.month(d).alias("o_month"),
+        F.dayofmonth(d).alias("o_day"),
+        F.quarter(d).alias("o_quarter"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.date_sub(d, 30).alias("minus_30d"),
+        F.last_day(d).alias("month_end"),
+        F.datediff(F.lit("1999-01-01").cast("date"), d).alias("days_to_1999"),
+        F.date_trunc("month", d).cast("date").alias("month_start"),
+    )
+
+
+@query("math_funcs")
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: math scalar family (sqrt/pow/abs/round/floor/ceil/mod).
+    sqrt is IEEE-exact cross-engine; transcendentals (ln/exp) are
+    deliberately excluded from oracle-checked outputs (libm differs)."""
+    p = table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.round(F.sqrt(F.col("p_retailprice")), 6).alias("sqrt_price"),
+        F.pow(F.col("p_size").cast("double"), 2).alias("size_sq"),
+        F.abs(F.col("p_size") - 25).alias("abs_dev"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("p_retailprice")).cast("long").alias("price_ceil"),
+        (F.col("p_partkey") % 7).alias("key_mod7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of + range joins (SURVEY §2.7 J5)
+# ---------------------------------------------------------------------------
+
+
+@query("join_asof")
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: as-of join — for each purchase event, the most recent click
+    by the same user at or before the purchase. Implemented with the
+    linear union+window plan (operators/joins.py), NOT a nested-loop
+    join; oracle uses DuckDB's native ASOF JOIN."""
+    from .operators.joins import asof_join
+
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["click_value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.col("asof_ts").alias("last_click_ts"),
+        F.col("asof_click_value").alias("last_click_value"),
+    )
+
+
+@query("join_range")
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: range/interval join — pairs of events by the same user
+    within a 5-minute window. Equi-join on user_id carries the work;
+    the range predicate is a join filter (no cartesian product)."""
+    ev = table(spark, sf_dir, "events")
+    e1 = ev.select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("eid1"),
+        F.col("ts").alias("ts1"),
+    )
+    e2 = ev.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("eid2"),
+        F.col("ts").alias("ts2"),
+    )
+    pairs = e1.join(
+        e2,
+        (e1.u == e2.u2)
+        & (e2.ts2 > e1.ts1)
+        & (e2.ts2 <= e1.ts1 + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    )
+    return pairs.groupBy("u").agg(F.count(F.lit(1)).alias("n_pairs"))
