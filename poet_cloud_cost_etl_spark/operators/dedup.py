@@ -1,0 +1,157 @@
+"""X1/X2: deduplication operator family (SURVEY §2.11) — exact,
+fingerprint, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Everything here is expressed in native Spark SQL expressions (no
+Python UDFs): tokenization with regexp functions, shingling with
+higher-order array functions, hashing with md5. Hash values are
+therefore engine-portable — DuckDB's md5 produces the same hex — so
+even MinHash/LSH is verifiable against a SQL oracle.
+
+Scale notes (100 TB): every step is a narrow map except the final
+candidate-pair self-join, which shuffles on (band_idx, band_value) —
+the standard LSH partitioning; band buckets are small by construction
+so the join never explodes. Stop-shingle removal (drop shingles with
+document frequency above a cap) bounds worst-case bucket sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Canonicalized token array from raw text: lowercase, strip
+# non-alphanumerics, split on whitespace runs.
+TOKENS_SQL = "split(trim(regexp_replace(lower({col}), '[^a-z0-9 ]', '')), ' +')"
+
+# 3-word shingles from a token array column named {t}.
+SHINGLES_SQL = (
+    "CASE WHEN size({t}) >= 3 THEN transform(sequence(1, size({t}) - 2), "
+    "i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1), ' ', "
+    "element_at({t}, i + 2))) ELSE array() END"
+)
+
+
+def tokens(col: str) -> Column:
+    return F.expr(TOKENS_SQL.format(col=col))
+
+
+def shingles(token_col: str) -> Column:
+    return F.expr(SHINGLES_SQL.format(t=token_col))
+
+
+def exact_dedup(df: DataFrame, keys: list[str]) -> DataFrame:
+    """X1: exact dedup — hash-aggregate on the key columns."""
+    return df.dropDuplicates(keys)
+
+
+def fingerprint(col: Column) -> Column:
+    """X2a: canonical-text fingerprint (lower→strip→collapse→md5)."""
+    canon = F.trim(F.regexp_replace(F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " "))
+    return F.md5(canon)
+
+
+def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, shingle) pairs, distinct per doc."""
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.explode(shingles("__t")).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str, k: int = 8) -> DataFrame:
+    """X2b: k-permutation MinHash. Permutation j is simulated by
+    hashing the shingle with a seed prefix; the signature component is
+    the lexicographic MIN of the hex digest — a total order identical
+    in any engine with md5."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("shingle")))).alias(f"mh{j}")
+        for j in range(1, k + 1)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 8, bands: int = 4) -> DataFrame:
+    """X2c: band the signature (rows = k/bands) and emit distinct
+    candidate pairs sharing any band bucket. Shuffle key is
+    (band_idx, band_value) — bounded buckets, no cartesian blowup."""
+    rows = k // bands
+    band_cols = [
+        F.md5(F.concat_ws("", *[F.col(f"mh{b * rows + r + 1}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    exploded = banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a = exploded.select(
+        F.col(id_col).alias("doc_a"), F.col("band_idx"), F.col("band_val")
+    )
+    b = exploded.select(
+        F.col(id_col).alias("doc_b"), F.col("band_idx"), F.col("band_val")
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """X2d: exact n-gram Jaccard over pairs sharing ≥1 shingle.
+    ``sh`` must be distinct (id, shingle). Jaccard = |∩|/|∪| from
+    exact integer counts — cross-engine deterministic."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X2e: 16-bit SimHash. Each token votes ±1 on each bit of its
+    16-bit hash (first 4 hex chars of md5, parsed base-16); bit j of
+    the fingerprint is 1 iff the vote sum is ≥ 0. All integer
+    arithmetic — engine-portable."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
+    toks = toks.select(F.col(id_col), h.alias("h"))
+    votes = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1).otherwise(-1)
+            ).alias(f"v{j}")
+            for j in range(16)
+        ]
+    )
+    sim = None
+    for j in range(16):
+        bit = F.when(F.col(f"v{j}") >= 0, 2**j).otherwise(0)
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.cast("int").alias("simhash"))

@@ -1,0 +1,110 @@
+"""X5/X6: text analysis — token counting, quality scoring, language
+ID, document fingerprinting (SURVEY §2.11). All native expressions;
+ratios derive from exact integer counts (cross-engine deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+STOPWORDS = ["the", "a", "and", "or", "of", "to", "in", "is"]
+
+# Tiny marker-word profiles for the language-ID heuristic. Real
+# language ID uses char n-gram profiles; the mechanics (score per
+# language, argmax with deterministic tie-break) are identical.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "a"],
+    "es": ["el", "la", "de", "los", "y", "que"],
+    "de": ["der", "die", "das", "und", "nicht"],
+    "fr": ["le", "les", "et", "des", "une"],
+}
+
+
+def _in_list(arr: str, words: list[str]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({arr}, x -> x IN ({quoted})))"
+
+
+def token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish regex tokens per document."""
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Quality-score components: length band, stopword ratio, mean
+    word length, duplicate-token ratio — each contributing 0.25."""
+    t = df.select(F.col(id_col), F.col(text_col).alias("__text"), tokens(text_col).alias("__t"))
+    n_words = F.size("__t")
+    n_stop = F.expr(_in_list("__t", STOPWORDS))
+    n_distinct = F.size(F.array_distinct("__t"))
+    n_chars_in_words = F.expr("aggregate(__t, 0, (acc, x) -> acc + length(x))")
+    feat = t.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(n_stop.cast("double") / n_words, 6).alias("stopword_ratio"),
+        F.round(n_chars_in_words.cast("double") / n_words, 6).alias("mean_word_len"),
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_words, 6
+        ).alias("dup_ratio"),
+    )
+    score = (
+        F.when((F.col("n_words") >= 50) & (F.col("n_words") <= 200), 0.25).otherwise(0.0)
+        + F.when(F.col("stopword_ratio") >= 0.05, 0.25).otherwise(0.0)
+        + F.when(
+            (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 8.0), 0.25
+        ).otherwise(0.0)
+        + F.when(F.col("dup_ratio") <= 0.6, 0.25).otherwise(0.0)
+    )
+    return feat.select("*", F.round(score, 2).alias("quality_score"))
+
+
+def lang_scores(df: DataFrame, id_col: str, text_col: str, true_lang: str) -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language,
+    argmax with fixed precedence (en > es > de > fr > unknown)."""
+    t = df.select(F.col(id_col), F.col(true_lang), tokens(text_col).alias("__t"))
+    scored = t.select(
+        F.col(id_col),
+        F.col(true_lang),
+        *[
+            F.expr(_in_list("__t", words)).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")) & (F.col("s_es") > 0), "es")
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") > 0), "de")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("unknown")
+    )
+    return scored.select(F.col(id_col), F.col(true_lang), pred.alias("pred_lang"))
+
+
+def winnow_fingerprint(sh: DataFrame, id_col: str) -> DataFrame:
+    """Document fingerprinting by hash selection (winnowing-style):
+    md5 each distinct shingle, keep digests in the lowest 1/16 of hash
+    space (hex prefix '0'), fingerprint = (count, min digest)."""
+    hashed = sh.select(F.col(id_col), F.md5(F.col("shingle")).alias("h"))
+    sel = hashed.filter(F.substring("h", 1, 1) == "0")
+    return sel.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_fingerprints"),
+        F.min("h").alias("min_fingerprint"),
+    )

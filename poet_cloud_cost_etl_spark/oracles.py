@@ -175,7 +175,7 @@ ORACLES["join_semi"] = """
 """
 
 ORACLES["window_topn_per_group"] = """
-    SELECT p_brand, p_partkey, p_retailprice, rn
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS INTEGER) AS rn
     FROM (
         SELECT
             p_brand, p_partkey, p_retailprice,
@@ -385,4 +385,243 @@ ORACLES["join_range"] = """
      AND e2.ts > e1.ts
      AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
     GROUP BY e1.user_id
+"""
+
+# --- batch 3: dedup / similarity / text analysis (X-family) ---
+
+# DuckDB twins of the Spark tokenization/shingling expressions
+# (operators/dedup.py TOKENS_SQL / SHINGLES_SQL).
+_TOKS = (
+    "string_split_regex(trim(regexp_replace(lower({col}), '[^a-z0-9 ]', '', 'g')), ' +')"
+)
+
+_SHINGLE_CTE = f"""
+    toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    )
+"""
+
+ORACLES["dedup_exact"] = """
+    SELECT MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+"""
+
+ORACLES["dedup_fingerprint"] = """
+    SELECT
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                ' +', ' ', 'g'))) AS fp,
+        MIN(doc_id) AS keeper_doc_id,
+        COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+"""
+
+_MH_COLS = ",\n            ".join(
+    f"MIN(md5('{j}|' || shingle)) AS mh{j}" for j in range(1, 9)
+)
+_BAND_UNION = "\n        UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b+1} || mh{2*b+2}) AS band_val FROM mh"
+    for b in range(4)
+)
+ORACLES["dedup_minhash_lsh"] = f"""
+    WITH {_SHINGLE_CTE},
+    mh AS (
+        SELECT doc_id,
+            {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_BAND_UNION}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+"""
+
+ORACLES["dedup_ngram_jaccard"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard
+    FROM (
+        SELECT doc_a, doc_b,
+            ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+                AS jaccard
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    WHERE jaccard >= 0.5
+"""
+
+_V_COLS = ",\n            ".join(
+    f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(16)
+)
+_SIM_SUM = " + ".join(f"(CASE WHEN v{j} >= 0 THEN {2**j} ELSE 0 END)" for j in range(16))
+ORACLES["dedup_simhash"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    hs AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS h FROM tk),
+    v AS (
+        SELECT doc_id,
+            {_V_COLS}
+        FROM hs GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({_SIM_SUM} AS INTEGER) AS simhash FROM v
+"""
+
+ORACLES["dedup_embedding_cosine"] = """
+    SELECT id_a, id_b, cos_sim
+    FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    WHERE cos_sim >= 0.4
+"""
+
+ORACLES["ann_topk_bruteforce"] = """
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])), 6)
+                    AS cos_sim
+            FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+            WHERE e.vec_id <> q.vec_id
+        )
+    )
+    WHERE rank <= 3
+"""
+
+ORACLES["ann_lsh_bucketed"] = """
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+            (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+          + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END) AS bucket
+        FROM embeddings
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                             CAST(q.embedding AS DOUBLE[])), 6)
+                    AS cos_sim
+            FROM bucketed e
+            JOIN (SELECT * FROM bucketed WHERE vec_id < 5) q
+              ON e.bucket = q.bucket AND e.vec_id <> q.vec_id
+        )
+    )
+    WHERE rank <= 3
+"""
+
+ORACLES["text_token_counts"] = f"""
+    SELECT
+        doc_id,
+        CAST(len({_TOKS.format(col='text')}) AS INTEGER) AS n_ws_tokens,
+        CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS INTEGER) AS n_bpe_tokens
+    FROM documents
+"""
+
+_STOP_IN = "'the', 'a', 'and', 'or', 'of', 'to', 'in', 'is'"
+ORACLES["text_quality_score"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    f AS (
+        SELECT doc_id,
+            CAST(len(t) AS INTEGER) AS n_words,
+            ROUND(CAST(len(list_filter(t, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                  / len(t), 6) AS stopword_ratio,
+            ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                  / len(t), 6) AS mean_word_len,
+            ROUND(CAST(1.0 AS DOUBLE)
+                  - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_ratio
+        FROM t
+    )
+    SELECT doc_id, n_words, stopword_ratio, mean_word_len, dup_ratio,
+        ROUND(
+            (CASE WHEN n_words BETWEEN 50 AND 200 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+          + (CASE WHEN stopword_ratio >= 0.05 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+          + (CASE WHEN mean_word_len BETWEEN 3.0 AND 8.0 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+          + (CASE WHEN dup_ratio <= 0.6 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END), 2) AS quality_score
+    FROM f
+"""
+
+_MARKERS = {
+    "en": "'the', 'and', 'of', 'to', 'is', 'a'",
+    "es": "'el', 'la', 'de', 'los', 'y', 'que'",
+    "de": "'der', 'die', 'das', 'und', 'nicht'",
+    "fr": "'le', 'les', 'et', 'des', 'une'",
+}
+_SCORE_COLS = ",\n            ".join(
+    f"len(list_filter(t, x -> x IN ({words}))) AS s_{lang}"
+    for lang, words in _MARKERS.items()
+)
+ORACLES["text_lang_id"] = f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {_TOKS.format(col='text')} AS t FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang,
+            {_SCORE_COLS}
+        FROM toks
+    )
+    SELECT lang, pred_lang, COUNT(*) AS n
+    FROM (
+        SELECT lang,
+            CASE
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+                    THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'unknown'
+            END AS pred_lang
+        FROM s
+    )
+    GROUP BY lang, pred_lang
+"""
+
+ORACLES["text_profile_by_lang"] = """
+    SELECT
+        lang,
+        COUNT(*) AS n_docs,
+        ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 4) AS avg_chars,
+        COUNT(DISTINCT source) AS n_sources
+    FROM documents
+    GROUP BY lang
+"""
+
+ORACLES["doc_fingerprint_winnow"] = f"""
+    WITH {_SHINGLE_CTE},
+    sel AS (
+        SELECT doc_id, md5(shingle) AS h FROM sh
+        WHERE substr(md5(shingle), 1, 1) = '0'
+    )
+    SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(h) AS min_fingerprint
+    FROM sel GROUP BY doc_id
 """

@@ -705,3 +705,188 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return pairs.groupBy("u").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / similarity / text analysis (SURVEY §2.11, X-family)
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_exact")
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup — one keeper (min doc_id) per identical text.
+    A hash-aggregate on the dedup key: one shuffle, fully scalable."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    ).select("keeper_doc_id", "n_copies")
+
+
+@query("dedup_fingerprint")
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2a: canonical-text md5 fingerprint dedup (case/punctuation/
+    whitespace-insensitive)."""
+    from .operators.dedup import fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint(F.col("text")).alias("fp"), F.col("doc_id"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@query("dedup_minhash_lsh")
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b/c: MinHash (k=8, lexicographic-min md5 with seed prefixes)
+    + LSH banding (4 bands × 2 rows) → distinct candidate pairs.
+    Shuffles on (band_idx, band_value); engine-portable hashes make
+    even this oracle-checkable in SQL."""
+    from .operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    d = table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "doc_id", "text")
+    sig = minhash_signatures(sh, "doc_id", k=8)
+    return lsh_candidate_pairs(sig, "doc_id", k=8, bands=4)
+
+
+@query("dedup_ngram_jaccard")
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2d: exact 3-gram Jaccard near-dup pairs (>= 0.5)."""
+    from .operators.dedup import doc_shingles, ngram_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "doc_id", "text")
+    return ngram_jaccard_pairs(sh, "doc_id", threshold=0.5)
+
+
+@query("dedup_simhash")
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2e: 16-bit SimHash fingerprints (integer bit votes)."""
+    from .operators.dedup import simhash16
+
+    d = table(spark, sf_dir, "documents")
+    return simhash16(d, "doc_id", "text")
+
+
+@query("dedup_embedding_cosine")
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2f: embedding-cosine near-dup pairs (>= 0.4). Brute-force
+    all-pairs at test scale; the LSH-bucketed variant
+    (ann_lsh_bucketed) is the 100 TB path."""
+    from .operators.similarity import cosine_near_dup_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, "vec_id", "embedding", threshold=0.4)
+
+
+@query("ann_topk_bruteforce")
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 baseline: exact top-3 cosine neighbors for a small broadcast
+    query set (vec_id < 5)."""
+    from .operators.similarity import brute_force_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        e.filter(F.col("vec_id") < 5), e, "vec_id", "embedding", k=3
+    )
+
+
+@query("ann_lsh_bucketed")
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 scale path: sign-bit LSH buckets (3 hyperplanes → 8
+    buckets); neighbors searched only within the query's bucket, so
+    the join is bucket-partitioned instead of a cross join."""
+    from pyspark.sql.window import Window
+
+    from .operators.similarity import cosine, sign_bucket
+
+    e = table(spark, sf_dir, "embeddings")
+    bucketed = e.select(
+        "vec_id", "embedding", sign_bucket("embedding", 3).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        "bucket",
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), "bucket")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine("__qv", "embedding"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+@query("text_token_counts")
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: whitespace + BPE-ish regex token counts per document."""
+    from .operators.textstats import token_counts
+
+    d = table(spark, sf_dir, "documents")
+    return token_counts(d, "doc_id", "text")
+
+
+@query("text_quality_score")
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: quality scoring — length band, stopword ratio, mean word
+    length, duplicate-token ratio (0.25 each)."""
+    from .operators.textstats import quality_features
+
+    d = table(spark, sf_dir, "documents")
+    return quality_features(d, "doc_id", "text")
+
+
+@query("text_lang_id")
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/X6: marker-token language-ID heuristic, reported as a
+    (true lang × predicted lang) confusion matrix."""
+    from .operators.textstats import lang_scores
+
+    d = table(spark, sf_dir, "documents")
+    scored = lang_scores(d, "doc_id", "text", "lang")
+    return scored.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query("text_profile_by_lang")
+def q_text_profile_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: per-language corpus profile (exact-sum averages)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("chars_total"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("chars_total").cast("double") / F.col("n_docs"), 4).alias(
+                "avg_chars"
+            ),
+            "n_sources",
+        )
+    )
+
+
+@query("doc_fingerprint_winnow")
+def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: winnowing-style fingerprint selection (lowest 1/16 of md5
+    space per distinct shingle)."""
+    from .operators.dedup import doc_shingles
+    from .operators.textstats import winnow_fingerprint
+
+    d = table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "doc_id", "text")
+    return winnow_fingerprint(sh, "doc_id")
