@@ -1,0 +1,120 @@
+"""Multimodal columns (SURVEY §2.11 / BASELINE north star): images /
+audio / video ride through the engine as opaque ``binary`` columns
+with typed metadata structs; decode / feature-extract / frame-sample
+run as Arrow-batched ``mapInPandas`` stages — the sanctioned Python
+escape hatch (row-at-a-time UDFs stay banned).
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT in this container, so
+the decode kernel is STUBBED: ``decode_images(..., impl="real")``
+raises ``NotImplementedError`` with the dependency named, and the
+default ``impl="fake"`` produces a deterministic payload-derived fake
+so the Spark-side plumbing — schema, partitioning, batch shape,
+null handling — is real and tested end-to-end.
+
+At 100 TB: binary payloads dominate bytes, so the partitioning rule is
+"metadata travels, payloads stay put" — filter/join on the metadata
+struct first, decode only the surviving rows (mapInPandas after the
+pushdown-friendly filters, never before).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Literal
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_bytes", T.IntegerType()),
+    ]
+)
+
+
+def attach_payload(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stand-in ingest: treat the document text's UTF-8 bytes as an
+    opaque media payload, with the typed metadata struct a real
+    multimodal table would carry."""
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime_type"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.sha2(payload, 256).alias("sha256"),
+        ).alias("meta"),
+    )
+
+
+def decode_images(
+    df: DataFrame, impl: Literal["fake", "real"] = "fake"
+) -> DataFrame:
+    """Decode payloads to (dims, feature vector) via mapInPandas.
+
+    ``impl="real"`` is the integration point for an actual image
+    library; it raises until one is installed. ``impl="fake"`` derives
+    dims/features deterministically from the payload bytes, so tests
+    exercise the full Arrow round-trip and output schema.
+    """
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if impl == "real":
+                raise NotImplementedError(
+                    "real image decode requires PIL/opencv — not available "
+                    "in this container; use impl='fake' for plumbing tests"
+                )
+            payloads = pdf["payload"]
+            out = pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": payloads.map(lambda b: 1 + (len(b) % 64)).astype("int32"),
+                    "height": payloads.map(lambda b: 1 + (b[0] if len(b) else 0)).astype(
+                        "int32"
+                    ),
+                    "channels": payloads.map(lambda b: 3).astype("int32"),
+                    "features": payloads.map(
+                        lambda b: [float(x) / 255.0 for x in b[:8]]
+                    ),
+                }
+            )
+            yield out
+
+    return df.select("doc_id", "payload").mapInPandas(_decode, DECODED_SCHEMA)
+
+
+def frame_sample(df: DataFrame, frame_size: int = 64, every_k: int = 4) -> DataFrame:
+    """Video-style frame sampling: chunk each payload into fixed-size
+    'frames', keep every k-th — demonstrates the 1→N mapInPandas shape
+    (one input row fans out to many output rows)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: list[tuple[int, int, int]] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = (len(payload) + frame_size - 1) // frame_size
+                for i in range(0, n_frames, every_k):
+                    chunk = payload[i * frame_size : (i + 1) * frame_size]
+                    rows.append((doc_id, i, len(chunk)))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"]).astype(
+                {"frame_idx": "int32", "frame_bytes": "int32"}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)

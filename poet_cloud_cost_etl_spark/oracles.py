@@ -625,3 +625,81 @@ ORACLES["doc_fingerprint_winnow"] = f"""
     SELECT doc_id, COUNT(*) AS n_fingerprints, MIN(h) AS min_fingerprint
     FROM sel GROUP BY doc_id
 """
+
+# --- batch 4: streaming batch-equivalents ---
+
+ORACLES["events_tumbling_daily"] = f"""
+    SELECT
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+        event_type,
+        COUNT(*) AS n,
+        CAST(SUM({_cents('value')}) AS DOUBLE) / 100.0 AS total_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+ORACLES["events_sliding_2d"] = f"""
+    SELECT
+        CAST(date_trunc('day', ts) - o * INTERVAL 1 DAY AS TIMESTAMP) AS window_start,
+        COUNT(*) AS n,
+        CAST(SUM({_cents('value')}) AS DOUBLE) / 100.0 AS total_value
+    FROM events, UNNEST([0, 1]) AS u(o)
+    GROUP BY 1
+"""
+
+ORACLES["events_session_window"] = f"""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+            CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, value,
+            SUM(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+        FROM flagged
+    )
+    SELECT
+        user_id,
+        MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        COUNT(*) AS n_events,
+        CAST(SUM({_cents('value')}) AS DOUBLE) / 100.0 AS total_value
+    FROM sessions
+    GROUP BY user_id, session_id
+"""
+
+ORACLES["events_dedup_state"] = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_users
+    FROM events
+    GROUP BY event_type
+"""
+
+# --- batch 5: multimodal ---
+
+ORACLES["multimodal_metadata"] = """
+    SELECT
+        doc_id,
+        'application/octet-stream' AS mime_type,
+        CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        sha256(text) AS payload_sha256
+    FROM documents
+"""
+
+ORACLES["multimodal_payload_stats"] = """
+    SELECT
+        source,
+        COUNT(*) AS n_payloads,
+        CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        CAST(MIN(octet_length(encode(text))) AS INTEGER) AS min_bytes,
+        CAST(MAX(octet_length(encode(text))) AS INTEGER) AS max_bytes
+    FROM documents
+    GROUP BY source
+"""
+
+# multimodal_decode_stub: rows-only (mapInPandas kernel, not SQL).

@@ -1,0 +1,119 @@
+"""The ``sync`` pipeline — the reference's flagship entry point
+(``/root/reference/src/main.py:37-145``) re-expressed Spark-first.
+
+Reference lifecycle: per report path, extract (DuckDB→pandas), load
+raw to PG, normalize (pandas), load normalized to PG, then create the
+UNION ALL view. Every stage materializes in driver RAM — the
+documented 16 GB OOM (CLAUDE.md:128-129).
+
+Here each stage stays a lazy DataFrame; the only actions are the
+sink writes. Raw and normalized tables land as parquet (partitioned
+for the costs layout) or JDBC (when a URL is configured); the costs
+view is registered in the session catalog. A sync_log row is appended
+per table (closing the reference's latent gap — init.sql defines the
+table but never writes it).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from datetime import datetime
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.normalize import normalize_mapped
+from .operators.union_view import create_costs_view
+from .sources.base import Source
+from .sources.sinks import write_costs_partitioned, write_parquet_partitioned
+from .sources.sync_log import append_sync_log, log_entry
+
+
+@dataclass
+class SyncReport:
+    tables: dict[str, int] = field(default_factory=dict)
+    failures: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return not self.failures
+
+
+def sync(
+    spark: SparkSession,
+    sources: list[Source],
+    output_root: str,
+    sync_timestamp: datetime | None = None,
+    dry_run: bool = False,
+    write_raw: bool = True,
+) -> SyncReport:
+    """Run the full extract→normalize→view pipeline.
+
+    ``dry_run`` prints the plan without touching data
+    (main.py:41,60-63 parity); failures are isolated per source
+    (main.py:119-122 swallows per-path errors and continues)."""
+    ts = sync_timestamp or datetime.utcnow()
+    report = SyncReport()
+    normalized: dict[str, DataFrame] = {}
+
+    for src in sources:
+        t0 = time.time()
+        try:
+            raw = src.read(spark)
+            if dry_run:
+                print(f"[dry-run] {src.name}: schema={raw.schema.simpleString()}")
+                continue
+            if raw.isEmpty():  # P9 empty-input guard (main.py:99-101)
+                report.tables[src.name] = 0
+                continue
+            if write_raw:
+                write_parquet_partitioned(
+                    raw, f"{output_root}/raw_{src.name}", if_exists="replace"
+                )
+            norm = normalize_mapped(
+                raw,
+                source_table=src.name,
+                mapping=src.cost_mapping(),
+                cloud_provider=src.cloud_provider(),
+                sync_timestamp=ts,
+            )
+            write_costs_partitioned(
+                norm, f"{output_root}/{src.name}_normalized", if_exists="replace"
+            )
+            # re-read the sink so the view is backed by the committed data
+            normalized[src.name] = (
+                spark.read.parquet(f"{output_root}/{src.name}_normalized")
+                .select(
+                    "date",
+                    "account_id",
+                    "service",
+                    "region",
+                    "cost",
+                    "currency",
+                    "cloud_provider",
+                    "source_table",
+                    "sync_timestamp",
+                )
+            )
+            n = normalized[src.name].count()
+            report.tables[src.name] = n
+            append_sync_log(
+                log_entry(
+                    spark, ts, src.name, "success", n,
+                    len(normalized[src.name].columns), time.time() - t0,
+                ),
+                f"{output_root}/sync_log",
+            )
+        except Exception as exc:  # per-source isolation (main.py:119-122)
+            report.failures[src.name] = str(exc)[:500]
+            append_sync_log(
+                log_entry(
+                    spark, ts, src.name, "failed", 0, 0, time.time() - t0,
+                    error_message=str(exc)[:500],
+                ),
+                f"{output_root}/sync_log",
+            )
+
+    if normalized and not dry_run:
+        create_costs_view(spark, normalized)
+    return report

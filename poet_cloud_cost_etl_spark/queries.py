@@ -890,3 +890,133 @@ def q_doc_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     sh = doc_shingles(d, "doc_id", "text")
     return winnow_fingerprint(sh, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Streaming operators, batch-equivalent formulations (SURVEY §2.10).
+# window()/session_window() work identically in batch groupBy, which
+# keeps them DuckDB-oracle-checkable; streaming/pipelines.py runs the
+# same shapes as readStream with watermarks (tests/test_streaming.py).
+# ---------------------------------------------------------------------------
+
+
+@query("events_tumbling_daily")
+def q_events_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2a: tumbling 1-day window aggregate (epoch-aligned, so the
+    window start equals the UTC day truncation)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            (F.col("value_cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+@query("events_sliding_2d")
+def q_events_sliding_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST2b: sliding window (2-day width, 1-day slide) — every event
+    lands in exactly two windows."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n",
+            (F.col("value_cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+@query("events_session_window")
+def q_events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3: session windows (30-minute gap) per user. In batch this is
+    the gaps-and-islands computation; in streaming the same expression
+    runs stateful (see streaming/pipelines.py)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents(F.col("value"))).alias("value_cents"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            (F.col("value_cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )
+
+
+@query("events_dedup_state")
+def q_events_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 batch twin: stateful dedup on (user_id, event_type) —
+    distinct users per event type after dropDuplicates. Streaming form
+    is dropDuplicatesWithinWatermark."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.dropDuplicates(["user_id", "event_type"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns (SURVEY §2.11 / F8)
+# ---------------------------------------------------------------------------
+
+
+@query("multimodal_metadata")
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata: the filter/join surface of a
+    multimodal table ('metadata travels, payloads stay put'). Payload
+    is the text's UTF-8 bytes as a stand-in for media bytes."""
+    from .operators.multimodal import attach_payload
+
+    d = table(spark, sf_dir, "documents")
+    m = attach_payload(d.join(table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"), "doc_id", "text")
+    return m.select(
+        "doc_id",
+        F.col("meta.mime_type").alias("mime_type"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("payload_sha256"),
+    )
+
+
+@query("multimodal_payload_stats")
+def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload-size profile per source (pure metadata aggregation —
+    no payload bytes move through the shuffle)."""
+    d = table(spark, sf_dir, "documents")
+    payload_len = F.octet_length(F.encode(F.col("text"), "utf-8"))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_payloads"),
+        F.sum(payload_len.cast("long")).alias("total_bytes"),
+        F.min(payload_len).alias("min_bytes"),
+        F.max(payload_len).alias("max_bytes"),
+    )
+
+
+@query("multimodal_decode_stub")
+def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode (deterministic fake kernel —
+    real codecs not in this container). Rows-only oracle: the point
+    under test is the distributed plumbing (schema/batches), exercised
+    bit-for-bit in tests/test_multimodal.py."""
+    from .operators.multimodal import attach_payload, decode_images
+
+    d = table(spark, sf_dir, "documents")
+    return decode_images(attach_payload(d, "doc_id", "text"), impl="fake")

@@ -1,0 +1,64 @@
+"""Pluggable source interface — the Spark twin of the reference's
+``BaseSource`` ABC (``/root/reference/src/sources/base.py:8-22``) and
+its 3-step extension recipe (``/root/reference/CLAUDE.md:101-105``):
+implement ``read``, provide a column mapping, register.
+
+A source yields a *lazy* DataFrame (never a materialized frame — the
+reference's pandas interchange is the documented OOM,
+``/root/reference/CLAUDE.md:128-129``) plus the Column mapping the
+shared normalize operator consumes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Protocol
+
+from pyspark.sql import Column, DataFrame, SparkSession
+
+
+class Source(Protocol):
+    name: str
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        """Return the raw (drifting-schema) frame, lazily."""
+        ...
+
+    def cost_mapping(self) -> dict[str, Column]:
+        """Column expressions for the six normalized data columns."""
+        ...
+
+    def cloud_provider(self) -> str: ...
+
+
+@dataclass
+class SourceRegistry:
+    sources: dict[str, Source]
+
+    def register(self, source: Source) -> None:
+        self.sources[source.name] = source
+
+    def get(self, name: str) -> Source:
+        return self.sources[name]
+
+    def names(self) -> list[str]:
+        return sorted(self.sources)
+
+
+def make_source(
+    name: str,
+    read: Callable[[SparkSession], DataFrame],
+    mapping: Callable[[], dict[str, Column]],
+    provider: str,
+) -> Source:
+    """Ad-hoc source from callables (keeps plugin authoring 3 lines)."""
+
+    class _S:
+        pass
+
+    s = _S()
+    s.name = name
+    s.read = read
+    s.cost_mapping = mapping
+    s.cloud_provider = lambda: provider
+    return s

@@ -1,0 +1,95 @@
+"""S6-S11: sinks + catalog DDL (SURVEY §2.1).
+
+The reference's sink is psycopg2 ``execute_values`` into PostgreSQL
+with drop/create DDL derived from pandas dtypes
+(``/root/reference/src/loaders/postgresql.py:46-160``). Spark
+equivalents:
+
+- S6/S7 JDBC writes with replace/append/fail modes → ``df.write.jdbc``
+  (executors write partitions in parallel; ``batchsize`` replaces
+  execute_values paging)
+- S8 DDL type projection → the JDBC writer derives DDL from the
+  DataFrame schema natively; ``createTableColumnTypes`` overrides
+- S9 schema ensure → catalog namespace DDL
+- S10 SQL script execution → statement-split ``spark.sql`` loop
+- S11 view creation → ``CREATE OR REPLACE [TEMP] VIEW``
+
+Locally there is no PostgreSQL, so the default sink is partitioned
+parquet — which is also the correct 100 TB answer: analytics outputs
+land in object storage laid out ``cloud_provider=/year=/month=`` so
+downstream scans partition-prune (SURVEY §7 design note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_MODE_MAP = {"replace": "overwrite", "append": "append", "fail": "errorifexists"}
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    if_exists: str = "replace",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Default sink: partitioned parquet. For the costs table the
+    canonical layout is cloud_provider/year/month."""
+    writer = df.write.mode(_MODE_MAP[if_exists])
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)
+
+
+def write_costs_partitioned(costs: DataFrame, path: str, if_exists: str = "replace") -> None:
+    """The 100 TB layout: provider/year/month directories so date- and
+    provider-scoped queries prune partitions at the listing step."""
+    out = costs.withColumn("year", F.year("date")).withColumn("month", F.month("date"))
+    write_parquet_partitioned(
+        out, path, if_exists, partition_cols=["cloud_provider", "year", "month"]
+    )
+
+
+def write_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    if_exists: str = "replace",
+    properties: dict[str, str] | None = None,
+    batchsize: int = 10000,
+    create_table_column_types: str | None = None,
+    num_partitions: int | None = None,
+) -> None:
+    """S6-S8: JDBC sink. ``batchsize`` mirrors the reference's 10k
+    execute_values pages (postgresql.py:51,96); ``numPartitions``
+    bounds concurrent connections; ``createTableColumnTypes`` is the
+    S8 DDL override (e.g. 'cost DECIMAL(10,2)')."""
+    writer = df.write.mode(_MODE_MAP[if_exists]).format("jdbc")
+    writer = writer.option("url", url).option("dbtable", table)
+    writer = writer.option("batchsize", str(batchsize))
+    if num_partitions:
+        writer = writer.option("numPartitions", str(num_partitions))
+    if create_table_column_types:
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
+    for k, v in (properties or {}).items():
+        writer = writer.option(k, v)
+    writer.save()
+
+
+def ensure_namespace(spark: SparkSession, name: str) -> None:
+    """S9: CREATE SCHEMA IF NOT EXISTS (postgresql.py:38-44)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+
+
+def run_sql_script(spark: SparkSession, script: str) -> None:
+    """S10: execute a multi-statement SQL script (postgresql.py:151-160)."""
+    for stmt in script.split(";"):
+        if stmt.strip():
+            spark.sql(stmt)
+
+
+def create_view(spark: SparkSession, name: str, select_sql: str, temp: bool = True) -> None:
+    """S11: CREATE OR REPLACE VIEW (normalize.py:112-143)."""
+    kind = "TEMPORARY VIEW" if temp else "VIEW"
+    spark.sql(f"CREATE OR REPLACE {kind} {name} AS {select_sql}")

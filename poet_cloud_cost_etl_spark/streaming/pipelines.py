@@ -1,0 +1,112 @@
+"""Structured Streaming surface (SURVEY §2.10, ST1-ST5).
+
+The reference is cron-batch (``/root/reference/entrypoint.sh:7-9``
+writes a crontab; incremental sync is an *unimplemented* roadmap item,
+``/root/reference/README.md:48``). This module supplies the idiomatic
+Spark replacement: the parquet-directory file source picks up new
+files per trigger (exactly the missing incremental sync), watermarks
+bound state, and ``trigger(availableNow=True)`` reproduces cron-batch
+semantics ("process everything new, then stop") with exactly-once
+checkpointing instead of cron's at-least-once.
+
+Each pipeline here is the streaming twin of a batch query in
+queries.py (events_tumbling_daily, events_session_window,
+events_dedup_state), so correctness is checked two ways: the batch
+form against the DuckDB oracle, and the streaming form against the
+batch form (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Schema of the events table as stored (ts is long nanoseconds in the
+# fixture parquet; see catalog.NANOS_TS_COLUMNS).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def incremental_events_source(spark: SparkSession, source_dir: str) -> DataFrame:
+    """ST1: incremental file source over a parquet directory. Files
+    that appear after the last trigger are processed exactly once
+    (checkpoint-tracked) — the reference's missing incremental sync."""
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_daily(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST2 + ST5: watermarked tumbling-window aggregate. The watermark
+    bounds state: windows older than (max event time - watermark) are
+    finalized and their state dropped; later-arriving rows for them
+    are ignored (the late-data policy)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """ST3: stateful session windows per user."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame) -> DataFrame:
+    """ST4: stateful dedup by event_id. State for an id is kept only
+    within the watermark horizon — bounded memory at any scale."""
+    return stream.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_available_now(
+    result: DataFrame, checkpoint_dir: str, query_name: str
+) -> None:
+    """Cron-batch semantics, idiomatically: drain everything currently
+    available, commit the checkpoint, stop (entrypoint.sh:7-9 twin)."""
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if "sort" not in query_name else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_append_available_now(
+    result: DataFrame, checkpoint_dir: str, query_name: str
+) -> None:
+    q = (
+        result.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

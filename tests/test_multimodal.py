@@ -1,0 +1,68 @@
+"""Multimodal plumbing: binary payloads, typed metadata, mapInPandas
+decode/frame-sample kernels (schema, batch shape, determinism, the
+NotImplementedError gate for the real codec path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from poet_cloud_cost_etl_spark.catalog import table
+from poet_cloud_cost_etl_spark.operators.multimodal import (
+    DECODED_SCHEMA,
+    attach_payload,
+    decode_images,
+    frame_sample,
+)
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def payloads(spark):
+    d = table(spark, SF_SMALL, "documents")
+    return attach_payload(d, "doc_id", "text")
+
+
+def test_payload_schema(payloads):
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    meta = payloads.select("meta.*")
+    assert set(meta.columns) == {"mime_type", "n_bytes", "sha256"}
+    r = payloads.filter(F.col("doc_id") == 0).collect()[0]
+    assert r.meta.n_bytes == len(r.payload) > 0
+
+
+def test_decode_fake_schema_and_determinism(spark, payloads):
+    out = decode_images(payloads, impl="fake")
+    assert out.schema == DECODED_SCHEMA
+    rows1 = {r.doc_id: (r.width, r.height, tuple(r.features)) for r in out.collect()}
+    rows2 = {r.doc_id: (r.width, r.height, tuple(r.features)) for r in out.collect()}
+    assert rows1 == rows2 and len(rows1) == 500
+    w, h, feats = rows1[0]
+    assert 1 <= w <= 64 and h >= 1 and len(feats) == 8
+
+
+def test_decode_survives_repartition(spark, payloads):
+    """Batch shape: kernel must be correct regardless of partitioning
+    (multiple Arrow batches, uneven splits)."""
+    out1 = decode_images(payloads.repartition(7), impl="fake")
+    out2 = decode_images(payloads.coalesce(1), impl="fake")
+    assert sorted(r.doc_id for r in out1.collect()) == sorted(
+        r.doc_id for r in out2.collect()
+    )
+
+
+def test_decode_real_raises(spark, payloads):
+    with pytest.raises(Exception) as exc_info:
+        decode_images(payloads.limit(1), impl="real").collect()
+    assert "NotImplementedError" in str(exc_info.value) or isinstance(
+        exc_info.value, NotImplementedError
+    )
+
+
+def test_frame_sample_fanout(spark, payloads):
+    frames = frame_sample(payloads, frame_size=64, every_k=4)
+    assert frames.count() > 500  # 1→N fanout happened
+    r = frames.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
+    assert [f.frame_idx for f in r] == list(range(0, 4 * len(r), 4))
+    assert all(f.frame_bytes <= 64 for f in r)

@@ -1,0 +1,104 @@
+"""End-to-end sync pipeline (reference main.py:37-145 parity):
+sources → raw sink → normalize → partitioned costs sink → view +
+sync_log, with per-source failure isolation and dry-run."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from poet_cloud_cost_etl_spark.catalog import table
+from poet_cloud_cost_etl_spark.pipeline import sync
+from poet_cloud_cost_etl_spark.sources.base import make_source
+from poet_cloud_cost_etl_spark.sources.sync_log import read_sync_log
+
+from tests.conftest import SF_SMALL
+
+TS = datetime(2026, 1, 1)
+
+
+def _sources(spark):
+    events = make_source(
+        "events",
+        read=lambda s: table(s, SF_SMALL, "events"),
+        mapping=lambda: {
+            "date": F.col("ts").cast("date"),
+            "account_id": F.col("user_id").cast("string"),
+            "service": F.col("event_type"),
+            "region": F.lit(None),
+            "cost": F.col("value"),
+            "currency": F.lit("USD"),
+        },
+        provider="aws",
+    )
+    orders = make_source(
+        "orders",
+        read=lambda s: table(s, SF_SMALL, "orders"),
+        mapping=lambda: {
+            "date": F.col("o_orderdate").cast("date"),
+            "account_id": F.col("o_custkey").cast("string"),
+            "service": F.col("o_orderpriority"),
+            "region": F.col("o_orderstatus"),
+            "cost": F.col("o_totalprice"),
+            "currency": F.lit("USD"),
+        },
+        provider="gcp",
+    )
+    return [events, orders]
+
+
+def test_sync_end_to_end(spark, tmp_path):
+    out = str(tmp_path / "warehouse")
+    report = sync(spark, _sources(spark), out, sync_timestamp=TS)
+    assert report.ok
+    assert report.tables == {"events": 1000, "orders": 1500}
+
+    # costs view is queryable and unioned
+    total = spark.sql("SELECT count(*) AS n FROM costs").collect()[0].n
+    assert total == 2500
+    by_provider = {
+        r.cloud_provider: r.n
+        for r in spark.sql(
+            "SELECT cloud_provider, count(*) AS n FROM costs GROUP BY 1"
+        ).collect()
+    }
+    assert by_provider == {"aws": 1000, "gcp": 1500}
+
+    # partitioned layout: cloud_provider=/year=/month= directories
+    import os
+
+    parts = os.listdir(f"{out}/events_normalized")
+    assert any(p.startswith("cloud_provider=") for p in parts)
+
+    # sync_log written (closes the reference's latent gap)
+    log = read_sync_log(spark, f"{out}/sync_log")
+    entries = {r.table_name: r for r in log.collect()}
+    assert entries["events"].status == "success"
+    assert entries["events"].records_synced == 1000
+
+
+def test_sync_failure_isolation(spark, tmp_path):
+    """A broken source must not sink the run (main.py:119-122)."""
+
+    def boom(s):
+        raise RuntimeError("source exploded")
+
+    bad = make_source("bad", read=boom, mapping=dict, provider="aws")
+    srcs = _sources(spark) + [bad]
+    report = sync(spark, srcs, str(tmp_path / "w2"), sync_timestamp=TS)
+    assert report.tables["events"] == 1000
+    assert "bad" in report.failures
+    log = read_sync_log(spark, str(tmp_path / "w2/sync_log"))
+    assert {r.status for r in log.collect()} == {"success", "failed"}
+
+
+def test_sync_dry_run(spark, tmp_path, capsys):
+    out = str(tmp_path / "w3")
+    report = sync(spark, _sources(spark), out, dry_run=True)
+    assert report.ok and report.tables == {}
+    captured = capsys.readouterr()
+    assert "[dry-run] events" in captured.out
+    import os
+
+    assert not os.path.exists(out)
