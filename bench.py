@@ -22,8 +22,8 @@ from poet_cloud_cost_etl_spark.queries import QUERIES  # noqa: E402
 from poet_cloud_cost_etl_spark.session import build_session  # noqa: E402
 
 # Headline set: the flagship costs pipeline + the heaviest operator of
-# each family (scan+agg, broadcast join, outer join, window, dedup/
-# similarity/text once implemented).
+# each family (scan+agg, joins incl as-of, windows, streaming shapes,
+# dedup/similarity/text).
 HEADLINE = [
     "costs_by_service_30d",
     "costs_union_view",
@@ -31,8 +31,16 @@ HEADLINE = [
     "q1_pricing_summary",
     "join_broadcast_dim",
     "join_left_outer",
+    "join_asof",
     "window_topn_per_group",
     "window_running_total",
+    "events_session_window",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "text_quality_score",
 ]
 
 

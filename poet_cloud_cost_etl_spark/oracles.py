@@ -703,3 +703,69 @@ ORACLES["multimodal_payload_stats"] = """
 """
 
 # multimodal_decode_stub: rows-only (mapInPandas kernel, not SQL).
+
+# --- batch 6: arrays / maps / drifting union / percentile / subquery ---
+
+ORACLES["array_funcs"] = """
+    SELECT
+        vec_id,
+        CAST(len(embedding) AS INTEGER) AS n_dims,
+        list_sort(CAST(embedding AS DOUBLE[]), 'DESC')[1] AS c_max,
+        list_sort(CAST(embedding AS DOUBLE[]), 'DESC')[2] AS c_2nd,
+        list_sort(CAST(embedding AS DOUBLE[]), 'DESC')[3] AS c_3rd,
+        ROUND(sqrt(list_aggregate(
+            list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')), 6)
+            AS l2_norm,
+        CAST(len(list_filter(embedding, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM embeddings
+"""
+
+ORACLES["map_funcs"] = """
+    SELECT
+        event_id,
+        (m['k'])[1] AS k_from_map,
+        CAST(cardinality(m) AS INTEGER) AS n_keys,
+        array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted
+    FROM (
+        SELECT event_id,
+            MAP {'k': CAST(json_extract_string(props, '$.k') AS BIGINT),
+                 'u': user_id} AS m
+        FROM events
+    )
+"""
+
+ORACLES["union_drifting_schema"] = f"""
+    SELECT
+        o_orderstatus,
+        COUNT(*) AS n,
+        COUNT(o_totalprice) AS n_with_price,
+        CAST(SUM({_cents('o_totalprice')}) AS BIGINT) AS price_cents
+    FROM (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderstatus = 'O'
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderstatus
+        FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY o_orderstatus
+"""
+
+ORACLES["agg_percentile"] = """
+    SELECT
+        l_returnflag,
+        ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
+
+ORACLES["subquery_correlated"] = """
+    SELECT o_orderstatus, count(*) AS n_above_avg
+    FROM orders
+    WHERE o_totalprice > (
+        SELECT avg(o2.o_totalprice) FROM orders o2
+        WHERE o2.o_orderstatus = orders.o_orderstatus
+    )
+    GROUP BY o_orderstatus
+"""

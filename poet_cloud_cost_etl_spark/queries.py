@@ -1020,3 +1020,100 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return decode_images(attach_payload(d, "doc_id", "text"), impl="fake")
+
+
+# ---------------------------------------------------------------------------
+# Remaining scalar/set families: arrays (F7), maps (F8), drifting-
+# schema union (U1), exact percentiles (A6), correlated subquery (§4)
+# ---------------------------------------------------------------------------
+
+
+@query("array_funcs")
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: higher-order array functions over the embedding vectors —
+    size/sort/slice/element_at/aggregate, all JVM-side."""
+    from .operators.similarity import norm
+
+    e = table(spark, sf_dir, "embeddings")
+    sorted_desc = F.expr(
+        "sort_array(transform(embedding, x -> CAST(x AS DOUBLE)), false)"
+    )
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.element_at(sorted_desc, 1).alias("c_max"),
+        F.element_at(sorted_desc, 2).alias("c_2nd"),
+        F.element_at(sorted_desc, 3).alias("c_3rd"),
+        F.round(norm("embedding"), 6).alias("l2_norm"),
+        F.expr(
+            "size(filter(embedding, x -> x > 0))"
+        ).alias("n_positive"),
+    )
+
+
+@query("map_funcs")
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: map construction/access — props JSON lifted into a typed
+    map, then element_at / size / sorted-keys."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    m = F.create_map(
+        F.lit("k"), k, F.lit("u"), F.col("user_id")
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "k").alias("k_from_map"),
+        F.size(m).alias("n_keys"),
+        F.concat_ws(",", F.array_sort(F.map_keys(m))).alias("keys_sorted"),
+    )
+
+
+@query("union_drifting_schema")
+def q_union_drifting_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: vertical concat across drifting physical schemas —
+    unionByName(allowMissingColumns) fills absent columns with NULL
+    (the reference's union_by_name=true / pd.concat path)."""
+    o = table(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderstatus")
+    u = a.unionByName(b, allowMissingColumns=True)
+    return u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_totalprice").alias("n_with_price"),
+        F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
+    )
+
+
+@query("agg_percentile")
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A7: exact interpolated percentiles (the exact twin of
+    percentile_approx; both engines use the (n-1)*p linear rule)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+@query("subquery_correlated")
+def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4: correlated scalar subquery — Catalyst decorrelates it into
+    a join + aggregate (RewriteCorrelatedScalarSubquery); no manual
+    rewrite needed."""
+    from .catalog import load_tables
+
+    load_tables(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus, count(*) AS n_above_avg
+        FROM orders
+        WHERE o_totalprice > (
+            SELECT avg(o2.o_totalprice) FROM orders o2
+            WHERE o2.o_orderstatus = orders.o_orderstatus
+        )
+        GROUP BY o_orderstatus
+        """
+    )
