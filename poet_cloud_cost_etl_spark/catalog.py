@@ -38,8 +38,21 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine's semantics depend on, set defensively
+    so queries behave identically under a caller-provided session
+    (e.g. the driver's): ns-parquet handling, UTC timestamp↔date
+    casts (matches the DuckDB oracle's naive-timestamp semantics),
+    and non-ANSI (null-on-error) casts per reference normalize.py:106.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     """Read every fixture table and register it as a temp view."""
+    ensure_session_confs(spark)
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -53,6 +66,7 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (no view side-effect)."""
+    ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in NANOS_TS_COLUMNS.get(name, []):
         if c in df.columns and dict(df.dtypes).get(c) == "bigint":

@@ -769,3 +769,87 @@ ORACLES["subquery_correlated"] = """
     )
     GROUP BY o_orderstatus
 """
+
+# --- batch 7: pivot / generators / collect / gapfill / anomaly ---
+
+_PIVOT_COLS = ",\n        ".join(
+    f"CAST(COALESCE(SUM(CASE WHEN service = '{s}' THEN {_cents('cost')} END), 0) "
+    f"AS DOUBLE) / 100.0 AS {s}"
+    for s in ["click", "error", "purchase", "signup", "view"]
+)
+ORACLES["pivot_daily_services"] = f"""
+    SELECT
+        date,
+        {_PIVOT_COLS}
+    FROM ({EVENTS_COSTS}) costs
+    GROUP BY date
+"""
+
+ORACLES["explode_top_tokens"] = f"""
+    SELECT token, COUNT(*) AS n
+    FROM (
+        SELECT unnest({_TOKS.format(col='text')}) AS token FROM documents
+    )
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+"""
+
+ORACLES["agg_collect_sorted"] = """
+    SELECT
+        o_orderpriority,
+        string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+"""
+
+ORACLES["timeseries_gapfill"] = f"""
+    WITH costs AS ({EVENTS_COSTS}),
+    focus AS (SELECT * FROM costs WHERE account_id IN ('1', '2', '3')),
+    daily AS (
+        SELECT account_id, date, CAST(SUM({_cents('cost')}) AS BIGINT) AS day_cents
+        FROM focus GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT account_id, MIN(date) AS d0, MAX(date) AS d1 FROM focus GROUP BY 1
+    ),
+    calendar AS (
+        SELECT account_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS date
+        FROM span
+    )
+    SELECT
+        c.account_id,
+        c.date,
+        CAST(COALESCE(d.day_cents, 0) AS DOUBLE) / 100.0 AS daily_cost
+    FROM calendar c LEFT JOIN daily d
+      ON c.account_id = d.account_id AND c.date = d.date
+"""
+
+ORACLES["anomaly_zscore"] = f"""
+    WITH daily AS (
+        SELECT date, CAST(SUM({_cents('cost')}) AS BIGINT) AS c
+        FROM ({EVENTS_COSTS}) costs GROUP BY date
+    ),
+    stats AS (
+        SELECT date, c,
+            CAST(SUM(c) OVER w AS BIGINT) AS s,
+            CAST(SUM(c * c) OVER w AS BIGINT) AS ss,
+            COUNT(*) OVER w AS n
+        FROM daily
+        WINDOW w AS (ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT
+        date,
+        CAST(c AS DOUBLE) / 100.0 AS daily_cost,
+        CASE WHEN n >= 7 THEN
+            ROUND((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                  / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1)), 4)
+        END AS zscore,
+        CASE WHEN n >= 7 THEN
+            abs((CAST(c AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                / sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1))) > 2
+        END AS is_anomaly
+    FROM stats
+"""

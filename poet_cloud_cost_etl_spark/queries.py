@@ -1117,3 +1117,114 @@ def q_subquery_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY o_orderstatus
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Analytics extensions: pivot, generators, collect-aggs, time-series
+# gap fill, anomaly detection (reference roadmap README.md:50)
+# ---------------------------------------------------------------------------
+
+EVENT_SERVICES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query("pivot_daily_services")
+def q_pivot_daily_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: pivot — daily cost per service as columns. Explicit
+    value list keeps the output schema static (no extra pass to
+    discover pivot values, and deterministic columns at any scale)."""
+    costs = events_as_costs(spark, sf_dir)
+    p = (
+        costs.groupBy("date")
+        .pivot("service", EVENT_SERVICES)
+        .agg(F.sum(cents(F.col("cost"))))
+    )
+    return p.select(
+        "date",
+        *[
+            (F.coalesce(F.col(s), F.lit(0)).cast("double") / 100.0).alias(s)
+            for s in EVENT_SERVICES
+        ],
+    )
+
+
+@query("explode_top_tokens")
+def q_explode_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/UDTF-shape: generator (explode) + frequency top-k."""
+    from .operators.dedup import tokens
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )
+
+
+@query("agg_collect_sorted")
+def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: collect_set/array_agg — sorted distinct statuses per order
+    priority, rendered as a deterministic string."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("o_orderstatus"))).alias(
+            "statuses"
+        ),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@query("timeseries_gapfill")
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification: per-account calendar from
+    sequence()+explode, left join daily costs, zero-fill gaps —
+    the standard trend-table builder for the costs view."""
+    costs = events_as_costs(spark, sf_dir)
+    focus = costs.filter(F.col("account_id").isin(["1", "2", "3"]))
+    daily = focus.groupBy("account_id", "date").agg(
+        F.sum(cents(F.col("cost"))).alias("day_cents")
+    )
+    span = focus.groupBy("account_id").agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    )
+    calendar = span.select(
+        "account_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("date"),
+    )
+    return calendar.join(daily, ["account_id", "date"], "left").select(
+        "account_id",
+        "date",
+        (F.coalesce(F.col("day_cents"), F.lit(0)).cast("double") / 100.0).alias(
+            "daily_cost"
+        ),
+    )
+
+
+@query("anomaly_zscore")
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost anomaly detection (reference roadmap README.md:50): each
+    day's total vs the trailing 7-day window — z-score from *exact
+    integer* windowed sums (mean and variance derived, not engine
+    accumulators), flag |z| > 2."""
+    costs = events_as_costs(spark, sf_dir)
+    daily = costs.groupBy("date").agg(F.sum(cents(F.col("cost"))).alias("c"))
+    w = Window.orderBy("date").rowsBetween(-7, -1)
+    stats = daily.select(
+        "date",
+        "c",
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("ss").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    z = (F.col("c").cast("double") - mean) / F.sqrt(var)
+    return stats.select(
+        "date",
+        (F.col("c").cast("double") / 100.0).alias("daily_cost"),
+        F.when(F.col("n") >= 7, F.round(z, 4)).alias("zscore"),
+        F.when(F.col("n") >= 7, F.abs(z) > 2).alias("is_anomaly"),
+    )
