@@ -150,3 +150,38 @@ def test_apply_in_pandas_zscore(spark):
     for r in stats:
         assert abs(r.mu) < 1e-6
         assert abs(r.sd - 1.0) < 0.01
+
+
+# ---- CSV / JSON format breadth ----
+
+
+def test_csv_json_round_trip(spark, tmp_path):
+    """Costs data written as CSV and JSON-lines reads back through the
+    same normalize pipeline (explicit schema, PERMISSIVE mode)."""
+    from poet_cloud_cost_etl_spark.sources.csv_json import read_csv, read_json_lines
+
+    ev = table(spark, SF_SMALL, "events").select("event_id", "event_type", "value")
+    csv_dir, json_dir = str(tmp_path / "csv"), str(tmp_path / "json")
+    ev.write.option("header", "true").csv(csv_dir)
+    ev.write.json(json_dir)
+
+    schema = "event_id bigint, event_type string, value double"
+    from_csv = read_csv(spark, csv_dir, schema)
+    from_json = read_json_lines(spark, json_dir, schema)
+    assert from_csv.count() == from_json.count() == 1000
+    a = from_csv.agg(F.sum("value")).collect()[0][0]
+    b = from_json.agg(F.sum("value")).collect()[0][0]
+    assert abs(a - b) < 1e-6
+
+
+def test_csv_bad_rows_are_tolerated(spark, tmp_path):
+    """PERMISSIVE: malformed rows become NULLs, never abort the scan —
+    the engine-wide null-on-error posture (N5) applied to ingest."""
+    p = tmp_path / "bad.csv"
+    p.write_text("event_id,value\n1,2.5\nnot_a_number,oops\n3,4.5\n")
+    from poet_cloud_cost_etl_spark.sources.csv_json import read_csv
+
+    df = read_csv(spark, str(p), "event_id bigint, value double")
+    rows = df.collect()
+    assert len(rows) == 3
+    assert sum(1 for r in rows if r.event_id is None) == 1
