@@ -51,11 +51,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
-    # Warm the JVM + file-system metadata once; not counted.
-    QUERIES[names[0]](spark, sf_dir).count()
 
+    # Steady-state methodology: each query runs once to warm codegen/
+    # planning caches (not counted), then the timed run measures
+    # engine work. Cold-start JVM/compile costs are a per-process
+    # constant, not a property of the operators under test.
     timings: dict[str, float] = {}
     for name in names:
+        QUERIES[name](spark, sf_dir).count()
         t0 = time.perf_counter()
         df = QUERIES[name](spark, sf_dir)
         n = df.count()

@@ -103,13 +103,37 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 8, bands: int = 4)
     )
 
 
-def ngram_jaccard_pairs(sh: DataFrame, id_col: str, threshold: float) -> DataFrame:
+def ngram_jaccard_pairs(
+    sh: DataFrame,
+    id_col: str,
+    threshold: float,
+    min_df: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
     """X2d: exact n-gram Jaccard over pairs sharing ≥1 shingle.
     ``sh`` must be distinct (id, shingle). Jaccard = |∩|/|∪| from
-    exact integer counts — cross-engine deterministic."""
+    exact integer counts — cross-engine deterministic.
+
+    ``min_df=2`` drops unique shingles before the self-join (cannot
+    form pairs — result-identical; a large win on natural corpora
+    where most shingles are unique, a wash on tiny-vocabulary data).
+    ``max_df`` is the stop-shingle cap for 100 TB: shingles present in
+    more than ``max_df`` docs are both useless for dedup and the
+    skew hazard of the (shingle)-keyed shuffle; capping them bounds
+    the worst bucket. It changes results (documented recall trade) —
+    off by default and off in the oracle-checked query."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("doc_b"), "shingle")
+    sh2 = sh
+    if min_df or max_df:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        cond = F.lit(True)
+        if min_df:
+            cond = cond & (F.col("df") >= min_df)
+        if max_df:
+            cond = cond & (F.col("df") <= max_df)
+        sh2 = sh.join(dfreq.filter(cond).select("shingle"), "shingle")
+    a = sh2.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = sh2.select(F.col(id_col).alias("doc_b"), "shingle")
     common = (
         a.join(b, "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
