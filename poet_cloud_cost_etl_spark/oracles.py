@@ -853,3 +853,14 @@ ORACLES["anomaly_zscore"] = f"""
         END AS is_anomaly
     FROM stats
 """
+
+ORACLES["costs_by_service_currency"] = f"""
+    SELECT service, currency, CAST(cost_cents AS DOUBLE) / 100.0 AS total_cost
+    FROM (
+        SELECT service, currency,
+               CAST(SUM({_cents('cost')}) AS BIGINT) AS cost_cents
+        FROM {COSTS_VIEW} costs
+        GROUP BY service, currency
+    )
+    ORDER BY total_cost DESC, service, currency
+"""

@@ -1228,3 +1228,20 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") >= 7, F.round(z, 4)).alias("zscore"),
         F.when(F.col("n") >= 7, F.abs(z) > 2).alias("is_anomaly"),
     )
+
+
+@query("costs_by_service_currency")
+def q_costs_by_service_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the reference's documented multi-key breakdown
+    (CLAUDE.md:74-79 — GROUP BY service, currency)."""
+    costs = costs_view(spark, sf_dir)
+    return (
+        costs.groupBy("service", "currency")
+        .agg(F.sum(cents(F.col("cost"))).alias("cost_cents"))
+        .select(
+            "service",
+            "currency",
+            (F.col("cost_cents").cast("double") / 100.0).alias("total_cost"),
+        )
+        .orderBy(F.desc("total_cost"), "service", "currency")
+    )
