@@ -140,8 +140,11 @@ def ngram_jaccard_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb"))
+    # The per-doc size table is tiny next to the pair table (one row
+    # per doc vs up to one per co-occurring pair) — broadcast both
+    # lookups instead of shuffling the pairs twice more.
+    sa = F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")))
+    sb = F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")))
     jac = (
         common.join(sa, "doc_a")
         .join(sb, "doc_b")

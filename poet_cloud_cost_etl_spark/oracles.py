@@ -864,3 +864,18 @@ ORACLES["costs_by_service_currency"] = f"""
     )
     ORDER BY total_cost DESC, service, currency
 """
+
+ORACLES["salted_group_sum"] = f"""
+    SELECT
+        event_type,
+        CAST(SUM({_cents('value')}) AS DOUBLE) / 100.0 AS total_value,
+        COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+"""
+
+ORACLES["two_phase_count_distinct"] = """
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct_user_id
+    FROM events
+    GROUP BY event_type
+"""

@@ -1245,3 +1245,38 @@ def q_costs_by_service_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_cost"), "service", "currency")
     )
+
+
+@query("salted_group_sum")
+def q_salted_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew pattern: two-phase salted aggregation — result-identical
+    to a direct GROUP BY (the oracle IS the direct form), but the
+    shuffle spreads each hot key over 8 reducers."""
+    from .operators.aggregates import salted_agg
+
+    ev = table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        key_cols=["event_type"],
+        measures={
+            "value_cents": F.sum(cents(F.col("value"))),
+            "n": F.count(F.lit(1)),
+        },
+        salt_col=F.xxhash64("event_id"),
+        n_salts=8,
+    )
+    return out.select(
+        "event_type",
+        (F.col("value_cents").cast("double") / 100.0).alias("total_value"),
+        "n",
+    )
+
+
+@query("two_phase_count_distinct")
+def q_two_phase_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per service via (key,value) pre-dedup —
+    the shuffle-friendly COUNT(DISTINCT) expansion."""
+    from .operators.aggregates import two_phase_count_distinct
+
+    ev = table(spark, sf_dir, "events")
+    return two_phase_count_distinct(ev, ["event_type"], "user_id")
