@@ -71,3 +71,11 @@ def slow_path_udf_example():
     """Row-at-a-time UDF — provided for completeness; never use in a
     hot path (no codegen, per-row Python round-trip)."""
     return F.udf(lambda s: re.sub(r"[/:\-\s.]", "_", s.lower()) if s else None, T.StringType())
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the engine's Python functions to the SQL surface
+    (``spark.udf.register``), so ``spark.sql`` users get the same
+    extension points as DataFrame users."""
+    spark.udf.register("canon_name", canon_name_vec)
+    spark.udf.register("weighted_avg", weighted_avg_udaf)

@@ -879,3 +879,41 @@ ORACLES["two_phase_count_distinct"] = """
     FROM events
     GROUP BY event_type
 """
+
+ORACLES["region_restricted_filter"] = f"""
+    SELECT
+        account_id,
+        region,
+        CAST(SUM({_cents('cost')}) AS BIGINT) AS cost_cents,
+        COUNT(*) AS n
+    FROM ({ORDERS_COSTS}) costs
+    WHERE account_id IN ('11', '29')
+       OR (account_id = '54' AND region = 'O')
+       OR (account_id = '77' AND region = 'F')
+    GROUP BY account_id, region
+"""
+
+ORACLES["null_handling"] = """
+    SELECT
+        source_table,
+        COALESCE(region, 'UNKNOWN') AS region_filled,
+        COUNT(*) AS n,
+        CAST(SUM(CASE WHEN region IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+            AS n_with_region,
+        COUNT(NULLIF(currency, 'USD')) AS n_non_usd
+    FROM {COSTS} costs
+    GROUP BY source_table, COALESCE(region, 'UNKNOWN')
+""".replace("{COSTS}", COSTS_VIEW)
+
+ORACLES["cross_join_dims"] = """
+    SELECT r_name, COUNT(*) AS n_pairs
+    FROM region CROSS JOIN nation
+    GROUP BY r_name
+"""
+
+ORACLES["having_filter"] = """
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+"""

@@ -1280,3 +1280,74 @@ def q_two_phase_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events")
     return two_phase_count_distinct(ev, ["event_type"], "user_id")
+
+
+@query("region_restricted_filter")
+def q_region_restricted_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4/P5 on a true region column: OR of (account, region)
+    conjunctions plus an IN-list, over the orders-provider costs
+    (region = order status in that mapping) — the exact shape of
+    aws_cur.py:85-106."""
+    costs = orders_as_costs(spark, sf_dir)
+    reg = AccountRegistry(
+        [
+            Account("11", "a"),
+            Account("29", "b"),
+            Account("54", "c", region="O"),
+            Account("77", "d", region="F"),
+        ]
+    )
+    pred = reg.where(F.col("account_id"), F.col("region"))
+    return (
+        costs.filter(pred)
+        .groupBy("account_id", "region")
+        .agg(
+            F.sum(cents(F.col("cost"))).alias("cost_cents"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query("null_handling")
+def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F-family null semantics: coalesce / nullif / nvl2-shaped CASE —
+    the null-on-error posture's query-side counterpart."""
+    costs = costs_view(spark, sf_dir)
+    return (
+        costs.select(
+            "source_table",
+            F.coalesce(F.col("region"), F.lit("UNKNOWN")).alias("region_filled"),
+            F.nullif(F.col("currency"), F.lit("USD")).alias("non_usd_currency"),
+            F.when(F.col("region").isNull(), 0).otherwise(1).alias("has_region"),
+        )
+        .groupBy("source_table", "region_filled")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("has_region").alias("n_with_region"),
+            F.count("non_usd_currency").alias("n_non_usd"),
+        )
+    )
+
+
+@query("cross_join_dims")
+def q_cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian over two small dims (the only sanctioned
+    cross join: bounded × bounded)."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        r.crossJoin(n)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@query("having_filter")
+def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family HAVING: post-aggregation predicate on exact counts."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )

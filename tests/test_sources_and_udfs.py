@@ -185,3 +185,11 @@ def test_csv_bad_rows_are_tolerated(spark, tmp_path):
     rows = df.collect()
     assert len(rows) == 3
     assert sum(1 for r in rows if r.event_id is None) == 1
+
+
+def test_register_sql_functions(spark):
+    from poet_cloud_cost_etl_spark.functions.udfs import register_sql_functions
+
+    register_sql_functions(spark)
+    r = spark.sql("SELECT canon_name('Special/Chars:Col') AS c").collect()[0]
+    assert r.c == "special_chars_col"
