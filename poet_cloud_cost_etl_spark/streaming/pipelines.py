@@ -36,13 +36,15 @@ EVENTS_FILE_SCHEMA = T.StructType(
 )
 
 
-def incremental_events_source(spark: SparkSession, source_dir: str) -> DataFrame:
+def incremental_events_source(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
     """ST1: incremental file source over a parquet directory. Files
     that appear after the last trigger are processed exactly once
     (checkpoint-tracked) — the reference's missing incremental sync."""
     raw = (
         spark.readStream.schema(EVENTS_FILE_SCHEMA)
-        .option("maxFilesPerTrigger", 4)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
@@ -104,6 +106,28 @@ def run_append_available_now(
     q = (
         result.writeStream.format("memory")
         .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def run_foreach_batch_parquet(
+    result: DataFrame, checkpoint_dir: str, out_dir: str
+) -> None:
+    """Production sink pattern: each micro-batch lands through the
+    batch writer (parquet here; JDBC via sources.sinks.write_jdbc in
+    deployments) — exactly-once per batch via the checkpoint's batch
+    id. This is how the streaming pipeline reuses every batch sink
+    the engine has."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        result.writeStream.foreachBatch(_sink)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

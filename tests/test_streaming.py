@@ -94,3 +94,57 @@ def test_incremental_source_picks_up_new_files(spark, events_dir, tmp_path):
 
     assert first == 1000
     assert second == 2000  # complete mode: cumulative count includes both files
+
+
+def _write_one_file(df, stage_dir, src_dir, name):
+    """Write df as a single parquet file named ``name`` in src_dir
+    (raw long-ns ts, mirroring the fixture layout)."""
+    import glob
+
+    staged = str(stage_dir / f"stage_{name}")
+    df.withColumn("ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")).coalesce(
+        1
+    ).write.parquet(staged)
+    part = glob.glob(os.path.join(staged, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(src_dir, name))
+
+
+def _daily_counts(stream):
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """ST5: in append mode a window is emitted exactly once, when the
+    watermark passes it; rows arriving after that are dropped. Windows
+    flush in the batch AFTER the watermark advances, so the source is
+    fed one file per trigger."""
+    src = tmp_path / "late_src"
+    src.mkdir()
+    ev = table(spark, SF_SMALL, "events")
+    n_day1 = ev.filter(F.col("ts") < "2024-01-02").count()
+    _write_one_file(ev.filter(F.col("ts") < "2024-01-08"), tmp_path, str(src), "a.parquet")
+    _write_one_file(
+        ev.filter((F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15")),
+        tmp_path, str(src), "b.parquet",
+    )
+
+    ck, out = str(tmp_path / "ck_late"), str(tmp_path / "out_late")
+    agg = _daily_counts(P.incremental_events_source(spark, str(src), max_files_per_trigger=1))
+    P.run_foreach_batch_parquet(agg, ck, out)
+    first = spark.read.parquet(out)
+    day1_rows = first.filter(F.col("ws") == "2024-01-01 00:00:00").collect()
+    assert len(day1_rows) == 1 and day1_rows[0].n == n_day1
+
+    # late arrivals: day-1 events land again, far behind the watermark
+    _write_one_file(ev.filter(F.col("ts") < "2024-01-02"), tmp_path, str(src), "c.parquet")
+    agg2 = _daily_counts(P.incremental_events_source(spark, str(src), max_files_per_trigger=1))
+    P.run_foreach_batch_parquet(agg2, ck, out)
+    after = spark.read.parquet(out).filter(F.col("ws") == "2024-01-01 00:00:00").collect()
+    # still exactly one day-1 emission with the original count: the
+    # late rows were dropped by the watermark, not re-aggregated
+    assert len(after) == 1 and after[0].n == n_day1
