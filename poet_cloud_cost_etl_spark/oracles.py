@@ -917,3 +917,22 @@ ORACLES["having_filter"] = """
     GROUP BY o_custkey
     HAVING COUNT(*) >= 15
 """
+
+ORACLES["window_distribution"] = """
+    SELECT
+        o_orderkey,
+        CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+        ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM orders
+    WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+"""
+
+ORACLES["regexp_extract_groups"] = """
+    SELECT
+        p_partkey,
+        COALESCE(regexp_extract(p_type, '^(\\w+) (\\w+)', 1), '') AS type_class,
+        COALESCE(regexp_extract(p_type, '^(\\w+) (\\w+)', 2), '') AS type_finish,
+        CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num
+    FROM part
+"""

@@ -1351,3 +1351,32 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 15)
     )
+
+
+@query("window_distribution")
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family completion: ntile / percent_rank / cume_dist over a
+    tie-broken total order (rank functions are only deterministic
+    under a unique ordering)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query("regexp_extract_groups")
+def q_regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: regex group extraction — parse the structured p_type
+    string ('STANDARD ANODIZED TIN'-style) into components."""
+    p = table(spark, sf_dir, "part")
+    pat = r"^(\w+) (\w+)"
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), pat, 1).alias("type_class"),
+        F.regexp_extract(F.col("p_type"), pat, 2).alias("type_finish"),
+        F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).cast("int").alias("brand_num"),
+    )
