@@ -29,6 +29,8 @@ HEADLINE = [
     "costs_union_view",
     "costs_by_account",
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_regional_revenue",
     "join_broadcast_dim",
     "join_left_outer",
     "join_asof",

@@ -936,3 +936,38 @@ ORACLES["regexp_extract_groups"] = """
         CAST(regexp_extract(p_brand, '#(\\d+)', 1) AS INTEGER) AS brand_num
     FROM part
 """
+
+ORACLES["q3_shipping_priority"] = f"""
+    SELECT o_orderkey, order_date, CAST(rev_cents AS DOUBLE) / 100.0 AS revenue
+    FROM (
+        SELECT
+            o_orderkey,
+            CAST(o_orderdate AS DATE) AS order_date,
+            CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}) AS BIGINT) AS rev_cents
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+    )
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+ORACLES["q5_regional_revenue"] = f"""
+    SELECT
+        r_name,
+        CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}) AS DOUBLE) / 100.0
+            AS revenue,
+        COUNT(*) AS n_items
+    FROM region, nation, customer, orders, lineitem, supplier
+    WHERE r_regionkey = n_regionkey
+      AND n_nationkey = c_nationkey
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+    GROUP BY r_name
+"""

@@ -1380,3 +1380,63 @@ def q_regexp_extract_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract(F.col("p_type"), pat, 2).alias("type_finish"),
         F.regexp_extract(F.col("p_brand"), r"#(\d+)", 1).cast("int").alias("brand_num"),
     )
+
+
+@query("q3_shipping_priority")
+def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 analog: 3-way fact join with selective filters on all
+    sides — Catalyst pushes each filter below the join and reorders;
+    final top-10 is TakeOrderedAndProject, not a full sort."""
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "rev_cents"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "order_date",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query("q5_regional_revenue")
+def q_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 analog: 6-table snowflake join (region→nation→
+    customer→orders→lineitem→supplier with the colocation condition
+    c_nationkey = s_nationkey). Dims broadcast; only the fact tables
+    shuffle."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    return (
+        r.join(n, r.r_regionkey == n.n_regionkey)
+        .join(c, n.n_nationkey == c.c_nationkey)
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .groupBy("r_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "rev_cents"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "r_name",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+            "n_items",
+        )
+    )

@@ -90,3 +90,12 @@ def test_no_python_udf_in_any_query(spark):
         if "BatchEvalPython" in plan or "PythonUDF" in plan:
             offenders.append(name)
     assert not offenders, offenders
+
+
+def test_q5_snowflake_broadcasts_dims(spark):
+    """6-table snowflake: region/nation/customer/supplier broadcast;
+    only fact-to-fact (orders⋈lineitem) may shuffle."""
+    q = QUERIES["q5_regional_revenue"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan
