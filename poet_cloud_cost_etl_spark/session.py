@@ -63,6 +63,12 @@ def build_session(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.ui.enabled", "false")
+        # Keep catalog-table data out of the source tree (tests/tools
+        # that saveAsTable land here unless overridden).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     if master:
