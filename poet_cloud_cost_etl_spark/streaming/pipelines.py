@@ -134,3 +134,54 @@ def run_foreach_batch_parquet(
         .start()
     )
     q.awaitTermination()
+
+
+def running_user_totals(stream: DataFrame, evict_after_ms: int | None = None) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the
+    escape hatch for semantics the built-in stateful operators can't
+    express (here: a per-user monotone running total + event count
+    emitted once per micro-batch).
+
+    State is one (total_cents, n) pair per user — O(users), not
+    O(events) — and lives in the state store, so a 1000-executor run
+    shards it by the grouping key like any other keyed state.
+
+    ``evict_after_ms`` enables processing-time state eviction for
+    long-running (continuous-trigger) deployments. Leave it None under
+    ``availableNow``: a pending processing-time timeout keeps the
+    query alive in "cleaning up state" batches until it fires, so a
+    drain-and-stop trigger would never terminate.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = "user_id bigint, n_events bigint, total_cents bigint"
+    state_schema = "total_cents bigint, n bigint"
+
+    def _update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        total, n = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            cents = (pdf["value"] * 100).round(0).astype("int64")
+            total += int(cents.sum())
+            n += len(pdf)
+        state.update((total, n))
+        if evict_after_ms:
+            state.setTimeoutDuration(evict_after_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [total]}
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if evict_after_ms
+            else GroupStateTimeout.NoTimeout
+        ),
+    )

@@ -148,3 +148,37 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     # still exactly one day-1 emission with the original count: the
     # late rows were dropped by the watermark, not re-aggregated
     assert len(after) == 1 and after[0].n == n_day1
+
+
+def test_apply_in_pandas_with_state(spark, events_dir, tmp_path):
+    """Custom stateful operator: per-user totals accumulated across
+    micro-batches must equal the batch aggregation exactly (state
+    carries integer cents between batches)."""
+    stream = P.incremental_events_source(spark, events_dir, max_files_per_trigger=1)
+    result = P.running_user_totals(stream)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # last emission per user == full batch aggregate
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in spark.sql("SELECT * FROM t_state").collect()
+    }
+    batch = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.cents) for r in batch}
+    assert got == want and len(got) > 0
