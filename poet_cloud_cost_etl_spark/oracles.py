@@ -971,3 +971,20 @@ ORACLES["q5_regional_revenue"] = f"""
       AND c_nationkey = s_nationkey
     GROUP BY r_name
 """
+
+ORACLES["agg_argminmax"] = """
+    SELECT
+        p_brand,
+        arg_min(p_partkey, p_retailprice * 1000000000.0 + p_partkey) AS cheapest_part,
+        arg_max(p_partkey, p_retailprice * 1000000000.0 + p_partkey) AS priciest_part,
+        MIN(p_retailprice) AS min_price,
+        MAX(p_retailprice) AS max_price
+    FROM part
+    GROUP BY p_brand
+"""
+
+ORACLES["unpivot_daily_services"] = f"""
+    SELECT date, name AS service, v AS daily_cost
+    FROM ({ORACLES['pivot_daily_services']})
+    UNPIVOT INCLUDE NULLS (v FOR name IN (click, error, purchase, signup, view))
+"""

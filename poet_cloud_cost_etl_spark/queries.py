@@ -1440,3 +1440,33 @@ def q_q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+@query("agg_argminmax")
+def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: min_by/max_by — which part is cheapest/priciest per brand
+    (tie-broken by key so the answer is unique)."""
+    p = table(spark, sf_dir, "part")
+    # unique scalar comparator (price dominates, partkey breaks ties;
+    # the 1e9 scale keeps the two components non-overlapping) →
+    # deterministic arg extremes on both engines
+    pk = F.col("p_retailprice") * F.lit(1000000000.0) + F.col("p_partkey")
+    return p.groupBy("p_brand").agg(
+        F.min_by("p_partkey", pk).alias("cheapest_part"),
+        F.max_by("p_partkey", pk).alias("priciest_part"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+    )
+
+
+@query("unpivot_daily_services")
+def q_unpivot_daily_services(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-family: unpivot/melt — the wide pivot table back to long
+    form (round-trips with pivot_daily_services)."""
+    wide = QUERIES["pivot_daily_services"](spark, sf_dir)
+    return wide.unpivot(
+        ids=["date"],
+        values=EVENT_SERVICES,
+        variableColumnName="service",
+        valueColumnName="daily_cost",
+    )
