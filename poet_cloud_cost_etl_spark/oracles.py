@@ -835,7 +835,7 @@ ORACLES["anomaly_zscore"] = f"""
     stats AS (
         SELECT date, c,
             CAST(SUM(c) OVER w AS BIGINT) AS s,
-            CAST(SUM(c * c) OVER w AS BIGINT) AS ss,
+            SUM(CAST(c AS HUGEINT) * c) OVER w AS ss,
             COUNT(*) OVER w AS n
         FROM daily
         WINDOW w AS (ORDER BY date ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
@@ -975,8 +975,10 @@ ORACLES["q5_regional_revenue"] = f"""
 ORACLES["agg_argminmax"] = """
     SELECT
         p_brand,
-        arg_min(p_partkey, p_retailprice * 1000000000.0 + p_partkey) AS cheapest_part,
-        arg_max(p_partkey, p_retailprice * 1000000000.0 + p_partkey) AS priciest_part,
+        arg_min(p_partkey, lpad(CAST(CAST(ROUND(p_retailprice * 100) AS BIGINT) AS VARCHAR), 18, '0')
+                        || lpad(CAST(p_partkey AS VARCHAR), 18, '0')) AS cheapest_part,
+        arg_max(p_partkey, lpad(CAST(CAST(ROUND(p_retailprice * 100) AS BIGINT) AS VARCHAR), 18, '0')
+                        || lpad(CAST(p_partkey AS VARCHAR), 18, '0')) AS priciest_part,
         MIN(p_retailprice) AS min_price,
         MAX(p_retailprice) AS max_price
     FROM part

@@ -987,7 +987,7 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import attach_payload
 
     d = table(spark, sf_dir, "documents")
-    m = attach_payload(d.join(table(spark, sf_dir, "documents").select("doc_id", "source"), "doc_id"), "doc_id", "text")
+    m = attach_payload(d, "doc_id", "text")
     return m.select(
         "doc_id",
         F.col("meta.mime_type").alias("mime_type"),
@@ -1015,11 +1015,26 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode (deterministic fake kernel —
     real codecs not in this container). Rows-only oracle: the point
     under test is the distributed plumbing (schema/batches), exercised
-    bit-for-bit in tests/test_multimodal.py."""
+    bit-for-bit in tests/test_multimodal.py.
+
+    The raw ``features array<float>`` stays in the pytest path; the
+    registered output digests it to a scalar (the driver's rows-only
+    canonicalizer sorts every column and cannot sort python lists)."""
     from .operators.multimodal import attach_payload, decode_images
 
     d = table(spark, sf_dir, "documents")
-    return decode_images(attach_payload(d, "doc_id", "text"), impl="fake")
+    decoded = decode_images(attach_payload(d, "doc_id", "text"), impl="fake")
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("features", lambda x: F.round(x.cast("double"), 6).cast("string"))
+            )
+        ).alias("features_md5"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1210,11 +1225,15 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs = events_as_costs(spark, sf_dir)
     daily = costs.groupBy("date").agg(F.sum(cents(F.col("cost"))).alias("c"))
     w = Window.orderBy("date").rowsBetween(-7, -1)
+    # square-sum in decimal(38,0): BIGINT c*c wraps silently past
+    # ~$30M/day with ANSI off, and a double sum loses exactness past
+    # 2^53 — decimal keeps it exact AND overflow-proof (oracle mirrors
+    # with HUGEINT)
     stats = daily.select(
         "date",
         "c",
         F.sum("c").over(w).alias("s"),
-        F.sum(F.col("c") * F.col("c")).over(w).alias("ss"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).over(w).alias("ss"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
     mean = F.col("s").cast("double") / F.col("n")
@@ -1447,10 +1466,16 @@ def q_agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: min_by/max_by — which part is cheapest/priciest per brand
     (tie-broken by key so the answer is unique)."""
     p = table(spark, sf_dir, "part")
-    # unique scalar comparator (price dominates, partkey breaks ties;
-    # the 1e9 scale keeps the two components non-overlapping) →
-    # deterministic arg extremes on both engines
-    pk = F.col("p_retailprice") * F.lit(1000000000.0) + F.col("p_partkey")
+    # fixed-width string comparator (price cents first, partkey breaks
+    # ties): lexicographic order on zero-padded non-negative integers
+    # is numeric order, so this stays exact at any SF — unlike a
+    # scaled-double comparator whose components start overlapping once
+    # p_partkey outgrows the price step (~sf50). DuckDB's arg_min/max
+    # accept VARCHAR comparators but not structs.
+    pk = F.concat(
+        F.lpad(F.round(F.col("p_retailprice") * 100).cast("bigint").cast("string"), 18, "0"),
+        F.lpad(F.col("p_partkey").cast("string"), 18, "0"),
+    )
     return p.groupBy("p_brand").agg(
         F.min_by("p_partkey", pk).alias("cheapest_part"),
         F.max_by("p_partkey", pk).alias("priciest_part"),
