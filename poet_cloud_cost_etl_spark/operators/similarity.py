@@ -94,7 +94,8 @@ def cosine_near_dup_pairs(
     id_col: str,
     vec_col: str,
     threshold: float,
-    impl: str = "blas",
+    impl: str = "block",
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, all-pairs exact.
 
@@ -102,15 +103,22 @@ def cosine_near_dup_pairs(
     arithmetic, but the higher-order-function fold is interpreted
     (O(N²·d) scalar ops): fine for small N, ~25× slower than BLAS.
 
-    ``impl="blas"`` (default): one side of the product is broadcast as
-    a normalized numpy matrix (the dense-linear-algebra analog of a
-    broadcast hash join); each partition of the other side multiplies
-    its block against it (``mapInPandas`` + float64 GEMM) and emits
-    pairs over the threshold. Values match the expression form within
-    1e-15, and both round to 6 decimals. At 100 TB, where neither side
-    broadcasts, the same kernel runs over an (block_a ≤ block_b)
-    block-pair join instead — kernel unchanged, broadcast replaced by
-    a shuffle on block ids.
+    ``impl="blas"``: one side of the product is collect()ed to the
+    driver and broadcast as a normalized numpy matrix; each partition
+    of the other side multiplies its block against it (``mapInPandas``
+    + float64 GEMM). Fastest when the corpus fits in driver memory —
+    opt-in only, because at production corpus sizes the collect() OOMs
+    the driver (the reference's documented failure mode).
+
+    ``impl="block"`` (default): the scale path. Rows are hashed into
+    ``n_blocks`` blocks; each row is replicated once per unordered
+    block pair it belongs to (shuffle volume N·n_blocks rows), then
+    each (block_a ≤ block_b) group runs the same float64 GEMM kernel
+    via ``applyInPandas``. No driver materialization, no broadcast —
+    per-task memory is bounded by ~2·N/n_blocks rows, so sizing
+    ``n_blocks`` ≈ N·d·8B / executor-task-memory keeps every block
+    pair in RAM regardless of corpus size. All three impls round to 6
+    decimals and agree bit-for-bit.
     """
     if impl == "expr":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
@@ -130,14 +138,6 @@ def cosine_near_dup_pairs(
     import pandas as pd
     from pyspark.sql import types as T
 
-    spark = df.sparkSession
-    corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
-    ids = np.array([r.id for r in corpus], dtype=np.int64)
-    mat = np.array([r.v for r in corpus], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
-
     out_schema = T.StructType(
         [
             T.StructField("id_a", T.LongType()),
@@ -145,6 +145,69 @@ def cosine_near_dup_pairs(
             T.StructField("cos_sim", T.DoubleType()),
         ]
     )
+
+    if impl == "block":
+        src = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("blk"),
+        )
+        # replicate each row into every unordered block pair it joins:
+        # a row in block i lands in group (min(i,j), max(i,j)) for each
+        # j — so group (i,j) holds exactly the rows of blocks i and j,
+        # and every unordered row pair appears in exactly one group.
+        exploded = src.withColumn(
+            "other", F.explode(F.array(*[F.lit(j) for j in range(n_blocks)]))
+        ).select(
+            F.least("blk", "other").alias("pb_a"),
+            F.greatest("blk", "other").alias("pb_b"),
+            "blk",
+            "id",
+            "v",
+        )
+
+        def _pair_gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+            pa, pb = int(pdf["pb_a"].iloc[0]), int(pdf["pb_b"].iloc[0])
+            if pa == pb:
+                X = np.array(list(pdf["v"]), dtype=np.float64)
+                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                Xi = pdf["id"].to_numpy(dtype=np.int64)
+                sims = np.round(X @ X.T, 6)
+                ia, ib = np.nonzero((sims >= threshold) & (Xi[:, None] < Xi[None, :]))
+                return pd.DataFrame(
+                    {"id_a": Xi[ia], "id_b": Xi[ib], "cos_sim": sims[ia, ib]}
+                )
+            left = pdf[pdf["blk"] == pa]
+            right = pdf[pdf["blk"] == pb]
+            if left.empty or right.empty:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+                )
+            X = np.array(list(left["v"]), dtype=np.float64)
+            X /= np.linalg.norm(X, axis=1, keepdims=True)
+            Y = np.array(list(right["v"]), dtype=np.float64)
+            Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+            Xi = left["id"].to_numpy(dtype=np.int64)
+            Yi = right["id"].to_numpy(dtype=np.int64)
+            sims = np.round(X @ Y.T, 6)
+            ia, ib = np.nonzero(sims >= threshold)
+            return pd.DataFrame(
+                {
+                    "id_a": np.minimum(Xi[ia], Yi[ib]),
+                    "id_b": np.maximum(Xi[ia], Yi[ib]),
+                    "cos_sim": sims[ia, ib],
+                }
+            )
+
+        return exploded.groupBy("pb_a", "pb_b").applyInPandas(_pair_gemm, out_schema)
+
+    spark = df.sparkSession
+    corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
+    ids = np.array([r.id for r in corpus], dtype=np.int64)
+    mat = np.array([r.v for r in corpus], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
 
     def _block(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         B, Bi = b_mat.value, b_ids.value

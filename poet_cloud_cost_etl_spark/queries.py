@@ -753,12 +753,16 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_ngram_jaccard")
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2d: exact 3-gram Jaccard near-dup pairs (>= 0.5)."""
+    """X2d: exact 3-gram Jaccard near-dup pairs (>= 0.5).
+
+    ``min_df=2`` is result-identical (unique shingles cannot form
+    pairs) and removes the dominant cost of the shingle-keyed
+    self-join on natural corpora where most shingles are unique."""
     from .operators.dedup import doc_shingles, ngram_jaccard_pairs
 
     d = table(spark, sf_dir, "documents")
     sh = doc_shingles(d, "doc_id", "text")
-    return ngram_jaccard_pairs(sh, "doc_id", threshold=0.5)
+    return ngram_jaccard_pairs(sh, "doc_id", threshold=0.5, min_df=2)
 
 
 @query("dedup_simhash")
@@ -772,9 +776,11 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_embedding_cosine")
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2f: embedding-cosine near-dup pairs (>= 0.4). Brute-force
-    all-pairs at test scale; the LSH-bucketed variant
-    (ann_lsh_bucketed) is the 100 TB path."""
+    """X2f: embedding-cosine near-dup pairs (>= 0.4), exact all-pairs
+    via the block-pair GEMM (hash rows into blocks, shuffle on block
+    pairs, float64 GEMM per group — no driver collect, no broadcast).
+    The LSH-bucketed variant (ann_lsh_bucketed) is the recall-trading
+    cheaper path."""
     from .operators.similarity import cosine_near_dup_pairs
 
     e = table(spark, sf_dir, "embeddings")

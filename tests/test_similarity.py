@@ -1,0 +1,74 @@
+"""X3 cosine near-dup: the three kernels (expr cross-join, broadcast
+BLAS, block-pair GEMM) must agree bit-for-bit, and the default scale
+path must never materialize the corpus on the driver.
+
+Reference parity: the reference documents driver OOM on whole-corpus
+materialization as its failure mode; the block-pair impl is the
+distributed answer (shuffle on block ids, GEMM per block pair).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import DataFrame
+
+from poet_cloud_cost_etl_spark.catalog import table
+from poet_cloud_cost_etl_spark.operators.similarity import cosine_near_dup_pairs
+
+from tests.conftest import SF_MEDIUM
+
+
+def _pairs(df: DataFrame) -> set[tuple]:
+    return {(r.id_a, r.id_b, r.cos_sim) for r in df.collect()}
+
+
+def test_block_pair_matches_blas_and_expr(spark):
+    e = table(spark, SF_MEDIUM, "embeddings")
+    got = {
+        impl: _pairs(cosine_near_dup_pairs(e, "vec_id", "embedding", 0.4, impl=impl))
+        for impl in ("expr", "blas", "block")
+    }
+    assert got["expr"], "fixture should contain near-dup pairs"
+    assert got["block"] == got["expr"]
+    assert got["block"] == got["blas"]
+
+
+def test_block_pair_covers_all_block_counts(spark):
+    """Every unordered row pair must land in exactly one block-pair
+    group, whatever n_blocks is (1 = single group, 13 > distinct ids'
+    spread, prime so hash blocks are uneven)."""
+    e = table(spark, SF_MEDIUM, "embeddings")
+    want = _pairs(cosine_near_dup_pairs(e, "vec_id", "embedding", 0.4, impl="expr"))
+    for n in (1, 3, 13):
+        assert (
+            _pairs(
+                cosine_near_dup_pairs(
+                    e, "vec_id", "embedding", 0.4, impl="block", n_blocks=n
+                )
+            )
+            == want
+        ), n
+
+
+def test_default_impl_never_collects_to_driver(spark, monkeypatch):
+    """The registered dedup_embedding_cosine query runs the default
+    impl; it must not pull the corpus through DataFrame.collect (the
+    reference's documented OOM). We poison collect() and execute the
+    full operator — only the test's own final count touches the
+    driver, via count(), not collect()."""
+
+    def _boom(self):
+        raise AssertionError("driver-side collect() in similarity operator")
+
+    monkeypatch.setattr(DataFrame, "collect", _boom)
+    e = table(spark, SF_MEDIUM, "embeddings")
+    out = cosine_near_dup_pairs(e, "vec_id", "embedding", 0.4)
+    assert out.count() > 0
+
+
+def test_blas_impl_is_opt_in_only(spark):
+    """impl='blas' still works (opt-in) but is not the default."""
+    import inspect
+
+    sig = inspect.signature(cosine_near_dup_pairs)
+    assert sig.parameters["impl"].default == "block"
