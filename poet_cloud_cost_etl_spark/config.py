@@ -1,0 +1,83 @@
+"""Env-driven deployment configuration.
+
+The reference centralizes deployment knobs in ``Config.from_env``
+dataclasses (``/root/reference/src/config.py:32-61``: DB DSN, schema,
+input root, account scope). This is the Spark twin: one frozen
+dataclass a deployment constructs once (from the environment or
+explicitly) and threads through ``pipeline.sync`` / ``build_session``
+— instead of each module reading ``os.environ`` ad hoc.
+
+Env surface (all optional, sane local defaults):
+
+- ``SPARK_GRAFT_SF_DIR``     input parquet root (the table directory)
+- ``SPARK_GRAFT_OUTPUT``     sink root for raw/normalized/sync_log
+- ``SPARK_GRAFT_JDBC_URL``   when set, sync() also lands normalized
+                             tables via JDBC (S6); otherwise parquet-only
+- ``SPARK_GRAFT_JDBC_DRIVER``/``_USER``/``_PASSWORD`` JDBC properties
+- ``SPARK_GRAFT_TABLE_PREFIX`` JDBC table-name prefix (reference
+                             schema-qualification analog)
+- ``TEST_ACCOUNTS``          comma-separated account scope (reference
+                             accounts.py:54-64)
+- ``SPARK_GRAFT_CPUS`` / ``SPARK_GRAFT_WAREHOUSE`` /
+  ``SPARK_GRAFT_DRIVER_MEM`` session knobs (session.py)
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    sf_dir: str = "/root/testdata/sf0.1"
+    output_root: str = "/tmp/spark-graft-output"
+    jdbc_url: str | None = None
+    jdbc_properties: dict[str, str] = field(default_factory=dict)
+    table_prefix: str = ""
+    test_accounts: tuple[str, ...] = ()
+    cpus: int = 32
+    shuffle_partitions: int | None = None
+    warehouse_dir: str = "/tmp/spark-graft-warehouse"
+    driver_memory: str = "8g"
+
+    @classmethod
+    def from_env(cls, env: dict[str, str] | None = None) -> "EngineConfig":
+        e = os.environ if env is None else env
+        props = {}
+        if e.get("SPARK_GRAFT_JDBC_DRIVER"):
+            props["driver"] = e["SPARK_GRAFT_JDBC_DRIVER"]
+        if e.get("SPARK_GRAFT_JDBC_USER"):
+            props["user"] = e["SPARK_GRAFT_JDBC_USER"]
+        if e.get("SPARK_GRAFT_JDBC_PASSWORD"):
+            props["password"] = e["SPARK_GRAFT_JDBC_PASSWORD"]
+        accounts = tuple(
+            a.strip() for a in e.get("TEST_ACCOUNTS", "").split(",") if a.strip()
+        )
+        cpus = int(e.get("SPARK_GRAFT_CPUS", "32"))
+        sp = e.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        return cls(
+            sf_dir=e.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            output_root=e.get("SPARK_GRAFT_OUTPUT", "/tmp/spark-graft-output"),
+            jdbc_url=e.get("SPARK_GRAFT_JDBC_URL") or None,
+            jdbc_properties=props,
+            table_prefix=e.get("SPARK_GRAFT_TABLE_PREFIX", ""),
+            test_accounts=accounts,
+            cpus=cpus,
+            shuffle_partitions=int(sp) if sp else None,
+            warehouse_dir=e.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+            driver_memory=e.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
+
+    def session_kwargs(self) -> dict:
+        """kwargs for session.build_session."""
+        return {
+            "shuffle_partitions": self.shuffle_partitions or self.cpus,
+            "extra_conf": {
+                "spark.sql.warehouse.dir": self.warehouse_dir,
+                "spark.driver.memory": self.driver_memory,
+            },
+        }
+
+    def jdbc_table(self, name: str) -> str:
+        return f"{self.table_prefix}{name}" if self.table_prefix else name

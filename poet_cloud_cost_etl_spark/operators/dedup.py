@@ -23,11 +23,17 @@ from pyspark.sql import functions as F
 # non-alphanumerics, split on whitespace runs.
 TOKENS_SQL = "split(trim(regexp_replace(lower({col}), '[^a-z0-9 ]', '')), ' +')"
 
-# 3-word shingles from a token array column named {t}.
+# 3-word shingles from a token array expression {t}. The outer
+# transform(array({t}), __a -> ...) is a LET BINDING: Catalyst's
+# CollapseProject inlines {t} into every reference, and inside a
+# lambda each element_at({t}, i) would re-evaluate the whole
+# regexp+split per position (quadratic in tokens). Binding the
+# evaluated array to the lambda variable __a forces one evaluation.
 SHINGLES_SQL = (
-    "CASE WHEN size({t}) >= 3 THEN transform(sequence(1, size({t}) - 2), "
-    "i -> concat(element_at({t}, i), ' ', element_at({t}, i + 1), ' ', "
-    "element_at({t}, i + 2))) ELSE array() END"
+    "flatten(transform(array({t}), __a -> "
+    "CASE WHEN size(__a) >= 3 THEN transform(sequence(1, size(__a) - 2), "
+    "i -> concat(element_at(__a, i), ' ', element_at(__a, i + 1), ' ', "
+    "element_at(__a, i + 2))) ELSE array() END))"
 )
 
 
@@ -114,49 +120,109 @@ def ngram_jaccard_pairs(
     ``sh`` must be distinct (id, shingle). Jaccard = |∩|/|∪| from
     exact integer counts — cross-engine deterministic.
 
-    ``min_df=2`` drops unique shingles before the self-join (cannot
-    form pairs — result-identical; a large win on natural corpora
-    where most shingles are unique, a wash on tiny-vocabulary data).
-    ``max_df`` is the stop-shingle cap for 100 TB: shingles present in
-    more than ``max_df`` docs are both useless for dedup and the
-    skew hazard of the (shingle)-keyed shuffle; capping them bounds
-    the worst bucket. It changes results (documented recall trade) —
-    off by default and off in the oracle-checked query."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh2 = sh
-    if min_df or max_df:
-        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        cond = F.lit(True)
-        if min_df:
-            cond = cond & (F.col("df") >= min_df)
-        if max_df:
-            cond = cond & (F.col("df") <= max_df)
-        sh2 = sh.join(dfreq.filter(cond).select("shingle"), "shingle")
-    a = sh2.select(F.col(id_col).alias("doc_a"), "shingle")
-    b = sh2.select(F.col(id_col).alias("doc_b"), "shingle")
+    ``min_df=2`` drops unique shingles before pair generation (cannot
+    form pairs — result-identical; with the grouped pair generation
+    below it is nearly free). ``max_df`` is the stop-shingle cap for
+    100 TB: shingles present in more than ``max_df`` docs are both
+    useless for dedup and the skew hazard (quadratic pair explosion in
+    one task); capping them bounds the worst bucket. It changes
+    results (documented recall trade) — off by default and off in the
+    oracle-checked query.
+
+    Prefer ``ngram_jaccard_from_docs`` when starting from raw text —
+    it computes doc sizes map-side from the pre-explode arrays,
+    skipping this function's window pass."""
+    from pyspark.sql import Window
+
+    sh_n = sh.select(
+        F.col(id_col),
+        F.count(F.lit(1)).over(Window.partitionBy(id_col)).cast("long").alias("n_sh"),
+        F.col("shingle"),
+    )
+    return _jaccard_core(sh_n, id_col, threshold, min_df, max_df)
+
+
+def ngram_jaccard_from_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    min_df: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """X2d fused pipeline from raw text: per-doc distinct shingle
+    ARRAYS are built in the scan stage (``array_distinct`` — a narrow
+    map, no explode+distinct shuffle), so doc sizes cost nothing extra
+    and the plan is strictly linear: scan → shingle arrays → explode →
+    groupBy(shingle) → pair explode → pair aggregation. TWO shuffles,
+    zero joins, one evaluation of the (expensive) shingle expression.
+    Results are identical to
+    ``ngram_jaccard_pairs(doc_shingles(df, ...), ...)``."""
+    arrs = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    sh_n = arrs.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
+    return _jaccard_core(sh_n, id_col, threshold, min_df, max_df)
+
+
+def _jaccard_core(
+    sh_n: DataFrame,
+    id_col: str,
+    threshold: float,
+    min_df: int | None,
+    max_df: int | None,
+) -> DataFrame:
+    """Pair generation from a size-annotated shingle table
+    ``(id, n_sh, shingle)``.
+
+    Group (id, size) structs per shingle — ONE shuffle of the shingle
+    table where a self-join would shuffle it twice — and explode the
+    sorted in-group pairs. Doc sizes TRAVEL WITH THE PAIRS, so no
+    post-join against a sizes table is needed and the whole plan stays
+    linear (upstream shingle computation is evaluated exactly once).
+    Shingles with df=1 yield zero pairs by construction, so min_df≤2
+    pruning is inherent and free; the sort makes doc_a < doc_b
+    structural."""
+    grouped = sh_n.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n")))
+        ).alias("ids")
+    )
+    if min_df:
+        grouped = grouped.filter(F.size("ids") >= min_df)
+    if max_df:
+        # stop-shingle cap: hot shingles are useless for dedup and the
+        # skew hazard (quadratic pair explosion in one task) — capping
+        # trades recall for a bounded worst bucket (documented; off in
+        # the oracle-checked query)
+        grouped = grouped.filter(F.size("ids") <= max_df)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.id AS doc_a, y.id AS doc_b, x.n AS n_a, y.n AS n_b))))"
+    )
+    # (doc_a, doc_b) functionally determines (n_a, n_b); grouping by
+    # all four keeps the sizes available without a join.
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    # The per-doc size table is tiny next to the pair table (one row
-    # per doc vs up to one per co-occurring pair) — broadcast both
-    # lookups instead of shuffling the pairs twice more.
-    sa = F.broadcast(sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("na")))
-    sb = F.broadcast(sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("nb")))
-    jac = (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("n_common").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("n_common")),
-                6,
-            ).alias("jaccard"),
-        )
+    jac = common.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
     )
     return jac.filter(F.col("jaccard") >= threshold)
 

@@ -119,6 +119,7 @@ def normalize(
     sync_timestamp: Optional[datetime] = None,
     primary: dict[str, str] = AWS_CUR_PRIMARY,
     alternatives: dict[str, list[str]] = AWS_CUR_ALTERNATIVES,
+    cost_type: Optional[T.DataType] = None,
 ) -> DataFrame:
     """Normalize a raw (drifting-schema) frame to the 9-column schema.
 
@@ -129,23 +130,29 @@ def normalize(
       target-appropriate cast (N4 date, N5 null-on-error numeric);
     - unresolved targets = typed NULL literal;
     - metadata targets = literals (N3).
-    """
+
+    ``cost_type`` overrides the money column type — default double
+    (with exact math routed through integer cents downstream), but
+    DECIMAL-semantics deployments (reference sql/init.sql:19
+    DECIMAL(10,2)) can pass ``T.DecimalType(10, 2)`` and the cast
+    stays null-on-error under the pinned non-ANSI session."""
     if sync_timestamp is None:
         sync_timestamp = datetime.utcnow()
 
     df = canonicalize_columns(df)
     cols = list(df.columns)
+    cost_t = cost_type or NORMALIZED_TYPES["cost"]
     projection = []
     for target in ("date", "account_id", "service", "region", "cost", "currency"):
         src = resolve_column(cols, target, primary, alternatives)
         if src is None:
-            expr = F.lit(None).cast(NORMALIZED_TYPES[target])
+            expr = F.lit(None).cast(cost_t if target == "cost" else NORMALIZED_TYPES[target])
         elif target == "date":
             # N4: tolerant timestamp/string → date (invalid → NULL).
             expr = F.try_to_timestamp(F.col(src).cast("string")).cast("date")
         elif target == "cost":
             # N5: numeric coercion, null-on-error.
-            expr = F.col(src).cast("double")
+            expr = F.col(src).cast(cost_t)
         else:
             expr = F.col(src).cast(NORMALIZED_TYPES[target])
         projection.append(expr.alias(target))

@@ -1,0 +1,92 @@
+"""W-family scale path: distributed global ranking.
+
+A global ``Window.orderBy(...)`` with no ``partitionBy`` moves every
+row through ONE task — fine for bounded inputs (daily aggregates),
+fatal at 100 TB. This operator computes the same exact global rank in
+two passes, all rows staying distributed:
+
+1. bucket rows by range on the leading sort column (boundaries from
+   ``approxQuantile`` — only the *balance* of buckets depends on the
+   approximation, never the result);
+2. rank locally inside each bucket (Window partitioned by bucket),
+   then add per-bucket offsets (prefix sums over the tiny bucket-count
+   table).
+
+Rows with equal leading-column values always land in the same bucket,
+so cross-bucket order is total; the in-bucket window applies the
+remaining tie-break columns. ntile / percent_rank / cume_dist are then
+pure arithmetic on (rank, n) — exactly the built-ins' semantics when
+the ordering is unique.
+
+Skew note: a single hot leading value collapses into one bucket (the
+same limit any range partitioning has); add a finer tie-break column
+to the *bucketing* key if that happens in practice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "global_rank",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Append an exact 1-based global rank over ``order_cols``
+    (which must define a unique total order) without a single-task
+    global window."""
+    first = order_cols[0]
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = sorted(set(df.stat.approxQuantile(first, probs, 0.001))) if probs else []
+
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.size(F.filter(barr, lambda b: F.col(first) > b))
+    else:
+        bucket = F.lit(0)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    w_local = Window.partitionBy("__bucket").orderBy(*order_cols)
+    local = bucketed.withColumn("__rn", F.row_number().over(w_local))
+
+    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "__bucket", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
+    )
+
+    return (
+        local.join(F.broadcast(offsets), "__bucket")
+        .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("long"))
+        .drop("__bucket", "__rn", "__off")
+    )
+
+
+def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
+    """ntile(k) reconstructed from a unique global rank: the first
+    (n % k) tiles get ceil(n/k) rows, the rest floor(n/k) — Spark's
+    and DuckDB's NTILE distribution."""
+    q = (n / k).cast("long")  # floor(n/k)
+    r = n - q * k  # n % k
+    big = r * (q + 1)  # rows covered by the (q+1)-sized tiles
+    return (
+        F.when(rank <= big, ((rank - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((rank - big - 1) / q).cast("long") + 1)
+        .cast("int")
+    )
+
+
+def percent_rank_from_rank(rank: Column, n: Column) -> Column:
+    """percent_rank for a unique ordering: (rank-1)/(n-1)."""
+    return F.when(n == 1, F.lit(0.0)).otherwise(
+        (rank - 1).cast("double") / (n - 1).cast("double")
+    )
+
+
+def cume_dist_from_rank(rank: Column, n: Column) -> Column:
+    """cume_dist for a unique ordering: rank/n."""
+    return rank.cast("double") / n.cast("double")

@@ -22,10 +22,11 @@ from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .config import EngineConfig
 from .operators.normalize import normalize_mapped
 from .operators.union_view import create_costs_view
 from .sources.base import Source
-from .sources.sinks import write_costs_partitioned, write_parquet_partitioned
+from .sources.sinks import write_costs_partitioned, write_jdbc, write_parquet_partitioned
 from .sources.sync_log import append_sync_log, log_entry
 
 
@@ -42,16 +43,26 @@ class SyncReport:
 def sync(
     spark: SparkSession,
     sources: list[Source],
-    output_root: str,
+    output_root: str | None = None,
     sync_timestamp: datetime | None = None,
     dry_run: bool = False,
     write_raw: bool = True,
+    config: "EngineConfig | None" = None,
 ) -> SyncReport:
     """Run the full extract→normalize→view pipeline.
 
     ``dry_run`` prints the plan without touching data
     (main.py:41,60-63 parity); failures are isolated per source
-    (main.py:119-122 swallows per-path errors and continues)."""
+    (main.py:119-122 swallows per-path errors and continues).
+
+    ``config`` (config.EngineConfig, reference src/config.py:32-61)
+    supplies the output root when ``output_root`` is None and, when
+    ``config.jdbc_url`` is set, additionally lands each normalized
+    table via the JDBC sink (S6) — the reference's PostgreSQL load."""
+    if output_root is None:
+        if config is None:
+            raise ValueError("sync() needs output_root or config")
+        output_root = config.output_root
     ts = sync_timestamp or datetime.utcnow()
     report = SyncReport()
     normalized: dict[str, DataFrame] = {}
@@ -95,6 +106,14 @@ def sync(
                     "sync_timestamp",
                 )
             )
+            if config is not None and config.jdbc_url:
+                write_jdbc(
+                    normalized[src.name],
+                    config.jdbc_url,
+                    config.jdbc_table(f"{src.name}_normalized"),
+                    if_exists="replace",
+                    properties=config.jdbc_properties,
+                )
             n = normalized[src.name].count()
             report.tables[src.name] = n
             append_sync_log(
@@ -106,13 +125,19 @@ def sync(
             )
         except Exception as exc:  # per-source isolation (main.py:119-122)
             report.failures[src.name] = str(exc)[:500]
-            append_sync_log(
-                log_entry(
-                    spark, ts, src.name, "failed", 0, 0, time.time() - t0,
-                    error_message=str(exc)[:500],
-                ),
-                f"{output_root}/sync_log",
-            )
+            # the failure log is itself a sink write — if the original
+            # failure IS the sink/storage, logging would re-raise and
+            # break the per-source isolation contract
+            try:
+                append_sync_log(
+                    log_entry(
+                        spark, ts, src.name, "failed", 0, 0, time.time() - t0,
+                        error_message=str(exc)[:500],
+                    ),
+                    f"{output_root}/sync_log",
+                )
+            except Exception:
+                pass
 
     if normalized and not dry_run:
         create_costs_view(spark, normalized)

@@ -753,16 +753,15 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("dedup_ngram_jaccard")
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2d: exact 3-gram Jaccard near-dup pairs (>= 0.5).
-
-    ``min_df=2`` is result-identical (unique shingles cannot form
-    pairs) and removes the dominant cost of the shingle-keyed
-    self-join on natural corpora where most shingles are unique."""
-    from .operators.dedup import doc_shingles, ngram_jaccard_pairs
+    """X2d: exact 3-gram Jaccard near-dup pairs (>= 0.5), fused
+    pipeline: per-doc distinct shingle arrays map-side (sizes are
+    free), one groupBy(shingle) with in-group pair explosion (df=1
+    shingles produce no pairs, so min_df=2 pruning is inherent), one
+    pair aggregation — two shuffles total, no self-join."""
+    from .operators.dedup import ngram_jaccard_from_docs
 
     d = table(spark, sf_dir, "documents")
-    sh = doc_shingles(d, "doc_id", "text")
-    return ngram_jaccard_pairs(sh, "doc_id", threshold=0.5, min_df=2)
+    return ngram_jaccard_from_docs(d, "doc_id", "text", threshold=0.5, min_df=2)
 
 
 @query("dedup_simhash")
@@ -1382,14 +1381,34 @@ def q_having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-family completion: ntile / percent_rank / cume_dist over a
     tie-broken total order (rank functions are only deterministic
-    under a unique ordering)."""
+    under a unique ordering).
+
+    Computed via the two-pass range-partitioned global rank
+    (operators/ranking.py) instead of a naked ``Window.orderBy`` —
+    a global window funnels every row through one task, which is the
+    single-node bottleneck this engine exists to avoid. The distilled
+    distribution functions are bit-identical to the built-ins for a
+    unique ordering (asserted in tests/test_ranking.py)."""
+    from .operators.ranking import (
+        cume_dist_from_rank,
+        ntile_from_rank,
+        percent_rank_from_rank,
+        with_global_rank,
+    )
+
     o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ranked = with_global_rank(o, ["o_totalprice", "o_orderkey"], rank_col="__gr")
+    # scalar row count as a broadcast join, not a global window
+    total = o.agg(F.count(F.lit(1)).alias("__n"))
+    rk = F.col("__gr")
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .select(
+            "o_orderkey",
+            ntile_from_rank(rk, F.col("__n"), 4).alias("quartile"),
+            F.round(percent_rank_from_rank(rk, F.col("__n")), 6).alias("pct_rank"),
+            F.round(cume_dist_from_rank(rk, F.col("__n")), 6).alias("cume"),
+        )
     )
 
 

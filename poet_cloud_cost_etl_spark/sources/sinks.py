@@ -22,6 +22,8 @@ downstream scans partition-prune (SURVEY §7 design note).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -77,19 +79,76 @@ def write_jdbc(
     writer.save()
 
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def quote_ident(name: str) -> str:
+    """Backtick-quote a (possibly dotted) identifier so callers cannot
+    inject SQL through table/schema/view name arguments. Plain
+    identifiers pass through unquoted; anything else is backticked
+    with embedded backticks doubled (Spark SQL escaping)."""
+    parts = name.split(".")
+    return ".".join(
+        p if _IDENT_RE.match(p) else "`" + p.replace("`", "``") + "`" for p in parts
+    )
+
+
+def split_sql_statements(script: str) -> list[str]:
+    """Split a SQL script on statement-terminating semicolons only —
+    semicolons inside '...' strings, "..."/`...` quoted identifiers,
+    -- line comments, and /* */ block comments do not split
+    (comments are dropped). The reference splits naively on every ';'
+    (postgresql.py:151-160); this closes that corruption hazard."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if script[j] == "'":
+                    if j + 1 < n and script[j + 1] == "'":  # '' escape
+                        j += 2
+                        continue
+                    break
+                j += 1
+            buf.append(script[i : min(j + 1, n)])
+            i = j + 1
+        elif ch in ('"', "`"):
+            j = script.find(ch, i + 1)
+            j = n - 1 if j == -1 else j
+            buf.append(script[i : j + 1])
+            i = j + 1
+        elif script.startswith("--", i):
+            j = script.find("\n", i)
+            i = n if j == -1 else j
+        elif script.startswith("/*", i):
+            j = script.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+        elif ch == ";":
+            stmts.append("".join(buf))
+            buf = []
+            i += 1
+        else:
+            buf.append(ch)
+            i += 1
+    stmts.append("".join(buf))
+    return [s.strip() for s in stmts if s.strip()]
+
+
 def ensure_namespace(spark: SparkSession, name: str) -> None:
     """S9: CREATE SCHEMA IF NOT EXISTS (postgresql.py:38-44)."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {name}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {quote_ident(name)}")
 
 
 def run_sql_script(spark: SparkSession, script: str) -> None:
     """S10: execute a multi-statement SQL script (postgresql.py:151-160)."""
-    for stmt in script.split(";"):
-        if stmt.strip():
-            spark.sql(stmt)
+    for stmt in split_sql_statements(script):
+        spark.sql(stmt)
 
 
 def create_view(spark: SparkSession, name: str, select_sql: str, temp: bool = True) -> None:
     """S11: CREATE OR REPLACE VIEW (normalize.py:112-143)."""
     kind = "TEMPORARY VIEW" if temp else "VIEW"
-    spark.sql(f"CREATE OR REPLACE {kind} {name} AS {select_sql}")
+    spark.sql(f"CREATE OR REPLACE {kind} {quote_ident(name)} AS {select_sql}")

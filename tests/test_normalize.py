@@ -134,3 +134,31 @@ def test_normalize_total_on_arbitrary_columns(spark):
         out = normalize(df, "t", TS)
         assert out.columns == NORMALIZED_COLUMNS
         assert out.count() == 1
+
+
+def test_cost_type_default_is_double(spark):
+    df = spark.createDataFrame(
+        [("2026-01-01", "1.50")], ["line_item_usage_start_date", "line_item_unblended_cost"]
+    )
+    out = normalize(df, "t", sync_timestamp=TS)
+    assert dict(out.dtypes)["cost"] == "double"
+
+
+def test_cost_type_decimal_roundtrips_sink(spark, tmp_path):
+    """DECIMAL(10,2) override (reference sql/init.sql:19): exact values
+    survive the parquet sink round-trip, and bad strings still coerce
+    to NULL (N5) under the non-ANSI session."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [("2026-01-01", "12.34"), ("2026-01-02", "not-a-number")],
+        ["line_item_usage_start_date", "line_item_unblended_cost"],
+    )
+    out = normalize(df, "t", sync_timestamp=TS, cost_type=T.DecimalType(10, 2))
+    assert dict(out.dtypes)["cost"] == "decimal(10,2)"
+    p = str(tmp_path / "dec")
+    out.write.parquet(p)
+    back = spark.read.parquet(p)
+    assert dict(back.dtypes)["cost"] == "decimal(10,2)"
+    vals = {str(r.cost) for r in back.select("cost").collect()}
+    assert vals == {"12.34", "None"}

@@ -1,0 +1,76 @@
+"""Two-pass distributed global rank (operators/ranking.py): exact
+equivalence with the single-task built-ins, and a plan assertion that
+no unpartitioned window survives in the registered query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from poet_cloud_cost_etl_spark.catalog import table
+from poet_cloud_cost_etl_spark.operators.ranking import with_global_rank
+from poet_cloud_cost_etl_spark.queries import QUERIES
+
+from tests.conftest import SF_MEDIUM
+
+
+def test_global_rank_matches_row_number(spark):
+    o = table(spark, SF_MEDIUM, "orders")
+    got = {
+        (r.o_orderkey, r.global_rank)
+        for r in with_global_rank(o, ["o_totalprice", "o_orderkey"])
+        .select("o_orderkey", "global_rank")
+        .collect()
+    }
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        (r.o_orderkey, r.rn)
+        for r in o.select("o_orderkey", F.row_number().over(w).alias("rn")).collect()
+    }
+    assert got == want
+
+
+def test_global_rank_single_bucket_degenerate(spark):
+    """n_buckets=1 (no boundaries) must still rank correctly."""
+    o = table(spark, SF_MEDIUM, "orders").limit(100)
+    ranks = sorted(
+        r.global_rank
+        for r in with_global_rank(o, ["o_totalprice", "o_orderkey"], n_buckets=1)
+        .select("global_rank")
+        .collect()
+    )
+    assert ranks == list(range(1, 101))
+
+
+def test_window_distribution_matches_builtin_functions(spark):
+    """The distilled ntile/percent_rank/cume_dist arithmetic must be
+    bit-identical to the built-ins over the unique ordering."""
+    o = table(spark, SF_MEDIUM, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    want = {
+        (r.o_orderkey, r.quartile, r.pct_rank, r.cume)
+        for r in o.select(
+            "o_orderkey",
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        ).collect()
+    }
+    got = {
+        (r.o_orderkey, r.quartile, r.pct_rank, r.cume)
+        for r in QUERIES["window_distribution"](spark, SF_MEDIUM).collect()
+    }
+    assert got == want
+
+
+def test_window_distribution_plan_has_no_global_window(spark):
+    """Every Window node in the physical plan must carry a partition
+    spec — an empty partitionBy means one task gets all rows."""
+    df = QUERIES["window_distribution"](spark, SF_MEDIUM)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-*( ")
+        if s.startswith("Window ") or s.startswith("WindowExec"):
+            # spark renders: Window [fns], [partition exprs], [order] —
+            # a global window has only two bracket groups
+            assert s.count("], [") >= 2, f"global window in plan: {s}"
