@@ -1,0 +1,61 @@
+"""Deterministic sampling for training-data curation (SURVEY §2.11
+extension family): hash-threshold sampling and per-stratum quotas.
+
+``df.sample()`` is seed-dependent *per partitioning* — the same seed
+over a different file split yields a different sample, which breaks
+reproducible dataset builds and cross-engine verification. Everything
+here derives the sampling decision from a HASH OF THE ROW KEY instead:
+stable under repartitioning, re-runs, engine choice, and incremental
+appends (a row's in/out decision never changes), which is how
+large-scale corpus pipelines version their samples.
+
+All expressions are native (md5 → hex slice → integer), so the
+operators are scan-stage narrow maps with no shuffle (quota sampling
+adds the one per-stratum shuffle its window needs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# First 8 hex chars of md5(key) as an integer in [0, 2^32) — the
+# uniform "unit hash". conv() returns a string; the cast is exact
+# (max 0xffffffff fits in a long).
+_UNIT_SQL = "CAST(conv(substring(md5(CAST({col} AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+
+UNIT_DENOM = 4294967296  # 2^32
+
+
+def unit_hash(col: str) -> Column:
+    """Integer hash in [0, 2^32), uniform over keys."""
+    return F.expr(_UNIT_SQL.format(col=col))
+
+
+def deterministic_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Keep rows whose unit hash falls below ``fraction`` — a stable
+    ~``fraction`` Bernoulli sample keyed on ``key_col``."""
+    threshold = int(fraction * UNIT_DENOM)
+    return df.filter(unit_hash(key_col) < threshold)
+
+
+def stratified_sample(
+    df: DataFrame, strata_col: str, key_col: str, n_per_stratum: int
+) -> DataFrame:
+    """Exactly ``min(n, |stratum|)`` rows per stratum, chosen by hash
+    order (a deterministic shuffle) with the key as tie-break.
+
+    Scale: one shuffle on the stratum key; each stratum ranks
+    independently. Skewed strata are bounded by the rank cutoff —
+    row_number short-circuits nothing, but AQE splits oversized
+    partitions; for pathological single-stratum corpora pre-filter
+    with ``deterministic_sample`` at a generous fraction first."""
+    w = Window.partitionBy(strata_col).orderBy(
+        unit_hash(key_col).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
+    )

@@ -224,3 +224,106 @@ def cosine_near_dup_pairs(
     return df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).mapInPandas(
         _block, out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# X4c: IVF (inverted-file) ANN — the scale path for large query sets.
+# ---------------------------------------------------------------------------
+
+
+def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+    """Pick ``k`` deterministic pseudo-random centroids: the vectors
+    with the smallest md5(id) (a stable "random" draw any engine
+    reproduces — no RNG seed, no kmeans nondeterminism). Real IVF
+    refines these with Lloyd iterations; the partition/probe mechanics
+    are identical and that refinement only moves list boundaries."""
+    return (
+        corpus.select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
+        )
+        .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
+        .limit(k)
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``nprobe`` nearest centroids by
+    cosine (rounded, centroid id as tie-break). Returns
+    ``(id_col, vec_col, centroid_id, probe_rank)``.
+
+    Scale: centroids are broadcast (k rows); scoring is a narrow map
+    over N·k rows and the rank window hash-partitions on the vector
+    id — no global ordering anywhere. With ``nprobe=1`` this builds
+    the inverted lists; with ``nprobe>1`` it is the query-side probe.
+    """
+    from pyspark.sql.window import Window
+
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("centroid_id"),
+            F.round(cosine(vec_col, "centroid_vec"), 6).alias("__c_sim"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__c_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("probe_rank", F.row_number().over(w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .drop("__c_sim")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """X4c: approximate top-k via inverted lists. Corpus vectors live
+    in their nearest centroid's list; each query scores only the lists
+    of its ``nprobe`` nearest centroids. The candidate join is keyed
+    on ``centroid_id`` — shuffle volume N + Q·nprobe rows instead of
+    the brute-force Q·N — and recall is tuned by ``nprobe``/``k``
+    like any IVF index (candidates outside probed lists are missed:
+    the documented approximation)."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "centroid_id",
+    )
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"), "centroid_id"
+    )
+    scored = (
+        lists.join(probes, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+        )
+        # no dedup needed: each corpus vector lives in exactly one
+        # list (nprobe=1 build), so a (query, neighbor) pair can match
+        # through at most one centroid
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

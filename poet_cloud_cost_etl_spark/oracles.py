@@ -990,3 +990,129 @@ ORACLES["unpivot_daily_services"] = f"""
     FROM ({ORACLES['pivot_daily_services']})
     UNPIVOT INCLUDE NULLS (v FOR name IN (click, error, purchase, signup, view))
 """
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions, round 2
+# ---------------------------------------------------------------------------
+
+_UNIT = "CAST(('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT doc_a, doc_b,
+                ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+                    AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk AS (
+        SELECT doc_id AS node, doc_id AS reach FROM documents
+        UNION
+        SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a
+    )
+    SELECT node AS doc_id, MIN(reach) AS cluster_id, node = MIN(reach) AS keep
+    FROM walk GROUP BY node
+"""
+
+_IVF_CENTS = """
+        SELECT vec_id AS centroid_id, embedding AS centroid_vec
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 8
+"""
+
+_IVF_ASSIGN = """
+        SELECT vec_id, embedding, centroid_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY c_sim DESC, centroid_id ASC
+            ) AS probe_rank
+        FROM (
+            SELECT v.vec_id, v.embedding, c.centroid_id,
+                ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                             CAST(c.centroid_vec AS DOUBLE[])), 6)
+                    AS c_sim
+            FROM {src} v, cents c
+        )
+"""
+
+ORACLES["ann_ivf"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    lists AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='embeddings')}) WHERE probe_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM embeddings WHERE vec_id < 5)')})
+        WHERE probe_rank <= 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+        FROM (
+            SELECT p.query_id, l.neighbor_id,
+                ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                             CAST(l.cv AS DOUBLE[])), 6) AS cos_sim
+            FROM lists l JOIN probes p USING (centroid_id)
+            WHERE l.neighbor_id <> p.query_id
+        )
+    )
+    WHERE rank <= 3
+"""
+
+ORACLES["sample_deterministic"] = f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_UNIT.format(col='doc_id')} < 858993459
+"""
+
+ORACLES["sample_stratified"] = f"""
+    SELECT lang, doc_id
+    FROM (
+        SELECT lang, doc_id,
+            ROW_NUMBER() OVER (
+                PARTITION BY lang
+                ORDER BY {_UNIT.format(col='doc_id')}, doc_id
+            ) AS rn
+        FROM documents
+    )
+    WHERE rn <= 20
+"""
+
+ORACLES["pack_token_budget"] = f"""
+    WITH tc AS (
+        SELECT doc_id, len({_TOKS.format(col='text')}) AS n_tokens FROM documents
+    ),
+    sharded AS (
+        SELECT doc_id, n_tokens,
+            CAST({_UNIT.format(col='doc_id')} % 8 AS INTEGER) AS shard
+        FROM tc
+    )
+    SELECT doc_id, shard, n_tokens,
+        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+            PARTITION BY shard ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+        ), 0) / 2048.0) AS BIGINT) AS pack_id
+    FROM sharded
+"""

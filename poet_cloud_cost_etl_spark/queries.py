@@ -1520,3 +1520,79 @@ def q_unpivot_daily_services(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="service",
         valueColumnName="daily_cost",
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline extensions, round 2 (SURVEY §2.11): duplicate
+# clustering, IVF ANN, deterministic sampling, token-budget packing
+# ---------------------------------------------------------------------------
+
+
+@query("dedup_clusters")
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 completion: pairwise near-dup hits → duplicate CLUSTERS via
+    iterative min-label connected components (operators/graph.py).
+    cluster_id = min doc_id of the component (engine-independent);
+    ``keep`` marks the canonical doc — filtering on it IS the dedup."""
+    from .operators.dedup import ngram_jaccard_from_docs
+    from .operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_from_docs(d, "doc_id", "text", threshold=0.5, min_df=2)
+    cc = connected_components(
+        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    )
+    return cc.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    )
+
+
+@query("ann_ivf")
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4c: IVF approximate top-k — inverted centroid lists, nprobe=2
+    probing (operators/similarity.py:ivf_topk). Join is keyed on
+    centroid_id: shuffle N + Q·nprobe rows, never the brute-force Q·N."""
+    from .operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(q, e, "vec_id", "embedding", k=3, n_centroids=8, nprobe=2)
+
+
+@query("sample_deterministic")
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-family: stable ~20% Bernoulli sample keyed on
+    md5(doc_id) — identical row set under any partitioning, re-run, or
+    engine (operators/sampling.py); a seeded df.sample() is none of
+    those."""
+    from .operators.sampling import deterministic_sample
+
+    d = table(spark, sf_dir, "documents")
+    return deterministic_sample(d, "doc_id", 0.2).select("doc_id", "lang", "source")
+
+
+@query("sample_stratified")
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-family: per-language quota (20 docs/lang) in hash
+    order — deterministic stratified draw for balanced eval sets."""
+    from .operators.sampling import stratified_sample
+
+    d = table(spark, sf_dir, "documents")
+    return stratified_sample(d, "lang", "doc_id", 20).select("lang", "doc_id")
+
+
+@query("pack_token_budget")
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-family: chunk documents into ~2048-token context-window
+    packs, sharded so no global sort exists (operators/packing.py).
+    Pack identity is (shard, pack_id)."""
+    from .operators.packing import pack_by_token_budget
+    from .operators.textstats import token_counts
+
+    d = table(spark, sf_dir, "documents")
+    tc = token_counts(d, "doc_id", "text").select(
+        "doc_id", F.col("n_ws_tokens").alias("n_tokens")
+    )
+    return pack_by_token_budget(tc, "doc_id", "n_tokens", budget=2048, n_shards=8)

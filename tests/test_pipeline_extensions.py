@@ -1,0 +1,118 @@
+"""Round-2 training-data pipeline extensions: connected-components
+clustering, IVF ANN, deterministic sampling, token-budget packing.
+
+Oracle parity at sf0.01 is covered by test_oracle_parity.py; these
+tests pin the operator-level contracts the oracle can't see
+(convergence behavior, stability under repartitioning, recall
+relationships).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from poet_cloud_cost_etl_spark.catalog import table
+from poet_cloud_cost_etl_spark.operators.graph import connected_components
+from poet_cloud_cost_etl_spark.operators.packing import pack_by_token_budget
+from poet_cloud_cost_etl_spark.operators.sampling import (
+    deterministic_sample,
+    stratified_sample,
+)
+from poet_cloud_cost_etl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+from conftest import SF_SMALL
+
+
+def test_cc_chain_needs_iterations(spark):
+    """A 6-node path graph has diameter 5 — the min label must flow
+    across multiple propagation rounds, not just one."""
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(5)], ["src", "dst"])
+    got = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {i: 0 for i in range(6)}
+
+
+def test_cc_components_and_singletons(spark):
+    """Two components + an isolated node; direction of input edges is
+    irrelevant (symmetrized internally)."""
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 99]], ["id"])
+    edges = spark.createDataFrame([(2, 1), (3, 2), (11, 10)], ["src", "dst"])
+    got = {r.id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """Probing every list (nprobe = n_centroids) makes IVF exact —
+    the approximation comes only from unprobed lists."""
+    e = table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    ivf = ivf_topk(q, e, "vec_id", "embedding", k=3, n_centroids=4, nprobe=4)
+    bf = brute_force_topk(q, e, "vec_id", "embedding", k=3)
+    assert sorted(map(tuple, ivf.collect())) == sorted(map(tuple, bf.collect()))
+
+
+def test_ivf_partial_probe_is_subset(spark):
+    """With nprobe < n_centroids, every returned neighbor must still
+    be a true candidate (appears in brute-force scoring with the same
+    cosine) — IVF trades recall, never correctness of scores."""
+    e = table(spark, SF_SMALL, "embeddings")
+    q = e.filter(F.col("vec_id") < 3)
+    ivf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in ivf_topk(q, e, "vec_id", "embedding", k=3, n_centroids=4, nprobe=1).collect()
+    }
+    bf = {
+        (r.query_id, r.neighbor_id): r.cos_sim
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=50).collect()
+    }
+    assert ivf, "IVF returned nothing"
+    for pair, sim in ivf.items():
+        assert bf[pair] == sim
+
+
+def test_sample_stable_under_repartition(spark):
+    """The hash sample is a function of the key alone — identical row
+    set for any physical layout (the property df.sample lacks)."""
+    d = table(spark, SF_SMALL, "documents")
+    a = {r.doc_id for r in deterministic_sample(d, "doc_id", 0.3).select("doc_id").collect()}
+    b = {
+        r.doc_id
+        for r in deterministic_sample(d.repartition(13), "doc_id", 0.3)
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b and 0 < len(a) < d.count()
+
+
+def test_stratified_quota(spark):
+    d = table(spark, SF_SMALL, "documents")
+    out = stratified_sample(d, "lang", "doc_id", 5)
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang = {r.lang: r.n for r in d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {lang: min(5, n) for lang, n in per_lang.items()}
+
+
+def test_packing_invariants(spark):
+    """Within a shard: pack ids are contiguous from 0, every pack but
+    the last STARTS under budget (streaming-chunker semantics), and
+    the layout is repartition-invariant."""
+    d = table(spark, SF_SMALL, "documents")
+    tc = d.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+    out = pack_by_token_budget(tc, "doc_id", "n_tokens", budget=500, n_shards=4)
+    rows = out.collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    assert set(by_shard) <= set(range(4))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r.doc_id)
+        packs = sorted({r.pack_id for r in shard_rows})
+        assert packs == list(range(len(packs)))
+        prefix = 0
+        for r in shard_rows:
+            assert r.pack_id == prefix // 500
+            prefix += r.n_tokens
+    again = pack_by_token_budget(
+        tc.repartition(7), "doc_id", "n_tokens", budget=500, n_shards=4
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
