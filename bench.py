@@ -49,6 +49,12 @@ HEADLINE = [
     "timeseries_gapfill",
     "anomaly_zscore",
     "window_distribution",
+    # training-data pipeline extensions (round 2): clustering, IVF,
+    # sampling, packing
+    "dedup_clusters",
+    "ann_ivf",
+    "sample_stratified",
+    "pack_token_budget",
 ]
 
 # Round-over-round anchors (headline_queries_total at sf0.1, local[32]):

@@ -62,3 +62,40 @@ def make_source(
     s.cost_mapping = mapping
     s.cloud_provider = lambda: provider
     return s
+
+
+def fixture_sources(sf_dir: str) -> list[Source]:
+    """The two standard fixture sources (events→aws, orders→gcp) used
+    by the CLI and tests — the engine's analog of the reference's
+    configured account/report pairs (main.py:64-88)."""
+    from pyspark.sql import functions as F
+
+    from ..catalog import table
+
+    events = make_source(
+        "events",
+        read=lambda s: table(s, sf_dir, "events"),
+        mapping=lambda: {
+            "date": F.col("ts").cast("date"),
+            "account_id": F.col("user_id").cast("string"),
+            "service": F.col("event_type"),
+            "region": F.lit(None),
+            "cost": F.col("value"),
+            "currency": F.lit("USD"),
+        },
+        provider="aws",
+    )
+    orders = make_source(
+        "orders",
+        read=lambda s: table(s, sf_dir, "orders"),
+        mapping=lambda: {
+            "date": F.col("o_orderdate").cast("date"),
+            "account_id": F.col("o_custkey").cast("string"),
+            "service": F.col("o_orderpriority"),
+            "region": F.col("o_orderstatus"),
+            "cost": F.col("o_totalprice"),
+            "currency": F.lit("USD"),
+        },
+        provider="gcp",
+    )
+    return [events, orders]
