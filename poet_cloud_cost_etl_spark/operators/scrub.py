@@ -1,0 +1,52 @@
+"""X11: PII scrubbing / text cleaning for training-data curation
+(SURVEY §2.11 extension family) — redact emails, URLs, and phone
+numbers; strip HTML tags; collapse whitespace.
+
+All patterns are native ``regexp_replace`` chains (scan-stage narrow
+maps, whole-stage codegen, no UDF) and deliberately restricted to the
+regex subset that means the same thing in Java regex (Spark) and RE2
+(DuckDB): character classes, bounded repetition, alternation — no
+lookaround, no backreferences. That keeps the operator oracle-
+verifiable and portable to any engine a pipeline might mix in.
+
+Recall/precision trade is the standard one for regex PII passes:
+conservative patterns (low false-positive) — a production pass layers
+NER models on top via ``mapInPandas`` (see operators/multimodal.py for
+the vectorized-escape-hatch pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Portable Java-regex/RE2 patterns (single-quoted here; keep in sync
+# with the oracle twins in oracles.py).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+URL_RE = "https?://[^ \\t\\n]+"
+PHONE_RE = "[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}"
+HTML_TAG_RE = "<[^>]{1,200}>"
+
+
+def scrub_pii(col: Column) -> Column:
+    """Redact emails → ``<EMAIL>``, URLs → ``<URL>``, phone numbers →
+    ``<PHONE>`` (order matters: URLs first so a mailto-ish URL isn't
+    half-eaten by the email pass)."""
+    out = F.regexp_replace(col, URL_RE, "<URL>")
+    out = F.regexp_replace(out, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def strip_html(col: Column) -> Column:
+    """Drop HTML tags and collapse the leftover whitespace."""
+    out = F.regexp_replace(col, HTML_TAG_RE, " ")
+    return F.trim(F.regexp_replace(out, "[ \\t]+", " "))
+
+
+def clean_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The standard cleaning pass: HTML strip → PII scrub."""
+    return df.select(
+        F.col(id_col),
+        scrub_pii(strip_html(F.col(text_col))).alias("clean_text"),
+    )

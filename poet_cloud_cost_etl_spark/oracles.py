@@ -1116,3 +1116,25 @@ ORACLES["pack_token_budget"] = f"""
         ), 0) / 2048.0) AS BIGINT) AS pack_id
     FROM sharded
 """
+
+ORACLES["text_scrub_pii"] = r"""
+    WITH dirty AS (
+        SELECT doc_id,
+            text || ' <b>contact</b> user' || CAST(doc_id AS VARCHAR)
+                 || '@example.com via https://ex.co/' || CAST(doc_id AS VARCHAR)
+                 || ' or 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                AS text
+        FROM documents
+    )
+    SELECT doc_id,
+        regexp_replace(
+            regexp_replace(
+                regexp_replace(
+                    trim(regexp_replace(
+                        regexp_replace(text, '<[^>]{1,200}>', ' ', 'g'),
+                        '[ \t]+', ' ', 'g')),
+                    'https?://[^ \t\n]+', '<URL>', 'g'),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS clean_text
+    FROM dirty
+"""

@@ -1596,3 +1596,27 @@ def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("n_ws_tokens").alias("n_tokens")
     )
     return pack_by_token_budget(tc, "doc_id", "n_tokens", budget=2048, n_shards=8)
+
+
+@query("text_scrub_pii")
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: cleaning pass — HTML strip then email/URL/phone redaction
+    (operators/scrub.py). The fixture corpus is synthetic and PII-free,
+    so deterministic per-doc PII is appended first; the scrub must
+    remove exactly what was planted (and nothing else — the original
+    text rides along unharmed into the hash comparison)."""
+    from .operators.scrub import clean_documents
+
+    d = table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" <b>contact</b> user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com via https://ex.co/"),
+        F.col("doc_id").cast("string"),
+        F.lit(" or 555-010-"),
+        F.lpad(F.pmod(F.col("doc_id"), 10000).cast("string"), 4, "0"),
+    )
+    return clean_documents(
+        d.select("doc_id", dirty.alias("text")), "doc_id", "text"
+    )

@@ -116,3 +116,23 @@ def test_packing_invariants(spark):
         tc.repartition(7), "doc_id", "n_tokens", budget=500, n_shards=4
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_scrub_patterns(spark):
+    """Each PII class redacts independently; clean text is untouched."""
+    from poet_cloud_cost_etl_spark.operators.scrub import clean_documents
+
+    rows = [
+        (1, "mail me at a.b-c_9@ex-ample.co.uk please"),
+        (2, "see https://x.yz/path?q=1#f and http://plain.io"),
+        (3, "call 555-123-4567 or 800.555.0199 now"),
+        (4, "<div class='x'>hello <b>world</b></div>"),
+        (5, "nothing to scrub here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r.clean_text for r in clean_documents(df, "doc_id", "text").collect()}
+    assert got[1] == "mail me at <EMAIL> please"
+    assert got[2] == "see <URL> and <URL>"
+    assert got[3] == "call <PHONE> or <PHONE> now"
+    assert got[4] == "hello world"
+    assert got[5] == "nothing to scrub here"

@@ -99,3 +99,29 @@ def test_q5_snowflake_broadcasts_dims(spark):
     plan = X.physical_plan(q)
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaccard_plan_has_no_joins(spark):
+    """The single-pass jaccard pipeline carries doc sizes through the
+    group stage — a join anywhere means the old three-pass shape
+    regressed (two shuffles are inherent: groupBy(shingle) + pair agg)."""
+    q = QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert "Join" not in plan, plan
+    assert X.count_exchanges(q) == 2, plan
+
+
+def test_ivf_plan_broadcasts_centroids(spark):
+    """IVF assignment must broadcast the (tiny) centroid table and the
+    candidate join must be keyed on centroid_id — an unkeyed cartesian
+    anywhere breaks the N + Q·nprobe shuffle contract."""
+    q = QUERIES["ann_ivf"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_scrub_is_single_stage(spark):
+    """Cleaning is a scan-stage narrow map: no exchange at all."""
+    q = QUERIES["text_scrub_pii"](spark, SF_SMALL)
+    assert X.count_exchanges(q) == 0, X.physical_plan(q)
