@@ -50,10 +50,19 @@ def with_global_rank(
         bucket = F.lit(0)
     bucketed = df.withColumn("__bucket", bucket)
 
+    # Both windows share the one hash-partition-by-bucket shuffle; the
+    # per-bucket count rides along, so no second scan/aggregation pass
+    # over the input is needed to build the offsets.
     w_local = Window.partitionBy("__bucket").orderBy(*order_cols)
-    local = bucketed.withColumn("__rn", F.row_number().over(w_local))
+    w_cnt = Window.partitionBy("__bucket")
+    local = bucketed.withColumn("__rn", F.row_number().over(w_local)).withColumn(
+        "__cnt", F.count(F.lit(1)).over(w_cnt)
+    )
 
-    counts = bucketed.groupBy("__bucket").agg(F.count(F.lit(1)).alias("__cnt"))
+    # offsets: exclusive prefix sum over the (tiny, ≤ n_buckets-row)
+    # distinct (bucket, count) table — the only single-task step, and
+    # it touches n_buckets rows regardless of data scale.
+    counts = local.select("__bucket", "__cnt").distinct()
     w_off = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
     offsets = counts.select(
         "__bucket", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
@@ -62,7 +71,7 @@ def with_global_rank(
     return (
         local.join(F.broadcast(offsets), "__bucket")
         .withColumn(rank_col, (F.col("__off") + F.col("__rn")).cast("long"))
-        .drop("__bucket", "__rn", "__off")
+        .drop("__bucket", "__rn", "__cnt", "__off")
     )
 
 
