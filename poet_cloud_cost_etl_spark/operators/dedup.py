@@ -248,3 +248,49 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         bit = F.when(F.col(f"v{j}") >= 0, 2**j).otherwise(0)
         sim = bit if sim is None else sim + bit
     return votes.select(F.col(id_col), sim.cast("int").alias("simhash"))
+
+
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Train/test decontamination: flag training docs whose distinct
+    3-gram shingles overlap a benchmark (eval-set) corpus above
+    ``threshold`` — the standard pre-training leak check.
+
+    The benchmark's distinct shingle set is usually tiny next to the
+    corpus, so the overlap join broadcasts it; doc shingle sizes ride
+    along the explode (same trick as ``ngram_jaccard_from_docs``) so
+    the plan is scan → explode → broadcast-semi-overlap → one
+    groupBy(doc) — a single shuffle on the doc key."""
+    bench_sh = (
+        benchmark.select(tokens(text_col).alias("__t"))
+        .select(F.explode(shingles("__t")).alias("shingle"))
+        .distinct()
+    )
+    arrs = (
+        docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    sh = arrs.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
+    overlap = (
+        sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy(id_col, "n_sh")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap"))
+    )
+    return overlap.select(
+        F.col(id_col),
+        "n_sh",
+        "n_overlap",
+        F.round(F.col("n_overlap").cast("double") / F.col("n_sh"), 6).alias(
+            "contamination"
+        ),
+    ).filter(F.col("contamination") >= threshold)

@@ -108,3 +108,59 @@ def winnow_fingerprint(sh: DataFrame, id_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_fingerprints"),
         F.min("h").alias("min_fingerprint"),
     )
+
+
+# 2-word grams with the same let-binding discipline as dedup.SHINGLES_SQL
+# (bind the token array once; see that constant's comment).
+_BIGRAMS_SQL = (
+    "flatten(transform(array({t}), __a -> "
+    "CASE WHEN size(__a) >= 2 THEN transform(sequence(1, size(__a) - 1), "
+    "i -> concat(element_at(__a, i), ' ', element_at(__a, i + 1))) "
+    "ELSE array() END))"
+)
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, flag_threshold: float = 0.1
+) -> DataFrame:
+    """Gopher-style repetition filters: fraction of the document
+    covered by its most frequent word and by its most frequent bigram
+    (high values = boilerplate/spam → filtered before LLM training).
+
+    One explode + one (doc, gram) count + one per-doc agg per gram
+    kind, joined on the doc key — all shuffles are on (doc, gram) or
+    doc, both fine keys at scale. Ratios come from exact integer
+    counts, rounded (cross-engine deterministic)."""
+
+    def _top_frac(grams: DataFrame, out_prefix: str) -> DataFrame:
+        counts = grams.groupBy(id_col, "gram").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        return counts.groupBy(id_col).agg(
+            F.sum("c").cast("long").alias(f"n_{out_prefix}"),
+            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
+                f"top_{out_prefix}_frac"
+            ),
+        )
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    words = toks.select(F.col(id_col), F.explode("__t").alias("gram"))
+    bigrams = toks.select(
+        F.col(id_col), F.explode(F.expr(_BIGRAMS_SQL.format(t="__t"))).alias("gram")
+    )
+    w = _top_frac(words, "words")
+    b = _top_frac(bigrams, "bigrams")
+    return (
+        w.join(b, id_col)
+        .select(
+            F.col(id_col),
+            "n_words",
+            "top_words_frac",
+            "n_bigrams",
+            "top_bigrams_frac",
+            (
+                (F.col("top_words_frac") >= flag_threshold)
+                | (F.col("top_bigrams_frac") >= flag_threshold)
+            ).alias("flagged"),
+        )
+    )

@@ -1138,3 +1138,46 @@ ORACLES["text_scrub_pii"] = r"""
             '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g') AS clean_text
     FROM dirty
 """
+
+ORACLES["text_repetition_filters"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    words AS (SELECT doc_id, unnest(t) AS gram FROM toks),
+    bigrams AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    wstats AS (
+        SELECT doc_id, SUM(c) AS n_words,
+            ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_words_frac
+        FROM (SELECT doc_id, gram, COUNT(*) AS c FROM words GROUP BY 1, 2)
+        GROUP BY doc_id
+    ),
+    bstats AS (
+        SELECT doc_id, SUM(c) AS n_bigrams,
+            ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_bigrams_frac
+        FROM (SELECT doc_id, gram, COUNT(*) AS c FROM bigrams GROUP BY 1, 2)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, top_words_frac,
+        CAST(n_bigrams AS BIGINT) AS n_bigrams, top_bigrams_frac,
+        (top_words_frac >= 0.1 OR top_bigrams_frac >= 0.1) AS flagged
+    FROM wstats JOIN bstats USING (doc_id)
+"""
+
+ORACLES["decontaminate_benchmark"] = f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    train_sh AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM train_sh GROUP BY 1),
+    ov AS (
+        SELECT t.doc_id, COUNT(*) AS n_overlap
+        FROM train_sh t JOIN bench b USING (shingle) GROUP BY 1
+    )
+    SELECT doc_id, n_sh, n_overlap, contamination
+    FROM (
+        SELECT o.doc_id, s.n_sh, o.n_overlap,
+            ROUND(CAST(o.n_overlap AS DOUBLE) / s.n_sh, 6) AS contamination
+        FROM ov o JOIN sizes s USING (doc_id)
+    )
+    WHERE contamination >= 0.05
+"""

@@ -1620,3 +1620,28 @@ def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_documents(
         d.select("doc_id", dirty.alias("text")), "doc_id", "text"
     )
+
+
+@query("text_repetition_filters")
+def q_text_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5+: Gopher-style repetition quality filters — fraction of the
+    doc covered by its most frequent word / bigram; high values mark
+    boilerplate for exclusion from training data."""
+    from .operators.textstats import repetition_stats
+
+    d = table(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text", flag_threshold=0.1)
+
+
+@query("decontaminate_benchmark")
+def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+: train/test decontamination — flag training docs whose
+    distinct 3-gram overlap with the benchmark slice (doc_id % 97 == 0
+    stands in for an eval set) is ≥ 5% (the synthetic corpus tops out
+    near 11%; production thresholds are corpus-calibrated the same way)."""
+    from .operators.dedup import benchmark_contamination
+
+    d = table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    train = d.filter(F.col("doc_id") % 97 != 0)
+    return benchmark_contamination(train, bench, "doc_id", "text", threshold=0.05)
