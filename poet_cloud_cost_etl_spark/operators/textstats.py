@@ -127,40 +127,44 @@ def repetition_stats(
     covered by its most frequent word and by its most frequent bigram
     (high values = boilerplate/spam → filtered before LLM training).
 
-    One explode + one (doc, gram) count + one per-doc agg per gram
-    kind, joined on the doc key — all shuffles are on (doc, gram) or
-    doc, both fine keys at scale. Ratios come from exact integer
-    counts, rounded (cross-engine deterministic)."""
-
-    def _top_frac(grams: DataFrame, out_prefix: str) -> DataFrame:
-        counts = grams.groupBy(id_col, "gram").agg(
-            F.count(F.lit(1)).alias("c")
+    Single linear plan: words and bigrams are tagged with a ``kind``
+    map-side and exploded together, so the whole operator is one scan,
+    one (doc, kind, gram) count, one per-doc conditional aggregate —
+    two shuffles, no join, one evaluation of the tokenizer. Ratios
+    come from exact integer counts, rounded (cross-engine
+    deterministic)."""
+    tagged = F.expr(
+        "concat(transform({t}, x -> struct('w' AS kind, x AS gram)), "
+        "transform({b}, x -> struct('b' AS kind, x AS gram)))".format(
+            t="__t", b=_BIGRAMS_SQL.format(t="__t")
         )
-        return counts.groupBy(id_col).agg(
-            F.sum("c").cast("long").alias(f"n_{out_prefix}"),
-            F.round(F.max("c").cast("double") / F.sum("c"), 6).alias(
-                f"top_{out_prefix}_frac"
-            ),
-        )
-
-    toks = df.select(F.col(id_col), tokens(text_col).alias("__t"))
-    words = toks.select(F.col(id_col), F.explode("__t").alias("gram"))
-    bigrams = toks.select(
-        F.col(id_col), F.explode(F.expr(_BIGRAMS_SQL.format(t="__t"))).alias("gram")
     )
-    w = _top_frac(words, "words")
-    b = _top_frac(bigrams, "bigrams")
-    return (
-        w.join(b, id_col)
-        .select(
-            F.col(id_col),
-            "n_words",
-            "top_words_frac",
-            "n_bigrams",
-            "top_bigrams_frac",
-            (
-                (F.col("top_words_frac") >= flag_threshold)
-                | (F.col("top_bigrams_frac") >= flag_threshold)
-            ).alias("flagged"),
-        )
+    grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.explode(tagged).alias("g"))
+        .select(F.col(id_col), F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    )
+    counts = grams.groupBy(id_col, "kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    n_w = F.sum(F.when(F.col("kind") == "w", F.col("c"))).cast("long")
+    m_w = F.max(F.when(F.col("kind") == "w", F.col("c")))
+    n_b = F.sum(F.when(F.col("kind") == "b", F.col("c"))).cast("long")
+    m_b = F.max(F.when(F.col("kind") == "b", F.col("c")))
+    stats = counts.groupBy(id_col).agg(
+        n_w.alias("n_words"),
+        F.round(m_w.cast("double") / n_w, 6).alias("top_words_frac"),
+        n_b.alias("n_bigrams"),
+        F.round(m_b.cast("double") / n_b, 6).alias("top_bigrams_frac"),
+    )
+    # docs with <2 tokens have no bigrams — excluded, matching the
+    # two-branch inner-join semantics this replaced
+    return stats.filter(F.col("n_bigrams").isNotNull()).select(
+        F.col(id_col),
+        "n_words",
+        "top_words_frac",
+        "n_bigrams",
+        "top_bigrams_frac",
+        (
+            (F.col("top_words_frac") >= flag_threshold)
+            | (F.col("top_bigrams_frac") >= flag_threshold)
+        ).alias("flagged"),
     )

@@ -1181,3 +1181,49 @@ ORACLES["decontaminate_benchmark"] = f"""
     )
     WHERE contamination >= 0.05
 """
+
+ORACLES["q10_returned_items"] = f"""
+    SELECT c_custkey, c_name, n_name, CAST(rev_cents AS DOUBLE) / 100.0 AS revenue
+    FROM (
+        SELECT c_custkey, c_name, n_name,
+            CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}) AS BIGINT)
+                AS rev_cents
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+          AND c_nationkey = n_nationkey
+          AND l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+    )
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+"""
+
+ORACLES["q18_large_orders"] = f"""
+    SELECT c_custkey, c_name, o_orderkey, order_date, o_totalprice, total_qty
+    FROM (
+        SELECT c_custkey, c_name, o_orderkey,
+            CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
+            CAST(qty_cents AS DOUBLE) / 100.0 AS total_qty
+        FROM (
+            SELECT l_orderkey AS big_orderkey,
+                CAST(SUM({_cents('l_quantity')}) AS BIGINT) AS qty_cents
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING CAST(SUM({_cents('l_quantity')}) AS BIGINT) > 20000
+        )
+        JOIN orders ON big_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    )
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+"""
+
+ORACLES["multimodal_frame_sample"] = """
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+        CAST(LEAST(64, L - i * 64) AS INTEGER) AS frame_bytes
+    FROM (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
+        UNNEST(range(0, CAST(CEIL(L / 64.0) AS BIGINT), 4)) AS u(i)
+"""

@@ -1645,3 +1645,81 @@ def q_decontaminate_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = d.filter(F.col("doc_id") % 97 == 0)
     train = d.filter(F.col("doc_id") % 97 != 0)
     return benchmark_contamination(train, bench, "doc_id", "text", threshold=0.05)
+
+
+@query("q10_returned_items")
+def q_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 analog: lost revenue from returned items per customer
+    over one year — fact⋈fact shuffle join (orders⋈lineitem), customer
+    joined on the grouped key, nation broadcast, top-20 via
+    TakeOrderedAndProject."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .filter(
+            (F.col("l_returnflag") == "R")
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "rev_cents"
+            )
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            (F.col("rev_cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@query("q18_large_orders")
+def q_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 analog: orders whose total quantity exceeds 200 —
+    the aggregate-then-join shape (the groupBy(HAVING) result drives
+    the join, so only qualifying orders ever reach it)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(cents(F.col("l_quantity"))).alias("qty_cents"))
+        .filter(F.col("qty_cents") > 200 * 100)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            "o_totalprice",
+            (F.col("qty_cents").cast("double") / 100.0).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query("multimodal_frame_sample")
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal: 1→N frame sampling through Arrow-batched
+    mapInPandas (every 4th 64-byte frame of each payload). The fake
+    payload is the text's UTF-8 bytes, so frame geometry is pure
+    arithmetic on payload length — which makes even this mapInPandas
+    path SQL-oracle-checkable."""
+    from .operators.multimodal import attach_payload, frame_sample
+
+    d = table(spark, sf_dir, "documents")
+    return frame_sample(attach_payload(d, "doc_id", "text"), frame_size=64, every_k=4)

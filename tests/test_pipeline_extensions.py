@@ -136,3 +136,19 @@ def test_scrub_patterns(spark):
     assert got[3] == "call <PHONE> or <PHONE> now"
     assert got[4] == "hello world"
     assert got[5] == "nothing to scrub here"
+
+
+def test_unit_hash_matches_md5_spec(spark):
+    """unit_hash must equal int(md5(str(key)).hexdigest()[:8], 16) —
+    the documented, engine-portable definition (any component that
+    wants to reproduce a sample outside Spark depends on this)."""
+    import hashlib
+
+    from poet_cloud_cost_etl_spark.operators.sampling import unit_hash
+
+    keys = [0, 1, 7, 499, 10**12, -3]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    got = {r.k: r.h for r in df.select("k", unit_hash("k").alias("h")).collect()}
+    for k in keys:
+        want = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
+        assert got[k] == want, k
