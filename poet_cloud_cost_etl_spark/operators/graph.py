@@ -59,7 +59,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_labs = (
             sym.join(labels, sym["b"] == labels["node"])
             .select(F.col("a").alias("node"), F.col("lab"))
@@ -70,14 +70,19 @@ def connected_components(
             .agg(F.min("lab").alias("lab"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
+        # The first round always changes something when any edge
+        # exists, so the convergence probe (an extra job) starts at
+        # round 2.
+        if it > 0:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                labels = new_labels
+                break
         labels = new_labels
-        if changed == 0:
-            break
     return labels.select(F.col("node").alias(id_col), F.col("lab").alias("cluster_id"))

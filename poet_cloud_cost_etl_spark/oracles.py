@@ -1227,3 +1227,45 @@ ORACLES["multimodal_frame_sample"] = """
     FROM (SELECT doc_id, octet_length(encode(text)) AS L FROM documents),
         UNNEST(range(0, CAST(CEIL(L / 64.0) AS BIGINT), 4)) AS u(i)
 """
+
+ORACLES["q4_priority_check"] = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+ORACLES["q12_priority_by_returnflag"] = """
+    SELECT l_returnflag,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""
+
+ORACLES["q14_promo_revenue"] = f"""
+    SELECT
+        ROUND(100.0 * CAST(promo AS DOUBLE) / total, 4) AS promo_revenue_pct,
+        CAST(total AS DOUBLE) / 100.0 AS total_revenue
+    FROM (
+        SELECT
+            CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN {_cents('l_extendedprice*(1-l_discount)')}
+                          ELSE 0 END) AS BIGINT) AS promo,
+            CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}) AS BIGINT) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+    )
+"""

@@ -1723,3 +1723,68 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return frame_sample(attach_payload(d, "doc_id", "text"), frame_size=64, every_k=4)
+
+
+@query("q4_priority_check")
+def q_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analog: orders in one quarter with at least one
+    late-shipped line (l_shipdate > o_orderdate stands in for the
+    commit/receipt pair the fixture lacks) — the EXISTS → left-semi
+    join shape with a non-equi condition riding the equi key."""
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("q12_priority_by_returnflag")
+def q_q12_priority_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analog: per return flag, how many 1997 shipments
+    belong to high- vs low-priority orders — join + conditional
+    counting (the CASE-inside-SUM shape)."""
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("q14_promo_revenue")
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 analog: share of June-1997 revenue from PROMO parts —
+    broadcast part join + conditional aggregate ratio from exact
+    integer cents."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-07-01")
+    )
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias("__promo"),
+        F.sum(rev).alias("__total"),
+    ).select(
+        F.round(
+            F.lit(100.0) * F.col("__promo").cast("double") / F.col("__total"), 4
+        ).alias("promo_revenue_pct"),
+        (F.col("__total").cast("double") / 100.0).alias("total_revenue"),
+    )

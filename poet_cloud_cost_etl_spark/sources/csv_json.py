@@ -39,3 +39,20 @@ def read_json_lines(
         .option("mode", "PERMISSIVE")
         .json(path)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema: T.StructType | str | None = None) -> DataFrame:
+    """ORC scan — same pushdown/pruning properties as parquet (both
+    columnar with min/max stats); schema optional because ORC embeds
+    one, but pass it when the directory may be empty."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

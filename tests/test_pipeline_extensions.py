@@ -152,3 +152,20 @@ def test_unit_hash_matches_md5_spec(spark):
     for k in keys:
         want = int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16)
         assert got[k] == want, k
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """Format breadth: ORC round-trips the normalized costs frame with
+    identical values (both columnar formats share the pushdown and
+    pruning story)."""
+    from poet_cloud_cost_etl_spark.queries import events_as_costs
+    from poet_cloud_cost_etl_spark.sources.csv_json import read_orc, write_orc
+
+    costs = events_as_costs(spark, SF_SMALL).drop("sync_timestamp")
+    path = str(tmp_path / "costs_orc")
+    write_orc(costs, path, partition_by=["cloud_provider"])
+    back = read_orc(spark, path)
+    assert sorted(back.columns) == sorted(costs.columns)
+    a = costs.agg(F.count("*"), F.sum((F.col("cost") * 100).cast("long"))).collect()[0]
+    b = back.agg(F.count("*"), F.sum((F.col("cost") * 100).cast("long"))).collect()[0]
+    assert tuple(a) == tuple(b)

@@ -125,3 +125,22 @@ def test_scrub_is_single_stage(spark):
     """Cleaning is a scan-stage narrow map: no exchange at all."""
     q = QUERIES["text_scrub_pii"](spark, SF_SMALL)
     assert X.count_exchanges(q) == 0, X.physical_plan(q)
+
+
+def test_q10_broadcasts_nation_and_takeordered(spark):
+    q = QUERIES["q10_returned_items"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q18_aggregates_before_join(spark):
+    """The HAVING aggregate must sit below the joins so only
+    qualifying orders are joined."""
+    q = QUERIES["q18_large_orders"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    agg = plan.find("HashAggregate")
+    join = plan.find("Join")
+    assert agg != -1 and join != -1, plan
+    assert "TakeOrderedAndProject" in plan, plan
