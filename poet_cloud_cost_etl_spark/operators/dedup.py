@@ -79,8 +79,15 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = 8) -> DataFrame:
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 8, bands: int = 4) -> DataFrame:
     """X2c: band the signature (rows = k/bands) and emit distinct
-    candidate pairs sharing any band bucket. Shuffle key is
-    (band_idx, band_value) — bounded buckets, no cartesian blowup."""
+    candidate pairs sharing any band bucket.
+
+    Pair generation groups ids per (band_idx, band_value) bucket and
+    explodes the sorted in-bucket pairs — ONE shuffle of the banded
+    table where a self-join would shuffle it twice, and the signature
+    pipeline is evaluated once. Buckets are bounded by construction
+    (same-bucket = same band hash), so the in-task pair explosion is
+    bounded too; the trailing distinct dedups pairs that collide in
+    more than one band."""
     rows = k // bands
     band_cols = [
         F.md5(F.concat_ws("", *[F.col(f"mh{b * rows + r + 1}") for r in range(rows)])).alias(
@@ -95,16 +102,18 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 8, bands: int = 4)
             "band_idx", "band_val"
         ),
     )
-    a = exploded.select(
-        F.col(id_col).alias("doc_a"), F.col("band_idx"), F.col("band_val")
+    grouped = (
+        exploded.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
     )
-    b = exploded.select(
-        F.col(id_col).alias("doc_b"), F.col("band_idx"), F.col("band_val")
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
     )
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 

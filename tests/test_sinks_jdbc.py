@@ -108,3 +108,17 @@ def test_run_sql_script_executes_semicolon_literals(spark):
         "CREATE OR REPLACE TEMPORARY VIEW _script_v2 AS SELECT s FROM _script_v",
     )
     assert spark.sql("SELECT s FROM _script_v2").collect()[0].s == "x;y"
+
+
+def test_jdbc_decimal_roundtrip(spark, derby_url):
+    """DECIMAL(10,2) semantics survive the JDBC sink (reference
+    sql/init.sql:19's column type): type and exact values round-trip."""
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame([(1, "12.34"), (2, "0.01")], ["id", "c"]).select(
+        "id", F.col("c").cast(T.DecimalType(10, 2)).alias("cost")
+    )
+    write_jdbc(df, derby_url, "dec_sink", if_exists="replace", properties=DERBY_PROPS)
+    back = _read_back(spark, derby_url, "dec_sink")
+    assert dict(back.dtypes)["cost"] == "decimal(10,2)"
+    assert {str(r.cost) for r in back.collect()} == {"12.34", "0.01"}
