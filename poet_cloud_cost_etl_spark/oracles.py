@@ -1269,3 +1269,29 @@ ORACLES["q14_promo_revenue"] = f"""
           AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
     )
 """
+
+ORACLES["q19_disjunctive_join"] = f"""
+    SELECT CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}) AS DOUBLE) / 100.0
+            AS revenue,
+        COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50
+           AND l_quantity BETWEEN 25 AND 50)
+"""
+
+ORACLES["q22_dormant_customers"] = f"""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+        CAST(SUM({_cents('c_acctbal')}) AS DOUBLE) / 100.0 AS totacctbal
+    FROM customer
+    WHERE {_cents('c_acctbal')} > (
+        SELECT SUM({_cents('c_acctbal')}) / COUNT(*)
+        FROM customer WHERE c_acctbal > 0
+    )
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+"""

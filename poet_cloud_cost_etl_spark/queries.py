@@ -1788,3 +1788,67 @@ def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         (F.col("__total").cast("double") / 100.0).alias("total_revenue"),
     )
+
+
+@query("q19_disjunctive_join")
+def q_q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 analog: revenue under an OR-of-ANDs predicate that
+    mixes both join sides. Catalyst extracts the common equi key
+    (l_partkey = p_partkey) so this stays a hash join with a join
+    filter — never a cartesian."""
+    p = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#7")
+            & F.col("p_size").between(5, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(25, 50)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            (F.sum(rev).cast("double") / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query("q22_dormant_customers")
+def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analog: per nation, rich customers (balance above the
+    positive-balance average — a broadcast scalar aggregate) with no
+    orders at all (anti join). Money stays in integer cents until the
+    final division."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(cents(F.col("c_acctbal"))) / F.count(F.lit(1))).alias("__avg_cents")
+    )
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(cents(F.col("c_acctbal")) > F.col("__avg_cents"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+    )
+    return (
+        rich.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            (F.sum(cents(F.col("c_acctbal"))).cast("double") / 100.0).alias(
+                "totacctbal"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )

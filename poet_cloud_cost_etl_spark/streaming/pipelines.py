@@ -185,3 +185,35 @@ def running_user_totals(stream: DataFrame, evict_after_ms: int | None = None) ->
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame, right: DataFrame, window: str = "5 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """ST6: stream-stream inner join with event-time interval bounds
+    (the streaming twin of the batch ``join_range`` query).
+
+    Both sides carry watermarks AND the join condition bounds the two
+    event times relative to each other — that pair is what lets Spark
+    compute how long each side's rows must stay in join state before
+    no future match is possible, so state is evicted instead of
+    growing forever (the defining constraint of stream-stream joins).
+    Output rows appear once both sides' watermarks pass the match
+    window (append mode)."""
+    l = left.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("u"),
+        F.col("event_id").alias("eid1"),
+        F.col("ts").alias("ts1"),
+    )
+    r = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("eid2"),
+        F.col("ts").alias("ts2"),
+    )
+    return l.join(
+        r,
+        F.expr(
+            f"u = u2 AND ts2 > ts1 AND ts2 <= ts1 + INTERVAL {window}"
+        ),
+        "inner",
+    ).select("u", "eid1", "eid2", "ts1", "ts2")

@@ -182,3 +182,28 @@ def test_apply_in_pandas_with_state(spark, events_dir, tmp_path):
     )
     want = {r.user_id: (r.n, r.cents) for r in batch}
     assert got == want and len(got) > 0
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """ST6: the watermarked stream-stream interval join produces
+    exactly the batch join_range pair set once the stream drains."""
+    s1 = P.incremental_events_source(spark, events_dir)
+    s2 = P.incremental_events_source(spark, events_dir)
+    out = P.stream_stream_interval_join(s1, s2, window="5 minutes")
+    P.run_foreach_batch_parquet(
+        out, str(tmp_path / "ck_ssj"), str(tmp_path / "out_ssj")
+    )
+    got_pairs = {
+        (r.eid1, r.eid2) for r in spark.read.parquet(str(tmp_path / "out_ssj")).collect()
+    }
+
+    ev = table(spark, SF_SMALL, "events")
+    e1 = ev.select(F.col("user_id").alias("u"), F.col("event_id").alias("eid1"), F.col("ts").alias("ts1"))
+    e2 = ev.select(F.col("user_id").alias("u2"), F.col("event_id").alias("eid2"), F.col("ts").alias("ts2"))
+    want = e1.join(
+        e2,
+        (e1.u == e2.u2) & (e2.ts2 > e1.ts1) & (e2.ts2 <= e1.ts1 + F.expr("INTERVAL 5 MINUTES")),
+        "inner",
+    )
+    want_pairs = {(r.eid1, r.eid2) for r in want.collect()}
+    assert got_pairs == want_pairs and got_pairs
