@@ -1,0 +1,81 @@
+"""Embedding-column analytics (SURVEY §2.11 extension family):
+dimension-level statistics, label centroids, scalar quantization.
+
+The distributed pattern is ``posexplode`` to (row, dim, value) long
+form, aggregate on (key, dim), and — when a full vector is needed
+back — regroup with ``array_agg`` sorted by dim. Long form is also
+what the oracle hash-compares (arrays don't survive the harness's
+pandas canonicalizer; scalars do).
+
+Float determinism: averages go through SCALED-INTEGER sums
+(``round(value * 10^6)`` per element, exact integer addition, one
+final division) because double summation order differs between Spark's
+parallel partial aggregates and a sequential engine. Min/max need no
+such treatment — they're order-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000
+
+
+def explode_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, dim, val) long form; dim is 0-based."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+
+
+def label_centroids(
+    df: DataFrame, label_col: str, vec_col: str, id_col: str
+) -> DataFrame:
+    """Per-label mean vector in long form ``(label, dim, centroid)`` —
+    the class-prototype table used for nearest-centroid classification
+    and drift monitoring. One shuffle on (label, dim)."""
+    dims = df.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    scaled = F.round(F.col("val").cast("double") * SCALE).cast("long")
+    return (
+        dims.groupBy(label_col, "dim")
+        .agg(F.sum(scaled).alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col(label_col),
+            "dim",
+            F.round(F.col("__s").cast("double") / (F.col("__n") * SCALE), 6).alias(
+                "centroid"
+            ),
+        )
+    )
+
+
+def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """Scalar int8 quantization per dimension (vector-index memory
+    layout): map each dimension's [min, max] corpus range onto
+    [-127, 127]. Returns long form ``(id, dim, q)``.
+
+    Two passes: per-dim min/max (order-free, exactly deterministic),
+    broadcast the 1-row-per-dim stats table, then a narrow map
+    quantizes every element. Degenerate dims (max == min) quantize
+    to 0."""
+    dims = explode_dims(df, id_col, vec_col)
+    stats = dims.groupBy("dim").agg(
+        F.min(F.col("val").cast("double")).alias("__lo"),
+        F.max(F.col("val").cast("double")).alias("__hi"),
+    )
+    q = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.round(
+            (F.col("val").cast("double") - F.col("__lo"))
+            / (F.col("__hi") - F.col("__lo"))
+            * 254
+            - 127
+        )
+    )
+    return (
+        dims.join(F.broadcast(stats), "dim")
+        .select(F.col(id_col), "dim", q.cast("int").alias("q"))
+    )

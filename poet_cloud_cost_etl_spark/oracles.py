@@ -1295,3 +1295,25 @@ ORACLES["q22_dormant_customers"] = f"""
     GROUP BY c_nationkey
     ORDER BY c_nationkey
 """
+
+ORACLES["embedding_label_centroids"] = """
+    SELECT label, CAST(i AS INTEGER) AS dim,
+        ROUND(CAST(SUM(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000)) AS DOUBLE)
+              / (COUNT(*) * 1000000), 6) AS centroid
+    FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    GROUP BY label, dim
+"""
+
+ORACLES["embedding_quantize_int8"] = """
+    WITH dims AS (
+        SELECT vec_id, CAST(i AS INTEGER) AS dim,
+            CAST(embedding[i + 1] AS DOUBLE) AS val
+        FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ),
+    stats AS (SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM dims GROUP BY dim)
+    SELECT vec_id, dim,
+        CAST(CASE WHEN hi = lo THEN 0
+             ELSE ROUND((val - lo) / (hi - lo) * 254 - 127)
+             END AS INTEGER) AS q
+    FROM dims JOIN stats USING (dim)
+"""

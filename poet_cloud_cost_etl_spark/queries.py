@@ -1852,3 +1852,25 @@ def q_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+@query("embedding_label_centroids")
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding analytics: per-label mean vector in (label, dim,
+    centroid) long form — scaled-integer sums so the parallel average
+    is bit-deterministic (operators/embeddings.py)."""
+    from .operators.embeddings import label_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    return label_centroids(e, "label", "embedding", "vec_id")
+
+
+@query("embedding_quantize_int8")
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding analytics: per-dimension scalar int8 quantization
+    (corpus min/max → [-127, 127]); long-form output, broadcast stats
+    join, narrow quantization map."""
+    from .operators.embeddings import quantize_int8
+
+    e = table(spark, sf_dir, "embeddings")
+    return quantize_int8(e, "vec_id", "embedding")
