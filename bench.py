@@ -59,6 +59,10 @@ HEADLINE = [
 
 # Round-over-round anchors (headline_queries_total at sf0.1, local[32]):
 #   r1 = 14.77s over the first 18 queries above.
+#   r2 = ~22.4s over 26 queries; the r1 18-query subset holds at
+#        ~14.8s while every flagged scale hazard (driver-collect
+#        cosine, global window, self-join pair-gen) was replaced with
+#        distributed formulations.
 
 
 def main() -> None:
