@@ -57,11 +57,19 @@ def main(argv: Sequence[str] | None = None, spark: SparkSession | None = None) -
     from .config import EngineConfig
 
     cfg = EngineConfig.from_env()
+
+    if args.command == "list-queries":  # needs no Spark — stay JVM-free
+        from .queries import QUERIES
+
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+
     own_session = spark is None
     if spark is None:
         from .session import build_session
 
-        spark = build_session(app_name=f"cli-{args.command}")
+        spark = build_session(app_name=f"cli-{args.command}", **cfg.session_kwargs())
     try:
         return _dispatch(args, spark, cfg)
     finally:
@@ -89,9 +97,15 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, cfg) -> int:
         return 0 if not report.failures else 1
 
     if args.command == "list-accounts":
+        from .accounts import AccountRegistry
         from .diagnostics import list_accounts
 
-        for row in list_accounts(spark, REGISTRY).collect():
+        registry = REGISTRY
+        if cfg.test_accounts:  # config-driven scope (reference accounts.py:54-64)
+            registry = AccountRegistry(
+                [a for a in REGISTRY.accounts if a.account_id in set(cfg.test_accounts)]
+            )
+        for row in list_accounts(spark, registry).collect():
             print(json.dumps(row.asDict()))
         return 0
 
@@ -107,13 +121,6 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, cfg) -> int:
         counts = test_storage(spark, args.paths)
         print(json.dumps(counts))
         return 0 if all(v >= 0 for v in counts.values()) else 1
-
-    if args.command == "list-queries":
-        from .queries import QUERIES
-
-        for name in sorted(QUERIES):
-            print(name)
-        return 0
 
     if args.command == "run-query":
         from .queries import QUERIES

@@ -77,17 +77,30 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = 8) -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 8, bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    sig: DataFrame,
+    id_col: str,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """X2c: band the signature (rows = k/bands) and emit distinct
     candidate pairs sharing any band bucket.
 
     Pair generation groups ids per (band_idx, band_value) bucket and
     explodes the sorted in-bucket pairs — ONE shuffle of the banded
     table where a self-join would shuffle it twice, and the signature
-    pipeline is evaluated once. Buckets are bounded by construction
-    (same-bucket = same band hash), so the in-task pair explosion is
-    bounded too; the trailing distinct dedups pairs that collide in
-    more than one band."""
+    pipeline is evaluated once; the trailing distinct dedups pairs
+    that collide in more than one band.
+
+    Skew honesty: a bucket of B identical signatures concentrates
+    B·(B-1)/2 pair generation in ONE task (the grouped form is not
+    AQE-splittable the way a self-join is). Identical signatures come
+    overwhelmingly from exact-duplicate text, so the scale contract
+    is: run exact/fingerprint dedup (X1/X2a) FIRST — standard pipeline
+    order — and/or set ``max_bucket`` to drop over-full buckets
+    (documented recall trade; a bucket that hot is near-useless for
+    near-dup anyway)."""
     rows = k // bands
     band_cols = [
         F.md5(F.concat_ws("", *[F.col(f"mh{b * rows + r + 1}") for r in range(rows)])).alias(
@@ -107,6 +120,8 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str, k: int = 8, bands: int = 4)
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
+    if max_bucket:
+        grouped = grouped.filter(F.size("ids") <= max_bucket)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
@@ -197,7 +212,14 @@ def _jaccard_core(
     linear (upstream shingle computation is evaluated exactly once).
     Shingles with df=1 yield zero pairs by construction, so min_df≤2
     pruning is inherent and free; the sort makes doc_a < doc_b
-    structural."""
+    structural.
+
+    Skew honesty: a shingle shared by B docs generates its B·(B-1)/2
+    pairs in ONE task (grouped form trades AQE-splittability for
+    fewer shuffles). At scale ``max_df`` is therefore not optional on
+    corpora that still contain exact duplicates or boilerplate hot
+    shingles — run exact dedup (X1) first and cap with ``max_df``
+    (stop-shingle removal, the standard recall trade)."""
     grouped = sh_n.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n")))

@@ -30,9 +30,7 @@ def explode_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def label_centroids(
-    df: DataFrame, label_col: str, vec_col: str, id_col: str
-) -> DataFrame:
+def label_centroids(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     """Per-label mean vector in long form ``(label, dim, centroid)`` —
     the class-prototype table used for nearest-centroid classification
     and drift monitoring. One shuffle on (label, dim)."""

@@ -59,6 +59,7 @@ def connected_components(
     ).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    converged = False
     for it in range(max_iter):
         neighbor_labs = (
             sym.join(labels, sym["b"] == labels["node"])
@@ -83,6 +84,15 @@ def connected_components(
             )
             if changed == 0:
                 labels = new_labels
+                converged = True
                 break
         labels = new_labels
+    if not converged:
+        # unconverged labels are WRONG (a component would be reported
+        # as several clusters) — never return them silently
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "the graph has a path longer than max_iter — raise max_iter "
+            "(rounds needed = graph diameter)"
+        )
     return labels.select(F.col("node").alias(id_col), F.col("lab").alias("cluster_id"))

@@ -35,10 +35,16 @@ def with_global_rank(
     order_cols: list[str],
     rank_col: str = "global_rank",
     n_buckets: int = 64,
+    total_col: str | None = None,
 ) -> DataFrame:
     """Append an exact 1-based global rank over ``order_cols``
     (which must define a unique total order) without a single-task
-    global window."""
+    global window.
+
+    ``total_col``: also attach the total row count as a column — it
+    falls out of the per-bucket counts this function already computes
+    (no extra scan), which is what ntile/percent_rank/cume_dist
+    consumers need."""
     first = order_cols[0]
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bounds = sorted(set(df.stat.approxQuantile(first, probs, 0.001))) if probs else []
@@ -67,6 +73,9 @@ def with_global_rank(
     offsets = counts.select(
         "__bucket", F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off")
     )
+    if total_col is not None:
+        total = counts.agg(F.sum("__cnt").cast("long").alias(total_col))
+        offsets = offsets.crossJoin(total)
 
     return (
         local.join(F.broadcast(offsets), "__bucket")

@@ -1397,18 +1397,17 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = table(spark, sf_dir, "orders")
-    ranked = with_global_rank(o, ["o_totalprice", "o_orderkey"], rank_col="__gr")
-    # scalar row count as a broadcast join, not a global window
-    total = o.agg(F.count(F.lit(1)).alias("__n"))
+    # total row count rides out of the rank's own bucket counts —
+    # no separate counting scan of orders
+    ranked = with_global_rank(
+        o, ["o_totalprice", "o_orderkey"], rank_col="__gr", total_col="__n"
+    )
     rk = F.col("__gr")
-    return (
-        ranked.crossJoin(F.broadcast(total))
-        .select(
-            "o_orderkey",
-            ntile_from_rank(rk, F.col("__n"), 4).alias("quartile"),
-            F.round(percent_rank_from_rank(rk, F.col("__n")), 6).alias("pct_rank"),
-            F.round(cume_dist_from_rank(rk, F.col("__n")), 6).alias("cume"),
-        )
+    return ranked.select(
+        "o_orderkey",
+        ntile_from_rank(rk, F.col("__n"), 4).alias("quartile"),
+        F.round(percent_rank_from_rank(rk, F.col("__n")), 6).alias("pct_rank"),
+        F.round(cume_dist_from_rank(rk, F.col("__n")), 6).alias("cume"),
     )
 
 
@@ -1862,7 +1861,7 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.embeddings import label_centroids
 
     e = table(spark, sf_dir, "embeddings")
-    return label_centroids(e, "label", "embedding", "vec_id")
+    return label_centroids(e, "label", "embedding")
 
 
 @query("embedding_quantize_int8")

@@ -107,6 +107,9 @@ def split_sql_statements(script: str) -> list[str]:
         if ch == "'":
             j = i + 1
             while j < n:
+                if script[j] == "\\":  # backslash escape (Spark default
+                    j += 2  # escapedStringLiterals=false): skip escaped char
+                    continue
                 if script[j] == "'":
                     if j + 1 < n and script[j + 1] == "'":  # '' escape
                         j += 2

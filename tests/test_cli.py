@@ -50,3 +50,18 @@ def test_sync_cli(spark, tmp_path, capsys, monkeypatch):
     out = json.loads(capsys.readouterr().out)
     assert rc == 0 and out["tables"] == {"events": 1000, "orders": 1500}
     assert spark.sql("SELECT count(*) AS n FROM costs").collect()[0].n == 2500
+
+
+def test_list_queries_needs_no_session():
+    """list-queries must not pay JVM startup (and must not build a
+    session at all when none is injected)."""
+    assert main(["list-queries"]) == 0
+
+
+def test_sync_jdbc_failure_does_not_leak_into_view(spark, tmp_path, monkeypatch):
+    """A source whose JDBC landing fails is reported failed AND stays
+    out of the unified costs view."""
+    monkeypatch.setenv("SPARK_GRAFT_OUTPUT", str(tmp_path / "out"))
+    monkeypatch.setenv("SPARK_GRAFT_JDBC_URL", "jdbc:nosuchdriver:nowhere")
+    rc = main(["sync", "--sf-dir", SF_SMALL, "--no-raw"], spark=spark)
+    assert rc == 1

