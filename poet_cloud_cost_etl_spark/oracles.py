@@ -1317,3 +1317,70 @@ ORACLES["embedding_quantize_int8"] = """
              END AS INTEGER) AS q
     FROM dims JOIN stats USING (dim)
 """
+
+ORACLES["q6_forecast_revenue"] = f"""
+    SELECT CAST(SUM({_cents('l_extendedprice*l_discount')}) AS DOUBLE) / 100.0
+            AS revenue,
+        COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+ORACLES["q15_top_supplier"] = f"""
+    WITH rev AS (
+        SELECT l_suppkey,
+            CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}) AS BIGINT)
+                AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, CAST(rev_cents AS DOUBLE) / 100.0 AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_cents = (SELECT MAX(rev_cents) FROM rev)
+    ORDER BY s_suppkey
+"""
+
+ORACLES["q17_small_quantity_revenue"] = f"""
+    WITH per_part AS (
+        SELECT l_partkey AS pk,
+            CAST(SUM({_cents('l_quantity')}) AS BIGINT) AS qc,
+            COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(SUM({_cents('l_extendedprice')}) AS DOUBLE) / 100.0
+            AS small_qty_revenue,
+        COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#3'
+    JOIN per_part ON l_partkey = pk
+    WHERE CAST({_cents('l_quantity')} AS DOUBLE) < 0.2 * CAST(qc AS DOUBLE) / n
+"""
+
+ORACLES["q21_waiting_orders"] = """
+    WITH lo AS (
+        SELECT l_orderkey, l_suppkey, l_shipdate > o_orderdate AS late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderstatus = 'F'
+    ),
+    per_order AS (
+        SELECT l_orderkey,
+            COUNT(DISTINCT l_suppkey) AS n_supp,
+            COUNT(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late
+        FROM lo GROUP BY l_orderkey
+    ),
+    sole AS (
+        SELECT DISTINCT lo.l_orderkey, lo.l_suppkey
+        FROM lo JOIN per_order USING (l_orderkey)
+        WHERE lo.late AND n_supp > 1 AND n_late = 1
+    )
+    SELECT s_suppkey, s_name, COUNT(*) AS numwait
+    FROM sole JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY s_suppkey, s_name
+    ORDER BY numwait DESC, s_suppkey
+    LIMIT 25
+"""

@@ -1873,3 +1873,117 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = table(spark, sf_dir, "embeddings")
     return quantize_int8(e, "vec_id", "embedding")
+
+
+@query("q6_forecast_revenue")
+def q_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 analog: the classic selective-scan aggregate — every
+    predicate pushes to the parquet scan, no join, one partial+final
+    agg. The pushdown is what makes this sub-second at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice") * F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(rev).alias("__c"), F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            (F.col("__c").cast("double") / 100.0).alias("revenue"), "n_lines"
+        )
+    )
+
+
+@query("q15_top_supplier")
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 analog: supplier(s) with the maximum quarterly
+    revenue — aggregate → broadcast scalar max → equality join back
+    (the view + scalar-subquery shape)."""
+    s = table(spark, sf_dir, "supplier")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_cents"))
+    )
+    top = rev.agg(F.max("rev_cents").alias("__max"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("rev_cents") == F.col("__max"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents").cast("double") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query("q17_small_quantity_revenue")
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analog: revenue from lineitems under 20% of their
+    part's average quantity — the correlated-scalar-per-group shape,
+    decorrelated into a per-part aggregate joined back to the facts.
+    The threshold derives from exact integer sums so both engines
+    compute the identical double."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(cents(F.col("l_quantity"))).alias("__qc"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    thresh = F.lit(0.2) * F.col("__qc").cast("double") / F.col("__n")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("pk"))
+        .filter(cents(F.col("l_quantity")).cast("double") < thresh)
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("__rc"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .select(
+            (F.col("__rc").cast("double") / 100.0).alias("small_qty_revenue"),
+            "n_lines",
+        )
+    )
+
+
+@query("q21_waiting_orders")
+def q_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analog: suppliers who were the SOLE late shipper on a
+    multi-supplier order (l_shipdate > o_orderdate stands in for the
+    commit/receipt pair). The classic exists/not-exists chain is
+    decorrelated into per-order distinct-supplier counts — pure
+    aggregates, no correlated subqueries, scale-clean."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = table(spark, sf_dir, "supplier")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate")).alias("__late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias(
+            "__n_late"
+        ),
+    )
+    sole_late = (
+        lo.filter(F.col("__late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late") == 1))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
+        .limit(25)
+    )
