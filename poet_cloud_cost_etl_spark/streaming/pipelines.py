@@ -217,3 +217,11 @@ def stream_stream_interval_join(
         ),
         "inner",
     ).select("u", "eid1", "eid2", "ts1", "ts2")
+
+
+def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """ST7: stream-static join — enrich a stream with a (broadcast)
+    dimension table. Static side is re-read per micro-batch (so dim
+    updates between batches are picked up); no watermark needed
+    because the static side holds no streaming state."""
+    return stream.join(F.broadcast(dim), on, "left")

@@ -207,3 +207,24 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     )
     want_pairs = {(r.eid1, r.eid2) for r in want.collect()}
     assert got_pairs == want_pairs and got_pairs
+
+
+def test_stream_static_enrichment(spark, events_dir, tmp_path):
+    """ST7: stream-static broadcast join matches the batch join."""
+    accounts = spark.createDataFrame(
+        [(i, f"acct-{i}") for i in range(200)], ["user_id", "account_name"]
+    )
+    stream = P.incremental_events_source(spark, events_dir)
+    out = P.enrich_with_dim(
+        stream.select("event_id", "user_id"), accounts, on="user_id"
+    )
+    P.run_foreach_batch_parquet(
+        out, str(tmp_path / "ck_en"), str(tmp_path / "out_en")
+    )
+    got = spark.read.parquet(str(tmp_path / "out_en"))
+    ev = table(spark, SF_SMALL, "events").select("event_id", "user_id")
+    want = ev.join(accounts, "user_id", "left")
+    assert got.count() == want.count()
+    matched = {r.event_id: r.account_name for r in got.collect()}
+    for r in want.collect():
+        assert matched[r.event_id] == r.account_name
