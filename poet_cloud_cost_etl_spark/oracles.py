@@ -1384,3 +1384,24 @@ ORACLES["q21_waiting_orders"] = """
     ORDER BY numwait DESC, s_suppkey
     LIMIT 25
 """
+
+ORACLES["dq_checks"] = """
+    SELECT check_name, n_violations FROM (
+        SELECT 'orders_pk_unique' AS check_name, COUNT(*) AS n_violations
+        FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1)
+        UNION ALL
+        SELECT 'orders_date_not_null', COUNT(*) FROM orders WHERE o_orderdate IS NULL
+        UNION ALL
+        SELECT 'orders_custkey_fk', COUNT(*)
+        FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        UNION ALL
+        SELECT 'lineitem_orderkey_fk', COUNT(*)
+        FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        UNION ALL
+        SELECT 'customer_nationkey_fk', COUNT(*)
+        FROM customer WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        UNION ALL
+        SELECT 'lineitem_quantity_positive', COUNT(*) FROM lineitem WHERE l_quantity <= 0
+    )
+    ORDER BY check_name
+"""

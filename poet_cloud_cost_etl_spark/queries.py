@@ -1987,3 +1987,42 @@ def q_q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_suppkey"))
         .limit(25)
     )
+
+
+@query("dq_checks")
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality check suite (dbt-style ETL tests) over the warehouse
+    tables: key uniqueness, null rates, referential integrity — each
+    check one row (check_name, n_violations). Orphan checks are
+    anti joins; everything aggregates before unioning, so the result
+    is a handful of rows regardless of scale."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    n = table(spark, sf_dir, "nation")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+        )
+
+    dup_orders = o.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+    null_dates = o.filter(F.col("o_orderdate").isNull())
+    orphan_orders = o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+    orphan_lines = li.join(o, li.l_orderkey == o.o_orderkey, "left_anti")
+    bad_nations = c.join(n, c.c_nationkey == n.n_nationkey, "left_anti")
+    neg_qty = li.filter(F.col("l_quantity") <= 0)
+
+    checks = [
+        one("orders_pk_unique", dup_orders),
+        one("orders_date_not_null", null_dates),
+        one("orders_custkey_fk", orphan_orders),
+        one("lineitem_orderkey_fk", orphan_lines),
+        one("customer_nationkey_fk", bad_nations),
+        one("lineitem_quantity_positive", neg_qty),
+    ]
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out.union(ch)
+    return out.orderBy("check_name")
