@@ -1405,3 +1405,12 @@ ORACLES["dq_checks"] = """
     )
     ORDER BY check_name
 """
+
+ORACLES["sql_interface_report"] = """
+    SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+            AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""

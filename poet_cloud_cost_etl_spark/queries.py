@@ -2026,3 +2026,25 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     for ch in checks[1:]:
         out = out.union(ch)
     return out.orderBy("check_name")
+
+
+@query("sql_interface_report")
+def q_sql_interface_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/SQL surface: the engine's raw SQL-string interface — views
+    registered over the scans, analytics written as ANSI SQL and
+    executed by spark.sql (the reference's native mode of operation:
+    every reference query is a SQL string). Demonstrates the whole
+    DataFrame surface is equally reachable via SQL."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+            COUNT(*) AS n_orders,
+            CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                AS total_price
+        FROM v_orders JOIN v_customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )

@@ -144,3 +144,17 @@ def test_q18_aggregates_before_join(spark):
     join = plan.find("Join")
     assert agg != -1 and join != -1, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The physical join strategy is controllable per-join via hints —
+    the knob a tuner reaches for when the optimizer's choice is wrong
+    at a given scale."""
+    o = table(spark, SF_SMALL, "orders")
+    c = table(spark, SF_SMALL, "customer")
+    merged = o.join(c.hint("merge"), o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in X.physical_plan(merged), X.physical_plan(merged)
+    shuffled = o.join(c.hint("shuffle_hash"), o.o_custkey == c.c_custkey)
+    assert "ShuffledHashJoin" in X.physical_plan(shuffled), X.physical_plan(shuffled)
+    bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
+    assert "BroadcastHashJoin" in X.physical_plan(bcast), X.physical_plan(bcast)
