@@ -35,13 +35,19 @@ class AccountRegistry:
     accounts: list[Account] = field(default_factory=list)
 
     @classmethod
+    def scoped(cls, default: list[Account], ids) -> "AccountRegistry":
+        """Restrict to the given account ids; empty/None = all
+        (the single definition of the scoping rule)."""
+        wanted = {str(a).strip() for a in ids or () if str(a).strip()}
+        if wanted:
+            return cls([a for a in default if a.account_id in wanted])
+        return cls(list(default))
+
+    @classmethod
     def from_env(cls, default: list[Account]) -> "AccountRegistry":
         """TEST_ACCOUNTS scoping (reference accounts.py:54-64)."""
         raw = os.environ.get("TEST_ACCOUNTS", "")
-        if raw.strip():
-            wanted = {a.strip() for a in raw.split(",") if a.strip()}
-            return cls([a for a in default if a.account_id in wanted])
-        return cls(list(default))
+        return cls.scoped(default, raw.split(","))
 
     def account_ids(self) -> list[str]:
         return [a.account_id for a in self.accounts]

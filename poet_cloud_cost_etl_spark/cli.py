@@ -100,11 +100,8 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, cfg) -> int:
         from .accounts import AccountRegistry
         from .diagnostics import list_accounts
 
-        registry = REGISTRY
-        if cfg.test_accounts:  # config-driven scope (reference accounts.py:54-64)
-            registry = AccountRegistry(
-                [a for a in REGISTRY.accounts if a.account_id in set(cfg.test_accounts)]
-            )
+        # config-driven scope (reference accounts.py:54-64)
+        registry = AccountRegistry.scoped(REGISTRY.accounts, cfg.test_accounts)
         for row in list_accounts(spark, registry).collect():
             print(json.dumps(row.asDict()))
         return 0

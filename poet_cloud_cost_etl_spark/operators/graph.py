@@ -91,8 +91,8 @@ def connected_components(
         # unconverged labels are WRONG (a component would be reported
         # as several clusters) — never return them silently
         raise RuntimeError(
-            f"connected_components did not converge in {max_iter} rounds; "
-            "the graph has a path longer than max_iter — raise max_iter "
-            "(rounds needed = graph diameter)"
+            f"connected_components did not confirm convergence in {max_iter} "
+            "rounds — set max_iter > graph diameter (diameter rounds reach "
+            "the fixpoint; one more confirms it)"
         )
     return labels.select(F.col("node").alias(id_col), F.col("lab").alias("cluster_id"))

@@ -126,8 +126,9 @@ def sync(
         except Exception as exc:  # per-source isolation (main.py:119-122)
             # a source that failed mid-landing (e.g. the JDBC write
             # after the parquet write) must not leak into the unified
-            # view as if it succeeded
+            # view — nor into the success report — as if it succeeded
             normalized.pop(src.name, None)
+            report.tables.pop(src.name, None)
             report.failures[src.name] = str(exc)[:500]
             # the failure log is itself a sink write — if the original
             # failure IS the sink/storage, logging would re-raise and

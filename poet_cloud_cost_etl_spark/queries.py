@@ -1932,7 +1932,13 @@ def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     compute the identical double."""
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3")
-    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+    # partkey determines brand, so restricting the per-part aggregate
+    # to the brand's lineitems first is result-identical and shrinks
+    # the dominant shuffle ~25x (only aggregates that survive the
+    # final join are ever built)
+    li_brand = li.join(F.broadcast(p.select("p_partkey")),
+                       li.l_partkey == F.col("p_partkey"), "left_semi")
+    per_part = li_brand.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(cents(F.col("l_quantity"))).alias("__qc"),
         F.count(F.lit(1)).alias("__n"),
     )

@@ -104,24 +104,22 @@ def split_sql_statements(script: str) -> list[str]:
     i, n = 0, len(script)
     while i < n:
         ch = script[i]
-        if ch == "'":
+        if ch in ("'", '"', "`"):
+            # ' and " are string literals with backslash escapes (Spark
+            # default escapedStringLiterals=false) and doubled-quote
+            # escapes; ` identifiers escape only by doubling
             j = i + 1
             while j < n:
-                if script[j] == "\\":  # backslash escape (Spark default
-                    j += 2  # escapedStringLiterals=false): skip escaped char
+                if ch != "`" and script[j] == "\\":
+                    j += 2
                     continue
-                if script[j] == "'":
-                    if j + 1 < n and script[j + 1] == "'":  # '' escape
+                if script[j] == ch:
+                    if j + 1 < n and script[j + 1] == ch:  # doubled escape
                         j += 2
                         continue
                     break
                 j += 1
             buf.append(script[i : min(j + 1, n)])
-            i = j + 1
-        elif ch in ('"', "`"):
-            j = script.find(ch, i + 1)
-            j = n - 1 if j == -1 else j
-            buf.append(script[i : j + 1])
             i = j + 1
         elif script.startswith("--", i):
             j = script.find("\n", i)

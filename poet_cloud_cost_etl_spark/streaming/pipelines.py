@@ -221,7 +221,9 @@ def stream_stream_interval_join(
 
 def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     """ST7: stream-static join — enrich a stream with a (broadcast)
-    dimension table. Static side is re-read per micro-batch (so dim
-    updates between batches are picked up); no watermark needed
-    because the static side holds no streaming state."""
+    dimension table. No watermark needed: the static side holds no
+    streaming state. NOTE: a file-backed static side is snapshotted
+    at plan time (InMemoryFileIndex caches the listing) — it is NOT
+    re-listed per micro-batch, so restart the query (or use a
+    snapshot-resolving source) to pick up dimension updates."""
     return stream.join(F.broadcast(dim), on, "left")

@@ -102,3 +102,33 @@ def test_sync_dry_run(spark, tmp_path, capsys):
     import os
 
     assert not os.path.exists(out)
+
+
+def test_failure_after_normalize_stays_out_of_view(spark, tmp_path, monkeypatch):
+    """A source that fails AFTER normalization (sink landing) must be
+    excluded from both the costs view and report.tables — a half-landed
+    source must never serve rows as if it succeeded."""
+    import poet_cloud_cost_etl_spark.pipeline as pl
+    from poet_cloud_cost_etl_spark.config import EngineConfig
+
+    real_write = pl.write_jdbc
+
+    def failing_write(df, url, tbl, **kw):
+        if "orders" in tbl:
+            raise RuntimeError("simulated sink outage")
+        return None  # events "lands"
+
+    monkeypatch.setattr(pl, "write_jdbc", failing_write)
+    cfg = EngineConfig(
+        output_root=str(tmp_path / "out"),
+        jdbc_url="jdbc:stub:unused",
+    )
+    report = sync(spark, _sources(spark), sync_timestamp=TS, config=cfg)
+    assert set(report.failures) == {"orders"}
+    assert set(report.tables) == {"events"}
+    providers = {
+        r.cloud_provider
+        for r in spark.sql("SELECT DISTINCT cloud_provider FROM costs").collect()
+    }
+    assert providers == {"aws"}  # orders (gcp) excluded from the view
+    assert real_write is not failing_write

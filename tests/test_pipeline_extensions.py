@@ -178,7 +178,7 @@ def test_cc_raises_when_unconverged(spark):
 
     nodes = spark.createDataFrame([(i,) for i in range(8)], ["id"])
     edges = spark.createDataFrame([(i, i + 1) for i in range(7)], ["src", "dst"])
-    with pytest.raises(RuntimeError, match="did not converge"):
+    with pytest.raises(RuntimeError, match="did not confirm convergence"):
         connected_components(nodes, edges, max_iter=2)
 
 

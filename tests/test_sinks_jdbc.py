@@ -129,3 +129,10 @@ def test_split_sql_statements_backslash_escape():
     semicolon after an escaped quote must not split the statement."""
     stmts = split_sql_statements(r"SELECT 'it\'s; fine' AS s; SELECT 2")
     assert stmts == [r"SELECT 'it\'s; fine' AS s", "SELECT 2"]
+
+
+def test_split_sql_statements_double_quote_escape():
+    """Double-quoted literals get the same backslash handling as
+    single-quoted ones; backtick identifiers escape only by doubling."""
+    stmts = split_sql_statements('SELECT "a\\";b" AS s; SELECT `we``ird;` FROM t')
+    assert stmts == ['SELECT "a\\";b" AS s', "SELECT `we``ird;` FROM t"]
