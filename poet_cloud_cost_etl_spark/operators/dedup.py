@@ -201,6 +201,7 @@ def _jaccard_core(
     threshold: float,
     min_df: int | None,
     max_df: int | None,
+    split_threshold: int = 1024,
 ) -> DataFrame:
     """Pair generation from a size-annotated shingle table
     ``(id, n_sh, shingle)``.
@@ -214,12 +215,15 @@ def _jaccard_core(
     pruning is inherent and free; the sort makes doc_a < doc_b
     structural.
 
-    Skew honesty: a shingle shared by B docs generates its B·(B-1)/2
-    pairs in ONE task (grouped form trades AQE-splittability for
-    fewer shuffles). At scale ``max_df`` is therefore not optional on
-    corpora that still contain exact duplicates or boilerplate hot
-    shingles — run exact dedup (X1) first and cap with ``max_df``
-    (stop-shingle removal, the standard recall trade)."""
+    Skew: the grouped form generates a shingle's B·(B-1)/2 pairs in
+    one task, so buckets larger than ``split_threshold`` take a
+    DIFFERENT path — their ids are re-exploded and self-joined on the
+    shingle key, which AQE's skew-join can split across tasks. Net:
+    the common case pays one shuffle and zero joins; only the rare hot
+    shingles pay the join. ``max_df`` (stop-shingle removal, a recall
+    trade) remains the cheaper guard when hot shingles are known to be
+    boilerplate; running exact dedup (X1) first remains standard
+    pipeline order."""
     grouped = sh_n.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("n_sh").alias("n")))
@@ -238,11 +242,28 @@ def _jaccard_core(
         "transform(slice(ids, i + 2, size(ids)), "
         "y -> struct(x.id AS doc_a, y.id AS doc_b, x.n AS n_a, y.n AS n_b))))"
     )
+    small_pairs = (
+        grouped.filter(F.size("ids") <= split_threshold)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+    )
+    # hot buckets: re-explode and self-join on the shingle key so the
+    # quadratic pair generation is spread across tasks (AQE skew-join
+    # splits the oversized partitions)
+    hot = grouped.filter(F.size("ids") > split_threshold).select(
+        "shingle", F.explode("ids").alias("s")
+    )
+    ha = hot.select("shingle", F.col("s.id").alias("doc_a"), F.col("s.n").alias("n_a"))
+    hb = hot.select("shingle", F.col("s.id").alias("doc_b"), F.col("s.n").alias("n_b"))
+    hot_pairs = (
+        ha.join(hb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "n_a", "n_b")
+    )
     # (doc_a, doc_b) functionally determines (n_a, n_b); grouping by
     # all four keeps the sizes available without a join.
     common = (
-        grouped.select(F.explode(pair_expr).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.n_a", "p.n_b")
+        small_pairs.union(hot_pairs)
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

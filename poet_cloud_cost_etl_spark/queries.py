@@ -757,7 +757,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline: per-doc distinct shingle arrays map-side (sizes are
     free), one groupBy(shingle) with in-group pair explosion (df=1
     shingles produce no pairs, so min_df=2 pruning is inherent), one
-    pair aggregation — two shuffles total, no self-join."""
+    pair aggregation. Hot shingle buckets above split_threshold take
+    the AQE-splittable self-join branch instead (operators/dedup.py
+    _jaccard_core) — zero rows on this corpus."""
     from .operators.dedup import ngram_jaccard_from_docs
 
     d = table(spark, sf_dir, "documents")

@@ -101,14 +101,15 @@ def test_q5_snowflake_broadcasts_dims(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_jaccard_plan_has_no_joins(spark):
-    """The single-pass jaccard pipeline carries doc sizes through the
-    group stage — a join anywhere means the old three-pass shape
-    regressed (two shuffles are inherent: groupBy(shingle) + pair agg)."""
+def test_jaccard_plan_uses_grouped_pair_gen(spark):
+    """The jaccard pipeline carries doc sizes through the group stage
+    (grouped pair generation, no sizes join) — the only join allowed
+    in the plan is the hot-bucket skew-escape branch, which carries
+    zero rows unless a shingle bucket exceeds split_threshold."""
     q = QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL)
     plan = X.physical_plan(q)
-    assert "Join" not in plan, plan
-    assert X.count_exchanges(q) == 2, plan
+    assert "collect_list" in plan, plan  # grouped pair-gen present
+    assert X.count_exchanges(q) <= 4, plan  # 2 hot-path + hot-branch pair
 
 
 def test_ivf_plan_broadcasts_centroids(spark):
