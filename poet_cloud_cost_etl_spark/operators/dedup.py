@@ -83,6 +83,7 @@ def lsh_candidate_pairs(
     k: int = 8,
     bands: int = 4,
     max_bucket: int | None = None,
+    split_threshold: int = 1024,
 ) -> DataFrame:
     """X2c: band the signature (rows = k/bands) and emit distinct
     candidate pairs sharing any band bucket.
@@ -93,14 +94,13 @@ def lsh_candidate_pairs(
     pipeline is evaluated once; the trailing distinct dedups pairs
     that collide in more than one band.
 
-    Skew honesty: a bucket of B identical signatures concentrates
-    B·(B-1)/2 pair generation in ONE task (the grouped form is not
-    AQE-splittable the way a self-join is). Identical signatures come
-    overwhelmingly from exact-duplicate text, so the scale contract
-    is: run exact/fingerprint dedup (X1/X2a) FIRST — standard pipeline
-    order — and/or set ``max_bucket`` to drop over-full buckets
-    (documented recall trade; a bucket that hot is near-useless for
-    near-dup anyway)."""
+    Skew: buckets above ``split_threshold`` (hordes of identical
+    signatures — usually exact-duplicate text) take the AQE-splittable
+    self-join branch instead of one-task collect_list explosion (same
+    hybrid as ``_jaccard_core``). ``max_bucket`` additionally DROPS
+    over-full buckets entirely (recall trade; a bucket that hot is
+    near-useless for near-dup). Running exact dedup (X1/X2a) first
+    remains standard pipeline order."""
     rows = k // bands
     band_cols = [
         F.md5(F.concat_ws("", *[F.col(f"mh{b * rows + r + 1}") for r in range(rows)])).alias(
@@ -126,11 +126,24 @@ def lsh_candidate_pairs(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
     )
-    return (
-        grouped.select(F.explode(pair_expr).alias("p"))
+    small_pairs = (
+        grouped.filter(F.size("ids") <= split_threshold)
+        .select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    hot = grouped.filter(F.size("ids") > split_threshold).select(
+        "band_idx", "band_val", F.explode("ids").alias("d")
+    )
+    hot_pairs = (
+        hot.select("band_idx", "band_val", F.col("d").alias("doc_a"))
+        .join(
+            hot.select("band_idx", "band_val", F.col("d").alias("doc_b")),
+            ["band_idx", "band_val"],
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    return small_pairs.union(hot_pairs).distinct()
 
 
 def ngram_jaccard_pairs(
