@@ -1414,3 +1414,35 @@ ORACLES["sql_interface_report"] = """
     GROUP BY c_mktsegment
     ORDER BY c_mktsegment
 """
+
+ORACLES["funnel_click_to_purchase"] = """
+    SELECT user_id, first_click, first_purchase,
+        epoch_us(CAST(first_purchase AS TIMESTAMP))
+            - epoch_us(CAST(first_click AS TIMESTAMP)) AS delay_us
+    FROM (
+        SELECT user_id,
+            MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+            MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM events GROUP BY user_id
+    )
+    WHERE first_click IS NOT NULL AND first_purchase IS NOT NULL
+      AND first_purchase > first_click
+    ORDER BY user_id
+"""
+
+ORACLES["retention_cohorts"] = """
+    WITH first_seen AS (
+        SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS active_week FROM events
+    )
+    SELECT cohort_week,
+        CAST(date_diff('day', cohort_week, active_week) / 7 AS INTEGER)
+            AS offset_weeks,
+        COUNT(DISTINCT user_id) AS n_users
+    FROM activity JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

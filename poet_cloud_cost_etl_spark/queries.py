@@ -2056,3 +2056,62 @@ def q_sql_interface_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query("funnel_click_to_purchase")
+def q_funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-sequence funnel: users whose first purchase follows their
+    first click, with the conversion delay — the min-per-stage
+    formulation (one groupBy, no self-join; sequences derive from
+    per-user stage minima)."""
+    ev = table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    return (
+        stages.filter(
+            F.col("first_click").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") > F.col("first_click"))
+        )
+        .select(
+            "user_id",
+            "first_click",
+            "first_purchase",
+            (
+                F.unix_micros(F.col("first_purchase"))
+                - F.unix_micros(F.col("first_click"))
+            ).alias("delay_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query("retention_cohorts")
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-seen week, counted by
+    weeks-since-cohort activity — two aggregates (first-seen, then
+    cohort × offset), the standard retention matrix in long form."""
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("offset_weeks"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "offset_weeks")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "offset_weeks")
+    )
