@@ -122,6 +122,12 @@ def lsh_candidate_pairs(
     )
     if max_bucket:
         grouped = grouped.filter(F.size("ids") <= max_bucket)
+    # materialize the grouped buckets ONCE: the small and hot branches
+    # below would otherwise each re-execute the whole signature
+    # pipeline (Spark reuses exchanges, not operator outputs — and not
+    # reliably under AQE); the checkpoint is the same data volume as
+    # the shuffle that produced it
+    grouped = grouped.localCheckpoint(eager=True)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
@@ -250,6 +256,9 @@ def _jaccard_core(
         # trades recall for a bounded worst bucket (documented; off in
         # the oracle-checked query)
         grouped = grouped.filter(F.size("ids") <= max_df)
+    # materialize ONCE for the two branches below (see
+    # lsh_candidate_pairs for the rationale)
+    grouped = grouped.localCheckpoint(eager=True)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) -> "
         "transform(slice(ids, i + 2, size(ids)), "

@@ -102,14 +102,16 @@ def test_q5_snowflake_broadcasts_dims(spark):
 
 
 def test_jaccard_plan_uses_grouped_pair_gen(spark):
-    """The jaccard pipeline carries doc sizes through the group stage
-    (grouped pair generation, no sizes join) — the only join allowed
-    in the plan is the hot-bucket skew-escape branch, which carries
-    zero rows unless a shingle bucket exceeds split_threshold."""
+    """The jaccard pipeline materializes the grouped shingle buckets
+    once (checkpoint boundary: Scan ExistingRDD) and unions the small
+    explode branch with the hot-bucket skew-escape branch — downstream
+    of the checkpoint, only the single pair-aggregation exchange
+    remains, and the sizes travel with the pairs (no sizes join)."""
     q = QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL)
     plan = X.physical_plan(q)
-    assert "collect_list" in plan, plan  # grouped pair-gen present
-    assert X.count_exchanges(q) <= 4, plan  # 2 hot-path + hot-branch pair
+    assert "ExistingRDD" in plan, plan  # single upstream materialization
+    assert "Union" in plan, plan  # small + hot branches
+    assert X.count_exchanges(q) <= 2, plan  # pair agg (+hot join when live)
 
 
 def test_ivf_plan_broadcasts_centroids(spark):
