@@ -59,10 +59,11 @@ HEADLINE = [
 
 # Round-over-round anchors (headline_queries_total at sf0.1, local[32]):
 #   r1 = 14.77s over the first 18 queries above.
-#   r2 = ~22.4s over 26 queries; the r1 18-query subset holds at
-#        ~14.8s while every flagged scale hazard (driver-collect
-#        cosine, global window, self-join pair-gen) was replaced with
-#        distributed formulations.
+#   r2 = ~24.1s over 26 queries; the r1 18-query subset holds at
+#        ~15s while every flagged scale hazard (driver-collect
+#        cosine, global window, one-task hot-bucket pair-gen) was
+#        replaced with distributed formulations — incl. the always-on
+#        AQE-splittable hot-bucket branch in jaccard/LSH.
 
 
 def main() -> None:
