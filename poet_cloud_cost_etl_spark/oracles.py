@@ -1446,3 +1446,21 @@ ORACLES["retention_cohorts"] = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+ORACLES["text_char_entropy"] = """
+    WITH chars AS (
+        SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
+    ),
+    counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+    per_doc AS (
+        SELECT doc_id, SUM(c) AS n,
+            SUM(CAST(ROUND(
+                (CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id))
+                * log2(CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) / c)
+                * 1e12) AS BIGINT)) AS t
+        FROM counts GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+        ROUND(CAST(t AS DOUBLE) / 1e12, 6) AS char_entropy_bits
+    FROM per_doc
+"""

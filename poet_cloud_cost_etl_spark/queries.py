@@ -2115,3 +2115,58 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_users"))
         .orderBy("cohort_week", "offset_weeks")
     )
+
+
+@query("text_char_entropy")
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5+: character-distribution entropy per doc (low entropy =
+    degenerate/repetitive text, an LLM-quality filter). Parallel
+    double summation is order-dependent, so each term is rounded to a
+    scaled integer first: exact long sum, one final division —
+    bit-identical across engines."""
+    d = table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.regexp_extract_all(F.col("text"), F.lit("."), 0)).alias("ch")
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("c").alias("__n"), F.collect_list(F.struct("ch", "c")).alias("__cs")
+    )
+    # term = (c/n) * log2(n/c), scaled to integer picobits
+    term = F.expr(
+        "aggregate(__cs, 0L, (acc, s) -> acc + CAST(ROUND("
+        "(CAST(s.c AS DOUBLE) / __n) * (log2(CAST(__n AS DOUBLE) / s.c)) * 1e12"
+        ") AS LONG))"
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("__n").cast("long").alias("n_chars"),
+        F.round(term / F.lit(1e12), 6).alias("char_entropy_bits"),
+    )
+
+
+@query("minhash_similarity_estimate")
+def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2b+: Jaccard ESTIMATE from MinHash signatures for the LSH
+    candidate pairs — matching-component fraction, the sketch's
+    native estimator (exact integer ratio; compare with the exact
+    dedup_ngram_jaccard values to see sketch error)."""
+    from .operators.dedup import doc_shingles, lsh_candidate_pairs, minhash_signatures
+
+    d = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(doc_shingles(d, "doc_id", "text"), "doc_id", k=8)
+    pairs = lsh_candidate_pairs(sig, "doc_id", k=8, bands=4)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{j}").alias(f"a{j}") for j in range(1, 9)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{j}").alias(f"b{j}") for j in range(1, 9)])
+    matches = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0) for j in range(1, 9)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / 8, 6).alias("est_jaccard"),
+        )
+    )
