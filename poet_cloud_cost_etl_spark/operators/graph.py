@@ -32,7 +32,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -43,12 +43,27 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 20,
+    algo: str = "minlabel",
 ) -> DataFrame:
     """Return ``(id_col, cluster_id)`` where ``cluster_id`` is the
     minimum node id reachable from each node (singletons cluster with
     themselves). ``nodes`` must contain every id that may appear in
     ``edges``; ``edges`` may be directed — it is symmetrized here.
+
+    ``algo="minlabel"`` (default): diameter-round min propagation —
+    lowest per-round cost, right for the shallow near-clique graphs
+    dedup thresholds produce. ``algo="star"``: the O(log n)-round
+    large-star/small-star alternation — right for graphs that may
+    contain long chains (e.g. transitive similarity at low
+    thresholds).  Both return identical labels (pinned by
+    tests/test_graph.py).
     """
+    if algo == "star":
+        return _connected_components_star(
+            nodes, edges, id_col, src_col, dst_col, max_iter
+        )
+    if algo != "minlabel":
+        raise ValueError(f"unknown algo {algo!r} (want 'minlabel' or 'star')")
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
@@ -96,3 +111,91 @@ def connected_components(
             "the fixpoint; one more confirms it)"
         )
     return labels.select(F.col("node").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
+def _connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", public paper). Converges in
+    O(log n) rounds even on chain graphs, vs diameter rounds for min
+    propagation.
+
+    Each half-round is a single hash shuffle: the neighborhood minimum
+    is a window ``min`` partitioned by the star center (no join), and
+    the emitted edges stay oriented big→small so small-star can group
+    without re-symmetrizing.
+
+    - large-star(u): m = min(N(u) ∪ {u}); for each neighbor v > u emit
+      (v, m) — hooks big neighbors onto u's best-known root.
+    - small-star(u) over big→small edges: m = min(N⁻(u)); emit (u, m)
+      and (v, m) for the other small neighbors — flattens partial
+      paths into stars.
+
+    Fixpoint = edge set unchanged after a full round (checked with an
+    ``exceptAll ... limit 1`` probe, cheap on the already-checkpointed
+    sets); at fixpoint the edges form stars rooted at component minima.
+    """
+    # canonical undirected pair set, oriented big→small
+    pairs = (
+        edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    converged = pairs.limit(1).count() == 0  # no edges: all singletons
+    for _ in range(max_iter):
+        if converged:
+            break
+        # -- large-star: group the symmetrized adjacency by u --------
+        adj = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        w = Window.partitionBy("u")
+        with_min = adj.select(
+            "u", "v", F.least(F.col("u"), F.min("v").over(w)).alias("m")
+        )
+        large = (
+            with_min.filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: edges already oriented u > v ----------------
+        w2 = Window.partitionBy("u")
+        with_min2 = large.select("u", "v", F.min("v").over(w2).alias("m"))
+        small = (
+            with_min2.select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(with_min2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            small.exceptAll(pairs).limit(1).count()
+            + pairs.exceptAll(small).limit(1).count()
+        )
+        pairs = small
+        converged = changed == 0
+    if not converged:
+        raise RuntimeError(
+            f"connected_components(algo='star') did not converge in {max_iter} "
+            "rounds — raise max_iter (O(log n) rounds suffice)"
+        )
+    # stars: u → root v. Root of a center is itself; singletons absent.
+    labels = pairs.select(F.col("u").alias("node"), F.col("v").alias("lab"))
+    return (
+        nodes.select(F.col(id_col).alias("node"))
+        .join(labels, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("lab", "node").alias("cluster_id"),
+        )
+    )

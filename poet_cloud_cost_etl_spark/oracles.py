@@ -1451,16 +1451,47 @@ ORACLES["text_char_entropy"] = """
     WITH chars AS (
         SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch FROM documents
     ),
-    counts AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+    counts AS (
+        SELECT doc_id, ch, COUNT(*) AS c,
+            SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n
+        FROM chars GROUP BY 1, 2
+    ),
     per_doc AS (
-        SELECT doc_id, SUM(c) AS n,
+        SELECT doc_id, MAX(n) AS n,
             SUM(CAST(ROUND(
-                (CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY doc_id))
-                * log2(CAST(SUM(c) OVER (PARTITION BY doc_id) AS DOUBLE) / c)
+                (CAST(c AS DOUBLE) / n)
+                * log2(CAST(n AS DOUBLE) / c)
                 * 1e12) AS BIGINT)) AS t
         FROM counts GROUP BY doc_id
     )
     SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
         ROUND(CAST(t AS DOUBLE) / 1e12, 6) AS char_entropy_bits
     FROM per_doc
+"""
+
+_MH_MATCH_SUM = " + ".join(
+    f"(CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END)" for j in range(1, 9)
+)
+ORACLES["minhash_similarity_estimate"] = f"""
+    WITH {_SHINGLE_CTE},
+    mh AS (
+        SELECT doc_id,
+            {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_BAND_UNION}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+        ROUND(CAST(({_MH_MATCH_SUM}) AS DOUBLE) / 8, 6) AS est_jaccard
+    FROM pairs p
+    JOIN mh a ON p.doc_a = a.doc_id
+    JOIN mh b ON p.doc_b = b.doc_id
 """
