@@ -57,19 +57,29 @@ HEADLINE = [
     "pack_token_budget",
 ]
 
-# Round-over-round anchors (headline_queries_total at sf0.1, local[32]):
-#   r1 = 14.77s over the first 18 queries above.
-#   r2 = ~24.1s over 26 queries; the r1 18-query subset holds at
-#        ~15s while every flagged scale hazard (driver-collect
-#        cosine, global window, one-task hot-bucket pair-gen) was
-#        replaced with distributed formulations — incl. the always-on
-#        AQE-splittable hot-bucket branch in jaccard/LSH.
+# The first 18 names above are the round-1 headline set — the stable
+# cross-round comparison subset, emitted separately as
+# "r1_subset_sec" in the JSON line so round-over-round comparisons
+# don't conflate set growth with regressions.
+R1_SUBSET = 18
+
+# Round-over-round anchors (sf0.1, local[32], measured on an
+# otherwise-idle machine — driver-recorded BENCH_r{N} numbers can run
+# ~1.4× higher under concurrent load, uniformly across queries):
+#   r1: 18-query subset = 14.77s (BENCH_r01, idle machine).
+#   r2: 18-query subset = 14.63s re-measured idle (0.99× r1 — no
+#       reproducible regression; BENCH_r02's 20.35s for the same
+#       subset was a loaded-machine artifact). 26-query total =
+#       22.7s idle / 32.4s driver-recorded.
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from poet_cloud_cost_etl_spark.config import EngineConfig
+
+    cfg = EngineConfig.from_env()
+    sf_dir = cfg.sf_dir
     sf = sf_dir.rstrip("/").split("sf")[-1]
-    spark = build_session(app_name="bench")
+    spark = build_session(app_name="bench", **cfg.session_kwargs())
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
@@ -87,6 +97,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
     total = round(sum(timings.values()), 4)
+    subset = round(sum(timings[n] for n in names[:R1_SUBSET]), 4)
     print(
         json.dumps(
             {
@@ -95,6 +106,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "r1_subset_sec": subset,
             }
         )
     )

@@ -231,19 +231,67 @@ def cosine_near_dup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def ivf_centroids(corpus: DataFrame, id_col: str, vec_col: str, k: int) -> DataFrame:
+def ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, k: int, refine_iters: int = 0
+) -> DataFrame:
     """Pick ``k`` deterministic pseudo-random centroids: the vectors
     with the smallest md5(id) (a stable "random" draw any engine
-    reproduces — no RNG seed, no kmeans nondeterminism). Real IVF
-    refines these with Lloyd iterations; the partition/probe mechanics
-    are identical and that refinement only moves list boundaries."""
-    return (
+    reproduces — no RNG seed, no kmeans nondeterminism), then refine
+    with ``refine_iters`` Lloyd (k-means) iterations.
+
+    Each Lloyd round is: assign every corpus vector to its nearest
+    centroid (broadcast k-row centroid table, narrow map), then
+    recompute each centroid as its members' mean.  The mean goes
+    through SCALED-INTEGER per-dimension sums (posexplode long form,
+    ``round(val·10⁶)`` exact long addition, one final division — same
+    convention as operators/embeddings.py) so the result is
+    bit-identical regardless of partial-aggregation order.  Per round:
+    one shuffle on (centroid_id, dim) + one k-row regroup.  Empty
+    clusters keep their previous centroid.  The refined table is
+    ``localCheckpoint``-ed so downstream double-use (build lists +
+    probe queries) doesn't replay the iterations."""
+    from .embeddings import SCALE
+
+    cents = (
         corpus.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
         )
         .orderBy(F.md5(F.col("centroid_id").cast("string")), F.col("centroid_id"))
         .limit(k)
     )
+    if refine_iters <= 0:
+        return cents
+    for _ in range(refine_iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        dims = assigned.select(
+            "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
+        )
+        scaled = F.round(F.col("val").cast("double") * SCALE).cast("long")
+        means = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.sum(scaled).alias("__s"), F.count(F.lit(1)).alias("__n"))
+            .select(
+                "centroid_id",
+                "dim",
+                F.round(
+                    F.col("__s").cast("double") / (F.col("__n") * SCALE), 6
+                ).alias("__m"),
+            )
+        )
+        regrouped = means.groupBy("centroid_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "__m"))),
+                lambda s: s["__m"].cast("float"),
+            ).alias("__new_vec")
+        )
+        cents = (
+            cents.join(regrouped, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce("__new_vec", "centroid_vec").alias("centroid_vec"),
+            )
+        )
+    return cents.localCheckpoint(eager=True)
 
 
 def ivf_assign(
@@ -290,6 +338,7 @@ def ivf_topk(
     k: int,
     n_centroids: int = 8,
     nprobe: int = 2,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """X4c: approximate top-k via inverted lists. Corpus vectors live
     in their nearest centroid's list; each query scores only the lists
@@ -300,7 +349,7 @@ def ivf_topk(
     the documented approximation)."""
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
     lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),

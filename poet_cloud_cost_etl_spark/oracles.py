@@ -1495,3 +1495,161 @@ ORACLES["minhash_similarity_estimate"] = f"""
     JOIN mh a ON p.doc_a = a.doc_id
     JOIN mh b ON p.doc_b = b.doc_id
 """
+
+ORACLES["events_enrich_dim"] = """
+    SELECT e.event_id, e.user_id, n.n_name
+    FROM events e
+    LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+"""
+
+# --- TPC-H analog completion (round 3): q2/q7/q8/q9/q11/q13/q16/q20 ---
+
+ORACLES["q2_min_cost_supplier"] = """
+    WITH eur_supp AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cost AS (
+        SELECT l_partkey, l_suppkey,
+            MIN(CAST(ROUND(l_extendedprice / l_quantity * 100) AS BIGINT))
+                AS cost_cents
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 5)
+          AND l_suppkey IN (SELECT s_suppkey FROM eur_supp)
+        GROUP BY 1, 2
+    ),
+    min_cost AS (
+        SELECT l_partkey AS pk, MIN(cost_cents) AS min_cents
+        FROM cost GROUP BY 1
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey,
+        CAST(cost_cents AS DOUBLE) / 100.0 AS supply_cost
+    FROM cost
+    JOIN min_cost ON l_partkey = pk AND cost_cents = min_cents
+    JOIN eur_supp ON cost.l_suppkey = eur_supp.s_suppkey
+    JOIN part ON l_partkey = p_partkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+"""
+
+ORACLES["q7_volume_shipping"] = f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        CAST(year(l_shipdate) AS INTEGER) AS l_year,
+        CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}) AS DOUBLE) / 100.0
+            AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+    GROUP BY 1, 2, 3
+    ORDER BY 1, 2, 3
+"""
+
+ORACLES["q8_market_share"] = f"""
+    WITH vol AS (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+            sn.n_name AS supp_nation,
+            {_cents('l_extendedprice*(1-l_discount)')} AS v
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')
+          AND o_custkey IN (
+              SELECT c_custkey FROM customer
+              JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+              WHERE r_name = 'ASIA')
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+        ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN v ELSE 0 END)
+                   AS DOUBLE) / SUM(v), 6) AS mkt_share
+    FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+ORACLES["q9_product_type_profit"] = f"""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        CAST(SUM({_cents('l_extendedprice*(1-l_discount)')}
+               - {_cents('p_retailprice*l_quantity*0.1')}) AS DOUBLE) / 100.0
+            AS sum_profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+"""
+
+ORACLES["q11_important_stock"] = f"""
+    WITH value AS (
+        SELECT l_partkey,
+            CAST(SUM({_cents('l_extendedprice')}) AS BIGINT) AS value_cents
+        FROM lineitem
+        WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3')
+        GROUP BY 1
+    )
+    SELECT l_partkey, CAST(value_cents AS DOUBLE) / 100.0 AS value
+    FROM value
+    WHERE value_cents * 1000 > (SELECT SUM(value_cents) FROM value)
+    ORDER BY value DESC, l_partkey
+"""
+
+ORACLES["q13_customer_distribution"] = """
+    WITH per_cust AS (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+ORACLES["q16_supplier_part_counts"] = """
+    SELECT p_brand, p_type, p_size,
+        COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#5'
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+ORACLES["q20_promotion_candidates"] = f"""
+    WITH per_sp AS (
+        SELECT l_suppkey, l_partkey,
+            SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                     THEN {_cents('l_quantity')} ELSE 0 END) AS q97,
+            SUM({_cents('l_quantity')}) AS qtot
+        FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+          AND l_suppkey IN (
+              SELECT s_suppkey FROM supplier
+              JOIN nation ON s_nationkey = n_nationkey
+              WHERE n_name = 'NATION_7')
+        GROUP BY 1, 2
+    )
+    SELECT DISTINCT s_suppkey, s_name
+    FROM per_sp JOIN supplier ON l_suppkey = s_suppkey
+    WHERE q97 * 2 > qtot
+    ORDER BY s_name
+"""

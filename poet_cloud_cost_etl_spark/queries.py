@@ -2172,6 +2172,338 @@ def q_minhash_similarity_estimate(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("ann_ivf_refined")
+def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4c+: IVF top-k with 2 Lloyd refinement iterations on the
+    centroid table (operators/similarity.py:ivf_centroids) — closes
+    the gap between the deterministic md5 seed draw and real k-means
+    IVF recall. Registered rows-only: the iterative refinement isn't
+    reasonably SQL-expressible; recall vs brute force is pinned by
+    tests/test_similarity.py instead."""
+    from .operators.similarity import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        q, e, "vec_id", "embedding", k=3, n_centroids=8, nprobe=2, refine_iters=2
+    )
+
+
+@query("events_enrich_dim")
+def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST7 batch twin: the stream-static dimension enrichment
+    (streaming/pipelines.py:enrich_with_dim) run in batch form, so the
+    DuckDB oracle hash-checks the join semantics that
+    tests/test_streaming.py pins for the streaming side. Broadcast
+    left join onto a derived dim key (user_id mod 25 → nation)."""
+    from .streaming.pipelines import enrich_with_dim
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .withColumn("dim_key", F.pmod(F.col("user_id"), F.lit(25)))
+    )
+    dim = table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("dim_key"), "n_name"
+    )
+    return enrich_with_dim(ev, dim, on="dim_key").select(
+        "event_id", "user_id", "n_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H analog completion (round 3): q2/q7/q8/q9/q11/q13/q16/q20.
+# The fixture has no partsupp table, so the four queries that need it
+# (q2, q11, q16, q20) use the distinct (l_partkey, l_suppkey)
+# relation from lineitem as the part-supplier catalog — same join
+# topology, same decorrelation patterns.
+# ---------------------------------------------------------------------------
+
+
+@query("q2_min_cost_supplier")
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analog: cheapest EUROPE supplier per size-5 part.
+    "Supply cost" is the minimum observed unit price (exact: cents of
+    extendedprice/quantity — min is order-free). The correlated
+    min-subquery decorrelates into a per-part aggregate joined back on
+    equality; region/nation/supplier dims broadcast."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    s = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 5)
+    unit_cents = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
+    ).cast("long")
+    li = table(spark, sf_dir, "lineitem")
+    cost = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(
+            F.broadcast(s.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cents).alias("cost_cents"))
+    )
+    min_cost = cost.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("cost_cents").alias("__min_cents")
+    )
+    return (
+        cost.join(
+            min_cost,
+            (cost.l_partkey == F.col("pk"))
+            & (cost.cost_cents == F.col("__min_cents")),
+        )
+        .join(F.broadcast(s), cost.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(p), cost.l_partkey == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            (F.col("cost_cents").cast("double") / 100.0).alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+@query("q7_volume_shipping")
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 analog: shipping volume between NATION_1 and NATION_2
+    (both directions) by ship year, 1996-1997. Supplier and customer
+    nation dims broadcast onto the fact; the only big shuffle is
+    lineitem⋈orders."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    c = table(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == n.n_nationkey
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+                "__rc"
+            )
+        )
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "l_year",
+            (F.col("__rc").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query("q8_market_share")
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 analog: NATION_5 suppliers' share of the ASIA market
+    for ECONOMY parts by order year. Share = ratio of two exact
+    integer-cent sums (one conditional, one total), divided once at
+    the end — bit-identical across engines."""
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("c_custkey")
+    )
+    supp = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = table(spark, sf_dir, "lineitem")
+    vol = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey, "left_semi")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0))).alias("__nat"),
+            F.sum(vol).alias("__tot"),
+        )
+        .select(
+            "o_year",
+            F.round(F.col("__nat").cast("double") / F.col("__tot"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("o_year")
+    )
+
+
+@query("q9_product_type_profit")
+def q_q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analog: profit on PROMO parts by supplier nation and
+    order year. With no partsupp.ps_supplycost in the fixture, cost is
+    modeled as 10% of retail price per unit — profit stays a
+    difference of two exact cent sums."""
+    n = table(spark, sf_dir, "nation")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = table(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    cost = cents(F.col("p_retailprice") * F.col("l_quantity") * 0.1)
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(rev - cost).alias("__pc"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("__pc").cast("double") / 100.0).alias("sum_profit"),
+        )
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query("q11_important_stock")
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analog: parts whose shipped value from NATION_3
+    suppliers exceeds 0.1% of that nation's total. The HAVING >
+    scalar-subquery shape: per-part integer-cent sums, a 1-row total
+    broadcast back, and an EXACT integer comparison (value·1000 >
+    total) — no float threshold drift."""
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey")
+    li = table(spark, sf_dir, "lineitem")
+    value = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_cents"))
+    )
+    total = value.agg(F.sum("value_cents").alias("__total_cents"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("__total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("value"),
+        )
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+@query("q13_customer_distribution")
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 analog: distribution of per-customer order counts,
+    urgent orders excluded — the outer-join + double-aggregation
+    shape. Customers with zero qualifying orders land in the c_count=0
+    bucket via the left join's nulls."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@query("q16_supplier_part_counts")
+def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analog: distinct supplier counts per (brand, type,
+    size) for non-Brand#5 parts, excluding negative-balance suppliers
+    (the NOT IN → broadcast anti-join). The part-supplier relation is
+    the distinct (l_partkey, l_suppkey) pair set."""
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
+    bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@query("q20_promotion_candidates")
+def q_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analog: NATION_7 suppliers who shipped more than half
+    of a SMALL part's lifetime quantity during 1997 — the nested
+    IN/scalar-subquery chain decorrelated into one conditional
+    aggregate per (supplier, part) and an exact integer comparison
+    (2·qty97 > qty_total)."""
+    n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    s = table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
+    ).select("s_suppkey", "s_name")
+    p = table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select(
+        "p_partkey"
+    )
+    li = table(spark, sf_dir, "lineitem")
+    in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    per_sp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
+        .join(
+            F.broadcast(s.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, cents(F.col("l_quantity"))).otherwise(F.lit(0))).alias(
+                "__q97"
+            ),
+            F.sum(cents(F.col("l_quantity"))).alias("__qtot"),
+        )
+    )
+    qualifying = (
+        per_sp.filter(F.col("__q97") * 2 > F.col("__qtot"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        qualifying.join(F.broadcast(s), qualifying.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 3)
 # ---------------------------------------------------------------------------

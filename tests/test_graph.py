@@ -1,0 +1,68 @@
+"""Connected-components algorithm equivalence and convergence-rate
+tests (operators/graph.py): min-label propagation vs the
+large-star/small-star alternation must produce identical labels, and
+star must converge in O(log n) rounds on the chain graphs that defeat
+min-label's diameter-round bound."""
+
+from __future__ import annotations
+
+import pytest
+
+from poet_cloud_cost_etl_spark.operators.graph import connected_components
+
+
+def _labels(nodes_df, edges_df, **kw):
+    return {
+        r.id: r.cluster_id
+        for r in connected_components(nodes_df, edges_df, **kw).collect()
+    }
+
+
+def _fixture_graph(spark):
+    # two multi-node components, one isolated pair, one singleton
+    nodes = spark.createDataFrame([(i,) for i in range(1, 12)], ["id"])
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (9, 10)], ["src", "dst"]
+    )
+    return nodes, edges
+
+
+def test_star_matches_minlabel_on_fixture(spark):
+    nodes, edges = _fixture_graph(spark)
+    assert _labels(nodes, edges, algo="star") == _labels(
+        nodes, edges, algo="minlabel"
+    )
+
+
+def test_star_fixture_labels_are_component_minima(spark):
+    nodes, edges = _fixture_graph(spark)
+    got = _labels(nodes, edges, algo="star")
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9, 10: 9, 11: 11}
+    assert got == expect
+
+
+def test_star_handles_empty_edges(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    edges = spark.createDataFrame([], "src INT, dst INT")
+    assert _labels(nodes, edges, algo="star") == {1: 1, 2: 2, 3: 3, 4: 4}
+
+
+def test_star_converges_logarithmically_on_chain(spark):
+    """A 64-node chain has diameter 63: min-label needs 63 rounds, the
+    star alternation O(log n). Pin the gap — star finishes within 12
+    rounds where min-label (given the same budget) must raise."""
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+
+    got = _labels(nodes, edges, algo="star", max_iter=12)
+    assert got == {i: 0 for i in range(n)}
+
+    with pytest.raises(RuntimeError, match="did not confirm convergence"):
+        connected_components(nodes, edges, algo="minlabel", max_iter=12).collect()
+
+
+def test_unknown_algo_rejected(spark):
+    nodes, edges = _fixture_graph(spark)
+    with pytest.raises(ValueError, match="unknown algo"):
+        connected_components(nodes, edges, algo="bogus")

@@ -20,7 +20,7 @@ from poet_cloud_cost_etl_spark.operators.sampling import (
 )
 from poet_cloud_cost_etl_spark.operators.similarity import brute_force_topk, ivf_topk
 
-from conftest import SF_SMALL
+from conftest import SF_MEDIUM, SF_SMALL
 
 
 def test_cc_chain_needs_iterations(spark):
@@ -68,6 +68,50 @@ def test_ivf_partial_probe_is_subset(spark):
     assert ivf, "IVF returned nothing"
     for pair, sim in ivf.items():
         assert bf[pair] == sim
+
+
+def test_ivf_lloyd_refinement_recall(spark):
+    """Lloyd-refined centroids (refine_iters=2) must not lose recall
+    vs the raw md5 seed draw, measured against brute-force truth at
+    sf0.01 (500×64 vectors, 20 queries). Everything is deterministic
+    (md5 seed + scaled-integer means), so the comparison is stable."""
+    e = table(spark, SF_MEDIUM, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(refine_iters):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                q, e, "vec_id", "embedding", k=5, n_centroids=8, nprobe=2,
+                refine_iters=refine_iters,
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r0, r2 = recall(0), recall(2)
+    assert r2 >= r0, f"refinement lost recall: {r2} < {r0}"
+    # the synthetic embeddings are unclustered uniform noise, so
+    # probing 2/8 lists bounds recall well under 1.0 — the floor
+    # guards against a broken index (near-zero recall), the r2>=r0
+    # assertion above is the real refinement check
+    assert r2 >= 0.3, f"refined recall unreasonably low: {r2}"
+
+
+def test_ivf_refined_empty_cluster_keeps_centroid(spark):
+    """A centroid whose list goes empty after reassignment must keep
+    its previous vector (not drop to k-1 centroids)."""
+    from poet_cloud_cost_etl_spark.operators.similarity import ivf_centroids
+
+    e = table(spark, SF_SMALL, "embeddings")
+    for it in (1, 2):
+        cents = ivf_centroids(e, "vec_id", "embedding", k=8, refine_iters=it)
+        rows = cents.collect()
+        assert len(rows) == 8
+        assert all(r.centroid_vec is not None and len(r.centroid_vec) == 64 for r in rows)
 
 
 def test_sample_stable_under_repartition(spark):

@@ -161,3 +161,30 @@ def test_join_strategy_hints_are_honored(spark):
     assert "ShuffledHashJoin" in X.physical_plan(shuffled), X.physical_plan(shuffled)
     bcast = o.join(c.hint("broadcast"), o.o_custkey == c.c_custkey)
     assert "BroadcastHashJoin" in X.physical_plan(bcast), X.physical_plan(bcast)
+
+
+def test_salted_group_sum_two_phase_shape(spark):
+    """salted_agg must compile to TWO aggregation phases — a
+    (key, salt) pre-agg behind its own exchange, then the key-level
+    merge — so one hot key spreads over n_salts reducers. One exchange
+    per phase; a refactor that collapses the salt (single exchange on
+    the bare key) silently reintroduces the skew hazard."""
+    q = QUERIES["salted_group_sum"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final × 2 phases
+    assert "__salt" in plan, plan  # pre-agg keyed on (key, salt)
+    assert X.count_exchanges(q) == 2, plan  # salt-phase + merge-phase
+
+
+def test_two_phase_count_distinct_shape(spark):
+    """two_phase_count_distinct must dedup (key, value) behind its own
+    exchange before counting — the distinct exchange is keyed on BOTH
+    columns (well-distributed), never on the bare key."""
+    q = QUERIES["two_phase_count_distinct"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert X.count_exchanges(q) == 2, plan  # (key,value) dedup + key count
+    assert plan.count("HashAggregate") >= 4, plan
+    # the dedup exchange must hash-partition on key AND value
+    import re
+    parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert any("user_id" in p and "event_type" in p for p in parts), plan

@@ -101,7 +101,7 @@ def _write_one_file(df, stage_dir, src_dir, name):
     (raw long-ns ts, mirroring the fixture layout)."""
     import glob
 
-    staged = str(stage_dir / f"stage_{name}")
+    staged = str(stage_dir / f"stage_{os.path.basename(src_dir)}_{name}")
     df.withColumn("ts", F.expr("CAST(unix_micros(ts) * 1000 AS LONG)")).coalesce(
         1
     ).write.parquet(staged)
@@ -207,6 +207,58 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     )
     want_pairs = {(r.eid1, r.eid2) for r in want.collect()}
     assert got_pairs == want_pairs and got_pairs
+
+
+def test_stream_stream_join_drops_late_rows(spark, tmp_path):
+    """ST6 + ST5: rows replayed AFTER the watermark passed their
+    event time must not re-join — the right-side state for their
+    match window is evicted and the late left rows are dropped. By
+    content: the drained output contains each pair exactly once and
+    nothing from the replay file."""
+    left_dir, right_dir = tmp_path / "ssj_l", tmp_path / "ssj_r"
+    left_dir.mkdir(); right_dir.mkdir()
+    ev = table(spark, SF_SMALL, "events")
+    week1 = ev.filter(F.col("ts") < "2024-01-08")
+    week2 = ev.filter((F.col("ts") >= "2024-01-08") & (F.col("ts") < "2024-01-15"))
+
+    _write_one_file(week1, tmp_path, str(left_dir), "a.parquet")
+    _write_one_file(week2, tmp_path, str(left_dir), "b.parquet")
+    # replay of week-1 rows arrives AFTER week-2 advanced the watermark
+    _write_one_file(week1, tmp_path, str(left_dir), "c.parquet")
+    _write_one_file(week1, tmp_path, str(right_dir), "a.parquet")
+    _write_one_file(week2, tmp_path, str(right_dir), "b.parquet")
+    # the file source orders by mtime — make the arrival order explicit
+    for d in (left_dir, right_dir):
+        for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+            p = d / name
+            if p.exists():
+                os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    out = P.stream_stream_interval_join(
+        P.incremental_events_source(spark, str(left_dir), max_files_per_trigger=1),
+        P.incremental_events_source(spark, str(right_dir), max_files_per_trigger=1),
+        window="5 minutes",
+    )
+    P.run_foreach_batch_parquet(
+        out, str(tmp_path / "ck_ssjl"), str(tmp_path / "out_ssjl")
+    )
+    rows = spark.read.parquet(str(tmp_path / "out_ssjl")).collect()
+    got_pairs = {(r.eid1, r.eid2) for r in rows}
+
+    both = week1.union(week2)
+    e1 = both.select(F.col("user_id").alias("u"), F.col("event_id").alias("eid1"), F.col("ts").alias("ts1"))
+    e2 = both.select(F.col("user_id").alias("u2"), F.col("event_id").alias("eid2"), F.col("ts").alias("ts2"))
+    want_pairs = {
+        (r.eid1, r.eid2)
+        for r in e1.join(
+            e2,
+            (e1.u == e2.u2) & (e2.ts2 > e1.ts1) & (e2.ts2 <= e1.ts1 + F.expr("INTERVAL 5 MINUTES")),
+            "inner",
+        ).collect()
+    }
+    assert got_pairs == want_pairs and got_pairs
+    # the replay produced NO extra emissions: every pair appears once
+    assert len(rows) == len(got_pairs)
 
 
 def test_stream_static_enrichment(spark, events_dir, tmp_path):
