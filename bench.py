@@ -83,6 +83,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # Guard the cross-round anchor: if any of the first R1_SUBSET
+    # headline names were renamed/removed, the subset would silently
+    # shift to include later queries and corrupt r1_subset_sec.
+    assert names[: R1_SUBSET] == HEADLINE[: R1_SUBSET], (
+        "r1 anchor subset drifted: a renamed/removed headline query "
+        "would silently corrupt r1_subset_sec"
+    )
 
     # Steady-state methodology: each query runs once to warm codegen/
     # planning caches (not counted), then the timed run measures

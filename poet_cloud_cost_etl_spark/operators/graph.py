@@ -178,6 +178,14 @@ def _connected_components_star(
             .distinct()
             .localCheckpoint(eager=True)
         )
+        # Convergence probe: edge-set fixpoint of the COMPOSED round
+        # (large-star then small-star), not a per-half-step check as in
+        # the Kiveris et al. formulation. Sufficiency rests on the
+        # paper's potential-function argument (each composed round is
+        # monotone non-increasing in the potential, and a composed
+        # fixpoint is star-shaped); equivalence to minlabel is pinned
+        # by tests/test_graph.py on fixtures, chains, and the real
+        # near-dup pair graph.
         changed = (
             small.exceptAll(pairs).limit(1).count()
             + pairs.exceptAll(small).limit(1).count()

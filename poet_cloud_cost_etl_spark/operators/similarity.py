@@ -284,14 +284,18 @@ def ivf_centroids(
                 lambda s: s["__m"].cast("float"),
             ).alias("__new_vec")
         )
+        # Checkpoint every iteration, not just at the end: each round's
+        # assignment otherwise replays the full centroid lineage, and
+        # the plan grows superlinearly with refine_iters.
         cents = (
             cents.join(regrouped, "centroid_id", "left")
             .select(
                 "centroid_id",
                 F.coalesce("__new_vec", "centroid_vec").alias("centroid_vec"),
             )
+            .localCheckpoint(eager=True)
         )
-    return cents.localCheckpoint(eager=True)
+    return cents
 
 
 def ivf_assign(

@@ -1499,7 +1499,9 @@ ORACLES["minhash_similarity_estimate"] = f"""
 ORACLES["events_enrich_dim"] = """
     SELECT e.event_id, e.user_id, n.n_name
     FROM events e
-    LEFT JOIN nation n ON e.user_id % 25 = n.n_nationkey
+    -- ((x % 25) + 25) % 25 mirrors Spark's pmod (always non-negative)
+    -- so the two stay equivalent even for negative user_ids.
+    LEFT JOIN nation n ON ((e.user_id % 25) + 25) % 25 = n.n_nationkey
 """
 
 # --- TPC-H analog completion (round 3): q2/q7/q8/q9/q11/q13/q16/q20 ---

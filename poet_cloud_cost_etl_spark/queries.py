@@ -2216,8 +2216,48 @@ def q_events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The fixture has no partsupp table, so the four queries that need it
 # (q2, q11, q16, q20) use the distinct (l_partkey, l_suppkey)
 # relation from lineitem as the part-supplier catalog — same join
-# topology, same decorrelation patterns.
+# topology, same decorrelation patterns. The derivation lives in ONE
+# helper (part_supplier, below) so all four share a single definition
+# and plan shape: broadcast semi-join pre-filters BELOW the shuffle,
+# then one hash-aggregate on the requested keys.
 # ---------------------------------------------------------------------------
+
+
+def part_supplier(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    parts: DataFrame | None = None,
+    supps: DataFrame | None = None,
+    aggs: list | None = None,
+    keys: tuple = ("l_partkey", "l_suppkey"),
+):
+    """Derived part-supplier catalog (the fixture's stand-in for
+    TPC-H partsupp, cf. /root/reference has no such table either —
+    the analog suite documents the derivation).
+
+    ``parts`` / ``supps`` are optional key DataFrames (``p_partkey`` /
+    ``s_suppkey``) applied as BROADCAST left-semi joins before the
+    aggregation, so the restriction prunes lineitem rows below the one
+    shuffle.  With ``aggs=None`` returns the distinct key set; with
+    agg expressions, computes them per key group in the same single
+    shuffle (map-side partial agg keeps shuffle volume ~= distinct)."""
+    li = table(spark, sf_dir, "lineitem")
+    if parts is not None:
+        li = li.join(
+            F.broadcast(parts.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+    if supps is not None:
+        li = li.join(
+            F.broadcast(supps.select("s_suppkey")),
+            li.l_suppkey == F.col("s_suppkey"),
+            "left_semi",
+        )
+    if aggs is None:
+        return li.select(*keys).distinct()
+    return li.groupBy(*keys).agg(*aggs)
 
 
 @query("q2_min_cost_supplier")
@@ -2239,16 +2279,9 @@ def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit_cents = F.round(
         F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
     ).cast("long")
-    li = table(spark, sf_dir, "lineitem")
-    cost = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"), "left_semi")
-        .join(
-            F.broadcast(s.select("s_suppkey")),
-            li.l_suppkey == F.col("s_suppkey"),
-            "left_semi",
-        )
-        .groupBy("l_partkey", "l_suppkey")
-        .agg(F.min(unit_cents).alias("cost_cents"))
+    cost = part_supplier(
+        spark, sf_dir, parts=p, supps=s,
+        aggs=[F.min(unit_cents).alias("cost_cents")],
     )
     min_cost = cost.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.min("cost_cents").alias("__min_cents")
@@ -2397,11 +2430,9 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = table(spark, sf_dir, "supplier").join(
         F.broadcast(n), F.col("s_nationkey") == n.n_nationkey
     ).select("s_suppkey")
-    li = table(spark, sf_dir, "lineitem")
-    value = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey, "left_semi")
-        .groupBy("l_partkey")
-        .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_cents"))
+    value = part_supplier(
+        spark, sf_dir, supps=s, keys=("l_partkey",),
+        aggs=[F.sum(cents(F.col("l_extendedprice"))).alias("value_cents")],
     )
     total = value.agg(F.sum("value_cents").alias("__total_cents"))
     return (
@@ -2443,11 +2474,7 @@ def q_q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) for non-Brand#5 parts, excluding negative-balance suppliers
     (the NOT IN → broadcast anti-join). The part-supplier relation is
     the distinct (l_partkey, l_suppkey) pair set."""
-    ps = (
-        table(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    ps = part_supplier(spark, sf_dir)
     p = table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#5")
     bad = table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
@@ -2475,22 +2502,15 @@ def q_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part").filter(F.col("p_type") == "SMALL").select(
         "p_partkey"
     )
-    li = table(spark, sf_dir, "lineitem")
     in97 = (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
-    per_sp = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left_semi")
-        .join(
-            F.broadcast(s.select("s_suppkey")),
-            li.l_suppkey == F.col("s_suppkey"),
-            "left_semi",
-        )
-        .groupBy("l_suppkey", "l_partkey")
-        .agg(
-            F.sum(F.when(in97, cents(F.col("l_quantity"))).otherwise(F.lit(0))).alias(
-                "__q97"
-            ),
+    per_sp = part_supplier(
+        spark, sf_dir, parts=p, supps=s, keys=("l_suppkey", "l_partkey"),
+        aggs=[
+            F.sum(
+                F.when(in97, cents(F.col("l_quantity"))).otherwise(F.lit(0))
+            ).alias("__q97"),
             F.sum(cents(F.col("l_quantity"))).alias("__qtot"),
-        )
+        ],
     )
     qualifying = (
         per_sp.filter(F.col("__q97") * 2 > F.col("__qtot"))
