@@ -55,6 +55,13 @@ HEADLINE = [
     "ann_ivf",
     "sample_stratified",
     "pack_token_budget",
+    # round-3 additions: the join-heaviest TPC-H analogs (5-6 table
+    # topologies) and the heaviest new X-op (Lloyd-refined IVF)
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_type_profit",
+    "ann_ivf_refined",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
