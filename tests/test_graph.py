@@ -62,6 +62,34 @@ def test_star_converges_logarithmically_on_chain(spark):
         connected_components(nodes, edges, algo="minlabel", max_iter=12).collect()
 
 
+def test_star_matches_minlabel_on_real_pair_graph(spark):
+    """Equivalence on the REAL near-dup pair graph (sf0.01 documents →
+    n-gram Jaccard pairs), not just toy fixtures — the exact graph the
+    registered ``dedup_clusters`` query clusters with minlabel."""
+    from conftest import SF_MEDIUM
+
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.dedup import ngram_jaccard_from_docs
+
+    d = table(spark, SF_MEDIUM, "documents")
+    pairs = ngram_jaccard_from_docs(
+        d, "doc_id", "text", threshold=0.5, min_df=2
+    ).localCheckpoint(eager=True)
+    assert pairs.count() > 0, "fixture pair graph unexpectedly empty"
+    nodes = d.select("doc_id")
+    kw = dict(id_col="doc_id", src_col="doc_a", dst_col="doc_b")
+
+    def labels(algo):
+        return {
+            r.doc_id: r.cluster_id
+            for r in connected_components(nodes, pairs, algo=algo, **kw).collect()
+        }
+
+    star, minlabel = labels("star"), labels("minlabel")
+    assert star == minlabel
+    assert len(star) == nodes.count()
+
+
 def test_unknown_algo_rejected(spark):
     nodes, edges = _fixture_graph(spark)
     with pytest.raises(ValueError, match="unknown algo"):

@@ -101,6 +101,33 @@ def test_ivf_lloyd_refinement_recall(spark):
     assert r2 >= 0.3, f"refined recall unreasonably low: {r2}"
 
 
+def test_ivf_recall_monotone_in_nprobe(spark):
+    """The recall/shuffle trade IVF claims, measured: recall vs
+    brute-force truth must be non-decreasing in nprobe (more lists
+    probed → superset candidate pool), and probing ALL lists
+    (nprobe == n_centroids) is exhaustive — recall exactly 1.0.
+    Deterministic end-to-end (md5 seed, scaled-integer means)."""
+    e = table(spark, SF_MEDIUM, "embeddings")
+    q = e.filter(F.col("vec_id") < 20)
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(q, e, "vec_id", "embedding", k=5).collect()
+    }
+
+    def recall(nprobe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(
+                q, e, "vec_id", "embedding", k=5, n_centroids=8, nprobe=nprobe
+            ).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    recalls = [recall(p) for p in (1, 2, 4, 8)]
+    assert recalls == sorted(recalls), f"recall not monotone in nprobe: {recalls}"
+    assert recalls[-1] == 1.0, f"nprobe=n_centroids must be exhaustive: {recalls}"
+
+
 def test_ivf_refined_empty_cluster_keeps_centroid(spark):
     """A centroid whose list goes empty after reassignment must keep
     its previous vector (not drop to k-1 centroids)."""

@@ -184,6 +184,74 @@ def test_apply_in_pandas_with_state(spark, events_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_state_timeout_evicts_and_resets(spark, tmp_path):
+    """Timeout path of running_user_totals: with evict_after_ms set,
+    a user's state that sees no data for longer than the timeout is
+    REMOVED (state.hasTimedOut branch) — events arriving after the
+    eviction start a fresh total instead of accumulating onto the old
+    one. Uses a processingTime trigger (the deployment mode the knob
+    is for), explicit stop."""
+    import time
+
+    src = tmp_path / "evict_src"
+    src.mkdir()
+    ev = table(spark, SF_SMALL, "events")
+    user = ev.select("user_id").limit(1).collect()[0].user_id
+    mine = ev.filter(F.col("user_id") == user).orderBy("event_id")
+    ids = [r.event_id for r in mine.select("event_id").collect()]
+    assert len(ids) >= 2, "fixture user needs >=2 events to split"
+    cut = ids[len(ids) // 2]
+    batch1 = mine.filter(F.col("event_id") < cut)
+    batch2 = mine.filter(F.col("event_id") >= cut)
+    n1, n2 = batch1.count(), batch2.count()
+
+    _write_one_file(batch1, tmp_path, str(src), "a.parquet")
+    stream = P.incremental_events_source(spark, str(src), max_files_per_trigger=1)
+    result = P.running_user_totals(stream, evict_after_ms=1500)
+    q = (
+        result.writeStream.format("memory")
+        .queryName("t_evict")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_evict"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        def emissions():
+            return [
+                (r.n_events, r.total_cents)
+                for r in spark.sql(
+                    f"SELECT * FROM t_evict WHERE user_id = {user}"
+                ).collect()
+            ]
+
+        deadline = time.time() + 60
+        while not emissions() and time.time() < deadline:
+            time.sleep(0.25)
+        assert emissions() and emissions()[0][0] == n1
+
+        # idle past the timeout: ProcessingTimeTimeout keeps batches
+        # running (shouldRunAnotherBatch), so the eviction fires with
+        # no new data; the timed-out branch emits nothing.
+        time.sleep(4.0)
+        _write_one_file(batch2, tmp_path, str(src), "b.parquet")
+        deadline = time.time() + 60
+        while len(emissions()) < 2 and time.time() < deadline:
+            time.sleep(0.25)
+        got = emissions()
+        assert len(got) == 2, f"expected exactly 2 emissions, got {got}"
+        # fresh state: the post-eviction emission counts ONLY batch2's
+        # events (order-insensitive: memory-sink row order is not
+        # contractual)
+        counts = sorted(e[0] for e in got)
+        assert counts == sorted([n1, n2]), (
+            f"state not evicted: emissions {got} (unevicted second "
+            f"emission would be {n1 + n2})"
+        )
+    finally:
+        q.stop()
+
+
 def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     """ST6: the watermarked stream-stream interval join produces
     exactly the batch join_range pair set once the stream drains."""
