@@ -1655,3 +1655,189 @@ ORACLES["q20_promotion_candidates"] = f"""
     WHERE q97 * 2 > qtot
     ORDER BY s_name
 """
+
+# ---------------------------------------------------------------------------
+# Round-4: batch sessionization / time-weighted agg / window surface
+# ---------------------------------------------------------------------------
+
+ORACLES["events_sessionize_batch"] = """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ), f AS (
+        SELECT user_id, event_id, us,
+            CASE WHEN lag(us) OVER w IS NULL
+                      OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS nf
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), s AS (
+        SELECT user_id, us,
+            CAST(SUM(nf) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+        FROM f
+    )
+    SELECT user_id, session_idx,
+        COUNT(*) AS n_events,
+        MIN(us) AS start_us,
+        MAX(us) AS end_us,
+        MAX(us) - MIN(us) AS duration_us
+    FROM s
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+"""
+
+ORACLES["timeweighted_avg_value"] = f"""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+            {_cents('value')} AS cents
+        FROM events
+    ), d AS (
+        SELECT user_id, cents,
+            lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) - us
+                AS dt_us
+        FROM e
+    )
+    SELECT user_id,
+        COUNT(*) AS n_intervals,
+        ROUND(CAST(SUM(cents * dt_us) AS DOUBLE)
+              / CAST(SUM(dt_us) AS DOUBLE) / 100.0, 6) AS twa_value
+    FROM d
+    WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+"""
+
+ORACLES["window_share_of_total"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+            CAST(SUM({_cents('value')}) AS BIGINT) AS day_cents
+        FROM events
+        GROUP BY 1, 2
+    )
+    SELECT event_type, day, day_cents,
+        ROUND(CAST(day_cents AS DOUBLE)
+              / CAST(SUM(day_cents) OVER (PARTITION BY event_type) AS DOUBLE),
+              6) AS share
+    FROM daily
+    ORDER BY event_type, day
+"""
+
+ORACLES["window_first_last"] = """
+    SELECT user_id, first_type, second_type, last_type, n_events
+    FROM (
+        SELECT user_id,
+            ROW_NUMBER() OVER w AS rn,
+            first_value(event_type) OVER wf AS first_type,
+            nth_value(event_type, 2) OVER wf AS second_type,
+            last_value(event_type) OVER wf AS last_type,
+            COUNT(*) OVER wf AS n_events
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING)
+    )
+    WHERE rn = 1
+    ORDER BY user_id
+"""
+
+ORACLES["window_ntile_quartiles"] = """
+    WITH ranked AS (
+        SELECT event_type, value,
+            ntile(4) OVER w AS quartile,
+            percent_rank() OVER w AS pr,
+            cume_dist() OVER w AS cd
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    )
+    SELECT event_type, quartile,
+        COUNT(*) AS n,
+        MIN(value) AS lo_value,
+        MAX(value) AS hi_value,
+        ROUND(MAX(pr), 6) AS max_percent_rank,
+        ROUND(MAX(cd), 6) AS max_cume_dist
+    FROM ranked
+    GROUP BY event_type, quartile
+    ORDER BY event_type, quartile
+"""
+
+ORACLES["grouping_sets_costs"] = f"""
+    SELECT o_orderstatus, o_orderpriority,
+        CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        COUNT(*) AS n,
+        CAST(SUM({_cents('o_totalprice')}) AS BIGINT) AS price_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY gid, o_orderstatus, o_orderpriority
+"""
+
+ORACLES["agg_filtered_conditional"] = f"""
+    SELECT o_orderpriority,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+        COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+        CAST(COALESCE(SUM({_cents('o_totalprice')})
+                 FILTER (WHERE o_orderstatus = 'O'), 0) AS BIGINT)
+            AS open_cents,
+        ROUND(CAST(COALESCE(SUM({_cents('o_totalprice')})
+                       FILTER (WHERE o_orderstatus = 'O'), 0) AS DOUBLE)
+              / CAST(NULLIF(COUNT(*) FILTER (WHERE o_orderstatus = 'O'), 0)
+                     AS DOUBLE) / 100.0, 6) AS avg_open_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""
+
+ORACLES["agg_bool_bitwise"] = """
+    SELECT event_type,
+        bool_and(value > 0) AS all_positive,
+        bool_or(value > 100) AS any_large,
+        CAST(bit_and(user_id) AS BIGINT) AS uid_bit_and,
+        CAST(bit_or(user_id) AS BIGINT) AS uid_bit_or,
+        CAST(bit_xor(user_id) AS BIGINT) AS uid_bit_xor
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+"""
+
+ORACLES["snapshot_diff_orders"] = f"""
+    WITH old AS (
+        SELECT o_orderkey, o_orderstatus AS o_orderstatus_old,
+            {_cents('o_totalprice')} AS price_cents_old,
+            TRUE AS in_old
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+    ), new AS (
+        SELECT o_orderkey, o_orderstatus AS o_orderstatus_new,
+            CASE WHEN o_orderpriority = '1-URGENT'
+                 THEN {_cents('o_totalprice * 1.1')}
+                 ELSE {_cents('o_totalprice')} END AS price_cents_new,
+            TRUE AS in_new
+        FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND o_orderkey % 37 <> 0
+    )
+    SELECT o_orderkey, o_orderstatus_old, price_cents_old,
+        o_orderstatus_new, price_cents_new,
+        CASE WHEN in_old IS NULL THEN 'insert'
+             WHEN in_new IS NULL THEN 'delete'
+             WHEN o_orderstatus_old IS DISTINCT FROM o_orderstatus_new
+                  OR price_cents_old IS DISTINCT FROM price_cents_new
+             THEN 'update' END AS change_type
+    FROM old FULL OUTER JOIN new USING (o_orderkey)
+    WHERE CASE WHEN in_old IS NULL THEN 'insert'
+               WHEN in_new IS NULL THEN 'delete'
+               WHEN o_orderstatus_old IS DISTINCT FROM o_orderstatus_new
+                    OR price_cents_old IS DISTINCT FROM price_cents_new
+               THEN 'update' END IS NOT NULL
+    ORDER BY o_orderkey
+"""
+
+ORACLES["upsert_latest_events"] = """
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type
+        ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
+    ORDER BY user_id, event_type
+"""

@@ -2525,6 +2525,236 @@ def q_q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round-4 extensions: batch sessionization / time-weighted aggregation,
+# wider window-function surface
+# ---------------------------------------------------------------------------
+
+
+@query("events_sessionize_batch")
+def q_events_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of ST3's session window: gap-based (30 min) session
+    assignment per user with deterministic 1-based session ids, one
+    row per session (operators/sessions.py). All-integer microsecond
+    arithmetic — bit-stable across engines."""
+    from .operators.sessions import sessionize
+
+    e = table(spark, sf_dir, "events")
+    return sessionize(e, gap_minutes=30).orderBy("user_id", "session_idx")
+
+
+@query("timeweighted_avg_value")
+def q_timeweighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted per-user average (each value held until the next
+    event): exact integer cents×µs weighted sums, one final float
+    division (operators/sessions.py:time_weighted_avg)."""
+    from .operators.sessions import time_weighted_avg
+
+    e = table(spark, sf_dir, "events")
+    return time_weighted_avg(e).orderBy("user_id")
+
+
+@query("window_share_of_total")
+def q_window_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio_to_report pattern: each (event_type, day)'s share of its
+    event_type's total spend — a whole-partition window sum over a
+    pre-aggregated frame (two-level: shuffle once for the group-by,
+    the window reuses that partitioning on the reduced data)."""
+    e = table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.sum(cents(F.col("value"))).alias("day_cents"))
+    )
+    w = Window.partitionBy("event_type")
+    return daily.select(
+        "event_type",
+        "day",
+        "day_cents",
+        F.round(
+            F.col("day_cents").cast("double")
+            / F.sum("day_cents").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    ).orderBy("event_type", "day")
+
+
+@query("window_first_last")
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value over the full partition
+    frame (UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING), one summary row
+    per user: the first, second, and last event_type in time order."""
+    e = table(spark, sf_dir, "events")
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id",
+            F.row_number().over(order).alias("__rn"),
+            F.first_value(F.col("event_type")).over(full).alias("first_type"),
+            F.nth_value(F.col("event_type"), 2).over(full).alias("second_type"),
+            F.last_value(F.col("event_type")).over(full).alias("last_type"),
+            F.count(F.lit(1)).over(full).alias("n_events"),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .orderBy("user_id")
+    )
+
+
+@query("window_ntile_quartiles")
+def q_window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist distribution functions: quartile
+    assignment by value within each event_type, summarized per
+    (event_type, quartile). percent_rank/cume_dist are exact integer
+    ratios (single division) — deterministic; the boundary values are
+    raw doubles (no summation), so min/max round-trip bit-exactly."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return (
+        ranked.groupBy("event_type", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo_value"),
+            F.max("value").alias("hi_value"),
+            F.round(F.max("pr"), 6).alias("max_percent_rank"),
+            F.round(F.max("cd"), 6).alias("max_cume_dist"),
+        )
+        .orderBy("event_type", "quartile")
+    )
+
+
+@query("grouping_sets_costs")
+def q_grouping_sets_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than rollup/cube: an arbitrary
+    set list) with grouping_id disambiguating the aggregation level —
+    one shuffle produces all three levels (Spark expands sets in a
+    single Expand node, not one pass per set)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents(F.col("o_totalprice"))).alias("price_cents"),
+        )
+        .orderBy("gid", "o_orderstatus", "o_orderpriority")
+    )
+
+
+@query("agg_filtered_conditional")
+def q_agg_filtered_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation: per-priority counts and
+    sums restricted to different predicates inside ONE aggregation
+    pass (count_if + conditional sums), with the average derived from
+    the exact integer pair."""
+    o = table(spark, sf_dir, "orders")
+    open_cents = F.sum(
+        F.when(F.col("o_orderstatus") == "O", cents(F.col("o_totalprice")))
+        .otherwise(F.lit(0))
+    )
+    n_open = F.count_if(F.col("o_orderstatus") == "O")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_filled"),
+            n_open.alias("n_open"),
+            open_cents.alias("open_cents"),
+            F.round(
+                open_cents.cast("double") / F.nullif(n_open, F.lit(0)).cast("double")
+                / 100.0,
+                6,
+            ).alias("avg_open_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query("agg_bool_bitwise")
+def q_agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_and/bool_or and bit_and/bit_or/bit_xor aggregates — the
+    flag-rollup family (e.g. 'did every shard pass', 'union of feature
+    masks'). All exact integer/boolean ops: engine-independent."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value") > 0).alias("all_positive"),
+            F.bool_or(F.col("value") > 100).alias("any_large"),
+            F.bit_and(F.col("user_id")).alias("uid_bit_and"),
+            F.bit_or(F.col("user_id")).alias("uid_bit_or"),
+            F.bit_xor(F.col("user_id")).alias("uid_bit_xor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query("snapshot_diff_orders")
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC: full-outer snapshot diff (operators/cdc.py) between the
+    mid-1997 orders snapshot and a year-later snapshot with simulated
+    deletes (orderkey % 37 == 0 vanished) and updates (urgent orders
+    repriced +10%) — emits only insert/delete/update rows, the
+    incremental alternative to the reference's drop-and-reload sync."""
+    from .operators.cdc import snapshot_diff
+
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < "1997-07-01").select(
+        "o_orderkey", "o_orderstatus", cents(F.col("o_totalprice")).alias("price_cents")
+    )
+    new = (
+        o.filter(F.col("o_orderdate") < "1998-01-01")
+        .filter(F.col("o_orderkey") % 37 != 0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.when(
+                F.col("o_orderpriority") == "1-URGENT",
+                cents(F.col("o_totalprice") * 1.1),
+            )
+            .otherwise(cents(F.col("o_totalprice")))
+            .alias("price_cents"),
+        )
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], ["o_orderstatus", "price_cents"]
+    ).orderBy("o_orderkey")
+
+
+@query("upsert_latest_events")
+def q_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: treat events as a change log keyed by
+    (user_id, event_type) and keep each key's newest row (by ts,
+    event_id) — the MERGE-style upsert read path
+    (operators/cdc.py:latest_by_key)."""
+    from .operators.cdc import latest_by_key
+
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "value",
+    )
+    return latest_by_key(
+        e, ["user_id", "event_type"], ["ts_us", "event_id"]
+    ).orderBy("user_id", "event_type")
+
+
+# ---------------------------------------------------------------------------
 # Registration-order rotation (round 4)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate verifies the FIRST 50 entries of this
