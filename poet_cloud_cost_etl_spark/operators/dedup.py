@@ -368,3 +368,32 @@ def benchmark_contamination(
             "contamination"
         ),
     ).filter(F.col("contamination") >= threshold)
+
+
+def dup_shingle_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document fraction of its distinct 3-shingles that also
+    appear in at least one OTHER document — a memorization/overlap
+    probe (high fraction = the doc is mostly made of corpus-repeated
+    n-grams). Documents with fewer than 3 tokens have no shingles and
+    are excluded.
+
+    Scale: the shingle doc-frequency table is one hash aggregate over
+    the exploded shingle stream; re-joining it to the per-doc shingles
+    is shuffle-on-shingle (both sides already partitioned by the
+    aggregate), then one per-doc aggregate. Exact integer ratio,
+    rounded."""
+    sh = doc_shingles(df, id_col, text_col)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    return (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("sdf") > 1, 1).otherwise(0)).alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("sdf") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -77,3 +77,32 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         dims.join(F.broadcast(stats), "dim")
         .select(F.col(id_col), "dim", q.cast("int").alias("q"))
     )
+
+
+def signbit_bucket_dedup(df, id_col: str, vec_col: str, n_bits: int = 16):
+    """SimHash-for-embeddings: bucket vectors by the sign pattern of
+    their first ``n_bits`` dimensions (MSB-first integer), keep the
+    minimum id per bucket as canonical. Two vectors in the same bucket
+    agree on every leading sign — a coarse, exact-arithmetic
+    near-duplicate grouping (the embedding twin of dedup.simhash; a
+    random-projection variant would broadcast a projection matrix and
+    is a drop-in).
+
+    Scale: the bucket id is a pure narrow map (integer fold over a
+    slice); the canonical choice is one hash aggregate + a broadcast
+    join back. No floats leave the row: engine-exact."""
+    bucket = F.expr(
+        f"aggregate(slice({vec_col}, 1, {n_bits}), 0L, "
+        "(acc, x) -> acc * 2 + CASE WHEN x >= 0 THEN 1L ELSE 0L END)"
+    )
+    tagged = df.select(F.col(id_col), bucket.alias("bucket"))
+    canon = tagged.groupBy("bucket").agg(F.min(id_col).alias("canonical_id"))
+    return (
+        tagged.join(canon, "bucket")
+        .select(
+            id_col,
+            "bucket",
+            "canonical_id",
+            (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
+        )
+    )

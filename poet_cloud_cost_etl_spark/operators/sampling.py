@@ -59,3 +59,22 @@ def stratified_sample(
         .filter(F.col("__rn") <= n_per_stratum)
         .drop("__rn")
     )
+
+
+def split_assign(
+    df: DataFrame, key_col: str, train_pct: int = 80, val_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the key's unit hash
+    mod 100 buckets into train (< train_pct), val (< train_pct +
+    val_pct), test (rest). Same hash-keyed stability contract as
+    ``deterministic_sample`` — a row's split never changes under
+    repartitioning, appends, or engine choice, which is what keeps
+    eval sets uncontaminated across dataset versions. Pure narrow
+    map."""
+    bucket = unit_hash(key_col) % 100
+    return df.withColumn(
+        "split",
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )

@@ -168,3 +168,110 @@ def repetition_stats(
             | (F.col("top_bigrams_frac") >= flag_threshold)
         ).alias("flagged"),
     )
+
+
+def bigrams(token_col: str) -> Column:
+    """2-word grams from a token array expression (same let-binding
+    trick as dedup.SHINGLES_SQL: evaluate the array once)."""
+    return F.expr(_BIGRAMS_SQL.format(t=token_col))
+
+
+def corpus_ngram_counts(
+    df: DataFrame, text_col: str, k: int = 20
+) -> DataFrame:
+    """Corpus-level top-k bigram frequency table — the raw material of
+    n-gram LMs, contamination probes, and boilerplate detection.
+
+    Scale: explode → count is one shuffle with map-side partial
+    aggregation (the gram space is Zipfian, so partials collapse most
+    of the volume before the exchange); the top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    grams = df.select(tokens(text_col).alias("__t")).select(
+        F.explode(bigrams("__t")).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k terms per document by tf·idf (idf = ln(N/df), the
+    classic unsmoothed form). Ranking uses the ROUNDED score (6
+    decimals) with the term as tie-break, so the order — not just the
+    values — is engine-independent.
+
+    Scale: two aggregates over the exploded token stream (per-doc tf,
+    per-term df) + one broadcast of the tiny df table onto tf; N is a
+    1-row broadcast cross join. The per-doc top-k window ranks within
+    the doc partition only."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(id_col), tokens(text_col).alias("__t")).select(
+        F.col(id_col), F.explode("__t").alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = (
+        toks.select(id_col, "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "df", "tfidf")
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
+    """Least-squares fit of ln(freq) vs ln(rank) over the corpus token
+    frequency table (Zipf's law ⇒ slope ≈ -1). One row:
+    (n_terms, slope, intercept) via the regr_* aggregates — a corpus
+    health probe (a collapsed vocabulary or boilerplate flood shows up
+    as a slope far from -1).
+
+    Scale: token counting is the only big shuffle; the regression runs
+    over the vocabulary (tiny). Ranking the vocabulary uses a global
+    order-by window over n_terms rows — fine for any real vocab."""
+    from pyspark.sql.window import Window
+
+    freqs = (
+        df.select(tokens(text_col).alias("__t"))
+        .select(F.explode("__t").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    ranked = freqs.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+        ),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.regr_slope(F.log(F.col("freq")), F.log(F.col("rank"))), 6
+        ).alias("slope"),
+        F.round(
+            F.regr_intercept(F.log(F.col("freq")), F.log(F.col("rank"))), 6
+        ).alias("intercept"),
+    )

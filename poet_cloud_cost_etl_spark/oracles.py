@@ -1841,3 +1841,193 @@ ORACLES["upsert_latest_events"] = """
         ORDER BY epoch_us(ts) DESC, event_id DESC) = 1
     ORDER BY user_id, event_type
 """
+
+# ---------------------------------------------------------------------------
+# Round-4: corpus text analytics / chunking
+# ---------------------------------------------------------------------------
+
+ORACLES["tfidf_top_terms"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+    docfreq AS (
+        SELECT term, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, docfreq.df,
+            ROUND(CAST(tf.tf AS DOUBLE)
+                  * ln(CAST(n.n_docs AS DOUBLE) / CAST(docfreq.df AS DOUBLE)),
+                  6) AS tfidf
+        FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, rank, term, tf, df, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+        FROM scored
+    )
+    WHERE rank <= 3 AND doc_id < 100
+    ORDER BY doc_id, rank
+"""
+
+ORACLES["token_bigram_counts"] = f"""
+    WITH toks AS (SELECT {_TOKS.format(col='text')} AS t FROM documents),
+    grams AS (
+        SELECT t[i] || ' ' || t[i+1] AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    )
+    SELECT gram, COUNT(*) AS n
+    FROM grams
+    GROUP BY gram
+    ORDER BY n DESC, gram ASC
+    LIMIT 20
+"""
+
+ORACLES["token_zipf_fit"] = f"""
+    WITH toks AS (SELECT {_TOKS.format(col='text')} AS t FROM documents),
+    freqs AS (
+        SELECT term, COUNT(*) AS freq
+        FROM (SELECT unnest(t) AS term FROM toks)
+        GROUP BY term
+    ),
+    ranked AS (
+        SELECT freq,
+            ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+        FROM freqs
+    )
+    SELECT COUNT(*) AS n_terms,
+        ROUND(regr_slope(ln(freq), ln(rank)), 6) AS slope,
+        ROUND(regr_intercept(ln(freq), ln(rank)), 6) AS intercept
+    FROM ranked
+"""
+
+ORACLES["doc_dup_shingle_fraction"] = f"""
+    WITH {_SHINGLE_CTE},
+    freq AS (SELECT shingle, COUNT(*) AS sdf FROM sh GROUP BY 1)
+    SELECT doc_id,
+        COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN sdf > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+        ROUND(CAST(SUM(CASE WHEN sdf > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE), 6) AS dup_fraction
+    FROM sh JOIN freq USING (shingle)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+ORACLES["chunk_documents_overlap"] = """
+    SELECT doc_id,
+        CAST((start - 1) // 60 AS BIGINT) AS chunk_idx,
+        CAST(start AS BIGINT) AS start,
+        CAST(length(substring(text, CAST(start AS INTEGER), 80)) AS INTEGER)
+            AS chunk_len,
+        md5(substring(text, CAST(start AS INTEGER), 80)) AS chunk_hash
+    FROM documents,
+        UNNEST(range(1, greatest(length(text), 1) + 1, 60)) AS u(start)
+    ORDER BY doc_id, chunk_idx
+"""
+
+# ---------------------------------------------------------------------------
+# Round-4: data-management operators
+# ---------------------------------------------------------------------------
+
+ORACLES["split_assign_train_eval"] = f"""
+    WITH s AS (
+        SELECT doc_id, n_chars,
+            CASE WHEN {_UNIT.format(col='doc_id')} % 100 < 80 THEN 'train'
+                 WHEN {_UNIT.format(col='doc_id')} % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        MIN(doc_id) AS min_doc_id,
+        MAX(doc_id) AS max_doc_id
+    FROM s GROUP BY split ORDER BY split
+"""
+
+ORACLES["doc_length_histogram"] = """
+    WITH b AS (
+        SELECT CAST((n_chars // 20) * 20 AS BIGINT) AS bucket_lo
+        FROM documents
+    ), t AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT bucket_lo, COUNT(*) AS n_docs,
+        ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(t.total) AS DOUBLE), 6)
+            AS share
+    FROM b CROSS JOIN t
+    GROUP BY bucket_lo
+    ORDER BY bucket_lo
+"""
+
+ORACLES["key_skew_profile"] = """
+    WITH t AS (SELECT COUNT(*) AS total FROM events)
+    SELECT user_id, COUNT(*) AS n,
+        ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(MAX(t.total) AS DOUBLE), 6)
+            AS share
+    FROM events CROSS JOIN t
+    GROUP BY user_id
+    ORDER BY n DESC, user_id ASC
+    LIMIT 10
+"""
+
+ORACLES["embedding_bucket_dedup"] = """
+    WITH tagged AS (
+        SELECT vec_id,
+            CAST(SUM((CASE WHEN embedding[i] >= 0 THEN 1 ELSE 0 END)
+                     * (1::BIGINT << (16 - i))) AS BIGINT) AS bucket
+        FROM embeddings, UNNEST(range(1, 17)) AS u(i)
+        GROUP BY vec_id
+    ), canon AS (
+        SELECT bucket, MIN(vec_id) AS canonical_id FROM tagged GROUP BY bucket
+    )
+    SELECT vec_id, bucket, canonical_id, vec_id = canonical_id AS is_canonical
+    FROM tagged JOIN canon USING (bucket)
+    ORDER BY vec_id
+"""
+
+ORACLES["pipeline_quality_gate"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    f AS (
+        SELECT doc_id,
+            CAST(len(t) AS INTEGER) AS n_words,
+            ROUND(CAST(len(list_filter(t, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                  / len(t), 6) AS stopword_ratio,
+            ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                  / len(t), 6) AS mean_word_len,
+            ROUND(CAST(1.0 AS DOUBLE)
+                  - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_ratio
+        FROM t
+    ),
+    q AS (
+        SELECT doc_id,
+            ROUND(
+                (CASE WHEN n_words BETWEEN 50 AND 200 THEN CAST(0.25 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+              + (CASE WHEN stopword_ratio >= 0.05 THEN CAST(0.25 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END)
+              + (CASE WHEN mean_word_len BETWEEN 3.0 AND 8.0
+                      THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+              + (CASE WHEN dup_ratio <= 0.6 THEN CAST(0.25 AS DOUBLE)
+                      ELSE CAST(0.0 AS DOUBLE) END), 2) AS quality_score
+        FROM f
+    ),
+    flags AS (
+        SELECT d.doc_id, d.lang, d.source, d.n_chars,
+            (ROW_NUMBER() OVER (
+                PARTITION BY md5(trim(regexp_replace(
+                    regexp_replace(lower(d.text), '[^a-z0-9 ]', '', 'g'),
+                    ' +', ' ', 'g')))
+                ORDER BY d.doc_id) = 1
+             AND q.quality_score >= 0.5) AS keep
+        FROM documents d JOIN q USING (doc_id)
+    )
+    SELECT lang, source,
+        COUNT(*) AS n_total,
+        COUNT(*) FILTER (WHERE keep) AS n_kept,
+        CAST(COALESCE(SUM(n_chars) FILTER (WHERE keep), 0) AS BIGINT)
+            AS kept_chars
+    FROM flags
+    GROUP BY lang, source
+    ORDER BY lang, source
+"""

@@ -2754,6 +2754,192 @@ def q_upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_type")
 
 
+@query("tfidf_top_terms")
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 extension: per-document top-3 tf·idf terms
+    (operators/textstats.py:tfidf_top_terms). Ranked on the rounded
+    score with term tie-break — order is engine-independent. Output
+    bounded to doc_id < 100 (the ranking itself runs corpus-wide)."""
+    from .operators.textstats import tfidf_top_terms
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        tfidf_top_terms(d, "doc_id", "text", k=3)
+        .filter(F.col("doc_id") < 100)
+        .orderBy("doc_id", "rank")
+    )
+
+
+@query("token_bigram_counts")
+def q_token_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 extension: corpus top-20 bigram frequency table
+    (operators/textstats.py:corpus_ngram_counts) — n-gram LM /
+    boilerplate raw material; top-k via TakeOrderedAndProject."""
+    from .operators.textstats import corpus_ngram_counts
+
+    d = table(spark, sf_dir, "documents")
+    return corpus_ngram_counts(d, "text", k=20)
+
+
+@query("token_zipf_fit")
+def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 extension: Zipf least-squares fit over the corpus token
+    frequency table via regr_slope/regr_intercept
+    (operators/textstats.py:zipf_fit) — corpus health probe."""
+    from .operators.textstats import zipf_fit
+
+    d = table(spark, sf_dir, "documents")
+    return zipf_fit(d, "text")
+
+
+@query("doc_dup_shingle_fraction")
+def q_doc_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 extension: per-doc fraction of 3-shingles shared with other
+    docs (operators/dedup.py:dup_shingle_fraction) — the corpus-overlap
+    score that near-dup thresholds binarize."""
+    from .operators.dedup import dup_shingle_fraction
+
+    d = table(spark, sf_dir, "documents")
+    return dup_shingle_fraction(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query("chunk_documents_overlap")
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data prep: overlapping character-window chunking
+    (size 80, stride 60; operators/chunking.py) — narrow map+explode,
+    no shuffle. Chunk text is emitted as md5 so the compare (and any
+    downstream exchange) carries 32 bytes, not the text."""
+    from .operators.chunking import chunk_text
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        chunk_text(d, "doc_id", "text", chunk_size=80, stride=60)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start",
+            F.length("chunk_text").alias("chunk_len"),
+            F.md5("chunk_text").alias("chunk_hash"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+@query("split_assign_train_eval")
+def q_split_assign_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-family: deterministic 80/10/10 train/val/test
+    assignment keyed on md5(doc_id) (operators/sampling.py:
+    split_assign) — split membership survives repartitioning, appends,
+    and engine choice. Summarized per split."""
+    from .operators.sampling import split_assign
+
+    d = table(spark, sf_dir, "documents")
+    return (
+        split_assign(d, "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+@query("doc_length_histogram")
+def q_doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of document length (bucket width 20
+    chars) with each bucket's share of the corpus — the length-filter
+    design view. One shuffle on the bucket key; share is an exact
+    integer ratio."""
+    d = table(spark, sf_dir, "documents")
+    total = d.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        d.select((F.floor(F.col("n_chars") / 20) * 20).alias("bucket_lo"))
+        .groupBy("bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket_lo",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("__total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+@query("key_skew_profile")
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostics: the 10 heaviest keys by event count with
+    their share of total traffic — the view that decides whether a
+    join/agg needs salting or AQE skew handling. Top-k is a
+    TakeOrderedAndProject over the per-key aggregate."""
+    e = table(spark, sf_dir, "events")
+    total = e.select(F.count(F.lit(1)).alias("__total"))
+    return (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("__total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+
+
+@query("embedding_bucket_dedup")
+def q_embedding_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 extension: sign-bit bucket near-dup grouping over embeddings
+    (operators/embeddings.py:signbit_bucket_dedup) — exact integer
+    bucket ids, min-id canonical per bucket."""
+    from .operators.embeddings import signbit_bucket_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    return signbit_bucket_dedup(e, "vec_id", "embedding", n_bits=16).orderBy("vec_id")
+
+
+@query("pipeline_quality_gate")
+def q_pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation gate: quality score (≥ 0.5) AND fingerprint
+    -dedup canonical (min doc_id per md5 fingerprint) — the composed
+    keep-decision, summarized per (lang, source) with kept/total
+    counts and kept chars. One plan: quality features, the dedup
+    window, and the roll-up fuse over a single documents scan."""
+    from .operators.dedup import fingerprint
+    from .operators.textstats import quality_features
+
+    d = table(spark, sf_dir, "documents")
+    qf = quality_features(d, "doc_id", "text").select("doc_id", "quality_score")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    flags = (
+        d.select("doc_id", "lang", "source", "n_chars", fingerprint(F.col("text")).alias("fp"))
+        .withColumn("__rn", F.row_number().over(w))
+        .join(qf, "doc_id")
+        .withColumn(
+            "keep", (F.col("__rn") == 1) & (F.col("quality_score") >= 0.5)
+        )
+    )
+    return (
+        flags.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(F.col("keep")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0)).alias(
+                "kept_chars"
+            ),
+        )
+        .orderBy("lang", "source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 4)
 # ---------------------------------------------------------------------------
