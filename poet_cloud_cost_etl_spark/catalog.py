@@ -31,11 +31,14 @@ TABLES = [
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as TIMESTAMP(NANOS) in the fixture parquet. Spark
-# reads them as long ns (spark.sql.legacy.parquet.nanosAsLong); we
-# convert with exact integer division to µs — byte-identical to
-# DuckDB's own ns→µs truncation on read, so oracle timestamps match.
-NANOS_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
+# Event-time columns whose physical parquet type has varied across
+# fixture generations: TIMESTAMP(NANOS) (read as long ns under
+# spark.sql.legacy.parquet.nanosAsLong) or naive TIMESTAMP(MICROS)
+# (read as TIMESTAMP_NTZ). Either way we normalize to session-zoned
+# TIMESTAMP so downstream integer time arithmetic (``unix_micros``)
+# is valid; with the session pinned to UTC the NTZ→LTZ cast is
+# value-preserving and matches DuckDB's naive-timestamp semantics.
+EVENT_TS_COLUMNS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
@@ -68,7 +71,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table (no view side-effect)."""
     ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for c in NANOS_TS_COLUMNS.get(name, []):
-        if c in df.columns and dict(df.dtypes).get(c) == "bigint":
+    for c in EVENT_TS_COLUMNS.get(name, []):
+        dtype = dict(df.dtypes).get(c)
+        if c not in df.columns:
+            continue
+        if dtype == "bigint":  # TIMESTAMP(NANOS) under nanosAsLong
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype == "timestamp_ntz":  # naive micros; UTC session tz
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df

@@ -22,32 +22,32 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Schema of the events table as stored (ts is long nanoseconds in the
-# fixture parquet; see catalog.NANOS_TS_COLUMNS).
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def incremental_events_source(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
 ) -> DataFrame:
     """ST1: incremental file source over a parquet directory. Files
     that appear after the last trigger are processed exactly once
-    (checkpoint-tracked) — the reference's missing incremental sync."""
+    (checkpoint-tracked) — the reference's missing incremental sync.
+
+    readStream needs an explicit schema, so we probe the files already
+    present with a batch read and normalize ``ts`` to session-zoned
+    TIMESTAMP the same way the batch catalog does (catalog.py:
+    EVENT_TS_COLUMNS) — the fixture generation has stored ts as long
+    nanoseconds and as naive TIMESTAMP(MICROS) at different times, and
+    a stream over either layout must behave identically.
+    """
+    inferred = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(inferred)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = inferred["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):  # UTC session tz: lossless
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def tumbling_daily(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
