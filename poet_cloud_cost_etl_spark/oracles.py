@@ -2031,3 +2031,126 @@ ORACLES["pipeline_quality_gate"] = f"""
     GROUP BY lang, source
     ORDER BY lang, source
 """
+
+
+# --- round-4 time-series / warehouse family --------------------------------
+
+# EWMA with decay 1/2 over an 8-row lookback: integer power-of-two
+# weights (128, 64, ..., 1) make both the weighted sum and the weight
+# normalizer exact BIGINT expressions — mirrors
+# operators/timeseries.py:ewma term by term.
+_EWMA_WSUM = " + ".join(
+    f"COALESCE(LAG(day_cents, {off}) OVER w * {1 << (7 - off)}, 0)"
+    for off in range(8)
+)
+_EWMA_WNORM = " + ".join(
+    f"(CASE WHEN LAG(day_cents, {off}) OVER w IS NOT NULL"
+    f" THEN {1 << (7 - off)} ELSE 0 END)"
+    for off in range(8)
+)
+
+ORACLES["ewma_daily_costs"] = f"""
+    WITH costs AS ({EVENTS_COSTS}),
+    daily AS (
+        SELECT service, date, CAST(SUM({_cents('cost')}) AS BIGINT) AS day_cents
+        FROM costs GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT service, date, day_cents,
+            {_EWMA_WSUM} AS wsum,
+            {_EWMA_WNORM} AS wnorm
+        FROM daily
+        WINDOW w AS (PARTITION BY service ORDER BY date)
+    )
+    SELECT service, date,
+        CAST(day_cents AS DOUBLE) / 100.0 AS daily_cost,
+        ROUND(CAST(wsum AS DOUBLE) / CAST(wnorm AS DOUBLE) / 100.0, 6)
+            AS ewma_cost
+    FROM lagged
+    ORDER BY service, date
+"""
+
+ORACLES["daily_active_users_rolling7"] = """
+    WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day AS d FROM pairs)
+    SELECT d AS day, COUNT(DISTINCT user_id) AS rolling7d_user_ids
+    FROM days JOIN pairs
+      ON pairs.day <= d AND pairs.day >= d - INTERVAL 6 DAY
+    GROUP BY d
+    ORDER BY day
+"""
+
+ORACLES["scd2_user_event_type"] = """
+    WITH e AS (
+        SELECT user_id, event_type, epoch_us(ts) AS us, event_id
+        FROM events WHERE user_id < 50
+    ),
+    flagged AS (
+        SELECT user_id, event_type, us, event_id,
+            CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR event_type <> LAG(event_type) OVER w
+                 THEN 1 ELSE 0 END AS chg
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    changes AS (SELECT * FROM flagged WHERE chg = 1)
+    SELECT user_id, event_type,
+        us AS valid_from_us,
+        LEAD(us) OVER w2 AS valid_to_us,
+        CAST(ROW_NUMBER() OVER w2 AS INTEGER) AS segment_idx
+    FROM changes
+    WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    ORDER BY user_id, segment_idx
+"""
+
+ORACLES["forward_fill_daily_costs"] = f"""
+    WITH costs AS ({EVENTS_COSTS}),
+    focus AS (SELECT * FROM costs WHERE account_id IN ('1', '2', '3')),
+    daily AS (
+        SELECT account_id, date,
+            CAST(SUM({_cents('cost')}) AS BIGINT) AS day_cents
+        FROM focus GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT account_id, MIN(date) AS d0, MAX(date) AS d1 FROM focus GROUP BY 1
+    ),
+    calendar AS (
+        SELECT account_id,
+               CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+                   AS date
+        FROM span
+    ),
+    grid AS (
+        SELECT c.account_id, c.date, d.day_cents
+        FROM calendar c LEFT JOIN daily d USING (account_id, date)
+    )
+    SELECT account_id, date,
+        CAST(LAST_VALUE(day_cents IGNORE NULLS) OVER (
+            PARTITION BY account_id ORDER BY date
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS DOUBLE) / 100.0 AS ffill_cost
+    FROM grid
+    ORDER BY account_id, date
+"""
+
+ORACLES["events_inter_arrival_stats"] = """
+    WITH g AS (
+        SELECT event_type,
+            epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                PARTITION BY event_type ORDER BY epoch_us(ts), event_id
+            ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+        COUNT(*) AS n_gaps,
+        MIN(gap_us) AS min_gap_us,
+        MAX(gap_us) AS max_gap_us,
+        ROUND(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
+        ROUND(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+"""

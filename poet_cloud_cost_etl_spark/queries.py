@@ -2940,6 +2940,116 @@ def q_pipeline_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ewma_daily_costs")
+def q_ewma_daily_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series smoothing: per-service daily spend with an 8-day
+    half-life-1-day EWMA (operators/timeseries.py:ewma). Power-of-two
+    integer weights make the weighted sums exact BIGINTs; the single
+    final division is the only float op — bit-identical across
+    engines and partitionings."""
+    from .operators.timeseries import ewma
+
+    costs = events_as_costs(spark, sf_dir)
+    daily = costs.groupBy("service", "date").agg(
+        F.sum(cents(F.col("cost"))).alias("day_cents")
+    )
+    smoothed = ewma(daily, ["service"], "date", "day_cents", lookback=8)
+    return smoothed.select(
+        "service",
+        "date",
+        (F.col("day_cents").cast("double") / 100.0).alias("daily_cost"),
+        F.round(
+            F.col("__wsum").cast("double")
+            / F.col("__wnorm").cast("double")
+            / 100.0,
+            6,
+        ).alias("ewma_cost"),
+    ).orderBy("service", "date")
+
+
+@query("daily_active_users_rolling7")
+def q_daily_active_users_rolling7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling 7-day distinct users per day
+    (operators/timeseries.py:rolling_distinct_count). Rolling
+    COUNT(DISTINCT) can't be a window frame; the scalable exact form
+    is the bounded ≤7-day fan-out join over per-day distinct pairs."""
+    from .operators.timeseries import rolling_distinct_count
+
+    e = table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    return rolling_distinct_count(e, "day", "user_id", window_days=7).orderBy(
+        "day"
+    )
+
+
+@query("scd2_user_event_type")
+def q_scd2_user_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history from an event log
+    (operators/timeseries.py:scd2_intervals): per user, runs of equal
+    event_type collapse to validity intervals [valid_from_us,
+    valid_to_us) with NULL open end — the MERGE-free history builder.
+    Bounded to user_id < 50 to keep driver compare payloads small."""
+    from .operators.timeseries import scd2_intervals
+
+    e = table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    return scd2_intervals(
+        e, "user_id", "event_type", "ts", "event_id"
+    ).orderBy("user_id", "segment_idx")
+
+
+@query("forward_fill_daily_costs")
+def q_forward_fill_daily_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF series repair (operators/timeseries.py:forward_fill): the
+    gapfill calendar for accounts 1-3, but missing days carry the last
+    observed daily total forward instead of zero-filling; days before
+    the first observation stay NULL."""
+    from .operators.timeseries import forward_fill
+
+    costs = events_as_costs(spark, sf_dir)
+    focus = costs.filter(F.col("account_id").isin(["1", "2", "3"]))
+    daily = focus.groupBy("account_id", "date").agg(
+        F.sum(cents(F.col("cost"))).alias("day_cents")
+    )
+    span = focus.groupBy("account_id").agg(
+        F.min("date").alias("d0"), F.max("date").alias("d1")
+    )
+    calendar = span.select(
+        "account_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("date"),
+    )
+    grid = calendar.join(daily, ["account_id", "date"], "left")
+    filled = forward_fill(grid, ["account_id"], "date", "day_cents")
+    return filled.select(
+        "account_id",
+        "date",
+        (F.col("ffill_day_cents").cast("double") / 100.0).alias("ffill_cost"),
+    ).orderBy("account_id", "date")
+
+
+@query("events_inter_arrival_stats")
+def q_events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival-rate profile per event_type
+    (operators/timeseries.py:inter_arrival_gaps): integer-µs gaps via
+    one window pass, then count/min/max plus exact interpolated
+    p50/p90 — the queue-health roll-up."""
+    from .operators.timeseries import inter_arrival_gaps
+
+    e = table(spark, sf_dir, "events")
+    gaps = inter_arrival_gaps(e, "event_type", "ts", "event_id")
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_us").alias("min_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+            F.round(F.expr("percentile(gap_us, 0.5)"), 4).alias("p50_gap_us"),
+            F.round(F.expr("percentile(gap_us, 0.9)"), 4).alias("p90_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 4)
 # ---------------------------------------------------------------------------
