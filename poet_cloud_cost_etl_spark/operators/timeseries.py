@@ -63,7 +63,9 @@ def ewma(
         norm = F.when(lagged.isNotNull(), F.lit(weight)).otherwise(F.lit(0))
         wsum = term if wsum is None else wsum + term
         wnorm = norm if wnorm is None else wnorm + norm
-    return series.withColumn("__wsum", wsum).withColumn("__wnorm", wnorm)
+    return series.withColumn(
+        f"ewma_{value_col}", wsum.cast("double") / wnorm.cast("double")
+    )
 
 
 def rolling_distinct_count(

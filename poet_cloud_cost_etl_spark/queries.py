@@ -2958,12 +2958,7 @@ def q_ewma_daily_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "service",
         "date",
         (F.col("day_cents").cast("double") / 100.0).alias("daily_cost"),
-        F.round(
-            F.col("__wsum").cast("double")
-            / F.col("__wnorm").cast("double")
-            / 100.0,
-            6,
-        ).alias("ewma_cost"),
+        F.round(F.col("ewma_day_cents") / 100.0, 6).alias("ewma_cost"),
     ).orderBy("service", "date")
 
 

@@ -18,12 +18,30 @@ batch form (tests/test_streaming.py).
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# Declared schema for a stream defined over a not-yet-populated events
+# directory (matches the session-zoned shape the probe produces from
+# either fixture layout).
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
 def incremental_events_source(
-    spark: SparkSession, source_dir: str, max_files_per_trigger: int = 4
+    spark: SparkSession,
+    source_dir: str,
+    max_files_per_trigger: int = 4,
+    schema: T.StructType | None = None,
 ) -> DataFrame:
     """ST1: incremental file source over a parquet directory. Files
     that appear after the last trigger are processed exactly once
@@ -35,8 +53,24 @@ def incremental_events_source(
     EVENT_TS_COLUMNS) — the fixture generation has stored ts as long
     nanoseconds and as naive TIMESTAMP(MICROS) at different times, and
     a stream over either layout must behave identically.
+
+    The normal file-stream deployment watches a directory files only
+    ARRIVE in later, so an empty/missing directory at definition time
+    must not fail: pass ``schema`` explicitly, or the probe falls back
+    to EVENTS_FILE_SCHEMA when it cannot infer.
     """
-    inferred = spark.read.parquet(source_dir).schema
+    from ..catalog import ensure_session_confs
+
+    # The nanos-as-long probe and the NTZ->TIMESTAMP cast below assume
+    # the session confs the batch catalog pins (nanosAsLong, UTC tz).
+    ensure_session_confs(spark)
+    if schema is not None:
+        inferred = schema
+    else:
+        try:
+            inferred = spark.read.parquet(source_dir).schema
+        except AnalysisException:
+            inferred = EVENTS_FILE_SCHEMA
     raw = (
         spark.readStream.schema(inferred)
         .option("maxFilesPerTrigger", max_files_per_trigger)

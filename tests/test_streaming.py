@@ -348,3 +348,65 @@ def test_stream_static_enrichment(spark, events_dir, tmp_path):
     matched = {r.event_id: r.account_name for r in got.collect()}
     for r in want.collect():
         assert matched[r.event_id] == r.account_name
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """E2E checkpoint recovery: a stream is started, killed, and
+    RESTARTED FROM ITS CHECKPOINT after more files arrive. The restart
+    must process only the unseen files (exactly-once over the union,
+    no replay of batch-1 rows) — the semantics that distinguish the
+    incremental source from cron re-reading the directory."""
+    src = tmp_path / "rec_src"
+    src.mkdir()
+    ev = table(spark, SF_SMALL, "events")
+    first = ev.filter(F.col("event_id") < 400).select("event_id", "ts", "user_id")
+    second = ev.filter(
+        (F.col("event_id") >= 400) & (F.col("event_id") < 900)
+    ).select("event_id", "ts", "user_id")
+    _write_one_file(first, tmp_path, str(src), "a.parquet")
+
+    ck, out = str(tmp_path / "ck_rec"), str(tmp_path / "out_rec")
+    sel = ["event_id", "ts", "user_id"]
+    s1 = P.incremental_events_source(spark, str(src), max_files_per_trigger=1)
+    P.run_foreach_batch_parquet(s1.select(*sel), ck, out)
+    assert spark.read.parquet(out).count() == 400
+
+    # the first query is terminated; new data arrives while nothing runs
+    _write_one_file(second, tmp_path, str(src), "b.parquet")
+
+    # a brand-new query object, SAME checkpoint: resumes, not restarts
+    s2 = P.incremental_events_source(spark, str(src), max_files_per_trigger=1)
+    P.run_foreach_batch_parquet(s2.select(*sel), ck, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 900  # 400 + 500, batch-1 rows NOT replayed
+    assert got.select("event_id").distinct().count() == 900  # each exactly once
+
+    # idempotent: re-running with no new files emits nothing
+    s3 = P.incremental_events_source(spark, str(src), max_files_per_trigger=1)
+    P.run_foreach_batch_parquet(s3.select(*sel), ck, out)
+    assert spark.read.parquet(out).count() == 900
+
+
+def test_stream_starts_over_empty_directory(spark, tmp_path):
+    """A stream defined over an empty source dir (the normal file-
+    stream deployment: files arrive later) must start, emit nothing,
+    and pick up the first arrivals on the next run from the same
+    checkpoint (falls back to EVENTS_FILE_SCHEMA when inference has
+    nothing to probe)."""
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    ck, out = str(tmp_path / "ck_empty"), str(tmp_path / "out_empty")
+    sel = ["event_id", "ts", "user_id"]
+
+    s0 = P.incremental_events_source(spark, str(src))
+    assert s0.isStreaming and "event_id" in s0.columns
+    P.run_foreach_batch_parquet(s0.select(*sel), ck, out)
+    assert not os.path.exists(out) or spark.read.parquet(out).count() == 0
+
+    ev = table(spark, SF_SMALL, "events").filter(F.col("event_id") < 50).select(
+        "event_id", "ts", "user_id"
+    )
+    _write_one_file(ev, tmp_path, str(src), "a.parquet")
+    s1 = P.incremental_events_source(spark, str(src))
+    P.run_foreach_batch_parquet(s1.select(*sel), ck, out)
+    assert spark.read.parquet(out).count() == 50
