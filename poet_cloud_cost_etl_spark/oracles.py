@@ -287,8 +287,19 @@ ORACLES["agg_cube"] = f"""
     GROUP BY CUBE(l_returnflag, l_linestatus)
 """
 
-# agg_approx_distinct: intentionally no oracle (sketch outputs are
-# engine-specific) — driver runs its rows-only check.
+# agg_approx_distinct — the TOLERANCE TWIN: sketch values are
+# engine-specific, but the accuracy contract isn't. The Spark side
+# emits (exact count, within-5% booleans); the oracle computes the
+# exact count and literal TRUEs. Both engines' sketches are
+# deterministic functions of the data, so the hash is stable.
+ORACLES["agg_approx_distinct"] = """
+    SELECT l_returnflag,
+        COUNT(DISTINCT l_partkey) AS exact_parts,
+        TRUE AS approx_parts_ok,
+        TRUE AS approx_median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
 
 ORACLES["set_intersect"] = """
     SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
@@ -702,7 +713,30 @@ ORACLES["multimodal_payload_stats"] = """
     GROUP BY source
 """
 
-# multimodal_decode_stub: rows-only (mapInPandas kernel, not SQL).
+# multimodal_decode_stub: the fake decode kernel is a pure function
+# of the payload bytes (operators/multimodal.py:decode_images), so
+# DuckDB recomputes it from the blob — width = 1 + n_bytes % 64,
+# height = 1 + first byte, features digest = md5 over the first 8
+# byte values (the Spark side recovers them from the float32
+# features via an exact round(f*255) round-trip).
+ORACLES["multimodal_decode_stub"] = """
+    WITH payloads AS (
+        SELECT doc_id, encode(text) AS b, hex(encode(text)) AS h,
+            octet_length(encode(text)) AS n
+        FROM documents
+    )
+    SELECT doc_id,
+        CAST(1 + n % 64 AS INTEGER) AS width,
+        CAST(1 + COALESCE(TRY_CAST(('0x' || substr(h, 1, 2)) AS INTEGER), 0)
+             AS INTEGER) AS height,
+        CAST(3 AS INTEGER) AS channels,
+        md5(array_to_string(
+            list_transform(range(0, least(8, n)),
+                i -> CAST(CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INTEGER)
+                          AS VARCHAR)),
+            ',')) AS features_md5
+    FROM payloads
+"""
 
 # --- batch 6: arrays / maps / drifting union / percentile / subquery ---
 
@@ -1049,19 +1083,87 @@ _IVF_ASSIGN = """
                 ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
                                              CAST(c.centroid_vec AS DOUBLE[])), 6)
                     AS c_sim
-            FROM {src} v, cents c
+            FROM {src} v, {cents} c
         )
+"""
+
+# One Lloyd (k-means) refinement round, unrolled to SQL: assign every
+# corpus vector to its nearest centroid (rank-1 of _IVF_ASSIGN), then
+# recompute each centroid as its members' per-dimension mean through
+# the SAME scaled-integer convention the Spark side uses
+# (operators/similarity.py:ivf_centroids / operators/embeddings.py:
+# round(val*1e6) exact integer sums, one final division, round to 6,
+# cast to float) — so a sequential engine reproduces the distributed
+# result bit-for-bit. Empty clusters keep their previous centroid
+# (LEFT JOIN + COALESCE), exactly as the Spark operator does.
+_IVF_LLOYD_ROUND = """
+    assign{n} AS (
+        SELECT vec_id, embedding, centroid_id
+        FROM ({assign}) WHERE probe_rank = 1
+    ),
+    means{n} AS (
+        SELECT centroid_id, CAST(i AS INTEGER) AS dim,
+            ROUND(CAST(SUM(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000))
+                       AS DOUBLE) / (COUNT(*) * 1000000), 6) AS m
+        FROM assign{n}, UNNEST(range(len(embedding))) AS u(i)
+        GROUP BY centroid_id, dim
+    ),
+    newvec{n} AS (
+        SELECT centroid_id, list(CAST(m AS FLOAT) ORDER BY dim) AS new_vec
+        FROM means{n} GROUP BY centroid_id
+    ),
+    cents{n} AS (
+        SELECT c.centroid_id,
+            COALESCE(n.new_vec, c.centroid_vec) AS centroid_vec
+        FROM cents{prev} c LEFT JOIN newvec{n} n USING (centroid_id)
+    )
 """
 
 ORACLES["ann_ivf"] = f"""
     WITH cents AS ({_IVF_CENTS}),
     lists AS (
         SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
-        FROM ({_IVF_ASSIGN.format(src='embeddings')}) WHERE probe_rank = 1
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')}) WHERE probe_rank = 1
     ),
     probes AS (
         SELECT vec_id AS query_id, embedding AS qv, centroid_id
-        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM embeddings WHERE vec_id < 5)')})
+        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM embeddings WHERE vec_id < 5)', cents='cents')})
+        WHERE probe_rank <= 2
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+        FROM (
+            SELECT p.query_id, l.neighbor_id,
+                ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                             CAST(l.cv AS DOUBLE[])), 6) AS cos_sim
+            FROM lists l JOIN probes p USING (centroid_id)
+            WHERE l.neighbor_id <> p.query_id
+        )
+    )
+    WHERE rank <= 3
+"""
+
+# ann_ivf_refined: the 2 Lloyd iterations of
+# operators/similarity.py:ivf_centroids(refine_iters=2) unrolled into
+# finite CTE rounds — the scaled-integer mean convention exists
+# precisely so this sequential replay is bit-identical to the
+# distributed computation.
+ORACLES["ann_ivf_refined"] = f"""
+    WITH cents0 AS ({_IVF_CENTS}),
+    {_IVF_LLOYD_ROUND.format(n=1, prev=0, assign=_IVF_ASSIGN.format(src='embeddings', cents='cents0'))},
+    {_IVF_LLOYD_ROUND.format(n=2, prev=1, assign=_IVF_ASSIGN.format(src='embeddings', cents='cents1'))},
+    lists AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents2')})
+        WHERE probe_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM embeddings WHERE vec_id < 5)', cents='cents2')})
         WHERE probe_rank <= 2
     )
     SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INTEGER) AS rank

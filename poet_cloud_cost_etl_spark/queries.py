@@ -522,13 +522,38 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("agg_approx_distinct")
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: approximate aggregates (HLL count-distinct + approximate
-    percentiles). No SQL oracle — sketch outputs are engine-specific;
-    the driver records a rows-only check. At 100 TB these replace
-    exact distinct counts that would shuffle every key."""
+    percentiles). At 100 TB these replace exact distinct counts that
+    would shuffle every key.
+
+    Oracle strategy — the TOLERANCE TWIN: the sketch VALUES are
+    engine-specific (DuckDB's HLL and Spark's differ), but their
+    accuracy contract is not. The query emits the exact count plus
+    booleans asserting the sketches landed within 5% of exact; the
+    oracle computes the exact count and literal TRUEs. Both sketches
+    are deterministic functions of the data, so this hash-check is
+    stable, and a sketch regression (>5% off) flips a boolean and
+    fails the hash."""
     li = table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("__approx_parts"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_med"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__approx_med"),
+    )
+    rel_err = lambda a, b: F.abs(a - b) / b  # noqa: E731
+    return agg.select(
+        "l_returnflag",
+        "exact_parts",
+        (
+            rel_err(
+                F.col("__approx_parts").cast("double"),
+                F.col("exact_parts").cast("double"),
+            )
+            <= 0.05
+        ).alias("approx_parts_ok"),
+        (rel_err(F.col("__approx_med"), F.col("__exact_med")) <= 0.05).alias(
+            "approx_median_ok"
+        ),
     )
 
 
@@ -1020,13 +1045,17 @@ def q_multimodal_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("multimodal_decode_stub")
 def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode (deterministic fake kernel —
-    real codecs not in this container). Rows-only oracle: the point
-    under test is the distributed plumbing (schema/batches), exercised
-    bit-for-bit in tests/test_multimodal.py.
+    real codecs not in this container). The fake decode is a pure
+    function of the payload bytes, so it IS hash-oracle-checkable:
+    DuckDB recomputes width/height from the blob and the features
+    digest via hex-pair byte extraction.
 
-    The raw ``features array<float>`` stays in the pytest path; the
-    registered output digests it to a scalar (the driver's rows-only
-    canonicalizer sorts every column and cannot sort python lists)."""
+    The ``features array<float>`` digest goes through an exact
+    integer round-trip — ``round(f·255)`` recovers the source byte
+    (float32 error ≪ 0.5) — instead of formatting the floats, because
+    Spark and DuckDB disagree on double→string for 3 of 256 byte
+    values (rounding-boundary formatting). The raw float path is
+    pinned bit-for-bit in tests/test_multimodal.py."""
     from .operators.multimodal import attach_payload, decode_images
 
     d = table(spark, sf_dir, "documents")
@@ -1038,7 +1067,13 @@ def q_multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "channels",
         F.md5(
             F.concat_ws(
-                ",", F.transform("features", lambda x: F.round(x.cast("double"), 6).cast("string"))
+                ",",
+                F.transform(
+                    "features",
+                    lambda x: F.round(x.cast("double") * 255.0)
+                    .cast("int")
+                    .cast("string"),
+                ),
             )
         ).alias("features_md5"),
     )
@@ -2177,9 +2212,11 @@ def q_ann_ivf_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4c+: IVF top-k with 2 Lloyd refinement iterations on the
     centroid table (operators/similarity.py:ivf_centroids) — closes
     the gap between the deterministic md5 seed draw and real k-means
-    IVF recall. Registered rows-only: the iterative refinement isn't
-    reasonably SQL-expressible; recall vs brute force is pinned by
-    tests/test_similarity.py instead."""
+    IVF recall. Hash-oracled: ``refine_iters=2`` is a FINITE loop, so
+    the oracle unrolls both Lloyd rounds into DuckDB CTEs (min-
+    distance assign join → scaled-integer per-dim mean), mirroring
+    the deterministic arithmetic exactly; recall vs brute force is
+    additionally pinned by tests/test_similarity.py."""
     from .operators.similarity import ivf_topk
 
     e = table(spark, sf_dir, "embeddings")
@@ -3046,16 +3083,21 @@ def q_events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 4)
+# Registration-order rotation (round 5)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate verifies the FIRST 50 entries of this
 # dict against their DuckDB oracles.  Window history:
 #   r01/r02 — the original first 50 (identical key set both rounds).
 #   r03     — the next 50 (disjoint from r01/r02), all hash-green.
-#   r04     — the 10 queries registered after the r03 run
-#             (8 TPC-H analogs, events_enrich_dim, ann_ivf_refined)
-#             plus any queries new this round, backfilled to 50 with
-#             twice-checked r01/r02 greens.
+#   r04     — the 35 queries registered after the r03 run, backfilled
+#             to 50 with the head of the r01/r02 set.
+#   r05     — the three ex-rows-only queries whose new oracles land
+#             this round (agg_approx_distinct, multimodal_decode_stub,
+#             ann_ivf_refined — pulled OUT of the checked lists so
+#             they get fresh hash-green rows) + round-5 newcomers,
+#             backfilled to 50 from the OLDEST official rows: the
+#             r01/r02 names that were NOT re-checked in r04 (the
+#             r04-backfilled 15 are moved to the end of the segment).
 # Names in _ALREADY_DRIVER_CHECKED are re-inserted at the END of the
 # dict in list order, so the window is: [not-in-list names in
 # registration order] + [list head].  Every name, in or out of the
@@ -3084,14 +3126,15 @@ _R03_CHECKED = [
     "retention_cohorts", "text_char_entropy",
     "minhash_similarity_estimate",
 ]
+# r01/r02 cohort, oldest-official-row first: the 15 names re-checked
+# in the r04 backfill are moved to the END of the segment so the r05
+# backfill re-pins the rows that are now 4 rounds old.
+# (agg_approx_distinct and multimodal_decode_stub left this list in
+# round 5: their new oracles need fresh hash-green driver rows.)
 _ALREADY_DRIVER_CHECKED = [
-    "costs_normalize_events", "costs_union_view", "costs_by_service_30d",
-    "costs_daily_trend", "costs_by_account", "top_accounts",
-    "account_filter_in", "q1_pricing_summary", "join_broadcast_dim",
-    "join_chain_dims", "join_left_outer", "join_semi", "join_anti",
-    "window_topn_per_group", "window_lag_delta", "window_moving_avg",
+    "window_moving_avg",
     "window_running_total", "agg_stats", "agg_rollup", "agg_cube",
-    "agg_approx_distinct", "set_intersect", "set_except",
+    "set_intersect", "set_except",
     "json_extract_props", "string_funcs", "date_funcs", "math_funcs",
     "join_asof", "join_range", "dedup_exact", "dedup_fingerprint",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
@@ -3100,12 +3143,35 @@ _ALREADY_DRIVER_CHECKED = [
     "text_profile_by_lang", "doc_fingerprint_winnow",
     "events_tumbling_daily", "events_sliding_2d", "events_session_window",
     "events_dedup_state", "multimodal_metadata", "multimodal_payload_stats",
-    "multimodal_decode_stub", "array_funcs",
+    "array_funcs",
+    # re-checked in r04's backfill (freshest of the cohort):
+    "costs_normalize_events", "costs_union_view", "costs_by_service_30d",
+    "costs_daily_trend", "costs_by_account", "top_accounts",
+    "account_filter_in", "q1_pricing_summary", "join_broadcast_dim",
+    "join_chain_dims", "join_left_outer", "join_semi", "join_anti",
+    "window_topn_per_group", "window_lag_delta",
 ]
-# r03-checked names go AFTER the r01/r02 set so the window backfill
-# (positions after the round-4 newcomers) draws from the twice-checked
-# r01/r02 greens first.
-_ALREADY_DRIVER_CHECKED += _R03_CHECKED
+# Queries with official r04 rows (the 35-query r04 window minus its
+# r01/r02 backfill), excluding ann_ivf_refined, which leaves the
+# checked set this round to earn its first HASH-green row.
+_R04_CHECKED = [
+    "events_enrich_dim", "q2_min_cost_supplier", "q7_volume_shipping",
+    "q8_market_share", "q9_product_type_profit", "q11_important_stock",
+    "q13_customer_distribution", "q16_supplier_part_counts",
+    "q20_promotion_candidates", "events_sessionize_batch",
+    "timeweighted_avg_value", "window_share_of_total",
+    "window_first_last", "window_ntile_quartiles", "grouping_sets_costs",
+    "agg_filtered_conditional", "agg_bool_bitwise", "snapshot_diff_orders",
+    "upsert_latest_events", "tfidf_top_terms", "token_bigram_counts",
+    "token_zipf_fit", "doc_dup_shingle_fraction", "chunk_documents_overlap",
+    "split_assign_train_eval", "doc_length_histogram", "key_skew_profile",
+    "embedding_bucket_dedup", "pipeline_quality_gate", "ewma_daily_costs",
+    "daily_active_users_rolling7", "scd2_user_event_type",
+    "forward_fill_daily_costs", "events_inter_arrival_stats",
+]
+# Backfill priority: oldest rows first (r01/r02 not-rechecked head),
+# then r03, then r04 — so list order IS staleness order.
+_ALREADY_DRIVER_CHECKED += _R03_CHECKED + _R04_CHECKED
 for _name in _ALREADY_DRIVER_CHECKED:
     QUERIES[_name] = QUERIES.pop(_name)  # reinsert at the end
 del _name
