@@ -62,6 +62,14 @@ HEADLINE = [
     "q8_market_share",
     "q9_product_type_profit",
     "ann_ivf_refined",
+    # round-6 additions (round-4 ask #6): the r4/r5 heavy hitters —
+    # corpus-wide TF-IDF shuffle, the composed quality gate, SCD2
+    # window chain, and the full-outer snapshot diff — so a
+    # regression in any of them shows up in the round record.
+    "tfidf_top_terms",
+    "pipeline_quality_gate",
+    "scd2_user_event_type",
+    "snapshot_diff_orders",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
@@ -78,6 +86,20 @@ R1_SUBSET = 18
 #       reproducible regression; BENCH_r02's 20.35s for the same
 #       subset was a loaded-machine artifact). 26-query total =
 #       22.7s idle / 32.4s driver-recorded.
+#   r6 variance note (round-5 ask #1): BENCH_r05's ann_ivf_refined
+#       4.50s (+59% vs r04's 2.83s) did NOT reproduce idle — 3×
+#       re-measure gave [3.17, 2.586, 2.604] (median 2.60s, at the
+#       r04 level) with zero Spark-side diff, i.e. load noise.
+#       Single-run timing was the root cause; this file now times
+#       each query N_RUNS times and reports the median, so one
+#       loaded run can no longer masquerade as a regression.
+
+# Timing discipline (round-5 ask #3): one untimed warm-up per query
+# (codegen/planning caches), then N_RUNS timed runs. "queries" in the
+# JSON line carries the per-query MEDIAN (scalar — what round-over-
+# round comparisons use); "query_stats" carries
+# {median, spread, min, max} where spread = max - min.
+N_RUNS = 3
 
 
 def main() -> None:
@@ -99,17 +121,31 @@ def main() -> None:
     )
 
     # Steady-state methodology: each query runs once to warm codegen/
-    # planning caches (not counted), then the timed run measures
-    # engine work. Cold-start JVM/compile costs are a per-process
-    # constant, not a property of the operators under test.
+    # planning caches (not counted), then N_RUNS timed runs; the
+    # median is the reported number. Cold-start JVM/compile costs are
+    # a per-process constant, not a property of the operators under
+    # test; the median absorbs one-off load spikes that single-run
+    # timing recorded as phantom regressions (see r6 variance note).
+    import statistics
+
     timings: dict[str, float] = {}
+    stats: dict[str, dict[str, float]] = {}
     for name in names:
         QUERIES[name](spark, sf_dir).count()
-        t0 = time.perf_counter()
-        df = QUERIES[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, sf_dir)
+            n = df.count()
+            runs.append(time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(statistics.median(runs), 4)
+        stats[name] = {
+            "median": round(statistics.median(runs), 4),
+            "spread": round(max(runs) - min(runs), 4),
+            "min": round(min(runs), 4),
+            "max": round(max(runs), 4),
+        }
     total = round(sum(timings.values()), 4)
     subset = round(sum(timings[n] for n in names[:R1_SUBSET]), 4)
     print(
@@ -119,8 +155,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_stats": stats,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "r1_subset_sec": subset,
+                "n_runs": N_RUNS,
             }
         )
     )

@@ -306,31 +306,45 @@ def ivf_assign(
     nprobe: int = 1,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by
-    cosine (rounded, centroid id as tie-break). Returns
+    cosine (rounded to 6 decimals, centroid id as tie-break). Returns
     ``(id_col, vec_col, centroid_id, probe_rank)``.
 
-    Scale: centroids are broadcast (k rows); scoring is a narrow map
-    over N·k rows and the rank window hash-partitions on the vector
-    id — no global ordering anywhere. With ``nprobe=1`` this builds
-    the inverted lists; with ``nprobe>1`` it is the query-side probe.
-    """
-    from pyspark.sql.window import Window
-
-    scored = (
+    Scale: ZERO shuffle. The k-row centroid table is collapsed into a
+    one-row array and broadcast; each corpus row scores all k
+    centroids inside a single ``transform`` + comparator
+    ``array_sort`` + ``slice`` expression, entirely within the scan
+    stage. (The earlier crossJoin + row_number() window shuffled N·k
+    rows per assignment — at 100 TB that is k extra corpus passes
+    through the exchange; this form does the same arithmetic, same
+    rounding, same tie-break, as a narrow map.) With ``nprobe=1``
+    this builds the inverted lists; with ``nprobe>1`` it is the
+    query-side probe."""
+    cent_arr = centroids.agg(
+        F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("__cents")
+    )
+    top_expr = F.expr(
+        "slice(array_sort("
+        "transform(__cents, c -> struct("
+        f"round({_COS_SQL.format(a=vec_col, b='c.centroid_vec')}, 6) AS sim, "
+        "c.centroid_id AS cid)), "
+        "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
+        f"), 1, {int(nprobe)})"
+    )
+    return (
         corpus.select(F.col(id_col), F.col(vec_col))
-        .crossJoin(F.broadcast(centroids))
+        .crossJoin(F.broadcast(cent_arr))
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.col("centroid_id"),
-            F.round(cosine(vec_col, "centroid_vec"), 6).alias("__c_sim"),
+            F.posexplode(top_expr).alias("__pos", "__probe"),
         )
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__c_sim"), F.asc("centroid_id"))
-    return (
-        scored.withColumn("probe_rank", F.row_number().over(w))
-        .filter(F.col("probe_rank") <= nprobe)
-        .drop("__c_sim")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("__probe.cid").alias("centroid_id"),
+            (F.col("__pos") + 1).alias("probe_rank"),
+        )
     )
 
 
