@@ -3083,7 +3083,7 @@ def q_events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 5)
+# Registration-order rotation (round 6)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate verifies the FIRST 50 entries of this
 # dict against their DuckDB oracles.  Window history:
@@ -3091,18 +3091,23 @@ def q_events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r03     — the next 50 (disjoint from r01/r02), all hash-green.
 #   r04     — the 35 queries registered after the r03 run, backfilled
 #             to 50 with the head of the r01/r02 set.
-#   r05     — the three ex-rows-only queries whose new oracles land
-#             this round (agg_approx_distinct, multimodal_decode_stub,
-#             ann_ivf_refined — pulled OUT of the checked lists so
-#             they get fresh hash-green rows) + round-5 newcomers,
-#             backfilled to 50 from the OLDEST official rows: the
-#             r01/r02 names that were NOT re-checked in r04 (the
-#             r04-backfilled 15 are moved to the end of the segment).
+#   r05     — the three ex-rows-only queries whose new oracles landed
+#             that round + backfill from the then-oldest rows (the
+#             r01/r02 cohort).  All 50 hash-green.
+#   r06     — staleness-first: the 50 names whose newest official row
+#             is r03 (the oldest cohort — everything else is r04/r05
+#             fresh), plus any queries registered this round (they
+#             precede the list head automatically).
 # Names in _ALREADY_DRIVER_CHECKED are re-inserted at the END of the
 # dict in list order, so the window is: [not-in-list names in
-# registration order] + [list head].  Every name, in or out of the
-# window, stays pinned locally by tests/test_oracle_parity.py, which
-# sweeps ALL entries against DuckDB at sf0.01.
+# registration order] + [list head].  List order IS staleness order
+# (oldest official row first) — tests/test_rotation.py loads every
+# CORRECTNESS_r*.json and fails if the upcoming window is not exactly
+# [no-row-yet names] + [stalest rows], or if any query outside the
+# window would age past 3 rounds.  Every name, in or out of the
+# window, additionally stays pinned locally by
+# tests/test_oracle_parity.py, which sweeps ALL entries against
+# DuckDB at sf0.01.
 _R03_CHECKED = [
     "map_funcs", "union_drifting_schema", "agg_percentile",
     "subquery_correlated", "pivot_daily_services", "explode_top_tokens",
@@ -3126,34 +3131,9 @@ _R03_CHECKED = [
     "retention_cohorts", "text_char_entropy",
     "minhash_similarity_estimate",
 ]
-# r01/r02 cohort, oldest-official-row first: the 15 names re-checked
-# in the r04 backfill are moved to the END of the segment so the r05
-# backfill re-pins the rows that are now 4 rounds old.
-# (agg_approx_distinct and multimodal_decode_stub left this list in
-# round 5: their new oracles need fresh hash-green driver rows.)
-_ALREADY_DRIVER_CHECKED = [
-    "window_moving_avg",
-    "window_running_total", "agg_stats", "agg_rollup", "agg_cube",
-    "set_intersect", "set_except",
-    "json_extract_props", "string_funcs", "date_funcs", "math_funcs",
-    "join_asof", "join_range", "dedup_exact", "dedup_fingerprint",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_lsh_bucketed",
-    "text_token_counts", "text_quality_score", "text_lang_id",
-    "text_profile_by_lang", "doc_fingerprint_winnow",
-    "events_tumbling_daily", "events_sliding_2d", "events_session_window",
-    "events_dedup_state", "multimodal_metadata", "multimodal_payload_stats",
-    "array_funcs",
-    # re-checked in r04's backfill (freshest of the cohort):
-    "costs_normalize_events", "costs_union_view", "costs_by_service_30d",
-    "costs_daily_trend", "costs_by_account", "top_accounts",
-    "account_filter_in", "q1_pricing_summary", "join_broadcast_dim",
-    "join_chain_dims", "join_left_outer", "join_semi", "join_anti",
-    "window_topn_per_group", "window_lag_delta",
-]
-# Queries with official r04 rows (the 35-query r04 window minus its
-# r01/r02 backfill), excluding ann_ivf_refined, which leaves the
-# checked set this round to earn its first HASH-green row.
+# Queries whose newest official row is r04 (the 34-query core of the
+# r04 window plus window_lag_delta, the one r01/r02 backfill name the
+# r05 window did not reach).
 _R04_CHECKED = [
     "events_enrich_dim", "q2_min_cost_supplier", "q7_volume_shipping",
     "q8_market_share", "q9_product_type_profit", "q11_important_stock",
@@ -3168,10 +3148,31 @@ _R04_CHECKED = [
     "embedding_bucket_dedup", "pipeline_quality_gate", "ewma_daily_costs",
     "daily_active_users_rolling7", "scd2_user_event_type",
     "forward_fill_daily_costs", "events_inter_arrival_stats",
+    "window_lag_delta",
 ]
-# Backfill priority: oldest rows first (r01/r02 not-rechecked head),
-# then r03, then r04 — so list order IS staleness order.
-_ALREADY_DRIVER_CHECKED += _R03_CHECKED + _R04_CHECKED
+# Queries re-pinned by the r05 window (newest official row = r05).
+_R05_CHECKED = [
+    "agg_approx_distinct", "multimodal_decode_stub", "ann_ivf_refined",
+    "window_moving_avg", "window_running_total", "agg_stats",
+    "agg_rollup", "agg_cube", "set_intersect", "set_except",
+    "json_extract_props", "string_funcs", "date_funcs", "math_funcs",
+    "join_asof", "join_range", "dedup_exact", "dedup_fingerprint",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_lsh_bucketed",
+    "text_token_counts", "text_quality_score", "text_lang_id",
+    "text_profile_by_lang", "doc_fingerprint_winnow",
+    "events_tumbling_daily", "events_sliding_2d", "events_session_window",
+    "events_dedup_state", "multimodal_metadata", "multimodal_payload_stats",
+    "array_funcs", "costs_normalize_events", "costs_union_view",
+    "costs_by_service_30d", "costs_daily_trend", "costs_by_account",
+    "top_accounts", "account_filter_in", "q1_pricing_summary",
+    "join_broadcast_dim", "join_chain_dims", "join_left_outer",
+    "join_semi", "join_anti", "window_topn_per_group",
+]
+# Backfill priority: oldest rows first — r03 cohort (now 3 rounds
+# stale, the whole r06 window), then r04, then r05 — so list order IS
+# staleness order.
+_ALREADY_DRIVER_CHECKED = _R03_CHECKED + _R04_CHECKED + _R05_CHECKED
 for _name in _ALREADY_DRIVER_CHECKED:
     QUERIES[_name] = QUERIES.pop(_name)  # reinsert at the end
 del _name

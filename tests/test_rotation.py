@@ -1,0 +1,95 @@
+"""Guard the correctness-window rotation invariant (round-5 ask #5).
+
+The driver hash-checks the FIRST 50 registration-order entries of
+``QUERIES`` each round.  The staleness-first protocol (queries.py,
+"Registration-order rotation") promises two things that were until
+now enforced only by hand-maintained lists:
+
+1. the upcoming window is exactly [queries with no official row yet]
+   + [the stalest official rows] — nothing fresher jumps the queue
+   while something staler waits;
+2. no query outside the window has a newest official row older than
+   MAX_STALE rounds by the time this round's results land — i.e. the
+   rotation can never orphan a query.
+
+This test recomputes both from the committed CORRECTNESS_r*.json
+files and the live registration order, so a future round that
+reorders the lists wrongly (or registers more queries than the
+rotation can cycle) fails here instead of silently rotting.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from poet_cloud_cost_etl_spark.queries import QUERIES
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+# With 135 queries and a 50-name window the full cycle is 3 rounds;
+# a query's newest row may therefore be at most 3 rounds old at the
+# moment its re-check lands.  Growing past WINDOW * MAX_STALE
+# registered queries breaks the cycle — this constant makes that a
+# test failure, not a silent protocol violation.
+MAX_STALE = 3
+
+
+def _latest_official_round() -> dict[str, int]:
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
+        for name in json.load(open(path)):
+            last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def test_upcoming_window_is_stalest_first():
+    last = _latest_official_round()
+    names = list(QUERIES)
+    upcoming, rest = names[:WINDOW], names[WINDOW:]
+
+    # Every registered query without an official row must be in the
+    # upcoming window (new queries may never wait a round).
+    no_row = [n for n in names if n not in last]
+    stragglers = [n for n in no_row if n not in upcoming]
+    assert not stragglers, (
+        f"queries with no official driver row outside the upcoming "
+        f"window: {stragglers}"
+    )
+
+    # Staleness-first: no excluded query may be staler than an
+    # included one — max(last round inside) <= min(last round outside).
+    included = [last[n] for n in upcoming if n in last]
+    excluded = [last[n] for n in rest if n in last]
+    if included and excluded:
+        assert max(included) <= min(excluded), (
+            f"window order violates staleness-first: a round-"
+            f"{max(included)} row is being re-checked while a round-"
+            f"{min(excluded)} row waits"
+        )
+
+
+def test_no_query_ages_out():
+    last = _latest_official_round()
+    names = list(QUERIES)
+    current_round = max(last.values()) + 1  # the round being prepared
+    too_old = {
+        n: last[n]
+        for n in names[WINDOW:]
+        if n in last and current_round - last[n] > MAX_STALE
+    }
+    assert not too_old, (
+        f"queries outside the upcoming window whose newest official "
+        f"row would be > {MAX_STALE} rounds old after r{current_round:02d}: "
+        f"{too_old}"
+    )
+
+
+def test_registered_count_fits_rotation_cycle():
+    assert len(QUERIES) <= WINDOW * MAX_STALE, (
+        f"{len(QUERIES)} registered queries cannot all be re-checked "
+        f"within {MAX_STALE} rounds of a {WINDOW}-name window — widen "
+        f"MAX_STALE deliberately or shrink the registry"
+    )

@@ -1,0 +1,116 @@
+"""Timed skew A/B (round-4 ask #7): prove the salted two-phase
+aggregation actually shortens the straggler task on a skewed key, not
+just that it compiles to the right plan shape (test_plans.py pins the
+shape).
+
+The hazard salting addresses is LARGE PER-KEY STATE (collect_set /
+count-distinct-shaped accumulators — operators/aggregates.py module
+docstring): map-side partial aggregation cannot collapse a hot key's
+distinct values, so the naive plan funnels the hot key's entire state
+build through one reducer task. The A/B below builds a deliberately
+skewed fixture (95% of rows on one key, all values distinct), runs
+the naive single-exchange plan and the salted two-phase plan, and
+compares the MAX TASK DURATION of each job via Spark's app-status
+store — the per-task metric the round-4 ask names, measured on the
+real executor clock, not wall-time (which local-mode scheduling
+noise pollutes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from poet_cloud_cost_etl_spark.operators.aggregates import salted_agg
+
+N_ROWS = 1_500_000
+HOT_SHARE = 95  # percent of rows on the single hot key
+N_SALTS = 8
+
+
+def _skewed_df(spark):
+    """95% of rows carry key 'hot'; values are globally distinct longs
+    so collect_set state grows with row count (the skew hazard)."""
+    # 16 input splits keep every scan/partial task well under the hot
+    # reducer's cost, so the A/B isolates the reduce-side straggler.
+    return (
+        spark.range(0, N_ROWS, 1, 16)
+        .select(
+            F.when(F.pmod("id", F.lit(100)) < HOT_SHARE, F.lit("hot"))
+            .otherwise(F.concat(F.lit("k"), F.pmod("id", F.lit(40)).cast("string")))
+            .alias("key"),
+            F.col("id").alias("value"),
+        )
+    )
+
+
+def _max_task_ms(spark, group: str) -> float:
+    """Max task duration (ms) across all stages of all jobs in the
+    given job group, read from the AppStatusStore (works with the UI
+    disabled; statusTracker alone exposes no task durations)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    worst = 0.0
+    for jid in sc.statusTracker().getJobIdsForGroup(group):
+        info = sc.statusTracker().getJobInfo(jid)
+        for sid in info.stageIds:
+            for attempt in (0, 1):
+                try:
+                    tl = store.taskList(sid, attempt, 10_000)
+                except Exception:
+                    continue
+                for i in range(tl.size()):
+                    d = tl.apply(i).duration()
+                    if d.isDefined():
+                        worst = max(worst, float(d.get()))
+    return worst
+
+
+def test_salted_agg_beats_naive_max_task_on_skew(spark):
+    df = _skewed_df(spark).localCheckpoint(eager=True)  # isolate agg cost
+
+    sc = spark.sparkContext
+
+    # Naive: one exchange on the bare key — the hot key's entire
+    # distinct-set build lands on a single reducer task.
+    sc.setJobGroup("skew_naive", "naive single-phase")
+    naive_rows = {
+        r["key"]: r["nd"]
+        for r in df.groupBy("key")
+        .agg(F.size(F.collect_set("value")).alias("nd"))
+        .collect()
+    }
+    sc.setJobGroup("skew_done_naive", "")
+    naive_ms = _max_task_ms(spark, "skew_naive")
+
+    # Salted: salt on the VALUE hash, so equal values share a salt and
+    # the per-(key, salt) distinct sets are disjoint — summing their
+    # sizes in phase 2 is exact, while the hot key's state build
+    # spreads over N_SALTS reducer tasks.
+    sc.setJobGroup("skew_salted", "salted two-phase")
+    salted_rows = {
+        r["key"]: r["nd"]
+        for r in salted_agg(
+            df,
+            key_cols=["key"],
+            measures={"nd": F.size(F.collect_set("value"))},
+            salt_col=F.xxhash64("value"),
+            n_salts=N_SALTS,
+        ).collect()
+    }
+    sc.setJobGroup("skew_done_salted", "")
+    salted_ms = _max_task_ms(spark, "skew_salted")
+
+    # Result-identical (the correctness half of the A/B).
+    assert salted_rows == naive_rows
+    assert naive_rows["hot"] == N_ROWS * HOT_SHARE // 100
+
+    # The timed half: the salted plan's worst task must be strictly
+    # shorter. The theoretical ratio is ~N_SALTS on the reduce stage;
+    # scan/partial tasks and constant overheads dilute it, so assert a
+    # conservative 1.3x win that still fails if salting stops
+    # spreading the hot key (ratio collapses to ~1.0 then).
+    assert salted_ms > 0 and naive_ms > 0, (naive_ms, salted_ms)
+    assert salted_ms * 1.3 < naive_ms, (
+        f"salted max task {salted_ms}ms not meaningfully faster than "
+        f"naive {naive_ms}ms — skew spreading regressed"
+    )
