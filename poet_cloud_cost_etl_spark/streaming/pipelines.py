@@ -14,6 +14,20 @@ queries.py (events_tumbling_daily, events_session_window,
 events_dedup_state), so correctness is checked two ways: the batch
 form against the DuckDB oracle, and the streaming form against the
 batch form (tests/test_streaming.py).
+
+State-store sizing (100 TB): tests run on the default HDFS-backed
+provider (state on executor heap). A production deployment with a
+large keyspace — stateful dedup over billions of ids, per-user
+running state — sets
+``spark.sql.streaming.stateStore.providerClass =
+org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+(+ ``...rocksdb.changelogCheckpointing.enabled=true`` for fast
+commits), which spills keyed state to executor-local disk. Semantics
+are identical — tests/test_streaming.py::test_rocksdb_state_store_provider
+runs a stateful pipeline under RocksDB and asserts batch-equal
+results. The provider is fixed per checkpoint: never flip it on an
+existing checkpoint dir; migrate by rebuilding state into a fresh
+one.
 """
 
 from __future__ import annotations
@@ -58,6 +72,17 @@ def incremental_events_source(
     ARRIVE in later, so an empty/missing directory at definition time
     must not fail: pass ``schema`` explicitly, or the probe falls back
     to EVENTS_FILE_SCHEMA when it cannot infer.
+
+    SCOPE OF THE FALLBACK: EVENTS_FILE_SCHEMA declares ``ts`` as
+    TIMESTAMP, so it covers only the micros/timestamp parquet layout.
+    A long-ns source whose directory is still empty at definition
+    time MUST pass ``schema`` explicitly (ts as LongType) — a
+    readStream schema is fixed for the life of the query, so the
+    long-ns normalization branch below cannot engage retroactively
+    once files arrive under the fallback.  On RESTART the probe
+    re-runs (this function is called again) and infers the true
+    layout, so the mismatch is bounded to the first query
+    incarnation over an empty directory.
     """
     from ..catalog import ensure_session_confs
 
@@ -153,12 +178,20 @@ def run_foreach_batch_parquet(
 ) -> None:
     """Production sink pattern: each micro-batch lands through the
     batch writer (parquet here; JDBC via sources.sinks.write_jdbc in
-    deployments) — exactly-once per batch via the checkpoint's batch
-    id. This is how the streaming pipeline reuses every batch sink
-    the engine has."""
+    deployments). This is how the streaming pipeline reuses every
+    batch sink the engine has.
+
+    Exactly-once under failure, not just clean restart: foreachBatch
+    alone is at-least-once (a crash between the write and the
+    checkpoint commit replays the batch), so the sink keys the write
+    on the checkpoint's batch id — each batch OVERWRITES its own
+    ``batch_id=N`` partition directory, making replays idempotent.
+    Readers see ``batch_id`` as an ordinary discovered partition
+    column of ``out_dir`` (the result schema must not itself contain
+    a ``batch_id`` column)."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
 
     q = (
         result.writeStream.foreachBatch(_sink)

@@ -60,6 +60,69 @@ def test_decode_real_raises(spark, payloads):
     )
 
 
+# ---------------------------------------------------------------------------
+# Decode-impl CONTRACT (round-5 ask #8): every decode implementation —
+# today's deterministic fake, any future real-codec integration — must
+# pass the same checks. When a real codec lands, add its impl name to
+# IMPLS and the contract holds it to the stub's guarantees; the
+# NotImplementedError gate (test_decode_real_raises above) keeps the
+# "real" slot honest until then.
+# ---------------------------------------------------------------------------
+
+IMPLS = ["fake"]  # + "real" once a codec is installed
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_decode_contract_schema_exact(spark, payloads, impl):
+    out = decode_images(payloads, impl=impl)
+    assert out.schema == DECODED_SCHEMA
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_decode_contract_row_preserving(spark, payloads, impl):
+    """Exactly one output row per input row — no drops, no fanout —
+    regardless of how Arrow batches the partitions."""
+    n_in = payloads.count()
+    for shaped in (payloads.repartition(11), payloads.coalesce(1)):
+        out = decode_images(shaped, impl=impl)
+        ids = [r.doc_id for r in out.collect()]
+        assert len(ids) == n_in and len(set(ids)) == n_in
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_decode_contract_deterministic(spark, payloads, impl):
+    """Same payload bytes → same decode output, across runs AND across
+    partitionings (a codec with hidden per-task state fails here)."""
+    a = {
+        r.doc_id: (r.width, r.height, r.channels, tuple(r.features))
+        for r in decode_images(payloads.repartition(5), impl=impl).collect()
+    }
+    b = {
+        r.doc_id: (r.width, r.height, r.channels, tuple(r.features))
+        for r in decode_images(payloads.coalesce(1), impl=impl).collect()
+    }
+    assert a == b
+
+
+@pytest.mark.parametrize("impl", IMPLS)
+def test_decode_contract_bounds_and_empty_payload(spark, payloads, impl):
+    """Dims positive, feature vector bounded (≤8 dims, values in
+    [0, 1]); a zero-byte payload must decode to a row, not a crash."""
+    empty = spark.createDataFrame(
+        [(999_999, bytearray(b""))], "doc_id long, payload binary"
+    )
+    out = decode_images(
+        payloads.limit(20).select("doc_id", "payload").unionByName(empty), impl=impl
+    ).collect()
+    assert len(out) == 21
+    for r in out:
+        assert r.width >= 1 and r.height >= 1 and r.channels >= 1
+        assert len(r.features) <= 8
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+    empties = [r for r in out if r.doc_id == 999_999]
+    assert len(empties) == 1 and empties[0].features == []
+
+
 def test_frame_sample_fanout(spark, payloads):
     frames = frame_sample(payloads, frame_size=64, every_k=4)
     assert frames.count() > 500  # 1→N fanout happened

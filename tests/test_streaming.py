@@ -184,6 +184,70 @@ def test_apply_in_pandas_with_state(spark, events_dir, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_rocksdb_state_store_provider(spark, events_dir, tmp_path):
+    """100 TB state posture (round-5 ask #7): the default HDFS-backed
+    state store keeps every key's state on the executor HEAP — fine
+    for tests, an OOM at production keyspaces (dedup over billions of
+    ids, per-user state across months). The deployment config is the
+    RocksDB provider, which spills keyed state to executor-local disk
+    with an off-heap block cache. Spark bundles rocksdbjni, so this
+    runs for real: same stateful query, RocksDB-backed, must produce
+    exactly the default-provider (batch-equal) result.
+
+    The conf is per-query-incarnation: set it BEFORE .start(), and
+    never flip providers on an EXISTING checkpoint (state files are
+    provider-specific; a changed provider on an old checkpoint fails
+    at restore — use a fresh checkpoint dir, as a real migration
+    would via state rebuild or the offline state-repartition tool)."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = P.incremental_events_source(spark, events_dir, max_files_per_trigger=1)
+        result = P.running_user_totals(stream)
+        q = (
+            result.writeStream.format("memory")
+            .queryName("t_rocks")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    got = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in spark.sql("SELECT * FROM t_rocks").collect()
+    }
+    batch = (
+        table(spark, SF_SMALL, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        )
+        .collect()
+    )
+    want = {r.user_id: (r.n, r.cents) for r in batch}
+    assert got == want and len(got) > 0
+    # the state store actually was RocksDB: its working dir materialized
+    import glob as _glob
+
+    assert _glob.glob(str(tmp_path / "ck_rocks" / "state" / "**" / "*.zip"), recursive=True) or _glob.glob(
+        str(tmp_path / "ck_rocks" / "state" / "**" / "*.changelog"), recursive=True
+    ) or _glob.glob(str(tmp_path / "ck_rocks" / "state" / "**" / "SSTs" / "*"), recursive=True), (
+        "no RocksDB snapshot artifacts under the checkpoint state dir"
+    )
+
+
 def test_state_timeout_evicts_and_resets(spark, tmp_path):
     """Timeout path of running_user_totals: with evict_after_ms set,
     a user's state that sees no data for longer than the timeout is
@@ -385,6 +449,42 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
     s3 = P.incremental_events_source(spark, str(src), max_files_per_trigger=1)
     P.run_foreach_batch_parquet(s3.select(*sel), ck, out)
     assert spark.read.parquet(out).count() == 900
+
+
+def test_foreach_batch_replay_after_crash_is_idempotent(spark, tmp_path):
+    """Exactly-once under FAILURE, not just clean restart: simulate a
+    crash between the sink write and the checkpoint commit by deleting
+    the newest commit marker, then restart from the same checkpoint.
+    Structured Streaming re-runs that batch; the per-batch_id
+    overwrite sink must absorb the replay without duplicating rows
+    (a blind append sink fails this test with 2x the rows)."""
+    src = tmp_path / "replay_src"
+    src.mkdir()
+    ev = table(spark, SF_SMALL, "events")
+    rows = ev.filter(F.col("event_id") < 300).select("event_id", "ts", "user_id")
+    _write_one_file(rows, tmp_path, str(src), "a.parquet")
+
+    ck, out = str(tmp_path / "ck_replay"), str(tmp_path / "out_replay")
+    sel = ["event_id", "ts", "user_id"]
+    s1 = P.incremental_events_source(spark, str(src))
+    P.run_foreach_batch_parquet(s1.select(*sel), ck, out)
+    assert spark.read.parquet(out).count() == 300
+
+    # "crash" after the sink wrote but before the commit landed
+    # (drop the marker AND its .crc shadow — the checksum FS refuses
+    # to re-commit over an orphaned crc)
+    commits = sorted(os.listdir(os.path.join(ck, "commits")))
+    newest = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(os.path.join(ck, "commits", newest))
+    crc = os.path.join(ck, "commits", f".{newest}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+
+    s2 = P.incremental_events_source(spark, str(src))
+    P.run_foreach_batch_parquet(s2.select(*sel), ck, out)
+    got = spark.read.parquet(out)
+    assert got.count() == 300  # replayed batch overwrote, not appended
+    assert got.select("event_id").distinct().count() == 300
 
 
 def test_stream_starts_over_empty_directory(spark, tmp_path):
