@@ -44,6 +44,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 20,
     algo: str = "minlabel",
+    fixed_rounds: int | None = None,
 ) -> DataFrame:
     """Return ``(id_col, cluster_id)`` where ``cluster_id`` is the
     minimum node id reachable from each node (singletons cluster with
@@ -57,7 +58,14 @@ def connected_components(
     contain long chains (e.g. transitive similarity at low
     thresholds).  Both return identical labels (pinned by
     tests/test_graph.py).
-    """
+
+    ``fixed_rounds`` (minlabel only): when the diameter bound is known
+    a priori (threshold near-dup graphs are near-cliques, diameter
+    ≤ ~4), run exactly that many propagation rounds with LAZY
+    checkpoints — one Spark job materializes the whole chain instead
+    of a driver-synced job + probe per round — then ONE confirming
+    round verifies the fixpoint. Too small a bound still NEVER
+    returns wrong labels: the confirmation raises instead."""
     if algo == "star":
         return _connected_components_star(
             nodes, edges, id_col, src_col, dst_col, max_iter
@@ -74,33 +82,49 @@ def connected_components(
     ).localCheckpoint(eager=True)
     sym = sym.localCheckpoint(eager=True)
 
+    def _propagate(labs: DataFrame) -> DataFrame:
+        neighbor_labs = sym.join(labs, sym["b"] == labs["node"]).select(
+            F.col("a").alias("node"), F.col("lab")
+        )
+        return labs.union(neighbor_labs).groupBy("node").agg(F.min("lab").alias("lab"))
+
+    def _changed(new: DataFrame, old: DataFrame) -> int:
+        return (
+            new.alias("n")
+            .join(old.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+
+    if fixed_rounds is not None:
+        # Lineage still cut per round (the lazy checkpoint wraps each
+        # round's plan in an RDD scan) but nothing materializes until
+        # the single eager checkpoint below — no per-round driver sync.
+        for _ in range(fixed_rounds):
+            labels = _propagate(labels).localCheckpoint(eager=False)
+        labels = labels.localCheckpoint(eager=True)
+        confirm = _propagate(labels).localCheckpoint(eager=True)
+        if _changed(confirm, labels) != 0:
+            raise RuntimeError(
+                f"connected_components(fixed_rounds={fixed_rounds}) had not "
+                "reached the fixpoint — the graph's diameter exceeds the "
+                "assumed bound; raise fixed_rounds or use the probe path"
+            )
+        return labels.select(
+            F.col("node").alias(id_col), F.col("lab").alias("cluster_id")
+        )
+
     converged = False
     for it in range(max_iter):
-        neighbor_labs = (
-            sym.join(labels, sym["b"] == labels["node"])
-            .select(F.col("a").alias("node"), F.col("lab"))
-        )
-        new_labels = (
-            labels.union(neighbor_labs)
-            .groupBy("node")
-            .agg(F.min("lab").alias("lab"))
-            .localCheckpoint(eager=True)
-        )
+        new_labels = _propagate(labels).localCheckpoint(eager=True)
         # The first round always changes something when any edge
         # exists, so the convergence probe (an extra job) starts at
         # round 2.
-        if it > 0:
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
-                .filter(F.col("n.lab") != F.col("o.lab"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                labels = new_labels
-                converged = True
-                break
+        if it > 0 and _changed(new_labels, labels) == 0:
+            labels = new_labels
+            converged = True
+            break
         labels = new_labels
     if not converged:
         # unconverged labels are WRONG (a component would be reported

@@ -1582,8 +1582,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_from_docs(d, "doc_id", "text", threshold=0.5, min_df=2)
+    # threshold-0.5 near-dup graphs are near-cliques (diameter ≤ ~4):
+    # fixed_rounds runs 4 lazily-checkpointed rounds in ONE job + one
+    # confirming round, instead of a driver-synced probe per round —
+    # and raises (never returns wrong labels) if the bound is beaten.
     cc = connected_components(
-        d.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+        d.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        fixed_rounds=4,
     )
     return cc.select(
         "doc_id",

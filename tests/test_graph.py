@@ -94,3 +94,46 @@ def test_unknown_algo_rejected(spark):
     nodes, edges = _fixture_graph(spark)
     with pytest.raises(ValueError, match="unknown algo"):
         connected_components(nodes, edges, algo="bogus")
+
+
+def test_fixed_rounds_matches_probe_path(spark):
+    """fixed_rounds (one materialize job + one confirming round) must
+    produce exactly the probe path's labels on the fixture graph
+    (diameter 3 ≤ 4)."""
+    nodes, edges = _fixture_graph(spark)
+    assert _labels(nodes, edges, fixed_rounds=4) == _labels(nodes, edges)
+
+
+def test_fixed_rounds_matches_on_real_pair_graph(spark):
+    """The registered dedup_clusters configuration (fixed_rounds=4)
+    against the probe path on the real sf0.01 near-dup pair graph."""
+    from conftest import SF_MEDIUM
+
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.dedup import ngram_jaccard_from_docs
+
+    d = table(spark, SF_MEDIUM, "documents")
+    pairs = ngram_jaccard_from_docs(
+        d, "doc_id", "text", threshold=0.5, min_df=2
+    ).localCheckpoint(eager=True)
+    nodes = d.select("doc_id")
+    kw = dict(id_col="doc_id", src_col="doc_a", dst_col="doc_b")
+    fixed = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, fixed_rounds=4, **kw).collect()
+    }
+    probed = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(nodes, pairs, **kw).collect()
+    }
+    assert fixed == probed
+
+
+def test_fixed_rounds_too_small_raises_not_wrong(spark):
+    """An under-estimated diameter bound must RAISE at the confirming
+    round — never return labels that split a component."""
+    n = 16  # chain of diameter 15 >> fixed_rounds=2
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="fixed_rounds=2"):
+        connected_components(nodes, edges, fixed_rounds=2).collect()
