@@ -72,33 +72,37 @@ def test_salted_agg_beats_naive_max_task_on_skew(spark):
 
     # Naive: one exchange on the bare key — the hot key's entire
     # distinct-set build lands on a single reducer task.
-    sc.setJobGroup("skew_naive", "naive single-phase")
-    naive_rows = {
-        r["key"]: r["nd"]
-        for r in df.groupBy("key")
-        .agg(F.size(F.collect_set("value")).alias("nd"))
-        .collect()
-    }
-    sc.setJobGroup("skew_done_naive", "")
-    naive_ms = _max_task_ms(spark, "skew_naive")
+    naive = df.groupBy("key").agg(F.size(F.collect_set("value")).alias("nd"))
 
     # Salted: salt on the VALUE hash, so equal values share a salt and
     # the per-(key, salt) distinct sets are disjoint — summing their
     # sizes in phase 2 is exact, while the hot key's state build
     # spreads over N_SALTS reducer tasks.
-    sc.setJobGroup("skew_salted", "salted two-phase")
-    salted_rows = {
-        r["key"]: r["nd"]
-        for r in salted_agg(
-            df,
-            key_cols=["key"],
-            measures={"nd": F.size(F.collect_set("value"))},
-            salt_col=F.xxhash64("value"),
-            n_salts=N_SALTS,
-        ).collect()
-    }
-    sc.setJobGroup("skew_done_salted", "")
-    salted_ms = _max_task_ms(spark, "skew_salted")
+    salted = salted_agg(
+        df,
+        key_cols=["key"],
+        measures={"nd": F.size(F.collect_set("value"))},
+        salt_col=F.xxhash64("value"),
+        n_salts=N_SALTS,
+    )
+
+    # Two trials per side, best (min) max-task per side: a single GC
+    # pause or JIT-cold task on a shared test JVM would otherwise
+    # flip the comparison (observed flaking under the full suite).
+    def _measure(plan, tag: str, trial: int):
+        group = f"skew_{tag}_{trial}"
+        sc.setJobGroup(group, tag)
+        rows = {r["key"]: r["nd"] for r in plan.collect()}
+        sc.setJobGroup(f"skew_idle_{tag}_{trial}", "")
+        return rows, _max_task_ms(spark, group)
+
+    naive_rows, naive_ms = _measure(naive, "naive", 0)
+    salted_rows, salted_ms = _measure(salted, "salted", 0)
+    for trial in (1,):
+        _, ms = _measure(naive, "naive", trial)
+        naive_ms = min(naive_ms, ms)
+        _, ms = _measure(salted, "salted", trial)
+        salted_ms = min(salted_ms, ms)
 
     # Result-identical (the correctness half of the A/B).
     assert salted_rows == naive_rows
