@@ -79,6 +79,66 @@ def quantize_int8(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def norm_outliers_by_label(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    band: float = 0.2,
+) -> DataFrame:
+    """Embedding QA: per-label L2-norm profile plus counts of vectors
+    whose norm deviates more than ``band`` (fractionally) from the
+    label mean — collapsed (near-zero) or exploded vectors poison
+    cosine thresholds and ANN recall long before they show up in
+    downstream evals.
+
+    Exactness: the norm itself is an index-ordered fold + sqrt
+    (deterministic, same as similarity.norm); the label mean goes
+    through scaled-integer sums. Scale: one keyed aggregate for the
+    stats, a broadcast of the k-row stats table back onto the norms,
+    one more keyed aggregate for the flags — no unkeyed shuffle."""
+    from .similarity import norm
+
+    norms = df.select(
+        F.col(label_col), F.col(id_col), F.round(norm(vec_col), 6).alias("__nrm")
+    )
+    scaled = F.round(F.col("__nrm") * SCALE).cast("long")
+    stats = (
+        norms.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(scaled).alias("__s"),
+            F.min("__nrm").alias("min_norm"),
+            F.max("__nrm").alias("max_norm"),
+        )
+        .select(
+            F.col(label_col),
+            "n_vecs",
+            F.round(
+                F.col("__s").cast("double") / (F.col("n_vecs") * SCALE), 6
+            ).alias("mean_norm"),
+            "min_norm",
+            "max_norm",
+        )
+    )
+    flagged = norms.join(
+        F.broadcast(stats.select(label_col, "mean_norm")), label_col
+    )
+    flags = flagged.groupBy(label_col).agg(
+        F.sum(
+            F.when(
+                F.col("__nrm") < (1.0 - band) * F.col("mean_norm"), 1
+            ).otherwise(0)
+        ).alias("n_low"),
+        F.sum(
+            F.when(
+                F.col("__nrm") > (1.0 + band) * F.col("mean_norm"), 1
+            ).otherwise(0)
+        ).alias("n_high"),
+    )
+    return stats.join(flags, label_col).orderBy(label_col)
+
+
 def signbit_bucket_dedup(df, id_col: str, vec_col: str, n_bits: int = 16):
     """SimHash-for-embeddings: bucket vectors by the sign pattern of
     their first ``n_bits`` dimensions (MSB-first integer), keep the

@@ -78,3 +78,77 @@ def split_assign(
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
     )
+
+
+def split_balance_tvd(
+    df: DataFrame,
+    key_col: str,
+    size_col: str,
+    bucket_width: int = 50,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Split-quality gate: total-variation distance between the
+    ``size_col`` distributions of each pair of splits produced by
+    ``split_assign``. A hash-keyed splitter should be size-blind;
+    a TVD drifting from ~0 flags a correlation between the split key
+    and document length (the classic way an eval set silently stops
+    representing the train set).
+
+    Exactness: TVD = ½·Σ|p_a − p_b| is computed as the exact integer
+    cross-product form ½·Σ|n_a[b]·T_b − n_b[b]·T_a| / (T_a·T_b) —
+    one float division at the very end, no float accumulation.
+
+    Scale: one corpus shuffle (the (split, bucket) count), then all
+    arithmetic happens on a ≤ 3·n_buckets-row table (checkpointed so
+    the three pair joins don't re-scan the corpus)."""
+    s = split_assign(df, key_col)
+    bucket = F.least(
+        F.lit(n_buckets - 1), F.expr(f"{size_col} div {bucket_width}")
+    ).alias("bucket")
+    counts = (
+        s.select("split", bucket)
+        .groupBy("split", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    totals = counts.groupBy("split").agg(F.sum("n").alias("t"))
+    pairs = df.sparkSession.createDataFrame(
+        [("train", "val"), ("train", "test"), ("val", "test")],
+        ["split_a", "split_b"],
+    )
+    grid = pairs.crossJoin(counts.select("bucket").distinct())
+    ca = counts.select(
+        F.col("split").alias("split_a"), "bucket", F.col("n").alias("__na")
+    )
+    cb = counts.select(
+        F.col("split").alias("split_b"), "bucket", F.col("n").alias("__nb")
+    )
+    ta = totals.select(F.col("split").alias("split_a"), F.col("t").alias("__ta"))
+    tb = totals.select(F.col("split").alias("split_b"), F.col("t").alias("__tb"))
+    j = (
+        grid.join(ca, ["split_a", "bucket"], "left")
+        .join(cb, ["split_b", "bucket"], "left")
+        .fillna(0, ["__na", "__nb"])
+        .join(ta, "split_a")
+        .join(tb, "split_b")
+    )
+    return (
+        j.groupBy("split_a", "split_b", "__ta", "__tb")
+        .agg(
+            F.sum(
+                F.abs(F.col("__na") * F.col("__tb") - F.col("__nb") * F.col("__ta"))
+            ).alias("__num")
+        )
+        .select(
+            "split_a",
+            "split_b",
+            F.col("__ta").alias("n_a"),
+            F.col("__tb").alias("n_b"),
+            F.round(
+                F.col("__num").cast("double")
+                / (F.lit(2.0) * F.col("__ta") * F.col("__tb")),
+                6,
+            ).alias("tvd"),
+        )
+        .orderBy("split_a", "split_b")
+    )

@@ -197,6 +197,58 @@ def corpus_ngram_counts(
     )
 
 
+def bigram_cond_prob_score(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X5 extension: corpus-bigram LM fluency score — the mean MLE
+    conditional probability P(w2 | w1) of a document's bigrams under
+    the bigram model trained on the corpus itself. Templated/
+    boilerplate text scores high, token salad scores low: the
+    model-based quality axis the ratio heuristics (quality_features)
+    don't see. (The log-prob variant is ln of the same ratios; the
+    arithmetic mean of probabilities is used so the score stays pure
+    rational arithmetic.)
+
+    Exactness: each bigram's probability is scaled-integer rounded
+    (``round(count(gram)·10⁶ / count(context))``) BEFORE the per-doc
+    sum, so no float-summation-order dependence exists anywhere —
+    the same convention as embeddings.py. The final mean is the
+    INTEGER division ``sum_ppm div n`` (truncating, exact in every
+    engine) rather than a rounded float: a round-to-6 there can land
+    on a .5 tie that HALF_UP and banker's rounding resolve
+    differently.
+
+    Scale: two corpus-wide counts (gram, context) with map-side
+    partial aggregation, two keyed shuffle joins back to the exploded
+    doc bigrams, one doc-keyed aggregate. Every shuffle is keyed; the
+    Zipfian gram space collapses in the partials."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    grams = t.select(
+        F.col(id_col), F.explode(bigrams("__t")).alias("gram")
+    ).select(
+        F.col(id_col),
+        F.substring_index("gram", " ", 1).alias("w1"),  # tokens have no spaces
+        "gram",
+    )
+    gc = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("__cg"))
+    uc = grams.groupBy("w1").agg(F.count(F.lit(1)).alias("__cu"))
+    p_scaled = F.round(
+        F.col("__cg").cast("double") * 1_000_000.0 / F.col("__cu")
+    ).cast("long")
+    per_doc = (
+        grams.join(gc, "gram")
+        .join(uc, "w1")
+        .select(F.col(id_col), p_scaled.alias("__p"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), F.sum("__p").alias("__s"))
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_bigrams",
+        (
+            F.expr("__s div n_bigrams").cast("double") / 1_000_000.0
+        ).alias("avg_cond_prob"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

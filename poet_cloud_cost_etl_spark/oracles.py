@@ -2256,3 +2256,83 @@ ORACLES["events_inter_arrival_stats"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+ORACLES["text_bigram_lm_score"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    gc AS (SELECT gram, COUNT(*) AS cg FROM grams GROUP BY 1),
+    uc AS (SELECT w1, COUNT(*) AS cu FROM grams GROUP BY 1),
+    ps AS (
+        SELECT g.doc_id,
+            CAST(ROUND(CAST(gc.cg AS DOUBLE) * 1000000.0 / uc.cu) AS BIGINT) AS p
+        FROM grams g JOIN gc USING (gram) JOIN uc USING (w1)
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+        CAST(CAST(SUM(p) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
+            AS avg_cond_prob
+    FROM ps GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES["split_balance_tvd"] = f"""
+    WITH s AS (
+        SELECT n_chars,
+            CASE WHEN {_UNIT.format(col='doc_id')} % 100 < 80 THEN 'train'
+                 WHEN {_UNIT.format(col='doc_id')} % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split
+        FROM documents
+    ),
+    c AS (
+        SELECT split, LEAST(9, n_chars // 50) AS bucket, COUNT(*) AS n
+        FROM s GROUP BY 1, 2
+    ),
+    t AS (SELECT split, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY 1),
+    pairs(split_a, split_b) AS (
+        VALUES ('train', 'val'), ('train', 'test'), ('val', 'test')
+    ),
+    grid AS (SELECT * FROM pairs, (SELECT DISTINCT bucket FROM c)),
+    j AS (
+        SELECT g.split_a, g.split_b, g.bucket,
+            COALESCE(ca.n, 0) AS na, COALESCE(cb.n, 0) AS nb
+        FROM grid g
+        LEFT JOIN c ca ON ca.split = g.split_a AND ca.bucket = g.bucket
+        LEFT JOIN c cb ON cb.split = g.split_b AND cb.bucket = g.bucket
+    )
+    SELECT j.split_a, j.split_b, ta.tot AS n_a, tb.tot AS n_b,
+        ROUND(CAST(SUM(ABS(na * tb.tot - nb * ta.tot)) AS DOUBLE)
+              / (2.0 * ta.tot * tb.tot), 6) AS tvd
+    FROM j
+    JOIN t ta ON ta.split = j.split_a
+    JOIN t tb ON tb.split = j.split_b
+    GROUP BY j.split_a, j.split_b, ta.tot, tb.tot
+    ORDER BY j.split_a, j.split_b
+"""
+
+ORACLES["embedding_norm_outliers"] = """
+    WITH norms AS (
+        SELECT label,
+            ROUND(sqrt(list_aggregate(
+                list_transform(CAST(embedding AS DOUBLE[]), x -> x * x),
+                'sum')), 6) AS nrm
+        FROM embeddings
+    ),
+    stats AS (
+        SELECT label,
+            COUNT(*) AS n_vecs,
+            ROUND(CAST(SUM(CAST(ROUND(nrm * 1000000.0) AS BIGINT)) AS DOUBLE)
+                  / (COUNT(*) * 1000000.0), 6) AS mean_norm,
+            MIN(nrm) AS min_norm,
+            MAX(nrm) AS max_norm
+        FROM norms GROUP BY label
+    )
+    SELECT s.label, s.n_vecs, s.mean_norm, s.min_norm, s.max_norm,
+        CAST(SUM(CASE WHEN n.nrm < (1.0 - 0.2) * s.mean_norm THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_low,
+        CAST(SUM(CASE WHEN n.nrm > (1.0 + 0.2) * s.mean_norm THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_high
+    FROM norms n JOIN stats s USING (label)
+    GROUP BY s.label, s.n_vecs, s.mean_norm, s.min_norm, s.max_norm
+    ORDER BY s.label
+"""

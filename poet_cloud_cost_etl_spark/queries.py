@@ -3099,6 +3099,49 @@ def q_events_inter_arrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline extensions, round 6: corpus-LM quality
+# scoring, split-distribution drift, embedding-norm QA
+# ---------------------------------------------------------------------------
+
+
+@query("text_bigram_lm_score")
+def q_text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 extension: mean corpus-bigram conditional probability per
+    document (operators/textstats.py:bigram_cond_prob_score) — the
+    model-based fluency axis of quality filtering (boilerplate scores
+    high, token salad low). Scaled-integer per-bigram probabilities,
+    so the score is exact across engines."""
+    from .operators.textstats import bigram_cond_prob_score
+
+    d = table(spark, sf_dir, "documents")
+    return bigram_cond_prob_score(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query("split_balance_tvd")
+def q_split_balance_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 extension: total-variation distance between the n_chars
+    distributions of the train/val/test splits
+    (operators/sampling.py:split_balance_tvd) — the drift gate that
+    verifies the hash splitter stayed size-blind. Exact integer
+    cross-product arithmetic; one corpus shuffle."""
+    from .operators.sampling import split_balance_tvd
+
+    d = table(spark, sf_dir, "documents")
+    return split_balance_tvd(d, "doc_id", "n_chars")
+
+
+@query("embedding_norm_outliers")
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14 extension: per-label L2-norm profile + ±20%-band outlier
+    counts (operators/embeddings.py:norm_outliers_by_label) —
+    collapsed/exploded-vector QA ahead of ANN indexing."""
+    from .operators.embeddings import norm_outliers_by_label
+
+    e = table(spark, sf_dir, "embeddings")
+    return norm_outliers_by_label(e, "vec_id", "embedding", "label")
+
+
+# ---------------------------------------------------------------------------
 # Registration-order rotation (round 6)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate verifies the FIRST 50 entries of this
