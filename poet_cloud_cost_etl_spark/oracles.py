@@ -2336,3 +2336,62 @@ ORACLES["embedding_norm_outliers"] = """
     GROUP BY s.label, s.n_vecs, s.mean_norm, s.min_norm, s.max_norm
     ORDER BY s.label
 """
+
+ORACLES["ann_recall_eval"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    lists AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')}) WHERE probe_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM embeddings WHERE vec_id < 5)', cents='cents')})
+        WHERE probe_rank <= 2
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS rank
+            FROM (
+                SELECT p.query_id, l.neighbor_id,
+                    ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                                 CAST(l.cv AS DOUBLE[])), 6) AS cos_sim
+                FROM lists l JOIN probes p USING (centroid_id)
+                WHERE l.neighbor_id <> p.query_id
+            )
+        )
+        WHERE rank <= 3
+    ),
+    bf AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])), 6)
+                        AS cos_sim
+                FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 5) q
+                WHERE e.vec_id <> q.vec_id
+            )
+        )
+        WHERE rank <= 3
+    )
+    SELECT bf.query_id,
+        COUNT(*) AS k,
+        CAST(SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_hit,
+        CAST(SUM(CASE WHEN ivf.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS DOUBLE) / COUNT(*) AS recall_at_k
+    FROM bf
+    LEFT JOIN ivf ON ivf.query_id = bf.query_id
+                 AND ivf.neighbor_id = bf.neighbor_id
+    GROUP BY bf.query_id
+    ORDER BY bf.query_id
+"""

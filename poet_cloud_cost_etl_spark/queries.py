@@ -3141,6 +3141,42 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return norm_outliers_by_label(e, "vec_id", "embedding", "label")
 
 
+@query("ann_recall_eval")
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X8 composition: per-query recall@3 of the IVF index
+    (nprobe=2) against exact brute force — the retrieval-quality
+    metric every ANN deployment monitors when tuning
+    nprobe/n_centroids. Both sides are existing oracle-checked
+    operators; the recall join is a keyed left join on
+    (query_id, neighbor_id). Exact arithmetic: n_hit/k is a single
+    double division of small integers."""
+    from .operators.similarity import brute_force_topk, ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    bf = brute_force_topk(q, e, "vec_id", "embedding", k=3).select(
+        "query_id", "neighbor_id"
+    )
+    ivf = ivf_topk(
+        q, e, "vec_id", "embedding", k=3, n_centroids=8, nprobe=2
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    return (
+        bf.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "k",
+            "n_hit",
+            (F.col("n_hit").cast("double") / F.col("k")).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation (round 6)
 # ---------------------------------------------------------------------------
