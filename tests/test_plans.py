@@ -124,6 +124,30 @@ def test_ivf_plan_broadcasts_centroids(spark):
     assert "Broadcast" in plan, plan
 
 
+def test_ivf_assignment_is_shuffle_free(spark):
+    """The assignment itself (round 6 rewrite) is a NARROW map: the
+    centroid array is broadcast and the per-row argmax happens inside
+    one transform/array_sort/slice expression — zero exchanges. A
+    regression to the crossJoin + row_number() window form re-adds an
+    N·k-row shuffle per assignment (three of them in the refined
+    query)."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        ivf_assign,
+        ivf_centroids,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    cents = ivf_centroids(e, "vec_id", "embedding", k=8)
+    assigned = ivf_assign(e, cents, "vec_id", "embedding", nprobe=1)
+    plan = X.physical_plan(assigned)
+    # the only exchange allowed is the 1-row broadcast of the
+    # collapsed centroid array (its collect_list agg coalesces to a
+    # single partition, not a hash shuffle of the corpus)
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert "row_number" not in plan, plan
+
+
 def test_scrub_is_single_stage(spark):
     """Cleaning is a scan-stage narrow map: no exchange at all."""
     q = QUERIES["text_scrub_pii"](spark, SF_SMALL)
