@@ -70,6 +70,12 @@ HEADLINE = [
     "pipeline_quality_gate",
     "scd2_user_event_type",
     "snapshot_diff_orders",
+    # round-6 new operators, benched from birth so they have timing
+    # history from their first official round.
+    "text_bigram_lm_score",
+    "split_balance_tvd",
+    "embedding_norm_outliers",
+    "ann_recall_eval",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
