@@ -3178,7 +3178,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Registration-order rotation (round 6)
+# Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
 # The driver's correctness gate verifies the FIRST 50 entries of this
 # dict against their DuckDB oracles.  Window history:
@@ -3189,85 +3189,50 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   r05     — the three ex-rows-only queries whose new oracles landed
 #             that round + backfill from the then-oldest rows (the
 #             r01/r02 cohort).  All 50 hash-green.
-#   r06     — staleness-first: the 50 names whose newest official row
-#             is r03 (the oldest cohort — everything else is r04/r05
-#             fresh), plus any queries registered this round (they
-#             precede the list head automatically).
-# Names in _ALREADY_DRIVER_CHECKED are re-inserted at the END of the
-# dict in list order, so the window is: [not-in-list names in
-# registration order] + [list head].  List order IS staleness order
-# (oldest official row first) — tests/test_rotation.py loads every
-# CORRECTNESS_r*.json and fails if the upcoming window is not exactly
-# [no-row-yet names] + [stalest rows], or if any query outside the
-# window would age past 3 rounds.  Every name, in or out of the
-# window, additionally stays pinned locally by
-# tests/test_oracle_parity.py, which sweeps ALL entries against
-# DuckDB at sf0.01.
-_R03_CHECKED = [
-    "map_funcs", "union_drifting_schema", "agg_percentile",
-    "subquery_correlated", "pivot_daily_services", "explode_top_tokens",
-    "agg_collect_sorted", "timeseries_gapfill", "anomaly_zscore",
-    "costs_by_service_currency", "salted_group_sum",
-    "two_phase_count_distinct", "region_restricted_filter",
-    "null_handling", "cross_join_dims", "having_filter",
-    "window_distribution", "regexp_extract_groups",
-    "q3_shipping_priority", "q5_regional_revenue", "agg_argminmax",
-    "unpivot_daily_services", "dedup_clusters", "ann_ivf",
-    "sample_deterministic", "sample_stratified", "pack_token_budget",
-    "text_scrub_pii", "text_repetition_filters",
-    "decontaminate_benchmark", "q10_returned_items", "q18_large_orders",
-    "multimodal_frame_sample", "q4_priority_check",
-    "q12_priority_by_returnflag", "q14_promo_revenue",
-    "q19_disjunctive_join", "q22_dormant_customers",
-    "embedding_label_centroids", "embedding_quantize_int8",
-    "q6_forecast_revenue", "q15_top_supplier",
-    "q17_small_quantity_revenue", "q21_waiting_orders", "dq_checks",
-    "sql_interface_report", "funnel_click_to_purchase",
-    "retention_cohorts", "text_char_entropy",
-    "minhash_similarity_estimate",
-]
-# Queries whose newest official row is r04 (the 34-query core of the
-# r04 window plus window_lag_delta, the one r01/r02 backfill name the
-# r05 window did not reach).
-_R04_CHECKED = [
-    "events_enrich_dim", "q2_min_cost_supplier", "q7_volume_shipping",
-    "q8_market_share", "q9_product_type_profit", "q11_important_stock",
-    "q13_customer_distribution", "q16_supplier_part_counts",
-    "q20_promotion_candidates", "events_sessionize_batch",
-    "timeweighted_avg_value", "window_share_of_total",
-    "window_first_last", "window_ntile_quartiles", "grouping_sets_costs",
-    "agg_filtered_conditional", "agg_bool_bitwise", "snapshot_diff_orders",
-    "upsert_latest_events", "tfidf_top_terms", "token_bigram_counts",
-    "token_zipf_fit", "doc_dup_shingle_fraction", "chunk_documents_overlap",
-    "split_assign_train_eval", "doc_length_histogram", "key_skew_profile",
-    "embedding_bucket_dedup", "pipeline_quality_gate", "ewma_daily_costs",
-    "daily_active_users_rolling7", "scd2_user_event_type",
-    "forward_fill_daily_costs", "events_inter_arrival_stats",
-    "window_lag_delta",
-]
-# Queries re-pinned by the r05 window (newest official row = r05).
-_R05_CHECKED = [
-    "agg_approx_distinct", "multimodal_decode_stub", "ann_ivf_refined",
-    "window_moving_avg", "window_running_total", "agg_stats",
-    "agg_rollup", "agg_cube", "set_intersect", "set_except",
-    "json_extract_props", "string_funcs", "date_funcs", "math_funcs",
-    "join_asof", "join_range", "dedup_exact", "dedup_fingerprint",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_embedding_cosine", "ann_topk_bruteforce", "ann_lsh_bucketed",
-    "text_token_counts", "text_quality_score", "text_lang_id",
-    "text_profile_by_lang", "doc_fingerprint_winnow",
-    "events_tumbling_daily", "events_sliding_2d", "events_session_window",
-    "events_dedup_state", "multimodal_metadata", "multimodal_payload_stats",
-    "array_funcs", "costs_normalize_events", "costs_union_view",
-    "costs_by_service_30d", "costs_daily_trend", "costs_by_account",
-    "top_accounts", "account_filter_in", "q1_pricing_summary",
-    "join_broadcast_dim", "join_chain_dims", "join_left_outer",
-    "join_semi", "join_anti", "window_topn_per_group",
-]
-# Backfill priority: oldest rows first — r03 cohort (now 3 rounds
-# stale, the whole r06 window), then r04, then r05 — so list order IS
-# staleness order.
-_ALREADY_DRIVER_CHECKED = _R03_CHECKED + _R04_CHECKED + _R05_CHECKED
-for _name in _ALREADY_DRIVER_CHECKED:
-    QUERIES[_name] = QUERIES.pop(_name)  # reinsert at the end
+#   r06+    — COMPUTED: the dict is reordered by (newest official
+#             round, registration index) read from the committed
+#             CORRECTNESS_r*.json files, so the window is always
+#             [queries with no official row yet, in registration
+#             order] + [stalest official rows].  The hand-maintained
+#             cohort lists of rounds 3-5 are gone: committing a
+#             round's CORRECTNESS file IS the rotation for the next
+#             round.
+# tests/test_rotation.py independently recomputes the window from the
+# same files and fails if it is not exactly [no-row-yet names] +
+# [stalest rows], or if any query outside the window would age past
+# 3 rounds.  Every name, in or out of the window, additionally stays
+# pinned locally by tests/test_oracle_parity.py, which sweeps ALL
+# entries against DuckDB at sf0.01.
+
+
+def _rotation_order() -> list[str]:
+    """All registered query names, staleness-first: names with no
+    official driver row yet (newly registered this round) first in
+    registration order, then ascending by the round of their newest
+    row in CORRECTNESS_r*.json (registration order as tie-break).
+    Outside the round-driver checkout (no CORRECTNESS files on disk)
+    this degrades to plain registration order, which only affects
+    window choice, never results."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    repo = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(_os.path.basename(path).split("_r")[1].split(".")[0])
+            with open(path) as f:
+                rows = _json.load(f)
+        except (OSError, ValueError):
+            continue
+        for name in rows:
+            if name in QUERIES:
+                last[name] = max(last.get(name, 0), rnd)
+    reg_index = {name: i for i, name in enumerate(QUERIES)}
+    return sorted(QUERIES, key=lambda n: (last.get(n, -1), reg_index[n]))
+
+
+for _name in _rotation_order():
+    QUERIES[_name] = QUERIES.pop(_name)  # reinsert in staleness order
 del _name
