@@ -1,0 +1,61 @@
+"""Partition-count invariance: the determinism contract that the
+whole float strategy (integer cents, scaled-integer sums, rounded
+folds) exists to guarantee. A 1000-executor run differs from
+local[4] precisely in scan split sizes and shuffle widths — so every
+result must be bit-identical when both knobs change. The oracle
+parity sweep pins results at ONE partitioning; this test pins the
+invariance itself on the queries whose arithmetic would drift first
+if a float summation-order dependence crept in."""
+
+from __future__ import annotations
+
+import pytest
+
+# The float-heaviest representatives of each family: money aggregate,
+# windowed running math, scaled-integer vector means, GEMM cosine
+# kernel, corpus-LM rationals, Lloyd-refined IVF (iterative + floats).
+QUERIES_UNDER_TEST = [
+    "costs_by_service_30d",
+    "window_moving_avg",
+    "embedding_label_centroids",
+    "dedup_embedding_cosine",
+    "text_bigram_lm_score",
+    "ann_ivf_refined",
+]
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(spark, name):
+    from poet_cloud_cost_etl_spark.queries import QUERIES
+
+    df = QUERIES[name](spark, SF)
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("name", QUERIES_UNDER_TEST)
+def test_result_invariant_under_partitioning(spark, name):
+    """Same query, three (shuffle width, scan split) settings —
+    including a 2-partition setting that forces different partial-
+    aggregation groupings and a 64/tiny-split setting that fragments
+    the scans — must collect identical rows."""
+    conf = spark.conf
+    baseline = _rows(spark, name)
+    settings = [
+        ("2", str(512 * 1024 * 1024)),  # wide tasks, narrow shuffle
+        ("64", str(256 * 1024)),  # tiny scan splits, wide shuffle
+    ]
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sp, mpb in settings:
+            conf.set("spark.sql.shuffle.partitions", sp)
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            assert _rows(spark, name) == baseline, (
+                f"{name} drifted at shuffle_partitions={sp}, "
+                f"maxPartitionBytes={mpb}"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
