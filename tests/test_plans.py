@@ -148,6 +148,22 @@ def test_ivf_assignment_is_shuffle_free(spark):
     assert "row_number" not in plan, plan
 
 
+def test_round6_queries_plan_shapes(spark):
+    """Round-6 operators: no cartesian products, no Python UDFs, and
+    the corpus-LM scorer's joins stay keyed (gram/context), never
+    nested-loop."""
+    for name in [
+        "text_bigram_lm_score",
+        "split_balance_tvd",
+        "embedding_norm_outliers",
+        "ann_recall_eval",
+    ]:
+        q = QUERIES[name](spark, SF_SMALL)
+        plan = X.physical_plan(q)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+
 def test_scrub_is_single_stage(spark):
     """Cleaning is a scan-stage narrow map: no exchange at all."""
     q = QUERIES["text_scrub_pii"](spark, SF_SMALL)

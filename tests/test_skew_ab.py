@@ -65,6 +65,47 @@ def _max_task_ms(spark, group: str) -> float:
     return worst
 
 
+def test_aqe_splits_skewed_join(spark):
+    """The OTHER half of the skew story: joins don't need salting —
+    session.py turns on AQE skew-join, and this proves the runtime
+    split actually fires on a skewed key rather than being a config
+    we merely set. The executed adaptive plan must show the join
+    running with skew=true over a skewed AQEShuffleRead."""
+    conf = spark.conf
+    overrides = {
+        # test-sized thresholds: the hot partition (~95% of rows) must
+        # count as skewed next to the advisory size
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            conf.set(k, v)
+        left = spark.range(0, 400_000, 1, 8).select(
+            F.when(F.pmod("id", F.lit(100)) < 95, F.lit(7))
+            .otherwise(F.pmod("id", F.lit(50)))
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        j = left.join(right.hint("shuffle_merge"), "k")
+        assert len(j.collect()) == 400_000  # inner join, every row kept
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final
+        assert "AQEShuffleRead" in final, final
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
 def test_salted_agg_beats_naive_max_task_on_skew(spark):
     df = _skewed_df(spark).localCheckpoint(eager=True)  # isolate agg cost
 
