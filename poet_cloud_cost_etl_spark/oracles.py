@@ -2395,3 +2395,21 @@ ORACLES["ann_recall_eval"] = f"""
     GROUP BY bf.query_id
     ORDER BY bf.query_id
 """
+
+ORACLES["dataset_fingerprint"] = """
+    WITH d AS (
+        SELECT CAST(('0x' || substr(md5(
+            CAST(o_orderkey AS VARCHAR) || '|' ||
+            CAST(o_custkey AS VARCHAR) || '|' ||
+            o_orderstatus || '|' ||
+            CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR) || '|' ||
+            CAST(o_orderdate AS VARCHAR) || '|' ||
+            o_orderpriority), 1, 15)) AS BIGINT) AS dg
+        FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+        bit_xor(dg) AS xor_digest,
+        MIN(dg) AS min_digest,
+        MAX(dg) AS max_digest
+    FROM d
+"""

@@ -3177,6 +3177,50 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dataset_fingerprint")
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-integrity extension: an order-independent content
+    fingerprint of the orders table — row count, XOR and min/max of a
+    canonical per-row digest (md5 over a '|'-joined rendering of the
+    business columns, money as integer cents). Any engine, any
+    partitioning, any row order produces the same fingerprint, so two
+    snapshots can be compared for silent drift with one cheap
+    aggregate per side — the reproducibility check a training-data
+    pipeline runs before declaring a dataset version immutable.
+    XOR is the combiner (commutative, associative, overflow-free);
+    sums of hashes are avoided because 64-bit wraparound semantics
+    differ across engines."""
+    o = table(spark, sf_dir, "orders")
+    row_digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    cents(F.col("o_totalprice")).cast("string"),
+                    F.col("o_orderdate").cast("string"),
+                    F.col("o_orderpriority"),
+                )
+            ),
+            1,
+            15,  # 60 bits: fits a signed long exactly
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        o.select(row_digest.alias("__d"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(__d)").alias("xor_digest"),
+            F.min("__d").alias("min_digest"),
+            F.max("__d").alias("max_digest"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
