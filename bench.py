@@ -76,6 +76,7 @@ HEADLINE = [
     "split_balance_tvd",
     "embedding_norm_outliers",
     "ann_recall_eval",
+    "dataset_fingerprint",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -21,6 +21,7 @@ QUERIES_UNDER_TEST = [
     "dedup_embedding_cosine",
     "text_bigram_lm_score",
     "ann_ivf_refined",
+    "dataset_fingerprint",  # XOR-digest order-independence is its whole claim
 ]
 
 SF = "/root/testdata/sf0.001"
