@@ -80,6 +80,54 @@ def split_assign(
     )
 
 
+def source_mixture_weights(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based mixture weights per source/domain — the
+    standard rebalancing step before sampling a training mix: weight
+    w_s ∝ n_s^alpha (alpha < 1 upweights small domains, alpha = 1 is
+    proportional), plus each source's integer share of a ``budget``
+    of samples. alpha=0.5 is the sqrt temperature most mixes start
+    from.
+
+    Exactness: n^alpha for alpha=0.5 is a single sqrt (IEEE-exact);
+    each value is scaled-integer rounded BEFORE the corpus-wide sum,
+    so the normalizing denominator is an exact integer and both the
+    weight and the floor-share are deterministic in any engine. For
+    other alphas pow() is used — still a single libm call per group,
+    rounded before summation.
+
+    Scale: one keyed count aggregate, then all arithmetic on a
+    k-row table joined to its own 1-row broadcast total."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = (
+        F.sqrt(F.col("n_docs").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_docs").cast("double"), F.lit(alpha))
+    )
+    scaled = counts.withColumn(
+        "__ws", F.round(powed * 1_000_000.0).cast("long")
+    )
+    total = scaled.agg(F.sum("__ws").alias("__wt"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            F.col(group_col),
+            "n_docs",
+            # ppm via integer division, not round-6: a float quotient
+            # can land on a .5 tie that engines round differently
+            (
+                F.expr("(1000000 * __ws) div __wt").cast("double") / 1_000_000.0
+            ).alias("weight"),
+            F.expr(f"({budget} * __ws) div __wt").alias("n_sampled"),
+        )
+        .orderBy(group_col)
+    )
+
+
 def split_balance_tvd(
     df: DataFrame,
     key_col: str,

@@ -2413,3 +2413,18 @@ ORACLES["dataset_fingerprint"] = """
         MAX(dg) AS max_digest
     FROM d
 """
+
+ORACLES["source_mixture_weights"] = """
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    s AS (
+        SELECT source, n_docs,
+            CAST(ROUND(sqrt(CAST(n_docs AS DOUBLE)) * 1000000.0) AS BIGINT) AS ws
+        FROM c
+    ),
+    t AS (SELECT CAST(SUM(ws) AS BIGINT) AS wt FROM s)
+    SELECT source, n_docs,
+        CAST((1000000 * ws) // wt AS DOUBLE) / 1000000.0 AS weight,
+        (10000 * ws) // wt AS n_sampled
+    FROM s, t
+    ORDER BY source
+"""

@@ -3177,6 +3177,19 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("source_mixture_weights")
+def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9 extension: sqrt-temperature mixture weights per document
+    source + integer share of a 10,000-sample budget
+    (operators/sampling.py:source_mixture_weights) — the domain-
+    rebalancing table a training mix is sampled from. Scaled-integer
+    normalization, integer-division shares: exact in any engine."""
+    from .operators.sampling import source_mixture_weights
+
+    d = table(spark, sf_dir, "documents")
+    return source_mixture_weights(d, "source", budget=10_000, alpha=0.5)
+
+
 @query("dataset_fingerprint")
 def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-integrity extension: an order-independent content

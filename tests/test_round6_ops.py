@@ -75,6 +75,31 @@ def test_tvd_detects_injected_size_skew(spark):
     assert rows[("val", "test")] == 0.0  # both entirely in the 900 bucket
 
 
+def test_mixture_weights_sqrt_upweights_small_domains(spark):
+    """alpha=0.5 on a 900/100 split: the small domain's weight must
+    exceed its proportional share (0.1 → 0.25 at sqrt temperature),
+    weights sum to ~1, and floor shares never exceed the budget."""
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        source_mixture_weights,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        ["doc_id", "source"],
+    )
+    rows = {
+        r.source: r
+        for r in source_mixture_weights(df, "source", budget=1000).collect()
+    }
+    assert rows["small"].n_docs == 100 and rows["big"].n_docs == 900
+    # sqrt temperature: 10/(30+10) = 0.25 exactly
+    assert rows["small"].weight == 0.25 and rows["big"].weight == 0.75
+    assert rows["small"].weight > 100 / 1000  # upweighted vs proportional
+    total_sampled = rows["small"].n_sampled + rows["big"].n_sampled
+    assert total_sampled <= 1000  # floor shares never oversubscribe
+    assert rows["small"].n_sampled == 250
+
+
 def test_norm_outliers_uniform_norms_flag_nothing(spark):
     """All vectors on the unit sphere → mean norm 1.0, zero outliers
     in the ±20% band."""
