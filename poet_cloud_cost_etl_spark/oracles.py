@@ -2428,3 +2428,19 @@ ORACLES["source_mixture_weights"] = """
     FROM s, t
     ORDER BY source
 """
+
+# Funnel stage 4 wraps the full dedup_clusters recursive-CTE oracle as
+# a subquery, so the two stay in lockstep by construction.
+ORACLES["dedup_funnel"] = f"""
+    SELECT '1_total' AS stage, COUNT(*) AS n_surviving FROM documents
+    UNION ALL
+    SELECT '2_exact', COUNT(DISTINCT text) FROM documents
+    UNION ALL
+    SELECT '3_fingerprint', COUNT(DISTINCT
+        md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                ' +', ' ', 'g')))) FROM documents
+    UNION ALL
+    SELECT '4_near_dup_clusters', COUNT(DISTINCT cluster_id)
+    FROM ({ORACLES['dedup_clusters']})
+    ORDER BY stage
+"""

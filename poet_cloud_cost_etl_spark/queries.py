@@ -3190,6 +3190,40 @@ def q_source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(d, "source", budget=10_000, alpha=0.5)
 
 
+@query("dedup_funnel")
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2/X7 composition: the survivorship report a dedup pipeline
+    publishes — how many documents remain after each stage (exact →
+    canonical fingerprint → near-dup clustering). Each stage is an
+    existing oracle-checked operator; the funnel is four tiny
+    aggregates unioned, so the report costs one pass per stage and
+    shows where the corpus actually shrinks."""
+    from .operators.dedup import fingerprint
+
+    d = table(spark, sf_dir, "documents")
+
+    def one(stage: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(stage).alias("stage"), F.col("n").alias("n_surviving")
+        )
+
+    total = one("1_total", d.agg(F.count(F.lit(1)).alias("n")))
+    exact = one("2_exact", d.agg(F.countDistinct("text").alias("n")))
+    fp = one(
+        "3_fingerprint",
+        d.agg(F.countDistinct(fingerprint(F.col("text"))).alias("n")),
+    )
+    clusters = one(
+        "4_near_dup_clusters",
+        QUERIES["dedup_clusters"](spark, sf_dir).agg(
+            F.countDistinct("cluster_id").alias("n")
+        ),
+    )
+    return total.unionByName(exact).unionByName(fp).unionByName(clusters).orderBy(
+        "stage"
+    )
+
+
 @query("dataset_fingerprint")
 def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-integrity extension: an order-independent content
