@@ -14,6 +14,12 @@ matches):
 - Averages are derived from exact integer sums and counts, never from
   engine-native AVG accumulators.
 - Similarities/ratios are rounded to 4-6 decimals on both sides.
+- **Final means avoid ROUND(x, 6) when x is a ratio of exact
+  integers**: a quotient can land exactly on a .5 tie at the 6th
+  decimal, and HALF_UP (Spark) vs banker's/away (other engines) then
+  disagree by 1e-6. The convention (round 6+) is integer division of
+  the scaled sum — ``(10⁶·s) div n`` — then one exact double
+  division; see ``textstats.bigram_cond_prob_score``.
 - Every ORDER BY carries a unique tie-break column.
 """
 
