@@ -94,7 +94,9 @@ def norm_outliers_by_label(
 
     Exactness: the norm itself is an index-ordered fold + sqrt
     (deterministic, same as similarity.norm); the label mean goes
-    through scaled-integer sums. Scale: one keyed aggregate for the
+    through scaled-integer sums reduced by integer division (ppm),
+    never ROUND on a float quotient — a .5-tie there rounds HALF_UP
+    in Spark but banker's in other engines. Scale: one keyed aggregate for the
     stats, a broadcast of the k-row stats table back onto the norms,
     one more keyed aggregate for the flags — no unkeyed shuffle."""
     from .similarity import norm
@@ -114,9 +116,7 @@ def norm_outliers_by_label(
         .select(
             F.col(label_col),
             "n_vecs",
-            F.round(
-                F.col("__s").cast("double") / (F.col("n_vecs") * SCALE), 6
-            ).alias("mean_norm"),
+            (F.expr("__s div n_vecs").cast("double") / SCALE).alias("mean_norm"),
             "min_norm",
             "max_norm",
         )

@@ -67,6 +67,11 @@ def connected_components(
     round verifies the fixpoint. Too small a bound still NEVER
     returns wrong labels: the confirmation raises instead."""
     if algo == "star":
+        if fixed_rounds is not None:
+            raise ValueError(
+                "fixed_rounds is a minlabel-only optimization; "
+                "algo='star' schedules its own rounds"
+            )
         return _connected_components_star(
             nodes, edges, id_col, src_col, dst_col, max_iter
         )

@@ -143,8 +143,12 @@ def split_balance_tvd(
     representing the train set).
 
     Exactness: TVD = ½·Σ|p_a − p_b| is computed as the exact integer
-    cross-product form ½·Σ|n_a[b]·T_b − n_b[b]·T_a| / (T_a·T_b) —
-    one float division at the very end, no float accumulation.
+    cross-product form ½·Σ|n_a[b]·T_b − n_b[b]·T_a| / (T_a·T_b) in
+    decimal(38,0) — int64 would wrap once the cross-product reaches
+    ~0.08·N² (N ≈ 1e10 rows, plausible at 100 TB) — then reduced to
+    ppm by integer division (the round-6 convention: no ROUND on a
+    float quotient of exact integers), one exact float division by
+    10⁶ at the very end.
 
     Scale: one corpus shuffle (the (split, bucket) count), then all
     arithmetic happens on a ≤ 3·n_buckets-row table (checkpointed so
@@ -180,11 +184,15 @@ def split_balance_tvd(
         .join(ta, "split_a")
         .join(tb, "split_b")
     )
+    dec = "decimal(38,0)"
     return (
         j.groupBy("split_a", "split_b", "__ta", "__tb")
         .agg(
             F.sum(
-                F.abs(F.col("__na") * F.col("__tb") - F.col("__nb") * F.col("__ta"))
+                F.abs(
+                    F.col("__na").cast(dec) * F.col("__tb").cast(dec)
+                    - F.col("__nb").cast(dec) * F.col("__ta").cast(dec)
+                )
             ).alias("__num")
         )
         .select(
@@ -192,10 +200,12 @@ def split_balance_tvd(
             "split_b",
             F.col("__ta").alias("n_a"),
             F.col("__tb").alias("n_b"),
-            F.round(
-                F.col("__num").cast("double")
-                / (F.lit(2.0) * F.col("__ta") * F.col("__tb")),
-                6,
+            (
+                F.expr(
+                    f"(1000000 * __num) div (2 * cast(__ta as {dec})"
+                    f" * cast(__tb as {dec}))"
+                ).cast("double")
+                / 1_000_000.0
             ).alias("tvd"),
         )
         .orderBy("split_a", "split_b")

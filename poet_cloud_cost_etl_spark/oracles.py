@@ -2301,8 +2301,10 @@ ORACLES["split_balance_tvd"] = f"""
         LEFT JOIN c cb ON cb.split = g.split_b AND cb.bucket = g.bucket
     )
     SELECT j.split_a, j.split_b, ta.tot AS n_a, tb.tot AS n_b,
-        ROUND(CAST(SUM(ABS(na * tb.tot - nb * ta.tot)) AS DOUBLE)
-              / (2.0 * ta.tot * tb.tot), 6) AS tvd
+        CAST((1000000 * SUM(ABS(CAST(na AS HUGEINT) * tb.tot
+                                - CAST(nb AS HUGEINT) * ta.tot)))
+             // (2 * CAST(ta.tot AS HUGEINT) * tb.tot) AS DOUBLE)
+            / 1000000.0 AS tvd
     FROM j
     JOIN t ta ON ta.split = j.split_a
     JOIN t tb ON tb.split = j.split_b
@@ -2321,8 +2323,8 @@ ORACLES["embedding_norm_outliers"] = """
     stats AS (
         SELECT label,
             COUNT(*) AS n_vecs,
-            ROUND(CAST(SUM(CAST(ROUND(nrm * 1000000.0) AS BIGINT)) AS DOUBLE)
-                  / (COUNT(*) * 1000000.0), 6) AS mean_norm,
+            CAST(SUM(CAST(ROUND(nrm * 1000000.0) AS BIGINT)) // COUNT(*)
+                 AS DOUBLE) / 1000000.0 AS mean_norm,
             MIN(nrm) AS min_norm,
             MAX(nrm) AS max_norm
         FROM norms GROUP BY label

@@ -3304,9 +3304,13 @@ def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _rotation_order() -> list[str]:
     """All registered query names, staleness-first: names with no
-    official driver row yet (newly registered this round) first in
-    registration order, then ascending by the round of their newest
-    row in CORRECTNESS_r*.json (registration order as tie-break).
+    GREEN official driver row yet first in registration order, then
+    ascending by the round of their newest GREEN row in
+    CORRECTNESS_r*.json (registration order as tie-break).  Only
+    green rows (rows_match and hash_match true, err null) count as
+    official: a red or rows-only row must NOT defer a query's
+    re-check — it re-enters the upcoming window immediately, exactly
+    as the rounds-3-5 manual protocol pulled non-green names back in.
     Outside the round-driver checkout (no CORRECTNESS files on disk)
     this degrades to plain registration order, which only affects
     window choice, never results."""
@@ -3323,8 +3327,14 @@ def _rotation_order() -> list[str]:
                 rows = _json.load(f)
         except (OSError, ValueError):
             continue
-        for name in rows:
-            if name in QUERIES:
+        for name, row in rows.items():
+            green = (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("hash_match") is True
+                and row.get("err") is None
+            )
+            if green and name in QUERIES:
                 last[name] = max(last.get(name, 0), rnd)
     reg_index = {name: i for i, name in enumerate(QUERIES)}
     return sorted(QUERIES, key=lambda n: (last.get(n, -1), reg_index[n]))

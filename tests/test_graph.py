@@ -137,3 +137,13 @@ def test_fixed_rounds_too_small_raises_not_wrong(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="fixed_rounds=2"):
         connected_components(nodes, edges, fixed_rounds=2).collect()
+
+
+def test_fixed_rounds_rejected_for_star(spark):
+    """fixed_rounds is documented minlabel-only; algo='star' must
+    refuse it loudly instead of silently taking the probe-per-round
+    star path (r6 advice)."""
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    with pytest.raises(ValueError, match="minlabel-only"):
+        connected_components(nodes, edges, algo="star", fixed_rounds=4)

@@ -37,11 +37,21 @@ MAX_STALE = 3
 
 
 def _latest_official_round() -> dict[str, int]:
+    """Newest GREEN row per query.  A red or rows-only row (err set,
+    or a match flag not true) is not an official check — counting it
+    would defer the query's re-check for up to MAX_STALE rounds."""
     last: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
         rnd = int(os.path.basename(path).split("_r")[1].split(".")[0])
-        for name in json.load(open(path)):
-            last[name] = max(last.get(name, 0), rnd)
+        for name, row in json.load(open(path)).items():
+            green = (
+                isinstance(row, dict)
+                and row.get("rows_match") is True
+                and row.get("hash_match") is True
+                and row.get("err") is None
+            )
+            if green:
+                last[name] = max(last.get(name, 0), rnd)
     return last
 
 
