@@ -33,6 +33,14 @@ def _build_parser() -> argparse.ArgumentParser:
     sync_p.add_argument("--sf-dir", default=None, help="fixture dir to sync from")
     sync_p.add_argument("--dry-run", action="store_true")
     sync_p.add_argument("--no-raw", action="store_true", help="skip raw landing")
+    sync_p.add_argument(
+        "--months",
+        "-m",
+        type=int,
+        default=None,
+        help="temporal scope: only records from the last N calendar "
+        "months (reference main.py --months); default = full history",
+    )
 
     sub.add_parser("list-accounts", help="configured account registry")
     sub.add_parser("test-connection", help="engine round-trip probe")
@@ -92,6 +100,7 @@ def _dispatch(args: argparse.Namespace, spark: SparkSession, cfg) -> int:
             dry_run=args.dry_run,
             write_raw=not args.no_raw,
             config=cfg,
+            months=args.months,
         )
         print(json.dumps({"tables": report.tables, "failures": report.failures}))
         return 0 if not report.failures else 1

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass, field
-from datetime import datetime
+from datetime import date, datetime
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,6 +40,16 @@ class SyncReport:
         return not self.failures
 
 
+def sync_window_start(ts: datetime, months: int) -> date:
+    """First day of the calendar month ``months - 1`` months before
+    ``ts``'s month — ``--months 1`` means "the current month", like
+    the reference's default (``src/main.py:39``)."""
+    if months < 1:
+        raise ValueError(f"months must be >= 1, got {months}")
+    total = ts.year * 12 + (ts.month - 1) - (months - 1)
+    return date(total // 12, total % 12 + 1, 1)
+
+
 def sync(
     spark: SparkSession,
     sources: list[Source],
@@ -48,6 +58,7 @@ def sync(
     dry_run: bool = False,
     write_raw: bool = True,
     config: "EngineConfig | None" = None,
+    months: int | None = None,
 ) -> SyncReport:
     """Run the full extract→normalize→view pipeline.
 
@@ -58,7 +69,15 @@ def sync(
     ``config`` (config.EngineConfig, reference src/config.py:32-61)
     supplies the output root when ``output_root`` is None and, when
     ``config.jdbc_url`` is set, additionally lands each normalized
-    table via the JDBC sink (S6) — the reference's PostgreSQL load."""
+    table via the JDBC sink (S6) — the reference's PostgreSQL load.
+
+    ``months`` (reference ``--months N``, src/main.py:39): keep only
+    records dated on/after the start of the calendar month N-1 months
+    before ``sync_timestamp``. The cutoff is computed driver-side and
+    compared as a plain literal against the source's declared
+    ``date_column()``, so it reaches the parquet scan as a pushed
+    filter (or a partition filter on date-partitioned layouts)
+    instead of a post-scan Filter over the full history."""
     if output_root is None:
         if config is None:
             raise ValueError("sync() needs output_root or config")
@@ -67,10 +86,18 @@ def sync(
     report = SyncReport()
     normalized: dict[str, DataFrame] = {}
 
+    start = sync_window_start(ts, months) if months is not None else None
+
     for src in sources:
         t0 = time.time()
         try:
             raw = src.read(spark)
+            if start is not None:
+                dc = getattr(src, "date_column", lambda: None)()
+                if dc is not None:
+                    from pyspark.sql import functions as F
+
+                    raw = raw.filter(F.col(dc) >= F.lit(start))
             if dry_run:
                 print(f"[dry-run] {src.name}: schema={raw.schema.simpleString()}")
                 continue

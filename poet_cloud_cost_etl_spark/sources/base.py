@@ -30,6 +30,13 @@ class Source(Protocol):
 
     def cloud_provider(self) -> str: ...
 
+    def date_column(self) -> str | None:
+        """Raw column carrying the record date (DateType or
+        TimestampType), used by ``sync --months N`` temporal scoping
+        (reference src/main.py:39). None = source is not
+        date-scopable and ``months`` leaves it unfiltered."""
+        ...
+
 
 @dataclass
 class SourceRegistry:
@@ -50,6 +57,7 @@ def make_source(
     read: Callable[[SparkSession], DataFrame],
     mapping: Callable[[], dict[str, Column]],
     provider: str,
+    date_col: str | None = None,
 ) -> Source:
     """Ad-hoc source from callables (keeps plugin authoring 3 lines)."""
 
@@ -61,6 +69,7 @@ def make_source(
     s.read = read
     s.cost_mapping = mapping
     s.cloud_provider = lambda: provider
+    s.date_column = lambda: date_col
     return s
 
 
@@ -84,6 +93,7 @@ def fixture_sources(sf_dir: str) -> list[Source]:
             "currency": F.lit("USD"),
         },
         provider="aws",
+        date_col="ts",
     )
     orders = make_source(
         "orders",
@@ -97,5 +107,6 @@ def fixture_sources(sf_dir: str) -> list[Source]:
             "currency": F.lit("USD"),
         },
         provider="gcp",
+        date_col="o_orderdate",
     )
     return [events, orders]

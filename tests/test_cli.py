@@ -65,3 +65,17 @@ def test_sync_jdbc_failure_does_not_leak_into_view(spark, tmp_path, monkeypatch)
     monkeypatch.setenv("SPARK_GRAFT_JDBC_URL", "jdbc:nosuchdriver:nowhere")
     rc = main(["sync", "--sf-dir", SF_SMALL, "--no-raw"], spark=spark)
     assert rc == 1
+
+
+def test_sync_cli_months_flag(spark, tmp_path, capsys, monkeypatch):
+    """--months plumbs through to pipeline.sync (reference main.py
+    --months). Anchored at the real current date, the 1995-2001
+    orders and 2024 events fixtures both fall outside a 2-month
+    window — every table syncs as 0 rows via the P9 guard."""
+    monkeypatch.setenv("SPARK_GRAFT_OUTPUT", str(tmp_path / "out"))
+    monkeypatch.delenv("SPARK_GRAFT_JDBC_URL", raising=False)
+    rc = main(
+        ["sync", "--sf-dir", SF_SMALL, "--no-raw", "--months", "2"], spark=spark
+    )
+    out = json.loads(capsys.readouterr().out)
+    assert rc == 0 and out["tables"] == {"events": 0, "orders": 0}

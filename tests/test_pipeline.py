@@ -132,3 +132,77 @@ def test_failure_after_normalize_stays_out_of_view(spark, tmp_path, monkeypatch)
     }
     assert providers == {"aws"}  # orders (gcp) excluded from the view
     assert real_write is not failing_write
+
+
+def test_sync_window_start_math():
+    from datetime import date
+
+    from poet_cloud_cost_etl_spark.pipeline import sync_window_start
+
+    # months=1 = "the current month" (reference --months default)
+    assert sync_window_start(datetime(2001, 8, 15), 1) == date(2001, 8, 1)
+    assert sync_window_start(datetime(2001, 8, 15), 3) == date(2001, 6, 1)
+    # year-boundary crossing
+    assert sync_window_start(datetime(2024, 1, 10), 2) == date(2023, 12, 1)
+    assert sync_window_start(datetime(2024, 2, 29), 14) == date(2023, 1, 1)
+    import pytest
+
+    with pytest.raises(ValueError, match="months"):
+        sync_window_start(datetime(2024, 1, 1), 0)
+
+
+def test_sync_months_scopes_sources(spark, tmp_path):
+    """--months N parity (reference src/main.py:39): only records from
+    the last N calendar months relative to sync_timestamp survive."""
+    from poet_cloud_cost_etl_spark.sources.base import fixture_sources
+
+    ts = datetime(2001, 8, 15)  # orders fixture spans 1995-01..2001-08
+    report = sync(
+        spark,
+        fixture_sources(SF_SMALL),
+        output_root=str(tmp_path / "out"),
+        sync_timestamp=ts,
+        months=3,
+        write_raw=False,
+    )
+    assert report.ok, report.failures
+    expected_orders = (
+        table(spark, SF_SMALL, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-06-01"))
+        .count()
+    )
+    assert 0 < expected_orders < 1500
+    assert report.tables["orders"] == expected_orders
+    # events (2024) sit entirely after the 2001 window start: kept
+    assert report.tables["events"] == 1000
+
+
+def test_sync_months_empty_window_hits_p9_guard(spark, tmp_path):
+    """A window after all data must flow into the P9 empty-input path
+    (0-row report entries), not fail."""
+    from poet_cloud_cost_etl_spark.sources.base import fixture_sources
+
+    report = sync(
+        spark,
+        fixture_sources(SF_SMALL),
+        output_root=str(tmp_path / "out"),
+        sync_timestamp=datetime(2030, 1, 1),
+        months=1,
+        write_raw=False,
+    )
+    assert report.ok, report.failures
+    assert report.tables == {"events": 0, "orders": 0}
+
+
+def test_sync_months_filter_reaches_scan(spark):
+    """The month cutoff is a plain literal against the raw date
+    column, so it must arrive at the parquet scan as a pushed filter
+    (P7) — not a post-scan Filter over full history."""
+    from datetime import date
+
+    from poet_cloud_cost_etl_spark.plans import explain as X
+
+    raw = table(spark, SF_SMALL, "orders").filter(
+        F.col("o_orderdate") >= F.lit(date(2001, 6, 1))
+    )
+    assert X.has_pushed_filter(raw, "o_orderdate"), X.formatted_plan(raw)
