@@ -171,15 +171,23 @@ def normalize_mapped(
     mapping: dict[str, "F.Column"],
     cloud_provider: str,
     sync_timestamp: datetime,
+    cost_type: Optional[T.DataType] = None,
 ) -> DataFrame:
     """Generalized normalize for non-CUR sources (the ``BaseSource``
     plugin recipe, reference ``src/sources/base.py:8-22`` +
     CLAUDE.md:101-105): caller supplies Column expressions for the six
-    data columns; metadata columns are stamped here."""
+    data columns; metadata columns are stamped here.
+
+    ``cost_type`` mirrors ``normalize``'s money override: pass e.g.
+    ``T.DecimalType(38, 10)`` for DDL parity with the reference's
+    DECIMAL cost column (sql/init.sql:19) — decimal sums are then
+    exact at any scale, with no integer-cents detour needed."""
     proj = []
     for target in ("date", "account_id", "service", "region", "cost", "currency"):
         expr = mapping.get(target, F.lit(None))
-        proj.append(expr.cast(NORMALIZED_TYPES[target]).alias(target))
+        t = cost_type if (target == "cost" and cost_type is not None) \
+            else NORMALIZED_TYPES[target]
+        proj.append(expr.cast(t).alias(target))
     proj += [
         F.lit(cloud_provider).alias("cloud_provider"),
         F.lit(source_table).alias("source_table"),

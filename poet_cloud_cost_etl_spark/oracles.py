@@ -48,6 +48,24 @@ COSTS_VIEW = f"({EVENTS_COSTS} UNION ALL {ORDERS_COSTS})"
 
 ORACLES["costs_normalize_events"] = EVENTS_COSTS
 
+# DECIMAL-money DDL parity (reference sql/init.sql:19): same
+# projection, cost as DECIMAL(38,10). Safe to hash because no double
+# lands exactly on a 10^-k tie point (non-dyadic), so both engines'
+# nearest-value rounding agrees.
+ORACLES["costs_normalize_decimal"] = """
+    SELECT
+        CAST(ts AS DATE) AS date,
+        CAST(user_id AS VARCHAR) AS account_id,
+        event_type AS service,
+        CAST(NULL AS VARCHAR) AS region,
+        CAST(value AS DECIMAL(38,10)) AS cost,
+        'USD' AS currency,
+        'aws' AS cloud_provider,
+        'events' AS source_table,
+        TIMESTAMP '2026-01-01 00:00:00' AS sync_timestamp
+    FROM events
+"""
+
 ORACLES["costs_union_view"] = f"""
     SELECT
         cloud_provider,

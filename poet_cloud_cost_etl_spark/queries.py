@@ -140,6 +140,36 @@ def q_costs_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events_as_costs(spark, sf_dir)
 
 
+@query("costs_normalize_decimal")
+def q_costs_normalize_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL parity with the reference's DECIMAL money column
+    (sql/init.sql:19, README.md:115): the normalized projection with
+    cost as DecimalType(38,10) instead of double — row-level
+    hash-checked against DuckDB's own DECIMAL cast. Double→decimal
+    rounding is engine-portable here because the tie points of any
+    10^-k grid (…5·10^-k-1) are not dyadic rationals, so no double
+    ever sits exactly on one. Decimal sums stay exact at any scale
+    with no integer-cents detour (money-exactness convention twin)."""
+    from pyspark.sql import types as T
+
+    ev = table(spark, sf_dir, "events")
+    return normalize_mapped(
+        ev,
+        source_table="events",
+        mapping={
+            "date": F.col("ts").cast("date"),
+            "account_id": F.col("user_id").cast("string"),
+            "service": F.col("event_type"),
+            "region": F.lit(None),
+            "cost": F.col("value"),
+            "currency": F.lit("USD"),
+        },
+        cloud_provider="aws",
+        sync_timestamp=SYNC_TS,
+        cost_type=T.DecimalType(38, 10),
+    )
+
+
 @query("costs_union_view")
 def q_costs_union_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2 + A3: provider×service totals over the unified view."""

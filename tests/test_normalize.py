@@ -162,3 +162,39 @@ def test_cost_type_decimal_roundtrips_sink(spark, tmp_path):
     assert dict(back.dtypes)["cost"] == "decimal(10,2)"
     vals = {str(r.cost) for r in back.select("cost").collect()}
     assert vals == {"12.34", "None"}
+
+
+def test_normalize_mapped_decimal_cost(spark):
+    """cost_type=DecimalType (reference sql/init.sql:19 DECIMAL
+    parity): the money column lands as exact decimal and sums with no
+    floating error — 0.1 added 100 times is exactly 10."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from poet_cloud_cost_etl_spark.operators.normalize import normalize_mapped
+
+    df = spark.range(100).select(F.lit("0.1").alias("amount"))
+    out = normalize_mapped(
+        df,
+        source_table="t",
+        mapping={"cost": F.col("amount")},
+        cloud_provider="aws",
+        sync_timestamp=datetime(2026, 1, 1),
+        cost_type=T.DecimalType(38, 10),
+    )
+    assert out.schema["cost"].dataType == T.DecimalType(38, 10)
+    total = out.agg(F.sum("cost").alias("s")).collect()[0].s
+    assert total == Decimal("10.0")
+    # null-on-error coercion (N5) still holds for decimal under the
+    # pinned non-ANSI session
+    bad = normalize_mapped(
+        spark.createDataFrame([("x",)], ["amount"]),
+        source_table="t",
+        mapping={"cost": F.col("amount")},
+        cloud_provider="aws",
+        sync_timestamp=datetime(2026, 1, 1),
+        cost_type=T.DecimalType(38, 10),
+    )
+    assert bad.collect()[0].cost is None
