@@ -1,0 +1,147 @@
+#!/usr/bin/env python3
+"""Order-of-magnitude scale probe (round-6 ask #3).
+
+The 100×-design claims in the plan audits deserve an empirical point
+beyond sf0.1, but the driver only materializes sf{0.001,0.01,0.1}.
+This script builds a 10× scale-up of sf0.1 (so ~sf1.0) in /tmp and
+times the heaviest queries at both scales, writing the curve to
+BENCH_SF1_r{N}.json at the repo root.
+
+Scale-up construction (deterministic, DuckDB):
+- documents: 10 ID-offset copies; every token in copy i is prefixed
+  ``c{i}`` so cross-copy shingle/bigram overlap vanishes — the
+  near-dup graph scales linearly (10× clusters), NOT as artificial
+  10-cliques of identical texts, which would quadratically inflate
+  LSH bucket pair-generation and measure a fiction. n_chars is
+  recomputed from the rewritten text.
+- embeddings: 10 ID-offset copies; dimension 0 shifted by 0.001·i so
+  copies are near but not identical (IVF assignment stays spread).
+- orders: 10 key-offset copies (window_distribution ranks a unique
+  key, so copies just widen the distribution).
+
+Usage: python scripts/scale_probe.py [--out BENCH_SF1_r07.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = "/root/testdata/sf0.1"
+SCALED = "/tmp/spark-graft-sf1.0"
+COPIES = 10
+HEAVY = [
+    "dedup_clusters",
+    "ann_ivf_refined",
+    "text_bigram_lm_score",
+    "window_distribution",
+    "tfidf_top_terms",
+]
+N_RUNS = 3
+
+
+def build_scaled(src: str, dst: str, copies: int = COPIES) -> None:
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW copies AS SELECT unnest(range({copies})) AS c")
+
+    con.execute(
+        f"""
+        COPY (
+            SELECT d.doc_id + c.c * 10000000 AS doc_id,
+                   regexp_replace(d.text, '(\\S+)', 'c' || c.c || '\\1', 'g')
+                       AS text,
+                   d.lang, d.source,
+                   length(regexp_replace(d.text, '(\\S+)',
+                                         'c' || c.c || '\\1', 'g')) AS n_chars
+            FROM read_parquet('{src}/documents.parquet') d, copies c
+        ) TO '{dst}/documents.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT e.vec_id + c.c * 10000000 AS vec_id,
+                   CAST(list_concat([e.embedding[1] + 0.001 * c.c],
+                                    e.embedding[2:]) AS FLOAT[]) AS embedding,
+                   e.label
+            FROM read_parquet('{src}/embeddings.parquet') e, copies c
+        ) TO '{dst}/embeddings.parquet' (FORMAT parquet)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT o.* REPLACE (o.o_orderkey + c.c * 1000000000 AS o_orderkey)
+            FROM read_parquet('{src}/orders.parquet') o, copies c
+        ) TO '{dst}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from poet_cloud_cost_etl_spark.queries import QUERIES
+
+    out: dict[str, float] = {}
+    for name in HEAVY:
+        QUERIES[name](spark, sf_dir).count()  # warm-up, untimed
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+        out[name] = round(statistics.median(runs), 4)
+        print(f"  {sf_dir.split('/')[-1]} {name}: {out[name]}s", file=sys.stderr)
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SF1_r07.json"))
+    args = ap.parse_args()
+
+    if not os.path.exists(os.path.join(SCALED, "orders.parquet")):
+        print("building 10x scale-up ...", file=sys.stderr)
+        build_scaled(SF01, SCALED)
+
+    from poet_cloud_cost_etl_spark.config import EngineConfig
+    from poet_cloud_cost_etl_spark.session import build_session
+
+    cfg = EngineConfig.from_env()
+    spark = build_session(app_name="scale-probe", **cfg.session_kwargs())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    small = time_queries(spark, SF01)
+    big = time_queries(spark, SCALED)
+    record = {
+        "metric": "scale_probe_10x",
+        "unit": "sec",
+        "copies": COPIES,
+        "n_runs": N_RUNS,
+        "sf0.1": small,
+        "sf1.0": big,
+        # observed time ratio for 10x data; linear=10, quadratic=100.
+        "ratio_10x": {
+            n: round(big[n] / small[n], 2) if small[n] > 0 else None
+            for n in HEAVY
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(record, f, indent=1, sort_keys=True)
+        f.write("\n")
+    print(json.dumps(record))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
