@@ -85,6 +85,12 @@ HEADLINE = [
     "embedding_norm_outliers",
     "ann_recall_eval",
     "dataset_fingerprint",
+    # round-7 new operators, benched from birth.
+    "doc_chunks",
+    "vocab_coverage",
+    "dedup_incremental",
+    "template_clusters",
+    "costs_normalize_decimal",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -397,3 +397,82 @@ def dup_shingle_fraction(df: DataFrame, id_col: str, text_col: str) -> DataFrame
             ).alias("dup_fraction"),
         )
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """X23: corpus-delta dedup — classify each NEW document against an
+    already-ingested corpus by canonical fingerprint: ``dup_corpus``
+    (fingerprint already in the corpus), ``dup_batch`` (first seen in
+    this batch under a smaller id), or ``kept``. This is the
+    append-only ingestion path: the corpus is never re-deduped, only
+    probed — a batch-vs-corpus semi-join instead of the quadratic
+    re-cluster a naive re-run would pay.
+
+    Scale: the corpus side reduces to DISTINCT fingerprints before
+    the join (shuffle bounded by unique-content count); the batch
+    self-ranking is a window over the batch only. Both joins key on
+    the fingerprint, so skew equals content-duplication skew, which
+    is exactly what AQE skew-split handles."""
+    from pyspark.sql.window import Window
+
+    fp_new = new_docs.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp")
+    )
+    fp_corpus = corpus.select(
+        fingerprint(F.col(text_col)).alias("__fp")
+    ).distinct()
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    ranked = fp_new.join(
+        fp_corpus.withColumn("__in_corpus", F.lit(1)), "__fp", "left"
+    ).withColumn("__rn", F.row_number().over(w))
+    return ranked.select(
+        F.col(id_col),
+        F.when(F.col("__in_corpus").isNotNull(), F.lit("dup_corpus"))
+        .when(F.col("__rn") > 1, F.lit("dup_batch"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+    )
+
+
+def template_prefix_clusters(
+    df: DataFrame, id_col: str, text_col: str, prefix_tokens: int = 3
+) -> DataFrame:
+    """X25: boilerplate / template detection — cluster documents
+    sharing their first ``prefix_tokens`` canonical tokens (md5 of the
+    joined prefix). Templated corpora (scraped headers, form letters,
+    license preambles) show up as large prefix clusters long before
+    full near-dup detection fires; the cluster exemplar (min id) is
+    the doc to inspect.
+
+    Output: one row per template with >= 2 docs —
+    (template_fp, n_docs, exemplar_id), largest clusters first.
+
+    Scale: one hash aggregate on the prefix fingerprint; no pairs, no
+    explode — linear in documents with a vocabulary-sized shuffle."""
+    t = df.select(
+        F.col(id_col),
+        F.md5(
+            F.array_join(
+                F.slice(
+                    F.expr(f"filter({TOKENS_SQL.format(col=text_col)}, x -> x != '')"),
+                    1,
+                    prefix_tokens,
+                ),
+                " ",
+            )
+        ).alias("template_fp"),
+    )
+    return (
+        t.groupBy("template_fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(F.col(id_col)).alias("exemplar_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("template_fp"))
+    )

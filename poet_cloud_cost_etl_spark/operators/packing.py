@@ -1,6 +1,6 @@
-"""Token-budget packing: chunk a document stream into ~budget-token
-packs (context windows) for LLM training (SURVEY §2.11 extension
-family).
+"""Token-budget packing and document chunking: structure a document
+stream into ~budget-token packs / overlapping context-window chunks
+for LLM training (SURVEY §2.11 extension family).
 
 Semantics: within each shard, documents are laid end-to-end in key
 order and cut into packs of ``budget`` tokens — pack id = exclusive
@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .dedup import TOKENS_SQL
 from .sampling import unit_hash
 
 
@@ -48,4 +49,54 @@ def pack_by_token_budget(
         F.col("shard"),
         F.col(token_col),
         F.floor(prefix / F.lit(budget)).cast("long").alias("pack_id"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """X21: split each document into overlapping token-window chunks —
+    the standard context-window preparation step (stride =
+    ``chunk_tokens - overlap``; the final chunk may be short; a chunk
+    starts at every stride multiple < n_tokens, so every token lands
+    in at least one chunk and no chunk is empty).
+
+    Output: (id, chunk_id, chunk_start, n_tokens, chunk_text) where
+    chunk_start is the 0-based token offset and chunk_text the
+    space-joined token slice.
+
+    Scale: tokenize → sequence → explode → slice is a narrow map —
+    zero shuffles; output size is input tokens × (1 + overlap/stride),
+    a constant-factor expansion exactly like production chunkers.
+    Documents whose canonical token stream is empty produce no chunks
+    (nothing to train on)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens, got {overlap}")
+    stride = chunk_tokens - overlap
+    t = df.select(
+        F.col(id_col),
+        F.expr(
+            f"filter({TOKENS_SQL.format(col=text_col)}, x -> x != '')"
+        ).alias("__t"),
+    ).filter(F.size("__t") > 0)
+    starts = F.expr(f"sequence(0, size(__t) - 1, {stride})")
+    return (
+        t.select(F.col(id_col), F.col("__t"), F.posexplode(starts))
+        .select(
+            F.col(id_col),
+            F.col("pos").cast("long").alias("chunk_id"),
+            F.col("col").cast("long").alias("chunk_start"),
+            F.least(
+                F.lit(chunk_tokens).cast("long"),
+                (F.size("__t") - F.col("col")).cast("long"),
+            ).alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("__t"), F.col("col") + 1, F.lit(chunk_tokens)),
+                " ",
+            ).alias("chunk_text"),
+        )
     )

@@ -327,3 +327,56 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
             F.regr_intercept(F.log(F.col("freq")), F.log(F.col("rank"))), 6
         ).alias("intercept"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, id_col: str, text_col: str, top_ks: list[int]
+) -> DataFrame:
+    """X22: vocabulary coverage curve — for each K in ``top_ks``, the
+    share of all token OCCURRENCES covered by the K most frequent
+    token types (rank by count desc, token asc for determinism). The
+    complement is the UNK rate a K-entry vocabulary would pay; the
+    curve is how tokenizer vocab sizes get chosen.
+
+    Output: (top_k, vocab_size, total_tokens, covered_tokens,
+    unk_ppm) — unk_ppm via exact integer division (engine-portable).
+
+    Scale: the token frequency table is one hash aggregate over the
+    exploded token stream (map-side partial combine bounds the
+    shuffle at vocabulary size, not corpus size). The rank window and
+    the K-grid join then run on the VOCABULARY-sized table — millions
+    of rows at web scale, not corpus-sized — so the single-direction
+    orderBy window there is bounded, and the K cutoffs are a
+    broadcast cross of a handful of literals."""
+    toks = df.select(F.explode(tokens(text_col)).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = freq.select(
+        F.col("n"), F.row_number().over(w).alias("rank")
+    )
+    ks = ranked.sparkSession.createDataFrame(
+        [(int(k),) for k in top_ks], ["top_k"]
+    )
+    grid = ks.crossJoin(ranked)
+    per_k = grid.groupBy("top_k").agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+        F.sum(F.when(F.col("rank") <= F.col("top_k"), F.col("n")).otherwise(0))
+        .alias("covered_tokens"),
+    )
+    return per_k.select(
+        "top_k",
+        "vocab_size",
+        "total_tokens",
+        "covered_tokens",
+        (
+            F.expr(
+                "(1000000 * (total_tokens - covered_tokens)) div total_tokens"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("unk_ppm"),
+    ).orderBy("top_k")

@@ -2464,3 +2464,99 @@ ORACLES["dedup_funnel"] = f"""
     FROM ({ORACLES['dedup_clusters']})
     ORDER BY stage
 """
+
+# Canonical token list (the TOKENS_SQL twin): lower → strip
+# non-alphanumerics → split on space runs → drop empties.
+_TOKLIST = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower({col}),"
+    " '[^a-z0-9 ]', '', 'g')), ' +'), x -> x <> '')"
+)
+
+# X21 chunking: 64-token windows, stride 48 (overlap 16). DuckDB list
+# slicing is 1-based inclusive and clamps, matching Spark's
+# slice(arr, start, length) on the same bounds.
+ORACLES["doc_chunks"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKLIST.format(col='text')} AS tk FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE len(tk) > 0),
+    starts AS (
+        SELECT doc_id, tk,
+            unnest(generate_series(0, len(tk) - 1, 48)) AS s
+        FROM nz
+    )
+    SELECT doc_id,
+        CAST(s // 48 AS BIGINT) AS chunk_id,
+        CAST(s AS BIGINT) AS chunk_start,
+        CAST(LEAST(64, len(tk) - s) AS BIGINT) AS n_tokens,
+        array_to_string(tk[s + 1 : s + 64], ' ') AS chunk_text
+    FROM starts
+"""
+
+# X22 vocabulary coverage curve; unk_ppm by exact integer division.
+ORACLES["vocab_coverage"] = f"""
+    WITH toks AS (
+        SELECT unnest({_TOKLIST.format(col='text')}) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS rank
+        FROM freq
+    ),
+    ks(top_k) AS (VALUES (5), (15), (50))
+    SELECT CAST(top_k AS BIGINT) AS top_k,
+        COUNT(*) AS vocab_size,
+        CAST(SUM(n) AS BIGINT) AS total_tokens,
+        CAST(SUM(CASE WHEN rank <= top_k THEN n ELSE 0 END) AS BIGINT)
+            AS covered_tokens,
+        CAST((1000000 * (SUM(n) - SUM(CASE WHEN rank <= top_k THEN n ELSE 0 END)))
+             // SUM(n) AS DOUBLE) / 1000000.0 AS unk_ppm
+    FROM ks, ranked
+    GROUP BY top_k
+    ORDER BY top_k
+"""
+
+# X23 incremental (corpus-delta) dedup: canonical fingerprint probe of
+# the 20% hash-threshold batch against the 80% corpus.
+_CANON_FP = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')))"
+)
+ORACLES["dedup_incremental"] = f"""
+    WITH batch AS (
+        SELECT doc_id, {_CANON_FP} AS fp FROM documents
+        WHERE {_UNIT.format(col='doc_id')} >= 3435973836
+    ),
+    corpus AS (
+        SELECT DISTINCT {_CANON_FP} AS fp FROM documents
+        WHERE {_UNIT.format(col='doc_id')} < 3435973836
+    ),
+    ranked AS (
+        SELECT b.doc_id, b.fp,
+            (c.fp IS NOT NULL) AS in_corpus,
+            ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS rn
+        FROM batch b LEFT JOIN corpus c ON b.fp = c.fp
+    )
+    SELECT doc_id,
+        CASE WHEN in_corpus THEN 'dup_corpus'
+             WHEN rn > 1 THEN 'dup_batch'
+             ELSE 'kept' END AS status
+    FROM ranked
+    ORDER BY doc_id
+"""
+
+# X25 template/boilerplate detection: first-3-token prefix clusters.
+ORACLES["template_clusters"] = f"""
+    WITH t AS (
+        SELECT doc_id,
+            md5(array_to_string(({_TOKLIST.format(col='text')})[1:3], ' '))
+                AS template_fp
+        FROM documents
+    )
+    SELECT template_fp, COUNT(*) AS n_docs,
+        CAST(MIN(doc_id) AS BIGINT) AS exemplar_id
+    FROM t
+    GROUP BY template_fp
+    HAVING COUNT(*) >= 2
+    ORDER BY n_docs DESC, template_fp ASC
+"""

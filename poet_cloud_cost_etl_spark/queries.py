@@ -3304,6 +3304,57 @@ def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("doc_chunks")
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: overlapping context-window chunking
+    (operators/packing.py:chunk_documents) — 64-token chunks with a
+    16-token overlap, row-level hash-checked including the chunk
+    text itself."""
+    from .operators.packing import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+@query("vocab_coverage")
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: vocabulary coverage / UNK-rate curve
+    (operators/textstats.py:vocab_coverage) at K = 5, 15, 50 — the
+    fixture vocabulary is ~30 types, so the grid spans partial to
+    full coverage."""
+    from .operators.textstats import vocab_coverage
+
+    d = table(spark, sf_dir, "documents")
+    return vocab_coverage(d, "doc_id", "text", top_ks=[5, 15, 50])
+
+
+@query("dedup_incremental")
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: corpus-delta dedup (operators/dedup.py:incremental_dedup).
+    The hash-threshold 80% of documents plays the already-ingested
+    corpus; the other 20% is the incoming batch, each doc classified
+    kept / dup_corpus / dup_batch."""
+    from .operators.dedup import incremental_dedup
+    from .operators.sampling import UNIT_DENOM, unit_hash
+
+    d = table(spark, sf_dir, "documents")
+    cut = int(0.8 * UNIT_DENOM)
+    corpus = d.filter(unit_hash("doc_id") < cut)
+    batch = d.filter(unit_hash("doc_id") >= cut)
+    return incremental_dedup(batch, corpus, "doc_id", "text").orderBy("doc_id")
+
+
+@query("template_clusters")
+def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: boilerplate/template detection
+    (operators/dedup.py:template_prefix_clusters) — documents sharing
+    their first 3 canonical tokens, clusters of >= 2."""
+    from .operators.dedup import template_prefix_clusters
+
+    d = table(spark, sf_dir, "documents")
+    return template_prefix_clusters(d, "doc_id", "text", prefix_tokens=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
