@@ -91,6 +91,7 @@ HEADLINE = [
     "dedup_incremental",
     "template_clusters",
     "costs_normalize_decimal",
+    "shingle_novelty",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

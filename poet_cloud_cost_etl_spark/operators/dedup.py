@@ -476,3 +476,42 @@ def template_prefix_clusters(
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.desc("n_docs"), F.asc("template_fp"))
     )
+
+
+def shingle_novelty(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X24: per-document n-gram novelty — the fraction of a doc's
+    distinct 3-shingles whose FIRST corpus occurrence (minimum doc
+    id) is this document. Low-novelty docs restate what the corpus
+    already contains (template tails, quote farms); curation pours
+    them out before near-dup detection even fires. Docs with no
+    shingles (< 3 tokens) are excluded.
+
+    novelty_ppm derives from exact integer counts by integer
+    division (the engine's cross-engine float convention).
+
+    Scale: one hash aggregate builds the shingle→min(doc) table
+    (shuffle bounded by distinct-shingle count, skew = shingle
+    doc-frequency skew, AQE-splittable); the join back is keyed on
+    the shingle and re-uses that partitioning; then one per-doc
+    aggregate. Same shape as dup_shingle_fraction — no pairs."""
+    sh = doc_shingles(df, id_col, text_col)
+    first = sh.groupBy("shingle").agg(F.min(F.col(id_col)).alias("__first"))
+    return (
+        sh.join(first, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            "n_novel",
+            (
+                F.expr("(1000000 * n_novel) div n_shingles").cast("double")
+                / 1_000_000.0
+            ).alias("novelty_ppm"),
+        )
+    )

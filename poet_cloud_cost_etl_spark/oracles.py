@@ -2560,3 +2560,19 @@ ORACLES["template_clusters"] = f"""
     HAVING COUNT(*) >= 2
     ORDER BY n_docs DESC, template_fp ASC
 """
+
+# X24 per-doc shingle novelty (first-occurrence attribution by min
+# doc id); novelty_ppm via exact integer division.
+ORACLES["shingle_novelty"] = f"""
+    WITH {_SHINGLE_CTE},
+    first AS (SELECT shingle, MIN(doc_id) AS f FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+        COUNT(*) AS n_shingles,
+        CAST(SUM(CASE WHEN first.f = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel,
+        CAST((1000000 * SUM(CASE WHEN first.f = sh.doc_id THEN 1 ELSE 0 END))
+             // COUNT(*) AS DOUBLE) / 1000000.0 AS novelty_ppm
+    FROM sh JOIN first USING (shingle)
+    GROUP BY sh.doc_id
+    ORDER BY novelty_ppm, sh.doc_id
+"""

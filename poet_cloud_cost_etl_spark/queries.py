@@ -3344,6 +3344,20 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, corpus, "doc_id", "text").orderBy("doc_id")
 
 
+@query("shingle_novelty")
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: per-doc n-gram novelty (operators/dedup.py:
+    shingle_novelty) — share of each doc's distinct 3-shingles first
+    introduced by that doc (min-doc-id attribution), ordered by
+    least-novel first."""
+    from .operators.dedup import shingle_novelty
+
+    d = table(spark, sf_dir, "documents")
+    return shingle_novelty(d, "doc_id", "text").orderBy(
+        "novelty_ppm", "doc_id"
+    )
+
+
 @query("template_clusters")
 def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X25: boilerplate/template detection

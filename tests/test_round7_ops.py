@@ -136,3 +136,23 @@ def test_chunking_plan_is_narrow(spark):
     d = table(spark, SF_SMALL, "documents")
     q = chunk_documents(d, "doc_id", "text", 64, 16)
     assert X.count_exchanges(q) == 0, X.physical_plan(q)
+
+
+def test_shingle_novelty_attribution_by_min_id(spark):
+    """X24: the doc introducing a shingle (min id) gets the credit;
+    an exact restatement under a larger id scores 0; a fresh doc
+    scores 1. ppm derives from integer division."""
+    from poet_cloud_cost_etl_spark.operators.dedup import shingle_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),       # introduces everything
+            (2, "alpha beta gamma delta"),       # restates doc 1 -> 0
+            (3, "epsilon zeta eta theta iota"),  # all fresh -> 1
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in shingle_novelty(df, "doc_id", "text").collect()}
+    assert got[1].novelty_ppm == 1.0 and got[1].n_shingles == 2
+    assert got[2].novelty_ppm == 0.0 and got[2].n_novel == 0
+    assert got[3].novelty_ppm == 1.0 and got[3].n_shingles == 3
