@@ -92,6 +92,8 @@ HEADLINE = [
     "template_clusters",
     "costs_normalize_decimal",
     "shingle_novelty",
+    "chunk_dedup_rate",
+    "embedding_label_separation",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -166,3 +166,69 @@ def signbit_bucket_dedup(df, id_col: str, vec_col: str, n_bits: int = 16):
             (F.col(id_col) == F.col("canonical_id")).alias("is_canonical"),
         )
     )
+
+
+def label_separation(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """X27: inter-label centroid separation — cosine similarity
+    between every pair of label centroids (label_a < label_b). High
+    inter-class similarity predicts nearest-centroid confusion and
+    weak cluster structure before any classifier is trained.
+
+    Exactness: centroids use the proven per-dim scaled-integer mean
+    (same formula as label_centroids, hash-green on negative
+    components); each centroid component is then re-scaled to an
+    EXACT ppm integer so the dot product and norms are order-free
+    integer sums — float enters only at the final sqrt/division,
+    rounded to 6 (the similarity convention). |c|<=1e6 ppm and <=4096
+    dims keeps every sum far inside int64.
+
+    Scale: one (label, dim) aggregate over the corpus; the pair join
+    runs on the k·dims centroid table (k = label count) — corpus
+    size never appears in the join."""
+    dims = df.select(
+        F.col(label_col).alias("__lab"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    scaled = F.round(F.col("val").cast("double") * SCALE).cast("long")
+    cents = (
+        dims.groupBy("__lab", "dim")
+        .agg(F.sum(scaled).alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.col("__lab"),
+            "dim",
+            F.round(
+                F.round(
+                    F.col("__s").cast("double") / (F.col("__n") * SCALE), 6
+                )
+                * SCALE
+            )
+            .cast("long")
+            .alias("__cppm"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    a = cents.select(
+        F.col("__lab").alias("label_a"), "dim", F.col("__cppm").alias("__ca")
+    )
+    b = cents.select(
+        F.col("__lab").alias("label_b"), "dim", F.col("__cppm").alias("__cb")
+    )
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("__ca") * F.col("__cb")).alias("__dot"),
+            F.sum(F.col("__ca") * F.col("__ca")).alias("__na"),
+            F.sum(F.col("__cb") * F.col("__cb")).alias("__nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(
+            F.col("__dot").cast("double")
+            / (F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))),
+            6,
+        ).alias("cos_sim"),
+    ).orderBy("label_a", "label_b")

@@ -2576,3 +2576,39 @@ ORACLES["shingle_novelty"] = f"""
     GROUP BY sh.doc_id
     ORDER BY novelty_ppm, sh.doc_id
 """
+
+# X26 chunk-level dedup rate per source (wraps the doc_chunks oracle
+# so the two stay in lockstep by construction).
+ORACLES["chunk_dedup_rate"] = f"""
+    WITH chunks AS ({ORACLES['doc_chunks']})
+    SELECT d.source,
+        COUNT(*) AS n_chunks,
+        CAST(COUNT(DISTINCT md5(c.chunk_text)) AS BIGINT) AS n_distinct,
+        CAST((1000000 * (COUNT(*) - COUNT(DISTINCT md5(c.chunk_text))))
+             // COUNT(*) AS DOUBLE) / 1000000.0 AS dup_ppm
+    FROM chunks c JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    ORDER BY d.source
+"""
+
+# X27 inter-label centroid cosine separation: centroid ppm integers
+# (the proven label-centroid mean, re-scaled exactly), order-free
+# integer dot/norm sums, one final sqrt/division rounded to 6.
+ORACLES["embedding_label_separation"] = """
+    WITH cents AS (
+        SELECT label, CAST(i AS INTEGER) AS dim,
+            CAST(ROUND(ROUND(
+                CAST(SUM(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000))
+                     AS DOUBLE) / (COUNT(*) * 1000000), 6) * 1000000)
+                 AS BIGINT) AS cppm
+        FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+        GROUP BY label, dim
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+        ROUND(CAST(SUM(a.cppm * b.cppm) AS DOUBLE)
+              / (sqrt(CAST(SUM(a.cppm * a.cppm) AS DOUBLE))
+                 * sqrt(CAST(SUM(b.cppm * b.cppm) AS DOUBLE))), 6) AS cos_sim
+    FROM cents a JOIN cents b ON a.dim = b.dim AND a.label < b.label
+    GROUP BY a.label, b.label
+    ORDER BY label_a, label_b
+"""

@@ -3369,6 +3369,51 @@ def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return template_prefix_clusters(d, "doc_id", "text", prefix_tokens=3)
 
 
+@query("chunk_dedup_rate")
+def q_chunk_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: sub-document repetition — chunk the corpus (X21), md5 each
+    chunk text, and report per-source chunk dedup rates. Catches
+    repetition that document-level dedup can't see (shared sections
+    inside otherwise-distinct docs). Composition of chunk_documents +
+    fingerprint + one aggregate; dup share via integer division."""
+    from .operators.packing import chunk_documents
+
+    d = table(spark, sf_dir, "documents")
+    chunks = chunk_documents(d, "doc_id", "text", chunk_tokens=64, overlap=16)
+    src = d.select("doc_id", "source")
+    return (
+        chunks.join(F.broadcast(src), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct(F.md5("chunk_text")).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            (
+                F.expr(
+                    "(1000000 * (n_chunks - n_distinct)) div n_chunks"
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+@query("embedding_label_separation")
+def q_embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: inter-label centroid cosine separation
+    (operators/embeddings.py:label_separation) — every label pair,
+    exact scaled-integer dot products."""
+    from .operators.embeddings import label_separation
+
+    e = table(spark, sf_dir, "embeddings")
+    return label_separation(e, "label", "embedding")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
@@ -3395,6 +3440,12 @@ def q_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 3 rounds.  Every name, in or out of the window, additionally stays
 # pinned locally by tests/test_oracle_parity.py, which sweeps ALL
 # entries against DuckDB at sf0.01.
+#
+# CAPACITY (round 7): 150 registered queries = the exact WINDOW(50) ×
+# MAX_STALE(3) rotation capacity.  Registering query #151 fails
+# test_registered_count_fits_rotation_cycle — before adding more,
+# DELIBERATELY widen MAX_STALE in tests/test_rotation.py (each query
+# then re-checks every 4 rounds) or retire a query.
 
 
 def _rotation_order() -> list[str]:

@@ -156,3 +156,47 @@ def test_shingle_novelty_attribution_by_min_id(spark):
     assert got[1].novelty_ppm == 1.0 and got[1].n_shingles == 2
     assert got[2].novelty_ppm == 0.0 and got[2].n_novel == 0
     assert got[3].novelty_ppm == 1.0 and got[3].n_shingles == 3
+
+
+def test_label_separation_identity_and_orthogonality(spark):
+    """X27: labels whose centroids point the same way → cos 1;
+    orthogonal centroids → cos 0. Exact scaled-integer arithmetic
+    makes both values exact, not approximate."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import label_separation
+
+    rows = [
+        (0, [1.0, 0.0]), (0, [1.0, 0.0]),
+        (1, [0.5, 0.0]),                    # same direction as 0
+        (2, [0.0, 2.0]),                    # orthogonal to both
+    ]
+    df = spark.createDataFrame(rows, ["label", "embedding"])
+    got = {
+        (r.label_a, r.label_b): r.cos_sim
+        for r in label_separation(df, "label", "embedding").collect()
+    }
+    assert got[(0, 1)] == 1.0
+    assert got[(0, 2)] == 0.0 and got[(1, 2)] == 0.0
+
+
+def test_chunk_fingerprints_detect_shared_sections(spark):
+    """X26 mechanism: two docs sharing an identical 64-token section
+    chunk to identical fingerprints (the repetition chunk-level dedup
+    counts), while document-level fingerprints differ."""
+    from poet_cloud_cost_etl_spark.operators.dedup import fingerprint
+    from poet_cloud_cost_etl_spark.operators.packing import chunk_documents
+
+    shared = _words(64)
+    df = spark.createDataFrame(
+        [(1, shared + " " + _words(48, start=100)),
+         (2, shared + " " + _words(48, start=200))],
+        ["doc_id", "text"],
+    )
+    chunks = chunk_documents(df, "doc_id", "text", 64, 0)
+    fps = (
+        chunks.groupBy(F.md5("chunk_text").alias("fp"))
+        .count()
+        .collect()
+    )
+    assert any(r["count"] == 2 for r in fps)  # the shared section
+    doc_fps = df.select(fingerprint(F.col("text")).alias("f")).distinct().count()
+    assert doc_fps == 2
