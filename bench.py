@@ -94,6 +94,9 @@ HEADLINE = [
     "shingle_novelty",
     "chunk_dedup_rate",
     "embedding_label_separation",
+    "semantic_dedup",
+    "source_overlap_matrix",
+    "quality_ablation",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

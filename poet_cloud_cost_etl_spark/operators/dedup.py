@@ -515,3 +515,63 @@ def shingle_novelty(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             ).alias("novelty_ppm"),
         )
     )
+
+
+def source_overlap(
+    df: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """X29: cross-group shingle-overlap matrix — for every pair of
+    groups (sources, snapshots, crawls ...), the Jaccard similarity
+    of their distinct 3-shingle sets. The corpus-level analog of the
+    per-doc near-dup family: it answers "how much of source B is
+    already in source A" before any per-document work is spent, the
+    standard first look when merging crawls or picking a dedup order.
+
+    Returns one row per unordered group pair (grp_a < grp_b) with
+    both set sizes, the intersection size, and jaccard_ppm (integer
+    division — the cross-engine float convention). Pairs with zero
+    overlap are included (the all-pairs grid is |G|^2, driver-small).
+
+    Scale: ONE shuffle on the shingle key. Per-shingle fanout is
+    bounded by the number of groups carrying it (<= |G|, typically
+    single digits), never by document count — a shingle shared by a
+    million docs in 2 sources contributes one (grp_a, grp_b) row.
+    Set sizes are a separate single aggregate; the final join is a
+    broadcast of a |G|-row table onto a |G|^2-row grid."""
+    sh = (
+        df.select(F.col(group_col).alias("grp"), tokens(text_col).alias("__t"))
+        .select("grp", F.explode(shingles("__t")).alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.select(F.col("grp").alias("grp_a"), "shingle")
+        .join(sh.select(F.col("grp").alias("grp_b"), "shingle"), "shingle")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    grid = (
+        sizes.select(F.col("grp").alias("grp_a"), F.col("n_sh").alias("n_a"))
+        .crossJoin(
+            sizes.select(F.col("grp").alias("grp_b"), F.col("n_sh").alias("n_b"))
+        )
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    return (
+        grid.join(inter, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            (
+                F.expr(
+                    "(1000000 * coalesce(n_common, 0)) div (n_a + n_b - coalesce(n_common, 0))"
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )

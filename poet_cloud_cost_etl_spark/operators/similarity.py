@@ -394,3 +394,59 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    threshold: float = 0.95,
+    refine_iters: int = 0,
+) -> DataFrame:
+    """X28: SemDeDup-style embedding near-duplicate pruning (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"). Vectors are clustered (deterministic
+    IVF centroids, §X8); within each cluster a vector is a duplicate
+    iff some lower-id cluster-mate has cosine >= ``threshold``.
+    Lowest id wins — the same canonical-survivor rule as the text
+    dedup family (operators/dedup.py).
+
+    Returns ``(id, centroid_id, is_dup)``, one row per corpus vector.
+
+    Scale: pair generation never goes corpus-wide — the self-join is
+    keyed on ``centroid_id``, so the pair count is sum over clusters
+    of |c|^2, not N^2. SemDeDup's scaling knob is cluster
+    granularity: grow ``n_centroids`` proportionally to N (k ~ N /
+    target_cluster_size) and per-cluster work stays constant while
+    the join parallelizes across clusters; an oversized cluster is an
+    AQE-skew-splittable partition, same as the hot-shingle path in
+    dedup.lsh_candidate_pairs. The duplicate-id set is deduplicated
+    before the final membership join, so the output is one row per
+    vector regardless of how many near neighbors each dup has.
+    """
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
+    assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "centroid_id"
+    )
+    dup_ids = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__idb") > F.col("__ida"))
+        .filter(F.round(cosine("__va", "__vb"), 6) >= F.lit(threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        assigned.select(id_col, "centroid_id")
+        .join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "centroid_id",
+            F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+        )
+    )

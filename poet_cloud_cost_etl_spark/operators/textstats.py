@@ -380,3 +380,69 @@ def vocab_coverage(
             / 1_000_000.0
         ).alias("unk_ppm"),
     ).orderBy("top_k")
+
+
+def quality_ablation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X30: per-rule ablation of the quality gate. For each of the
+    four quality_features rules (length band, stopword ratio, mean
+    word length, duplicate-token ratio) report how many documents
+    fail it at all, how many fail ONLY it (the rule's marginal
+    removal — what relaxing just that rule would win back), and the
+    share of all documents it solely removes. A final ANY row gives
+    the combined gate. This is the standard filter-tuning readout
+    for corpus curation: rules with high n_fail but zero n_sole_fail
+    are redundant with the rest of the gate.
+
+    Scale: quality_features is a narrow map over one documents scan;
+    the ablation collapses it to ONE 4-boolean aggregate row, then
+    unpivots driver-side via stack() — no second scan, no join."""
+    feat = quality_features(df, id_col, text_col)
+    f_len = ~((F.col("n_words") >= 50) & (F.col("n_words") <= 200))
+    f_stop = ~(F.col("stopword_ratio") >= 0.05)
+    f_mwl = ~((F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 8.0))
+    f_dup = ~(F.col("dup_ratio") <= 0.6)
+    flags = feat.select(
+        f_len.alias("__f_len"),
+        f_stop.alias("__f_stop"),
+        f_mwl.alias("__f_mwl"),
+        f_dup.alias("__f_dup"),
+    )
+    n_others = {
+        "len": "__f_stop, __f_mwl, __f_dup",
+        "stop": "__f_len, __f_mwl, __f_dup",
+        "mwl": "__f_len, __f_stop, __f_dup",
+        "dup": "__f_len, __f_stop, __f_mwl",
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for rule in ("len", "stop", "mwl", "dup"):
+        aggs.append(F.count_if(F.col(f"__f_{rule}")).alias(f"__fail_{rule}"))
+        aggs.append(
+            F.count_if(
+                F.expr(f"__f_{rule} AND NOT ({n_others[rule].replace(', ', ' OR ')})")
+            ).alias(f"__sole_{rule}")
+        )
+    aggs.append(
+        F.count_if(F.expr("__f_len OR __f_stop OR __f_mwl OR __f_dup")).alias(
+            "__fail_any"
+        )
+    )
+    one = flags.agg(*aggs)
+    stacked = one.selectExpr(
+        "__n",
+        "stack(5, "
+        "'length_band', __fail_len, __sole_len, "
+        "'stopword_ratio', __fail_stop, __sole_stop, "
+        "'mean_word_len', __fail_mwl, __sole_mwl, "
+        "'dup_ratio', __fail_dup, __sole_dup, "
+        "'ANY', __fail_any, CAST(NULL AS BIGINT)"
+        ") AS (rule, n_fail, n_sole_fail)",
+    )
+    return stacked.select(
+        "rule",
+        "n_fail",
+        "n_sole_fail",
+        (
+            F.expr("(1000000 * coalesce(n_sole_fail, n_fail)) div __n").cast("double")
+            / 1_000_000.0
+        ).alias("removal_ppm"),
+    ).orderBy("rule")

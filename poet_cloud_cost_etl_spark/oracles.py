@@ -2612,3 +2612,109 @@ ORACLES["embedding_label_separation"] = """
     GROUP BY a.label, b.label
     ORDER BY label_a, label_b
 """
+
+# X28 SemDeDup: the same deterministic IVF centroid draw + rank-1
+# assignment as ann_ivf, then an EXISTS over lower-id cluster-mates
+# at rounded cosine >= 0.35 (operators/similarity.py:semantic_dedup;
+# 0.35 exercises the decision boundary on the near-orthogonal
+# fixture embeddings — the real-world default is 0.95).
+ORACLES["semantic_dedup"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    assign AS (
+        SELECT vec_id, embedding, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')})
+        WHERE probe_rank = 1
+    )
+    SELECT a.vec_id, a.centroid_id,
+        EXISTS (
+            SELECT 1 FROM assign b
+            WHERE b.centroid_id = a.centroid_id AND b.vec_id < a.vec_id
+              AND ROUND(list_cosine_similarity(CAST(b.embedding AS DOUBLE[]),
+                                               CAST(a.embedding AS DOUBLE[])), 6)
+                  >= 0.35
+        ) AS is_dup
+    FROM assign a
+    ORDER BY a.vec_id
+"""
+
+# X29 cross-source shingle-overlap matrix
+# (operators/dedup.py:source_overlap).
+ORACLES["source_overlap_matrix"] = f"""
+    WITH toks AS (SELECT source, {_TOKS.format(col='text')} AS t FROM documents),
+    ssh AS (
+        SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n_sh FROM ssh GROUP BY source),
+    inter AS (
+        SELECT a.source AS grp_a, b.source AS grp_b, COUNT(*) AS n_common
+        FROM ssh a JOIN ssh b USING (shingle)
+        WHERE a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT sa.source AS grp_a, sb.source AS grp_b,
+        sa.n_sh AS n_a, sb.n_sh AS n_b,
+        COALESCE(i.n_common, 0) AS n_common,
+        CAST((1000000 * COALESCE(i.n_common, 0))
+             // (sa.n_sh + sb.n_sh - COALESCE(i.n_common, 0)) AS DOUBLE)
+            / 1000000.0 AS jaccard_ppm
+    FROM sizes sa
+    JOIN sizes sb ON sa.source < sb.source
+    LEFT JOIN inter i ON i.grp_a = sa.source AND i.grp_b = sb.source
+    ORDER BY grp_a, grp_b
+"""
+
+# X30 quality-gate ablation (operators/textstats.py:quality_ablation):
+# same per-rule booleans as text_quality_score's components, collapsed
+# to one aggregate row, unpivoted via UNION ALL.
+ORACLES["quality_ablation"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    f AS (
+        SELECT doc_id,
+            CAST(len(t) AS INTEGER) AS n_words,
+            ROUND(CAST(len(list_filter(t, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                  / len(t), 6) AS stopword_ratio,
+            ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                  / len(t), 6) AS mean_word_len,
+            ROUND(CAST(1.0 AS DOUBLE)
+                  - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_ratio
+        FROM t
+    ),
+    flags AS (
+        SELECT
+            NOT (n_words BETWEEN 50 AND 200) AS f_len,
+            NOT (stopword_ratio >= 0.05) AS f_stop,
+            NOT (mean_word_len BETWEEN 3.0 AND 8.0) AS f_mwl,
+            NOT (dup_ratio <= 0.6) AS f_dup
+        FROM f
+    ),
+    one AS (
+        SELECT COUNT(*) AS n,
+            COUNT(*) FILTER (f_len) AS fail_len,
+            COUNT(*) FILTER (f_len AND NOT (f_stop OR f_mwl OR f_dup)) AS sole_len,
+            COUNT(*) FILTER (f_stop) AS fail_stop,
+            COUNT(*) FILTER (f_stop AND NOT (f_len OR f_mwl OR f_dup)) AS sole_stop,
+            COUNT(*) FILTER (f_mwl) AS fail_mwl,
+            COUNT(*) FILTER (f_mwl AND NOT (f_len OR f_stop OR f_dup)) AS sole_mwl,
+            COUNT(*) FILTER (f_dup) AS fail_dup,
+            COUNT(*) FILTER (f_dup AND NOT (f_len OR f_stop OR f_mwl)) AS sole_dup,
+            COUNT(*) FILTER (f_len OR f_stop OR f_mwl OR f_dup) AS fail_any
+        FROM flags
+    ),
+    stacked AS (
+        SELECT 'length_band' AS rule, fail_len AS n_fail, sole_len AS n_sole_fail, n FROM one
+        UNION ALL
+        SELECT 'stopword_ratio', fail_stop, sole_stop, n FROM one
+        UNION ALL
+        SELECT 'mean_word_len', fail_mwl, sole_mwl, n FROM one
+        UNION ALL
+        SELECT 'dup_ratio', fail_dup, sole_dup, n FROM one
+        UNION ALL
+        SELECT 'ANY', fail_any, CAST(NULL AS BIGINT), n FROM one
+    )
+    SELECT rule, n_fail, n_sole_fail,
+        CAST((1000000 * COALESCE(n_sole_fail, n_fail)) // n AS DOUBLE)
+            / 1000000.0 AS removal_ppm
+    FROM stacked
+    ORDER BY rule
+"""

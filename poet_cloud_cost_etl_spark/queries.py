@@ -3414,6 +3414,48 @@ def q_embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_separation(e, "label", "embedding")
 
 
+@query("semantic_dedup")
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: SemDeDup-style embedding near-dup pruning
+    (operators/similarity.py:semantic_dedup) — cluster-bucketed
+    cosine against any lower-id cluster-mate, lowest id survives.
+    One row per vector, ordered by id. The registered threshold is
+    0.35, not the real-world 0.95 default: the synthetic fixture
+    embeddings are near-orthogonal (max within-cluster cosine ~0.5),
+    so 0.35 is the value that actually exercises the keep/dup
+    decision boundary on this corpus."""
+    from .operators.similarity import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, threshold=0.35
+    ).orderBy("vec_id")
+
+
+@query("source_overlap_matrix")
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: cross-source shingle-overlap matrix
+    (operators/dedup.py:source_overlap) — Jaccard of distinct
+    3-shingle sets for every source pair, zero-overlap pairs
+    included."""
+    from .operators.dedup import source_overlap
+
+    d = table(spark, sf_dir, "documents")
+    return source_overlap(d, "doc_id", "text", "source")
+
+
+@query("quality_ablation")
+def q_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: per-rule quality-gate ablation
+    (operators/textstats.py:quality_ablation) — each rule's total and
+    sole-failure counts plus the combined ANY row, the filter-tuning
+    readout for the X5 gate."""
+    from .operators.textstats import quality_ablation
+
+    d = table(spark, sf_dir, "documents")
+    return quality_ablation(d, "doc_id", "text")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
@@ -3441,11 +3483,11 @@ def q_embedding_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned locally by tests/test_oracle_parity.py, which sweeps ALL
 # entries against DuckDB at sf0.01.
 #
-# CAPACITY (round 7): 150 registered queries = the exact WINDOW(50) ×
-# MAX_STALE(3) rotation capacity.  Registering query #151 fails
-# test_registered_count_fits_rotation_cycle — before adding more,
-# DELIBERATELY widen MAX_STALE in tests/test_rotation.py (each query
-# then re-checks every 4 rounds) or retire a query.
+# CAPACITY (round 7): registering query #151 (X28-X30) crossed the
+# WINDOW(50) × MAX_STALE(3) = 150 capacity, so MAX_STALE was
+# DELIBERATELY widened to 4 in tests/test_rotation.py — 153 queries
+# re-check within a 4-round cycle.  The next wall is 200; crossing it
+# again requires either widening to 5 or retiring queries.
 
 
 def _rotation_order() -> list[str]:

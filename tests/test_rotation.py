@@ -28,12 +28,14 @@ from poet_cloud_cost_etl_spark.queries import QUERIES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
-# With 135 queries and a 50-name window the full cycle is 3 rounds;
-# a query's newest row may therefore be at most 3 rounds old at the
-# moment its re-check lands.  Growing past WINDOW * MAX_STALE
+# Round 7 crossed 150 registered queries, so the full cycle is now 4
+# rounds (ceil(153/50)); a query's newest row may therefore be at
+# most 4 rounds old at the moment its re-check lands.  This widening
+# is DELIBERATE (the capacity note in queries.py requires it when
+# registering query #151+).  Growing past WINDOW * MAX_STALE
 # registered queries breaks the cycle — this constant makes that a
 # test failure, not a silent protocol violation.
-MAX_STALE = 3
+MAX_STALE = 4
 
 
 def _latest_official_round() -> dict[str, int]:
