@@ -532,22 +532,41 @@ def source_overlap(
     division — the cross-engine float convention). Pairs with zero
     overlap are included (the all-pairs grid is |G|^2, driver-small).
 
-    Scale: ONE shuffle on the shingle key. Per-shingle fanout is
-    bounded by the number of groups carrying it (<= |G|, typically
-    single digits), never by document count — a shingle shared by a
-    million docs in 2 sources contributes one (grp_a, grp_b) row.
-    Set sizes are a separate single aggregate; the final join is a
-    broadcast of a |G|-row table onto a |G|^2-row grid."""
-    sh = (
+    Scale: ONE corpus scan, grouped pair generation (the
+    lsh_candidate_pairs trick): the distinct (group, shingle) set
+    collapses to one row per shingle carrying its sorted group SET,
+    so the intersection counts come from exploding within-row pairs —
+    no self-join, and per-shingle fanout is bounded by the number of
+    groups carrying it (<= |G|, typically single digits), never by
+    document count. The per-shingle table (<= distinct-shingle rows,
+    far smaller than the corpus) is localCheckpoint-ed because both
+    the sizes and the pair aggregates read it — without the pin each
+    would replay the corpus scan. The final join is a broadcast of a
+    |G|-row table onto a |G|^2-row grid."""
+    per_sh = (
         df.select(F.col(group_col).alias("grp"), tokens(text_col).alias("__t"))
         .select("grp", F.explode(shingles("__t")).alias("shingle"))
         .distinct()
+        .groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("grp")).alias("__gs"))
+        .localCheckpoint(eager=True)
     )
-    sizes = sh.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    sizes = (
+        per_sh.select(F.explode("__gs").alias("grp"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
     inter = (
-        sh.select(F.col("grp").alias("grp_a"), "shingle")
-        .join(sh.select(F.col("grp").alias("grp_b"), "shingle"), "shingle")
-        .filter(F.col("grp_a") < F.col("grp_b"))
+        per_sh.select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(__gs, a -> "
+                    "transform(__gs, b -> struct(a AS grp_a, b AS grp_b)))), "
+                    "p -> p.grp_a < p.grp_b)"
+                )
+            ).alias("__p")
+        )
+        .select(F.col("__p.grp_a").alias("grp_a"), F.col("__p.grp_b").alias("grp_b"))
         .groupBy("grp_a", "grp_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
