@@ -228,3 +228,35 @@ def test_two_phase_count_distinct_shape(spark):
     import re
     parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     assert any("user_id" in p and "event_type" in p for p in parts), plan
+
+
+def test_round7b_queries_plan_shapes(spark):
+    """X28-X30: no cartesian products, no Python UDFs anywhere; the
+    SemDeDup pair join must be keyed (BroadcastHashJoin or SMJ on
+    centroid_id), never a nested-loop over corpus pairs."""
+    for name in ["semantic_dedup", "source_overlap_matrix", "quality_ablation"]:
+        q = QUERIES[name](spark, SF_SMALL)
+        plan = X.physical_plan(q)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_source_overlap_single_scan_no_self_join(spark):
+    """X29 is ONE corpus scan: the per-shingle group-set table is
+    checkpointed (Scan ExistingRDD downstream) and intersection pairs
+    explode within rows — a second parquet scan of documents or a
+    shingle-keyed SortMergeJoin means the self-join form regressed."""
+    q = QUERIES["source_overlap_matrix"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert "ExistingRDD" in plan, plan
+    assert plan.count("Scan parquet") == 0, plan  # all inputs post-checkpoint
+    assert "SortMergeJoin Inner" not in plan, plan
+
+
+def test_quality_ablation_two_phase_single_aggregate(spark):
+    """X30 collapses the whole gate to one aggregate over one scan:
+    exactly one exchange (partial -> final agg) plus the final
+    1-row-ish sort; stack() unpivot adds no shuffle."""
+    q = QUERIES["quality_ablation"](spark, SF_SMALL)
+    assert X.count_exchanges(q) <= 2, X.physical_plan(q)
+    assert X.physical_plan(q).count("Scan parquet") == 1, X.physical_plan(q)
