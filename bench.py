@@ -97,6 +97,8 @@ HEADLINE = [
     "semantic_dedup",
     "source_overlap_matrix",
     "quality_ablation",
+    "split_leakage_safe",
+    "dedup_best_of_cluster",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -594,3 +594,50 @@ def source_overlap(
         )
         .orderBy("grp_a", "grp_b")
     )
+
+
+def best_of_cluster(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    score_col: str,
+) -> DataFrame:
+    """X32: quality-aware survivorship — per near-dup cluster, keep
+    the HIGHEST-scoring member instead of the lowest id. Min-id
+    survivorship (X7's ``keep``) is arbitrary: when a page exists in
+    three scraped variants, the one worth keeping is the cleanest,
+    not the first-crawled. Input: the (id, cluster) table X7 produces
+    and any per-doc score table (the X5 quality gate here).
+
+    Ties break on ascending id, so the result is engine-independent
+    for equal scores. Returns one row per cluster: size, the winning
+    id, and its score.
+
+    Scale: one equi-join on the doc id (cluster table x score table,
+    both doc-cardinality) and ONE shuffle on cluster_id serving both
+    window expressions (the per-cluster count and the rank share the
+    partition key); skewed mega-clusters are single partitions only
+    for their own rows, AQE-splittable like every windowed operator
+    here."""
+    from pyspark.sql.window import Window
+
+    joined = clusters.select(F.col(id_col), F.col(cluster_col)).join(
+        scores.select(F.col(id_col), F.col(score_col)), id_col
+    )
+    w_rank = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    w_all = Window.partitionBy(cluster_col)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("n_docs", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(cluster_col),
+            "n_docs",
+            F.col(id_col).alias("best_doc_id"),
+            F.col(score_col).alias("best_score"),
+        )
+        .orderBy(cluster_col)
+    )

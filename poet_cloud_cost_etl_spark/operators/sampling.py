@@ -62,7 +62,11 @@ def stratified_sample(
 
 
 def split_assign(
-    df: DataFrame, key_col: str, train_pct: int = 80, val_pct: int = 10
+    df: DataFrame,
+    key_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+    out_col: str = "split",
 ) -> DataFrame:
     """Deterministic train/val/test assignment: the key's unit hash
     mod 100 buckets into train (< train_pct), val (< train_pct +
@@ -73,10 +77,50 @@ def split_assign(
     map."""
     bucket = unit_hash(key_col) % 100
     return df.withColumn(
-        "split",
+        out_col,
         F.when(bucket < train_pct, F.lit("train"))
         .when(bucket < train_pct + val_pct, F.lit("val"))
         .otherwise(F.lit("test")),
+    )
+
+
+def leakage_safe_split(
+    clusters: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """X31: near-dup-leakage-safe train/val/test split. Hashing each
+    DOCUMENT id sprays the members of a near-dup cluster across
+    splits — the eval set then contains near-copies of training docs
+    and benchmark numbers inflate. Hashing the CLUSTER id instead
+    sends every member of a component to the same split by
+    construction. Input is the (id, cluster) table X7 produces.
+
+    Output is one row per split: document and cluster counts plus
+    ``n_leaked`` — the docs whose doc-keyed assignment would have
+    landed elsewhere, i.e. exactly the contamination the cluster key
+    prevents (0 for singleton-only corpora, since then doc id ==
+    cluster id).
+
+    Scale: two narrow-map hash columns over the cluster table and one
+    aggregate — no join, no extra shuffle beyond the X7 input."""
+    both = split_assign(
+        split_assign(clusters, cluster_col, train_pct, val_pct, out_col="split"),
+        id_col,
+        train_pct,
+        val_pct,
+        out_col="__naive",
+    )
+    return (
+        both.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(cluster_col).alias("n_clusters"),
+            F.count_if(F.col("split") != F.col("__naive")).alias("n_leaked"),
+        )
+        .orderBy("split")
     )
 
 

@@ -2718,3 +2718,52 @@ ORACLES["quality_ablation"] = f"""
     FROM stacked
     ORDER BY rule
 """
+
+# X31 leakage-safe split (operators/sampling.py:leakage_safe_split):
+# the full dedup_clusters recursive-CTE oracle as the cluster input,
+# the sample_deterministic unit-hash convention for both the cluster-
+# keyed and the naive doc-keyed assignment.
+ORACLES["split_leakage_safe"] = f"""
+    WITH clusters AS (
+        SELECT doc_id, cluster_id FROM ({ORACLES['dedup_clusters']})
+    ),
+    b AS (
+        SELECT doc_id, cluster_id,
+            CASE WHEN {_UNIT.format(col='cluster_id')} % 100 < 80 THEN 'train'
+                 WHEN {_UNIT.format(col='cluster_id')} % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS split,
+            CASE WHEN {_UNIT.format(col='doc_id')} % 100 < 80 THEN 'train'
+                 WHEN {_UNIT.format(col='doc_id')} % 100 < 90 THEN 'val'
+                 ELSE 'test' END AS naive
+        FROM clusters
+    )
+    SELECT split,
+        COUNT(*) AS n_docs,
+        COUNT(DISTINCT cluster_id) AS n_clusters,
+        COUNT(*) FILTER (split <> naive) AS n_leaked
+    FROM b GROUP BY split ORDER BY split
+"""
+
+# X32 quality-aware survivorship (operators/dedup.py:best_of_cluster):
+# dedup_clusters x text_quality_score, rank-1 per cluster by
+# (quality DESC, doc_id ASC).
+ORACLES["dedup_best_of_cluster"] = f"""
+    WITH clusters AS (
+        SELECT doc_id, cluster_id FROM ({ORACLES['dedup_clusters']})
+    ),
+    j AS (
+        SELECT c.cluster_id, c.doc_id, q.quality_score
+        FROM clusters c JOIN ({ORACLES['text_quality_score']}) q USING (doc_id)
+    ),
+    r AS (
+        SELECT cluster_id, doc_id, quality_score,
+            ROW_NUMBER() OVER (
+                PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id ASC
+            ) AS rn,
+            COUNT(*) OVER (PARTITION BY cluster_id) AS n_docs
+        FROM j
+    )
+    SELECT cluster_id, n_docs, doc_id AS best_doc_id,
+        quality_score AS best_score
+    FROM r WHERE rn = 1 ORDER BY cluster_id
+"""

@@ -3456,6 +3456,40 @@ def q_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_ablation(d, "doc_id", "text")
 
 
+@query("split_leakage_safe")
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: near-dup-leakage-safe train/val/test split
+    (operators/sampling.py:leakage_safe_split) — split keyed on the
+    X7 cluster id so near-copies never straddle train and eval;
+    n_leaked counts the docs a doc-keyed split would have
+    contaminated."""
+    from .operators.sampling import leakage_safe_split
+
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    return leakage_safe_split(clusters, "doc_id", "cluster_id")
+
+
+@query("dedup_best_of_cluster")
+def q_dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: quality-aware survivorship
+    (operators/dedup.py:best_of_cluster) — per X7 near-dup cluster,
+    the member the X5 quality gate scores highest (ties to the lowest
+    id), replacing min-id survivorship with keep-the-cleanest."""
+    from .operators.dedup import best_of_cluster
+    from .operators.textstats import quality_features
+
+    d = table(spark, sf_dir, "documents")
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir)
+    scores = quality_features(d, "doc_id", "text").select(
+        "doc_id", "quality_score"
+    )
+    return best_of_cluster(
+        clusters, scores, "doc_id", "cluster_id", "quality_score"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
@@ -3483,9 +3517,9 @@ def q_quality_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # pinned locally by tests/test_oracle_parity.py, which sweeps ALL
 # entries against DuckDB at sf0.01.
 #
-# CAPACITY (round 7): registering query #151 (X28-X30) crossed the
+# CAPACITY (round 7): registering query #151 (X28-X32) crossed the
 # WINDOW(50) × MAX_STALE(3) = 150 capacity, so MAX_STALE was
-# DELIBERATELY widened to 4 in tests/test_rotation.py — 153 queries
+# DELIBERATELY widened to 4 in tests/test_rotation.py — 155 queries
 # re-check within a 4-round cycle.  The next wall is 200; crossing it
 # again requires either widening to 5 or retiring queries.
 

@@ -1,7 +1,8 @@
 """Unit-level contracts for the late-round-7 extension operators
 (X28 semantic dedup, X29 source-overlap matrix, X30 quality-gate
-ablation), beyond the oracle parity sweep: algebraic invariants on
-synthetic inputs where the expected value is known by construction."""
+ablation, X31 leakage-safe split, X32 best-of-cluster survivorship),
+beyond the oracle parity sweep: algebraic invariants on synthetic
+inputs where the expected value is known by construction."""
 
 from __future__ import annotations
 
@@ -133,3 +134,61 @@ def test_quality_ablation_sole_counts_never_exceed_fails(spark):
         assert r.n_sole_fail <= r.n_fail
     assert rows["ANY"].n_fail <= sum(r.n_fail for r in per_rule)
     assert rows["ANY"].n_fail >= max(r.n_fail for r in per_rule)
+
+
+def test_leakage_safe_split_same_cluster_same_split(spark):
+    """All members of a cluster get the cluster's split, and n_leaked
+    counts exactly the members whose own-id hash disagrees. Checked
+    against a direct per-doc recomputation."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        leakage_safe_split,
+        split_assign,
+        unit_hash,
+    )
+
+    rows = [(i, i // 5) for i in range(100)]  # 20 clusters of 5
+    df = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    out = {r.split: r for r in leakage_safe_split(df, "doc_id", "cluster_id").collect()}
+    assert sum(r.n_docs for r in out.values()) == 100
+    assert sum(r.n_clusters for r in out.values()) == 20
+    # independent recomputation of the leak count
+    both = split_assign(df, "cluster_id").withColumn(
+        "naive_bucket", unit_hash("doc_id") % 100
+    )
+    expected_leaked = both.filter(
+        (
+            F.when(F.col("naive_bucket") < 80, "train")
+            .when(F.col("naive_bucket") < 90, "val")
+            .otherwise("test")
+        )
+        != F.col("split")
+    ).count()
+    assert sum(r.n_leaked for r in out.values()) == expected_leaked
+    # every cluster is entirely inside one split by construction:
+    # 20 clusters of 5 -> cluster counts * 5 == doc counts
+    for r in out.values():
+        assert r.n_docs == 5 * r.n_clusters
+
+
+def test_best_of_cluster_picks_highest_score_then_lowest_id(spark):
+    from poet_cloud_cost_etl_spark.operators.dedup import best_of_cluster
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4)], ["doc_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 0.5), (2, 0.75), (3, 0.75), (4, 0.25), (5, 0.25)],
+        ["doc_id", "quality_score"],
+    )
+    out = {
+        r.cluster_id: r
+        for r in best_of_cluster(
+            clusters, scores, "doc_id", "cluster_id", "quality_score"
+        ).collect()
+    }
+    assert out[1].best_doc_id == 2  # highest score wins; tie -> lower id
+    assert out[1].n_docs == 3 and out[1].best_score == 0.75
+    assert out[4].best_doc_id == 4  # pure tie -> lowest id
+    assert out[4].n_docs == 2
