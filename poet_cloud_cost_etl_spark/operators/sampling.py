@@ -254,3 +254,99 @@ def split_balance_tvd(
         )
         .orderBy("split_a", "split_b")
     )
+
+
+def score_ramp_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    strata_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """X35: quality-curriculum sampling — bucket documents into
+    score deciles WITHIN each stratum (language), then keep a
+    deterministic hash sample whose rate ramps linearly with the
+    decile: 1/n_buckets of the worst bucket, everything in the best.
+    The standard "keep more of the good stuff" downsampling step
+    between quality scoring and mixture assembly; stratifying the
+    deciles by language stops a cross-language score shift from
+    silently draining one language.
+
+    Determinism: the decile is ntile over (score, id) — total order,
+    engine-independent; the keep decision is the md5 unit hash of the
+    id against an integer threshold. No RNG anywhere.
+
+    Scale: one shuffle keyed on the stratum for the decile window
+    (the scored table is narrow — id, score — orders of magnitude
+    smaller than the corpus it describes; for strata too large for
+    one task, swap the exact ntile for broadcast approx_percentile
+    cut-points, which changes only tie placement), then a narrow
+    filter. The ramp thresholds are pure arithmetic on the decile."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    bucketed = df.withColumn("__decile", F.ntile(n_buckets).over(w))
+    # Integer div, NOT a float cast: double->int casts truncate in
+    # Spark but round in DuckDB, so a float threshold could disagree
+    # on boundary hashes.
+    threshold = F.expr(f"(__decile * {UNIT_DENOM}) div {n_buckets}")
+    return (
+        bucketed.filter(unit_hash(id_col) < threshold)
+        .select(
+            F.col(id_col),
+            F.col(strata_col),
+            F.col("__decile").alias("decile"),
+            F.col(score_col),
+        )
+    )
+
+
+def effective_mixture_weights(
+    df: DataFrame, id_col: str, text_col: str, group_col: str
+) -> DataFrame:
+    """X37: dedup-effective mixture weights — per-source weights
+    proportional to the source's EFFECTIVE (post-exact-dedup) size,
+    not its raw row count. A source that is 90% internal copies
+    contributes its distinct mass only; cross-source duplicates are
+    attributed to the lowest-doc-id survivor's source (the same
+    keeper rule as X1/X32). This is the honest version of X19's
+    count-proportional weights for corpora with unequal duplication.
+
+    Scale: fingerprint is a narrow map; survivor election is one
+    shuffle keyed on the fingerprint (min over a two-field struct —
+    no window, no sort); the rest is arithmetic on a k-row table
+    joined to its broadcast total."""
+    from .dedup import fingerprint
+
+    fps = df.select(
+        F.col(id_col), F.col(group_col).alias("__g"), fingerprint(F.col(text_col)).alias("__fp")
+    )
+    survivors = (
+        fps.groupBy("__fp")
+        .agg(F.min(F.struct(F.col(id_col), F.col("__g"))).alias("__keep"))
+        .select(F.col("__keep.__g").alias("__g"))
+    )
+    raw = fps.groupBy("__g").agg(F.count(F.lit(1)).alias("n_raw"))
+    eff = survivors.groupBy("__g").agg(F.count(F.lit(1)).alias("n_effective"))
+    joined = raw.join(eff, "__g", "left").select(
+        F.col("__g"),
+        "n_raw",
+        F.coalesce("n_effective", F.lit(0)).alias("n_effective"),
+    )
+    tot = joined.agg(F.sum("n_effective").alias("__tot"))
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("__g").alias(group_col),
+            "n_raw",
+            "n_effective",
+            (
+                F.expr("(1000000 * n_effective) div n_raw").cast("double")
+                / 1_000_000.0
+            ).alias("distinct_share"),
+            (
+                F.expr("(1000000 * n_effective) div __tot").cast("double")
+                / 1_000_000.0
+            ).alias("weight"),
+        )
+    )

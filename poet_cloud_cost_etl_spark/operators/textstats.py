@@ -446,3 +446,202 @@ def quality_ablation(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
             / 1_000_000.0
         ).alias("removal_ppm"),
     ).orderBy("rule")
+
+
+def importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    target_value: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """X33: DSIR-style hashed importance weights — score every
+    document by how much its hashed-unigram profile looks like a
+    TARGET slice of the corpus (``group_col == target_value``)
+    relative to the raw corpus, the data-selection step of
+    "Data Selection for Language Models via Importance Resampling"
+    (Xie et al., 2023) re-expressed with exact integer arithmetic.
+
+    Tokens hash into ``n_buckets`` buckets (md5-derived unit hash —
+    the engine's cross-engine hash); add-one-smoothed bucket
+    probabilities for the target and raw streams are scaled-integer
+    ppm, and each token's importance ratio ``p_target/p_raw`` is the
+    exact integer division ``(10⁶·t_ppm) div r_ppm``. A document's
+    weight is the truncating mean of its token ratios — pure
+    rational arithmetic end to end (the classic formulation sums
+    log-ratios; the arithmetic mean of ratios ranks identically for
+    the smoothed two-distribution case and avoids libm).
+
+    Scale: one explode, two bucket aggregates (≤ n_buckets rows each,
+    map-side partials collapse the Zipfian token stream), a broadcast
+    join of the n_buckets-row ratio table back onto the token stream,
+    and one per-doc aggregate. No shuffle keyed on anything wider
+    than the doc id."""
+    from .sampling import unit_hash
+
+    toks = df.select(
+        F.col(id_col),
+        (F.col(group_col) == target_value).alias("__is_t"),
+        F.explode(tokens(text_col)).alias("__tok"),
+    ).withColumn("__b", unit_hash("__tok") % n_buckets)
+    buckets = toks.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__rc"),
+        F.count_if(F.col("__is_t")).alias("__tc"),
+    )
+    totals = buckets.agg(
+        F.sum("__rc").alias("__rtot"), F.sum("__tc").alias("__ttot")
+    )
+    ratio = (
+        buckets.crossJoin(F.broadcast(totals))
+        .select(
+            "__b",
+            F.round(
+                (F.col("__tc") + 1).cast("double")
+                * 1_000_000.0
+                / (F.col("__ttot") + n_buckets)
+            )
+            .cast("long")
+            .alias("__tppm"),
+            F.round(
+                (F.col("__rc") + 1).cast("double")
+                * 1_000_000.0
+                / (F.col("__rtot") + n_buckets)
+            )
+            .cast("long")
+            .alias("__rppm"),
+        )
+        .select("__b", F.expr("(1000000 * __tppm) div __rppm").alias("__ratio"))
+    )
+    return (
+        toks.join(F.broadcast(ratio), "__b")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("__ratio").alias("__s"))
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            (
+                F.expr("__s div n_tokens").cast("double") / 1_000_000.0
+            ).alias("importance"),
+        )
+    )
+
+
+def source_token_tvd(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """X34: pairwise total-variation distance between the unigram
+    token distributions of every pair of sources/domains — the
+    distribution-shift matrix a mixture designer reads before
+    reweighting (which domains are near-duplicates of each other,
+    which are outliers). TVD = ½·Σ|p_a − p_b| over the token union;
+    pure rational arithmetic (per-source ppm by integer division,
+    absolute differences, one truncating halving), unlike KL/JS which
+    need logs.
+
+    The |p−0| mass of tokens absent from one side is reconstructed
+    from per-source ppm totals (Σ_shared and Σ_all differ exactly by
+    the missing mass), so the join only ever touches SHARED tokens.
+
+    Scale: one keyed count per (source, token) with map-side
+    partials; the pair stats come from a self-join keyed on token —
+    per-token fanout is bounded by the number of sources squared,
+    never by corpus size; the pair frame itself (sources²/2 rows)
+    assembles on a broadcast cross of the tiny source list, so
+    zero-overlap pairs still appear."""
+    toks = df.select(
+        F.col(group_col).alias("__g"), F.explode(tokens(text_col)).alias("__tok")
+    )
+    cnt = toks.groupBy("__g", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    tot = cnt.groupBy("__g").agg(F.sum("__c").alias("__tot"))
+    dist = cnt.join(F.broadcast(tot), "__g").select(
+        "__g", "__tok", F.expr("(1000000 * __c) div __tot").alias("__ppm")
+    )
+    ppm_tot = dist.groupBy("__g").agg(F.sum("__ppm").alias("__ptot"))
+    a = dist.select(
+        F.col("__g").alias("source_a"),
+        F.col("__tok").alias("__tok"),
+        F.col("__ppm").alias("__pa"),
+    )
+    b = dist.select(
+        F.col("__g").alias("source_b"),
+        F.col("__tok").alias("__tok"),
+        F.col("__ppm").alias("__pb"),
+    )
+    shared = (
+        a.join(b, "__tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(F.abs(F.col("__pa") - F.col("__pb"))).alias("__d_shared"),
+            F.sum("__pa").alias("__sa"),
+            F.sum("__pb").alias("__sb"),
+        )
+    )
+    pa = ppm_tot.select(
+        F.col("__g").alias("source_a"), F.col("__ptot").alias("__ta")
+    )
+    pb = ppm_tot.select(
+        F.col("__g").alias("source_b"), F.col("__ptot").alias("__tb")
+    )
+    pairs = (
+        pa.crossJoin(pb)
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            (
+                F.expr(
+                    "(coalesce(__d_shared, 0)"
+                    " + (__ta - coalesce(__sa, 0))"
+                    " + (__tb - coalesce(__sb, 0))) div 2"
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("tvd"),
+        )
+    )
+    return pairs
+
+
+def token_fertility(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
+    """X36: tokenizer-fertility profile per group (language) — how
+    many BPE-ish tokens the tokenizer spends per whitespace word and
+    per character, the per-language cost metric that drives
+    vocabulary sizing and mixture pricing (a language with 2× the
+    fertility costs 2× the compute per word). Ratios are exact ppm
+    integer divisions of corpus-total counts.
+
+    Scale: a single aggregate over one scan; all token counting is
+    expression-level (size of split / regexp_extract_all), no
+    explode, no shuffle beyond the k-group rollup."""
+    t = df.select(
+        F.col(group_col),
+        F.size(tokens(text_col)).alias("__ws"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)
+        ).alias("__bpe"),
+        F.length(F.col(text_col)).alias("__chars"),
+    )
+    return (
+        t.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__ws").alias("n_ws_tokens"),
+            F.sum("__bpe").alias("n_bpe_tokens"),
+            F.sum("__chars").alias("n_chars"),
+        )
+        .select(
+            F.col(group_col),
+            "n_docs",
+            "n_ws_tokens",
+            "n_bpe_tokens",
+            "n_chars",
+            (
+                F.expr("(1000000 * n_bpe_tokens) div n_ws_tokens").cast("double")
+                / 1_000_000.0
+            ).alias("bpe_per_word"),
+            (
+                F.expr("(1000000 * n_chars) div n_bpe_tokens").cast("double")
+                / 1_000_000.0
+            ).alias("chars_per_bpe"),
+        )
+    )

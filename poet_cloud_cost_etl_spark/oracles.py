@@ -2767,3 +2767,154 @@ ORACLES["dedup_best_of_cluster"] = f"""
         quality_score AS best_score
     FROM r WHERE rn = 1 ORDER BY cluster_id
 """
+
+# X33 DSIR-style hashed importance weights: md5 unit hash % 64
+# buckets, add-one-smoothed ppm bucket probabilities, per-token
+# ratio by integer division, truncating per-doc mean.
+ORACLES["importance_weights_dsir"] = f"""
+    WITH toks AS (
+        SELECT doc_id, (lang = 'en') AS is_t,
+            unnest({_TOKS.format(col='text')}) AS tok
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, is_t,
+            {_UNIT.format(col='tok')} % 64 AS bkt
+        FROM toks
+    ),
+    bu AS (
+        SELECT bkt, COUNT(*) AS rc,
+            COUNT(*) FILTER (WHERE is_t) AS tc
+        FROM b GROUP BY bkt
+    ),
+    tot AS (SELECT SUM(rc) AS rtot, SUM(tc) AS ttot FROM bu),
+    ratio AS (
+        SELECT bkt,
+            (1000000 * CAST(ROUND((tc + 1) * 1000000.0 / (ttot + 64))
+                            AS BIGINT))
+            // CAST(ROUND((rc + 1) * 1000000.0 / (rtot + 64)) AS BIGINT)
+            AS r
+        FROM bu, tot
+    ),
+    pd AS (
+        SELECT b.doc_id, COUNT(*) AS n_tokens, SUM(r) AS s
+        FROM b JOIN ratio USING (bkt) GROUP BY b.doc_id
+    )
+    SELECT doc_id, n_tokens,
+        CAST(CAST(s AS BIGINT) // n_tokens AS DOUBLE) / 1000000.0
+            AS importance
+    FROM pd ORDER BY importance DESC, doc_id
+"""
+
+# X34 pairwise source TVD over unigram ppm distributions; missing
+# mass reconstructed from per-source ppm totals so only SHARED
+# tokens are joined.
+ORACLES["source_token_tvd"] = f"""
+    WITH toks AS (
+        SELECT source, unnest({_TOKS.format(col='text')}) AS tok
+        FROM documents
+    ),
+    cnt AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    tot AS (SELECT source, SUM(c) AS t FROM cnt GROUP BY 1),
+    dist AS (
+        SELECT cnt.source, tok, (1000000 * c) // t AS ppm
+        FROM cnt JOIN tot USING (source)
+    ),
+    ptot AS (SELECT source, CAST(SUM(ppm) AS BIGINT) AS pt FROM dist GROUP BY 1),
+    shared AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+            CAST(SUM(ABS(a.ppm - b.ppm)) AS BIGINT) AS ds,
+            CAST(SUM(a.ppm) AS BIGINT) AS sa,
+            CAST(SUM(b.ppm) AS BIGINT) AS sb
+        FROM dist a JOIN dist b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT pa.source AS source_a, pb.source AS source_b,
+        CAST((COALESCE(ds, 0) + (pa.pt - COALESCE(sa, 0))
+              + (pb.pt - COALESCE(sb, 0))) // 2 AS DOUBLE) / 1000000.0
+            AS tvd
+    FROM ptot pa
+    JOIN ptot pb ON pa.source < pb.source
+    LEFT JOIN shared ON shared.source_a = pa.source
+                    AND shared.source_b = pb.source
+    ORDER BY tvd DESC, source_a, source_b
+"""
+
+# X35 curriculum sampling: X15 bigram-LM score -> per-lang NTILE
+# deciles -> hash-keep at decile/10 rate (exact integer threshold).
+ORACLES["curriculum_sample"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    gc AS (SELECT gram, COUNT(*) AS cg FROM grams GROUP BY 1),
+    uc AS (SELECT w1, COUNT(*) AS cu FROM grams GROUP BY 1),
+    ps AS (
+        SELECT g.doc_id,
+            CAST(ROUND(CAST(gc.cg AS DOUBLE) * 1000000.0 / uc.cu) AS BIGINT) AS p
+        FROM grams g JOIN gc USING (gram) JOIN uc USING (w1)
+    ),
+    score AS (
+        SELECT doc_id,
+            CAST(CAST(SUM(p) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
+                AS avg_cond_prob
+        FROM ps GROUP BY doc_id
+    ),
+    dec AS (
+        SELECT s.doc_id, d.lang, s.avg_cond_prob,
+            NTILE(10) OVER (
+                PARTITION BY d.lang
+                ORDER BY s.avg_cond_prob ASC, s.doc_id ASC
+            ) AS decile
+        FROM score s JOIN documents d USING (doc_id)
+    )
+    SELECT doc_id, lang, decile, avg_cond_prob
+    FROM dec
+    WHERE {_UNIT.format(col='doc_id')} < (decile * 4294967296) // 10
+    ORDER BY lang, decile, doc_id
+"""
+
+# X36 tokenizer fertility per language: corpus-total counts, exact
+# ppm integer-division ratios.
+ORACLES["token_fertility"] = f"""
+    SELECT lang,
+        COUNT(*) AS n_docs,
+        CAST(SUM(len({_TOKS.format(col='text')})) AS BIGINT) AS n_ws_tokens,
+        CAST(SUM(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS n_bpe_tokens,
+        CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+        CAST((1000000 * CAST(SUM(len(regexp_extract_all(lower(text),
+            '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT))
+             // CAST(SUM(len({_TOKS.format(col='text')})) AS BIGINT)
+             AS DOUBLE) / 1000000.0 AS bpe_per_word,
+        CAST((1000000 * CAST(SUM(LENGTH(text)) AS BIGINT))
+             // CAST(SUM(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT)
+             AS DOUBLE) / 1000000.0 AS chars_per_bpe
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+# X37 dedup-effective mixture weights: X2a canonical fingerprint,
+# arg_min survivor attribution, ppm shares by integer division.
+ORACLES["effective_mixture_weights"] = """
+    WITH fps AS (
+        SELECT doc_id, source,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+        FROM documents
+    ),
+    surv AS (SELECT arg_min(source, doc_id) AS source FROM fps GROUP BY fp),
+    raw AS (SELECT source, COUNT(*) AS n_raw FROM fps GROUP BY 1),
+    eff AS (SELECT source, COUNT(*) AS n_effective FROM surv GROUP BY 1),
+    j AS (
+        SELECT raw.source, n_raw, COALESCE(n_effective, 0) AS n_effective
+        FROM raw LEFT JOIN eff USING (source)
+    ),
+    tot AS (SELECT CAST(SUM(n_effective) AS BIGINT) AS t FROM j)
+    SELECT source, n_raw, n_effective,
+        CAST((1000000 * n_effective) // n_raw AS DOUBLE) / 1000000.0
+            AS distinct_share,
+        CAST((1000000 * n_effective) // t AS DOUBLE) / 1000000.0 AS weight
+    FROM j, tot ORDER BY source
+"""

@@ -3490,6 +3490,79 @@ def q_dedup_best_of_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("importance_weights_dsir")
+def q_importance_weights_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: DSIR-style hashed importance weights
+    (operators/textstats.py:importance_weights) — every doc scored by
+    how target-like (lang='en') its hashed-unigram profile is
+    relative to the raw corpus; most-target-like first."""
+    from .operators.textstats import importance_weights
+
+    d = table(spark, sf_dir, "documents")
+    return importance_weights(d, "doc_id", "text", "lang", "en").orderBy(
+        F.desc("importance"), "doc_id"
+    )
+
+
+@query("source_token_tvd")
+def q_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34: pairwise source-distribution shift
+    (operators/textstats.py:source_token_tvd) — total-variation
+    distance between every pair of sources' unigram distributions,
+    most-divergent pairs first."""
+    from .operators.textstats import source_token_tvd
+
+    d = table(spark, sf_dir, "documents")
+    return source_token_tvd(d, "source", "text").orderBy(
+        F.desc("tvd"), "source_a", "source_b"
+    )
+
+
+@query("curriculum_sample")
+def q_curriculum_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35: quality-curriculum sampling
+    (operators/sampling.py:score_ramp_sample) — per-language score
+    deciles over the X15 bigram-LM fluency score, kept at a hash
+    rate ramping from 10% (worst decile) to 100% (best)."""
+    from .operators.sampling import score_ramp_sample
+    from .operators.textstats import bigram_cond_prob_score
+
+    d = table(spark, sf_dir, "documents")
+    scored = bigram_cond_prob_score(d, "doc_id", "text").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return score_ramp_sample(
+        scored, "doc_id", "avg_cond_prob", "lang"
+    ).orderBy("lang", "decile", "doc_id")
+
+
+@query("token_fertility")
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36: tokenizer-fertility profile
+    (operators/textstats.py:token_fertility) — per-language BPE
+    tokens per word and chars per BPE token, the vocabulary-sizing
+    and compute-pricing readout."""
+    from .operators.textstats import token_fertility
+
+    d = table(spark, sf_dir, "documents")
+    return token_fertility(d, "text", "lang").orderBy("lang")
+
+
+@query("effective_mixture_weights")
+def q_effective_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37: dedup-effective mixture weights
+    (operators/sampling.py:effective_mixture_weights) — per-source
+    weights proportional to post-exact-dedup size with min-id
+    cross-source survivor attribution; X19's honest sibling for
+    unequally-duplicated corpora."""
+    from .operators.sampling import effective_mixture_weights
+
+    d = table(spark, sf_dir, "documents")
+    return effective_mixture_weights(d, "doc_id", "text", "source").orderBy(
+        "source"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
