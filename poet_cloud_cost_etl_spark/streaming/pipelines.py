@@ -294,3 +294,74 @@ def enrich_with_dim(stream: DataFrame, dim: DataFrame, on: str) -> DataFrame:
     re-listed per micro-batch, so restart the query (or use a
     snapshot-resolving source) to pick up dimension updates."""
     return stream.join(F.broadcast(dim), on, "left")
+
+
+def event_type_profile_tws(stream: DataFrame) -> DataFrame:
+    """ST8: per-user event-type profile via ``transformWithStateInPandas``
+    — the Spark 4 arbitrary-state v2 API (SPARK-46815) that replaces
+    ``applyInPandasWithState`` with TYPED state primitives: a
+    ``MapState`` (event_type → count) and a ``ValueState`` (running
+    value cents) per user, managed by a ``StatefulProcessor`` object
+    with an explicit lifecycle (init / handleInputRows / close).
+
+    Why it exists next to ``running_user_totals``: MapState gives
+    per-subkey point updates — only the event types SEEN IN THIS
+    BATCH are read and written, where the v1 API would round-trip
+    each user's entire state blob every batch. At production
+    keyspaces (users × event types) on the RocksDB provider that is
+    the difference between touching a few keys and rewriting the
+    store. Requires the RocksDB state-store provider (the v2 API
+    refuses the default HDFS-heap provider by design).
+
+    Emits, per micro-batch, one row per (user, event_type) updated in
+    that batch, carrying the user's running total — 'update' output
+    semantics, same contract as its batch twin
+    (groupBy(user, type).count ⨝ per-user cents total)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        "user_id bigint, event_type string, n bigint, user_total_cents bigint"
+    )
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getMapState(
+                "counts", "event_type string", "n bigint"
+            )
+            self._total = handle.getValueState("total", "cents bigint")
+
+        def handleInputRows(self, key, rows, timer_values):
+            got = self._total.get()
+            total = got[0] if got is not None else 0
+            touched: dict[str, int] = {}
+            for pdf in rows:
+                cents = (pdf["value"] * 100.0).round(0).astype("int64")
+                total += int(cents.sum())
+                for et, n in pdf.groupby("event_type").size().items():
+                    touched[et] = touched.get(et, 0) + int(n)
+            for et, add in touched.items():
+                prev = self._counts.getValue((et,))
+                self._counts.updateValue((et,), ((prev[0] if prev else 0) + add,))
+            self._total.update((total,))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(touched),
+                    "event_type": [et for et in sorted(touched)],
+                    "n": [self._counts.getValue((et,))[0] for et in sorted(touched)],
+                    "user_total_cents": [total] * len(touched),
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Profile(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )

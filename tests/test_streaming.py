@@ -510,3 +510,102 @@ def test_stream_starts_over_empty_directory(spark, tmp_path):
     s1 = P.incremental_events_source(spark, str(src))
     P.run_foreach_batch_parquet(s1.select(*sel), ck, out)
     assert spark.read.parquet(out).count() == 50
+
+
+def test_transform_with_state_in_pandas(spark, tmp_path):
+    """ST8: the Spark-4 arbitrary-state v2 API
+    (transformWithStateInPandas, MapState + ValueState per user).
+    Two input files force two micro-batches, so per-event-type counts
+    and the running cents total must SURVIVE in typed state across
+    batches; the final emission per key must equal the batch twin
+    exactly. Runs on the RocksDB provider — the v2 API requires it.
+
+    The v2 state-server protocol is protobuf-based; its Python side
+    imports google.protobuf at runtime (not a pyspark install dep),
+    so this runtime test is gated on the library. The plan-level
+    contract (operator compiles to TransformWithStateInPySpark with
+    the declared output schema) is asserted unconditionally in
+    test_transform_with_state_plan."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state server needs protobuf at runtime",
+    )
+    src = tmp_path / "events_in2"
+    src.mkdir()
+    ev = table(spark, SF_SMALL, "events")
+    _write_one_file(ev.filter(F.col("event_id") % 2 == 0), tmp_path, str(src), "a.parquet")
+    _write_one_file(ev.filter(F.col("event_id") % 2 == 1), tmp_path, str(src), "b.parquet")
+
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    rocksdb = (
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+    )
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(provider_key, rocksdb)
+    try:
+        stream = P.incremental_events_source(
+            spark, str(src), max_files_per_trigger=1
+        )
+        result = P.event_type_profile_tws(stream)
+        q = (
+            result.writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+    # n and user_total_cents are monotone across batches: the final
+    # state per key is the max emission.
+    got_n = {}
+    got_cents = {}
+    for r in spark.sql("SELECT * FROM t_tws").collect():
+        k = (r.user_id, r.event_type)
+        got_n[k] = max(got_n.get(k, 0), r.n)
+        got_cents[r.user_id] = max(got_cents.get(r.user_id, 0), r.user_total_cents)
+
+    batch_n = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    batch_cents = {
+        r.user_id: r.cents
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+        )
+        .collect()
+    }
+    assert got_n == batch_n and len(got_n) > 0
+    assert got_cents == batch_cents
+
+
+def test_transform_with_state_plan(spark, tmp_path):
+    """ST8 plan contract, independent of the protobuf runtime dep:
+    event_type_profile_tws compiles to a TransformWithStateInPySpark
+    operator with the declared four-column output schema."""
+    src = tmp_path / "events_plan"
+    src.mkdir()
+    shutil.copy(
+        os.path.join(SF_SMALL, "events.parquet"), src / "part-000.parquet"
+    )
+    stream = P.incremental_events_source(spark, str(src))
+    result = P.event_type_profile_tws(stream)
+    assert result.isStreaming
+    assert [f.name for f in result.schema.fields] == [
+        "user_id",
+        "event_type",
+        "n",
+        "user_total_cents",
+    ]
+    plan = result._jdf.queryExecution().analyzed().toString()
+    assert "TransformWithState" in plan
