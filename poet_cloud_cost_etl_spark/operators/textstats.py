@@ -485,9 +485,16 @@ def importance_weights(
         (F.col(group_col) == target_value).alias("__is_t"),
         F.explode(tokens(text_col)).alias("__tok"),
     ).withColumn("__b", unit_hash("__tok") % n_buckets)
-    buckets = toks.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__rc"),
-        F.count_if(F.col("__is_t")).alias("__tc"),
+    # The <= n_buckets-row bucket table feeds both the totals and the
+    # ratio — localCheckpoint pins it so the second reader does not
+    # replay the corpus explode (the source_overlap pattern).
+    buckets = (
+        toks.groupBy("__b")
+        .agg(
+            F.count(F.lit(1)).alias("__rc"),
+            F.count_if(F.col("__is_t")).alias("__tc"),
+        )
+        .localCheckpoint(eager=True)
     )
     totals = buckets.agg(
         F.sum("__rc").alias("__rtot"), F.sum("__tc").alias("__ttot")
@@ -538,43 +545,46 @@ def source_token_tvd(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     need logs.
 
     The |p−0| mass of tokens absent from one side is reconstructed
-    from per-source ppm totals (Σ_shared and Σ_all differ exactly by
-    the missing mass), so the join only ever touches SHARED tokens.
+    from per-source ppm totals: Σ_union |pa−pb| decomposes exactly as
+    Σ_shared (|pa−pb| − pa − pb) + ta + tb, so only SHARED tokens
+    generate pair rows and zero-overlap pairs cost nothing.
 
-    Scale: one keyed count per (source, token) with map-side
-    partials; the pair stats come from a self-join keyed on token —
-    per-token fanout is bounded by the number of sources squared,
-    never by corpus size; the pair frame itself (sources²/2 rows)
-    assembles on a broadcast cross of the tiny source list, so
-    zero-overlap pairs still appear."""
+    Scale: ONE corpus scan. The distinct (source, token) count table
+    is localCheckpoint-ed (vocabulary × sources rows — far smaller
+    than the corpus) because four readers fan out of it; pair stats
+    come from GROUPED pair generation (the source_overlap trick): one
+    row per token carrying its (source, ppm) list, pairs exploded
+    within the row — no self-join, per-token fanout bounded by
+    sources², never corpus size. The final grid is a broadcast cross
+    of the tiny per-source totals."""
     toks = df.select(
         F.col(group_col).alias("__g"), F.explode(tokens(text_col)).alias("__tok")
     )
-    cnt = toks.groupBy("__g", "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    cnt = (
+        toks.groupBy("__g", "__tok")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     tot = cnt.groupBy("__g").agg(F.sum("__c").alias("__tot"))
     dist = cnt.join(F.broadcast(tot), "__g").select(
         "__g", "__tok", F.expr("(1000000 * __c) div __tot").alias("__ppm")
     )
     ppm_tot = dist.groupBy("__g").agg(F.sum("__ppm").alias("__ptot"))
-    a = dist.select(
-        F.col("__g").alias("source_a"),
-        F.col("__tok").alias("__tok"),
-        F.col("__ppm").alias("__pa"),
-    )
-    b = dist.select(
-        F.col("__g").alias("source_b"),
-        F.col("__tok").alias("__tok"),
-        F.col("__ppm").alias("__pb"),
-    )
-    shared = (
-        a.join(b, "__tok")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
-        .agg(
-            F.sum(F.abs(F.col("__pa") - F.col("__pb"))).alias("__d_shared"),
-            F.sum("__pa").alias("__sa"),
-            F.sum("__pb").alias("__sb"),
+    adj = (
+        dist.groupBy("__tok")
+        .agg(F.collect_list(F.struct("__g", "__ppm")).alias("__gs"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(__gs, a -> transform(__gs, b -> "
+                    "struct(a.__g AS ga, b.__g AS gb, "
+                    "abs(a.__ppm - b.__ppm) - a.__ppm - b.__ppm AS d)))), "
+                    "p -> p.ga < p.gb)"
+                )
+            ).alias("__p")
         )
+        .groupBy(F.col("__p.ga").alias("source_a"), F.col("__p.gb").alias("source_b"))
+        .agg(F.sum("__p.d").alias("__adj"))
     )
     pa = ppm_tot.select(
         F.col("__g").alias("source_a"), F.col("__ptot").alias("__ta")
@@ -582,24 +592,19 @@ def source_token_tvd(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     pb = ppm_tot.select(
         F.col("__g").alias("source_b"), F.col("__ptot").alias("__tb")
     )
-    pairs = (
+    return (
         pa.crossJoin(pb)
         .filter(F.col("source_a") < F.col("source_b"))
-        .join(F.broadcast(shared), ["source_a", "source_b"], "left")
+        .join(F.broadcast(adj), ["source_a", "source_b"], "left")
         .select(
             "source_a",
             "source_b",
             (
-                F.expr(
-                    "(coalesce(__d_shared, 0)"
-                    " + (__ta - coalesce(__sa, 0))"
-                    " + (__tb - coalesce(__sb, 0))) div 2"
-                ).cast("double")
+                F.expr("(__ta + __tb + coalesce(__adj, 0)) div 2").cast("double")
                 / 1_000_000.0
             ).alias("tvd"),
         )
     )
-    return pairs
 
 
 def token_fertility(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
