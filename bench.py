@@ -99,6 +99,18 @@ HEADLINE = [
     "quality_ablation",
     "split_leakage_safe",
     "dedup_best_of_cluster",
+    # round-7c additions (X33-X37), benched from birth.
+    "importance_weights_dsir",
+    "source_token_tvd",
+    "curriculum_sample",
+    "token_fertility",
+    "effective_mixture_weights",
+    # round-7d additions (X38-X42), benched from birth.
+    "seqlen_truncation_plan",
+    "length_drift_by_source",
+    "classifier_hashed_logit",
+    "hard_negative_mining",
+    "embedding_pq_codes",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -232,3 +232,95 @@ def label_separation(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
             6,
         ).alias("cos_sim"),
     ).orderBy("label_a", "label_b")
+
+
+# Squared L2 between two array expressions, computed in double (the
+# fold is index-ordered, so the result is deterministic).
+_L2SQ_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+    "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0.0D, (acc, v) -> acc + v)"
+)
+
+
+def pq_codebook(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int, ksub: int
+) -> DataFrame:
+    """Product-quantization codebook: the vector space is split into
+    ``m`` contiguous subspaces; each subspace gets ``ksub`` codewords
+    — the sub-vectors of the ``ksub`` deterministically drawn corpus
+    rows (smallest md5(id), the same seed-free draw as
+    ``similarity.ivf_centroids``; k-means refinement would slot in
+    exactly as it does there). Returns (subspace, code_id,
+    codeword)."""
+    sel = (
+        corpus.select(F.col(id_col).alias("code_id"), F.col(vec_col).alias("__v"))
+        .orderBy(F.md5(F.col("code_id").cast("string")), F.col("code_id"))
+        .limit(ksub)
+    )
+    dim_expr = f"size(__v) div {int(m)}"
+    return sel.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {int(m)} - 1), s -> struct("
+                f"s AS subspace, "
+                f"slice(__v, s * ({dim_expr}) + 1, {dim_expr}) AS codeword))"
+            )
+        ).alias("__e"),
+        "code_id",
+    ).select(
+        F.col("__e.subspace").alias("subspace"),
+        "code_id",
+        F.col("__e.codeword").alias("codeword"),
+    )
+
+
+def pq_encode(
+    corpus: DataFrame, id_col: str, vec_col: str, m: int = 4, ksub: int = 8
+) -> DataFrame:
+    """X42: product-quantization encoding — every vector is
+    compressed to ``m`` small integers (one nearest-codeword id per
+    subspace, squared-L2 metric, rounded to 6 with code id as
+    tie-break). PQ is the memory half of a billion-scale ANN index
+    (IVF picks the list, PQ shrinks the residents ~100×: a 64-dim
+    float32 vector becomes m=4 bytes); this operator produces the
+    codes and the per-subspace quantization error, long-form one row
+    per (vector, subspace).
+
+    Scale: ZERO shuffle for the encoding itself — the m·ksub-row
+    codebook collapses to a one-row array, broadcasts, and each
+    vector scores all codewords inside one transform/array_sort
+    expression in the scan stage (the ``similarity.ivf_assign``
+    pattern, m·ksub comparisons per row). The deterministic codebook
+    draw is a k-row orderBy-limit on the hash — the only non-map
+    step, and it is ksub rows."""
+    cb = pq_codebook(corpus, id_col, vec_col, m, ksub)
+    cb_arr = cb.agg(
+        F.collect_list(F.struct("subspace", "code_id", "codeword")).alias("__cb")
+    )
+    dim = f"(size({vec_col}) div {int(m)})"
+    best = F.expr(
+        f"transform(sequence(0, {int(m)} - 1), s -> "
+        "element_at(array_sort(transform("
+        "filter(__cb, c -> c.subspace = s), c -> struct("
+        + "round("
+        + _L2SQ_SQL.format(
+            a=f"slice({vec_col}, s * {dim} + 1, {dim})", b="c.codeword"
+        )
+        + ", 6) AS dist_sq, c.code_id AS cid)), "
+        "(l, r) -> CASE WHEN l.dist_sq < r.dist_sq THEN -1 "
+        "WHEN l.dist_sq > r.dist_sq THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
+        "), 1))"
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cb_arr))
+        .select(F.col(id_col), F.posexplode(best).alias("__s", "__best"))
+        .select(
+            F.col(id_col),
+            F.col("__s").alias("subspace"),
+            F.col("__best.cid").alias("code_id"),
+            F.col("__best.dist_sq").alias("dist_sq"),
+        )
+    )

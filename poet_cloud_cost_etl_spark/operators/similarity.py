@@ -450,3 +450,67 @@ def semantic_dedup(
             F.coalesce("__dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """X39: hard-negative mining — for each query vector, the top-k
+    most cosine-similar corpus vectors whose LABEL DIFFERS from the
+    query's. This is the contrastive-training data miner: the
+    near-miss wrong-class neighbors are exactly the negatives that
+    teach an embedding model its decision boundary (and random
+    negatives teach it almost nothing). Same ranking discipline as
+    ``brute_force_topk`` (rounded cosine, neighbor id tie-break) so
+    results are engine-reproducible.
+
+    Scale: the query side is broadcast-small (mining batches are
+    thousands of anchors, not the corpus); the corpus side streams
+    through the scan stage scoring each anchor — O(Q·N) like any
+    brute-force pass, swapped for the IVF candidate join
+    (``ivf_topk`` with a label filter) when Q grows. The label
+    filter lands BEFORE ranking, so the window ranks only cross-label
+    pairs."""
+    from pyspark.sql.window import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.col(label_col).alias("query_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            "rank",
+        )
+    )

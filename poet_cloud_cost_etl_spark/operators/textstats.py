@@ -650,3 +650,210 @@ def token_fertility(df: DataFrame, text_col: str, group_col: str) -> DataFrame:
             ).alias("chars_per_bpe"),
         )
     )
+
+
+def seqlen_plan(
+    df: DataFrame, group_col: str, text_col: str, context_len: int = 64
+) -> DataFrame:
+    """X38: sequence-length planning — per group (source), exact
+    token-count percentiles (p50/p90/p99) plus the truncation cost of
+    packing at ``context_len``: how many documents exceed the context
+    and what fraction of the group's tokens a hard truncation throws
+    away. This is the readout that picks max_seq_len for a training
+    run: p99 tells you the tail, trunc_loss tells you what clipping
+    at L actually costs.
+
+    Percentile definition (engine-portable, no interpolation): the
+    smallest token count whose cumulative document count reaches
+    ``ceil(q * n_docs)`` — i.e. the value at position ceil(q*n) of
+    the sorted list. Exact integers throughout; trunc_loss_ppm is an
+    integer division (the cross-engine float convention).
+
+    Scale: token counting is a narrow map; the percentile runs over
+    the (group, n_tokens) HISTOGRAM — cardinality bounded by distinct
+    length values (~context sizes, thousands at most), not documents —
+    so the running-sum window is over a tiny table. One shuffle for
+    the histogram aggregate, one broadcast-sized window. Compare
+    ``collect_list``-percentiles, which pull whole groups into single
+    rows, or per-doc ``row_number``, which windows the full corpus:
+    both break at 100 TB; the histogram form does not."""
+    from pyspark.sql.window import Window
+
+    tc = df.select(
+        F.col(group_col).alias("grp"), F.size(tokens(text_col)).alias("n_tokens")
+    )
+    hist = tc.groupBy("grp", "n_tokens").agg(F.count(F.lit(1)).alias("__c"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("n_tokens")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("__cum", F.sum("__c").over(w)).withColumn(
+        "__tot", F.sum("__c").over(Window.partitionBy("grp"))
+    )
+    L = int(context_len)
+
+    def _pct(q: float, name: str) -> Column:
+        return F.min(
+            F.when(
+                F.col("__cum") >= F.ceil(F.col("__tot") * F.lit(q)),
+                F.col("n_tokens"),
+            )
+        ).alias(name)
+
+    return (
+        cum.groupBy("grp")
+        .agg(
+            F.sum("__c").alias("n_docs"),
+            F.sum(F.col("__c") * F.col("n_tokens")).alias("total_tokens"),
+            _pct(0.5, "p50"),
+            _pct(0.9, "p90"),
+            _pct(0.99, "p99"),
+            F.sum(F.when(F.col("n_tokens") > L, F.col("__c")).otherwise(0)).alias(
+                "docs_over"
+            ),
+            F.sum(F.col("__c") * F.least(F.col("n_tokens"), F.lit(L))).alias(
+                "tokens_kept"
+            ),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_tokens",
+            "p50",
+            "p90",
+            "p99",
+            "docs_over",
+            "tokens_kept",
+            (
+                F.expr(
+                    "(1000000 * (total_tokens - tokens_kept)) div total_tokens"
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("trunc_loss_ppm"),
+        )
+    )
+
+
+def length_drift_chi2(
+    df: DataFrame, group_col: str, len_col: str, bucket_width: int = 50
+) -> DataFrame:
+    """X40: distribution-drift scoring — per group (source / crawl /
+    snapshot), a chi-square-style divergence between the group's
+    document-length histogram and the whole corpus's. The standard
+    "did this source change shape?" monitor in corpus ingestion:
+    a source whose length profile suddenly diverges from the corpus
+    (boilerplate floods, truncated fetches) spikes here before any
+    content-level check fires.
+
+    chi2_ppm = sum over buckets of (p_b - q_b)^2 / q_b, where p is
+    the group's bucket share and q the corpus's, both exact ppm
+    integers (so every term — and the sum — is an exact integer:
+    engine-portable with no float accumulation). Buckets with q = 0
+    cannot occur (every group doc is also a corpus doc).
+
+    Scale: two aggregates over one scan's histogram — the
+    (group, bucket) table is |G|·|buckets| rows, driver-tiny; the
+    corpus histogram broadcasts onto it. No per-doc joins."""
+    b = df.select(
+        F.col(group_col).alias("grp"),
+        F.expr(
+            f"CAST({len_col} AS BIGINT) div {int(bucket_width)}"
+        ).alias("bucket"),
+    )
+    gh = b.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("gc"))
+    gt = gh.groupBy("grp").agg(F.sum("gc").alias("gn"))
+    ch = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cc"))
+    ct = ch.agg(F.sum("cc").alias("cn"))
+    per_bucket = (
+        gh.join(gt, "grp")
+        .join(F.broadcast(ch), "bucket")
+        .crossJoin(F.broadcast(ct))
+        .select(
+            "grp",
+            "bucket",
+            F.expr("(1000000 * gc) div gn").alias("p_ppm"),
+            F.expr("(1000000 * cc) div cn").alias("q_ppm"),
+        )
+        .select(
+            "grp",
+            F.expr(
+                "((p_ppm - q_ppm) * (p_ppm - q_ppm)) div q_ppm"
+            ).alias("__term"),
+        )
+    )
+    return (
+        per_bucket.groupBy("grp")
+        .agg(F.sum("__term").alias("__chi2"))
+        .join(gt, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("gn").alias("n_docs"),
+            (F.col("__chi2").cast("double") / 1_000_000.0).alias("chi2_ppm"),
+        )
+    )
+
+
+# Deterministic hashed-feature weights for the X41 classifier: bucket
+# b's weight is an integer in [-512, 512) derived from b by a
+# Knuth-style multiplicative mix. In production these 64 integers are
+# a TRAINED weight vector loaded from a file and broadcast; the
+# arithmetic shape (hash token -> bucket -> weight -> sum) is
+# identical, and that shape is what this operator implements.
+HASH_BUCKETS = 64
+_WEIGHT_SQL = "((({b} * 2654435761) % 1024) - 512)"
+_BUCKET_SQL = (
+    "CAST(conv(substring(md5(__t), 1, 8), 16, 10) AS BIGINT) % {d}"
+)
+
+
+def hashed_logit_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """X41: hashed-feature linear classifier (fastText-style quality
+    gate) — every token hashes into one of ``HASH_BUCKETS`` weight
+    buckets; the document logit is the sum of its tokens' bucket
+    weights; pred_keep is the sign. This is the scoring half of the
+    "train a small quality classifier, score the whole corpus" recipe
+    (the standard web-corpus filter): deterministic integer weights
+    stand in for trained ones so the result is engine-verifiable,
+    but the plumbing — hash, bucket, sum, threshold, no vocabulary
+    lookup table — is the production shape.
+
+    logit and n_tokens are exact integers; mean_weight (the per-
+    token average weight, 1e-6 resolution) is an integer division
+    (cross-engine float convention).
+
+    Scale: ZERO shuffle — the whole computation is one fold
+    expression per row (hash + arithmetic inside ``aggregate``),
+    evaluated in the scan stage. A 10^5-bucket trained model swaps
+    the arithmetic weight for a broadcast map lookup and stays a
+    narrow map."""
+    logit = F.expr(
+        "aggregate(transform(__toks, __t -> "
+        + _WEIGHT_SQL.format(b=_BUCKET_SQL.format(d=HASH_BUCKETS))
+        + "), 0L, (acc, v) -> acc + v)"
+    )
+    t = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        F.size("__toks").alias("n_tokens"),
+        logit.alias("logit"),
+    )
+    # Sign-symmetric integer division: Spark's ``div`` truncates
+    # toward zero while DuckDB's ``//`` floors, so negative logits
+    # would round differently — dividing the absolute value and
+    # re-applying the sign is identical in both engines.
+    return t.select(
+        F.col(id_col),
+        "n_tokens",
+        "logit",
+        (
+            F.expr(
+                "CASE WHEN logit < 0 THEN -((1000000 * -logit) div n_tokens) "
+                "ELSE (1000000 * logit) div n_tokens END"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("mean_weight"),
+        (F.col("logit") > 0).alias("pred_keep"),
+    )

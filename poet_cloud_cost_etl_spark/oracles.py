@@ -2918,3 +2918,156 @@ ORACLES["effective_mixture_weights"] = """
         CAST((1000000 * n_effective) // t AS DOUBLE) / 1000000.0 AS weight
     FROM j, tot ORDER BY source
 """
+
+# X38 sequence-length planning (operators/textstats.py:seqlen_plan):
+# histogram-based exact percentiles — value at position ceil(q * n)
+# of the per-source sorted token-count list — plus 64-token
+# truncation loss, all exact integers.
+ORACLES["seqlen_truncation_plan"] = f"""
+    WITH tc AS (
+        SELECT source, len({_TOKS.format(col='text')}) AS n_tokens
+        FROM documents
+    ),
+    hist AS (
+        SELECT source, n_tokens, COUNT(*) AS c FROM tc GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT source, n_tokens, c,
+            SUM(c) OVER (
+                PARTITION BY source ORDER BY n_tokens
+            ) AS cumc,
+            SUM(c) OVER (PARTITION BY source) AS tot
+        FROM hist
+    )
+    SELECT source,
+        CAST(SUM(c) AS BIGINT) AS n_docs,
+        CAST(SUM(c * n_tokens) AS BIGINT) AS total_tokens,
+        CAST(MIN(CASE WHEN cumc >= CEIL(tot * 0.5) THEN n_tokens END)
+             AS INTEGER) AS p50,
+        CAST(MIN(CASE WHEN cumc >= CEIL(tot * 0.9) THEN n_tokens END)
+             AS INTEGER) AS p90,
+        CAST(MIN(CASE WHEN cumc >= CEIL(tot * 0.99) THEN n_tokens END)
+             AS INTEGER) AS p99,
+        CAST(SUM(CASE WHEN n_tokens > 64 THEN c ELSE 0 END) AS BIGINT)
+            AS docs_over,
+        CAST(SUM(c * LEAST(n_tokens, 64)) AS BIGINT) AS tokens_kept,
+        CAST((1000000 * (CAST(SUM(c * n_tokens) AS BIGINT)
+                         - CAST(SUM(c * LEAST(n_tokens, 64)) AS BIGINT)))
+             // CAST(SUM(c * n_tokens) AS BIGINT) AS DOUBLE) / 1000000.0
+            AS trunc_loss_ppm
+    FROM cum GROUP BY source ORDER BY source
+"""
+
+# X40 length-histogram drift (operators/textstats.py:
+# length_drift_chi2): every term is an exact ppm integer, so the sum
+# is order-free.
+ORACLES["length_drift_by_source"] = """
+    WITH b AS (
+        SELECT source, CAST(n_chars AS BIGINT) // 50 AS bucket
+        FROM documents
+    ),
+    gh AS (SELECT source, bucket, COUNT(*) AS gc FROM b GROUP BY 1, 2),
+    gt AS (SELECT source, CAST(SUM(gc) AS BIGINT) AS gn FROM gh GROUP BY 1),
+    ch AS (SELECT bucket, COUNT(*) AS cc FROM b GROUP BY 1),
+    ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS cn FROM ch),
+    terms AS (
+        SELECT gh.source,
+            ((1000000 * gc) // gn - (1000000 * cc) // cn)
+            * ((1000000 * gc) // gn - (1000000 * cc) // cn)
+            // ((1000000 * cc) // cn) AS term
+        FROM gh JOIN gt USING (source) JOIN ch USING (bucket), ct
+    )
+    SELECT t.source, gt.gn AS n_docs,
+        CAST(CAST(SUM(t.term) AS BIGINT) AS DOUBLE) / 1000000.0 AS chi2_ppm
+    FROM terms t JOIN gt USING (source)
+    GROUP BY t.source, gt.gn ORDER BY t.source
+"""
+
+# X41 hashed-feature linear classifier (operators/textstats.py:
+# hashed_logit_scores). The mean division is sign-symmetric (abs then
+# re-sign) because Spark div truncates while DuckDB // floors.
+ORACLES["classifier_hashed_logit"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents
+    ),
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    w AS (
+        SELECT doc_id,
+            ((CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 64)
+             * 2654435761) % 1024 - 512 AS wt
+        FROM tk
+    ),
+    agg AS (
+        SELECT doc_id, CAST(SUM(wt) AS BIGINT) AS logit FROM w GROUP BY doc_id
+    ),
+    n AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+    SELECT n.doc_id, CAST(n.n_tokens AS INTEGER) AS n_tokens, agg.logit,
+        CAST(CASE WHEN agg.logit < 0
+             THEN -((1000000 * -agg.logit) // n.n_tokens)
+             ELSE (1000000 * agg.logit) // n.n_tokens END AS DOUBLE)
+            / 1000000.0 AS mean_weight,
+        agg.logit > 0 AS pred_keep
+    FROM n JOIN agg USING (doc_id) ORDER BY doc_id
+"""
+
+# X39 hard-negative mining (operators/similarity.py:hard_negatives):
+# brute-force cosine with a cross-label filter before ranking.
+ORACLES["hard_negative_mining"] = """
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+        CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+            ) AS rank
+        FROM (
+            SELECT q.vec_id AS query_id, q.label AS query_label,
+                e.vec_id AS neighbor_id, e.label AS neighbor_label,
+                ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                             CAST(e.embedding AS DOUBLE[])),
+                      6) AS cos_sim
+            FROM embeddings e
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+                ON e.label <> q.label
+        )
+    )
+    WHERE rank <= 5
+    ORDER BY query_id, rank
+"""
+
+# X42 product quantization (operators/embeddings.py:pq_encode):
+# m=4 subspaces x 16 dims, ksub=8 codewords per subspace drawn by
+# the md5(id) order (same seed-free draw as _IVF_CENTS); nearest
+# codeword by squared L2 rounded to 6, code id tie-break.
+ORACLES["embedding_pq_codes"] = """
+    WITH sel AS (
+        SELECT vec_id AS code_id, embedding
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 8
+    ),
+    cb AS (
+        SELECT s.i AS subspace, sel.code_id,
+            CAST(sel.embedding[s.i * 16 + 1 : s.i * 16 + 16] AS DOUBLE[])
+                AS codeword
+        FROM sel, (SELECT unnest(range(0, 4)) AS i) s
+    ),
+    scored AS (
+        SELECT e.vec_id, cb.subspace, cb.code_id,
+            ROUND(list_distance(
+                CAST(e.embedding[cb.subspace * 16 + 1 : cb.subspace * 16 + 16]
+                     AS DOUBLE[]), cb.codeword) ^ 2, 6) AS dist_sq
+        FROM embeddings e, cb
+    )
+    SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, code_id, dist_sq
+    FROM (
+        SELECT vec_id, subspace, code_id, dist_sq,
+            ROW_NUMBER() OVER (
+                PARTITION BY vec_id, subspace
+                ORDER BY dist_sq ASC, code_id ASC
+            ) AS rn
+        FROM scored
+    )
+    WHERE rn = 1
+    ORDER BY vec_id, subspace
+"""

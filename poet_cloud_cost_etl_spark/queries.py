@@ -3563,6 +3563,72 @@ def q_effective_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("seqlen_truncation_plan")
+def q_seqlen_truncation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: sequence-length planning
+    (operators/textstats.py:seqlen_plan) — per-source exact token
+    percentiles (histogram-based, engine-portable) and the token
+    loss of truncating at a 64-token context."""
+    from .operators.textstats import seqlen_plan
+
+    d = table(spark, sf_dir, "documents")
+    return seqlen_plan(d, "source", "text", context_len=64).orderBy("source")
+
+
+@query("length_drift_by_source")
+def q_length_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40: distribution-drift monitor
+    (operators/textstats.py:length_drift_chi2) — chi-square-style
+    divergence of each source's document-length histogram from the
+    corpus's, exact ppm integers end to end."""
+    from .operators.textstats import length_drift_chi2
+
+    d = table(spark, sf_dir, "documents")
+    return length_drift_chi2(d, "source", "n_chars", bucket_width=50).orderBy(
+        "source"
+    )
+
+
+@query("classifier_hashed_logit")
+def q_classifier_hashed_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: hashed-feature linear quality classifier
+    (operators/textstats.py:hashed_logit_scores) — fastText-style
+    hash-bucket scoring of every document, zero-shuffle fold
+    expression in the scan stage."""
+    from .operators.textstats import hashed_logit_scores
+
+    d = table(spark, sf_dir, "documents")
+    return hashed_logit_scores(d, "doc_id", "text").orderBy("doc_id")
+
+
+@query("hard_negative_mining")
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39: contrastive hard-negative mining
+    (operators/similarity.py:hard_negatives) — for 8 anchor vectors,
+    the top-5 most-similar corpus vectors of a DIFFERENT label."""
+    from .operators.similarity import hard_negatives
+
+    e = table(spark, sf_dir, "embeddings")
+    anchors = e.filter(F.col("vec_id") < 8)
+    return hard_negatives(
+        anchors, e, "vec_id", "embedding", "label", k=5
+    ).orderBy("query_id", "rank")
+
+
+@query("embedding_pq_codes")
+def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: product-quantization encoding
+    (operators/embeddings.py:pq_encode) — every embedding compressed
+    to 4 codeword ids (8 codewords per subspace, deterministic
+    codebook draw), long-form with per-subspace quantization error."""
+    from .operators.embeddings import pq_encode
+
+    e = table(spark, sf_dir, "embeddings")
+    return pq_encode(e, "vec_id", "embedding", m=4, ksub=8).orderBy(
+        "vec_id", "subspace"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,200 @@
+"""Unit-level contracts for the round-7d operators (X38 sequence-
+length planning, X39 hard-negative mining, X40 length-histogram
+drift, X41 hashed-logit classifier, X42 product quantization), beyond
+the oracle parity sweep: algebraic invariants on synthetic inputs
+where the expected value is known by construction."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from poet_cloud_cost_etl_spark.operators.embeddings import (
+    pq_codebook,
+    pq_encode,
+)
+from poet_cloud_cost_etl_spark.operators.similarity import hard_negatives
+from poet_cloud_cost_etl_spark.operators.textstats import (
+    HASH_BUCKETS,
+    hashed_logit_scores,
+    length_drift_chi2,
+    seqlen_plan,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+# ---------------------------------------------------------------- X38
+
+
+def test_seqlen_percentiles_exact(spark):
+    """10 docs of 1..10 tokens: p50 is the 5th sorted value (5),
+    p90 the 9th (9), p99 the ceil(9.9)=10th (10)."""
+    rows = [(i, " ".join(["w"] * i), "s") for i in range(1, 11)]
+    out = seqlen_plan(_docs(spark, rows), "source", "text", context_len=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["p50"], r["p90"], r["p99"]) == (5, 9, 10)
+    assert r["n_docs"] == 10 and r["total_tokens"] == 55
+    # truncation at 4: kept = 1+2+3+4*7 = 34, over = docs with >4 tokens
+    assert r["tokens_kept"] == 34 and r["docs_over"] == 6
+    assert abs(r["trunc_loss_ppm"] - ((1_000_000 * 21) // 55) / 1e6) < 1e-12
+
+
+def test_seqlen_no_truncation_when_context_covers_max(spark):
+    rows = [(i, "a b c", "s") for i in range(5)]
+    r = seqlen_plan(_docs(spark, rows), "source", "text", context_len=10).collect()[0]
+    assert r["docs_over"] == 0 and r["trunc_loss_ppm"] == 0.0
+    assert r["tokens_kept"] == r["total_tokens"]
+
+
+# ---------------------------------------------------------------- X40
+
+
+def test_length_drift_identical_groups_zero(spark):
+    """Two sources with the SAME length histogram: each group's ppm
+    shares equal the corpus's, so chi2 is exactly 0."""
+    rows = [(i, "x", "a") for i in range(10)] + [(i + 10, "x", "b") for i in range(10)]
+    df = spark.createDataFrame(
+        [(d, t, s, 100 + (d % 5) * 60) for d, t, s in rows],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    out = {
+        r["source"]: r["chi2_ppm"]
+        for r in length_drift_chi2(df, "source", "n_chars", 50).collect()
+    }
+    assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_length_drift_shifted_group_positive(spark):
+    df = spark.createDataFrame(
+        [(i, "x", "short", 10) for i in range(20)]
+        + [(i + 20, "x", "long", 500) for i in range(20)],
+        ["doc_id", "text", "source", "n_chars"],
+    )
+    out = {
+        r["source"]: r["chi2_ppm"]
+        for r in length_drift_chi2(df, "source", "n_chars", 50).collect()
+    }
+    assert out["short"] > 0 and out["long"] > 0
+
+
+# ---------------------------------------------------------------- X41
+
+
+def test_hashed_logit_matches_manual(spark):
+    """The logit of a known document equals the hand-computed sum of
+    its tokens' bucket weights (md5-hash buckets, Knuth-mix
+    weights)."""
+    import hashlib
+
+    text = "the quick brown fox the"
+    df = _docs(spark, [(1, text, "s")])
+    r = hashed_logit_scores(df, "doc_id", "text").collect()[0]
+
+    def weight(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % HASH_BUCKETS
+        return ((b * 2654435761) % 1024) - 512
+
+    expected = sum(weight(t) for t in text.split())
+    assert r["logit"] == expected
+    assert r["n_tokens"] == 5
+    assert r["pred_keep"] == (expected > 0)
+
+
+def test_hashed_logit_no_shuffle_plan(spark):
+    """The scoring is a scan-stage fold: no Exchange in the plan."""
+    df = _docs(spark, [(i, "alpha beta", "s") for i in range(4)])
+    plan = hashed_logit_scores(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- X39
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    corpus = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0], "a"),
+            (2, [0.99, 0.1], "a"),   # same label: must never appear
+            (3, [0.9, 0.2], "b"),
+            (4, [0.0, 1.0], "b"),
+            (5, [-1.0, 0.0], "c"),
+        ],
+    )
+    anchors = corpus.filter(F.col("vec_id") == 1)
+    out = hard_negatives(anchors, corpus, "vec_id", "embedding", "label", k=3).collect()
+    labels = {r["neighbor_label"] for r in out}
+    assert "a" not in labels
+    # nearest cross-label neighbor is vec 3 (cos ~0.976)
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert by_rank[0]["neighbor_id"] == 3
+    assert [r["rank"] for r in by_rank] == [1, 2, 3]
+
+
+def test_hard_negatives_k_bound(spark):
+    corpus = _vecs(
+        spark,
+        [(i, [float(i), 1.0], "a" if i % 2 else "b") for i in range(1, 9)],
+    )
+    anchors = corpus.filter(F.col("vec_id") <= 2)
+    out = hard_negatives(anchors, corpus, "vec_id", "embedding", "label", k=2)
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 2 for r in counts)
+
+
+# ---------------------------------------------------------------- X42
+
+
+def test_pq_codebook_shape(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 8) for i in range(10)], ["vec_id", "embedding"]
+    )
+    cb = pq_codebook(df, "vec_id", "embedding", m=4, ksub=3).collect()
+    assert len(cb) == 12  # m * ksub
+    assert all(len(r["codeword"]) == 2 for r in cb)  # 8 dims / 4 subspaces
+    assert {r["subspace"] for r in cb} == {0, 1, 2, 3}
+
+
+def test_pq_encode_selected_vectors_zero_error(spark):
+    """A vector whose id was drawn into the codebook quantizes to
+    ITSELF in every subspace: dist_sq == 0 and code_id == vec_id
+    (ties broken by code id can only matter for duplicate
+    codewords, which distinct inputs rule out)."""
+    df = spark.createDataFrame(
+        [(i, [float(i * j % 7) for j in range(8)]) for i in range(12)],
+        ["vec_id", "embedding"],
+    )
+    cb_ids = {r["code_id"] for r in pq_codebook(df, "vec_id", "embedding", 4, 3).collect()}
+    enc = pq_encode(df, "vec_id", "embedding", m=4, ksub=3)
+    own = enc.filter(F.col("vec_id").isin(list(cb_ids))).collect()
+    zero_rows = [r for r in own if r["dist_sq"] == 0.0]
+    # every (selected vector, subspace) pair has an exact codeword
+    assert len(zero_rows) == len(cb_ids) * 4
+
+    # every vector gets exactly m rows, codes drawn from the codebook
+    per_vec = enc.groupBy("vec_id").count().collect()
+    assert all(r["count"] == 4 for r in per_vec)
+    assert {r["code_id"] for r in enc.collect()} <= cb_ids
+
+
+def test_pq_encode_nearest_by_construction(spark):
+    """With two well-separated clusters and one codeword in each,
+    every vector encodes to its own cluster's codeword."""
+    rows = [(i, [0.0 + i * 0.01] * 4) for i in range(5)] + [
+        (100 + i, [100.0 + i * 0.01] * 4) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = pq_codebook(df, "vec_id", "embedding", m=2, ksub=2).collect()
+    ids = sorted({r["code_id"] for r in cb})
+    if len(ids) == 2 and (ids[0] < 100) != (ids[1] < 100):
+        enc = pq_encode(df, "vec_id", "embedding", m=2, ksub=2).collect()
+        for r in enc:
+            same_cluster = (r["vec_id"] < 100) == (r["code_id"] < 100)
+            assert same_cluster, r
