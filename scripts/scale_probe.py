@@ -43,8 +43,32 @@ HEAVY = [
     "text_bigram_lm_score",
     "window_distribution",
     "tfidf_top_terms",
+    # round-7 heavy operators: the cluster-composition chain and the
+    # corpus-overlap matrix.
+    "dedup_best_of_cluster",
+    "split_leakage_safe",
+    "source_overlap_matrix",
 ]
 N_RUNS = 3
+
+# SemDeDup's documented scaling knob is cluster granularity: k grows
+# with N so per-cluster pair work stays constant (operators/
+# similarity.py:semantic_dedup docstring). The registered query pins
+# k=8 for oracle determinism; probing THAT at 10x data would measure
+# 10x-bigger clusters (quadratic pair growth) — a mis-deployment, not
+# the operator. The probe therefore applies the knob: k=8 at sf0.1,
+# k=8*COPIES at sf1.0, which is how the operator ships at scale.
+def _semantic_dedup_scaled(spark, sf_dir, k):
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, "vec_id", "embedding", n_centroids=k)
+
+
+SCALED_K = [
+    ("semantic_dedup_scaled_k", _semantic_dedup_scaled),
+]
 
 
 def build_scaled(src: str, dst: str, copies: int = COPIES) -> None:
@@ -89,19 +113,24 @@ def build_scaled(src: str, dst: str, copies: int = COPIES) -> None:
     con.close()
 
 
-def time_queries(spark, sf_dir: str) -> dict[str, float]:
+def time_queries(spark, sf_dir: str, k_scale: int = 1) -> dict[str, float]:
     from poet_cloud_cost_etl_spark.queries import QUERIES
 
-    out: dict[str, float] = {}
-    for name in HEAVY:
-        QUERIES[name](spark, sf_dir).count()  # warm-up, untimed
+    def _timed(name, fn):
+        fn().count()  # warm-up, untimed
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).count()
+            fn().count()
             runs.append(time.perf_counter() - t0)
         out[name] = round(statistics.median(runs), 4)
         print(f"  {sf_dir.split('/')[-1]} {name}: {out[name]}s", file=sys.stderr)
+
+    out: dict[str, float] = {}
+    for name in HEAVY:
+        _timed(name, lambda: QUERIES[name](spark, sf_dir))
+    for name, op in SCALED_K:
+        _timed(name, lambda: op(spark, sf_dir, 8 * k_scale))
     return out
 
 
@@ -121,8 +150,8 @@ def main() -> None:
     spark = build_session(app_name="scale-probe", **cfg.session_kwargs())
     spark.sparkContext.setLogLevel("ERROR")
 
-    small = time_queries(spark, SF01)
-    big = time_queries(spark, SCALED)
+    small = time_queries(spark, SF01, k_scale=1)
+    big = time_queries(spark, SCALED, k_scale=COPIES)
     record = {
         "metric": "scale_probe_10x",
         "unit": "sec",
@@ -133,7 +162,7 @@ def main() -> None:
         # observed time ratio for 10x data; linear=10, quadratic=100.
         "ratio_10x": {
             n: round(big[n] / small[n], 2) if small[n] > 0 else None
-            for n in HEAVY
+            for n in small
         },
     }
     with open(args.out, "w") as f:
