@@ -186,9 +186,19 @@ def main() -> None:
     # timing recorded as phantom regressions (see r6 variance note).
     import statistics
 
+    def _release_persisted() -> None:
+        # Operators that localCheckpoint (CC rounds, IVF centroid
+        # refinement) leave pinned RDD blocks behind; across ~60
+        # back-to-back queries those accumulate into GC pressure that
+        # bleeds one query's cost into the next. Each query is timed
+        # as if it ran alone.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
     for name in names:
+        _release_persisted()
         QUERIES[name](spark, sf_dir).count()
         runs = []
         for _ in range(HEAVY_N_RUNS if name in HEAVY else N_RUNS):

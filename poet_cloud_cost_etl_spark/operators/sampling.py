@@ -350,3 +350,109 @@ def effective_mixture_weights(
             ).alias("weight"),
         )
     )
+
+
+def _tokens(col: str) -> Column:
+    from .dedup import tokens as _dedup_tokens
+
+    return _dedup_tokens(col)
+
+
+def mixture_budget_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    token_budget: int,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """X43: token-budget mixture materialization — the step that
+    turns mixture WEIGHTS into an actual training corpus. Each
+    group's token budget is its temperature-weighted share
+    (w_s ∝ n_docs^alpha, the ``source_mixture_weights`` arithmetic)
+    of ``token_budget``; within a group, documents are taken in
+    unit-hash order (the deterministic shuffle) while the running
+    token total stays within budget. Returns the KEPT documents with
+    their group, token count, and running total — the sample is
+    stable under repartitioning, re-runs, and engine choice, and
+    incremental appends never evict a previously-kept doc from an
+    unchanged group prefix.
+
+    Exactness: budgets are integer divisions of scaled-integer
+    weights (the ``source_mixture_weights`` convention); the cut is
+    cumsum <= budget on exact integer token counts.
+
+    Scale: one narrow-map token count, a k-row budget table
+    broadcast onto the corpus, ONE shuffle on the group key for the
+    running-sum window. A pathologically dominant group is a single
+    window partition — the stratified-sample caveat applies
+    (pre-thin with ``deterministic_sample`` or raise alpha); AQE
+    splits cannot help inside one partition, but group counts in
+    corpus mixes are dozens, so parallelism comes from the group
+    fan-out."""
+    tc = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+    )
+    counts = tc.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
+    powed = (
+        F.sqrt(F.col("__n").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("__n").cast("double"), F.lit(alpha))
+    )
+    scaled = counts.withColumn("__ws", F.round(powed * 1_000_000.0).cast("long"))
+    total = scaled.agg(F.sum("__ws").alias("__wt"))
+    budgets = (
+        scaled.crossJoin(F.broadcast(total))
+        .select("grp", F.expr(f"({int(token_budget)} * __ws) div __wt").alias("__budget"))
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy(unit_hash(id_col).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tc.join(F.broadcast(budgets), "grp")
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= F.col("__budget"))
+        .select(
+            F.col(id_col),
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "cum_tokens",
+        )
+    )
+
+
+def training_order_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 8, epoch: int = 0
+) -> DataFrame:
+    """X44: deterministic global training-order shuffle — every row
+    gets a (shard, pos) address: shard = hash(epoch, id) mod
+    n_shards, pos = rank of the hash within the shard. Round-robin
+    readers over the shards replay the exact same "random" order on
+    any engine, any partitioning, any rerun — which is how training
+    runs stay reproducible and resumable (order is a pure function
+    of (epoch, id), not of cluster layout). A new ``epoch`` value
+    reshuffles everything.
+
+    Scale: one shuffle on the shard key (n_shards partitions — size
+    n_shards to the cluster, it is the write parallelism), one
+    row_number per shard. The hash makes shard sizes near-uniform by
+    construction, so there is no skew to manage. In production the
+    result is written ``partitionBy(shard)`` sorted by pos — the
+    sorted-shard files ARE the epoch's data order."""
+    h = F.expr(
+        "CAST(conv(substring(md5(concat(CAST({e} AS STRING), '|', "
+        "CAST({c} AS STRING))), 1, 8), 16, 10) AS BIGINT)".format(
+            e=int(epoch), c=id_col
+        )
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("__h"))
+        .withColumn("shard", (F.col("__h") % F.lit(int(n_shards))).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(F.col(id_col), "shard", "pos")
+    )

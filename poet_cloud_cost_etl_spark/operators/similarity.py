@@ -514,3 +514,138 @@ def hard_negatives(
             "rank",
         )
     )
+
+
+def _topb_per_group(
+    df: DataFrame, group_col: str, id_col: str, b: int
+) -> DataFrame:
+    """Exact deterministic top-``b`` rows per group by (md5(id), id)
+    — the seed-free draw — WITHOUT a whole-group window partition.
+    Two-phase: each input partition pre-prunes to its local top-b per
+    group (bounded by b·P rows per group), then the global window
+    ranks only the survivors. A mega-group is never a single
+    unbounded window partition, which is what kills the naive
+    row_number draw at 100 TB."""
+    from pyspark.sql.window import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    local_w = Window.partitionBy(group_col, F.spark_partition_id()).orderBy(
+        key, F.col(id_col)
+    )
+    pruned = (
+        df.withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= b)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        pruned.withColumn("__rn", F.row_number().over(global_w))
+        .filter(F.col("__rn") <= b)
+        .drop("__rn")
+    )
+
+
+def ivf_tree_assign(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    branching: int = 8,
+    depth: int = 2,
+) -> DataFrame:
+    """Log-depth hierarchical centroid assignment — the scale form of
+    ``ivf_assign``. Flat assignment costs N·k comparisons; when
+    cluster SIZE must stay constant (the SemDeDup deployment: k ∝ N),
+    that is N²/c — quadratic. A centroid TREE with fixed branching b
+    and depth d = log_b(k) costs N·b·d = N·b·log_b(N/c): each row
+    descends the tree comparing only its current node's b children.
+    This is the coarse-quantizer hierarchy every billion-scale IVF
+    deployment uses.
+
+    Tree construction is the same seed-free draw as ``ivf_centroids``
+    applied per node: level-l centroids are, within each level-(l-1)
+    bucket, the b members with smallest (md5(id), id) — drawn by the
+    two-phase ``_topb_per_group`` so no draw ever windows a whole
+    bucket in one partition. Assignment per level is the broadcast
+    transform/array_sort expression of ``ivf_assign`` (same rounded
+    cosine, same centroid-id tie-break), joined on the parent bucket.
+
+    Returns ``(id_col, vec_col, leaf_id)`` — ≤ b^depth leaves, each
+    leaf named by its centroid's row id.
+
+    Scale: per level, one broadcast join (the level's centroid table,
+    ≤ b^l rows grouped to b^(l-1) arrays) + a narrow map; the draw
+    adds two bounded windows. No corpus self-join, no whole-corpus
+    window, no shuffle that grows with k."""
+    assigned = corpus.select(
+        F.col(id_col), F.col(vec_col), F.lit(-1).cast("long").alias("__bucket")
+    )
+    for _level in range(int(depth)):
+        cents = _topb_per_group(assigned, "__bucket", id_col, int(branching)).select(
+            F.col("__bucket"),
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+        )
+        grouped = cents.groupBy("__bucket").agg(
+            F.collect_list(F.struct("cid", "cvec")).alias("__cands")
+        )
+        best = F.expr(
+            "element_at(array_sort("
+            "transform(__cands, c -> struct("
+            f"round({_COS_SQL.format(a=vec_col, b='c.cvec')}, 6) AS sim, "
+            "c.cid AS cid)), "
+            "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
+            "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
+            "), 1).cid"
+        )
+        assigned = (
+            assigned.join(F.broadcast(grouped), "__bucket")
+            .select(F.col(id_col), F.col(vec_col), best.alias("__bucket"))
+        )
+    return assigned.select(
+        F.col(id_col), F.col(vec_col), F.col("__bucket").alias("leaf_id")
+    )
+
+
+def semantic_dedup_tree(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    branching: int = 8,
+    depth: int = 2,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """X28 at scale: SemDeDup over the log-depth centroid tree.
+    Identical duplicate semantics to ``semantic_dedup`` (within-
+    bucket cosine >= threshold, lowest id survives) with the leaf as
+    the bucket — but the assignment cost is N·b·depth instead of
+    N·k, so growing the leaf count with the corpus (the policy that
+    keeps per-leaf pair work constant) no longer makes assignment
+    quadratic. Flat k=b^depth and the tree partition the space
+    differently (both are approximations of the same family — like
+    IVF nprobe, the bucketing is the documented recall knob).
+
+    Returns ``(id, leaf_id, is_dup)``, one row per corpus vector."""
+    leaves = ivf_tree_assign(corpus, id_col, vec_col, branching, depth)
+    a = leaves.select(
+        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "leaf_id"
+    )
+    b = leaves.select(
+        F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "leaf_id"
+    )
+    dup_ids = (
+        a.join(b, "leaf_id")
+        .filter(F.col("__idb") > F.col("__ida"))
+        .filter(F.round(cosine("__va", "__vb"), 6) >= F.lit(threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return (
+        leaves.select(id_col, "leaf_id")
+        .join(dup_ids, id_col, "left")
+        .select(
+            id_col,
+            "leaf_id",
+            F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+        )
+    )

@@ -3071,3 +3071,108 @@ ORACLES["embedding_pq_codes"] = """
     WHERE rn = 1
     ORDER BY vec_id, subspace
 """
+
+
+# X43 token-budget mixture materialization (operators/sampling.py:
+# mixture_budget_sample): sqrt-temperature budgets via the
+# scaled-integer weight convention, unit-hash fill order, integer
+# running-total cut.
+ORACLES["mixture_token_sample"] = f"""
+    WITH tc AS (
+        SELECT doc_id, source, len({_TOKS.format(col='text')}) AS n_tokens
+        FROM documents
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM tc GROUP BY 1),
+    scaled AS (
+        SELECT source,
+            CAST(ROUND(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ws
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(ws) AS BIGINT) AS wt FROM scaled),
+    budgets AS (
+        SELECT source, (12000 * ws) // wt AS budget FROM scaled, tot
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+            SUM(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY {_UNIT.format(col='doc_id')}, doc_id
+            ) AS cum_tokens
+        FROM tc
+    )
+    SELECT c.doc_id, c.source, CAST(c.n_tokens AS INTEGER) AS n_tokens,
+        CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum c JOIN budgets b USING (source)
+    WHERE c.cum_tokens <= b.budget
+    ORDER BY c.source, c.cum_tokens
+"""
+
+# X44 deterministic training-order shuffle (operators/sampling.py:
+# training_order_shuffle), epoch=1, 8 shards.
+ORACLES["training_order_shuffle"] = """
+    WITH h AS (
+        SELECT doc_id,
+            CAST(('0x' || substr(md5('1|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) AS hh
+        FROM documents
+    )
+    SELECT doc_id, CAST(hh % 8 AS INTEGER) AS shard,
+        CAST(ROW_NUMBER() OVER (
+            PARTITION BY hh % 8 ORDER BY hh, doc_id
+        ) AS INTEGER) AS pos
+    FROM h ORDER BY shard, pos
+"""
+
+
+# X28 scale form (operators/similarity.py:semantic_dedup_tree):
+# two-level centroid tree, branching 4 — per level, the per-bucket
+# seed-free draw (top-4 by md5(id), id) then nearest-of-4 descent
+# with the rounded-cosine / centroid-id tie-break convention.
+_TREE_DRAW = """
+        SELECT bucket, vec_id AS cid, embedding AS cvec
+        FROM (
+            SELECT bucket, vec_id, embedding,
+                ROW_NUMBER() OVER (
+                    PARTITION BY bucket
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+                ) AS rn
+            FROM {src}
+        ) WHERE rn <= 4
+"""
+
+_TREE_ASSIGN = """
+        SELECT vec_id, embedding, cid AS bucket
+        FROM (
+            SELECT v.vec_id, v.embedding, c.cid,
+                ROW_NUMBER() OVER (
+                    PARTITION BY v.vec_id
+                    ORDER BY ROUND(list_cosine_similarity(
+                        CAST(v.embedding AS DOUBLE[]),
+                        CAST(c.cvec AS DOUBLE[])), 6) DESC, c.cid ASC
+                ) AS pr
+            FROM {src} v JOIN {cents} c ON v.bucket = c.bucket
+        ) WHERE pr = 1
+"""
+
+ORACLES["semantic_dedup_tree"] = f"""
+    WITH a0 AS (
+        SELECT vec_id, embedding, CAST(-1 AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    c1 AS ({_TREE_DRAW.format(src='a0')}),
+    a1 AS ({_TREE_ASSIGN.format(src='a0', cents='c1')}),
+    c2 AS ({_TREE_DRAW.format(src='a1')}),
+    a2 AS ({_TREE_ASSIGN.format(src='a1', cents='c2')}),
+    leaves AS (SELECT vec_id, embedding, bucket AS leaf_id FROM a2),
+    dups AS (
+        SELECT DISTINCT b.vec_id
+        FROM leaves a JOIN leaves b
+            ON a.leaf_id = b.leaf_id AND b.vec_id > a.vec_id
+        WHERE ROUND(list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
+    )
+    SELECT l.vec_id, l.leaf_id, (d.vec_id IS NOT NULL) AS is_dup
+    FROM leaves l LEFT JOIN dups d USING (vec_id)
+    ORDER BY l.vec_id
+"""

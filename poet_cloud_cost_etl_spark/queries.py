@@ -3629,6 +3629,51 @@ def q_embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("mixture_token_sample")
+def q_mixture_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43: token-budget mixture materialization
+    (operators/sampling.py:mixture_budget_sample) — each source's
+    sqrt-temperature share of a 12k-token budget, filled in
+    deterministic unit-hash order; the kept documents with running
+    token totals."""
+    from .operators.sampling import mixture_budget_sample
+
+    d = table(spark, sf_dir, "documents")
+    return mixture_budget_sample(
+        d, "doc_id", "text", "source", token_budget=12000
+    ).orderBy("source", "cum_tokens")
+
+
+@query("training_order_shuffle")
+def q_training_order_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: deterministic training-order shuffle
+    (operators/sampling.py:training_order_shuffle) — every doc
+    addressed by (shard, pos), a pure function of (epoch, id);
+    epoch=1 here to exercise the reshuffle path."""
+    from .operators.sampling import training_order_shuffle
+
+    d = table(spark, sf_dir, "documents")
+    return training_order_shuffle(d, "doc_id", n_shards=8, epoch=1).orderBy(
+        "shard", "pos"
+    )
+
+
+@query("semantic_dedup_tree")
+def q_semantic_dedup_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28 scale form: SemDeDup over the log-depth centroid tree
+    (operators/similarity.py:semantic_dedup_tree) — branching 4,
+    depth 2 (16 leaves); assignment costs N·b·depth instead of the
+    flat N·k, which is what keeps the k-grows-with-N deployment
+    policy sub-quadratic. Threshold 0.35 for the same fixture reason
+    as ``semantic_dedup``."""
+    from .operators.similarity import semantic_dedup_tree
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_tree(
+        e, "vec_id", "embedding", branching=4, depth=2, threshold=0.35
+    ).orderBy("vec_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -58,16 +58,36 @@ N_RUNS = 3
 # 10x-bigger clusters (quadratic pair growth) — a mis-deployment, not
 # the operator. The probe therefore applies the knob: k=8 at sf0.1,
 # k=8*COPIES at sf1.0, which is how the operator ships at scale.
-def _semantic_dedup_scaled(spark, sf_dir, k):
+def _semantic_dedup_scaled(spark, sf_dir, k_scale):
     from poet_cloud_cost_etl_spark.catalog import table
     from poet_cloud_cost_etl_spark.operators.similarity import semantic_dedup
 
     e = table(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, "vec_id", "embedding", n_centroids=k)
+    return semantic_dedup(e, "vec_id", "embedding", n_centroids=8 * k_scale)
+
+
+def _semantic_dedup_tree(spark, sf_dir, k_scale):
+    # The tree answer to the same deployment: leaf count grows with N
+    # (depth 1 -> 2 at 10x data, branching 8, so 8 -> 64 leaves ==
+    # constant cluster size) but each row compares only b·depth
+    # centroids instead of k. Flat scaled-k is N^1.5 by construction;
+    # this is N·log N — the probe records both so the record shows
+    # WHY the tree form exists.
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        semantic_dedup_tree,
+    )
+
+    depth = 2 if k_scale > 1 else 1
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_tree(
+        e, "vec_id", "embedding", branching=8, depth=depth, threshold=0.35
+    )
 
 
 SCALED_K = [
     ("semantic_dedup_scaled_k", _semantic_dedup_scaled),
+    ("semantic_dedup_tree_scaled", _semantic_dedup_tree),
 ]
 
 
@@ -116,7 +136,14 @@ def build_scaled(src: str, dst: str, copies: int = COPIES) -> None:
 def time_queries(spark, sf_dir: str, k_scale: int = 1) -> dict[str, float]:
     from poet_cloud_cost_etl_spark.queries import QUERIES
 
+    def _release_persisted():
+        # drop pinned localCheckpoint RDDs so queries don't bleed GC
+        # pressure into each other (same hygiene as bench.py)
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+
     def _timed(name, fn):
+        _release_persisted()
         fn().count()  # warm-up, untimed
         runs = []
         for _ in range(N_RUNS):
@@ -130,7 +157,7 @@ def time_queries(spark, sf_dir: str, k_scale: int = 1) -> dict[str, float]:
     for name in HEAVY:
         _timed(name, lambda: QUERIES[name](spark, sf_dir))
     for name, op in SCALED_K:
-        _timed(name, lambda: op(spark, sf_dir, 8 * k_scale))
+        _timed(name, lambda op=op: op(spark, sf_dir, k_scale))
     return out
 
 

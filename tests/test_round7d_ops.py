@@ -198,3 +198,150 @@ def test_pq_encode_nearest_by_construction(spark):
         for r in enc:
             same_cluster = (r["vec_id"] < 100) == (r["code_id"] < 100)
             assert same_cluster, r
+
+
+# ---------------------------------------------------------------- X43
+
+
+def test_mixture_budget_sample_cut_is_exact(spark):
+    """One group, every doc 10 tokens, budget 35: exactly 3 docs
+    survive (cum 10/20/30), in unit-hash order."""
+    import hashlib
+
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        mixture_budget_sample,
+    )
+
+    rows = [(i, "a b c d e f g h i j", "s") for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = mixture_budget_sample(df, "doc_id", "text", "source", 35).collect()
+    assert len(out) == 3
+    assert sorted(r["cum_tokens"] for r in out) == [10, 20, 30]
+
+    def uh(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    expected = sorted(range(10), key=lambda i: (uh(i), i))[:3]
+    assert sorted(r["doc_id"] for r in out) == sorted(expected)
+
+
+def test_mixture_budget_sample_equal_groups_equal_budget(spark):
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        mixture_budget_sample,
+    )
+
+    rows = [(i, "a b c d e", "g1") for i in range(10)] + [
+        (100 + i, "a b c d e", "g2") for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = mixture_budget_sample(df, "doc_id", "text", "source", 40)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # equal groups -> equal 20-token budgets -> 4 docs each
+    assert per == {"g1": 4, "g2": 4}
+
+
+def test_mixture_budget_sample_partition_invariant(spark):
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        mixture_budget_sample,
+    )
+
+    rows = [(i, "w " * (1 + i % 7), f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in mixture_budget_sample(df, "doc_id", "text", "source", 100).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in mixture_budget_sample(
+            df.repartition(13), "doc_id", "text", "source", 100
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------- X44
+
+
+def test_training_order_shuffle_addresses_all_rows(spark):
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        training_order_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+    out = training_order_shuffle(df, "doc_id", n_shards=4).collect()
+    assert len(out) == 100
+    addr = {(r["shard"], r["pos"]) for r in out}
+    assert len(addr) == 100  # (shard, pos) is a unique address
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_training_order_shuffle_epoch_reshuffles(spark):
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        training_order_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(64)], ["doc_id"])
+    e0 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in training_order_shuffle(df, "doc_id", 4, epoch=0).collect()}
+    e1 = {r["doc_id"]: (r["shard"], r["pos"])
+          for r in training_order_shuffle(df, "doc_id", 4, epoch=1).collect()}
+    assert e0 != e1          # a new epoch is a different order
+    assert set(e0) == set(e1)  # over the same rows
+
+
+# --------------------------------------------------- X28 tree form
+
+
+def test_ivf_tree_leaf_count_and_coverage(spark):
+    from poet_cloud_cost_etl_spark.operators.similarity import ivf_tree_assign
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11) for j in range(6)]) for i in range(200)],
+        ["vec_id", "embedding"],
+    )
+    t = ivf_tree_assign(df, "vec_id", "embedding", branching=3, depth=2)
+    rows = t.collect()
+    assert len(rows) == 200  # every vector assigned exactly once
+    leaves = {r["leaf_id"] for r in rows}
+    assert len(leaves) <= 9  # <= b^depth
+
+
+def test_ivf_tree_partition_invariant(spark):
+    from poet_cloud_cost_etl_spark.operators.similarity import ivf_tree_assign
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 5 + j) % 13) for j in range(4)]) for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    a = {r["vec_id"]: r["leaf_id"]
+         for r in ivf_tree_assign(df, "vec_id", "embedding", 3, 2).collect()}
+    b = {r["vec_id"]: r["leaf_id"]
+         for r in ivf_tree_assign(df.repartition(11), "vec_id", "embedding", 3, 2).collect()}
+    assert a == b
+
+
+def test_semantic_dedup_tree_flags_exact_duplicates(spark):
+    """An exact duplicate vector lands in its twin's leaf by
+    construction (identical cosine to every centroid, id tie-break
+    descends the same path) and must be flagged at any threshold."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        semantic_dedup_tree,
+    )
+
+    base = [(i, [float((i * 7 + j * 3) % 11) + 0.5 for j in range(6)]) for i in range(60)]
+    dup = [(1000 + i, vec) for i, vec in base[:5]]  # 5 exact copies
+    df = spark.createDataFrame(base + dup, ["vec_id", "embedding"])
+    out = semantic_dedup_tree(df, "vec_id", "embedding", 3, 2, threshold=0.999)
+    flagged = {r["vec_id"] for r in out.collect() if r["is_dup"]}
+    assert {1000 + i for i, _ in base[:5]} <= flagged
+    by_id = {r["vec_id"]: r["leaf_id"] for r in out.collect()}
+    for i, _ in base[:5]:
+        assert by_id[i] == by_id[1000 + i]  # twin shares the leaf
