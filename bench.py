@@ -111,6 +111,11 @@ HEADLINE = [
     "classifier_hashed_logit",
     "hard_negative_mining",
     "embedding_pq_codes",
+    # round-7e additions (X43/X44, X28b tree, X45), benched from birth.
+    "mixture_token_sample",
+    "training_order_shuffle",
+    "semantic_dedup_tree",
+    "dedup_lsh_recall",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

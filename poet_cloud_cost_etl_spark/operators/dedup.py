@@ -641,3 +641,55 @@ def best_of_cluster(
         )
         .orderBy(cluster_col)
     )
+
+
+def lsh_pair_recall(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """X45: candidate-generation quality eval — MinHash-LSH's banded
+    buckets are a recall/cost dial (more bands = more candidates =
+    higher recall), and this operator MEASURES the dial instead of
+    trusting the s-curve math: exact n-gram-Jaccard pairs at
+    ``threshold`` are the ground truth; recall is the fraction LSH
+    candidates cover, precision the fraction of candidates that are
+    true pairs. The dedup twin of ``ann_recall_eval`` — run it on a
+    sample before committing band/row settings for a 100 TB pass.
+
+    One summary row: n_true_pairs, n_candidates, n_hit, recall_ppm,
+    precision_ppm (integer-division ppm; NULL when the denominator
+    is zero).
+
+    Scale: composes three bounded pipelines (exact pairs are
+    shingle-bucketed, candidates band-bucketed — no all-pairs
+    anywhere); the eval joins are pair-keyed. Sized for a
+    deterministic SAMPLE (this is an offline quality probe, not a
+    per-corpus pass)."""
+    truth = ngram_jaccard_from_docs(df, id_col, text_col, threshold).select(
+        "doc_a", "doc_b"
+    )
+    sig = minhash_signatures(doc_shingles(df, id_col, text_col), id_col, k)
+    cand = lsh_candidate_pairs(sig, id_col, k, bands)
+    hit = truth.join(cand, ["doc_a", "doc_b"], "leftsemi")
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+        .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+        .crossJoin(hit.agg(F.count(F.lit(1)).alias("n_hit")))
+        .select(
+            "n_true_pairs",
+            "n_candidates",
+            "n_hit",
+            F.expr(
+                "CASE WHEN n_true_pairs = 0 THEN NULL ELSE "
+                "CAST((1000000 * n_hit) div n_true_pairs AS DOUBLE) / 1000000.0 END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_candidates = 0 THEN NULL ELSE "
+                "CAST((1000000 * n_hit) div n_candidates AS DOUBLE) / 1000000.0 END"
+            ).alias("precision_ppm"),
+        )
+    )

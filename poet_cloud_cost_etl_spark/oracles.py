@@ -3176,3 +3176,58 @@ ORACLES["semantic_dedup_tree"] = f"""
     FROM leaves l LEFT JOIN dups d USING (vec_id)
     ORDER BY l.vec_id
 """
+
+
+# X45 LSH candidate recall/precision (operators/dedup.py:
+# lsh_pair_recall): exact Jaccard >= 0.5 pairs as truth, the
+# 8-sig/4-band MinHash candidates, and the intersection.
+ORACLES["dedup_lsh_recall"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(CAST(n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    ),
+    mh AS (
+        SELECT doc_id,
+            {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_BAND_UNION}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    hit AS (
+        SELECT t.doc_a, t.doc_b FROM truth t
+        JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    agg AS (
+        SELECT
+            (SELECT COUNT(*) FROM truth) AS n_true_pairs,
+            (SELECT COUNT(*) FROM cand) AS n_candidates,
+            (SELECT COUNT(*) FROM hit) AS n_hit
+    )
+    SELECT n_true_pairs, n_candidates, n_hit,
+        CASE WHEN n_true_pairs = 0 THEN NULL ELSE
+            CAST((1000000 * n_hit) // n_true_pairs AS DOUBLE) / 1000000.0 END
+            AS recall_ppm,
+        CASE WHEN n_candidates = 0 THEN NULL ELSE
+            CAST((1000000 * n_hit) // n_candidates AS DOUBLE) / 1000000.0 END
+            AS precision_ppm
+    FROM agg
+"""

@@ -3674,6 +3674,17 @@ def q_semantic_dedup_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+@query("dedup_lsh_recall")
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45: MinHash-LSH candidate recall/precision vs exact n-gram
+    Jaccard ground truth (operators/dedup.py:lsh_pair_recall) — the
+    dedup twin of ann_recall_eval; one summary row."""
+    from .operators.dedup import lsh_pair_recall
+
+    d = table(spark, sf_dir, "documents")
+    return lsh_pair_recall(d, "doc_id", "text", threshold=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
@@ -3703,9 +3714,10 @@ def q_semantic_dedup_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # CAPACITY (round 7): registering query #151 (X28-X32) crossed the
 # WINDOW(50) × MAX_STALE(3) = 150 capacity, so MAX_STALE was
-# DELIBERATELY widened to 4 in tests/test_rotation.py — 155 queries
-# re-check within a 4-round cycle.  The next wall is 200; crossing it
-# again requires either widening to 5 or retiring queries.
+# DELIBERATELY widened to 4 in tests/test_rotation.py — the round-7
+# final count of 168 queries re-checks within a 4-round cycle.  The
+# next wall is 200; crossing it again requires either widening to 5
+# or retiring queries.
 
 
 def _rotation_order() -> list[str]:

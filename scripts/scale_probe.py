@@ -133,57 +133,85 @@ def build_scaled(src: str, dst: str, copies: int = COPIES) -> None:
     con.close()
 
 
-def time_queries(spark, sf_dir: str, k_scale: int = 1) -> dict[str, float]:
+def _time_one(name: str) -> dict:
+    """Fresh-process worker: time ``name`` at both scales and print
+    one JSON line. Process isolation is the measurement fix for JVM
+    aging: a query measured after 40+ prior executions in the same
+    JVM pays their heap history (old-gen pressure, code-cache
+    churn) — observed as dedup_clusters@sf1.0 timing 43s late in a
+    shared-JVM pass vs 20s in a fresh process, same code, same
+    data. One JVM per query removes the shared state entirely; the
+    10x ratio is then a property of the operator, not of its
+    position in the run order."""
+    from poet_cloud_cost_etl_spark.config import EngineConfig
     from poet_cloud_cost_etl_spark.queries import QUERIES
+    from poet_cloud_cost_etl_spark.session import build_session
 
-    def _release_persisted():
-        # drop pinned localCheckpoint RDDs so queries don't bleed GC
-        # pressure into each other (same hygiene as bench.py)
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
-
-    def _timed(name, fn):
-        _release_persisted()
-        fn().count()  # warm-up, untimed
+    cfg = EngineConfig.from_env()
+    spark = build_session(app_name=f"scale-probe-{name}", **cfg.session_kwargs())
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled_ops = dict(SCALED_K)
+    out = {"name": name}
+    for key, sf_dir, k_scale, n_warm in (
+        # 3 warm-ups at the cheap scale: a fresh JVM's first jobs pay
+        # Spark-internal JIT, which otherwise lands in the sf0.1
+        # numbers and deflates the ratio (observed: sf1.0 < sf0.1 for
+        # a 1s query with a single warm-up). By the sf1.0 pass the
+        # JVM is hot; one warm-up covers the new plan/codegen.
+        ("sf0.1", SF01, 1, 5),
+        ("sf1.0", SCALED, COPIES, 2),
+    ):
+        if name in scaled_ops:
+            fn = lambda: scaled_ops[name](spark, sf_dir, k_scale)  # noqa: E731
+        else:
+            fn = lambda: QUERIES[name](spark, sf_dir)  # noqa: E731
+        for _ in range(n_warm):
+            fn().count()  # warm-up, untimed
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn().count()
             runs.append(time.perf_counter() - t0)
-        out[name] = round(statistics.median(runs), 4)
-        print(f"  {sf_dir.split('/')[-1]} {name}: {out[name]}s", file=sys.stderr)
-
-    out: dict[str, float] = {}
-    for name in HEAVY:
-        _timed(name, lambda: QUERIES[name](spark, sf_dir))
-    for name, op in SCALED_K:
-        _timed(name, lambda op=op: op(spark, sf_dir, k_scale))
+        out[key] = round(statistics.median(runs), 4)
+        print(f"  {key} {name}: {out[key]}s", file=sys.stderr)
+    spark.stop()
     return out
 
 
 def main() -> None:
+    import subprocess
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SF1_r07.json"))
+    ap.add_argument("--one", default=None, help="internal: worker mode")
     args = ap.parse_args()
+
+    if args.one:
+        print(json.dumps(_time_one(args.one)))
+        return
 
     if not os.path.exists(os.path.join(SCALED, "orders.parquet")):
         print("building 10x scale-up ...", file=sys.stderr)
         build_scaled(SF01, SCALED)
 
-    from poet_cloud_cost_etl_spark.config import EngineConfig
-    from poet_cloud_cost_etl_spark.session import build_session
+    small: dict[str, float] = {}
+    big: dict[str, float] = {}
+    for name in HEAVY + [n for n, _ in SCALED_K]:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True, check=True,
+        )
+        row = json.loads(proc.stdout.strip().splitlines()[-1])
+        small[name] = row["sf0.1"]
+        big[name] = row["sf1.0"]
+        print(f"{name}: {row['sf0.1']}s -> {row['sf1.0']}s", file=sys.stderr)
 
-    cfg = EngineConfig.from_env()
-    spark = build_session(app_name="scale-probe", **cfg.session_kwargs())
-    spark.sparkContext.setLogLevel("ERROR")
-
-    small = time_queries(spark, SF01, k_scale=1)
-    big = time_queries(spark, SCALED, k_scale=COPIES)
     record = {
         "metric": "scale_probe_10x",
         "unit": "sec",
         "copies": COPIES,
         "n_runs": N_RUNS,
+        "isolation": "one JVM per query (see _time_one)",
         "sf0.1": small,
         "sf1.0": big,
         # observed time ratio for 10x data; linear=10, quadratic=100.
@@ -196,7 +224,6 @@ def main() -> None:
         json.dump(record, f, indent=1, sort_keys=True)
         f.write("\n")
     print(json.dumps(record))
-    spark.stop()
 
 
 if __name__ == "__main__":

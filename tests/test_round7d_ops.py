@@ -345,3 +345,36 @@ def test_semantic_dedup_tree_flags_exact_duplicates(spark):
     by_id = {r["vec_id"]: r["leaf_id"] for r in out.collect()}
     for i, _ in base[:5]:
         assert by_id[i] == by_id[1000 + i]  # twin shares the leaf
+
+
+# ---------------------------------------------------------------- X45
+
+
+def test_lsh_recall_perfect_on_exact_duplicates(spark):
+    """Exact-duplicate texts have identical signatures, so every
+    band collides: recall over exact-dup truth pairs must be 1.0
+    and the counts consistent."""
+    from poet_cloud_cost_etl_spark.operators.dedup import lsh_pair_recall
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(i, text, "s") for i in range(4)] + [
+        (100 + i, f"unrelated words here nothing shared {i} one two three", "s")
+        for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    r = lsh_pair_recall(df, "doc_id", "text", threshold=0.5).collect()[0]
+    assert r["n_true_pairs"] >= 6  # the 4 copies give C(4,2) = 6
+    assert r["n_hit"] == r["n_true_pairs"]
+    assert r["recall_ppm"] == 1.0
+
+
+def test_lsh_recall_zero_truth_gives_null(spark):
+    from poet_cloud_cost_etl_spark.operators.dedup import lsh_pair_recall
+
+    rows = [
+        (1, "completely different words in this one", "s"),
+        (2, "nothing shared with anything else here", "s"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    r = lsh_pair_recall(df, "doc_id", "text", threshold=0.5).collect()[0]
+    assert r["n_true_pairs"] == 0 and r["recall_ppm"] is None
