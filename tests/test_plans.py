@@ -260,3 +260,70 @@ def test_quality_ablation_two_phase_single_aggregate(spark):
     q = QUERIES["quality_ablation"](spark, SF_SMALL)
     assert X.count_exchanges(q) <= 2, X.physical_plan(q)
     assert X.physical_plan(q).count("Scan parquet") == 1, X.physical_plan(q)
+
+
+def test_round7d_queries_plan_shapes(spark):
+    """Round-7d/7e operators: the plan properties their docstrings
+    claim. classifier: zero exchanges (pure scan-stage fold).
+    pq_encode: the only exchanges serve the ksub-row codebook draw
+    and the final orderBy — the corpus side itself is broadcast-join
+    + narrow map, never shuffled on a per-vector key. seqlen: the
+    percentile windows run over the (group, n_tokens) histogram, so
+    the plan has the histogram aggregate before any Window."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        hashed_logit_scores,
+        seqlen_plan,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    assert X.count_exchanges(hashed_logit_scores(d, "doc_id", "text")) == 0
+
+    plan = X.physical_plan(seqlen_plan(d, "source", "text"))
+    assert plan.index("HashAggregate") < plan.index("Window"), plan
+
+    q = QUERIES["embedding_pq_codes"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hard_negatives_broadcasts_anchors(spark):
+    """X39: the anchor side must broadcast — a shuffled cross join
+    of corpus x anchors would be the 100 TB killer."""
+    q = QUERIES["hard_negative_mining"](spark, SF_SMALL)
+    plan = X.physical_plan(q)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_mixture_sample_single_corpus_shuffle(spark):
+    """X43: budgets broadcast onto the corpus; the only corpus-wide
+    exchange is the group-keyed window shuffle (plus the driver-tiny
+    budget aggregates)."""
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        mixture_budget_sample,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    q = mixture_budget_sample(d, "doc_id", "text", "source", 1000)
+    plan = X.physical_plan(q)
+    assert "BroadcastExchange" in plan, plan
+    # corpus-side flow: one hashpartitioning exchange on the window
+    # key 'grp'; everything else is k-row budget arithmetic
+    corpus_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(grp" in ln
+    ]
+    assert len(corpus_exchanges) >= 1, plan
+
+
+def test_ivf_tree_assign_no_corpus_self_join(spark):
+    """X28b: per level, the centroid table broadcasts; the corpus is
+    never self-joined or cartesian-joined during descent."""
+    from poet_cloud_cost_etl_spark.operators.similarity import ivf_tree_assign
+
+    e = table(spark, SF_SMALL, "embeddings")
+    q = ivf_tree_assign(e, "vec_id", "embedding", branching=4, depth=2)
+    plan = X.physical_plan(q)
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan  # one per level
