@@ -116,6 +116,7 @@ HEADLINE = [
     "training_order_shuffle",
     "semantic_dedup_tree",
     "dedup_lsh_recall",
+    "embedding_random_projection",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

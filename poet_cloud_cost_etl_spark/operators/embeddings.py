@@ -324,3 +324,50 @@ def pq_encode(
             F.col("__best.dist_sq").alias("dist_sq"),
         )
     )
+
+
+# Deterministic Rademacher sign for projection cell (i -> j): bit 7
+# of a multiplicative integer mix. Bit 0 of any linear mix in (i, j)
+# degenerates to parity-of-(i+j); a middle bit does not. In
+# production the sign matrix is a seeded broadcast array; this
+# arithmetic form keeps the operator engine-verifiable.
+_RP_SIGN_SQL = (
+    "(CASE WHEN ((({i} * 2654435761 + {j} * 40503) div 128) % 2) = 0 "
+    "THEN 1.0D ELSE -1.0D END)"
+)
+
+
+def random_projection(
+    df: DataFrame, id_col: str, vec_col: str, out_dim: int = 16
+) -> DataFrame:
+    """X46: Johnson-Lindenstrauss signed random projection — each
+    d-dim embedding maps to ``out_dim`` components y_j =
+    (1/sqrt(out_dim)) * sum_i s(i,j)·x_i with Rademacher signs. The
+    standard pre-reduction before LSH bucketing / ANN indexing /
+    pairwise-distance work at corpus scale: JL keeps pairwise
+    distances within (1±eps) while cutting the per-vector cost of
+    everything downstream by d/out_dim. Long-form output
+    (id, out_dim index, value rounded to 6) — the scalar shape the
+    oracle harness hashes.
+
+    Scale: ZERO shuffle — the full projection is ``out_dim``
+    index-ordered fold expressions evaluated in the scan stage
+    (d·out_dim multiply-adds per row, the dense-GEMM row form). The
+    sign is computed arithmetically per (i, j) cell, so there is no
+    matrix to distribute at all; a learned/seeded matrix would
+    broadcast as one array row without changing the plan shape."""
+    j_struct = (
+        "transform(sequence(0, {m} - 1), j -> struct(j AS rp_dim, "
+        "round(aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
+        "(x, i) -> CAST(x AS DOUBLE) * " + _RP_SIGN_SQL.format(i="i", j="j") + "), "
+        "0.0D, (acc, t) -> acc + t) / sqrt(CAST({m} AS DOUBLE)), 6) AS val))"
+    ).format(m=int(out_dim), v=vec_col)
+    return (
+        df.select(F.col(id_col), F.col(vec_col))
+        .select(F.col(id_col), F.explode(F.expr(j_struct)).alias("__p"))
+        .select(
+            F.col(id_col),
+            F.col("__p.rp_dim").alias("rp_dim"),
+            F.col("__p.val").alias("val"),
+        )
+    )

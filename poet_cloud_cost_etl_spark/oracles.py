@@ -3231,3 +3231,18 @@ ORACLES["dedup_lsh_recall"] = f"""
             AS precision_ppm
     FROM agg
 """
+
+
+# X46 JL signed random projection (operators/embeddings.py:
+# random_projection): index-ordered list fold so the double
+# summation order matches Spark's aggregate() exactly.
+ORACLES["embedding_random_projection"] = """
+    SELECT vec_id, CAST(j AS INTEGER) AS rp_dim,
+        ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
+            i -> CAST(embedding[i] AS DOUBLE)
+                 * (CASE WHEN (((i - 1) * 2654435761 + j * 40503) // 128) % 2 = 0
+                    THEN 1.0 ELSE -1.0 END)))
+            / 4.0, 6) AS val
+    FROM embeddings, (SELECT unnest(range(0, 16)) AS j) js
+    ORDER BY vec_id, rp_dim
+"""

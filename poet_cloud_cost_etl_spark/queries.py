@@ -3685,6 +3685,19 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_pair_recall(d, "doc_id", "text", threshold=0.5)
 
 
+@query("embedding_random_projection")
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46: Johnson-Lindenstrauss signed projection
+    (operators/embeddings.py:random_projection) — 64-dim embeddings
+    to 16 components, zero-shuffle scan-stage folds, long-form."""
+    from .operators.embeddings import random_projection
+
+    e = table(spark, sf_dir, "embeddings")
+    return random_projection(e, "vec_id", "embedding", out_dim=16).orderBy(
+        "vec_id", "rp_dim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -378,3 +378,47 @@ def test_lsh_recall_zero_truth_gives_null(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
     r = lsh_pair_recall(df, "doc_id", "text", threshold=0.5).collect()[0]
     assert r["n_true_pairs"] == 0 and r["recall_ppm"] is None
+
+
+# ---------------------------------------------------------------- X46
+
+
+def test_random_projection_linearity_and_shape(spark):
+    """Projection is linear: proj(2a) = 2·proj(a) (exact: doubling a
+    double is exact, the fold is the same order), and the output has
+    out_dim rows per vector."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        random_projection,
+    )
+
+    base = [(1, [0.5, -1.25, 2.0, 0.75]), (2, [1.0, -2.5, 4.0, 1.5])]  # 2 = 2·1
+    df = spark.createDataFrame(base, ["vec_id", "embedding"])
+    out = random_projection(df, "vec_id", "embedding", out_dim=4).collect()
+    assert len(out) == 8
+    p = {(r["vec_id"], r["rp_dim"]): r["val"] for r in out}
+    for j in range(4):
+        assert abs(p[(2, j)] - 2 * p[(1, j)]) < 2e-6  # rounding 1e-6 each
+
+
+def test_random_projection_signs_not_degenerate(spark):
+    """The sign function must not collapse to parity-of-(i+j) — a
+    degenerate matrix maps every even-index-sum cell the same way
+    and destroys the JL guarantee. Distinct unit vectors must
+    produce distinct projections in most components."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        random_projection,
+    )
+
+    rows = [(i, [1.0 if k == i else 0.0 for k in range(8)]) for i in range(8)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = random_projection(df, "vec_id", "embedding", out_dim=8).collect()
+    # unit vector e_i projects to the sign column s(i, ·)/sqrt(m):
+    # collect the 8 sign patterns and require them not all equal and
+    # not strictly alternating by parity
+    pat = {}
+    for r in out:
+        pat.setdefault(r["vec_id"], {})[r["rp_dim"]] = r["val"] > 0
+    patterns = [tuple(pat[i][j] for j in range(8)) for i in range(8)]
+    assert len(set(patterns)) > 2, patterns
+    parity = [tuple((i + j) % 2 == 0 for j in range(8)) for i in range(8)]
+    assert patterns != parity, "sign matrix degenerated to parity"
