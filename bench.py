@@ -159,6 +159,11 @@ HEAVY = {
     "text_bigram_lm_score",
     "window_distribution",
     "tfidf_top_terms",
+    # round-7 heavy additions (>4s medians in the round-7 record):
+    # the cluster-composition chain and the LSH-recall eval.
+    "split_leakage_safe",
+    "dedup_best_of_cluster",
+    "dedup_lsh_recall",
 }
 
 # How many of the slowest per-query medians make it onto the stdout
