@@ -39,3 +39,76 @@ def test_path_to_table_name_total(segments):
     path = "/".join(segments)
     out = path_to_table_name(path)
     assert re.fullmatch(r"[a-z0-9_]+", out), (path, out)
+
+
+# ---- round-7 operators vs independent Python references ----------
+#
+# Each example runs a real Spark job, so example counts are small;
+# the value is the INDEPENDENT reference implementation (hashlib +
+# plain Python), not example volume — any divergence in hash
+# arithmetic, ordering, or integer-division convention fails loudly.
+
+import hashlib
+
+
+def _uh(key) -> int:
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=30), min_size=1, max_size=25),
+    st.integers(min_value=1, max_value=200),
+)
+@settings(max_examples=8, deadline=None)
+def test_mixture_budget_sample_matches_python_reference(
+    spark, token_counts, budget
+):
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        mixture_budget_sample,
+    )
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(token_counts)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = sorted(
+        (r["doc_id"], r["cum_tokens"])
+        for r in mixture_budget_sample(df, "doc_id", "text", "source", budget).collect()
+    )
+
+    # reference: single group's budget = (budget * ws) // ws = budget
+    order = sorted(range(len(token_counts)), key=lambda i: (_uh(i), i))
+    want, cum = [], 0
+    for i in order:
+        cum += token_counts[i]
+        if cum <= budget:
+            want.append((i, cum))
+        else:
+            break
+    assert got == sorted(want)
+
+
+@given(st.sets(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40))
+@settings(max_examples=8, deadline=None)
+def test_training_order_shuffle_matches_python_reference(
+    spark, ids
+):
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        training_order_shuffle,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r["doc_id"]: (r["shard"], r["pos"])
+        for r in training_order_shuffle(df, "doc_id", n_shards=4, epoch=2).collect()
+    }
+
+    def h(i):
+        return int(hashlib.md5(f"2|{i}".encode()).hexdigest()[:8], 16)
+
+    want = {}
+    by_shard: dict[int, list[int]] = {}
+    for i in ids:
+        by_shard.setdefault(h(i) % 4, []).append(i)
+    for shard, members in by_shard.items():
+        for pos, i in enumerate(sorted(members, key=lambda x: (h(x), x)), 1):
+            want[i] = (shard, pos)
+    assert got == want
