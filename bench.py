@@ -117,6 +117,7 @@ HEADLINE = [
     "semantic_dedup_tree",
     "dedup_lsh_recall",
     "embedding_random_projection",
+    "curation_manifest",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

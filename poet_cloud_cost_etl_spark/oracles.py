@@ -3246,3 +3246,106 @@ ORACLES["embedding_random_projection"] = """
     FROM embeddings, (SELECT unnest(range(0, 16)) AS j) js
     ORDER BY vec_id, rp_dim
 """
+
+
+# X47 full curation pipeline (queries.curation_manifest): the
+# composition of the X5 quality gate, X2a exact dedup, X2d+X7
+# cluster survivorship, and the X43 budget fill — each stage's SQL
+# is the same as its standalone oracle, chained on the filtered set.
+ORACLES["curation_manifest"] = f"""
+    WITH RECURSIVE
+    tq AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    fq AS (
+        SELECT doc_id,
+            CAST(len(t) AS INTEGER) AS n_words,
+            ROUND(CAST(len(list_filter(t, x -> x IN ({_STOP_IN}))) AS DOUBLE)
+                  / len(t), 6) AS stopword_ratio,
+            ROUND(CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                  / len(t), 6) AS mean_word_len,
+            ROUND(CAST(1.0 AS DOUBLE)
+                  - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6) AS dup_ratio
+        FROM tq
+    ),
+    keptq AS (
+        SELECT doc_id FROM fq
+        WHERE ROUND(
+            (CASE WHEN n_words BETWEEN 50 AND 200 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+          + (CASE WHEN stopword_ratio >= 0.05 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+          + (CASE WHEN mean_word_len BETWEEN 3.0 AND 8.0 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END)
+          + (CASE WHEN dup_ratio <= 0.6 THEN CAST(0.25 AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END), 2) >= 0.5
+    ),
+    fp AS (
+        SELECT MIN(d.doc_id) AS doc_id
+        FROM documents d JOIN keptq USING (doc_id)
+        GROUP BY md5(trim(regexp_replace(regexp_replace(lower(d.text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+    ),
+    base AS (SELECT d.* FROM documents d JOIN fp USING (doc_id)),
+    toksb AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM base),
+    shb AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toksb, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shb GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shb a JOIN shb b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT doc_a, doc_b,
+                ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+                    AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk AS (
+        SELECT doc_id AS node, doc_id AS reach FROM base
+        UNION
+        SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    surv AS (
+        SELECT node AS doc_id FROM walk GROUP BY node HAVING node = MIN(reach)
+    ),
+    tc AS (
+        SELECT b.doc_id, b.source, len(tb.t) AS n_tokens
+        FROM base b JOIN surv USING (doc_id) JOIN toksb tb USING (doc_id)
+    ),
+    counts AS (SELECT source, COUNT(*) AS n FROM tc GROUP BY 1),
+    scaled AS (
+        SELECT source,
+            CAST(ROUND(SQRT(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS ws
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(ws) AS BIGINT) AS wt FROM scaled),
+    budgets AS (
+        SELECT source, (8000 * ws) // wt AS budget FROM scaled, tot
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+            SUM(n_tokens) OVER (
+                PARTITION BY source
+                ORDER BY {_UNIT.format(col='doc_id')}, doc_id
+            ) AS cum_tokens
+        FROM tc
+    )
+    SELECT c.doc_id, c.source, CAST(c.n_tokens AS INTEGER) AS n_tokens,
+        CAST(c.cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum c JOIN budgets b USING (source)
+    WHERE c.cum_tokens <= b.budget
+    ORDER BY c.source, c.cum_tokens
+"""

@@ -3698,6 +3698,58 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@query("curation_manifest")
+def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47: the full curation recipe as ONE dataflow — quality gate
+    (X5, score >= 0.5) → exact dedup (X2a fingerprint, min-id
+    survivor) → near-dup cluster survivorship (X2d pairs + X7
+    connected components) → sqrt-temperature token-budget fill (X43,
+    8k tokens). The output is the training-corpus MANIFEST: the kept
+    documents with running token totals, reproducible bit-for-bit on
+    any engine. Every stage is an already-verified operator; this
+    query pins their COMPOSITION (the thing a user actually runs).
+
+    Scale: the stages chain without driver materialization — quality
+    and fingerprint are scan-stage maps + one fp-keyed aggregate,
+    clustering is the X7 bounded-pair path, the budget fill is one
+    group-keyed window."""
+    from .operators.dedup import fingerprint, ngram_jaccard_from_docs
+    from .operators.graph import connected_components
+    from .operators.sampling import mixture_budget_sample
+    from .operators.textstats import quality_features
+
+    d = table(spark, sf_dir, "documents")
+    q = (
+        quality_features(d, "doc_id", "text")
+        .filter(F.col("quality_score") >= 0.5)
+        .select("doc_id")
+    )
+    kept = d.join(q, "doc_id")
+    exact_surv = (
+        kept.select("doc_id", fingerprint(F.col("text")).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    base = kept.join(exact_surv, "doc_id")
+    pairs = ngram_jaccard_from_docs(base, "doc_id", "text", threshold=0.5, min_df=2)
+    cc = connected_components(
+        base.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        fixed_rounds=4,
+    )
+    surv = base.join(
+        cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "doc_id",
+    )
+    return mixture_budget_sample(
+        surv, "doc_id", "text", "source", token_budget=8000
+    ).orderBy("source", "cum_tokens")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

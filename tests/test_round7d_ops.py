@@ -422,3 +422,27 @@ def test_random_projection_signs_not_degenerate(spark):
     assert len(set(patterns)) > 2, patterns
     parity = [tuple((i + j) % 2 == 0 for j in range(8)) for i in range(8)]
     assert patterns != parity, "sign matrix degenerated to parity"
+
+
+# ---------------------------------------------------------------- X47
+
+
+def test_curation_manifest_stages_compose(spark):
+    """The manifest contains only quality-passing, dedup-surviving
+    docs, and per-source running totals respect the budget
+    monotonically."""
+    from poet_cloud_cost_etl_spark.queries import QUERIES
+
+    out = QUERIES["curation_manifest"](spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r["source"], []).append(r)
+    for rows in by_source.values():
+        cums = [r["cum_tokens"] for r in rows]
+        assert cums == sorted(cums)
+        # running total is consistent with the per-row token counts
+        total = 0
+        for r in rows:
+            total += r["n_tokens"]
+            assert r["cum_tokens"] == total
