@@ -3780,7 +3780,7 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CAPACITY (round 7): registering query #151 (X28-X32) crossed the
 # WINDOW(50) × MAX_STALE(3) = 150 capacity, so MAX_STALE was
 # DELIBERATELY widened to 4 in tests/test_rotation.py — the round-7
-# final count of 170 queries re-checks within a 4-round cycle.  The
+# final count of 171 queries re-checks within a 4-round cycle.  The
 # next wall is 200; crossing it again requires either widening to 5
 # or retiring queries.
 
