@@ -161,10 +161,12 @@ HEAVY = {
     "window_distribution",
     "tfidf_top_terms",
     # round-7 heavy additions (>4s medians in the round-7 record):
-    # the cluster-composition chain and the LSH-recall eval.
+    # the cluster-composition chain, the LSH-recall eval, and the
+    # full-pipeline composition.
     "split_leakage_safe",
     "dedup_best_of_cluster",
     "dedup_lsh_recall",
+    "curation_manifest",
 }
 
 # How many of the slowest per-query medians make it onto the stdout

@@ -3731,6 +3731,14 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
+    # base feeds four downstream branches (pair-gen, CC seed ids,
+    # survivor join, budget fill), each replaying the scan + quality
+    # + fingerprint chain. A/B at sf0.1 says leave it: pinning with
+    # localCheckpoint measured SLOWER (8.4s vs 7.3s) because the
+    # branches are codegen scans of a small corpus and the eager
+    # materialization round-trip costs more than three replays. At
+    # 100 TB the balance flips — persist/checkpoint ``base`` there
+    # (the X33 broadcast-table pins show the pattern).
     base = kept.join(exact_surv, "doc_id")
     pairs = ngram_jaccard_from_docs(base, "doc_id", "text", threshold=0.5, min_df=2)
     cc = connected_components(
