@@ -234,6 +234,19 @@ def label_separation(df: DataFrame, label_col: str, vec_col: str) -> DataFrame:
     ).orderBy("label_a", "label_b")
 
 
+def _divisible_guard(vec_expr: str, m: int):
+    """A filter predicate that RAISES if ``size(vec) % m != 0``
+    instead of letting ``size(vec) div m`` silently drop trailing
+    dimensions. ``assert_true`` returns NULL on success, so the
+    ``IS NULL`` wrapper makes it a always-true filter that Catalyst
+    cannot prune away (an unreferenced projected column would be)."""
+    return F.expr(
+        f"assert_true(size({vec_expr}) % {int(m)} = 0, "
+        f"'pq: vector length must be divisible by m={int(m)} "
+        f"(trailing dimensions would be silently dropped)') IS NULL"
+    )
+
+
 # Squared L2 between two array expressions, computed in double (the
 # fold is index-ordered, so the result is deterministic).
 _L2SQ_SQL = (
@@ -252,9 +265,15 @@ def pq_codebook(
     rows (smallest md5(id), the same seed-free draw as
     ``similarity.ivf_centroids``; k-means refinement would slot in
     exactly as it does there). Returns (subspace, code_id,
-    codeword)."""
+    codeword).
+
+    Vector length must be divisible by ``m`` — a runtime
+    ``assert_true`` guard (in a filter, so Catalyst cannot prune it)
+    raises on the first offending row rather than silently
+    quantizing a truncated vector."""
     sel = (
         corpus.select(F.col(id_col).alias("code_id"), F.col(vec_col).alias("__v"))
+        .where(_divisible_guard("__v", m))
         .orderBy(F.md5(F.col("code_id").cast("string")), F.col("code_id"))
         .limit(ksub)
     )
@@ -298,6 +317,7 @@ def pq_encode(
     cb_arr = cb.agg(
         F.collect_list(F.struct("subspace", "code_id", "codeword")).alias("__cb")
     )
+    corpus = corpus.where(_divisible_guard(vec_col, m))
     dim = f"(size({vec_col}) div {int(m)})"
     best = F.expr(
         f"transform(sequence(0, {int(m)} - 1), s -> "

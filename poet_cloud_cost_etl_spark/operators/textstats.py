@@ -746,11 +746,20 @@ def length_drift_chi2(
     (boilerplate floods, truncated fetches) spikes here before any
     content-level check fires.
 
-    chi2_ppm = sum over buckets of (p_b - q_b)^2 / q_b, where p is
-    the group's bucket share and q the corpus's, both exact ppm
-    integers (so every term — and the sum — is an exact integer:
-    engine-portable with no float accumulation). Buckets with q = 0
-    cannot occur (every group doc is also a corpus doc).
+    chi2_ppm = sum over buckets of (p_b - q_b)^2 / max(q_b, 1ppm),
+    where p is the group's bucket share and q the corpus's, both
+    exact ppm integers (so every term — and the sum — is an exact
+    integer: engine-portable with no float accumulation). The raw
+    corpus count cc is always >= 1 in every joined bucket, but the
+    ppm-truncated share q_ppm = (1e6*cc) div cn IS 0 once the corpus
+    exceeds 1e6 docs with a sub-ppm bucket — and a 0 denominator
+    yields NULL in Spark (silently dropped by SUM) vs an error in
+    DuckDB. The greatest(q_ppm, 1) clamp caps any term at its
+    1-ppm-share value, which is also the statistically honest
+    reading: shares below ppm resolution saturate at the resolution
+    floor. (The exact-fraction alternative (gc*cn - cc*gn)^2 /
+    (gn^2*cc*cn) overflows BIGINT at ~1e9-doc corpora, so the clamp
+    is the scale-safe form.)
 
     Scale: two aggregates over one scan's histogram — the
     (group, bucket) table is |G|·|buckets| rows, driver-tiny; the
@@ -778,7 +787,7 @@ def length_drift_chi2(
         .select(
             "grp",
             F.expr(
-                "((p_ppm - q_ppm) * (p_ppm - q_ppm)) div q_ppm"
+                "((p_ppm - q_ppm) * (p_ppm - q_ppm)) div greatest(q_ppm, 1L)"
             ).alias("__term"),
         )
     )

@@ -49,16 +49,19 @@ COSTS_VIEW = f"({EVENTS_COSTS} UNION ALL {ORDERS_COSTS})"
 ORACLES["costs_normalize_events"] = EVENTS_COSTS
 
 # DECIMAL-money DDL parity (reference sql/init.sql:19): same
-# projection, cost as DECIMAL(38,10). Safe to hash because no double
-# lands exactly on a 10^-k tie point (non-dyadic), so both engines'
-# nearest-value rounding agrees.
+# projection, cost as DECIMAL(10,2) — the reference's money type.
+# The VARCHAR round-trip pins DuckDB to the same rounding Spark uses
+# (BigDecimal.valueOf rounds the shortest round-trip decimal string,
+# and DuckDB's double→varchar is likewise shortest round-trip); a
+# direct double→decimal cast would instead round the exact binary
+# value, which diverged at scale (38,10) in r7.
 ORACLES["costs_normalize_decimal"] = """
     SELECT
         CAST(ts AS DATE) AS date,
         CAST(user_id AS VARCHAR) AS account_id,
         event_type AS service,
         CAST(NULL AS VARCHAR) AS region,
-        CAST(value AS DECIMAL(38,10)) AS cost,
+        CAST(CAST(value AS VARCHAR) AS DECIMAL(10,2)) AS cost,
         'USD' AS currency,
         'aws' AS cloud_provider,
         'events' AS source_table,
@@ -2960,7 +2963,10 @@ ORACLES["seqlen_truncation_plan"] = f"""
 
 # X40 length-histogram drift (operators/textstats.py:
 # length_drift_chi2): every term is an exact ppm integer, so the sum
-# is order-free.
+# is order-free. greatest(q_ppm, 1) mirrors the Spark clamp — the
+# ppm-truncated corpus share is 0 for sub-ppm buckets once the
+# corpus exceeds 1e6 docs, and DuckDB // raises on 0 while Spark div
+# returns NULL.
 ORACLES["length_drift_by_source"] = """
     WITH b AS (
         SELECT source, CAST(n_chars AS BIGINT) // 50 AS bucket
@@ -2974,7 +2980,7 @@ ORACLES["length_drift_by_source"] = """
         SELECT gh.source,
             ((1000000 * gc) // gn - (1000000 * cc) // cn)
             * ((1000000 * gc) // gn - (1000000 * cc) // cn)
-            // ((1000000 * cc) // cn) AS term
+            // greatest((1000000 * cc) // cn, 1) AS term
         FROM gh JOIN gt USING (source) JOIN ch USING (bucket), ct
     )
     SELECT t.source, gt.gn AS n_docs,
@@ -3053,10 +3059,17 @@ ORACLES["embedding_pq_codes"] = """
         FROM sel, (SELECT unnest(range(0, 4)) AS i) s
     ),
     scored AS (
+        -- ordered left-fold of squared diffs, the exact shape of the
+        -- Spark _L2SQ_SQL aggregate (a sqrt-then-square via
+        -- list_distance can land on the other side of the 6-decimal
+        -- rounding boundary and flip the argmin)
         SELECT e.vec_id, cb.subspace, cb.code_id,
-            ROUND(list_distance(
-                CAST(e.embedding[cb.subspace * 16 + 1 : cb.subspace * 16 + 16]
-                     AS DOUBLE[]), cb.codeword) ^ 2, 6) AS dist_sq
+            ROUND(list_reduce(list_transform(range(1, 17),
+                i -> (CAST(e.embedding[cb.subspace * 16 + i] AS DOUBLE)
+                      - cb.codeword[i])
+                     * (CAST(e.embedding[cb.subspace * 16 + i] AS DOUBLE)
+                        - cb.codeword[i])),
+                (a, b) -> a + b), 6) AS dist_sq
         FROM embeddings e, cb
     )
     SELECT vec_id, CAST(subspace AS INTEGER) AS subspace, code_id, dist_sq
@@ -3234,14 +3247,19 @@ ORACLES["dedup_lsh_recall"] = f"""
 
 
 # X46 JL signed random projection (operators/embeddings.py:
-# random_projection): index-ordered list fold so the double
-# summation order matches Spark's aggregate() exactly.
+# random_projection): explicit list_reduce left fold (with Spark's
+# 0.0 init prepended) so the double accumulation order is pinned to
+# match Spark's aggregate() exactly — list_sum's accumulation order
+# is an implementation detail and must not be relied on.
 ORACLES["embedding_random_projection"] = """
     SELECT vec_id, CAST(j AS INTEGER) AS rp_dim,
-        ROUND(list_sum(list_transform(range(1, len(embedding) + 1),
-            i -> CAST(embedding[i] AS DOUBLE)
-                 * (CASE WHEN (((i - 1) * 2654435761 + j * 40503) // 128) % 2 = 0
-                    THEN 1.0 ELSE -1.0 END)))
+        ROUND(list_reduce(list_concat(
+            [CAST(0.0 AS DOUBLE)],
+            list_transform(range(1, len(embedding) + 1),
+                i -> CAST(embedding[i] AS DOUBLE)
+                     * (CASE WHEN (((i - 1) * 2654435761 + j * 40503) // 128) % 2 = 0
+                        THEN 1.0 ELSE -1.0 END))),
+            (a, b) -> a + b)
             / 4.0, 6) AS val
     FROM embeddings, (SELECT unnest(range(0, 16)) AS j) js
     ORDER BY vec_id, rp_dim

@@ -144,12 +144,21 @@ def q_costs_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_costs_normalize_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL parity with the reference's DECIMAL money column
     (sql/init.sql:19, README.md:115): the normalized projection with
-    cost as DecimalType(38,10) instead of double — row-level
-    hash-checked against DuckDB's own DECIMAL cast. Double→decimal
-    rounding is engine-portable here because the tie points of any
-    10^-k grid (…5·10^-k-1) are not dyadic rationals, so no double
-    ever sits exactly on one. Decimal sums stay exact at any scale
-    with no integer-cents detour (money-exactness convention twin)."""
+    cost as DecimalType(10,2) — the reference's actual money type —
+    instead of double, row-level hash-checked against DuckDB.
+
+    Rounding caveat (r7 post-mortem): double→decimal is NOT
+    engine-portable in general.  Spark casts via
+    BigDecimal.valueOf(double), i.e. it rounds the double's
+    *shortest round-trip decimal string*; DuckDB rounds the *exact
+    binary expansion*.  At scale (38,10) the double ULP above ~1e5
+    exceeds the 1e-10 grid so the two answers diverge on the 10th
+    digit (the r7 red row).  Two defenses here: (a) the 1e-2 grid of
+    DECIMAL(10,2) is far coarser than any ULP in the money range, and
+    (b) the oracle mirrors Spark's semantics exactly by round-tripping
+    through VARCHAR (DuckDB's double→varchar is also shortest
+    round-trip).  Decimal sums stay exact at any scale with no
+    integer-cents detour (money-exactness convention twin)."""
     from pyspark.sql import types as T
 
     ev = table(spark, sf_dir, "events")
@@ -166,7 +175,7 @@ def q_costs_normalize_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         cloud_provider="aws",
         sync_timestamp=SYNC_TS,
-        cost_type=T.DecimalType(38, 10),
+        cost_type=T.DecimalType(10, 2),
     )
 
 

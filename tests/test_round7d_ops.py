@@ -186,18 +186,37 @@ def test_pq_encode_selected_vectors_zero_error(spark):
 
 def test_pq_encode_nearest_by_construction(spark):
     """With two well-separated clusters and one codeword in each,
-    every vector encodes to its own cluster's codeword."""
-    rows = [(i, [0.0 + i * 0.01] * 4) for i in range(5)] + [
+    every vector encodes to its own cluster's codeword. The vec_ids
+    (2..6 and 100..104) are chosen so the deterministic md5-order
+    draw picks one codeword from EACH cluster (6 and 101) — the
+    premise is asserted, not assumed, so a future change to the draw
+    cannot silently make this test vacuous."""
+    rows = [(2 + i, [0.0 + i * 0.01] * 4) for i in range(5)] + [
         (100 + i, [100.0 + i * 0.01] * 4) for i in range(5)
     ]
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     cb = pq_codebook(df, "vec_id", "embedding", m=2, ksub=2).collect()
     ids = sorted({r["code_id"] for r in cb})
-    if len(ids) == 2 and (ids[0] < 100) != (ids[1] < 100):
-        enc = pq_encode(df, "vec_id", "embedding", m=2, ksub=2).collect()
-        for r in enc:
-            same_cluster = (r["vec_id"] < 100) == (r["code_id"] < 100)
-            assert same_cluster, r
+    assert len(ids) == 2 and (ids[0] < 100) != (ids[1] < 100), (
+        f"codebook draw {ids} must span both clusters"
+    )
+    enc = pq_encode(df, "vec_id", "embedding", m=2, ksub=2).collect()
+    assert enc
+    for r in enc:
+        same_cluster = (r["vec_id"] < 100) == (r["code_id"] < 100)
+        assert same_cluster, r
+
+
+def test_pq_encode_indivisible_dim_raises(spark):
+    """size(vec) % m != 0 must RAISE (assert_true guard), not
+    silently quantize a truncated vector."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(i, [float(i)] * 7) for i in range(6)], ["vec_id", "embedding"]
+    )
+    with pytest.raises(Exception, match="divisible"):
+        pq_encode(df, "vec_id", "embedding", m=4, ksub=2).collect()
 
 
 # ---------------------------------------------------------------- X43
