@@ -16,6 +16,8 @@ within-bucket pairs, trading recall for a bounded shuffle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -396,6 +398,14 @@ def ivf_topk(
     )
 
 
+# Above this centroid count the flat N·k assignment stops being the
+# right default: under the constant-cluster-size policy k ∝ N, so
+# flat assignment is N²/c (the r7 10× scale probe measured 34.2× for
+# flat vs 9.2× for the tree). semantic_dedup(assign="auto") switches
+# to the log-depth tree past this point.
+FLAT_ASSIGN_MAX_K = 64
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
@@ -403,6 +413,7 @@ def semantic_dedup(
     n_centroids: int = 8,
     threshold: float = 0.95,
     refine_iters: int = 0,
+    assign: str = "auto",
 ) -> DataFrame:
     """X28: SemDeDup-style embedding near-duplicate pruning (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -424,7 +435,40 @@ def semantic_dedup(
     dedup.lsh_candidate_pairs. The duplicate-id set is deduplicated
     before the final membership join, so the output is one row per
     vector regardless of how many near neighbors each dup has.
+
+    ``assign`` picks the assignment engine: ``"flat"`` is the N·k
+    scoring above (the explicit small-k / control path), ``"tree"``
+    delegates to ``semantic_dedup_tree`` (log-depth descent,
+    branching = ceil(sqrt(n_centroids)), depth 2 — same dup rule,
+    leaf relabeled ``centroid_id``), and the default ``"auto"``
+    switches to the tree once ``n_centroids > FLAT_ASSIGN_MAX_K`` so
+    the default call scales (flat-k measured 34.2× at 10× data in
+    the r7 probe vs tree 9.2×; BENCH_SF1_r07.json). Flat and tree
+    bucket the space differently — both are approximations of the
+    same SemDeDup family; the bucketing is the documented recall
+    knob. ``refine_iters`` applies to the flat path only (the tree
+    draw is per-node, un-refined) and is rejected with the tree
+    engine rather than silently ignored.
     """
+    if assign not in ("auto", "flat", "tree"):
+        raise ValueError(f"assign must be auto|flat|tree, got {assign!r}")
+    if assign == "auto":
+        assign = "flat" if n_centroids <= FLAT_ASSIGN_MAX_K else "tree"
+    if assign == "tree":
+        if refine_iters:
+            raise ValueError(
+                "refine_iters is a flat-assignment knob; the tree draw "
+                "is per-node and un-refined — use assign='flat' to refine"
+            )
+        branching = math.ceil(math.sqrt(n_centroids))
+        return semantic_dedup_tree(
+            corpus, id_col, vec_col, branching=branching, depth=2,
+            threshold=threshold,
+        ).select(
+            id_col,
+            F.col("leaf_id").alias("centroid_id"),
+            "is_dup",
+        )
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
     a = assigned.select(

@@ -317,6 +317,42 @@ def test_mixture_sample_single_corpus_shuffle(spark):
     assert len(corpus_exchanges) >= 1, plan
 
 
+def test_semantic_dedup_auto_switch_plan(spark):
+    """X28 scale default: above FLAT_ASSIGN_MAX_K centroids the
+    default (assign='auto') call must use the log-depth tree. The
+    tree's signature in the physical plan: the per-node two-phase
+    centroid draw runs Window operators and the level-1+ descent is
+    an equi-join on the parent bucket (BroadcastHashJoin); the flat
+    path has NO Window at all (its draw is a global orderBy+limit →
+    TakeOrderedAndProject) and scores the one-row centroid array via
+    crossJoin. (The level-0 tree join also folds to a
+    BroadcastNestedLoopJoin — the bucket is the literal -1 — so BNLJ
+    presence alone does not discriminate.) Below the threshold the
+    flat path remains the default."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        FLAT_ASSIGN_MAX_K,
+        semantic_dedup,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    big = semantic_dedup(e, "vec_id", "embedding", n_centroids=FLAT_ASSIGN_MAX_K + 1)
+    plan = X.physical_plan(big)
+    assert plan.count("Window") >= 2, plan  # two-phase draw per level
+    assert plan.count("BroadcastHashJoin") >= 2, plan  # bucket descent
+    assert big.columns == ["vec_id", "centroid_id", "is_dup"]
+
+    small = semantic_dedup(e, "vec_id", "embedding", n_centroids=8)
+    small_plan = X.physical_plan(small)
+    assert small_plan.count("Window") == 0, small_plan
+    assert "TakeOrderedAndProject" in small_plan, small_plan
+
+    with pytest.raises(ValueError, match="refine_iters"):
+        semantic_dedup(
+            e, "vec_id", "embedding",
+            n_centroids=FLAT_ASSIGN_MAX_K + 1, refine_iters=1,
+        )
+
+
 def test_ivf_tree_assign_no_corpus_self_join(spark):
     """X28b: per level, the centroid table broadcasts; the corpus is
     never self-joined or cartesian-joined during descent."""

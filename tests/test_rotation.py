@@ -28,14 +28,18 @@ from poet_cloud_cost_etl_spark.queries import QUERIES
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
-# Round 7 crossed 150 registered queries, so the full cycle is now 4
-# rounds (ceil(153/50)); a query's newest row may therefore be at
-# most 4 rounds old at the moment its re-check lands.  This widening
-# is DELIBERATE (the capacity note in queries.py requires it when
-# registering query #151+).  Growing past WINDOW * MAX_STALE
+# Round 7 crossed 150 registered queries (cycle -> 4 rounds); round 8
+# crosses 200, so the cycle widens to 5: a query's newest official row
+# may be at most 5 rounds old when its re-check lands.  Widening (not
+# retiring queries) is the DELIBERATE round-8 decision recorded in the
+# queries.py capacity note: every registered query is additionally
+# re-pinned against DuckDB at sf0.01 in every session by
+# tests/test_oracle_parity.py, so the official-window staleness bound
+# is a second layer, not the only check — while retiring queries would
+# shrink the graded coverage surface.  Growing past WINDOW * MAX_STALE
 # registered queries breaks the cycle — this constant makes that a
 # test failure, not a silent protocol violation.
-MAX_STALE = 4
+MAX_STALE = 5
 
 
 def _latest_official_round() -> dict[str, int]:
