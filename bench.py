@@ -174,6 +174,28 @@ HEAVY = {
 SLOWEST_N = 10
 
 
+def check_regressions(
+    timings: dict[str, float], sf_val, pin: dict | None
+) -> dict[str, dict[str, float]]:
+    """Round-7 ask #7: flag any per-query median beyond
+    ``threshold_x`` times its pinned value. The pin only applies at
+    its own sf; unpinned (newly added) queries are skipped — they
+    get a pin once their first official record lands."""
+    if not pin or pin.get("sf") != sf_val:
+        return {}
+    thr = float(pin.get("threshold_x", 2.0))
+    out: dict[str, dict[str, float]] = {}
+    for name, med in timings.items():
+        base = pin.get("medians", {}).get(name)
+        if base and med > thr * base:
+            out[name] = {
+                "median": med,
+                "pinned": base,
+                "ratio": round(med / base, 2),
+            }
+    return out
+
+
 def main() -> None:
     from poet_cloud_cost_etl_spark.config import EngineConfig
 
@@ -254,25 +276,50 @@ def main() -> None:
             f.write("\n")
     except OSError:
         out_path = None  # read-only checkout: stdout line still valid
+    # Per-query regression gate (round-7 ask #7): compare each median
+    # against the committed pin (BENCH_PINNED.json — updated
+    # DELIBERATELY after an idle re-measure, never by this script) and
+    # exit non-zero on any >threshold_x regression. Only applies when
+    # the run's sf matches the pin's sf; queries without a pinned
+    # median (new this round) are skipped — they get pinned once their
+    # first official record lands. SPARK_GRAFT_BENCH_NO_GATE=1
+    # disables the gate (e.g. for deliberately-loaded experiments).
+    regressions: dict[str, dict[str, float]] = {}
+    pin_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_PINNED.json"
+    )
+    if not os.environ.get("SPARK_GRAFT_BENCH_NO_GATE"):
+        try:
+            with open(pin_path) as f:
+                pin = json.load(f)
+        except (OSError, ValueError):
+            pin = None
+        regressions = check_regressions(timings, sf_val, pin)
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:SLOWEST_N]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "sf": sf_val,
-                "r1_subset_sec": subset,
-                "n_queries": len(timings),
-                "n_runs": N_RUNS,
-                "full_record": out_path,
-            }
-        )
-    )
+    line = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf_val,
+        "r1_subset_sec": subset,
+        "n_queries": len(timings),
+        "n_runs": N_RUNS,
+        "full_record": out_path,
+    }
+    if regressions:
+        line["regressions"] = regressions
+    print(json.dumps(line))
     spark.stop()
+    if regressions:
+        print(
+            f"bench: {len(regressions)} per-query regression(s) beyond "
+            f"the pinned 2x gate: {sorted(regressions)}",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
 
 if __name__ == "__main__":

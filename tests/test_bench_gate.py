@@ -1,0 +1,53 @@
+"""The bench regression gate (round-7 ask #7): bench.py must flag —
+and exit non-zero on — any per-query median beyond 2x its pinned
+value, while new/unpinned queries and other-sf runs pass through."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from bench import HEADLINE, check_regressions  # noqa: E402
+
+
+@pytest.fixture()
+def pin():
+    return {"sf": 0.1, "threshold_x": 2.0, "medians": {"q_a": 1.0, "q_b": 0.5}}
+
+
+def test_gate_flags_2x_regression(pin):
+    out = check_regressions({"q_a": 2.5, "q_b": 0.6}, 0.1, pin)
+    assert set(out) == {"q_a"}
+    assert out["q_a"]["ratio"] == 2.5
+
+
+def test_gate_skips_other_sf_and_unpinned(pin):
+    assert check_regressions({"q_a": 99.0}, 0.001, pin) == {}
+    assert check_regressions({"q_new": 99.0}, 0.1, pin) == {}
+    assert check_regressions({"q_a": 99.0}, 0.1, None) == {}
+
+
+def test_gate_boundary_is_strict(pin):
+    # exactly 2x is within the gate (spread tolerance), just over fails
+    assert check_regressions({"q_a": 2.0}, 0.1, pin) == {}
+    assert check_regressions({"q_a": 2.0001}, 0.1, pin) != {}
+
+
+def test_committed_pin_covers_headline_set():
+    """Every headline query that existed in the round-7 record has a
+    pinned median; queries added later are allowed to be unpinned
+    until their first official record lands."""
+    with open(os.path.join(REPO, "BENCH_PINNED.json")) as f:
+        pin = json.load(f)
+    assert pin["sf"] == 0.1
+    assert pin["threshold_x"] == 2.0
+    pinned = set(pin["medians"])
+    assert pinned <= set(HEADLINE)
+    # the r1 anchor subset must always be pinned
+    assert set(HEADLINE[:18]) <= pinned

@@ -92,6 +92,34 @@ def test_no_python_udf_in_any_query(spark):
     assert not offenders, offenders
 
 
+def test_no_driver_collect_in_any_query(spark):
+    """Twin of the no-Python-UDF guard: CONSTRUCTING any registered
+    query must be fully lazy — no .collect()/.toPandas()/.toLocalIterator
+    on the driver while the plan is declared. This pins the opt-in
+    ``cosine_topk(impl='blas')`` path (similarity.py — the documented
+    driver-OOM hazard that collect()s one side of the GEMM)
+    unreachable from every registered query, forever: a future query
+    that routed through it, or any operator that materialized data to
+    build its plan, fails here before it can ship."""
+    from unittest import mock
+
+    from pyspark.sql import DataFrame
+
+    def _boom(self, *a, **k):
+        raise AssertionError("driver-side materialization during plan construction")
+
+    offenders = []
+    with mock.patch.object(DataFrame, "collect", _boom), \
+         mock.patch.object(DataFrame, "toPandas", _boom), \
+         mock.patch.object(DataFrame, "toLocalIterator", _boom):
+        for name, fn in QUERIES.items():
+            try:
+                fn(spark, SF_SMALL)
+            except AssertionError:
+                offenders.append(name)
+    assert not offenders, offenders
+
+
 def test_q5_snowflake_broadcasts_dims(spark):
     """6-table snowflake: region/nation/customer/supplier broadcast;
     only fact-to-fact (orders⋈lineitem) may shuffle."""
