@@ -118,6 +118,13 @@ HEADLINE = [
     "dedup_lsh_recall",
     "embedding_random_projection",
     "curation_manifest",
+    # round-8 additions (X48-X53), benched from birth.
+    "collocation_lift",
+    "charclass_by_source",
+    "lexical_diversity",
+    "padding_efficiency_plan",
+    "embedding_dim_moments",
+    "neardup_degree_hist",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -693,3 +693,43 @@ def lsh_pair_recall(
             ).alias("precision_ppm"),
         )
     )
+
+
+def neardup_degree_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    min_df: int | None = 2,
+) -> DataFrame:
+    """X53: near-duplicate graph degree histogram — how many docs
+    have 0, 1, 2, … near-dup neighbors at the given Jaccard
+    threshold. The shape diagnostic a curation run reads BEFORE
+    committing to cluster-survivorship: a fat tail of high-degree
+    hubs means template floods (cluster-collapse risk: one survivor
+    replaces thousands); an all-zero profile means the threshold is
+    too tight to matter. Degree-0 docs are reported, not dropped —
+    the whole point is the mass at zero.
+
+    Exact integer counts end-to-end. Scale: pairs come from the
+    bounded X2d pipeline (shingle-bucketed, skew-split — never N²);
+    the degree count is one union + one id-keyed aggregate; the
+    histogram is a ≤max-degree-row aggregate. The left join marking
+    degree-0 docs is id-keyed equi (AQE-handled)."""
+    pairs = ngram_jaccard_from_docs(
+        df, id_col, text_col, threshold=threshold, min_df=min_df
+    )
+    ends = pairs.select(F.col("doc_a").alias("__id")).unionAll(
+        pairs.select(F.col("doc_b").alias("__id"))
+    )
+    deg = ends.groupBy("__id").agg(F.count(F.lit(1)).alias("__deg"))
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"))
+        .join(deg, "__id", "left")
+        .select(F.coalesce("__deg", F.lit(0)).alias("degree"))
+    )
+    return (
+        per_doc.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )

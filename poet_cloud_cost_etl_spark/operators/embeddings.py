@@ -391,3 +391,60 @@ def random_projection(
             F.col("__p.val").alias("val"),
         )
     )
+
+
+def dimension_moments(df: DataFrame, vec_col: str) -> DataFrame:
+    """X50: per-dimension embedding moments — exact mean and variance
+    for every embedding dimension, the anisotropy/collapse monitor
+    for an embedding corpus: a dimension whose variance craters has
+    collapsed (the encoder ignores it); a few dimensions dominating
+    the variance mass means anisotropic embeddings that break cosine
+    geometry. Run before committing an ANN index or SemDeDup pass to
+    an embedding version.
+
+    Exactness: components are scaled to 1e-6 integers (the proven
+    ``label_centroids`` convention), then summed as DECIMAL(38,0) so
+    Σv and Σv² are EXACT and order-free at any corpus size (int64
+    would overflow Σv² past ~9e6 rows; decimal holds to ~1e38 —
+    beyond any real corpus). mean = Σv/(n·1e6) and
+    var = (n·Σv² − (Σv)²)/(n²·1e12) convert to double only at the
+    final division — one fixed expression tree, engine-portable —
+    and round to 6.
+
+    Scale: ONE (dim) aggregate with map-side partial combine over the
+    posexploded corpus; output cardinality = vector dimensionality.
+    No joins, no windows."""
+    v = F.round(F.col("val").cast("double") * SCALE).cast("long")
+    dims = df.select(F.posexplode(F.col(vec_col)).alias("dim", "val")).select(
+        "dim",
+        v.alias("__v"),
+    )
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__v").cast("decimal(38,0)")).alias("__sv"),
+        F.sum((F.col("__v") * F.col("__v")).cast("decimal(38,0)")).alias("__svv"),
+    )
+    mean = F.round(
+        F.col("__sv").cast("double") / (F.col("n").cast("double") * float(SCALE)),
+        6,
+    )
+    var_num = (
+        F.col("n").cast("decimal(38,0)") * F.col("__svv")
+        - F.col("__sv") * F.col("__sv")
+    )
+    var = F.round(
+        var_num.cast("double")
+        / (
+            F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * float(SCALE)
+            * float(SCALE)
+        ),
+        6,
+    )
+    return agg.select(
+        "dim",
+        "n",
+        mean.alias("mean"),
+        var.alias("variance"),
+    ).orderBy("dim")

@@ -100,3 +100,78 @@ def chunk_documents(
             ).alias("chunk_text"),
         )
     )
+
+
+# Sequence-length bucket ladder for padding_plan: powers of two from
+# 16 to 4096 — the bucket grid production seqlen-bucketed batching
+# uses (each batch pads its rows to the bucket cap, so cap choice IS
+# the padding-waste dial).
+PAD_CAPS = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096]
+
+
+def padding_plan(
+    df: DataFrame, id_col: str, text_col: str, batch_rows: int = 8
+) -> DataFrame:
+    """X52: padding-efficiency plan for length-bucketed batching —
+    assign each document to the smallest power-of-two sequence cap
+    that holds it, then report per bucket how many fixed-size batches
+    the bucket fills and what fraction of the padded token slots is
+    WASTE (padding + the empty rows of the final partial batch).
+    This is the pre-flight audit for the standard "bucket by length,
+    pad to bucket cap" training-batch recipe: the waste column is the
+    compute you burn on pad tokens, per bucket, before you commit a
+    100 TB tokenization run to a bucket ladder.
+
+    Documents longer than the top cap are counted truncated-to-cap
+    (the plan's contract is tokens-that-enter-a-batch; truncation
+    loss itself is X38 ``seqlen_plan``'s column).
+
+    Exactness: every column is exact-integer arithmetic — ceil-div
+    for batch count, ppm integer division for the waste share.
+    Scale: one narrow map (size + bucket lookup inside codegen) and
+    one ≤|caps|-row aggregate; nothing else. The bucket lookup is a
+    filter over a 9-element literal array, not a join."""
+    caps_sql = "array(" + ", ".join(str(c) for c in PAD_CAPS) + ")"
+    top = PAD_CAPS[-1]
+    n_tok = F.expr(f"size({TOKENS_SQL.format(col=text_col)})")
+    b = df.select(
+        F.col(id_col),
+        F.least(n_tok, F.lit(top)).alias("__n"),
+    ).select(
+        "__n",
+        F.expr(f"element_at(filter({caps_sql}, c -> c >= __n), 1)").alias("cap"),
+    )
+    agg = b.groupBy("cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("real_tokens"),
+    )
+    n_batches = F.expr(f"(n_docs + {int(batch_rows)} - 1) div {int(batch_rows)}")
+    return (
+        agg.select(
+            "cap",
+            "n_docs",
+            "real_tokens",
+            n_batches.alias("n_batches"),
+        )
+        .select(
+            "cap",
+            "n_docs",
+            "n_batches",
+            "real_tokens",
+            (F.col("n_batches") * batch_rows * F.col("cap")).alias("slot_tokens"),
+        )
+        .select(
+            "cap",
+            "n_docs",
+            "n_batches",
+            "real_tokens",
+            "slot_tokens",
+            (
+                F.expr(
+                    "(1000000 * (slot_tokens - real_tokens)) div slot_tokens"
+                ).cast("double")
+                / 1_000_000.0
+            ).alias("waste_share"),
+        )
+        .orderBy("cap")
+    )

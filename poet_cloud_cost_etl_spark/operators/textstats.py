@@ -866,3 +866,160 @@ def hashed_logit_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("mean_weight"),
         (F.col("logit") > 0).alias("pred_keep"),
     )
+
+
+def collocation_lift(
+    df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
+) -> DataFrame:
+    """X48: collocation mining — the corpus's top-``k`` bigrams by
+    LIFT, lift(x, y) = p(xy) / (p(x)·p(y)): how much more often the
+    pair co-occurs than independence predicts. This is PMI without
+    the log — same ranking, engine-portable arithmetic — and the
+    standard first pass for tokenizer-vocabulary candidates and
+    multi-word-expression detection over a training corpus.
+
+    Determinism: all counts are exact integers; lift is ONE fixed
+    double expression tree — ((c_xy·Nw)/c_x)·(Nw/c_y)/Nb with pinned
+    parenthesization, each step an IEEE correctly-rounded op on exact
+    inputs, so both engines produce bit-identical doubles (no
+    accumulation-order dependence, unlike a float SUM). Rounded to 6;
+    ties break on the bigram text.
+
+    Scale: words and bigrams are tagged map-side and exploded
+    together (the repetition_stats single-scan trick) → one
+    (kind, gram) count shuffle with map-side partial aggregation;
+    ``min_count`` prunes the bigram side BEFORE the two unigram
+    joins (vocab-bounded, never corpus-bounded); the totals row
+    broadcasts; top-k is orderBy+limit (TakeOrderedAndProject — no
+    whole-table single-partition window)."""
+    tagged = F.expr(
+        "concat(transform({t}, x -> struct('w' AS kind, x AS gram)), "
+        "transform({b}, x -> struct('b' AS kind, x AS gram)))".format(
+            t="__t", b=_BIGRAMS_SQL.format(t="__t")
+        )
+    )
+    grams = (
+        df.select(tokens(text_col).alias("__t"))
+        .select(F.explode(tagged).alias("g"))
+        .select(F.col("g.kind").alias("kind"), F.col("g.gram").alias("gram"))
+    )
+    counts = grams.groupBy("kind", "gram").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.agg(
+        F.sum(F.when(F.col("kind") == "w", F.col("c"))).cast("long").alias("__nw"),
+        F.sum(F.when(F.col("kind") == "b", F.col("c"))).cast("long").alias("__nb"),
+    )
+    uni = counts.filter(F.col("kind") == "w").select(
+        F.col("gram").alias("__w"), F.col("c").alias("__cw")
+    )
+    bi = (
+        counts.filter((F.col("kind") == "b") & (F.col("c") >= min_count))
+        .select(
+            F.element_at(F.split("gram", " "), 1).alias("w1"),
+            F.element_at(F.split("gram", " "), 2).alias("w2"),
+            F.col("c").alias("pair_count"),
+        )
+    )
+    lift = F.round(
+        (F.col("pair_count").cast("double") * F.col("__nw") / F.col("__c1"))
+        * (F.col("__nw").cast("double") / F.col("__c2"))
+        / F.col("__nb"),
+        6,
+    )
+    top = (
+        bi.join(uni.withColumnRenamed("__w", "w1").withColumnRenamed("__cw", "__c1"), "w1")
+        .join(uni.withColumnRenamed("__w", "w2").withColumnRenamed("__cw", "__c2"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .select("w1", "w2", "pair_count", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(k)
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("lift"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "w1", "w2", "pair_count", "lift"
+    )
+
+
+def charclass_profile(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """X49: character-class corpus profile — per group (source /
+    crawl / shard), the exact ppm shares of letter, digit, space, and
+    other bytes. The cheap encoding-sanity monitor over a training
+    corpus: a shard whose 'other' share spikes is mojibake, markup
+    bleed-through, or binary contamination, and this catches it in
+    one narrow scan with no tokenization at all.
+
+    All counts are exact integers (length arithmetic on the scan
+    stage); shares are ppm integer divisions — order-free,
+    engine-portable. Scale: ZERO shuffle except the |G|-row group
+    aggregate; the per-row work is four regexp_replace+length
+    expressions inside codegen."""
+    n = F.length(F.col(text_col))
+    letters = F.length(F.regexp_replace(F.col(text_col), "[^a-zA-Z]", ""))
+    digits = F.length(F.regexp_replace(F.col(text_col), "[^0-9]", ""))
+    spaces = F.length(F.regexp_replace(F.col(text_col), "[^ ]", ""))
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        n.alias("__n"),
+        letters.alias("__l"),
+        digits.alias("__d"),
+        spaces.alias("__s"),
+    )
+    agg = per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("__cn"),
+        F.sum("__l").alias("__cl"),
+        F.sum("__d").alias("__cd"),
+        F.sum("__s").alias("__cs"),
+    )
+    def ppm(col: str):
+        return (
+            F.expr(f"(1000000 * {col}) div __cn").cast("double") / 1_000_000.0
+        )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        F.col("__cn").alias("chars_total"),
+        ppm("__cl").alias("letter_share"),
+        ppm("__cd").alias("digit_share"),
+        ppm("__cs").alias("space_share"),
+        ppm("(__cn - __cl - __cd - __cs)").alias("other_share"),
+    )
+
+
+def lexical_diversity(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """X51: lexical-diversity profile — per group: total tokens,
+    distinct tokens (vocabulary), hapax legomena (tokens seen exactly
+    once), type-token ratio, and hapax share. The standard
+    lexical-richness panel for corpus curation: template/boilerplate
+    floods crater TTR; OCR noise and mojibake inflate hapax share
+    (every corrupted word is unique); both move before content-level
+    filters fire.
+
+    Exact integer counts; ratios are ppm integer divisions. Scale:
+    one (group, token) count shuffle with map-side combine (the
+    bounded vocab keyspace), then a |G|-row aggregate — same shape as
+    token_fertility."""
+    tok = df.select(
+        F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("__t")
+    )
+    counts = tok.groupBy("grp", "__t").agg(F.count(F.lit(1)).alias("c"))
+    agg = counts.groupBy("grp").agg(
+        F.sum("c").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("hapax_tokens"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "total_tokens",
+        "distinct_tokens",
+        "hapax_tokens",
+        (
+            F.expr("(1000000 * distinct_tokens) div total_tokens").cast("double")
+            / 1_000_000.0
+        ).alias("type_token_ratio"),
+        (
+            F.expr("(1000000 * hapax_tokens) div distinct_tokens").cast("double")
+            / 1_000_000.0
+        ).alias("hapax_share"),
+    )

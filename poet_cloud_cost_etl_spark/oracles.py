@@ -3367,3 +3367,183 @@ ORACLES["curation_manifest"] = f"""
     WHERE c.cum_tokens <= b.budget
     ORDER BY c.source, c.cum_tokens
 """
+
+
+# ---------------------------------------------------------------- round 8
+
+# X48 collocation lift (operators/textstats.py:collocation_lift).
+# lift is ONE fixed double expression tree — identical
+# parenthesization to the Spark column: ((c_xy*Nw)/c_x)*(Nw/c_y)/Nb,
+# every step an IEEE correctly-rounded op on exact integer inputs, so
+# the doubles are bit-identical with no accumulation-order issue.
+ORACLES["collocation_lift"] = f"""
+    WITH toks AS (SELECT {_TOKS.format(col='text')} AS t FROM documents),
+    uni AS (
+        SELECT u.x AS w, COUNT(*) AS c
+        FROM toks, UNNEST(t) AS u(x) GROUP BY 1
+    ),
+    bi AS (
+        SELECT t[i] AS w1, t[i+1] AS w2, COUNT(*) AS c
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT (SELECT CAST(SUM(c) AS BIGINT) FROM uni) AS nw,
+               (SELECT CAST(SUM(c) AS BIGINT) FROM bi) AS nb
+    ),
+    scored AS (
+        SELECT b.w1, b.w2, b.c AS pair_count,
+            ROUND(
+                ((CAST(b.c AS DOUBLE) * nw) / u1.c)
+                * (CAST(nw AS DOUBLE) / u2.c)
+                / nb, 6) AS lift
+        FROM bi b
+        JOIN uni u1 ON b.w1 = u1.w
+        JOIN uni u2 ON b.w2 = u2.w, tot
+        WHERE b.c >= 5
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS INTEGER)
+            AS rank,
+        w1, w2, pair_count, lift
+    FROM scored
+    ORDER BY lift DESC, w1, w2
+    LIMIT 20
+"""
+
+# X49 character-class profile (operators/textstats.py:
+# charclass_profile): exact length arithmetic, ppm integer division.
+ORACLES["charclass_by_source"] = """
+    WITH per AS (
+        SELECT source,
+            length(text) AS n,
+            length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS l,
+            length(regexp_replace(text, '[^0-9]', '', 'g')) AS d,
+            length(regexp_replace(text, '[^ ]', '', 'g')) AS s
+        FROM documents
+    ),
+    agg AS (
+        SELECT source, COUNT(*) AS n_docs,
+            CAST(SUM(n) AS BIGINT) AS cn, CAST(SUM(l) AS BIGINT) AS cl,
+            CAST(SUM(d) AS BIGINT) AS cd, CAST(SUM(s) AS BIGINT) AS cs
+        FROM per GROUP BY source
+    )
+    SELECT source, n_docs, cn AS chars_total,
+        CAST((1000000 * cl) // cn AS DOUBLE) / 1000000.0 AS letter_share,
+        CAST((1000000 * cd) // cn AS DOUBLE) / 1000000.0 AS digit_share,
+        CAST((1000000 * cs) // cn AS DOUBLE) / 1000000.0 AS space_share,
+        CAST((1000000 * (cn - cl - cd - cs)) // cn AS DOUBLE) / 1000000.0
+            AS other_share
+    FROM agg ORDER BY source
+"""
+
+# X51 lexical diversity (operators/textstats.py:lexical_diversity).
+ORACLES["lexical_diversity"] = f"""
+    WITH tk AS (
+        SELECT source, u.x AS t
+        FROM (SELECT source, {_TOKS.format(col='text')} AS ts FROM documents),
+             UNNEST(ts) AS u(x)
+    ),
+    c AS (SELECT source, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+    a AS (
+        SELECT source,
+            CAST(SUM(c) AS BIGINT) AS total_tokens,
+            COUNT(*) AS distinct_tokens,
+            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS hapax_tokens
+        FROM c GROUP BY source
+    )
+    SELECT source, total_tokens, distinct_tokens, hapax_tokens,
+        CAST((1000000 * distinct_tokens) // total_tokens AS DOUBLE)
+            / 1000000.0 AS type_token_ratio,
+        CAST((1000000 * hapax_tokens) // distinct_tokens AS DOUBLE)
+            / 1000000.0 AS hapax_share
+    FROM a ORDER BY source
+"""
+
+# X52 padding plan (operators/packing.py:padding_plan): pow2 ladder,
+# ceil-div batch count, ppm waste.
+ORACLES["padding_efficiency_plan"] = f"""
+    WITH n AS (
+        SELECT least(len({_TOKS.format(col='text')}), 4096) AS nt
+        FROM documents
+    ),
+    b AS (
+        SELECT nt,
+            list_filter([16, 32, 64, 128, 256, 512, 1024, 2048, 4096],
+                        c -> c >= nt)[1] AS cap
+        FROM n
+    ),
+    a AS (
+        SELECT cap, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS real_tokens
+        FROM b GROUP BY cap
+    ),
+    p AS (
+        SELECT cap, n_docs, (n_docs + 7) // 8 AS n_batches, real_tokens
+        FROM a
+    )
+    SELECT CAST(cap AS INTEGER) AS cap, n_docs, n_batches, real_tokens,
+        n_batches * 8 * cap AS slot_tokens,
+        CAST((1000000 * (n_batches * 8 * cap - real_tokens))
+             // (n_batches * 8 * cap) AS DOUBLE) / 1000000.0 AS waste_share
+    FROM p ORDER BY cap
+"""
+
+# X50 per-dimension moments (operators/embeddings.py:
+# dimension_moments): the proven ROUND(value*1e6) scaled-integer
+# draw; DuckDB BIGINT sums promote to HUGEINT (128-bit, exact) just
+# as the Spark side sums DECIMAL(38,0) — both convert to double only
+# at the final division, with identical parenthesization.
+ORACLES["embedding_dim_moments"] = """
+    WITH d AS (
+        SELECT CAST(i AS INTEGER) AS dim,
+            CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+                AS v
+        FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ),
+    a AS (
+        SELECT dim, COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS svv
+        FROM d GROUP BY dim
+    )
+    SELECT dim, n,
+        ROUND(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+            AS mean,
+        ROUND(CAST(n * svv - sv * sv AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 * 1000000.0 * 1000000.0), 6) AS variance
+    FROM a ORDER BY dim
+"""
+
+# X53 near-dup degree histogram (operators/dedup.py:
+# neardup_degree_profile): same pair semantics as
+# dedup_ngram_jaccard (min_df prunes only never-pairing shingles —
+# it cannot change the pair set), degree-0 docs included.
+ORACLES["neardup_degree_hist"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT doc_a, doc_b,
+                ROUND(CAST(n_common AS DOUBLE)
+                      / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ),
+    deg AS (
+        SELECT id, COUNT(*) AS d
+        FROM (SELECT doc_a AS id FROM pairs
+              UNION ALL SELECT doc_b AS id FROM pairs)
+        GROUP BY id
+    )
+    SELECT COALESCE(deg.d, 0) AS degree, COUNT(*) AS n_docs
+    FROM documents LEFT JOIN deg ON documents.doc_id = deg.id
+    GROUP BY 1 ORDER BY degree
+"""

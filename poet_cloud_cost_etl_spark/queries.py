@@ -3707,21 +3707,13 @@ def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@query("curation_manifest")
-def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X47: the full curation recipe as ONE dataflow — quality gate
-    (X5, score >= 0.5) → exact dedup (X2a fingerprint, min-id
-    survivor) → near-dup cluster survivorship (X2d pairs + X7
-    connected components) → sqrt-temperature token-budget fill (X43,
-    8k tokens). The output is the training-corpus MANIFEST: the kept
-    documents with running token totals, reproducible bit-for-bit on
-    any engine. Every stage is an already-verified operator; this
-    query pins their COMPOSITION (the thing a user actually runs).
-
-    Scale: the stages chain without driver materialization — quality
-    and fingerprint are scan-stage maps + one fp-keyed aggregate,
-    clustering is the X7 bounded-pair path, the budget fill is one
-    group-keyed window."""
+def curation_manifest_df(
+    spark: SparkSession, sf_dir: str, pin_base: bool = False
+) -> DataFrame:
+    """X47 dataflow builder (see q_curation_manifest for semantics).
+    ``pin_base`` persists the shared ``base`` frame (MEMORY_AND_DISK)
+    instead of recomputing it in each of the four downstream
+    branches — the scale-side arm of the A/B documented below."""
     from .operators.dedup import fingerprint, ngram_jaccard_from_docs
     from .operators.graph import connected_components
     from .operators.sampling import mixture_budget_sample
@@ -3742,13 +3734,21 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # base feeds four downstream branches (pair-gen, CC seed ids,
     # survivor join, budget fill), each replaying the scan + quality
-    # + fingerprint chain. A/B at sf0.1 says leave it: pinning with
-    # localCheckpoint measured SLOWER (8.4s vs 7.3s) because the
-    # branches are codegen scans of a small corpus and the eager
-    # materialization round-trip costs more than three replays. At
-    # 100 TB the balance flips — persist/checkpoint ``base`` there
-    # (the X33 broadcast-table pins show the pattern).
+    # + fingerprint chain. A/B history: the r7 sf0.1 A/B pinned with
+    # EAGER localCheckpoint and recompute won (8.4s vs 7.3s) — but
+    # that arm paid a blocking materialization round-trip. The r8
+    # A/B (scripts/scale_probe.py curation_manifest_recompute vs
+    # _persist, BENCH_SF1_r08.json, process-isolated) re-ran it with
+    # lazy persist(MEMORY_AND_DISK): persist wins at BOTH scales —
+    # 5.64s vs 8.90s at sf0.1 and 19.5s vs 51.6s at sf1.0, scaling
+    # 3.45x vs 5.8x at 10x data — so pin_base=True is the registered
+    # default (q_curation_manifest) and the recompute arm stays as
+    # the probe control.
     base = kept.join(exact_surv, "doc_id")
+    if pin_base:
+        from pyspark import StorageLevel
+
+        base = base.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = ngram_jaccard_from_docs(base, "doc_id", "text", threshold=0.5, min_df=2)
     cc = connected_components(
         base.select("doc_id"),
@@ -3765,6 +3765,93 @@ def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_budget_sample(
         surv, "doc_id", "text", "source", token_budget=8000
     ).orderBy("source", "cum_tokens")
+
+
+@query("curation_manifest")
+def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47: the full curation recipe as ONE dataflow — quality gate
+    (X5, score >= 0.5) → exact dedup (X2a fingerprint, min-id
+    survivor) → near-dup cluster survivorship (X2d pairs + X7
+    connected components) → sqrt-temperature token-budget fill (X43,
+    8k tokens). The output is the training-corpus MANIFEST: the kept
+    documents with running token totals, reproducible bit-for-bit on
+    any engine. Every stage is an already-verified operator; this
+    query pins their COMPOSITION (the thing a user actually runs).
+
+    Scale: the stages chain without driver materialization — quality
+    and fingerprint are scan-stage maps + one fp-keyed aggregate,
+    clustering is the X7 bounded-pair path, the budget fill is one
+    group-keyed window. The shared ``base`` frame is persisted
+    (pin_base=True): the r8 two-scale A/B in ``curation_manifest_df``
+    measured persist(MEMORY_AND_DISK) faster at sf0.1 AND 2.6x
+    faster at sf1.0 than recomputing it in all four branches."""
+    return curation_manifest_df(spark, sf_dir, pin_base=True)
+
+
+@query("collocation_lift")
+def q_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48: corpus collocation mining (operators/textstats.py:
+    collocation_lift) — top-20 bigrams by lift (PMI without the
+    log), exact counts, one pinned double expression tree."""
+    from .operators.textstats import collocation_lift
+
+    d = table(spark, sf_dir, "documents")
+    return collocation_lift(d, "text", min_count=5, k=20)
+
+
+@query("charclass_by_source")
+def q_charclass_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49: per-source character-class ppm profile (operators/
+    textstats.py:charclass_profile) — encoding-sanity monitor,
+    zero-shuffle scan + |sources|-row aggregate."""
+    from .operators.textstats import charclass_profile
+
+    d = table(spark, sf_dir, "documents")
+    return charclass_profile(d, "source", "text").orderBy("source")
+
+
+@query("lexical_diversity")
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51: per-source lexical-diversity panel (operators/
+    textstats.py:lexical_diversity) — TTR + hapax share from exact
+    (source, token) counts."""
+    from .operators.textstats import lexical_diversity
+
+    d = table(spark, sf_dir, "documents")
+    return lexical_diversity(d, "source", "text").orderBy("source")
+
+
+@query("padding_efficiency_plan")
+def q_padding_efficiency_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52: padding-waste audit for length-bucketed batching
+    (operators/packing.py:padding_plan) — pow2 bucket ladder,
+    exact ceil-div batch counts, ppm waste shares."""
+    from .operators.packing import padding_plan
+
+    d = table(spark, sf_dir, "documents")
+    return padding_plan(d, "doc_id", "text", batch_rows=8)
+
+
+@query("embedding_dim_moments")
+def q_embedding_dim_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50: per-dimension embedding mean/variance (operators/
+    embeddings.py:dimension_moments) — decimal-exact scaled sums,
+    the anisotropy/collapse monitor."""
+    from .operators.embeddings import dimension_moments
+
+    e = table(spark, sf_dir, "embeddings")
+    return dimension_moments(e, "embedding")
+
+
+@query("neardup_degree_hist")
+def q_neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53: near-duplicate graph degree histogram (operators/
+    dedup.py:neardup_degree_profile) — bounded X2d pair gen, degree-0
+    mass included."""
+    from .operators.dedup import neardup_degree_profile
+
+    d = table(spark, sf_dir, "documents")
+    return neardup_degree_profile(d, "doc_id", "text", threshold=0.5, min_df=2)
 
 
 # ---------------------------------------------------------------------------

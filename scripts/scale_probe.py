@@ -85,9 +85,28 @@ def _semantic_dedup_tree(spark, sf_dir, k_scale):
     )
 
 
+# Round-8 ask #5: the curation_manifest shared-base persist A/B one
+# decade up. The sf0.1 A/B chose recompute (queries.py docstring);
+# this pair re-runs the same comparison at sf1.0 so the "balance
+# flips at scale" claim gets an empirical point. Each timed build
+# starts by unpersisting leftovers so a prior run's pinned blocks
+# never subsidize (or GC-tax) the next.
+def _curation_ab(pin_base):
+    def f(spark, sf_dir, k_scale):
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+        from poet_cloud_cost_etl_spark.queries import curation_manifest_df
+
+        return curation_manifest_df(spark, sf_dir, pin_base=pin_base)
+
+    return f
+
+
 SCALED_K = [
     ("semantic_dedup_scaled_k", _semantic_dedup_scaled),
     ("semantic_dedup_tree_scaled", _semantic_dedup_tree),
+    ("curation_manifest_recompute", _curation_ab(False)),
+    ("curation_manifest_persist", _curation_ab(True)),
 ]
 
 
@@ -184,6 +203,11 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_SF1_r07.json"))
     ap.add_argument("--one", default=None, help="internal: worker mode")
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="comma-separated subset of probe names to run (others skipped)",
+    )
     args = ap.parse_args()
 
     if args.one:
@@ -196,7 +220,13 @@ def main() -> None:
 
     small: dict[str, float] = {}
     big: dict[str, float] = {}
-    for name in HEAVY + [n for n, _ in SCALED_K]:
+    names = HEAVY + [n for n, _ in SCALED_K]
+    if args.only:
+        wanted = set(args.only.split(","))
+        unknown = wanted - set(names)
+        assert not unknown, f"unknown probe names: {sorted(unknown)}"
+        names = [n for n in names if n in wanted]
+    for name in names:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--one", name],
             capture_output=True, text=True, check=True,
