@@ -125,6 +125,9 @@ HEADLINE = [
     "padding_efficiency_plan",
     "embedding_dim_moments",
     "neardup_degree_hist",
+    "ann_ivf_pq",
+    "embedding_standardize",
+    "text_trigram_backoff",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

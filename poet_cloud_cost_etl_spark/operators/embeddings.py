@@ -448,3 +448,121 @@ def dimension_moments(df: DataFrame, vec_col: str) -> DataFrame:
         mean.alias("mean"),
         var.alias("variance"),
     ).orderBy("dim")
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    m: int = 4,
+    ksub: int = 8,
+) -> DataFrame:
+    """X54: IVF-PQ approximate top-k with asymmetric distance
+    computation (ADC) — THE billion-scale ANN deployment shape
+    (Jégou et al. 2011): the coarse quantizer (X8 inverted lists)
+    bounds which vectors each query scores, and product-quantization
+    codes (X42) stand in for the vectors themselves, so list
+    residents cost m small integers instead of d floats. Each query
+    precomputes its m×ksub distance table once; a candidate's ADC
+    distance is then m table lookups + an integer sum — never a
+    d-dim float op per candidate.
+
+    Determinism: every distance-table cell is an index-ordered
+    squared-L2 fold scaled to an exact micro-integer
+    (round(d²·10⁶)); the per-candidate ADC sum is therefore an
+    ORDER-FREE integer sum, converted to double once at the end.
+    Ranking ties break on neighbor id. A corpus vector lives in
+    exactly one list (nprobe=1 build), so no (query, neighbor)
+    dedup is needed — the ivf_topk invariant.
+
+    Scale: the codebook and the Q·(m·ksub) distance table broadcast;
+    the candidate join is keyed on centroid_id (N + Q·nprobe rows,
+    as X8); the code join is keyed on neighbor id with fanout m; the
+    final aggregate is (query, neighbor)-keyed. No unkeyed shuffle,
+    no per-candidate d-dim arithmetic, no driver materialization."""
+    from .similarity import ivf_assign, ivf_centroids
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, 0)
+    lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id"
+    )
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("query_id"), "centroid_id"
+    )
+    codes = pq_encode(corpus, id_col, vec_col, m=m, ksub=ksub).select(
+        F.col(id_col).alias("neighbor_id"), "subspace", "code_id"
+    )
+    cb = pq_codebook(corpus, id_col, vec_col, m, ksub)
+    dim = f"(size(__qv) div {int(m)})"
+    dq_u = F.expr(
+        "CAST(round("
+        + _L2SQ_SQL.format(
+            a=f"slice(__qv, subspace * {dim} + 1, {dim})", b="codeword"
+        )
+        + " * 1000000) AS BIGINT)"
+    )
+    dtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(cb))
+        .select("query_id", "subspace", "code_id", dq_u.alias("__dq"))
+    )
+    adc = (
+        lists.join(probes, "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .join(codes, "neighbor_id")
+        .join(F.broadcast(dtab), ["query_id", "subspace", "code_id"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("__dq").alias("__adc_u"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("__adc_u"), F.asc("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("__adc_u").cast("double") / 1_000_000.0).alias("adc_dist"),
+            "rank",
+        )
+    )
+
+
+def standardize_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """X55: per-dimension z-score standardization — each component is
+    re-expressed as (x − mean_dim)/stddev_dim using the X50
+    ``dimension_moments`` statistics. The standard preprocessing in
+    front of PQ/LSH/ANN indexing: without it, high-variance dimensions
+    dominate every distance and the index keys on a handful of axes.
+    Degenerate dimensions (variance 0) standardize to 0 rather than
+    dividing by zero.
+
+    Determinism: mean and variance arrive as the X50 rounded-6
+    doubles; the z-score is ONE fixed expression tree
+    ((x − mean)/sqrt(var), IEEE correctly-rounded ops on identical
+    inputs in both engines), rounded to 6. Long-form output — the
+    scalar shape the oracle harness hashes.
+
+    Scale: the d-row moments table broadcasts onto the posexploded
+    corpus; the whole operator is a broadcast join + narrow map (the
+    quantize_int8 plan shape)."""
+    stats = dimension_moments(df, vec_col).select("dim", "mean", "variance")
+    dims = explode_dims(df, id_col, vec_col)
+    z = F.when(F.col("variance") == 0.0, F.lit(0.0)).otherwise(
+        F.round(
+            (F.col("val").cast("double") - F.col("mean"))
+            / F.sqrt(F.col("variance")),
+            6,
+        )
+    )
+    return (
+        dims.join(F.broadcast(stats), "dim")
+        .select(F.col(id_col), "dim", z.alias("zscore"))
+    )

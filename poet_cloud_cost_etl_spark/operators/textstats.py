@@ -1023,3 +1023,92 @@ def lexical_diversity(df: DataFrame, group_col: str, text_col: str) -> DataFrame
             / 1_000_000.0
         ).alias("hapax_share"),
     )
+
+
+# 3-word grams with components, same let-binding discipline as
+# _BIGRAMS_SQL (bind the token array once; see dedup.SHINGLES_SQL).
+_TRIGRAMS_SQL = (
+    "flatten(transform(array({t}), __a -> "
+    "CASE WHEN size(__a) >= 3 THEN transform(sequence(1, size(__a) - 2), "
+    "i -> struct(element_at(__a, i) AS w1, element_at(__a, i + 1) AS w2, "
+    "element_at(__a, i + 2) AS w3)) "
+    "ELSE array() END))"
+)
+
+
+def trigram_backoff_scores(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 3
+) -> DataFrame:
+    """X59: stupid-backoff trigram LM scoring (Brants et al. 2007,
+    "Large Language Models in Machine Translation" — the web-scale
+    distributed-LM recipe). Each document position scores
+    S(w3|w1w2) = c(w1w2w3)/c(w1w2) when the trigram survives the
+    count cutoff, else the backoff 0.4·c(w2w3)/c(w2). The count
+    cutoff (``min_count``) is what every production-scale LM applies
+    to its top order — and it is what makes the backoff branch REAL
+    here: without pruning, every trigram of a corpus document exists
+    in the corpus model and the else-branch is dead code. n_backoff
+    per doc is reported — the model-coverage diagnostic.
+
+    Exactness: every score is a ppm INTEGER division on exact corpus
+    counts ((10⁶·c3) div c12, (4·10⁵·c23) div c2), so the per-doc sum
+    is order-free and the mean is one truncating integer division —
+    the X15 convention extended one order up.
+
+    Scale: one tagged explode (X12's single-scan trick would fuse the
+    three gram orders; here the trigram stream carries its own bigram
+    components, so only trigram + bigram + unigram counts shuffle —
+    all keyed, Zipf-collapsed by map-side partials). Four keyed
+    joins back to the position stream (fanout 1 each), one doc-keyed
+    aggregate. The pruned trigram table is the model actually
+    shipped at 100 TB: the cutoff bounds it by the corpus's
+    above-threshold trigram vocabulary, not its token count."""
+    t = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    tri = (
+        t.select(F.col(id_col), F.explode(F.expr(_TRIGRAMS_SQL.format(t="__t"))).alias("g"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(" ", "g.w1", "g.w2", "g.w3").alias("g3"),
+            F.concat_ws(" ", "g.w1", "g.w2").alias("g12"),
+            F.concat_ws(" ", "g.w2", "g.w3").alias("g23"),
+            F.col("g.w2").alias("w2"),
+        )
+    )
+    bi = t.select(F.explode(bigrams("__t")).alias("g12"))
+    uni = t.select(F.explode(F.col("__t")).alias("w"))
+    c3 = (
+        tri.groupBy("g3").agg(F.count(F.lit(1)).alias("__c3"))
+        .filter(F.col("__c3") >= min_count)
+    )
+    cb = bi.groupBy("g12").agg(F.count(F.lit(1)).alias("__cb"))
+    cu = uni.groupBy("w").agg(F.count(F.lit(1)).alias("__cu"))
+    scored = (
+        tri.join(c3, "g3", "left")
+        .join(cb, "g12")
+        .join(
+            cb.select(F.col("g12").alias("g23"), F.col("__cb").alias("__cb23")),
+            "g23",
+        )
+        .join(cu.select(F.col("w").alias("w2"), "__cu"), "w2")
+        .select(
+            F.col(id_col),
+            F.expr(
+                "CASE WHEN __c3 IS NOT NULL THEN (1000000 * __c3) div __cb "
+                "ELSE (400000 * __cb23) div __cu END"
+            ).alias("__s"),
+            F.when(F.col("__c3").isNull(), 1).otherwise(0).alias("__bo"),
+        )
+    )
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("__bo").alias("n_backoff"),
+        F.sum("__s").alias("__sum"),
+    )
+    return agg.select(
+        F.col(id_col),
+        "n_trigrams",
+        "n_backoff",
+        (
+            F.expr("__sum div n_trigrams").cast("double") / 1_000_000.0
+        ).alias("avg_score"),
+    )

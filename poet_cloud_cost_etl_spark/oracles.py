@@ -3547,3 +3547,156 @@ ORACLES["neardup_degree_hist"] = f"""
     FROM documents LEFT JOIN deg ON documents.doc_id = deg.id
     GROUP BY 1 ORDER BY degree
 """
+
+
+# X54 IVF-PQ ADC top-k (operators/embeddings.py:ivf_pq_topk): the
+# X8 inverted-list CTEs + the X42 codebook/code CTEs + per-query
+# distance tables whose cells are ordered squared-diff folds scaled
+# to exact micro-integers, so the ADC sum is order-free.
+ORACLES["ann_ivf_pq"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    lists AS (
+        SELECT vec_id AS neighbor_id, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')})
+        WHERE probe_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM embeddings WHERE vec_id < 5)', cents='cents')})
+        WHERE probe_rank <= 2
+    ),
+    sel AS (
+        SELECT vec_id AS code_id, embedding
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 8
+    ),
+    cb AS (
+        SELECT s.i AS subspace, sel.code_id,
+            CAST(sel.embedding[s.i * 16 + 1 : s.i * 16 + 16] AS DOUBLE[])
+                AS codeword
+        FROM sel, (SELECT unnest(range(0, 4)) AS i) s
+    ),
+    code_scored AS (
+        SELECT e.vec_id, cb.subspace, cb.code_id,
+            ROUND(list_reduce(list_transform(range(1, 17),
+                i -> (CAST(e.embedding[cb.subspace * 16 + i] AS DOUBLE)
+                      - cb.codeword[i])
+                     * (CAST(e.embedding[cb.subspace * 16 + i] AS DOUBLE)
+                        - cb.codeword[i])),
+                (a, b) -> a + b), 6) AS dist_sq
+        FROM embeddings e, cb
+    ),
+    codes AS (
+        SELECT vec_id AS neighbor_id, subspace, code_id
+        FROM (
+            SELECT vec_id, subspace, code_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, subspace
+                    ORDER BY dist_sq ASC, code_id ASC
+                ) AS rn
+            FROM code_scored
+        )
+        WHERE rn = 1
+    ),
+    dtab AS (
+        SELECT q.vec_id AS query_id, cb.subspace, cb.code_id,
+            CAST(ROUND(list_reduce(list_transform(range(1, 17),
+                i -> (CAST(q.embedding[cb.subspace * 16 + i] AS DOUBLE)
+                      - cb.codeword[i])
+                     * (CAST(q.embedding[cb.subspace * 16 + i] AS DOUBLE)
+                        - cb.codeword[i])),
+                (a, b) -> a + b) * 1000000) AS BIGINT) AS dq
+        FROM (SELECT * FROM embeddings WHERE vec_id < 5) q, cb
+    ),
+    adc AS (
+        SELECT p.query_id, l.neighbor_id, CAST(SUM(d.dq) AS BIGINT) AS adc_u
+        FROM lists l
+        JOIN probes p USING (centroid_id)
+        JOIN codes c ON c.neighbor_id = l.neighbor_id
+        JOIN dtab d ON d.query_id = p.query_id
+                   AND d.subspace = c.subspace AND d.code_id = c.code_id
+        WHERE l.neighbor_id <> p.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id,
+        CAST(adc_u AS DOUBLE) / 1000000.0 AS adc_dist,
+        CAST(rank AS INTEGER) AS rank
+    FROM (
+        SELECT query_id, neighbor_id, adc_u,
+            ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY adc_u ASC, neighbor_id ASC
+            ) AS rank
+        FROM adc
+    )
+    WHERE rank <= 5
+"""
+
+# X55 z-score standardization (operators/embeddings.py:
+# standardize_dims): the X50 moments CTE joined back onto the long
+# form; one fixed (x-mean)/sqrt(var) tree, variance-0 dims -> 0.
+ORACLES["embedding_standardize"] = """
+    WITH d AS (
+        SELECT vec_id, CAST(i AS INTEGER) AS dim,
+            CAST(embedding[i + 1] AS DOUBLE) AS val,
+            CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000000) AS BIGINT)
+                AS v
+        FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ),
+    a AS (
+        SELECT dim, COUNT(*) AS n, SUM(v) AS sv, SUM(v * v) AS svv
+        FROM d GROUP BY dim
+    ),
+    mo AS (
+        SELECT dim,
+            ROUND(CAST(sv AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0), 6)
+                AS mean,
+            ROUND(CAST(n * svv - sv * sv AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                     * 1000000.0 * 1000000.0), 6) AS variance
+        FROM a
+    )
+    SELECT d.vec_id, d.dim,
+        CASE WHEN mo.variance = 0.0 THEN 0.0
+             ELSE ROUND((d.val - mo.mean) / sqrt(mo.variance), 6) END AS zscore
+    FROM d JOIN mo USING (dim)
+"""
+
+# X59 stupid-backoff trigram scoring (operators/textstats.py:
+# trigram_backoff_scores): min_count=3 pruned trigram model, 0.4
+# backoff as the exact 400000-ppm integer weight.
+ORACLES["text_trigram_backoff"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    tri AS (
+        SELECT doc_id,
+            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3,
+            t[i] || ' ' || t[i+1] AS g12,
+            t[i+1] || ' ' || t[i+2] AS g23,
+            t[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    bi AS (
+        SELECT t[i] || ' ' || t[i+1] AS g12
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    uni AS (SELECT u.x AS w FROM toks, UNNEST(t) AS u(x)),
+    c3 AS (SELECT g3, COUNT(*) AS c FROM tri GROUP BY 1 HAVING COUNT(*) >= 3),
+    cbn AS (SELECT g12, COUNT(*) AS c FROM bi GROUP BY 1),
+    cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    s AS (
+        SELECT t.doc_id,
+            CASE WHEN c3.c IS NOT NULL THEN (1000000 * c3.c) // cb.c
+                 ELSE (400000 * cb23.c) // cu.c END AS s,
+            CASE WHEN c3.c IS NULL THEN 1 ELSE 0 END AS bo
+        FROM tri t
+        LEFT JOIN c3 USING (g3)
+        JOIN cbn cb ON t.g12 = cb.g12
+        JOIN cbn cb23 ON t.g23 = cb23.g12
+        JOIN cu ON t.w2 = cu.w
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+        CAST(SUM(bo) AS BIGINT) AS n_backoff,
+        CAST(CAST(SUM(s) AS BIGINT) // COUNT(*) AS DOUBLE) / 1000000.0
+            AS avg_score
+    FROM s GROUP BY doc_id
+"""

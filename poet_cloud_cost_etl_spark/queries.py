@@ -3854,6 +3854,43 @@ def q_neardup_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_degree_profile(d, "doc_id", "text", threshold=0.5, min_df=2)
 
 
+@query("ann_ivf_pq")
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: IVF-PQ top-k with asymmetric distance computation
+    (operators/embeddings.py:ivf_pq_topk) — inverted lists bound the
+    candidates, PQ codes replace the vectors, each query's m×ksub
+    distance table broadcasts; ADC is an order-free micro-integer
+    sum."""
+    from .operators.embeddings import ivf_pq_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(q, e, "vec_id", "embedding", k=5, n_centroids=8, nprobe=2)
+
+
+@query("embedding_standardize")
+def q_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55: per-dimension z-score standardization (operators/
+    embeddings.py:standardize_dims) — X50 moments broadcast onto the
+    posexploded corpus, one fixed expression tree per element."""
+    from .operators.embeddings import standardize_dims
+
+    e = table(spark, sf_dir, "embeddings")
+    return standardize_dims(e, "vec_id", "embedding")
+
+
+@query("text_trigram_backoff")
+def q_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59: stupid-backoff trigram LM scoring (operators/
+    textstats.py:trigram_backoff_scores) — count-cutoff pruned
+    trigram model with the 0.4-weighted bigram backoff, ppm-integer
+    scores."""
+    from .operators.textstats import trigram_backoff_scores
+
+    d = table(spark, sf_dir, "documents")
+    return trigram_backoff_scores(d, "doc_id", "text", min_count=3)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

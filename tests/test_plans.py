@@ -381,6 +381,39 @@ def test_semantic_dedup_auto_switch_plan(spark):
         )
 
 
+def test_round8_queries_plan_shapes(spark):
+    """Round-8 scale pins: padding_plan is join-free (the bucket
+    ladder is a literal-array lookup, not a dim join);
+    dimension_moments is a single keyed aggregate with no join and
+    no window; collocation_lift's top-k is TakeOrderedAndProject
+    (never a whole-table single-partition window); ivf_pq_topk
+    broadcasts the distance table and never cartesian-joins the
+    corpus."""
+    d = table(spark, SF_SMALL, "documents")
+    e = table(spark, SF_SMALL, "embeddings")
+
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        dimension_moments,
+        ivf_pq_topk,
+    )
+    from poet_cloud_cost_etl_spark.operators.packing import padding_plan
+    from poet_cloud_cost_etl_spark.operators.textstats import collocation_lift
+
+    pp = X.physical_plan(padding_plan(d, "doc_id", "text"))
+    assert "Join" not in pp, pp
+
+    dm = X.physical_plan(dimension_moments(e, "embedding"))
+    assert "Join" not in dm and "Window" not in dm, dm
+
+    cl = X.physical_plan(collocation_lift(d, "text"))
+    assert "TakeOrderedAndProject" in cl, cl
+
+    q = e.filter(F.col("vec_id") < 5)
+    pq = X.physical_plan(ivf_pq_topk(q, e, "vec_id", "embedding", k=5))
+    assert "CartesianProduct" not in pq, pq
+    assert pq.count("BroadcastExchange") >= 2, pq  # codebook + dtab
+
+
 def test_ivf_tree_assign_no_corpus_self_join(spark):
     """X28b: per level, the centroid table broadcasts; the corpus is
     never self-joined or cartesian-joined during descent."""

@@ -154,3 +154,77 @@ def test_neardup_degree_profile_histogram(spark):
         ).collect()
     }
     assert hist == {0: 1, 2: 3}
+
+
+# ---------------------------------------------------------------- X54
+
+
+def test_ivf_pq_topk_contract(spark):
+    """On a 2-cluster corpus: every query's top-1 ADC neighbor lies
+    in its own cluster (codewords and centroids both split by
+    construction), ranks are 1..k dense, ADC distances are
+    non-negative and non-decreasing in rank."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import ivf_pq_topk
+
+    rows = [(2 + i, [0.0 + i * 0.01] * 8) for i in range(5)] + [
+        (100 + i, [100.0 + i * 0.01] * 8) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(F.col("vec_id").isin([2, 100]))
+    out = ivf_pq_topk(q, df, "vec_id", "embedding", k=3, n_centroids=2, nprobe=1, m=2, ksub=2)
+    res = out.collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        dists = [r["adc_dist"] for r in rs]
+        assert all(d >= 0 for d in dists)
+        assert dists == sorted(dists)
+        assert (rs[0]["neighbor_id"] < 100) == (qid < 100)
+
+
+# ---------------------------------------------------------------- X55
+
+
+def test_standardize_dims_zero_mean_unit_spread(spark):
+    """Values [1, 3] on dim0: mean 2, var 1 -> z = [-1, 1]. Constant
+    dim -> z = 0 (no division by zero)."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import standardize_dims
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 7.0]), (2, [3.0, 7.0])], ["vec_id", "embedding"]
+    )
+    rows = {(r["vec_id"], r["dim"]): r["zscore"] for r in standardize_dims(df, "vec_id", "embedding").collect()}
+    assert rows[(1, 0)] == -1.0 and rows[(2, 0)] == 1.0
+    assert rows[(1, 1)] == 0.0 and rows[(2, 1)] == 0.0
+
+
+# ---------------------------------------------------------------- X59
+
+
+def test_trigram_backoff_pruned_model_backs_off(spark):
+    """'a b c' appears 3x (survives min_count=3): score
+    (1e6*3) div 3 = 1.0. 'x y z' appears once (pruned): backoff
+    0.4 * c('y z')/c('y') = 0.4 with n_backoff 1."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        trigram_backoff_scores,
+    )
+
+    rows = [(1, "a b c"), (2, "a b c"), (3, "a b c"), (4, "x y z")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in trigram_backoff_scores(df, "doc_id", "text", min_count=3).collect()}
+    assert out[1]["n_trigrams"] == 1 and out[1]["n_backoff"] == 0
+    assert out[1]["avg_score"] == 1.0
+    assert out[4]["n_backoff"] == 1
+    assert out[4]["avg_score"] == 0.4
+
+
+def test_trigram_backoff_short_docs_excluded(spark):
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        trigram_backoff_scores,
+    )
+
+    df = spark.createDataFrame([(1, "only two")], ["doc_id", "text"])
+    assert trigram_backoff_scores(df, "doc_id", "text").count() == 0
