@@ -11,6 +11,13 @@ default ``impl="fake"`` produces a deterministic payload-derived fake
 so the Spark-side plumbing — schema, partitioning, batch shape,
 null handling — is real and tested end-to-end.
 
+The stub is PERMANENT SCOPE for this build (round-8 decision): the
+environment forbids package installation (no pip/apt), PIL is absent,
+and shipping a hand-rolled PNG decoder would be test-theater — the
+engine's contract is the Arrow plumbing, which ``impl="fake"``
+exercises fully; ``impl="real"`` stays the documented one-function
+integration point for deployments that have the codec libraries.
+
 At 100 TB: binary payloads dominate bytes, so the partitioning rule is
 "metadata travels, payloads stay put" — filter/join on the metadata
 struct first, decode only the surviving rows (mapInPandas after the

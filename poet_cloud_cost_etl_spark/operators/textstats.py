@@ -1112,3 +1112,216 @@ def trigram_backoff_scores(
             F.expr("__sum div n_trigrams").cast("double") / 1_000_000.0
         ).alias("avg_score"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: list[tuple[str, str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """X56: BM25 keyword retrieval — for each (query_id, query_text)
+    pair, the top-``k`` documents by Okapi BM25 (Robertson et al.,
+    TREC-3). The retrieval half of a dedup/curation stack: finding
+    the training documents that match a benchmark prompt, a takedown
+    string, or a topical probe is a ranked keyword search over the
+    corpus, and BM25 is its standard scoring function.
+
+    score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    with the rational idf variant idf(t) = (N − df + 0.5)/(df + 0.5)
+    — strictly monotone in the classical log-idf, so the RANKING is
+    identical while the arithmetic stays engine-portable (no
+    cross-engine libm log in the scoring path; the log variant's
+    last-ulp differences between Java's Math.log and C libm could
+    flip a 6-decimal rounding boundary).
+
+    Determinism: tf, dl, N, df, Σdl are exact integers; each term's
+    contribution is ONE fixed double expression tree on those ints
+    (pinned parenthesization; dl/avgdl computed as (dl·N)/Σdl), then
+    floored to a ppm INTEGER so the per-(query, doc) sum is
+    order-free; ranks tie-break on doc id.
+
+    Scale: the exploded token stream is filtered by the BROADCAST
+    query-term IN-list BEFORE the (doc, term) tf count, so the only
+    corpus-keyed shuffle carries query-term positions only (a few
+    terms' worth of the corpus, not the corpus vocabulary). The
+    filtered tf table — bounded by matching (doc, term) pairs of
+    three ints, far smaller than the corpus text — is persisted
+    (MEMORY_AND_DISK, lazy) so the df aggregate and the score join
+    share ONE corpus scan instead of re-tokenizing. N and Σdl come
+    from a second, column-pruned scan of the text column only (they
+    need ALL docs, which the term filter has dropped) and collapse
+    to one broadcast totals row; df is |terms| rows, broadcast. df
+    is a groupBy, not a per-term window — map-side partials collapse
+    it, where a window would shuffle every tf row to |terms| hot
+    partitions. Top-k is a window over per-query partitions (|Q|
+    partitions, each bounded by the matching-doc count; Spark plans
+    it with WindowGroupLimit, so each partition keeps k rows
+    pre-shuffle)."""
+    qterms = sorted(
+        {(qid, t) for qid, qtext in queries for t in qtext.lower().split()}
+    )
+    term_list = sorted({t for _, t in qterms})
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(qterms, "query_id string, term string")
+    toks = df.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).select(F.col(id_col), F.col("__t"), F.size("__t").alias("__dl"))
+    totals = toks.agg(
+        F.count(F.lit(1)).cast("long").alias("__n"),
+        F.sum("__dl").cast("long").alias("__sumdl"),
+    )
+    in_list = ", ".join(f"'{t}'" for t in term_list)
+    from pyspark import StorageLevel
+
+    tf = (
+        toks.select(F.col(id_col), F.col("__dl"), F.explode("__t").alias("term"))
+        .filter(F.expr(f"term IN ({in_list})"))
+        .groupBy(id_col, "term", "__dl")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    # Every non-double subexpression is cast EXPLICITLY: without the
+    # casts, `__tf * (k1 + 1.0)` parses as decimal arithmetic in both
+    # engines (SQL decimal literals), which happens to agree today
+    # but is the exact fragility class of the r7 double->decimal
+    # divergence. With the casts, every op is a correctly-rounded
+    # IEEE double op in one pinned tree.
+    contrib = F.expr(
+        "CAST(floor(1000000 * ("
+        "  ((CAST(__n AS DOUBLE) - __df + 0.5) / (CAST(__df AS DOUBLE) + 0.5))"
+        "  * (CAST(__tf AS DOUBLE) * ({k1} + 1.0))"
+        "  / (__tf + {k1} * (1.0 - {b} + {b} * (CAST(__dl AS DOUBLE) * __n) / __sumdl))"
+        ")) AS BIGINT)".format(k1=k1, b=b)
+    )
+    scored = (
+        tf.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col("query_id"), F.col(id_col), contrib.alias("__c"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("__c").alias("__ppm"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("__ppm"), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            F.col(id_col),
+            "n_terms_hit",
+            (F.col("__ppm").cast("double") / 1_000_000.0).alias("score"),
+        )
+    )
+
+
+def bpe_merge_candidates(
+    df: DataFrame, text_col: str, k: int = 20, min_count: int = 5
+) -> DataFrame:
+    """X57: one BPE merge-induction round (Sennrich et al. 2016) —
+    the top-``k`` adjacent-symbol pairs by corpus frequency, i.e.
+    the candidates the next tokenizer merge would pick. Distributed
+    BPE training is exactly this primitive iterated: count adjacent
+    pairs weighted by word frequency, merge the winner, repeat.
+    With the initial character vocabulary the pairs are adjacent
+    character 2-grams within words (every in-word position counts,
+    overlapping occurrences included — the standard counting step).
+
+    Exactness: pure integer counting end to end — no doubles
+    anywhere; ties rank on the pair text.
+
+    Scale: ONE corpus-keyed shuffle (the word-frequency count, Zipf-
+    collapsed by map-side partial aggregation); everything after is
+    VOCAB-bounded — the pair explode runs over distinct words × word
+    length, not corpus tokens; top-k is orderBy+limit
+    (TakeOrderedAndProject)."""
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("__wc"))
+    )
+    pairs = words.select(
+        F.col("__wc"),
+        F.explode(
+            F.expr(
+                "CASE WHEN length(w) >= 2 THEN "
+                "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+                "ELSE array() END"
+            )
+        ).alias("pair"),
+    )
+    counts = (
+        pairs.groupBy("pair")
+        .agg(F.sum("__wc").cast("long").alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    top = counts.orderBy(F.desc("pair_count"), "pair").limit(k)
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("pair_count"), "pair")
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "pair", "pair_count"
+    )
+
+
+def compressibility_profile(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """X58: per-document character-bigram distinctness — a zero-
+    shuffle compressibility proxy. A document whose adjacent-char
+    2-grams are mostly repeats gzips away to nothing (template spam,
+    keyboard mash, repeated boilerplate); distinct-bigram share is
+    the scan-stage stand-in for the compression-ratio quality filter
+    (as used in CCNet/Gopher-style pipelines) when running the real
+    codec per row is off the table.
+
+    bigram_ttr = distinct bigrams / total bigrams as a ppm integer
+    division (0 for texts shorter than 2 chars — no bigrams, nothing
+    to judge); repeat_share = 1 − ttr on the same grid, so the two
+    always sum to exactly 1.0 for non-degenerate rows.
+
+    Scale: ZERO shuffle — every column is per-row array arithmetic
+    inside the scan stage (the transient bigram array is ~3× the
+    text bytes; with maxPartitionBytes at the default 128 MB that is
+    bounded well under executor memory)."""
+    bi = (
+        "CASE WHEN length({c}) >= 2 THEN "
+        "transform(sequence(1, length({c}) - 1), i -> substring({c}, i, 2)) "
+        "ELSE array() END"
+    ).format(c=text_col)
+    per = df.select(
+        F.col(id_col),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.expr(bi).alias("__b"),
+    ).select(
+        F.col(id_col),
+        F.col("n_chars"),
+        F.size("__b").alias("n_bigrams"),
+        F.size(F.array_distinct("__b")).alias("distinct_bigrams"),
+    )
+    ttl = F.expr(
+        "(1000000 * distinct_bigrams) div greatest(n_bigrams, 1)"
+    )
+    return per.select(
+        F.col(id_col),
+        "n_chars",
+        "n_bigrams",
+        "distinct_bigrams",
+        (ttl.cast("double") / 1_000_000.0).alias("bigram_ttr"),
+        (
+            F.expr(
+                "CASE WHEN n_bigrams = 0 THEN 0 "
+                "ELSE 1000000 - ((1000000 * distinct_bigrams) div greatest(n_bigrams, 1)) END"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("repeat_share"),
+    )

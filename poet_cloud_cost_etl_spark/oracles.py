@@ -3700,3 +3700,125 @@ ORACLES["text_trigram_backoff"] = f"""
             AS avg_score
     FROM s GROUP BY doc_id
 """
+
+# X56 BM25 retrieval (operators/textstats.py:bm25_topk).  Rational
+# idf variant — no libm log in the scoring path.  The per-term
+# contribution is ONE fixed double expression tree on exact integers
+# (identical parenthesization to the Spark column), floored to a ppm
+# INTEGER so the per-(query, doc) sum is order-free.  The VALUES list
+# mirrors queries.BM25_PROBES exactly.
+ORACLES["bm25_retrieval"] = f"""
+    WITH probes(query_id, term) AS (
+        VALUES ('q1', 'spark'), ('q1', 'window'), ('q1', 'agg'),
+               ('q2', 'hash'), ('q2', 'join'), ('q2', 'table'),
+               ('q3', 'stream'), ('q3', 'batch'), ('q3', 'merge')
+    ),
+    toks AS (
+        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len(t)) AS BIGINT) AS sumdl
+        FROM toks
+    ),
+    tf AS (
+        SELECT doc_id, u.x AS term, COUNT(*) AS tf
+        FROM toks, UNNEST(t) AS u(x)
+        WHERE u.x IN ('spark', 'window', 'agg', 'hash', 'join',
+                      'table', 'stream', 'batch', 'merge')
+        GROUP BY 1, 2
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    contrib AS (
+        SELECT p.query_id, tf.doc_id,
+            CAST(floor(1000000 * (
+                ((CAST(n AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+                * (CAST(tf AS DOUBLE) * (1.2 + 1.0))
+                / (tf + 1.2 * (1.0 - 0.75 + 0.75
+                    * (CAST(dl.dl AS DOUBLE) * n) / sumdl))
+            )) AS BIGINT) AS c
+        FROM tf
+        JOIN probes p USING (term)
+        JOIN dfreq USING (term)
+        JOIN dl ON tf.doc_id = dl.doc_id, tot
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+            CAST(SUM(c) AS BIGINT) AS ppm, COUNT(*) AS n_terms_hit
+        FROM contrib GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY query_id ORDER BY ppm DESC, doc_id
+            ) AS INTEGER) AS rank,
+            doc_id, n_terms_hit,
+            CAST(ppm AS DOUBLE) / 1000000.0 AS score
+        FROM scored
+    )
+    SELECT query_id, rank, doc_id, n_terms_hit, score
+    FROM ranked WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
+
+# X57 BPE merge-pair induction (operators/textstats.py:
+# bpe_merge_candidates): pure integer counting — word frequencies,
+# then vocab-bounded adjacent-char pair explode weighted by word
+# count.  range(1, length(w)) is end-exclusive (i = 1..len-1), the
+# same positions Spark's sequence(1, length(w) - 1) yields.
+ORACLES["bpe_merge_candidates"] = f"""
+    WITH words AS (
+        SELECT u.x AS w, COUNT(*) AS wc
+        FROM (SELECT {_TOKS.format(col='text')} AS t FROM documents),
+             UNNEST(t) AS u(x)
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wc
+        FROM words, UNNEST(range(1, length(w))) AS u(i)
+    ),
+    counts AS (
+        SELECT pair, CAST(SUM(wc) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY 1
+        HAVING CAST(SUM(wc) AS BIGINT) >= 5
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair)
+            AS INTEGER) AS rank,
+        pair, pair_count
+    FROM counts
+    ORDER BY pair_count DESC, pair
+    LIMIT 20
+"""
+
+# X58 compressibility proxy (operators/textstats.py:
+# compressibility_profile): per-doc distinct-bigram share, ppm
+# integer divisions on exact counts; list comprehension over
+# range(1, length(text)) builds the same adjacent-char 2-gram list
+# Spark's transform(sequence(...)) does.
+ORACLES["doc_compressibility"] = """
+    WITH per AS (
+        SELECT doc_id, length(text) AS n_chars,
+            CASE WHEN length(text) >= 2 THEN
+                [substr(text, CAST(i AS INTEGER), 2)
+                 FOR i IN range(1, length(text))]
+            ELSE [] END AS b
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_chars,
+            CAST(len(b) AS INTEGER) AS n_bigrams,
+            CAST(len(list_distinct(b)) AS INTEGER) AS distinct_bigrams
+        FROM per
+    )
+    SELECT doc_id, n_chars, n_bigrams, distinct_bigrams,
+        CAST((1000000 * distinct_bigrams) // greatest(n_bigrams, 1)
+            AS DOUBLE) / 1000000.0 AS bigram_ttr,
+        CAST(CASE WHEN n_bigrams = 0 THEN 0
+            ELSE 1000000 - ((1000000 * distinct_bigrams)
+                // greatest(n_bigrams, 1)) END
+            AS DOUBLE) / 1000000.0 AS repeat_share
+    FROM c ORDER BY doc_id
+"""

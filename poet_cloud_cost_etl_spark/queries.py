@@ -3891,6 +3891,53 @@ def q_text_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_backoff_scores(d, "doc_id", "text", min_count=3)
 
 
+# The fixed probe set for the BM25 retrieval query: three keyword
+# probes over the fixture vocabulary (benchmark-prompt / takedown /
+# topical shapes).  Fixed here so the DuckDB oracle can embed the
+# identical VALUES list.
+BM25_PROBES = [
+    ("q1", "spark window agg"),
+    ("q2", "hash join table"),
+    ("q3", "stream batch merge"),
+]
+
+
+@query("bm25_retrieval")
+def q_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56: Okapi BM25 keyword retrieval (operators/textstats.py:
+    bm25_topk) — top-10 docs per probe query, rational-idf variant
+    (same ranking as log-idf, engine-portable arithmetic), broadcast
+    query-term pre-filter before the only corpus shuffle."""
+    from .operators.textstats import bm25_topk
+
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", BM25_PROBES, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("bpe_merge_candidates")
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57: one BPE merge-induction round (operators/textstats.py:
+    bpe_merge_candidates) — top-20 adjacent-char pairs by corpus
+    frequency, pure integer counting, vocab-bounded pair explode."""
+    from .operators.textstats import bpe_merge_candidates
+
+    d = table(spark, sf_dir, "documents")
+    return bpe_merge_candidates(d, "text", k=20, min_count=5)
+
+
+@query("doc_compressibility")
+def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58: per-doc char-bigram distinctness (operators/textstats.py:
+    compressibility_profile) — zero-shuffle compression-ratio proxy
+    for template/spam filtering."""
+    from .operators.textstats import compressibility_profile
+
+    d = table(spark, sf_dir, "documents")
+    return compressibility_profile(d, "doc_id", "text").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

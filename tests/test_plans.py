@@ -424,3 +424,42 @@ def test_ivf_tree_assign_no_corpus_self_join(spark):
     plan = X.physical_plan(q)
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastExchange") >= 2, plan  # one per level
+
+
+def test_round8b_queries_plan_shapes(spark):
+    """Round-8b scale pins: bm25_topk broadcasts the query-term /
+    dfreq / totals tables and pushes the term IN-list below the tf
+    aggregate (the only corpus-keyed shuffle carries query-term rows
+    only); bpe_merge_candidates' top-k is TakeOrderedAndProject;
+    compressibility_profile is shuffle-free (pure scan-stage
+    arithmetic)."""
+    d = table(spark, SF_SMALL, "documents")
+
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        bm25_topk,
+        bpe_merge_candidates,
+        compressibility_profile,
+    )
+    from poet_cloud_cost_etl_spark.queries import BM25_PROBES
+
+    bm = bm25_topk(d, "doc_id", "text", BM25_PROBES, k=10)
+    p = X.physical_plan(bm)
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastExchange") >= 2, p  # probes + dfreq (+totals BNLJ)
+    # the IN-list filter prunes the exploded stream BEFORE the tf
+    # aggregate (it is applied pre-groupBy by construction; pin that
+    # it survives optimization as a real Filter on the term column)
+    assert "Filter term" in p and " IN (agg,batch" in p, p
+    # the filtered tf frame is persisted: df aggregate + score join
+    # read the cache, not a second corpus scan
+    assert "InMemoryTableScan" in p, p
+    # per-query top-k prunes pre-shuffle
+    assert "WindowGroupLimit" in p, p
+    bm.sparkSession.catalog.clearCache()
+
+    bp = X.physical_plan(bpe_merge_candidates(d, "text"))
+    assert "TakeOrderedAndProject" in bp, bp
+
+    cp = X.physical_plan(compressibility_profile(d, "doc_id", "text"))
+    assert "Exchange" not in cp, cp
+    assert "Join" not in cp, cp

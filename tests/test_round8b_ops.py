@@ -1,0 +1,134 @@
+"""Construction-based semantics pins for the round-8b operators
+(X56-X58). Each test builds a tiny corpus where the right answer is
+computable by hand or by an independent pure-python reference that
+mirrors the pinned expression tree — the oracle-parity sweep covers
+cross-engine agreement; these cover the semantics themselves."""
+
+from __future__ import annotations
+
+import math
+
+from poet_cloud_cost_etl_spark.operators.textstats import (
+    bm25_topk,
+    bpe_merge_candidates,
+    compressibility_profile,
+)
+
+
+# ---------------------------------------------------------------- X56
+
+
+def _bm25_ppm_ref(tf: int, dl: int, n: int, df: int, sumdl: int,
+                  k1: float = 1.2, b: float = 0.75) -> int:
+    """Independent python mirror of the operator's pinned per-term
+    expression tree (python floats ARE IEEE doubles, so an identical
+    tree yields identical bits)."""
+    idf = (float(n) - df + 0.5) / (df + 0.5)
+    num = tf * (k1 + 1.0)
+    den = tf + k1 * (1.0 - b + b * (float(dl) * n) / sumdl)
+    return math.floor(1000000 * ((idf * num) / den))
+
+
+def test_bm25_hand_computed(spark):
+    """4 docs, query 'apple banana': every per-doc score must equal
+    the pure-double python reference sum bit-for-bit. The tf=3 row
+    is the regression trap for decimal-literal coercion — a decimal
+    `tf * 2.2` rounds 6.6 DOWN to the double below, the pinned
+    double tree rounds the product UP, so any coercion drift breaks
+    this equality."""
+    rows = [
+        (1, "apple banana apple"),
+        (2, "apple"),
+        (3, "cherry banana"),
+        (4, "apple apple apple"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(df, "doc_id", "text", [("q", "apple banana")], k=10)
+    got = {r["doc_id"]: r for r in out.collect()}
+    n, sumdl = 4, 9  # dl: 3 + 1 + 2 + 3
+    dfreq = {"apple": 3, "banana": 2}
+    exp = {
+        1: _bm25_ppm_ref(2, 3, n, dfreq["apple"], sumdl)
+        + _bm25_ppm_ref(1, 3, n, dfreq["banana"], sumdl),
+        2: _bm25_ppm_ref(1, 1, n, dfreq["apple"], sumdl),
+        3: _bm25_ppm_ref(1, 2, n, dfreq["banana"], sumdl),
+        4: _bm25_ppm_ref(3, 3, n, dfreq["apple"], sumdl),
+    }
+    for doc, ppm in exp.items():
+        assert got[doc]["score"] == ppm / 1_000_000.0, doc
+    assert got[1]["n_terms_hit"] == 2
+    assert got[2]["n_terms_hit"] == 1
+    # ranks follow (ppm desc, doc_id asc)
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert [got[d]["rank"] for d in order] == [1, 2, 3, 4]
+
+
+def test_bm25_missing_term_and_k(spark):
+    """A query whose terms never occur produces no rows; k truncates
+    per query; a multi-query call keeps queries independent."""
+    rows = [(i, "alpha beta") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_topk(
+        df, "doc_id", "text",
+        [("hit", "alpha"), ("miss", "zzz qqq")], k=2,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert "miss" not in by_q
+    assert len(by_q["hit"]) == 2  # k truncates the 4 matching docs
+    assert [r["rank"] for r in sorted(by_q["hit"], key=lambda r: r["rank"])] == [1, 2]
+    # equal tf/dl everywhere -> ties break on doc_id ascending
+    assert sorted(r["doc_id"] for r in by_q["hit"]) == [1, 2]
+
+
+# ---------------------------------------------------------------- X57
+
+
+def test_bpe_merges_hand_computed(spark):
+    """'aaa' (corpus count 6) yields two overlapping 'aa' positions
+    -> pair count 12; 'bb' (count 3) yields 3, pruned by
+    min_count=5."""
+    rows = [(i, "aaa aaa bb") for i in range(3)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bpe_merge_candidates(df, "text", k=20, min_count=5).collect()
+    assert len(out) == 1
+    assert (out[0]["rank"], out[0]["pair"], out[0]["pair_count"]) == (1, "aa", 12)
+
+
+def test_bpe_merges_single_char_words_no_pairs(spark):
+    df = spark.createDataFrame([(1, "a b c d e f")], ["doc_id", "text"])
+    assert bpe_merge_candidates(df, "text", min_count=1).count() == 0
+
+
+def test_bpe_merges_tie_break_on_pair_text(spark):
+    """'ab' and 'cd' tie at count 6 -> 'ab' ranks first
+    (lexicographic tie-break)."""
+    rows = [(i, "cd ab") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bpe_merge_candidates(df, "text", k=20, min_count=5).collect()
+    assert [(r["rank"], r["pair"]) for r in out] == [(1, "ab"), (2, "cd")]
+
+
+# ---------------------------------------------------------------- X58
+
+
+def test_compressibility_hand_computed(spark):
+    rows = [(1, "aaaa"), (2, "ab"), (3, "x"), (4, "abab")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in compressibility_profile(df, "doc_id", "text").collect()}
+    # doc 1: bigrams [aa, aa, aa] -> 3 total, 1 distinct
+    assert (got[1]["n_bigrams"], got[1]["distinct_bigrams"]) == (3, 1)
+    assert got[1]["bigram_ttr"] == 0.333333
+    assert got[1]["repeat_share"] == 0.666667
+    # doc 2: [ab] -> fully distinct
+    assert got[2]["bigram_ttr"] == 1.0
+    assert got[2]["repeat_share"] == 0.0
+    # doc 3: too short for bigrams -> both 0
+    assert (got[3]["n_bigrams"], got[3]["distinct_bigrams"]) == (0, 0)
+    assert got[3]["bigram_ttr"] == 0.0
+    assert got[3]["repeat_share"] == 0.0
+    # doc 4: [ab, ba, ab] -> 3 total, 2 distinct
+    assert (got[4]["n_bigrams"], got[4]["distinct_bigrams"]) == (3, 2)
+    assert got[4]["bigram_ttr"] == 0.666666
+    assert got[4]["repeat_share"] == 0.333334
