@@ -128,10 +128,11 @@ HEADLINE = [
     "ann_ivf_pq",
     "embedding_standardize",
     "text_trigram_backoff",
-    # round-8b additions (X56-X58), benched from birth.
+    # round-8b additions (X56-X58, X60), benched from birth.
     "bm25_retrieval",
     "bpe_merge_candidates",
     "doc_compressibility",
+    "embedding_top_pc",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

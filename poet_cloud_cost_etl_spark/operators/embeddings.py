@@ -566,3 +566,87 @@ def standardize_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
         dims.join(F.broadcast(stats), "dim")
         .select(F.col(id_col), "dim", z.alias("zscore"))
     )
+
+
+def top_principal_component(
+    df: DataFrame, vec_col: str, dim: int, iters: int = 8
+) -> DataFrame:
+    """X60: leading principal direction of the embedding corpus by
+    distributed power iteration — the first step of every PCA /
+    whitening / ABTT ("all-but-the-top") embedding post-process, and
+    the quantitative form of the anisotropy question X50 only
+    monitors per-dimension: WHICH direction carries the dominant
+    variance mass.
+
+    Semantics: the corpus second-moment (uncentered Gram) matrix
+    G = Σ a·aᵀ over 1e-6-quantized vectors, then ``iters`` pinned
+    power-iteration steps u ← normalize(G·u) from u₀ = 1. The output
+    is DEFINED as exactly ``iters`` iterations (determinism over
+    convergence — 8 steps separate the top eigenpair whenever the
+    spectral gap is real; a near-tie needs more steps, rerun with
+    higher ``iters``). Normalization divides by the max-|w| element
+    (first such index on ties), so the pivot loading is exactly 1.0
+    and the sign convention is inherited from the pivot — no sqrt,
+    no norm.
+
+    Exactness: quantized components are BIGINTs; every Gram entry is
+    an exact DECIMAL(38,0) sum of BIGINT products (order-free at any
+    corpus size), converted to double ONCE (÷1e12, correctly
+    rounded). Each iteration's matvec is an INDEX-ORDERED fold
+    (zip_with + aggregate — the X46 convention), so the double
+    accumulation order is pinned in both engines; argmax uses
+    array_position on the abs array (first match = lowest index).
+
+    Scale: the d² pair explode amplifies row count ×d² but map-side
+    partial aggregation collapses every partition to ≤d² rows — the
+    Gram shuffle is FIXED-SIZE (d² per partition), independent of
+    corpus size, and the scan-stage multiply-add work is the GEMM
+    lower bound any exact method pays. The iteration chain runs on
+    d-row / 1-row frames (broadcast joins only). ``dim`` must match
+    the vector length: a mismatch surfaces as NULL loadings (zip_with
+    pads with null and the fold propagates it), never as a silent
+    truncation."""
+    pairs = df.select(
+        F.explode(
+            F.expr(
+                "flatten(transform({v}, (x, i) -> transform({v}, (y, j) -> "
+                "struct(i AS i, j AS j, "
+                "CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DECIMAL(38,0))"
+                " * CAST(round(CAST(y AS DOUBLE) * 1000000) AS BIGINT) AS p))))".format(
+                    v=vec_col
+                )
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    gram = pairs.groupBy("i", "j").agg(F.sum("p").alias("__g"))
+    gj = gram.groupBy("j").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, __g))), "
+            "s -> CAST(s.__g AS DOUBLE) / 1000000000000.0)"
+        ).alias("row")
+    )
+    spark = df.sparkSession
+    u = spark.range(1).select(
+        F.expr(f"transform(sequence(1, {dim}), x -> CAST(1.0 AS DOUBLE))").alias("u")
+    )
+    normalize = (
+        "transform(warr, x -> x / element_at(warr, "
+        "CAST(array_position(transform(warr, y -> abs(y)), "
+        "array_max(transform(warr, y -> abs(y)))) AS INT)))"
+    )
+    for _ in range(iters):
+        w = gj.crossJoin(F.broadcast(u)).select(
+            "j",
+            F.expr(
+                "aggregate(zip_with(row, u, (g, x) -> g * x), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("w"),
+        )
+        u = w.groupBy().agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, w))), s -> s.w)"
+            ).alias("warr")
+        ).select(F.expr(normalize).alias("u"))
+    return u.select(F.posexplode("u").alias("dim", "__l")).select(
+        "dim", F.round(F.col("__l"), 6).alias("loading")
+    )

@@ -3822,3 +3822,63 @@ ORACLES["doc_compressibility"] = """
             AS DOUBLE) / 1000000.0 AS repeat_share
     FROM c ORDER BY doc_id
 """
+
+# X60 top principal component (operators/embeddings.py:
+# top_principal_component).  Same pinned computation: exact HUGEINT
+# Gram sums (Spark uses DECIMAL(38,0) — both exact integers), one
+# cast to double per Gram entry, then 8 power-iteration steps whose
+# matvec is an index-ordered left fold (list_reduce with a prepended
+# 0.0, the X46 convention) and whose normalization divides by the
+# first max-|w| element.  The iteration CTEs are generated by the
+# loop below so both engines run literally the same recurrence.
+_PC_D = 64
+
+
+def _pc_iter_cte(k: int) -> str:
+    return f"""
+    w{k} AS (
+        SELECT j, list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+            list_transform(range(1, {_PC_D} + 1),
+                i -> row[CAST(i AS INTEGER)] * u[CAST(i AS INTEGER)])),
+            (a, b) -> a + b) AS w
+        FROM gj, u{k - 1}
+    ),
+    a{k} AS (
+        SELECT warr, list_transform(warr, y -> abs(y)) AS absarr
+        FROM (SELECT list(w ORDER BY j) AS warr FROM w{k})
+    ),
+    u{k} AS (
+        SELECT list_transform(warr, x -> x / warr[
+            list_position(absarr, list_aggregate(absarr, 'max'))]) AS u
+        FROM a{k}
+    )"""
+
+
+ORACLES["embedding_top_pc"] = f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        FROM embeddings
+    ),
+    pr AS (
+        SELECT CAST(ii.i AS INTEGER) - 1 AS i, CAST(jj.j AS INTEGER) - 1 AS j,
+            CAST(a[CAST(ii.i AS INTEGER)] AS HUGEINT)
+                * a[CAST(jj.j AS INTEGER)] AS p
+        FROM q,
+            UNNEST(range(1, {_PC_D} + 1)) AS ii(i),
+            UNNEST(range(1, {_PC_D} + 1)) AS jj(j)
+    ),
+    gram AS (SELECT i, j, SUM(p) AS g FROM pr GROUP BY 1, 2),
+    gj AS (
+        SELECT j, list(CAST(g AS DOUBLE) / 1000000000000.0 ORDER BY i) AS row
+        FROM gram GROUP BY j
+    ),
+    u0 AS (
+        SELECT list_transform(range(1, {_PC_D} + 1),
+            x -> CAST(1.0 AS DOUBLE)) AS u
+    ),{",".join(_pc_iter_cte(k) for k in range(1, 9))}
+    SELECT CAST(t.i AS INTEGER) - 1 AS dim,
+        ROUND(u[CAST(t.i AS INTEGER)], 6) AS loading
+    FROM u8, UNNEST(range(1, {_PC_D} + 1)) AS t(i)
+    ORDER BY dim
+"""

@@ -3938,6 +3938,18 @@ def q_doc_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compressibility_profile(d, "doc_id", "text").orderBy("doc_id")
 
 
+@query("embedding_top_pc")
+def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60: leading principal direction by distributed power
+    iteration (operators/embeddings.py:top_principal_component) —
+    exact DECIMAL Gram sums, 8 pinned index-ordered-fold iterations,
+    fixed-size d² shuffle."""
+    from .operators.embeddings import top_principal_component
+
+    e = table(spark, sf_dir, "embeddings")
+    return top_principal_component(e, "embedding", dim=64, iters=8)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

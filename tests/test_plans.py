@@ -463,3 +463,19 @@ def test_round8b_queries_plan_shapes(spark):
     cp = X.physical_plan(compressibility_profile(d, "doc_id", "text"))
     assert "Exchange" not in cp, cp
     assert "Join" not in cp, cp
+
+
+def test_top_pc_plan_shape(spark):
+    """X60: the Gram aggregate is the ONLY corpus-scale stage (one
+    keyed HashAggregate with map-side partials); every iteration
+    joins a broadcast 1-row u frame — no cartesian product, no
+    sort-merge join anywhere in the chain."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        top_principal_component,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    p = X.physical_plan(top_principal_component(e, "embedding", dim=64))
+    assert "CartesianProduct" not in p, p
+    assert "SortMergeJoin" not in p, p
+    assert p.count("BroadcastNestedLoopJoin") >= 8, p  # one per iteration

@@ -132,3 +132,37 @@ def test_compressibility_hand_computed(spark):
     assert (got[4]["n_bigrams"], got[4]["distinct_bigrams"]) == (3, 2)
     assert got[4]["bigram_ttr"] == 0.666666
     assert got[4]["repeat_share"] == 0.333334
+
+
+# ---------------------------------------------------------------- X60
+
+
+def test_top_pc_rank_one_recovery(spark):
+    """A rank-one corpus (every vector a multiple of (2, -1)) has
+    exactly that principal direction: G = c·vvᵀ, one power step
+    lands on it. Pivot convention: max-|loading| element is 1.0,
+    other loadings relative to it -> (1.0, -0.5)."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        top_principal_component,
+    )
+
+    rows = [(i, [2.0, -1.0]) for i in range(5)] + [(9, [4.0, -2.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["dim"]: r["loading"] for r in
+           top_principal_component(df, "embedding", dim=2).collect()}
+    assert got == {0: 1.0, 1: -0.5}
+
+
+def test_top_pc_dominant_axis(spark):
+    """Axis-aligned corpus: variance mass 40x on dim 0 -> loading
+    (1.0, ~0) after 8 iterations ((1/40)^8 rounds to 0 at 6dp)."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        top_principal_component,
+    )
+
+    rows = [(i, [2.0, 0.0]) for i in range(10)] + [(99, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {r["dim"]: r["loading"] for r in
+           top_principal_component(df, "embedding", dim=2).collect()}
+    assert got[0] == 1.0
+    assert got[1] == 0.0
