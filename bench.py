@@ -133,6 +133,8 @@ HEADLINE = [
     "bpe_merge_candidates",
     "doc_compressibility",
     "embedding_top_pc",
+    "characteristic_terms",
+    "vocab_kmv_estimate",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

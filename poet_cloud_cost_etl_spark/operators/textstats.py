@@ -1325,3 +1325,115 @@ def compressibility_profile(
             / 1_000_000.0
         ).alias("repeat_share"),
     )
+
+
+def characteristic_terms(
+    df: DataFrame, group_col: str, text_col: str,
+    min_count: int = 10, k: int = 5,
+) -> DataFrame:
+    """X61: per-group characteristic terms — for each source / crawl
+    / cluster, the top-``k`` tokens by conditional lift
+    p(t|g) / p(t) = (c_gt·T) / (T_g·f_t): how over-represented the
+    term is in the group versus the corpus. This is the class-based
+    TF-IDF ("c-TF-IDF", BERTopic's topic-keyword step) with the
+    rational idf-style weight instead of a log — identical per-term
+    ordering, engine-portable arithmetic — and is the data-card /
+    topic-label primitive: the five words that tell you what a
+    source actually contains.
+
+    Exactness: all counts exact integers; lift is ONE pinned double
+    tree (c·T)/(Tg·f) on exact inputs, rounded to 6; ranks tie-break
+    on the term text.
+
+    Scale: ONE corpus-keyed (group, term) count shuffle with
+    map-side partials (Zipf-collapsed); every later stage is vocab-
+    or |G|-bounded. The term-total join is KEYED on the term (both
+    sides vocab-bounded — a vocabulary of 1e8 terms is NOT
+    broadcastable, so no broadcast hint there); only the |G|-row
+    group totals and the 1-row corpus total broadcast. ``min_count``
+    prunes the vocabulary BEFORE the joins; per-group top-k is a
+    WindowGroupLimit window (each partition keeps k rows
+    pre-shuffle)."""
+    counts = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    term_tot = (
+        counts.groupBy("t")
+        .agg(F.sum("__c").cast("long").alias("__ft"))
+        .filter(F.col("__ft") >= min_count)
+    )
+    grp_tot = counts.groupBy("grp").agg(F.sum("__c").cast("long").alias("__tg"))
+    corpus_tot = counts.agg(F.sum("__c").cast("long").alias("__tt"))
+    lift = F.round(
+        (F.col("__c").cast("double") * F.col("__tt"))
+        / (F.col("__tg").cast("double") * F.col("__ft")),
+        6,
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy(F.desc("lift"), F.col("t"))
+    scored = (
+        counts.join(term_tot, "t")
+        .join(F.broadcast(grp_tot), "grp")
+        .crossJoin(F.broadcast(corpus_tot))
+        .select("grp", "t", F.col("__c").alias("term_count"), lift.alias("lift"))
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("grp").alias(group_col), "rank",
+            F.col("t").alias("term"), "term_count", "lift",
+        )
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, group_col: str, text_col: str, k: int = 256
+) -> DataFrame:
+    """X62: per-group distinct-token estimate from a K-Minimum-Values
+    sketch (Bar-Yossef et al. 2002) — the fixed-size, mergeable
+    alternative to exact vocabulary counting when the vocabulary
+    itself is too large to shuffle. est = (k−1)·2³² / h_k where h_k
+    is the k-th smallest 32-bit unit hash of the group's distinct
+    tokens; if the group has fewer than ``k`` distinct hashes the
+    estimate IS the exact count.
+
+    Exactness: deterministic md5 unit hashes (the X9 sampling
+    convention) and a pure INTEGER estimator — (k−1)·2³² div h_k —
+    so both engines agree bit-for-bit with no float anywhere.
+    Collisions at 32 bits shave the estimate slightly below the
+    true distinct count; the sketch contract is ±O(1/√k) anyway.
+
+    Scale: the (group, hash) distinct is vocab-bounded with map-side
+    partial dedup; the k-smallest-per-group window compiles to
+    WindowGroupLimit, so the per-group shuffle carries at most
+    k rows PER MAP PARTITION — fixed-size regardless of vocabulary,
+    which is the entire point of a sketch."""
+    from .sampling import unit_hash
+
+    hs = (
+        df.select(F.col(group_col).alias("grp"), F.explode(tokens(text_col)).alias("t"))
+        .select("grp", unit_hash("t").alias("__h"))
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy("__h")
+    kept = hs.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= k)
+    agg = kept.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("sketch_size"),
+        F.max("__h").alias("kth_hash"),
+    )
+    est = F.expr(
+        f"CASE WHEN sketch_size < {k} THEN sketch_size "
+        f"ELSE (CAST({k} - 1 AS BIGINT) * 4294967296) div kth_hash END"
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "sketch_size",
+        "kth_hash",
+        est.cast("long").alias("est_distinct"),
+    )

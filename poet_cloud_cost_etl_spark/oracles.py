@@ -3882,3 +3882,63 @@ ORACLES["embedding_top_pc"] = f"""
     FROM u8, UNNEST(range(1, {_PC_D} + 1)) AS t(i)
     ORDER BY dim
 """
+
+# X61 characteristic terms (operators/textstats.py:
+# characteristic_terms): conditional lift (c_gt*T)/(Tg*f_t) as ONE
+# pinned double tree on exact integer counts, rank per group with
+# term-text tie-break.
+ORACLES["characteristic_terms"] = f"""
+    WITH tk AS (
+        SELECT source AS grp, u.x AS t
+        FROM (SELECT source, {_TOKS.format(col='text')} AS ts FROM documents),
+             UNNEST(ts) AS u(x)
+    ),
+    counts AS (SELECT grp, t, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+    ft AS (
+        SELECT t, CAST(SUM(c) AS BIGINT) AS ft FROM counts GROUP BY 1
+        HAVING CAST(SUM(c) AS BIGINT) >= 10
+    ),
+    tg AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS tg FROM counts GROUP BY 1),
+    tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tt FROM counts),
+    scored AS (
+        SELECT c.grp, c.t, c.c AS term_count,
+            ROUND((CAST(c.c AS DOUBLE) * tt) / (CAST(tg.tg AS DOUBLE) * ft.ft), 6)
+                AS lift
+        FROM counts c JOIN ft USING (t) JOIN tg USING (grp), tt
+    ),
+    ranked AS (
+        SELECT grp AS source,
+            CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                ORDER BY lift DESC, t) AS INTEGER) AS rank,
+            t AS term, term_count, lift
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5 ORDER BY source, rank
+"""
+
+# X62 KMV distinct sketch (operators/textstats.py:
+# kmv_distinct_estimate): pure-integer estimator on md5 unit hashes
+# (the _UNIT convention) — (k-1)*2^32 // h_k, exact-count fallback
+# when the group has fewer than k distinct hashes.
+ORACLES["vocab_kmv_estimate"] = f"""
+    WITH tk AS (
+        SELECT DISTINCT source AS grp,
+            {_UNIT.format(col='u.x')} AS h
+        FROM (SELECT source, {_TOKS.format(col='text')} AS ts FROM documents),
+             UNNEST(ts) AS u(x)
+    ),
+    kept AS (
+        SELECT grp, h,
+            ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+        FROM tk
+    ),
+    agg AS (
+        SELECT grp, COUNT(*) AS sketch_size, CAST(MAX(h) AS BIGINT) AS kth_hash
+        FROM kept WHERE r <= 64 GROUP BY grp
+    )
+    SELECT grp AS source, sketch_size, kth_hash,
+        CAST(CASE WHEN sketch_size < 64 THEN sketch_size
+            ELSE (CAST(63 AS BIGINT) * 4294967296) // kth_hash END
+            AS BIGINT) AS est_distinct
+    FROM agg ORDER BY source
+"""

