@@ -135,6 +135,7 @@ HEADLINE = [
     "embedding_top_pc",
     "characteristic_terms",
     "vocab_kmv_estimate",
+    "source_datacard",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -1437,3 +1437,77 @@ def kmv_distinct_estimate(
         "kth_hash",
         est.cast("long").alias("est_distinct"),
     )
+
+
+def source_datacard(
+    df: DataFrame, group_col: str, id_col: str, text_col: str,
+    lang_col: str = "lang",
+) -> DataFrame:
+    """X63: per-source datasheet panel — the "datasheets for
+    datasets" (Gebru et al. 2021) summary a training-data pipeline
+    publishes per source before mixing: volume (docs, tokens, mean
+    length), redundancy (exact-duplicate share via the X2a
+    fingerprint), quality (mean X5 gate score), and language makeup
+    (distinct languages, dominant language and its share).
+
+    Exactness: every ratio is a ppm integer division on exact
+    counts; the quality mean converts the 0.25-step score to integer
+    quarters first (sum of quarters is order-free), so nothing
+    depends on float accumulation order. Dominant-language ties
+    break on the language code.
+
+    Scale: one doc-keyed scan aggregate per source (the fingerprint
+    COUNT DISTINCT compiles to Spark's Expand strategy — 2× that
+    aggregate's shuffle rows, still corpus-bounded); one
+    (source, lang) count shuffle whose output is |G|×|langs|; the
+    final joins are |G|-row broadcasts."""
+    from .dedup import fingerprint
+
+    # quality quarters from the X5 gate score (0, 0.25, ..., 1.0)
+    q = quality_features(df, id_col, text_col).select(
+        F.col(id_col), F.round(F.col("quality_score") * 4).cast("long").alias("__q4")
+    )
+    base = df.join(q, id_col).select(
+        F.col(group_col).alias("grp"),
+        fingerprint(F.col(text_col)).alias("__fp"),
+        F.size(tokens(text_col)).cast("long").alias("__nt"),
+        F.col("__q4"),
+    )
+    a = base.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("total_tokens"),
+        F.countDistinct("__fp").alias("__dfp"),
+        F.sum("__q4").alias("__sq4"),
+    )
+    langs = df.select(
+        F.col(group_col).alias("grp"), F.col(lang_col).alias("__lang")
+    ).groupBy("grp", "__lang").agg(F.count(F.lit(1)).alias("__lc"))
+    lang_stats = langs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("grp").orderBy(F.desc("__lc"), F.col("__lang"))
+    top_lang = (
+        langs.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") == 1)
+        .select("grp", F.col("__lang").alias("top_lang"), F.col("__lc").alias("__tlc"))
+    )
+    def ppm(expr: str):
+        return F.expr(expr).cast("double") / 1_000_000.0
+
+    return (
+        a.join(F.broadcast(lang_stats), "grp")
+        .join(F.broadcast(top_lang), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "total_tokens",
+            ppm("(1000000 * total_tokens) div n_docs").alias("mean_doc_tokens"),
+            ppm("(1000000 * (n_docs - __dfp)) div n_docs").alias("exact_dup_share"),
+            ppm("(1000000 * __sq4) div (4 * n_docs)").alias("mean_quality"),
+            "n_langs",
+            "top_lang",
+            ppm("(1000000 * __tlc) div n_docs").alias("top_lang_share"),
+        )
+    )

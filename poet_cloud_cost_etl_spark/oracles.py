@@ -3942,3 +3942,49 @@ ORACLES["vocab_kmv_estimate"] = f"""
             AS BIGINT) AS est_distinct
     FROM agg ORDER BY source
 """
+
+# X63 source datacard (operators/textstats.py:source_datacard):
+# per-source datasheet panel — all ratios ppm integer divisions;
+# quality mean via integer quarters of the X5 gate score; dominant
+# language ties break on the language code.
+ORACLES["source_datacard"] = f"""
+    WITH q AS (
+        SELECT doc_id, CAST(round(quality_score * 4) AS BIGINT) AS q4
+        FROM ({ORACLES['text_quality_score']})
+    ),
+    base AS (
+        SELECT d.source AS grp,
+            md5(trim(regexp_replace(regexp_replace(lower(d.text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp,
+            CAST(len({_TOKS.format(col='d.text')}) AS BIGINT) AS nt,
+            q.q4
+        FROM documents d JOIN q USING (doc_id)
+    ),
+    a AS (
+        SELECT grp, COUNT(*) AS n_docs,
+            CAST(SUM(nt) AS BIGINT) AS total_tokens,
+            COUNT(DISTINCT fp) AS dfp,
+            CAST(SUM(q4) AS BIGINT) AS sq4
+        FROM base GROUP BY grp
+    ),
+    lc AS (SELECT source AS grp, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+    ls AS (SELECT grp, COUNT(*) AS n_langs FROM lc GROUP BY grp),
+    tl AS (
+        SELECT grp, lang AS top_lang, c AS tlc
+        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY grp
+                ORDER BY c DESC, lang) AS r FROM lc)
+        WHERE r = 1
+    )
+    SELECT a.grp AS source, n_docs, total_tokens,
+        CAST((1000000 * total_tokens) // n_docs AS DOUBLE) / 1000000.0
+            AS mean_doc_tokens,
+        CAST((1000000 * (n_docs - dfp)) // n_docs AS DOUBLE) / 1000000.0
+            AS exact_dup_share,
+        CAST((1000000 * sq4) // (4 * n_docs) AS DOUBLE) / 1000000.0
+            AS mean_quality,
+        n_langs, top_lang,
+        CAST((1000000 * tlc) // n_docs AS DOUBLE) / 1000000.0
+            AS top_lang_share
+    FROM a JOIN ls USING (grp) JOIN tl USING (grp)
+    ORDER BY source
+"""

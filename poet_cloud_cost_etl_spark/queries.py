@@ -3975,6 +3975,17 @@ def q_vocab_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct_estimate(d, "source", "text", k=64).orderBy("source")
 
 
+@query("source_datacard")
+def q_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63: per-source datasheet panel (operators/textstats.py:
+    source_datacard) — volume, exact-dup share, mean quality, and
+    language makeup in one |G|-row frame."""
+    from .operators.textstats import source_datacard
+
+    d = table(spark, sf_dir, "documents")
+    return source_datacard(d, "source", "doc_id", "text").orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

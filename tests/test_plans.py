@@ -509,3 +509,15 @@ def test_characteristic_terms_and_kmv_plan_shapes(spark):
     km = X.physical_plan(kmv_distinct_estimate(d, "source", "text", k=64))
     assert "WindowGroupLimit" in km, km
     assert "Join" not in km, km
+
+
+def test_source_datacard_plan_shape(spark):
+    """X63: corpus-scale work is the per-source aggregates (the
+    COUNT DISTINCT Expand is accepted — corpus-bounded); the final
+    panel joins are broadcast; no cartesian product."""
+    from poet_cloud_cost_etl_spark.operators.textstats import source_datacard
+
+    d = table(spark, SF_SMALL, "documents")
+    p = X.physical_plan(source_datacard(d, "source", "doc_id", "text"))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastExchange") >= 2, p  # lang_stats + top_lang

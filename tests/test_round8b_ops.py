@@ -244,3 +244,36 @@ def test_kmv_estimator_matches_hashlib_reference(spark):
     h2 = sorted(_unit_hash_ref(t) for t in vocab)[1]
     assert r["kth_hash"] == h2
     assert r["est_distinct"] == (1 * 4294967296) // h2
+
+
+# ---------------------------------------------------------------- X63
+
+
+def test_source_datacard_hand_computed(spark):
+    """Source A: 2 docs, one an exact near-copy (same canonical
+    text after punctuation strip) -> dup share 0.5; source B: two
+    languages, 'en' dominant by tie-break on the code."""
+    from poet_cloud_cost_etl_spark.operators.textstats import source_datacard
+
+    rows = [
+        (1, "A", "en", "hello world"),
+        (2, "A", "en", "Hello, world!"),  # same canonical text
+        (3, "B", "en", "uno dos"),
+        (4, "B", "es", "tres cuatro cinco"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang", "text"])
+    got = {r["source"]: r for r in
+           source_datacard(df, "source", "doc_id", "text").collect()}
+    a, b = got["A"], got["B"]
+    assert (a["n_docs"], a["total_tokens"]) == (2, 4)
+    assert a["exact_dup_share"] == 0.5
+    assert a["mean_doc_tokens"] == 2.0
+    assert (a["n_langs"], a["top_lang"], a["top_lang_share"]) == (1, "en", 1.0)
+    assert b["exact_dup_share"] == 0.0
+    assert b["n_langs"] == 2
+    # 1-1 language tie -> lowest code wins
+    assert b["top_lang"] == "en"
+    assert b["top_lang_share"] == 0.5
+    # quality: all docs fail the 50-200-word band and stopword gate;
+    # mean_quality is a ppm integer division of summed quarters
+    assert 0.0 <= a["mean_quality"] <= 1.0
