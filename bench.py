@@ -136,6 +136,7 @@ HEADLINE = [
     "characteristic_terms",
     "vocab_kmv_estimate",
     "source_datacard",
+    "neardup_probe_retrieval",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

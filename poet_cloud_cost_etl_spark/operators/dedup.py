@@ -733,3 +733,112 @@ def neardup_degree_profile(
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("degree")
     )
+
+
+def neardup_probe_retrieval(
+    probes: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_top: int = 5,
+    k: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """X64: query-time near-duplicate retrieval — for each PROBE
+    document (a takedown text, a benchmark prompt, a contamination
+    suspect), the top-``k_top`` corpus documents by exact 3-gram
+    Jaccard, found through the X2b/X2c banded-MinHash index instead
+    of a corpus scan per probe. This is X13's question
+    ("is this text in my corpus?") answered as a RANKED RETRIEVAL
+    with candidate generation, where X13 thresholds a broadcast
+    overlap and X45 evaluates the index offline.
+
+    Semantics: candidates are corpus docs sharing ≥1 of the
+    ``bands`` signature bands with the probe (band collision =
+    signature prefix equality — deterministic md5 MinHash, X2b);
+    each candidate is then verified with EXACT Jaccard on distinct
+    shingle sets, so a band collision never inflates the reported
+    similarity. Probe ids are excluded from their own result list.
+    jaccard = inter/(n_probe + n_doc − inter), one double division
+    on exact integers, rounded to 6; ranks tie-break on the corpus
+    doc id.
+
+    Scale: the probe side is tiny by contract and BROADCASTS through
+    every stage (bands, shingle set); corpus-side work is the
+    existing X2b signature pipeline (one groupBy(doc) shuffle) plus
+    one keyed band join — per probe the candidate set is
+    band-bucket-bounded, never the corpus. The verify join fans out
+    candidate × doc-shingles, again candidate-bounded. Top-k is a
+    WindowGroupLimit window per probe."""
+    rows = k // bands
+
+    def _bands(sig: DataFrame, alias: str) -> DataFrame:
+        cols = [
+            F.md5(
+                F.concat_ws("", *[F.col(f"mh{b * rows + r + 1}") for r in range(rows)])
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        return sig.select(F.col(id_col).alias(alias), *cols).select(
+            F.col(alias),
+            F.posexplode(
+                F.array(*[F.col(f"band{b}") for b in range(bands)])
+            ).alias("band_idx", "band_val"),
+        )
+
+    p_sh = doc_shingles(probes, id_col, text_col)
+    c_sh = doc_shingles(corpus, id_col, text_col)
+    p_bands = _bands(minhash_signatures(p_sh, id_col, k=k), "probe_id")
+    c_bands = _bands(minhash_signatures(c_sh, id_col, k=k), "cand_id")
+    cands = (
+        c_bands.join(F.broadcast(p_bands), ["band_idx", "band_val"])
+        .filter(F.col("cand_id") != F.col("probe_id"))
+        .select("probe_id", "cand_id")
+        .distinct()
+    )
+    p_sizes = p_sh.groupBy(F.col(id_col).alias("probe_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("__np")
+    )
+    # candidate-doc shingles: the corpus shingle stream filtered by
+    # the BROADCAST candidate list — a narrow map, never a
+    # corpus-keyed shuffle; candidate sizes aggregate THIS small
+    # table, not the whole corpus
+    cand_sh = c_sh.select(F.col(id_col).alias("cand_id"), "shingle").join(
+        F.broadcast(cands.select("cand_id").distinct()), "cand_id"
+    )
+    c_sizes = cand_sh.select("cand_id", "shingle").distinct().groupBy("cand_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__nc")
+    )
+    p_shingle = p_sh.select(
+        F.col(id_col).alias("probe_id"), F.col("shingle")
+    )
+    inter = (
+        cand_sh.join(F.broadcast(cands), "cand_id")
+        .join(F.broadcast(p_shingle), ["probe_id", "shingle"])
+        .groupBy("probe_id", "cand_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__inter"))
+    )
+    scored = (
+        cands.join(inter, ["probe_id", "cand_id"], "left")
+        .join(F.broadcast(p_sizes), "probe_id")
+        .join(F.broadcast(c_sizes), "cand_id")
+        .select(
+            "probe_id",
+            "cand_id",
+            F.coalesce(F.col("__inter"), F.lit(0)).alias("n_common_shingles"),
+            F.round(
+                F.coalesce(F.col("__inter"), F.lit(0)).cast("double")
+                / (F.col("__np") + F.col("__nc") - F.coalesce(F.col("__inter"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("probe_id").orderBy(F.desc("jaccard"), F.col("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("probe_id", "rank", F.col("cand_id").alias("doc_id"),
+                "n_common_shingles", "jaccard")
+    )

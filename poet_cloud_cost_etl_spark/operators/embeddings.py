@@ -606,25 +606,41 @@ def top_principal_component(
     the vector length: a mismatch surfaces as NULL loadings (zip_with
     pads with null and the fold propagates it), never as a silent
     truncation."""
-    pairs = df.select(
+    # Quantize ONCE per row (64 rounds), not once per pair (2·d²
+    # rounds — the first cut of this operator did that and paid ~5×
+    # the scan CPU); the per-pair work is then a single BIGINT
+    # multiply (exact while |component| < ~3e3: 3e9² < 2⁶³), and the
+    # DECIMAL(38,0) widening happens once per pair inside the SUM.
+    quant = df.select(
+        F.expr(
+            "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))".format(
+                v=vec_col
+            )
+        ).alias("__a")
+    )
+    pairs = quant.select(
         F.explode(
             F.expr(
-                "flatten(transform({v}, (x, i) -> transform({v}, (y, j) -> "
-                "struct(i AS i, j AS j, "
-                "CAST(CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS DECIMAL(38,0))"
-                " * CAST(round(CAST(y AS DOUBLE) * 1000000) AS BIGINT) AS p))))".format(
-                    v=vec_col
-                )
+                "flatten(transform(__a, (x, i) -> transform(__a, (y, j) -> "
+                "struct(i AS i, j AS j, x * y AS p))))"
             )
         ).alias("e")
     ).select("e.i", "e.j", "e.p")
-    gram = pairs.groupBy("i", "j").agg(F.sum("p").alias("__g"))
+    gram = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
+    )
     gj = gram.groupBy("j").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(i, __g))), "
             "s -> CAST(s.__g AS DOUBLE) / 1000000000000.0)"
         ).alias("row")
     )
+    # Materialize the d-row Gram ONCE: every iteration references gj,
+    # and without a checkpoint Spark re-plans (and re-scans the
+    # corpus for) the whole Gram subtree per iteration — 8 corpus
+    # passes instead of 1 (the lsh_candidate_pairs precedent; Spark
+    # reuses exchanges, not operator outputs).
+    gj = gj.localCheckpoint(eager=True)
     spark = df.sparkSession
     u = spark.range(1).select(
         F.expr(f"transform(sequence(1, {dim}), x -> CAST(1.0 AS DOUBLE))").alias("u")

@@ -3988,3 +3988,56 @@ ORACLES["source_datacard"] = f"""
     FROM a JOIN ls USING (grp) JOIN tl USING (grp)
     ORDER BY source
 """
+
+# X64 near-dup probe retrieval (operators/dedup.py:
+# neardup_probe_retrieval): banded-MinHash candidate generation
+# (the X2b/X2c fragments) + exact-Jaccard verification, top-5 per
+# probe with cand-id tie-break. Probes mirror the query: doc_id %
+# 7 = 0 (the residue is chosen so fixture near-dup clusters are
+# actually probed — % 101 hit none at sf0.01).
+ORACLES["neardup_probe_retrieval"] = f"""
+    WITH {_SHINGLE_CTE},
+    mh AS (
+        SELECT doc_id,
+            {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_BAND_UNION}
+    ),
+    probes AS (SELECT doc_id FROM documents WHERE doc_id % 7 = 0),
+    cands AS (
+        SELECT DISTINCT pb.doc_id AS probe_id, cb.doc_id AS cand_id
+        FROM bands pb
+        JOIN probes p ON pb.doc_id = p.doc_id
+        JOIN bands cb ON cb.band_idx = pb.band_idx
+                     AND cb.band_val = pb.band_val
+                     AND cb.doc_id <> pb.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.probe_id, c.cand_id, COUNT(*) AS n_common
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.cand_id
+        JOIN sh p ON p.doc_id = c.probe_id AND p.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT c.probe_id, c.cand_id,
+            CAST(COALESCE(i.n_common, 0) AS BIGINT) AS n_common_shingles,
+            ROUND(CAST(COALESCE(i.n_common, 0) AS DOUBLE)
+                / (sp.n + sc.n - COALESCE(i.n_common, 0)), 6) AS jaccard
+        FROM cands c
+        LEFT JOIN inter i USING (probe_id, cand_id)
+        JOIN sizes sp ON c.probe_id = sp.doc_id
+        JOIN sizes sc ON c.cand_id = sc.doc_id
+    ),
+    ranked AS (
+        SELECT probe_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY probe_id
+                ORDER BY jaccard DESC, cand_id) AS INTEGER) AS rank,
+            cand_id AS doc_id, n_common_shingles, jaccard
+        FROM scored
+    )
+    SELECT * FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
+"""

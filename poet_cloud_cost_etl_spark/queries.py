@@ -3986,6 +3986,22 @@ def q_source_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_datacard(d, "source", "doc_id", "text").orderBy("source")
 
 
+@query("neardup_probe_retrieval")
+def q_neardup_probe_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64: query-time near-dup retrieval (operators/dedup.py:
+    neardup_probe_retrieval) — ~14% of docs as probes (doc_id %
+    7 == 0; the residue is chosen so the fixture's near-dup
+    clusters are actually probed), banded-MinHash candidates,
+    exact-Jaccard verify, top-5 per probe."""
+    from .operators.dedup import neardup_probe_retrieval
+
+    d = table(spark, sf_dir, "documents")
+    probes = d.filter(F.col("doc_id") % 7 == 0)
+    return neardup_probe_retrieval(probes, d, "doc_id", "text", k_top=5).orderBy(
+        "probe_id", "rank"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

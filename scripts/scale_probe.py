@@ -48,6 +48,18 @@ HEAVY = [
     "dedup_best_of_cluster",
     "split_leakage_safe",
     "source_overlap_matrix",
+    # round-8 operators heavy enough to deserve a decade point:
+    # the fixed-size-shuffle Gram/power-iteration chain, the keyed-
+    # vocab-join panel, the datacard composition, and the pruned
+    # trigram LM. bm25_retrieval is NOT probed as-registered: the
+    # scale-up's c{i} token prefixes would leave its fixed query
+    # terms matching nothing at sf1.0 (an empty-path fiction, ratio
+    # 0.43 observed) — the scaled-fair variant below prefixes the
+    # query terms instead.
+    "embedding_top_pc",
+    "characteristic_terms",
+    "source_datacard",
+    "text_trigram_backoff",
 ]
 N_RUNS = 3
 
@@ -102,11 +114,32 @@ def _curation_ab(pin_base):
     return f
 
 
+# bm25 at 10x, scale-fair: the c{i} prefixes break raw term overlap,
+# so the scaled probe prefixes each query's terms with one copy tag —
+# each query matches ~1 copy's worth of docs (the same absolute match
+# count as sf0.1) while the corpus-side scan, explode, filter, and
+# totals pass over 10x the data. That isolates exactly the part that
+# scales.
+def _bm25_scaled(spark, sf_dir, k_scale):
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.textstats import bm25_topk
+    from poet_cloud_cost_etl_spark.queries import BM25_PROBES
+
+    pfx = ["c0", "c3", "c7"] if k_scale > 1 else ["", "", ""]
+    probes = [
+        (qid, " ".join(p + t for t in qtext.split()))
+        for (qid, qtext), p in zip(BM25_PROBES, pfx)
+    ]
+    d = table(spark, sf_dir, "documents")
+    return bm25_topk(d, "doc_id", "text", probes, k=10)
+
+
 SCALED_K = [
     ("semantic_dedup_scaled_k", _semantic_dedup_scaled),
     ("semantic_dedup_tree_scaled", _semantic_dedup_tree),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
+    ("bm25_retrieval_scaled", _bm25_scaled),
 ]
 
 
@@ -236,6 +269,13 @@ def main() -> None:
         big[name] = row["sf1.0"]
         print(f"{name}: {row['sf0.1']}s -> {row['sf1.0']}s", file=sys.stderr)
 
+    # Merge into an existing record (a --only run extends the round's
+    # record instead of clobbering the ops probed earlier).
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        small = {**prior.get("sf0.1", {}), **small}
+        big = {**prior.get("sf1.0", {}), **big}
     record = {
         "metric": "scale_probe_10x",
         "unit": "sec",

@@ -521,3 +521,20 @@ def test_source_datacard_plan_shape(spark):
     p = X.physical_plan(source_datacard(d, "source", "doc_id", "text"))
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastExchange") >= 2, p  # lang_stats + top_lang
+
+
+def test_neardup_probe_retrieval_plan_shape(spark):
+    """X64: the probe side broadcasts through candidate generation,
+    shingle filtering, and the verify joins — the corpus is never
+    self-joined or cartesian-joined, and candidate sizes aggregate
+    the broadcast-filtered candidate shingles, not the corpus."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        neardup_probe_retrieval,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    probes = d.filter(F.col("doc_id") % 101 == 0)
+    p = X.physical_plan(neardup_probe_retrieval(probes, d, "doc_id", "text"))
+    assert "CartesianProduct" not in p, p
+    assert p.count("BroadcastExchange") >= 4, p  # bands, cands, shingles, sizes
+    assert "WindowGroupLimit" in p, p

@@ -277,3 +277,45 @@ def test_source_datacard_hand_computed(spark):
     # quality: all docs fail the 50-200-word band and stopword gate;
     # mean_quality is a ppm integer division of summed quarters
     assert 0.0 <= a["mean_quality"] <= 1.0
+
+
+# ---------------------------------------------------------------- X64
+
+
+def test_neardup_probe_retrieval_finds_copy(spark):
+    """One probe, one exact copy under a different id (identical
+    signature -> every band collides BY CONSTRUCTION — a partial
+    copy's collision would depend on the md5 draw), one unrelated
+    doc. The copy must come back at rank 1 with Jaccard 1.0; the
+    probe never retrieves itself."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        neardup_probe_retrieval,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [(1, base), (2, base), (3, "one two three four five six seven")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    probes = df.filter("doc_id = 1")
+    out = neardup_probe_retrieval(probes, df, "doc_id", "text", k_top=5).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 1 not in ids  # self excluded
+    assert out and out[0]["doc_id"] == 2 and out[0]["rank"] == 1
+    # 12 tokens -> 10 shingles, all shared
+    assert out[0]["n_common_shingles"] == 10
+    assert out[0]["jaccard"] == 1.0
+
+
+def test_neardup_probe_retrieval_no_collision_no_rows(spark):
+    """A probe sharing no band with any corpus doc returns nothing
+    (candidate generation is the gate; there is no corpus scan per
+    probe)."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        neardup_probe_retrieval,
+    )
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    probes = df.filter("doc_id = 1")
+    corpus = df.filter("doc_id = 2")
+    assert neardup_probe_retrieval(probes, corpus, "doc_id", "text").count() == 0
