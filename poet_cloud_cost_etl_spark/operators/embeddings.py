@@ -597,11 +597,12 @@ def top_principal_component(
     accumulation order is pinned in both engines; argmax uses
     array_position on the abs array (first match = lowest index).
 
-    Scale: the d² pair explode amplifies row count ×d² but map-side
-    partial aggregation collapses every partition to ≤d² rows — the
-    Gram shuffle is FIXED-SIZE (d² per partition), independent of
-    corpus size, and the scan-stage multiply-add work is the GEMM
-    lower bound any exact method pays. The iteration chain runs on
+    Scale: the pair explode covers only the UPPER TRIANGLE (G is
+    symmetric — d(d+1)/2 pairs per row, mirrored once after the
+    aggregate), and map-side partial aggregation collapses every
+    partition to ≤d(d+1)/2 rows — the Gram shuffle is FIXED-SIZE,
+    independent of corpus size, and the scan-stage multiply-add work
+    is half the GEMM lower bound a full-matrix method pays. The iteration chain runs on
     d-row / 1-row frames (broadcast joins only). ``dim`` must match
     the vector length: a mismatch surfaces as NULL loadings (zip_with
     pads with null and the fold propagates it), never as a silent
@@ -618,16 +619,24 @@ def top_principal_component(
             )
         ).alias("__a")
     )
+    # G is symmetric: explode only the upper triangle (j >= i) —
+    # d(d+1)/2 pairs per row instead of d² — and mirror the strictly-
+    # upper entries after the aggregate (a (d²/2)-row map, one-time).
     pairs = quant.select(
         F.explode(
             F.expr(
-                "flatten(transform(__a, (x, i) -> transform(__a, (y, j) -> "
-                "struct(i AS i, j AS j, x * y AS p))))"
+                "flatten(transform(__a, (x, i) -> transform(slice(__a, i + 1, size(__a) - i), "
+                "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))"
             )
         ).alias("e")
     ).select("e.i", "e.j", "e.p")
-    gram = pairs.groupBy("i", "j").agg(
+    upper = pairs.groupBy("i", "j").agg(
         F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
+    )
+    gram = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "__g"
+        )
     )
     gj = gram.groupBy("j").agg(
         F.expr(
