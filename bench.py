@@ -137,6 +137,7 @@ HEADLINE = [
     "vocab_kmv_estimate",
     "source_datacard",
     "neardup_probe_retrieval",
+    "vocab_growth_curve",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -1511,3 +1511,75 @@ def source_datacard(
             ppm("(1000000 * __tlc) div n_docs").alias("top_lang_share"),
         )
     )
+
+
+def vocab_growth_curve(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 10,
+    unit: str = "token",
+) -> DataFrame:
+    """X65: vocabulary growth curve (Heaps' law: V(n) ~ K·n^β) — how
+    many NEW distinct tokens each successive slice of the corpus
+    contributes, in ingestion (id) order. A corpus whose curve goes
+    flat early is saturated (more data buys no new vocabulary — the
+    diminishing-returns signal for data acquisition); one that keeps
+    climbing still has unharvested diversity. Also the sanity check
+    before committing a tokenizer vocabulary size.
+
+    Semantics: a unit belongs to the bucket of the FIRST document
+    (lowest id) that contains it; buckets split the id range into
+    ``n_buckets`` equal-width slices via pure integer arithmetic
+    ((id − min)·B div (max − min + 1)). new_tokens per bucket and the
+    running cumulative are exact integers; share columns are ppm
+    integer divisions. ``unit`` picks the vocabulary unit: "token"
+    (unigrams — saturates almost immediately on any small closed
+    vocabulary) or "shingle" (3-gram phrases — the combinatorial
+    space whose growth curve actually discriminates; Heaps' β is
+    n-gram-order dependent).
+
+    Scale: one (unit, min-id) aggregate over the exploded corpus —
+    the same single-shuffle shape as X24, vocab-bounded output with
+    map-side MIN combine; the id-range row broadcasts; the
+    cumulative window runs over ``n_buckets`` rows (trivially
+    bounded)."""
+    from .dedup import shingles
+
+    if unit not in ("token", "shingle"):
+        raise ValueError(f"unit must be 'token' or 'shingle', got {unit!r}")
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    exploded = (
+        base.select(F.col(id_col), F.explode(shingles("__t")).alias("t"))
+        if unit == "shingle"
+        else base.select(F.col(id_col), F.explode("__t").alias("t"))
+    )
+    first = exploded.groupBy("t").agg(F.min(id_col).alias("__fid"))
+    rng = df.agg(
+        F.min(id_col).cast("long").alias("__lo"),
+        F.max(id_col).cast("long").alias("__hi"),
+    )
+    bucketed = first.crossJoin(F.broadcast(rng)).select(
+        F.expr(
+            f"CAST(((__fid - __lo) * {n_buckets}) div (__hi - __lo + 1) AS INT)"
+        ).alias("bucket")
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("new_tokens")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    out = per.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_tokens").over(tot).cast("long").alias("__all"),
+    )
+    return out.select(
+        "bucket",
+        "new_tokens",
+        "cum_tokens",
+        (
+            F.expr("(1000000 * cum_tokens) div __all").cast("double")
+            / 1_000_000.0
+        ).alias("cum_share"),
+    ).orderBy("bucket")

@@ -4041,3 +4041,35 @@ ORACLES["neardup_probe_retrieval"] = f"""
     )
     SELECT * FROM ranked WHERE rank <= 5 ORDER BY probe_id, rank
 """
+
+# X65 vocabulary growth curve (operators/textstats.py:
+# vocab_growth_curve): 3-gram shingle -> first (min) doc id,
+# equal-width integer id buckets, cumulative window over the
+# <= n_buckets rows. Shingle unit, matching the registered query
+# (unigrams saturate in the first decile on this fixture).
+ORACLES["vocab_growth_curve"] = f"""
+    WITH {_SHINGLE_CTE},
+    first AS (
+        SELECT shingle, MIN(doc_id) AS fid FROM sh GROUP BY 1
+    ),
+    rng AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS lo,
+               CAST(MAX(doc_id) AS BIGINT) AS hi
+        FROM documents
+    ),
+    per AS (
+        SELECT CAST(((fid - lo) * 10) // (hi - lo + 1) AS INTEGER) AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS new_tokens
+        FROM first, rng GROUP BY 1
+    ),
+    cum AS (
+        SELECT bucket, new_tokens,
+            CAST(SUM(new_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens,
+            CAST(SUM(new_tokens) OVER () AS BIGINT) AS alltok
+        FROM per
+    )
+    SELECT bucket, new_tokens, cum_tokens,
+        CAST((1000000 * cum_tokens) // alltok AS DOUBLE) / 1000000.0
+            AS cum_share
+    FROM cum ORDER BY bucket
+"""

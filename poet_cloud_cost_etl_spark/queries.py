@@ -4002,6 +4002,19 @@ def q_neardup_probe_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("vocab_growth_curve")
+def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65: Heaps-law vocabulary growth curve (operators/textstats.py:
+    vocab_growth_curve) — new distinct 3-gram phrases per id-order
+    corpus decile (the unigram vocabulary saturates in the first
+    decile on this fixture; the shingle space is the discriminating
+    curve); the data-acquisition saturation signal."""
+    from .operators.textstats import vocab_growth_curve
+
+    d = table(spark, sf_dir, "documents")
+    return vocab_growth_curve(d, "doc_id", "text", n_buckets=10, unit="shingle")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

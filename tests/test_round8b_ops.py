@@ -319,3 +319,50 @@ def test_neardup_probe_retrieval_no_collision_no_rows(spark):
     probes = df.filter("doc_id = 1")
     corpus = df.filter("doc_id = 2")
     assert neardup_probe_retrieval(probes, corpus, "doc_id", "text").count() == 0
+
+
+# ---------------------------------------------------------------- X65
+
+
+def test_vocab_growth_curve_hand_computed(spark):
+    """4 docs, 2 buckets: doc 1-2 introduce two distinct shingles,
+    docs 3-4 repeat one and add one new; new/cum counts by hand.
+    Unit='token' saturates to one bucket on a closed vocabulary."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        vocab_growth_curve,
+    )
+
+    rows = [
+        (0, "a b c"),          # shingle: 'a b c'
+        (1, "a b c d"),        # adds 'b c d'
+        (2, "a b c"),          # nothing new
+        (3, "x y z"),          # adds 'x y z'
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["bucket"]: r for r in
+           vocab_growth_curve(df, "doc_id", "text", n_buckets=2,
+                              unit="shingle").collect()}
+    # bucket 0 = ids 0-1, bucket 1 = ids 2-3
+    assert (out[0]["new_tokens"], out[0]["cum_tokens"]) == (2, 2)
+    assert (out[1]["new_tokens"], out[1]["cum_tokens"]) == (1, 3)
+    assert out[1]["cum_share"] == 1.0
+    assert out[0]["cum_share"] == 0.666666
+    # token unit: the closed {a..z} vocabulary all first-appears in
+    # bucket 0 except x/y/z
+    tok = {r["bucket"]: r for r in
+           vocab_growth_curve(df, "doc_id", "text", n_buckets=2,
+                              unit="token").collect()}
+    assert tok[0]["new_tokens"] == 4  # a b c d
+    assert tok[1]["new_tokens"] == 3  # x y z
+
+
+def test_vocab_growth_curve_rejects_bad_unit(spark):
+    import pytest
+
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        vocab_growth_curve,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        vocab_growth_curve(df, "doc_id", "text", unit="char")
