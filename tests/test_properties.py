@@ -112,3 +112,88 @@ def test_training_order_shuffle_matches_python_reference(
         for pos, i in enumerate(sorted(members, key=lambda x: (h(x), x)), 1):
             want[i] = (shard, pos)
     assert got == want
+
+
+# ---- round-8b operators vs independent Python references ----------
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=8, deadline=None)
+def test_bpe_merges_match_python_reference(spark, words, min_count):
+    """X57 vs a plain-python pair counter: identical counts, ranking,
+    min_count pruning, and lexicographic tie-break."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        bpe_merge_candidates,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(words)) for i in range(2)], ["doc_id", "text"]
+    )
+    got = [(r["rank"], r["pair"], r["pair_count"]) for r in
+           bpe_merge_candidates(df, "text", k=50, min_count=min_count).collect()]
+
+    counts: dict[str, int] = {}
+    for w in words:
+        for i in range(len(w) - 1):
+            counts[w[i:i + 2]] = counts.get(w[i:i + 2], 0) + 2  # 2 docs
+    want_pairs = sorted(
+        ((p, c) for p, c in counts.items() if c >= min_count),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:50]
+    want = [(r + 1, p, c) for r, (p, c) in enumerate(want_pairs)]
+    assert got == want
+
+
+@given(
+    st.sets(
+        st.text(alphabet="abcdefgh", min_size=1, max_size=8),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=8, deadline=None)
+def test_kmv_estimate_matches_hashlib_reference(spark, vocab, k):
+    """X62 vs hashlib: identical k-th hash and integer estimator,
+    including the exact-count fallback below k."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        kmv_distinct_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "S", " ".join(sorted(vocab)))], ["doc_id", "source", "text"]
+    )
+    r = kmv_distinct_estimate(df, "source", "text", k=k).collect()[0]
+    hashes = sorted({_uh(t) for t in vocab})
+    kept = hashes[:k]
+    want_est = (
+        len(kept) if len(kept) < k else ((k - 1) * 4294967296) // kept[-1]
+    )
+    assert r["sketch_size"] == len(kept)
+    assert r["kth_hash"] == kept[-1]
+    assert r["est_distinct"] == want_est
+
+
+@given(st.text(alphabet="abc ", min_size=0, max_size=30))
+@settings(max_examples=10, deadline=None)
+def test_compressibility_matches_python_reference(spark, text):
+    """X58 vs plain python bigram sets, including the <2-char
+    degenerate rows."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        compressibility_profile,
+    )
+
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = compressibility_profile(df, "doc_id", "text").collect()[0]
+    bi = [text[i:i + 2] for i in range(len(text) - 1)]
+    assert r["n_bigrams"] == len(bi)
+    assert r["distinct_bigrams"] == len(set(bi))
+    want_ttr = (1000000 * len(set(bi))) // max(len(bi), 1) / 1000000.0
+    assert r["bigram_ttr"] == want_ttr
