@@ -842,3 +842,69 @@ def neardup_probe_retrieval(
         .select("probe_id", "rank", F.col("cand_id").alias("doc_id"),
                 "n_common_shingles", "jaccard")
     )
+
+
+def substring_dup_coverage(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 2
+) -> DataFrame:
+    """X66: exact-substring duplication coverage (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr) — for each document, the fraction of shingle start
+    positions whose 3-token gram occurs at least ``min_count`` times
+    in the whole corpus (occurrences counted per POSITION, so a gram
+    repeated twice inside one document flags both positions, exactly
+    like ExactSubstr's "any span occurring >=2 times anywhere"
+    criterion).  The per-doc share is the signal ExactSubstr cuts
+    on; a corpus-level histogram of it is the memorization-risk
+    audit.  Reference analog: none — the reference engine
+    (main.py/normalize.py) has no text pipeline; this extends §2.11.
+
+    Columns: (id, n_positions, dup_positions, dup_share) where
+    n_positions = max(len(tokens)-2, 0), dup_share is a ppm integer
+    division cast to double (bit-portable across engines).
+
+    Scale: three key-partitioned shuffles, no broadcast of anything
+    corpus-sized — (1) hash-agg per (doc, gram) with map-side
+    combine, (2) a gram-partitioned window adds the corpus count
+    (hot grams are single-key partitions; sort within them is by
+    nothing, and AQE splits oversized partitions), (3) doc-keyed
+    re-agg + one doc-bounded left join for the zero-fill.  The gram
+    stream is never collected and never joined against un-aggregated
+    occurrences, so the plan is insensitive to vocabulary size."""
+    from pyspark.sql.window import Window
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    per_doc_gram = (
+        base.select(F.col(id_col), F.explode(shingles("__t")).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("m"))
+    )
+    with_corpus = per_doc_gram.withColumn(
+        "c", F.sum("m").over(Window.partitionBy("g"))
+    )
+    dup = (
+        with_corpus.filter(F.col("c") >= min_count)
+        .groupBy(id_col)
+        .agg(F.sum("m").cast("long").alias("dup_positions"))
+    )
+    totals = base.select(
+        F.col(id_col),
+        F.expr(
+            "CAST(CASE WHEN size(__t) >= 3 THEN size(__t) - 2 "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("n_positions"),
+    )
+    return totals.join(dup, id_col, "left").select(
+        F.col(id_col),
+        "n_positions",
+        F.coalesce("dup_positions", F.lit(0)).cast("long").alias(
+            "dup_positions"
+        ),
+        (
+            F.expr(
+                "CAST((1000000 * coalesce(dup_positions, 0L)) "
+                "div greatest(n_positions, 1L) AS DOUBLE)"
+            )
+            / 1_000_000.0
+        ).alias("dup_share"),
+    )

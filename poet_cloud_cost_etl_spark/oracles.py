@@ -4073,3 +4073,41 @@ ORACLES["vocab_growth_curve"] = f"""
             AS cum_share
     FROM cum ORDER BY bucket
 """
+
+# X66 exact-substring duplication coverage (operators/dedup.py:
+# substring_dup_coverage): per-(doc, 3-gram) position counts, corpus
+# count via join (same value as Spark's gram-partitioned window),
+# positions whose gram occurs >= 2 times anywhere, ppm share.
+# Occurrence CTE deliberately NOT the DISTINCT _SHINGLE_CTE: every
+# position counts, including within-doc repeats.
+ORACLES["substring_dup_coverage"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents
+    ),
+    occ AS (
+        SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    pdg AS (
+        SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS m
+        FROM occ GROUP BY 1, 2
+    ),
+    cg AS (SELECT g, SUM(m) AS c FROM pdg GROUP BY 1),
+    dup AS (
+        SELECT doc_id, CAST(SUM(m) AS BIGINT) AS dup_positions
+        FROM pdg JOIN cg USING (g) WHERE c >= 2 GROUP BY 1
+    ),
+    tot AS (
+        SELECT doc_id,
+            CAST(CASE WHEN len(t) >= 3 THEN len(t) - 2 ELSE 0 END
+                 AS BIGINT) AS n_positions
+        FROM toks
+    )
+    SELECT t.doc_id, n_positions,
+        COALESCE(dup_positions, CAST(0 AS BIGINT)) AS dup_positions,
+        CAST((1000000 * COALESCE(dup_positions, CAST(0 AS BIGINT)))
+             // GREATEST(n_positions, 1) AS DOUBLE) / 1000000.0
+            AS dup_share
+    FROM tot t LEFT JOIN dup USING (doc_id)
+    ORDER BY t.doc_id
+"""

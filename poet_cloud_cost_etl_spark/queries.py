@@ -4015,6 +4015,18 @@ def q_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_growth_curve(d, "doc_id", "text", n_buckets=10, unit="shingle")
 
 
+@query("substring_dup_coverage")
+def q_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66: exact-substring duplication coverage (operators/dedup.py:
+    substring_dup_coverage) — per-doc fraction of 3-gram positions
+    occurring >=2 times corpus-wide; the ExactSubstr (Lee et al.
+    2021) cut signal and memorization-risk audit."""
+    from .operators.dedup import substring_dup_coverage
+
+    d = table(spark, sf_dir, "documents")
+    return substring_dup_coverage(d, "doc_id", "text").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -366,3 +366,46 @@ def test_vocab_growth_curve_rejects_bad_unit(spark):
     df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         vocab_growth_curve(df, "doc_id", "text", unit="char")
+
+
+def test_substring_dup_coverage_hand_computed(spark):
+    """X66: cross-doc repeated 3-gram flags its positions in BOTH
+    docs; a within-doc repeat flags both positions; unique grams and
+    short docs contribute zero."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        substring_dup_coverage,
+    )
+
+    rows = [
+        (1, "a b c d"),            # grams: 'a b c', 'b c d'
+        (2, "a b c x"),            # shares 'a b c' with doc 1
+        (3, "p q r p q r p q"),    # 'p q r' twice, 'q r p' twice,
+                                   # 'r p q' twice -> all 6 dup
+        (4, "u v"),                # < 3 tokens: 0 positions
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           substring_dup_coverage(df, "doc_id", "text").collect()}
+    assert (out[1]["n_positions"], out[1]["dup_positions"]) == (2, 1)
+    assert (out[2]["n_positions"], out[2]["dup_positions"]) == (2, 1)
+    assert (out[3]["n_positions"], out[3]["dup_positions"]) == (6, 6)
+    assert (out[4]["n_positions"], out[4]["dup_positions"]) == (0, 0)
+    assert out[3]["dup_share"] == 1.0
+    assert out[4]["dup_share"] == 0.0
+    assert out[1]["dup_share"] == 0.5
+
+
+def test_substring_dup_coverage_min_count(spark):
+    """min_count=3 requires a gram to occur three times before its
+    positions are flagged."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        substring_dup_coverage,
+    )
+
+    rows = [(1, "a b c"), (2, "a b c"), (3, "a b c"), (4, "d e f"),
+            (5, "d e f")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["dup_positions"] for r in
+           substring_dup_coverage(df, "doc_id", "text",
+                                  min_count=3).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
