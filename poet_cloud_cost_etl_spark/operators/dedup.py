@@ -908,3 +908,89 @@ def substring_dup_coverage(
             / 1_000_000.0
         ).alias("dup_share"),
     )
+
+
+def bloom_gate_eval(
+    history: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = 2048,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """X67: Bloom-filter dedup gate + false-positive eval — the
+    sketch-based alternative to X23's anti-join for incremental
+    corpus ingestion.  The history corpus is folded into a Bloom
+    filter over canonical fingerprints (X2a); each incoming doc is
+    gated by probing its ``n_hashes`` bit positions.  The filter's
+    serialized size is <= ``m_bits`` SET-BIT rows no matter how many
+    petabytes of history built it — so the production gate is a
+    tiny broadcast against the incoming stream, with ZERO join
+    against history-sized data.  A Bloom "no" is exact (definitely
+    new); a Bloom "maybe" is wrong with p ~ fill_ratio^n_hashes.
+
+    This operator is the EVAL form (X45's pattern for LSH recall):
+    it additionally computes ground-truth membership with an exact
+    fingerprint join and flags false positives, so the (m_bits,
+    n_hashes) dial can be tuned offline.  The production path uses
+    only the bloom columns.
+
+    Bit positions are engine-portable integer arithmetic:
+    pos_j = md5("j|" || fp)[:8 hex] mod m_bits (the repo's _UNIT_SQL
+    hash family, keyed by probe index).
+
+    Columns: (id, bloom_hits, bloom_maybe_dup, exact_dup,
+    false_positive).
+
+    Scale: history -> fingerprint projection -> explode n_hashes
+    positions -> DISTINCT (map-side partial; output bounded by
+    m_bits).  Incoming positions join the broadcast bit-set and
+    re-agg by id.  The exact-membership leg (eval only) is a keyed
+    left join against the distinct history fingerprints."""
+    probes = F.array(*[
+        (
+            F.expr(
+                "CAST(conv(substring(md5(concat('{j}|', __fp)), 1, 8), "
+                "16, 10) AS BIGINT)".format(j=j)
+            )
+            % F.lit(m_bits)
+        )
+        for j in range(n_hashes)
+    ])
+    hist_fp = history.select(fingerprint(F.col(text_col)).alias("__fp"))
+    bloom = (
+        hist_fp.select(F.explode(probes).alias("pos")).distinct()
+    )
+    inc = incoming.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fp")
+    )
+    inc_pos = inc.select(F.col(id_col), F.explode(probes).alias("pos"))
+    hits = (
+        inc_pos.join(
+            F.broadcast(bloom.withColumn("__set", F.lit(1))), "pos", "left"
+        )
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce("__set", F.lit(0))).cast("int").alias(
+            "bloom_hits"
+        ))
+    )
+    exact = (
+        inc.join(
+            hist_fp.distinct().withColumn("__seen", F.lit(1)),
+            "__fp",
+            "left",
+        )
+        .select(F.col(id_col), F.coalesce("__seen", F.lit(0)).alias("__seen"))
+    )
+    return (
+        hits.join(exact, id_col)
+        .select(
+            F.col(id_col),
+            "bloom_hits",
+            (F.col("bloom_hits") == n_hashes).alias("bloom_maybe_dup"),
+            (F.col("__seen") == 1).alias("exact_dup"),
+            (
+                (F.col("bloom_hits") == n_hashes) & (F.col("__seen") == 0)
+            ).alias("false_positive"),
+        )
+    )

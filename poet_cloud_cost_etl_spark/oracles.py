@@ -4111,3 +4111,49 @@ ORACLES["substring_dup_coverage"] = f"""
     FROM tot t LEFT JOIN dup USING (doc_id)
     ORDER BY t.doc_id
 """
+
+# X67 Bloom-filter dedup gate + FP eval (operators/dedup.py:
+# bloom_gate_eval): history fingerprints -> 4 md5-keyed bit
+# positions mod 2048 -> distinct bit-set; incoming docs probe all 4
+# positions; exact fingerprint membership grades the maybe-dups.
+# Same canonical fingerprint as dedup_fingerprint (X2a).
+ORACLES["dedup_bloom_gate"] = """
+    WITH fp AS (
+        SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    hist AS (SELECT f FROM fp WHERE doc_id % 3 <> 0),
+    inc AS (SELECT doc_id, f FROM fp WHERE doc_id % 2 = 0),
+    bloom AS (
+        SELECT DISTINCT
+            CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || f), 1, 8))
+                 AS BIGINT) % 2048 AS pos
+        FROM hist, UNNEST([0, 1, 2, 3]) AS u(j)
+    ),
+    probes AS (
+        SELECT doc_id,
+            CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || f), 1, 8))
+                 AS BIGINT) % 2048 AS pos
+        FROM inc, UNNEST([0, 1, 2, 3]) AS u(j)
+    ),
+    hits AS (
+        SELECT p.doc_id,
+            CAST(SUM(CASE WHEN b.pos IS NULL THEN 0 ELSE 1 END)
+                 AS INTEGER) AS bloom_hits
+        FROM probes p LEFT JOIN bloom b USING (pos)
+        GROUP BY 1
+    ),
+    exact AS (
+        SELECT i.doc_id,
+            (EXISTS (SELECT 1 FROM hist h WHERE h.f = i.f)) AS exact_dup
+        FROM inc i
+    )
+    SELECT h.doc_id, bloom_hits,
+        bloom_hits = 4 AS bloom_maybe_dup,
+        exact_dup,
+        (bloom_hits = 4 AND NOT exact_dup) AS false_positive
+    FROM hits h JOIN exact USING (doc_id)
+    ORDER BY h.doc_id
+"""

@@ -4027,6 +4027,27 @@ def q_substring_dup_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_coverage(d, "doc_id", "text").orderBy("doc_id")
 
 
+@query("dedup_bloom_gate")
+def q_dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: Bloom-filter dedup gate + false-positive eval
+    (operators/dedup.py: bloom_gate_eval) — history = docs with
+    doc_id % 3 != 0 folded into a 2048-bit / 4-hash Bloom filter,
+    incoming = docs with doc_id % 2 == 0 gated by broadcast bit-set
+    probe; exact fingerprint join grades the maybe-dups.  The splits
+    OVERLAP on doc_id in {2, 4} mod 6 (true members -> guaranteed
+    4/4 hits, exact_dup true) while doc_id % 6 == 0 is genuinely new
+    — so both eval legs fire, and the (m_bits, n_hashes) dial is
+    sized so the fixture also exhibits false positives."""
+    from .operators.dedup import bloom_gate_eval
+
+    d = table(spark, sf_dir, "documents")
+    history = d.filter(F.col("doc_id") % 3 != 0)
+    incoming = d.filter(F.col("doc_id") % 2 == 0)
+    return bloom_gate_eval(
+        history, incoming, "doc_id", "text", m_bits=2048, n_hashes=4
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -409,3 +409,56 @@ def test_substring_dup_coverage_min_count(spark):
            substring_dup_coverage(df, "doc_id", "text",
                                   min_count=3).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 0, 5: 0}
+
+
+def test_bloom_gate_no_false_negatives_and_fp_flag(spark):
+    """X67: every exact member probes 4/4 (Bloom guarantee: no false
+    negatives); a non-member either misses a bit or is flagged as a
+    false positive, never as exact_dup."""
+    from poet_cloud_cost_etl_spark.operators.dedup import bloom_gate_eval
+
+    hist = spark.createDataFrame(
+        [(i, f"history doc number {i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [(100, "history doc number 7"),   # member (same fingerprint)
+         (101, "History  Doc Number 7!"), # member after canonicalization
+         (102, "completely novel text")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           bloom_gate_eval(hist, inc, "doc_id", "text").collect()}
+    assert out[100]["bloom_hits"] == 4 and out[100]["exact_dup"]
+    assert out[101]["bloom_hits"] == 4 and out[101]["exact_dup"]
+    assert not out[100]["false_positive"] and not out[101]["false_positive"]
+    assert not out[102]["exact_dup"]
+    # novel doc: maybe_dup iff all 4 bits collide -> then it must be
+    # flagged false_positive
+    assert out[102]["false_positive"] == out[102]["bloom_maybe_dup"]
+
+
+def test_bloom_gate_bitset_bounded(spark):
+    """X67 scale contract: the serialized filter is at most m_bits
+    rows regardless of history size."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        fingerprint,
+    )
+
+    # 500 docs x 4 hashes into m_bits=64 must produce <= 64 distinct
+    # positions (pigeonhole: the bit-set is position-bounded)
+    hist = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], ["doc_id", "text"]
+    )
+    fp = hist.select(fingerprint(F.col("text")).alias("__fp"))
+    pos = fp.select(
+        F.explode(F.array(*[
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{j}|', __fp)), 1, 8),"
+                " 16, 10) AS BIGINT) % 64"
+            ) for j in range(4)
+        ])).alias("pos")
+    ).distinct()
+    assert pos.count() <= 64
