@@ -675,3 +675,68 @@ def top_principal_component(
     return u.select(F.posexplode("u").alias("dim", "__l")).select(
         "dim", F.round(F.col("__l"), 6).alias("loading")
     )
+
+
+def remove_top_pc(
+    df: DataFrame, id_col: str, vec_col: str, dim: int, iters: int = 8
+) -> DataFrame:
+    """X68: "all-but-the-top" post-processing (Mu & Viswanath 2018)
+    — remove the leading principal direction from every embedding:
+    v' = v − (v·u / u·u)·u with u = the X60
+    ``top_principal_component`` output.  Isotropy repair: the top
+    component of most embedding corpora is a frequency/anisotropy
+    axis that dominates cosine similarity; deflating it measurably
+    improves retrieval and clustering — the standard step between
+    embedding export and ANN indexing (composes X60 → X8/X42/X54).
+
+    Determinism: u enters as the X60 ROUNDED-6 loadings (both
+    engines agree on those bits); u·u and v·u are index-ordered
+    left folds (the X46 convention); coef = round(v·u / u·u, 6) and
+    each component round(v_i − coef·u_i, 6) are single fixed IEEE
+    expression trees.  Long-form output (id, dim, deflated) — the
+    scalar shape the oracle harness hashes (X55's convention).
+
+    Scale: X60's Gram shuffle is fixed-size (≤ d(d+1)/2 rows); the
+    resulting 1-row (u, u·u) frame BROADCASTS onto the corpus, and
+    the deflation itself is a narrow per-row map — zero additional
+    shuffles beyond X60."""
+    u = top_principal_component(df, vec_col, dim, iters)
+    uarr = (
+        u.groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, loading))), "
+                "s -> s.loading)"
+            ).alias("u")
+        )
+        .select(
+            "u",
+            F.expr(
+                "aggregate(transform(u, x -> x * x), CAST(0.0 AS DOUBLE), "
+                "(a, b) -> a + b)"
+            ).alias("uu"),
+        )
+    )
+    vecs = df.select(
+        F.col(id_col),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    proj = vecs.crossJoin(F.broadcast(uarr)).select(
+        F.col(id_col),
+        "v",
+        "u",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(v, u, (x, w) -> x * w), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.col("uu"),
+            6,
+        ).alias("coef"),
+    )
+    return proj.select(
+        F.col(id_col),
+        F.posexplode(F.expr("zip_with(v, u, (x, w) -> x - coef * w)")).alias(
+            "dim", "__d"
+        ),
+    ).select(F.col(id_col), "dim", F.round("__d", 6).alias("deflated"))

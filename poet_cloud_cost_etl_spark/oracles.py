@@ -4157,3 +4157,58 @@ ORACLES["dedup_bloom_gate"] = """
     FROM hits h JOIN exact USING (doc_id)
     ORDER BY h.doc_id
 """
+
+# X68 all-but-the-top deflation (operators/embeddings.py:
+# remove_top_pc): the X60 recurrence verbatim on the vec_id % 5 = 0
+# subset, loadings rounded to 6 (the X60 output contract), then
+# coef = round(v.u / u.u, 6) with index-ordered list_reduce folds
+# and per-component round(v_i - coef*u_i, 6).
+ORACLES["embedding_remove_top_pc"] = f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    pr AS (
+        SELECT CAST(ii.i AS INTEGER) - 1 AS i, CAST(jj.j AS INTEGER) - 1 AS j,
+            CAST(a[CAST(ii.i AS INTEGER)] AS HUGEINT)
+                * a[CAST(jj.j AS INTEGER)] AS p
+        FROM q,
+            UNNEST(range(1, {_PC_D} + 1)) AS ii(i),
+            UNNEST(range(1, {_PC_D} + 1)) AS jj(j)
+    ),
+    gram AS (SELECT i, j, SUM(p) AS g FROM pr GROUP BY 1, 2),
+    gj AS (
+        SELECT j, list(CAST(g AS DOUBLE) / 1000000000000.0 ORDER BY i) AS row
+        FROM gram GROUP BY j
+    ),
+    u0 AS (
+        SELECT list_transform(range(1, {_PC_D} + 1),
+            x -> CAST(1.0 AS DOUBLE)) AS u
+    ),{",".join(_pc_iter_cte(k) for k in range(1, 9))},
+    uro AS (
+        SELECT list_transform(u, x -> ROUND(x, 6)) AS u FROM u8
+    ),
+    uun AS (
+        SELECT u, list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+            list_transform(u, x -> x * x)), (a, b) -> a + b) AS uu
+        FROM uro
+    ),
+    vec AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    co AS (
+        SELECT vec_id, v, u,
+            ROUND(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                list_transform(range(1, {_PC_D} + 1),
+                    i -> v[CAST(i AS INTEGER)] * u[CAST(i AS INTEGER)])),
+                (a, b) -> a + b) / uu, 6) AS coef
+        FROM vec, uun
+    )
+    SELECT vec_id, CAST(t.i AS INTEGER) - 1 AS dim,
+        ROUND(v[CAST(t.i AS INTEGER)] - coef * u[CAST(t.i AS INTEGER)], 6)
+            AS deflated
+    FROM co, UNNEST(range(1, {_PC_D} + 1)) AS t(i)
+    ORDER BY vec_id, dim
+"""

@@ -4048,6 +4048,22 @@ def q_dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("embedding_remove_top_pc")
+def q_embedding_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68: all-but-the-top deflation (operators/embeddings.py:
+    remove_top_pc) — project the X60 leading principal direction out
+    of every embedding; long-form (vec_id, dim, deflated).  Scoped
+    to vec_id % 5 == 0 to keep the oracle row count at 64 dims/vec
+    bounded."""
+    from .operators.embeddings import remove_top_pc
+
+    e = table(spark, sf_dir, "embeddings")
+    sub = e.filter(F.col("vec_id") % 5 == 0)
+    return remove_top_pc(sub, "vec_id", "embedding", dim=64).orderBy(
+        "vec_id", "dim"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -462,3 +462,45 @@ def test_bloom_gate_bitset_bounded(spark):
         ])).alias("pos")
     ).distinct()
     assert pos.count() <= 64
+
+
+def test_remove_top_pc_kills_dominant_direction(spark):
+    """X68: a corpus whose vectors are all multiples of one direction
+    deflates to (numerically) zero; the top PC carries everything."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        remove_top_pc,
+    )
+
+    base = [1.0, -2.0, 0.5, 3.0]
+    rows = [(i, [c * (i + 1) for c in base]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = remove_top_pc(df, "vec_id", "embedding", dim=4).collect()
+    assert len(out) == 6 * 4
+    assert all(abs(r["deflated"]) < 1e-4 for r in out)
+
+
+def test_remove_top_pc_residual_orthogonal(spark):
+    """X68: the deflated corpus has ~zero projection on the removed
+    direction (orthogonality up to the round-6 quantization)."""
+    import math
+
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        remove_top_pc,
+        top_principal_component,
+    )
+
+    rows = [
+        (0, [2.0, 0.1, 0.0]), (1, [1.5, -0.2, 0.3]),
+        (2, [2.2, 0.0, -0.1]), (3, [1.9, 0.3, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    u = {r["dim"]: r["loading"] for r in
+         top_principal_component(df, "embedding", dim=3).collect()}
+    defl = remove_top_pc(df, "vec_id", "embedding", dim=3).collect()
+    per = {}
+    for r in defl:
+        per.setdefault(r["vec_id"], {})[r["dim"]] = r["deflated"]
+    unorm = math.sqrt(sum(x * x for x in u.values()))
+    for vid, comps in per.items():
+        dot = sum(comps[d] * u[d] for d in u)
+        assert abs(dot) / unorm < 1e-3, (vid, dot)
