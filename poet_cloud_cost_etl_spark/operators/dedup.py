@@ -214,16 +214,16 @@ def ngram_jaccard_from_docs(
     return _jaccard_core(sh_n, id_col, threshold, min_df, max_df)
 
 
-def _jaccard_core(
+def _pair_common(
     sh_n: DataFrame,
     id_col: str,
-    threshold: float,
     min_df: int | None,
     max_df: int | None,
     split_threshold: int = 1024,
 ) -> DataFrame:
     """Pair generation from a size-annotated shingle table
-    ``(id, n_sh, shingle)``.
+    ``(id, n_sh, shingle)`` → ``(doc_a, doc_b, n_a, n_b, n_common)``
+    — the shared core under X2d Jaccard and X69 containment.
 
     Group (id, size) structs per shingle — ONE shuffle of the shingle
     table where a self-join would shuffle it twice — and explode the
@@ -284,11 +284,24 @@ def _jaccard_core(
     )
     # (doc_a, doc_b) functionally determines (n_a, n_b); grouping by
     # all four keeps the sizes available without a join.
-    common = (
+    return (
         small_pairs.union(hot_pairs)
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+
+
+def _jaccard_core(
+    sh_n: DataFrame,
+    id_col: str,
+    threshold: float,
+    min_df: int | None,
+    max_df: int | None,
+    split_threshold: int = 1024,
+) -> DataFrame:
+    """X2d scoring on the ``_pair_common`` pair table (see there for
+    the pair-generation plan/skew discussion)."""
+    common = _pair_common(sh_n, id_col, min_df, max_df, split_threshold)
     jac = common.select(
         "doc_a",
         "doc_b",
@@ -994,3 +1007,62 @@ def bloom_gate_eval(
             ).alias("false_positive"),
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    jaccard_max: float | None = None,
+    min_df: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """X69: asymmetric containment detection (Broder 1997, "On the
+    resemblance and containment of documents") — pairs where the
+    SMALLER document's shingle set is mostly inside the larger's:
+    containment = |A∩B| / min(|A|, |B|).  Jaccard (X2d) misses
+    subsumption: a 10k-token page quoting a 300-token doc verbatim
+    scores Jaccard ≈ 0.03 but containment ≈ 1.0.  These quote-farm /
+    wrapper / expanded-revision pairs still leak eval data and still
+    overweight the contained text during training, so curation cuts
+    on containment alongside Jaccard.  ``jaccard_max`` (exclusive)
+    isolates the pure-subsumption regime — pairs Jaccard-style dedup
+    would NOT already remove.
+
+    Both scores derive from exact integer set sizes (round-6
+    doubles); pairs are doc_a < doc_b.
+
+    Scale: identical to X2d — the fused ``ngram_jaccard_from_docs``
+    scan (distinct-shingle arrays map-side, sizes travel with the
+    pairs), the shared ``_pair_common`` grouped pair generation (one
+    shuffle, hot-shingle AQE-join split), then a narrow scoring
+    map.  No additional shuffle over X2d."""
+    arrs = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    sh_n = arrs.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
+    common = _pair_common(sh_n, id_col, min_df, max_df)
+    scored = common.select(
+        "doc_a",
+        "doc_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+        F.round(
+            F.col("n_common").cast("double") / F.least("n_a", "n_b"),
+            6,
+        ).alias("containment"),
+    ).filter(F.col("containment") >= threshold)
+    if jaccard_max is not None:
+        scored = scored.filter(F.col("jaccard") < jaccard_max)
+    return scored

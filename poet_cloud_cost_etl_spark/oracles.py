@@ -4212,3 +4212,30 @@ ORACLES["embedding_remove_top_pc"] = f"""
     FROM co, UNNEST(range(1, {_PC_D} + 1)) AS t(i)
     ORDER BY vec_id, dim
 """
+
+# X69 containment pairs (operators/dedup.py: containment_pairs):
+# exact distinct-shingle intersections over pairs sharing >= 1
+# shingle, containment = |A&B|/min(|A|,|B|), jaccard alongside.
+ORACLES["dedup_containment"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT doc_a, doc_b, n_common,
+            ROUND(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 6)
+                AS jaccard,
+            ROUND(CAST(n_common AS DOUBLE) / LEAST(sa.n, sb.n), 6)
+                AS containment
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    )
+    SELECT * FROM scored WHERE containment >= 0.8
+    ORDER BY doc_a, doc_b
+"""

@@ -4064,6 +4064,23 @@ def q_embedding_remove_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_containment")
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69: asymmetric containment pairs (operators/dedup.py:
+    containment_pairs) — |A∩B|/min(|A|,|B|) >= 0.8 over the shared
+    X2d pair core; reports jaccard alongside so the asymmetry gap is
+    visible.  The fixture's clusters are same-length near-dups
+    (containment 1.0 at jaccard 0.9-0.99); the pure-subsumption
+    regime (jaccard_max) is pinned by the unit test's quote-farm
+    fixture."""
+    from .operators.dedup import containment_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return containment_pairs(d, "doc_id", "text", threshold=0.8).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -504,3 +504,52 @@ def test_remove_top_pc_residual_orthogonal(spark):
     for vid, comps in per.items():
         dot = sum(comps[d] * u[d] for d in u)
         assert abs(dot) / unorm < 1e-3, (vid, dot)
+
+
+def test_containment_catches_subsumption_jaccard_misses(spark):
+    """X69: a short doc quoted verbatim inside a long doc scores
+    containment 1.0 at low jaccard — kept by containment_pairs,
+    invisible to the X2d jaccard threshold."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_from_docs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(30))
+    rows = [(1, short), (2, filler + " " + short + " " + filler)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = containment_pairs(
+        df, "doc_id", "text", threshold=0.9, jaccard_max=0.5
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["containment"] == 1.0 and r["jaccard"] < 0.5
+    # the same pair is invisible to jaccard-threshold dedup
+    jac = ngram_jaccard_from_docs(df, "doc_id", "text", 0.5).collect()
+    assert jac == []
+
+
+def test_containment_equals_jaccard_refactor_parity(spark):
+    """The _pair_common refactor: containment_pairs' jaccard column
+    agrees with ngram_jaccard_from_docs on the same corpus."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_from_docs,
+    )
+
+    rows = [
+        (1, "a b c d e f"), (2, "a b c d e g"), (3, "a b c x y z"),
+        (4, "p q r s t u"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    via_cont = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in containment_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    via_jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_from_docs(df, "doc_id", "text", 0.0).collect()
+    }
+    assert via_cont == via_jac and via_cont
