@@ -538,3 +538,50 @@ def test_neardup_probe_retrieval_plan_shape(spark):
     assert "CartesianProduct" not in p, p
     assert p.count("BroadcastExchange") >= 4, p  # bands, cands, shingles, sizes
     assert "WindowGroupLimit" in p, p
+
+
+def test_round8c_queries_plan_shapes(spark):
+    """Round-8c scale pins: substring_dup_coverage shuffles only on
+    (doc,gram)/gram/doc keys (no cartesian, no vocab broadcast of
+    un-aggregated occurrences); bloom_gate_eval probes the bit-set
+    via BroadcastExchange (never a shuffle join against history-sized
+    data on the gate leg); remove_top_pc's corpus-side deflation is a
+    broadcast of the 1-row (u, uu) frame; containment_pairs inherits
+    the X2d single-shuffle grouped pair generation."""
+    d = table(spark, SF_SMALL, "documents")
+    e = table(spark, SF_SMALL, "embeddings")
+
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        bloom_gate_eval,
+        containment_pairs,
+        substring_dup_coverage,
+    )
+    from poet_cloud_cost_etl_spark.operators.embeddings import remove_top_pc
+
+    sd = X.physical_plan(substring_dup_coverage(d, "doc_id", "text"))
+    assert "CartesianProduct" not in sd, sd
+    # gram-count window sits between the (doc,gram) agg and the doc
+    # re-agg: exactly one Window, no self-join of the gram stream
+    assert sd.count("Window") == 1, sd
+
+    bg = X.physical_plan(
+        bloom_gate_eval(
+            d.filter(F.col("doc_id") % 3 != 0),
+            d.filter(F.col("doc_id") % 2 == 0),
+            "doc_id",
+            "text",
+        )
+    )
+    assert "CartesianProduct" not in bg, bg
+    assert "BroadcastExchange" in bg, bg
+
+    rt = X.physical_plan(remove_top_pc(e, "vec_id", "embedding", dim=8))
+    assert "CartesianProduct" not in rt, rt
+    assert "BroadcastNestedLoopJoin" in rt or "BroadcastExchange" in rt, rt
+
+    cp = X.physical_plan(containment_pairs(d, "doc_id", "text"))
+    assert "CartesianProduct" not in cp, cp
+    # grouped pair generation: the ONLY self-join in the plan is the
+    # hot-bucket branch (size > 1024 guard); the cold path explodes
+    # in-group pairs with zero joins
+    assert cp.count("Join") <= 1, cp
