@@ -138,6 +138,10 @@ HEADLINE = [
     "source_datacard",
     "neardup_probe_retrieval",
     "vocab_growth_curve",
+    # round-8c additions (X66-X68), benched from birth.
+    "substring_dup_coverage",
+    "dedup_bloom_gate",
+    "embedding_remove_top_pc",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
@@ -264,18 +268,30 @@ def main() -> None:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
             rdd.unpersist()
 
+    # Timed action: write to the `noop` sink, NOT `.count()`.  Under
+    # count() Catalyst prunes every column no operator references —
+    # which legitimately deletes the final row-preserving join of a
+    # unique-keyed aggregate AND the entire expression tree of
+    # per-row-output operators (measured: doc_compressibility 0.24s
+    # counted vs 3.32s materialized at sf0.1; substring_dup_coverage
+    # 0.39s vs 2.02s).  The noop sink evaluates every output column
+    # JVM-side with zero serialization to the driver — the number is
+    # the cost a real consumer pays.  Round-8 change; all pins were
+    # re-measured under the new action (BENCH_PINNED.json comment).
     timings: dict[str, float] = {}
     stats: dict[str, dict[str, float]] = {}
     for name in names:
         _release_persisted()
-        QUERIES[name](spark, sf_dir).count()
+        df = QUERIES[name](spark, sf_dir)
+        assert df.count() >= 0  # row-count sanity + warm-up, untimed
+        df.write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(HEAVY_N_RUNS if name in HEAVY else N_RUNS):
             t0 = time.perf_counter()
-            df = QUERIES[name](spark, sf_dir)
-            n = df.count()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
             runs.append(time.perf_counter() - t0)
-            assert n >= 0
         timings[name] = round(statistics.median(runs), 4)
         stats[name] = {
             "median": round(statistics.median(runs), 4),

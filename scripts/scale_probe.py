@@ -58,6 +58,11 @@ HEAVY = [
     # query terms instead.
     "embedding_top_pc",
     "characteristic_terms",
+    # round-8c: the ExactSubstr coverage op — a full-corpus gram
+    # shuffle + gram-partitioned window; the c{i} copy prefixes keep
+    # cross-copy grams disjoint so duplication structure scales
+    # linearly, not as copy-cliques.
+    "substring_dup_coverage",
     "source_datacard",
     "text_trigram_backoff",
 ]
@@ -217,12 +222,18 @@ def _time_one(name: str) -> dict:
             fn = lambda: scaled_ops[name](spark, sf_dir, k_scale)  # noqa: E731
         else:
             fn = lambda: QUERIES[name](spark, sf_dir)  # noqa: E731
+        # noop sink, not count(): under count() Catalyst prunes
+        # unreferenced columns — deleting per-row output expression
+        # trees and unique-keyed final joins entirely, so a probe
+        # could time a fraction of the real operator (observed:
+        # substring_dup_coverage 0.39s counted vs 2.02s materialized
+        # at sf0.1, ratio_10x 0.8 — a fiction). Matches bench.py.
         for _ in range(n_warm):
-            fn().count()  # warm-up, untimed
+            fn().write.format("noop").mode("overwrite").save()
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
-            fn().count()
+            fn().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         out[key] = round(statistics.median(runs), 4)
         print(f"  {key} {name}: {out[key]}s", file=sys.stderr)
