@@ -138,10 +138,12 @@ HEADLINE = [
     "source_datacard",
     "neardup_probe_retrieval",
     "vocab_growth_curve",
-    # round-8c additions (X66-X68), benched from birth.
+    # round-8c additions (X66-X70), benched from birth.
     "substring_dup_coverage",
     "dedup_bloom_gate",
     "embedding_remove_top_pc",
+    "dedup_containment",
+    "snapshot_diff",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

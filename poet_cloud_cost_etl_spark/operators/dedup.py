@@ -1066,3 +1066,82 @@ def containment_pairs(
     if jaccard_max is not None:
         scored = scored.filter(F.col("jaccard") < jaccard_max)
     return scored
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """X70: corpus snapshot diff — the dataset-versioning changelog
+    between two crawls/exports of the same collection.  Every doc id
+    present in either snapshot gets a status:
+
+    - ``unchanged``: id in both, same X2a content fingerprint
+    - ``changed``:   id in both, fingerprint differs (re-crawl edit)
+    - ``added``:     id only in the new snapshot
+    - ``removed``:   id only in the old snapshot
+
+    plus ``content_elsewhere``: the doc's fingerprint (new side for
+    added/changed, old side for removed) also occurs somewhere in
+    the OTHER snapshot under a different id — the moved/renamed
+    signal that separates genuinely new text from re-keyed text
+    (re-keyed docs must not re-enter training as "new" data, or
+    dedup-rate and mixture accounting drift between versions).
+
+    Scale: one id-keyed full outer join of two fingerprint
+    projections (fingerprints computed map-side, no text shuffled),
+    then one fp-keyed left join per direction against the other
+    side's distinct-fingerprint set.  All joins are keyed aggregates
+    — nothing corpus-sized is broadcast or collected."""
+    o = old.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fo")
+    )
+    n = new.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("__fn")
+    )
+    both = o.join(n, id_col, "full_outer").select(
+        F.col(id_col),
+        "__fo",
+        "__fn",
+        F.when(F.col("__fo").isNull(), F.lit("added"))
+        .when(F.col("__fn").isNull(), F.lit("removed"))
+        .when(F.col("__fo") == F.col("__fn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
+    old_fps = o.select(F.col("__fo").alias("__f")).distinct().withColumn(
+        "__in_old", F.lit(1)
+    )
+    new_fps = n.select(F.col("__fn").alias("__f")).distinct().withColumn(
+        "__in_new", F.lit(1)
+    )
+    # probe fingerprint: what this id's content is NOW (old side for
+    # removed rows); looked up in the OTHER snapshot's fp set
+    probed = both.withColumn(
+        "__probe", F.coalesce("__fn", "__fo")
+    )
+    return (
+        probed.join(
+            old_fps.select(F.col("__f").alias("__probe"), "__in_old"),
+            "__probe",
+            "left",
+        )
+        .join(
+            new_fps.select(F.col("__f").alias("__probe"), "__in_new"),
+            "__probe",
+            "left",
+        )
+        .select(
+            F.col(id_col),
+            "status",
+            F.when(
+                F.col("status") == "removed", F.col("__in_new").isNotNull()
+            )
+            .otherwise(
+                # added/changed/unchanged probe the NEW content
+                # against the OLD snapshot
+                F.col("__in_old").isNotNull()
+                & (F.col("status") != "unchanged")
+            )
+            .alias("content_elsewhere"),
+        )
+    )

@@ -4239,3 +4239,50 @@ ORACLES["dedup_containment"] = f"""
     SELECT * FROM scored WHERE containment >= 0.8
     ORDER BY doc_a, doc_b
 """
+
+# X70 snapshot diff (operators/dedup.py: snapshot_diff): id-keyed
+# full outer join of the two snapshots' X2a fingerprints, then
+# fp-membership probes against the other side (added/changed probe
+# new-content-in-old, removed probes old-content-in-new; unchanged
+# is pinned false).
+ORACLES["snapshot_diff"] = """
+    WITH canon AS (
+        SELECT doc_id, text,
+            md5(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS f
+        FROM documents
+    ),
+    old AS (SELECT doc_id, f FROM canon WHERE doc_id % 7 <> 0),
+    base_new AS (
+        SELECT doc_id,
+            CASE WHEN doc_id % 11 = 0 THEN
+                md5(trim(regexp_replace(regexp_replace(lower(text || ' rev2'),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+            ELSE f END AS f
+        FROM canon WHERE doc_id % 5 <> 0
+    ),
+    moved AS (
+        SELECT doc_id + 1000000 AS doc_id, f FROM canon
+        WHERE doc_id % 13 = 0 AND doc_id % 7 <> 0
+    ),
+    new AS (SELECT * FROM base_new UNION ALL SELECT * FROM moved),
+    both_side AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+            o.f AS fo, n.f AS fn,
+            CASE WHEN o.f IS NULL THEN 'added'
+                 WHEN n.f IS NULL THEN 'removed'
+                 WHEN o.f = n.f THEN 'unchanged'
+                 ELSE 'changed' END AS status,
+            COALESCE(n.f, o.f) AS probe
+        FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT b.doc_id, b.status,
+        CASE WHEN b.status = 'removed' THEN
+            EXISTS (SELECT 1 FROM new x WHERE x.f = b.probe)
+        ELSE
+            EXISTS (SELECT 1 FROM old x WHERE x.f = b.probe)
+            AND b.status <> 'unchanged'
+        END AS content_elsewhere
+    FROM both_side b
+    ORDER BY b.doc_id
+"""

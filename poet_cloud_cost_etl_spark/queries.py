@@ -4081,6 +4081,32 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("snapshot_diff")
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: corpus snapshot diff (operators/dedup.py: snapshot_diff)
+    — old = doc_id % 7 != 0; new = doc_id % 5 != 0 with an edited
+    revision for doc_id % 11 == 0 (changed), plus re-keyed copies
+    (+1000000) of old docs with doc_id % 13 == 0 (added with
+    content_elsewhere=true — the moved/renamed signal)."""
+    from .operators.dedup import snapshot_diff
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = d.filter(F.col("doc_id") % 7 != 0)
+    base_new = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" rev2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    moved = d.filter(
+        (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 7 != 0)
+    ).select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    new = base_new.unionByName(moved)
+    return snapshot_diff(old, new, "doc_id", "text").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -553,3 +553,34 @@ def test_containment_equals_jaccard_refactor_parity(spark):
         for r in ngram_jaccard_from_docs(df, "doc_id", "text", 0.0).collect()
     }
     assert via_cont == via_jac and via_cont
+
+
+def test_snapshot_diff_statuses_and_moved_flags(spark):
+    """X70: id-keyed statuses plus the re-key (moved) signal in both
+    directions."""
+    from poet_cloud_cost_etl_spark.operators.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie"), (4, "delta")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "alpha"),        # unchanged
+            (2, "bravo edited"), # changed
+            (5, "echo"),         # added, genuinely new
+            (6, "charlie"),      # added, re-keyed from old id 3
+            # ids 3, 4 removed; 3's content lives on at id 6
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: (r["status"], r["content_elsewhere"]) for r in
+           snapshot_diff(old, new, "doc_id", "text").collect()}
+    assert out == {
+        1: ("unchanged", False),
+        2: ("changed", False),
+        3: ("removed", True),    # content moved to id 6
+        4: ("removed", False),
+        5: ("added", False),
+        6: ("added", True),      # re-keyed, must not count as new text
+    }
