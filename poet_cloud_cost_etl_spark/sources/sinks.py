@@ -153,3 +153,41 @@ def create_view(spark: SparkSession, name: str, select_sql: str, temp: bool = Tr
     """S11: CREATE OR REPLACE VIEW (normalize.py:112-143)."""
     kind = "TEMPORARY VIEW" if temp else "VIEW"
     spark.sql(f"CREATE OR REPLACE {kind} {quote_ident(name)} AS {select_sql}")
+
+
+def write_training_shards(
+    ordered: DataFrame,
+    path: str,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+    max_records_per_file: int | None = None,
+) -> None:
+    """X71: deterministic training-shard export — materialize the
+    X44 ``training_order_shuffle`` assignment as one parquet file
+    per shard whose ROW ORDER IS the training order.  Data loaders
+    stream shard files sequentially; if the on-disk order differs
+    from the computed (shard, pos) order, the X44 epoch-shuffle
+    guarantees silently vanish at the loader boundary — so the sink,
+    not the reader, owns ordering.
+
+    Layout contract: ``path/<shard_col>=<k>/part-*.parquet``; each
+    shard maps to exactly ONE file (hash-repartition on the shard
+    key puts a shard in exactly one task; the partitionBy writer
+    then splits that task's output per shard value), rows ascending
+    by ``pos_col``.  ``max_records_per_file`` caps file size for
+    loaders that need bounded memory — NOTE it splits a shard into
+    several files whose lexicographic part-name order preserves pos
+    order (Spark numbers split files monotonically within a task).
+
+    Scale: one hash shuffle on the shard key + an in-task sort —
+    the minimum any order-owning export pays. Shard count should be
+    >= a few × executor count so the final stage parallelizes."""
+    w = (
+        ordered.repartition(F.col(shard_col))
+        .sortWithinPartitions(shard_col, pos_col)
+        .write.mode("overwrite")
+        .partitionBy(shard_col)
+    )
+    if max_records_per_file is not None:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)

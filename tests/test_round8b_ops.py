@@ -584,3 +584,44 @@ def test_snapshot_diff_statuses_and_moved_flags(spark):
         5: ("added", False),
         6: ("added", True),      # re-keyed, must not count as new text
     }
+
+
+def test_write_training_shards_order_contract(spark, tmp_path):
+    """X71: one file per shard, rows inside each shard file ascend by
+    pos — the on-disk order IS the X44 training order."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        training_order_shuffle,
+    )
+    from poet_cloud_cost_etl_spark.sources.sinks import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], ["doc_id", "text"]
+    )
+    ordered = df.join(
+        training_order_shuffle(df, "doc_id", n_shards=4), "doc_id"
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(ordered, out, shard_col="shard", pos_col="pos")
+
+    expect = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in training_order_shuffle(df, "doc_id", n_shards=4).collect()
+    }
+    n_rows = 0
+    for s in range(4):
+        files = glob.glob(os.path.join(out, f"shard={s}", "*.parquet"))
+        assert len(files) == 1, (s, files)
+        t = pq.read_table(files[0]).to_pydict()
+        poss = t["pos"]
+        assert poss == sorted(poss), f"shard {s} not pos-ordered"
+        for pos, did in zip(t["pos"], t["doc_id"]):
+            assert expect[(s, pos)] == did
+        n_rows += len(poss)
+    assert n_rows == 200
