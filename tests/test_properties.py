@@ -197,3 +197,140 @@ def test_compressibility_matches_python_reference(spark, text):
     assert r["distinct_bigrams"] == len(set(bi))
     want_ttr = (1000000 * len(set(bi))) // max(len(bi), 1) / 1000000.0
     assert r["bigram_ttr"] == want_ttr
+
+
+# ---- round-8c operators vs independent Python references ----------
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abc"), min_size=0, max_size=10),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=3),
+)
+@settings(max_examples=8, deadline=None)
+def test_substring_dup_coverage_matches_python_reference(
+    spark, docs, min_count
+):
+    """X66 vs a plain-python position counter: per-doc flagged
+    positions under corpus-wide 3-gram occurrence counting."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        substring_dup_coverage,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_positions"], r["dup_positions"]) for r in
+           substring_dup_coverage(df, "doc_id", "text",
+                                  min_count=min_count).collect()}
+
+    # reference: tokenization of " ".join(toks) may produce [""] for
+    # the empty doc — mirror the engine's split semantics
+    toksed = [(" ".join(t)).split(" ") if t else [""] for t in docs]
+    corpus: dict[tuple, int] = {}
+    for t in toksed:
+        for i in range(max(len(t) - 2, 0)):
+            g = tuple(t[i:i + 3])
+            corpus[g] = corpus.get(g, 0) + 1
+    want = {}
+    for i, t in enumerate(toksed):
+        n_pos = max(len(t) - 2, 0)
+        dup = sum(
+            1 for k in range(n_pos)
+            if corpus[tuple(t[k:k + 3])] >= min_count
+        )
+        want[i] = (n_pos, dup)
+    assert got == want
+
+
+@given(
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=20),
+    st.sets(st.integers(min_value=0, max_value=60), min_size=1, max_size=10),
+    st.integers(min_value=16, max_value=256),
+)
+@settings(max_examples=8, deadline=None)
+def test_bloom_gate_matches_hashlib_reference(spark, hist_ids, inc_ids, m):
+    """X67 vs hashlib: identical bit positions, hit counts, and
+    exact-membership grading."""
+    from poet_cloud_cost_etl_spark.operators.dedup import bloom_gate_eval
+
+    hist = spark.createDataFrame(
+        [(i, f"text number {i}") for i in sorted(hist_ids)],
+        ["doc_id", "text"],
+    )
+    inc = spark.createDataFrame(
+        [(1000 + i, f"text number {i}") for i in sorted(inc_ids)],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: (r["bloom_hits"], r["bloom_maybe_dup"],
+                         r["exact_dup"], r["false_positive"])
+           for r in bloom_gate_eval(hist, inc, "doc_id", "text",
+                                    m_bits=m, n_hashes=4).collect()}
+
+    def fp(i):
+        canon = f"text number {i}"
+        return hashlib.md5(canon.encode()).hexdigest()
+
+    def positions(f):
+        return [
+            int(hashlib.md5(f"{j}|{f}".encode()).hexdigest()[:8], 16) % m
+            for j in range(4)
+        ]
+
+    bits = {p for i in hist_ids for p in positions(fp(i))}
+    hist_fps = {fp(i) for i in hist_ids}
+    want = {}
+    for i in sorted(inc_ids):
+        hits = sum(1 for p in positions(fp(i)) if p in bits)
+        maybe = hits == 4
+        exact = fp(i) in hist_fps
+        want[1000 + i] = (hits, maybe, exact, maybe and not exact)
+    assert got == want
+
+
+@given(
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.sampled_from("abcde"),
+        min_size=0,
+        max_size=12,
+    ),
+    st.dictionaries(
+        st.integers(min_value=0, max_value=15),
+        st.sampled_from("abcde"),
+        min_size=0,
+        max_size=12,
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_snapshot_diff_matches_python_reference(spark, old_map, new_map):
+    """X70 vs a plain-python diff over (id -> content) maps."""
+    from poet_cloud_cost_etl_spark.operators.dedup import snapshot_diff
+
+    if not old_map and not new_map:
+        return
+    old = spark.createDataFrame(
+        [(i, f"content {c}") for i, c in sorted(old_map.items())],
+        ["doc_id", "text"],
+    ) if old_map else spark.createDataFrame([], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(i, f"content {c}") for i, c in sorted(new_map.items())],
+        ["doc_id", "text"],
+    ) if new_map else spark.createDataFrame([], "doc_id long, text string")
+    got = {r["doc_id"]: (r["status"], r["content_elsewhere"]) for r in
+           snapshot_diff(old, new, "doc_id", "text").collect()}
+
+    old_contents, new_contents = set(old_map.values()), set(new_map.values())
+    want = {}
+    for i in set(old_map) | set(new_map):
+        if i not in old_map:
+            want[i] = ("added", new_map[i] in old_contents)
+        elif i not in new_map:
+            want[i] = ("removed", old_map[i] in new_contents)
+        elif old_map[i] == new_map[i]:
+            want[i] = ("unchanged", False)
+        else:
+            want[i] = ("changed", new_map[i] in old_contents)
+    assert got == want
