@@ -693,3 +693,60 @@ def semantic_dedup_tree(
             F.coalesce("__dup", F.lit(False)).alias("is_dup"),
         )
     )
+
+
+def index_shard_plan(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_shards: int = 4,
+) -> DataFrame:
+    """X72: balanced serving-shard plan for an IVF index — assign
+    inverted lists to ``n_shards`` serving shards so per-shard vector
+    counts stay even despite list-size skew.  A hash assignment
+    ignores skew (one hot list can double a shard); the classic fix
+    is LPT ("longest processing time first") — here its deterministic
+    snake/boustrophedon form: rank lists by size descending and deal
+    rank r to shard r%S on even passes, S-1-(r%S) on odd passes, so
+    each pass pairs a large remainder with a small one.  Exact LPT's
+    "append to currently-lightest shard" is a sequential recurrence;
+    the snake is its standard order-free approximation — same
+    guarantee class, expressible as one closed-form expression per
+    row.
+
+    Output (per list): (centroid_id, n_vectors, rank, shard,
+    shard_total_vectors) — the last column is the balance panel.
+
+    Scale: the X8 zero-shuffle assignment builds list sizes with one
+    keyed aggregate to a k-row table; ranking and the snake run on
+    those k rows (single-partition sort — k is the IVF list count,
+    thousands at most, NOT corpus-sized) and the result broadcasts
+    back to route vectors/queries."""
+    from pyspark.sql.window import Window
+
+    lists = (
+        ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1)
+        .groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    )
+    w = Window.orderBy(F.desc("n_vectors"), F.asc("centroid_id"))
+    ranked = lists.withColumn(
+        "rank", (F.row_number().over(w) - 1).cast("int")
+    )
+    snake = (
+        f"CAST(CASE WHEN (rank div {n_shards}) % 2 = 0 "
+        f"THEN rank % {n_shards} "
+        f"ELSE {n_shards - 1} - (rank % {n_shards}) END AS INT)"
+    )
+    per_list = ranked.withColumn("shard", F.expr(snake))
+    tot = Window.partitionBy("shard")
+    return per_list.select(
+        "centroid_id",
+        "n_vectors",
+        "rank",
+        "shard",
+        F.sum("n_vectors").over(tot).cast("long").alias(
+            "shard_total_vectors"
+        ),
+    )

@@ -4286,3 +4286,34 @@ ORACLES["snapshot_diff"] = """
     FROM both_side b
     ORDER BY b.doc_id
 """
+
+# X72 IVF serving-shard plan (operators/similarity.py:
+# index_shard_plan): _IVF_CENTS/_IVF_ASSIGN list sizes, rank by
+# (size DESC, centroid_id), snake deal onto 3 shards, per-shard
+# totals via window.
+ORACLES["ann_index_shard_plan"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    lists AS (
+        SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')})
+        WHERE probe_rank = 1
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT centroid_id, n_vectors,
+            CAST(ROW_NUMBER() OVER (
+                ORDER BY n_vectors DESC, centroid_id) - 1 AS INTEGER)
+                AS rank
+        FROM lists
+    ),
+    dealt AS (
+        SELECT centroid_id, n_vectors, rank,
+            CAST(CASE WHEN (rank // 3) % 2 = 0 THEN rank % 3
+                 ELSE 2 - (rank % 3) END AS INTEGER) AS shard
+        FROM ranked
+    )
+    SELECT centroid_id, n_vectors, rank, shard,
+        CAST(SUM(n_vectors) OVER (PARTITION BY shard) AS BIGINT)
+            AS shard_total_vectors
+    FROM dealt ORDER BY rank
+"""

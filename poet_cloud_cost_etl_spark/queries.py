@@ -4107,6 +4107,21 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new, "doc_id", "text").orderBy("doc_id")
 
 
+@query("ann_index_shard_plan")
+def q_ann_index_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: IVF serving-shard balance plan (operators/similarity.py:
+    index_shard_plan) — 8 inverted lists LPT-snake-dealt onto 3
+    shards (3 chosen so passes wrap unevenly and the odd/even snake
+    reversal is exercised)."""
+    from .operators.similarity import index_shard_plan, ivf_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, "vec_id", "embedding", k=8)
+    return index_shard_plan(
+        e, cents, "vec_id", "embedding", n_shards=3
+    ).orderBy("rank")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

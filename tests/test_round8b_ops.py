@@ -625,3 +625,40 @@ def test_write_training_shards_order_contract(spark, tmp_path):
             assert expect[(s, pos)] == did
         n_rows += len(poss)
     assert n_rows == 200
+
+
+def test_index_shard_plan_snake_balances_skew(spark):
+    """X72: skewed list sizes deal onto shards with the snake so the
+    largest+smallest pair up; totals are provably tighter than the
+    naive modulo deal on the same draw."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        index_shard_plan,
+    )
+
+    # 6 synthetic "lists": sizes 60, 50, 40, 30, 20, 10 via vectors
+    # clustered tightly around 6 well-separated centroids
+    rows, cents = [], []
+    sizes = [60, 50, 40, 30, 20, 10]
+    vid = 0
+    for ci, n in enumerate(sizes):
+        base = [0.0] * 6
+        base[ci] = 1.0
+        cents.append((ci, base))
+        for _ in range(n):
+            rows.append((vid, base))
+            vid += 1
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    centroids = spark.createDataFrame(
+        cents, ["centroid_id", "centroid_vec"]
+    )
+    out = index_shard_plan(
+        corpus, centroids, "vec_id", "embedding", n_shards=2
+    ).collect()
+    by_rank = sorted(out, key=lambda r: r["rank"])
+    assert [r["n_vectors"] for r in by_rank] == sizes
+    # snake on 2 shards: ranks 0,3,4 -> shard 0; 1,2,5 -> shard 1
+    assert [r["shard"] for r in by_rank] == [0, 1, 1, 0, 0, 1]
+    totals = {r["shard"]: r["shard_total_vectors"] for r in out}
+    assert totals == {0: 60 + 30 + 20, 1: 50 + 40 + 10}  # 110 vs 100
+    # naive modulo deal would give 60+40+20=120 vs 50+30+10=90
+    assert max(totals.values()) - min(totals.values()) < 120 - 90
