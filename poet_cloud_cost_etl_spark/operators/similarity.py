@@ -750,3 +750,70 @@ def index_shard_plan(
             "shard_total_vectors"
         ),
     )
+
+
+def retrieval_mrr_eval(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """X73: MRR@k of the IVF index against the exact nearest
+    neighbor — the rank-position-sensitive companion to X4/X8's
+    recall@k (``ann_recall_eval``): recall says whether the true
+    neighbor is anywhere in the top-k, reciprocal rank says how far
+    down it sits — the metric that moves first when nprobe is too
+    low or lists are imbalanced (the true NN drifts from rank 1 to
+    rank 4 long before it falls out of the top-k entirely).
+
+    Per query: the exact NN (brute force, rank 1), the rank the IVF
+    index found it at (0 = missed within k), reciprocal rank as a
+    ppm integer division (1e6 div rank — exact, order-free), and
+    the corpus-wide MRR: an integer mean of the ppm values, so the
+    aggregate is deterministic in any engine (no float summation
+    order).
+
+    Scale: the brute-force side is the eval's ground truth —
+    query-set-sized (offline sample), not corpus-sized; the IVF side
+    is the production X4c path (keyed centroid join).  The final
+    window runs over the query set only."""
+    from pyspark.sql.window import Window
+
+    truth = brute_force_topk(queries, corpus, id_col, vec_col, k=1).select(
+        "query_id", F.col("neighbor_id").alias("true_neighbor")
+    )
+    approx = ivf_topk(
+        queries, corpus, id_col, vec_col,
+        k=k, n_centroids=n_centroids, nprobe=nprobe,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("true_neighbor"),
+        F.col("rank").alias("found_rank"),
+    )
+    per = truth.join(approx, ["query_id", "true_neighbor"], "left").select(
+        "query_id",
+        "true_neighbor",
+        F.coalesce("found_rank", F.lit(0)).cast("int").alias("found_rank"),
+        F.expr(
+            "CASE WHEN found_rank IS NULL THEN 0L "
+            "ELSE 1000000L div found_rank END"
+        ).alias("__rr_ppm"),
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "query_id",
+        "true_neighbor",
+        "found_rank",
+        (F.col("__rr_ppm").cast("double") / 1_000_000.0).alias(
+            "reciprocal_rank"
+        ),
+        (
+            F.expr(
+                "CAST(sum(__rr_ppm) OVER () div count(1) OVER () AS DOUBLE)"
+            )
+            / 1_000_000.0
+        ).alias("mrr"),
+    )

@@ -4317,3 +4317,71 @@ ORACLES["ann_index_shard_plan"] = f"""
             AS shard_total_vectors
     FROM dealt ORDER BY rank
 """
+
+# X73 MRR eval (operators/similarity.py: retrieval_mrr_eval): exact
+# NN via brute force (rank 1), IVF@5 nprobe=1 found-rank, reciprocal
+# rank and corpus MRR as ppm integer divisions (order-free).
+ORACLES["ann_mrr_eval"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    lists AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')})
+        WHERE probe_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM embeddings WHERE vec_id < 12)', cents='cents')})
+        WHERE probe_rank <= 1
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS INTEGER) AS rank
+            FROM (
+                SELECT p.query_id, l.neighbor_id,
+                    ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                                 CAST(l.cv AS DOUBLE[])), 6)
+                        AS cos_sim
+                FROM lists l JOIN probes p USING (centroid_id)
+                WHERE l.neighbor_id <> p.query_id
+            )
+        )
+        WHERE rank <= 5
+    ),
+    bf1 AS (
+        SELECT query_id, neighbor_id AS true_neighbor
+        FROM (
+            SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])), 6)
+                        AS cos_sim
+                FROM embeddings e,
+                     (SELECT * FROM embeddings WHERE vec_id < 12) q
+                WHERE e.vec_id <> q.vec_id
+            )
+        )
+        WHERE rank = 1
+    ),
+    per AS (
+        SELECT b.query_id, b.true_neighbor,
+            CAST(COALESCE(i.rank, 0) AS INTEGER) AS found_rank,
+            CASE WHEN i.rank IS NULL THEN CAST(0 AS BIGINT)
+                 ELSE 1000000 // i.rank END AS rr_ppm
+        FROM bf1 b
+        LEFT JOIN ivf i ON i.query_id = b.query_id
+                       AND i.neighbor_id = b.true_neighbor
+    )
+    SELECT query_id, true_neighbor, found_rank,
+        CAST(rr_ppm AS DOUBLE) / 1000000.0 AS reciprocal_rank,
+        CAST((SELECT SUM(rr_ppm) // COUNT(*) FROM per) AS DOUBLE)
+            / 1000000.0 AS mrr
+    FROM per ORDER BY query_id
+"""

@@ -4122,6 +4122,21 @@ def q_ann_index_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("rank")
 
 
+@query("ann_mrr_eval")
+def q_ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73: MRR@5 of the IVF index vs the exact nearest neighbor
+    (operators/similarity.py: retrieval_mrr_eval) — 12 probe
+    queries, nprobe=1 so rank drift and misses actually occur (the
+    regime the metric exists to catch)."""
+    from .operators.similarity import retrieval_mrr_eval
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 12)
+    return retrieval_mrr_eval(
+        q, e, "vec_id", "embedding", k=5, n_centroids=8, nprobe=1
+    ).orderBy("query_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

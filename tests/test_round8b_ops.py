@@ -662,3 +662,39 @@ def test_index_shard_plan_snake_balances_skew(spark):
     assert totals == {0: 60 + 30 + 20, 1: 50 + 40 + 10}  # 110 vs 100
     # naive modulo deal would give 60+40+20=120 vs 50+30+10=90
     assert max(totals.values()) - min(totals.values()) < 120 - 90
+
+
+def test_retrieval_mrr_eval_consistent_with_components(spark):
+    """X73: per-query reciprocal rank equals 1/rank of the true NN in
+    the (already-verified) ivf_topk result, 0 on a miss; mrr is the
+    integer ppm mean."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        retrieval_mrr_eval,
+    )
+
+    from pyspark.sql import functions as F
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    )
+    q = e.filter(F.col("vec_id") < 6)
+    out = retrieval_mrr_eval(
+        q, e, "vec_id", "embedding", k=4, n_centroids=4, nprobe=1
+    ).collect()
+    truth = {r["query_id"]: r["neighbor_id"] for r in
+             brute_force_topk(q, e, "vec_id", "embedding", k=1).collect()}
+    ivf = {(r["query_id"], r["neighbor_id"]): r["rank"] for r in
+           ivf_topk(q, e, "vec_id", "embedding", k=4, n_centroids=4,
+                    nprobe=1).collect()}
+    rr_ppms = []
+    for r in out:
+        assert truth[r["query_id"]] == r["true_neighbor"]
+        want_rank = ivf.get((r["query_id"], r["true_neighbor"]), 0)
+        assert r["found_rank"] == want_rank
+        ppm = 1000000 // want_rank if want_rank else 0
+        assert r["reciprocal_rank"] == ppm / 1e6
+        rr_ppms.append(ppm)
+    want_mrr = (sum(rr_ppms) // len(rr_ppms)) / 1e6
+    assert all(r["mrr"] == want_mrr for r in out)
