@@ -144,6 +144,9 @@ HEADLINE = [
     "embedding_remove_top_pc",
     "dedup_containment",
     "snapshot_diff",
+    "ann_index_shard_plan",
+    "ann_mrr_eval",
+    "dedup_bbit_minhash",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -1145,3 +1145,101 @@ def snapshot_diff(
             .alias("content_elsewhere"),
         )
     )
+
+
+def bbit_minhash_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    b: int = 2,
+    min_df: int | None = None,
+    max_df: int | None = None,
+) -> DataFrame:
+    """X74: b-bit minwise hashing (Li & König 2010) — store only the
+    lowest ``b`` bits of each of the ``k`` MinHash components and
+    estimate Jaccard from the collision rate with the small-b
+    correction  J ≈ (E − C)/(1 − C),  C = 2^-b.  The storage win is
+    the point: k·b bits per doc instead of k·128-bit digests — at
+    b=2, k=24 that is 6 bytes per document for the whole near-dup
+    index, the difference between a sketch that fits executor memory
+    at 100 TB and one that doesn't.  This is the EVAL form (X45's
+    pattern): estimate and exact Jaccard side by side over the
+    pairs-sharing-a-shingle population, so the (k, b) dial can be
+    tuned against ground truth before the full index commits to it.
+
+    Integer-portable throughout: the b-bit component is the low
+    ``b`` bits of the last hex char of the lexicographic-min md5
+    (the X2b signature family); the estimator is
+    greatest(0, (c·2^b − k)·1e6 div (k·(2^b − 1))) ppm — the
+    negative tail (collision rate below the C baseline on disjoint
+    sets) clamps to 0 exactly as the published estimator does.
+
+    Scale: the X2d shared pair core bounds the pair population
+    (grouped single-shuffle generation, hot-shingle AQE split); the
+    sketches join on each side's doc id — two keyed joins of a
+    k·b-bit-wide table; the collision count is one zip_with fold."""
+    arrs = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh"))
+        .filter(F.size("__sh") > 0)
+    )
+    sh_n = arrs.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
+    common = _pair_common(sh_n, id_col, min_df, max_df)
+
+    sig = minhash_signatures(
+        arrs.select(F.col(id_col), F.explode("__sh").alias("shingle")),
+        id_col,
+        k=k,
+    )
+    mod = 2 ** b
+    bits = sig.select(
+        F.col(id_col),
+        F.array(*[
+            (
+                F.conv(F.substring(F.col(f"mh{j}"), 32, 1), 16, 10).cast(
+                    "int"
+                )
+                % mod
+            )
+            for j in range(1, k + 1)
+        ]).alias("__bits"),
+    )
+    paired = (
+        common.join(
+            bits.select(F.col(id_col).alias("doc_a"),
+                        F.col("__bits").alias("__ba")),
+            "doc_a",
+        )
+        .join(
+            bits.select(F.col(id_col).alias("doc_b"),
+                        F.col("__bits").alias("__bb")),
+            "doc_b",
+        )
+        .withColumn(
+            "__c",
+            F.expr(
+                "aggregate(zip_with(__ba, __bb, (x, y) -> "
+                "CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, e) -> a + e)"
+            ),
+        )
+    )
+    est_ppm = F.expr(
+        f"greatest(0L, ((__c * {mod} - {k}) * 1000000) "
+        f"div ({k} * {mod - 1}))"
+    )
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        F.col("__c").cast("int").alias("n_collisions"),
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            6,
+        ).alias("jaccard"),
+        (est_ppm.cast("double") / 1_000_000.0).alias("est_jaccard"),
+    )

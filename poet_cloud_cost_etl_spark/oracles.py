@@ -4385,3 +4385,50 @@ ORACLES["ann_mrr_eval"] = f"""
             / 1000000.0 AS mrr
     FROM per ORDER BY query_id
 """
+
+# X74 b-bit minwise eval (operators/dedup.py: bbit_minhash_eval):
+# per-doc k=24 MinHash components (the X2b seed family), low-2-bit
+# compression from the last hex char, collision count via an ordered
+# fold, estimator (c*4 - 24)*1e6 // 72 clamped at 0, exact Jaccard
+# alongside from the same pair CTE as dedup_containment.
+_BBIT_K = 24
+_BBIT_MHS = ", ".join(
+    f"MIN(md5('{j}|' || shingle)) AS mh{j}" for j in range(1, _BBIT_K + 1)
+)
+_BBIT_ARR = ", ".join(
+    f"CAST(('0x' || substr(mh{j}, 32, 1)) AS INTEGER) % 4"
+    for j in range(1, _BBIT_K + 1)
+)
+ORACLES["dedup_bbit_minhash"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sig AS (SELECT doc_id, {_BBIT_MHS} FROM sh GROUP BY doc_id),
+    bits AS (SELECT doc_id, [{_BBIT_ARR}] AS barr FROM sig),
+    coll AS (
+        SELECT p.doc_a, p.doc_b, p.n_common, sa.n AS na, sb.n AS nb,
+            list_reduce(list_concat([CAST(0 AS BIGINT)],
+                list_transform(range(1, {_BBIT_K} + 1),
+                    i -> CASE WHEN ba.barr[CAST(i AS INTEGER)]
+                              = bb.barr[CAST(i AS INTEGER)]
+                         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)),
+                (a, e) -> a + e) AS c
+        FROM pairs p
+        JOIN bits ba ON p.doc_a = ba.doc_id
+        JOIN bits bb ON p.doc_b = bb.doc_id
+        JOIN sizes sa ON p.doc_a = sa.doc_id
+        JOIN sizes sb ON p.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(c AS INTEGER) AS n_collisions,
+        ROUND(CAST(n_common AS DOUBLE) / (na + nb - n_common), 6) AS jaccard,
+        CAST(GREATEST(CAST(0 AS BIGINT),
+            ((c * 4 - {_BBIT_K}) * 1000000) // ({_BBIT_K} * 3))
+            AS DOUBLE) / 1000000.0 AS est_jaccard
+    FROM coll ORDER BY doc_a, doc_b
+"""

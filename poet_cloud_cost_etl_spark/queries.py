@@ -4137,6 +4137,20 @@ def q_ann_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id")
 
 
+@query("dedup_bbit_minhash")
+def q_dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74: b-bit minwise Jaccard estimation eval (operators/
+    dedup.py: bbit_minhash_eval) — k=24 components compressed to 2
+    bits each (6 bytes/doc), estimate vs exact Jaccard over the
+    pairs-sharing-a-shingle population."""
+    from .operators.dedup import bbit_minhash_eval
+
+    d = table(spark, sf_dir, "documents")
+    return bbit_minhash_eval(d, "doc_id", "text", k=24, b=2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -698,3 +698,46 @@ def test_retrieval_mrr_eval_consistent_with_components(spark):
         rr_ppms.append(ppm)
     want_mrr = (sum(rr_ppms) // len(rr_ppms)) / 1e6
     assert all(r["mrr"] == want_mrr for r in out)
+
+
+def test_bbit_minhash_identical_docs_estimate_one(spark):
+    """X74: identical shingle sets collide on all k components ->
+    est_jaccard 1.0 == exact; disjoint sets estimate ~0 (clamped)."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        bbit_minhash_eval,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely different words in this one entirely"),
+        (4, "completely different words in this one entirely"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {(r["doc_a"], r["doc_b"]): r for r in
+           bbit_minhash_eval(df, "doc_id", "text", k=24, b=2).collect()}
+    # identical pairs share every shingle -> every component collides
+    for pair in [(1, 2), (3, 4)]:
+        r = out[pair]
+        assert r["n_collisions"] == 24
+        assert r["jaccard"] == 1.0 and r["est_jaccard"] == 1.0
+    # cross pairs share no shingle -> no pair row at all (pair core
+    # only emits pairs sharing >= 1 shingle)
+    assert (1, 3) not in out and (2, 4) not in out
+
+
+def test_bbit_minhash_estimator_clamps_at_zero(spark):
+    """X74: the estimator never goes negative even when collisions
+    fall below the 2^-b baseline."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        bbit_minhash_eval,
+    )
+
+    # one shared shingle between otherwise-different docs: a pair
+    # exists, collision count can dip below k/4
+    a = "alpha beta gamma " + " ".join(f"u{i} v{i} w{i}" for i in range(10))
+    b = "alpha beta gamma " + " ".join(f"x{i} y{i} z{i}" for i in range(10))
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    out = bbit_minhash_eval(df, "doc_id", "text", k=24, b=2).collect()
+    assert len(out) == 1
+    assert out[0]["est_jaccard"] >= 0.0
