@@ -400,9 +400,16 @@ def ivf_topk(
 
 # Above this centroid count the flat N·k assignment stops being the
 # right default: under the constant-cluster-size policy k ∝ N, so
-# flat assignment is N²/c (the r7 10× scale probe measured 34.2× for
-# flat vs 9.2× for the tree). semantic_dedup(assign="auto") switches
-# to the log-depth tree past this point.
+# flat assignment is N²/c while the tree descends b·log_b(k)
+# centroids per row. The honest (noop-action, equal-bucket-count)
+# r8 10× probe puts flat and tree STATISTICALLY EQUAL at k=64
+# (91.4s vs 93.9s at sf1.0 — within-bucket pair work dominates at
+# that size), so 64 is the neutral crossover: beyond it the flat
+# side's per-row cost keeps growing linearly in k (512 compares/row
+# at k=512) while the tree's stays b·depth (24), and the gap is
+# pure assignment arithmetic. (An earlier count()-based probe
+# claimed 34.2× vs 9.2× — that measurement pruned the per-row
+# output work and is superseded; see bench.py's noop-action note.)
 FLAT_ASSIGN_MAX_K = 64
 
 

@@ -63,6 +63,9 @@ HEAVY = [
     # cross-copy grams disjoint so duplication structure scales
     # linearly, not as copy-cliques.
     "substring_dup_coverage",
+    # round-8c: containment shares the X2d grouped pair core — the
+    # decade point measures the pair-generation shuffle directly.
+    "dedup_containment",
     "source_datacard",
     "text_trigram_backoff",
 ]
@@ -74,13 +77,22 @@ N_RUNS = 3
 # k=8 for oracle determinism; probing THAT at 10x data would measure
 # 10x-bigger clusters (quadratic pair growth) — a mis-deployment, not
 # the operator. The probe therefore applies the knob: k=8 at sf0.1,
-# k=8*COPIES at sf1.0, which is how the operator ships at scale.
+# k=64 at sf1.0 — EXACTLY the tree probe's 8^depth leaf count, so the
+# within-bucket pair stage (identical algorithm, cluster-size-driven)
+# costs the same on both sides and the flat-vs-tree delta isolates
+# the ASSIGNMENT strategy (N·k vs N·b·depth), which is the claim the
+# record exists to test. (The first cut used k=80 ≠ 64 leaves; the
+# tree then paid ~25% more pair work and the comparison was
+# apples-to-oranges.)
 def _semantic_dedup_scaled(spark, sf_dir, k_scale):
     from poet_cloud_cost_etl_spark.catalog import table
     from poet_cloud_cost_etl_spark.operators.similarity import semantic_dedup
 
     e = table(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, "vec_id", "embedding", n_centroids=8 * k_scale)
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=k, assign="flat"
+    )
 
 
 def _semantic_dedup_tree(spark, sf_dir, k_scale):
