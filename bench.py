@@ -147,6 +147,7 @@ HEADLINE = [
     "ann_index_shard_plan",
     "ann_mrr_eval",
     "dedup_bbit_minhash",
+    "dedup_simhash_pairs",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -1243,3 +1243,92 @@ def bbit_minhash_eval(
         ).alias("jaccard"),
         (est_ppm.cast("double") / 1_000_000.0).alias("est_jaccard"),
     )
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    split_threshold: int = 1024,
+) -> DataFrame:
+    """X75: SimHash near-dup PAIRS via block banding (Manku, Jain &
+    Sarma 2007 — Google's web-crawl dedup) — completes X2e, which
+    computes fingerprints but not neighbors.  The 16-bit fingerprint
+    splits into 4 disjoint 4-bit blocks; by pigeonhole, two
+    fingerprints within hamming distance 3 agree on at least one
+    whole block, so candidate generation is exact-match bucketing on
+    (block_idx, block_value) — the same grouped single-shuffle pair
+    generation as X2c — followed by an exact popcount filter
+    bit_count(xor) <= max_hamming.  100% recall for
+    max_hamming <= blocks − 1, zero pairwise scan.
+
+    Scale honesty: 16 bits / 4-bit blocks is the fixture-sized
+    pedagogical dial — 2^4 block values bound bucket count at 64, so
+    buckets grow O(N) and in-bucket pair generation quadratically; a
+    production crawl dedup widens to 64-bit fingerprints with 16-bit
+    blocks (2^16 buckets per table) exactly as Manku does.  The
+    skew machinery is scale-real either way: buckets above
+    ``split_threshold`` take the AQE-splittable self-join branch
+    (X2c's hybrid), so one hot bucket never pins a task.
+
+    Output: (doc_a, doc_b, hamming), doc_a < doc_b, distinct."""
+    fps = simhash16(df, id_col, text_col)
+    exploded = fps.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.array(*[
+                F.shiftright(F.col("simhash"), 4 * b).bitwiseAND(15)
+                for b in range(4)
+            ])
+        ).alias("block_idx", "block_val"),
+    )
+    grouped = (
+        exploded.groupBy("block_idx", "block_val")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(F.col(id_col).alias("id"), F.col("simhash").alias("fp"))
+                )
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+    )
+    grouped = grouped.localCheckpoint(eager=True)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.id AS doc_a, y.id AS doc_b, x.fp AS fa, y.fp AS fb))))"
+    )
+    small = (
+        grouped.filter(F.size("ids") <= split_threshold)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.fa", "p.fb")
+    )
+    hot = grouped.filter(F.size("ids") > split_threshold).select(
+        "block_idx", "block_val", F.explode("ids").alias("s")
+    )
+    ha = hot.select(
+        "block_idx", "block_val",
+        F.col("s.id").alias("doc_a"), F.col("s.fp").alias("fa"),
+    )
+    hb = hot.select(
+        "block_idx", "block_val",
+        F.col("s.id").alias("doc_b"), F.col("s.fp").alias("fb"),
+    )
+    hot_pairs = (
+        ha.join(hb, ["block_idx", "block_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fa", "fb")
+    )
+    return (
+        small.union(hot_pairs)
+        .distinct()
+        .withColumn(
+            "hamming",
+            F.expr("bit_count(fa ^ fb)").cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

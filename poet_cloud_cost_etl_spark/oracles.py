@@ -4432,3 +4432,36 @@ ORACLES["dedup_bbit_minhash"] = f"""
             AS DOUBLE) / 1000000.0 AS est_jaccard
     FROM coll ORDER BY doc_a, doc_b
 """
+
+# X75 SimHash hamming pairs (operators/dedup.py:
+# simhash_hamming_pairs): the dedup_simhash fingerprint CTE, 4-bit
+# block bucketing (pigeonhole recall for hamming <= 3), exact
+# bit_count(xor) filter. Same tokenizer + vote convention.
+ORACLES["dedup_simhash_pairs"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    tk AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    hs AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) AS h FROM tk),
+    v AS (
+        SELECT doc_id,
+            {_V_COLS}
+        FROM hs GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({_SIM_SUM} AS INTEGER) AS simhash FROM v),
+    blocks AS (
+        SELECT doc_id, simhash, b.i AS block_idx,
+            (simhash // CAST(pow(2, 4 * b.i) AS INTEGER)) % 16 AS block_val
+        FROM fp, UNNEST([0, 1, 2, 3]) AS b(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            a.simhash AS fa, b.simhash AS fb
+        FROM blocks a JOIN blocks b
+            ON a.block_idx = b.block_idx AND a.block_val = b.block_val
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+        CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(fa, fb)) <= 1
+    ORDER BY doc_a, doc_b
+"""

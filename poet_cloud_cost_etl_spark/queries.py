@@ -4151,6 +4151,22 @@ def q_dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_simhash_pairs")
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75: SimHash hamming-distance near-dup pairs (operators/
+    dedup.py: simhash_hamming_pairs) — Manku-2007 block banding on
+    the X2e fingerprints, exact popcount filter at max_hamming=1
+    (the 16-bit demo space saturates above that on a shared-
+    vocabulary corpus; the operator docstring records the 64-bit
+    production dial)."""
+    from .operators.dedup import simhash_hamming_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return simhash_hamming_pairs(
+        d, "doc_id", "text", max_hamming=1
+    ).orderBy("doc_a", "doc_b")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -741,3 +741,30 @@ def test_bbit_minhash_estimator_clamps_at_zero(spark):
     out = bbit_minhash_eval(df, "doc_id", "text", k=24, b=2).collect()
     assert len(out) == 1
     assert out[0]["est_jaccard"] >= 0.0
+
+
+def test_simhash_pairs_pigeonhole_recall(spark):
+    """X75: every pair within hamming<=3 is found (block banding is
+    exhaustive by pigeonhole) — brute-force cross-check on a small
+    corpus; hamming values are exact popcounts."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        simhash16,
+        simhash_hamming_pairs,
+    )
+
+    rows = [(i, f"shared words everywhere plus t{i} u{i % 3}")
+            for i in range(24)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {r["doc_id"]: r["simhash"] for r in
+           simhash16(df, "doc_id", "text").collect()}
+    want = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fps[a] ^ fps[b]).count("1")
+            if h <= 3:
+                want[(a, b)] = h
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+           simhash_hamming_pairs(df, "doc_id", "text",
+                                 max_hamming=3).collect()}
+    assert got == want and want  # non-vacuous: the corpus has pairs
