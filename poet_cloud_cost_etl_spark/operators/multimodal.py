@@ -125,3 +125,34 @@ def frame_sample(df: DataFrame, frame_size: int = 64, every_k: int = 4) -> DataF
             )
 
     return df.select("doc_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def sniff_payload_format(
+    df: DataFrame, id_col: str, payload_col: str
+) -> DataFrame:
+    """X76: magic-byte container sniffing — classify an opaque media
+    payload by its leading bytes (PNG \\x89PNG, JPEG \\xFF\\xD8\\xFF,
+    RIFF/WAV 'RIFF'), falling back to application/octet-stream.  The
+    first gate of every multimodal ingest: upstream-declared MIME
+    types lie (mislabeled crawls, renamed extensions), so the
+    pipeline routes on sniffed bytes, and the mismatch rate between
+    declared and sniffed is a standing data-quality monitor.
+
+    Engine-portable: the comparison runs on the HEX of the payload
+    prefix (DuckDB cannot slice BLOBs, both engines hex
+    identically), one narrow per-row expression — ZERO shuffle, no
+    decode, payload bytes never leave the scan stage.
+
+    Output: (id, mime_sniffed, n_bytes)."""
+    pref = F.upper(F.hex(F.expr(f"substring({payload_col}, 1, 4)")))
+    mime = (
+        F.when(pref.startswith("89504E47"), F.lit("image/png"))
+        .when(pref.startswith("FFD8FF"), F.lit("image/jpeg"))
+        .when(pref.startswith("52494646"), F.lit("audio/x-riff"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return df.select(
+        F.col(id_col),
+        mime.alias("mime_sniffed"),
+        F.octet_length(F.col(payload_col)).cast("long").alias("n_bytes"),
+    )

@@ -4465,3 +4465,31 @@ ORACLES["dedup_simhash_pairs"] = f"""
     WHERE bit_count(xor(fa, fb)) <= 1
     ORDER BY doc_a, doc_b
 """
+
+# X76 magic-byte sniffing (operators/multimodal.py:
+# sniff_payload_format): same deterministic magic-prefixed payloads,
+# classification via hex-prefix compare (DuckDB cannot slice BLOBs;
+# both engines hex identically).
+ORACLES["multimodal_sniff_format"] = """
+    WITH pay AS (
+        SELECT doc_id,
+            (CASE doc_id % 4
+                WHEN 0 THEN from_hex('89504E470D0A1A0A')
+                WHEN 1 THEN from_hex('FFD8FFE0')
+                WHEN 2 THEN from_hex('52494646')
+                ELSE from_hex('') END) || encode(text) AS payload
+        FROM documents
+    )
+    SELECT doc_id,
+        CASE
+            WHEN starts_with(upper(hex(payload)), '89504E47')
+                THEN 'image/png'
+            WHEN starts_with(upper(hex(payload)), 'FFD8FF')
+                THEN 'image/jpeg'
+            WHEN starts_with(upper(hex(payload)), '52494646')
+                THEN 'audio/x-riff'
+            ELSE 'application/octet-stream'
+        END AS mime_sniffed,
+        CAST(octet_length(payload) AS BIGINT) AS n_bytes
+    FROM pay ORDER BY doc_id
+"""

@@ -4167,6 +4167,30 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@query("multimodal_sniff_format")
+def q_multimodal_sniff_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76: magic-byte format sniffing (operators/multimodal.py:
+    sniff_payload_format) — deterministic payloads with real PNG /
+    JPEG / RIFF magic prefixes by doc_id % 4 (residue 3 gets no
+    magic), classified back from the bytes alone."""
+    from .operators.multimodal import sniff_payload_format
+
+    d = table(spark, sf_dir, "documents")
+    magic = (
+        F.when(F.col("doc_id") % 4 == 0, F.expr("X'89504E470D0A1A0A'"))
+        .when(F.col("doc_id") % 4 == 1, F.expr("X'FFD8FFE0'"))
+        .when(F.col("doc_id") % 4 == 2, F.expr("X'52494646'"))
+        .otherwise(F.expr("X''"))
+    )
+    payloads = d.select(
+        "doc_id",
+        F.concat(magic, F.encode(F.col("text"), "utf-8")).alias("payload"),
+    )
+    return sniff_payload_format(payloads, "doc_id", "payload").orderBy(
+        "doc_id"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

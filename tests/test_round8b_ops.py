@@ -768,3 +768,29 @@ def test_simhash_pairs_pigeonhole_recall(spark):
            simhash_hamming_pairs(df, "doc_id", "text",
                                  max_hamming=3).collect()}
     assert got == want and want  # non-vacuous: the corpus has pairs
+
+
+def test_sniff_payload_format_magic_routing(spark):
+    """X76: classification comes from the bytes, not any declared
+    type; truncated magic falls through to octet-stream."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators.multimodal import (
+        sniff_payload_format,
+    )
+
+    rows = [
+        (1, bytes.fromhex("89504E470D0A1A0A") + b"data"),
+        (2, bytes.fromhex("FFD8FFE0") + b"data"),
+        (3, b"RIFF" + b"wavdata"),
+        (4, b"plain text bytes"),
+        (5, bytes.fromhex("89")),  # truncated PNG magic
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r["doc_id"]: (r["mime_sniffed"], r["n_bytes"]) for r in
+           sniff_payload_format(df, "doc_id", "payload").collect()}
+    assert out[1] == ("image/png", 12)
+    assert out[2] == ("image/jpeg", 8)
+    assert out[3] == ("audio/x-riff", 11)
+    assert out[4] == ("application/octet-stream", 16)
+    assert out[5] == ("application/octet-stream", 1)
