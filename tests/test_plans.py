@@ -585,3 +585,53 @@ def test_round8c_queries_plan_shapes(spark):
     # hot-bucket branch (size > 1024 guard); the cold path explodes
     # in-group pairs with zero joins
     assert cp.count("Join") <= 1, cp
+
+
+def test_round8d_queries_plan_shapes(spark):
+    """Round-8d scale pins: index_shard_plan's corpus-scale stage is
+    the keyed list-size aggregate (the single-partition windows run
+    on the k-row list table only); retrieval_mrr_eval broadcasts the
+    query side everywhere (no corpus self-join); bbit_minhash_eval
+    joins sketches by doc key (no sketch broadcast of corpus size);
+    sniff_payload_format is shuffle-free; simhash_hamming_pairs has
+    only the hot-bucket branch join (X2c's hybrid)."""
+    d = table(spark, SF_SMALL, "documents")
+    e = table(spark, SF_SMALL, "embeddings")
+
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        bbit_minhash_eval,
+        simhash_hamming_pairs,
+    )
+    from poet_cloud_cost_etl_spark.operators.multimodal import (
+        sniff_payload_format,
+    )
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        index_shard_plan,
+        ivf_centroids,
+        retrieval_mrr_eval,
+    )
+
+    cents = ivf_centroids(e, "vec_id", "embedding", k=4)
+    sp = X.physical_plan(
+        index_shard_plan(e, cents, "vec_id", "embedding", n_shards=2)
+    )
+    assert "CartesianProduct" not in sp, sp
+
+    q = e.filter(F.col("vec_id") < 3)
+    mr = X.physical_plan(
+        retrieval_mrr_eval(q, e, "vec_id", "embedding", k=3,
+                           n_centroids=4, nprobe=1)
+    )
+    assert "CartesianProduct" not in mr, mr
+    assert "BroadcastExchange" in mr, mr
+
+    bb = X.physical_plan(bbit_minhash_eval(d, "doc_id", "text", k=8))
+    assert "CartesianProduct" not in bb, bb
+
+    sh = X.physical_plan(simhash_hamming_pairs(d, "doc_id", "text"))
+    assert "CartesianProduct" not in sh, sh
+    assert sh.count("Join") <= 1, sh
+
+    pay = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("p"))
+    sn = X.physical_plan(sniff_payload_format(pay, "doc_id", "p"))
+    assert "Exchange" not in sn and "Join" not in sn, sn
