@@ -334,3 +334,52 @@ def test_snapshot_diff_matches_python_reference(spark, old_map, new_map):
         else:
             want[i] = ("changed", new_map[i] in old_contents)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.sets(st.sampled_from(["a b c", "b c d", "c d e", "d e f",
+                                 "e f g", "f g h"]),
+                min_size=1, max_size=4),
+        min_size=2,
+        max_size=5,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_bbit_minhash_matches_hashlib_reference(spark, shingle_sets):
+    """X74 vs hashlib: per-pair collision counts and the clamped ppm
+    estimator, from the raw md5 arithmetic up."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        bbit_minhash_eval,
+    )
+
+    k, mod = 8, 4
+    rows = [(i, " ".join(sorted(s))) for i, s in enumerate(shingle_sets)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["doc_a"], r["doc_b"]): (r["n_collisions"], r["est_jaccard"])
+           for r in bbit_minhash_eval(df, "doc_id", "text", k=k,
+                                      b=2).collect()}
+
+    # reference: the doc's 3-gram shingles of its own token stream
+    def sh(text):
+        t = text.split(" ")
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    def bits(s):
+        out = []
+        for j in range(1, k + 1):
+            mh = min(hashlib.md5(f"{j}|{x}".encode()).hexdigest()
+                     for x in s)
+            out.append(int(mh[31], 16) % mod)
+        return out
+
+    docs = {i: sh(t) for i, t in rows}
+    want = {}
+    for a in docs:
+        for b in docs:
+            if a < b and docs[a] & docs[b]:
+                c = sum(1 for x, y in zip(bits(docs[a]), bits(docs[b]))
+                        if x == y)
+                est = max(0, ((c * mod - k) * 1000000) // (k * (mod - 1)))
+                want[(a, b)] = (c, est / 1e6)
+    assert got == want
