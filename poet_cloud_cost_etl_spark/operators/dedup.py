@@ -1332,3 +1332,96 @@ def simhash_hamming_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def lsh_parameter_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 24,
+    b_bits: int = 2,
+) -> DataFrame:
+    """X77: LSH banding dial planner — for every (bands, rows) split
+    of a k-component MinHash signature, the S-curve survival
+    probability 1 − (1 − j^rows)^bands (Leskovec/Rajaraman/Ullman,
+    MMDS §3.4) averaged over the CORPUS'S OWN estimated pair-Jaccard
+    distribution (the X74 b-bit estimates), split into the
+    duplicate-side (est j ≥ 0.5) and noise-side (est j < 0.5)
+    populations.  This turns "which (bands, rows) should X2c use?"
+    from a textbook curve into a measured trade: expected recall on
+    the pairs you want vs expected candidate load from the pairs you
+    don't.
+
+    Determinism: j enters as the ppm-exact X74 estimate; j^rows and
+    (1−j^rows)^bands are EXPLICIT multiplication chains (integer
+    exponents ≤ k, no libm pow — engine-portable); each pair's
+    survival rounds to ppm BEFORE the integer mean, so the aggregate
+    is order-free.
+
+    Output: one row per (bands, rows) divisor split —
+    (bands, rows_per_band, n_dup_pairs, n_noise_pairs, dup_recall,
+    noise_passrate).
+
+    Scale: the pair population is the X2d core (bounded, skew-split);
+    per (b, r) the added work is one narrow expression + one global
+    integer aggregate — |divisors(k)| extra passes over the PAIR
+    table (pairs ≪ corpus), not the corpus."""
+    est = bbit_minhash_eval(df, id_col, text_col, k=k, b=b_bits).select(
+        F.col("est_jaccard").alias("j")
+    )
+    splits = [(bb, k // bb) for bb in range(1, k + 1) if k % bb == 0]
+
+    def _pow_chain(expr: str, n: int) -> str:
+        out = expr
+        for _ in range(n - 1):
+            out = f"({out} * {expr})"
+        return out
+
+    # ONE pass over the pair table: every split's survival is a
+    # struct in a literal array exploded per pair (re-running the
+    # pair pipeline per split would multiply the expensive part by
+    # |divisors(k)|), then one keyed integer aggregate.
+    structs = []
+    for bands, rows in splits:
+        jr = _pow_chain("j", rows)
+        surv = f"(1.0 - {_pow_chain(f'(1.0 - {jr})', bands)})"
+        structs.append(
+            f"struct(CAST({bands} AS INT) AS bands, "
+            f"CAST({rows} AS INT) AS rows_per_band, "
+            f"CAST(round(1000000 * {surv}) AS BIGINT) AS s_ppm)"
+        )
+    exploded = est.select(
+        "j",
+        F.explode(F.expr("array(" + ", ".join(structs) + ")")).alias("e"),
+    ).select("j", "e.bands", "e.rows_per_band", "e.s_ppm")
+    return (
+        exploded.groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum(F.when(F.col("j") >= 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_pairs"),
+            F.sum(F.when(F.col("j") < 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_noise_pairs"),
+            F.sum(F.when(F.col("j") >= 0.5, F.col("s_ppm")).otherwise(0))
+            .cast("long")
+            .alias("__dup_s"),
+            F.sum(F.when(F.col("j") < 0.5, F.col("s_ppm")).otherwise(0))
+            .cast("long")
+            .alias("__noise_s"),
+        )
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_dup_pairs",
+            "n_noise_pairs",
+            F.expr(
+                "CAST(CASE WHEN n_dup_pairs = 0 THEN 0 "
+                "ELSE __dup_s div n_dup_pairs END AS DOUBLE) / 1000000.0"
+            ).alias("dup_recall"),
+            F.expr(
+                "CAST(CASE WHEN n_noise_pairs = 0 THEN 0 "
+                "ELSE __noise_s div n_noise_pairs END AS DOUBLE) / 1000000.0"
+            ).alias("noise_passrate"),
+        )
+    )

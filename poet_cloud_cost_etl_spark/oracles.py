@@ -4493,3 +4493,55 @@ ORACLES["multimodal_sniff_format"] = """
         CAST(octet_length(payload) AS BIGINT) AS n_bytes
     FROM pay ORDER BY doc_id
 """
+
+# X77 LSH parameter plan (operators/dedup.py: lsh_parameter_plan):
+# the X74 estimate CTE feeds per-split S-curve survival
+# 1-(1-j^r)^b as EXPLICIT multiplication chains (identical text to
+# the Spark expression; no libm pow), ppm-rounded per pair before
+# the integer mean.
+
+
+def _x77_chain(expr, n):
+    out = expr
+    for _ in range(n - 1):
+        out = f"({out} * {expr})"
+    return out
+
+
+def _x77_split(bands, rows):
+    jr = _x77_chain("j", rows)
+    surv = f"(1.0 - {_x77_chain(f'(1.0 - {jr})', bands)})"
+    return f"""
+    SELECT bands, rows_per_band, n_dup_pairs, n_noise_pairs,
+        CAST(CASE WHEN n_dup_pairs = 0 THEN 0
+             ELSE ds // n_dup_pairs END AS DOUBLE) / 1000000.0
+            AS dup_recall,
+        CAST(CASE WHEN n_noise_pairs = 0 THEN 0
+             ELSE ns // n_noise_pairs END AS DOUBLE) / 1000000.0
+            AS noise_passrate
+    FROM (
+        SELECT CAST({bands} AS INTEGER) AS bands,
+            CAST({rows} AS INTEGER) AS rows_per_band,
+            CAST(SUM(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_pairs,
+            CAST(SUM(CASE WHEN j < 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_noise_pairs,
+            CAST(SUM(CASE WHEN j >= 0.5 THEN
+                CAST(round(1000000 * {surv}) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS ds,
+            CAST(SUM(CASE WHEN j < 0.5 THEN
+                CAST(round(1000000 * {surv}) AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS ns
+        FROM est
+    )"""
+
+
+ORACLES["dedup_lsh_plan"] = (
+    "WITH est AS (SELECT est_jaccard AS j FROM ("
+    + ORACLES["dedup_bbit_minhash"].replace("ORDER BY doc_a, doc_b", "")
+    + "))\n"
+    + "\nUNION ALL\n".join(
+        _x77_split(b, 24 // b) for b in range(1, 25) if 24 % b == 0
+    )
+    + "\nORDER BY bands"
+)

@@ -4191,6 +4191,19 @@ def q_multimodal_sniff_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_lsh_plan")
+def q_dedup_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77: LSH banding dial planner (operators/dedup.py:
+    lsh_parameter_plan) — MMDS S-curve survival per (bands, rows)
+    split of a k=24 signature, averaged over the corpus's own
+    estimated pair-Jaccard distribution (X74), duplicate side vs
+    noise side."""
+    from .operators.dedup import lsh_parameter_plan
+
+    d = table(spark, sf_dir, "documents")
+    return lsh_parameter_plan(d, "doc_id", "text", k=24).orderBy("bands")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

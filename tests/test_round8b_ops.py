@@ -794,3 +794,60 @@ def test_sniff_payload_format_magic_routing(spark):
     assert out[3] == ("audio/x-riff", 11)
     assert out[4] == ("application/octet-stream", 16)
     assert out[5] == ("application/octet-stream", 1)
+
+
+def test_lsh_plan_monotone_and_extremes(spark):
+    """X77: more bands (fewer rows) never lowers survival on either
+    side; the table reproduces the S-curve computed in python from
+    the operator's own X74 estimates."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        bbit_minhash_eval,
+        lsh_parameter_plan,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),   # exact dup of 1
+        (3, "alpha beta gamma other words here now"), # partial overlap
+        (4, "alpha beta gamma different tail text x"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted(
+        lsh_parameter_plan(df, "doc_id", "text", k=8).collect(),
+        key=lambda r: r["bands"],
+    )
+    assert [(r["bands"], r["rows_per_band"]) for r in out] == [
+        (1, 8), (2, 4), (4, 2), (8, 1)
+    ]
+    recalls = [r["dup_recall"] for r in out]
+    passrates = [r["noise_passrate"] for r in out]
+    assert recalls == sorted(recalls)
+    assert passrates == sorted(passrates)
+
+    # independent reference: recompute the table from the operator's
+    # own (already hashlib-pinned) X74 estimates
+    ests = [r["est_jaccard"] for r in
+            bbit_minhash_eval(df, "doc_id", "text", k=8, b=2).collect()]
+    dup = [j for j in ests if j >= 0.5]
+    noise = [j for j in ests if j < 0.5]
+    assert dup  # the exact-dup pair estimates j = 1.0
+    assert 1.0 in dup
+    for r in out:
+        b, n = r["bands"], r["rows_per_band"]
+
+        def surv(j):
+            jr = 1.0
+            for _ in range(n):
+                jr *= j
+            one = 1.0
+            for _ in range(b):
+                one *= (1.0 - jr)
+            return round(1000000 * (1.0 - one))
+
+        want_dup = (sum(int(surv(j)) for j in dup) // len(dup)) / 1e6
+        assert r["dup_recall"] == want_dup, (b, n)
+        if noise:
+            want_noise = (
+                sum(int(surv(j)) for j in noise) // len(noise)
+            ) / 1e6
+            assert r["noise_passrate"] == want_noise, (b, n)
