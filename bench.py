@@ -148,6 +148,8 @@ HEADLINE = [
     "ann_mrr_eval",
     "dedup_bbit_minhash",
     "dedup_simhash_pairs",
+    "dedup_lsh_plan",
+    "multimodal_sniff_format",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -236,3 +236,67 @@ def _connected_components_star(
             F.coalesce("lab", "node").alias("cluster_id"),
         )
     )
+
+
+def pagerank_ppm(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    iters: int = 8,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """X78: PageRank over an undirected pair graph in EXACT ppm
+    integer arithmetic — the template/hub detector for the near-dup
+    graph: a boilerplate page that half the crawl partially copies
+    accumulates rank from every neighbor, while members of a closed
+    duplicate cluster stay near uniform.  Curation reviews the top
+    of this ranking the way search reviewed link hubs.
+
+    Semantics: edges are symmetrized (a→b and b→a); scores start at
+    1e6 ppm-of-uniform per node and update
+    p' = (100 − d)·1e4 + (d · Σ_j p_j div deg_j) div 100
+    for exactly ``iters`` rounds with damping d = ``damping_pct``.
+    ALL integer arithmetic: per-neighbor contributions are integer
+    divisions and the neighbor sum is an order-free integer SUM — no
+    float summation-order hazard in either engine (the repo's ppm
+    convention; the div-truncation mass loss is part of the pinned
+    definition, bounded by deg per node per round).  Isolated nodes
+    never enter (no edges — rank is about the graph).
+
+    Scale: per iteration one (dst-keyed) aggregate over the edge
+    list joined to the current score table — the textbook
+    edge-partitioned PageRank; scores/degrees are node-sized.
+    localCheckpoint per round caps the lineage exactly like CC."""
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).unionByName(
+        edges.select(
+            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+        )
+    ).distinct()
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    p = deg.select(
+        F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("p")
+    )
+    base = (100 - damping_pct) * 10_000
+    for _ in range(int(iters)):
+        contrib = (
+            sym.join(p, sym.src == p.node)
+            .join(deg, "src")
+            .select(F.col("dst"), F.expr("p div deg").alias("c"))
+        )
+        p = (
+            contrib.groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("__s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"{base} + ({damping_pct} * __s) div 100"
+                ).cast("long").alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select(
+        F.col("node"),
+        (F.col("p").cast("double") / 1_000_000.0).alias("pagerank"),
+    )

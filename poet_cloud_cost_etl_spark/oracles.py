@@ -4545,3 +4545,39 @@ ORACLES["dedup_lsh_plan"] = (
     )
     + "\nORDER BY bands"
 )
+
+# X78 integer-ppm PageRank (operators/graph.py: pagerank_ppm):
+# symmetrized X2d jaccard>=0.5 edges, 8 unrolled damped rounds of
+# the exact integer recurrence 150000 + (85 * SUM(p // deg)) // 100
+# (order-free integer sums — no float accumulation in either
+# engine).
+
+
+def _x78_round(k):
+    return f"""
+    p{k} AS (
+        SELECT dst AS node,
+            CAST(150000 + (85 * SUM(p // deg)) // 100 AS BIGINT) AS p
+        FROM sym JOIN p{k - 1} ON sym.src = p{k - 1}.node
+        JOIN deg USING (src)
+        GROUP BY dst
+    )"""
+
+
+ORACLES["neardup_pagerank"] = (
+    "WITH ej AS (SELECT doc_a, doc_b FROM ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + """)),
+    sym AS (
+        SELECT doc_a AS src, doc_b AS dst FROM ej
+        UNION
+        SELECT doc_b AS src, doc_a AS dst FROM ej
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY 1),
+    p0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS p FROM deg),"""
+    + ",".join(_x78_round(k) for k in range(1, 9))
+    + """
+    SELECT node, CAST(p AS DOUBLE) / 1000000.0 AS pagerank
+    FROM p8 ORDER BY node
+"""
+)

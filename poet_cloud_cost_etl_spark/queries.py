@@ -4204,6 +4204,20 @@ def q_dedup_lsh_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_parameter_plan(d, "doc_id", "text", k=24).orderBy("bands")
 
 
+@query("neardup_pagerank")
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78: integer-ppm PageRank over the X2d near-dup graph
+    (operators/graph.py: pagerank_ppm) — 8 damped rounds of exact
+    integer arithmetic; the template/hub ranking of the duplication
+    structure."""
+    from .operators.dedup import ngram_jaccard_from_docs
+    from .operators.graph import pagerank_ppm
+
+    d = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_from_docs(d, "doc_id", "text", 0.5)
+    return pagerank_ppm(edges).orderBy("node")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

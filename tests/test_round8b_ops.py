@@ -851,3 +851,34 @@ def test_lsh_plan_monotone_and_extremes(spark):
                 sum(int(surv(j)) for j in noise) // len(noise)
             ) / 1e6
             assert r["noise_passrate"] == want_noise, (b, n)
+
+
+def test_pagerank_star_hub_dominates(spark):
+    """X78: on a star graph the hub out-ranks every leaf; symmetric
+    cliques stay uniform; mass semantics follow the exact integer
+    recurrence."""
+    from poet_cloud_cost_etl_spark.operators.graph import pagerank_ppm
+
+    star = [(0, i) for i in range(1, 6)]           # hub 0, leaves 1-5
+    clique = [(10, 11), (10, 12), (11, 12)]        # triangle
+    edges = spark.createDataFrame(star + clique, ["doc_a", "doc_b"])
+    out = {r["node"]: r["pagerank"] for r in pagerank_ppm(edges).collect()}
+    assert all(out[0] > out[i] for i in range(1, 6))
+    leaf_vals = {out[i] for i in range(1, 6)}
+    assert len(leaf_vals) == 1                     # leaves symmetric
+    assert len({out[10], out[11], out[12]}) == 1   # clique uniform
+
+    # independent python reference of the integer recurrence
+    sym = {}
+    for a, b in star + clique:
+        sym.setdefault(a, set()).add(b)
+        sym.setdefault(b, set()).add(a)
+    p = {n: 1_000_000 for n in sym}
+    for _ in range(8):
+        nxt = {}
+        for n in sym:
+            s = sum(p[j] // len(sym[j]) for j in sym[n])
+            nxt[n] = 150_000 + (85 * s) // 100
+        p = nxt
+    for n, v in p.items():
+        assert out[n] == v / 1e6, n
