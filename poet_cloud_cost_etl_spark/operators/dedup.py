@@ -1425,3 +1425,58 @@ def lsh_parameter_plan(
             ).alias("noise_passrate"),
         )
     )
+
+
+def license_propagation(
+    clusters: DataFrame,
+    licenses: DataFrame,
+    id_col: str,
+    license_col: str,
+    strictness: list[str],
+) -> DataFrame:
+    """X79: compliance propagation through dedup — when a duplicate
+    cluster keeps one survivor, that survivor must carry the
+    STRICTEST license any cluster member arrived under (the member
+    you deleted is still the text you train on).  Datasets that
+    track licenses per document (the Dolma / RedPajama audit model)
+    get this wrong silently if dedup just drops rows: a permissive
+    copy survives, its restricted twin vanishes, and the audit trail
+    under-reports obligations.
+
+    ``strictness`` orders licenses MOST restrictive first; an
+    unlisted license is treated as stricter than everything listed
+    (rank −1 — unknown provenance is the conservative bucket).
+
+    Output (per doc): (id, cluster_id, license, effective_license,
+    escalated) where effective_license = strictest in the doc's
+    cluster and escalated flags docs whose own tag was weaker.
+
+    Scale: one id-keyed join of the CC labels onto the license
+    column, one cluster-keyed MIN aggregate over an integer rank
+    (map-side combinable), one broadcast-sized rank map applied as a
+    CASE expression — no license-table shuffle beyond the cluster
+    agg."""
+    rank_case = "CASE " + " ".join(
+        f"WHEN {license_col} = '{lic}' THEN {i}"
+        for i, lic in enumerate(strictness)
+    ) + " ELSE -1 END"
+    tagged = clusters.join(
+        licenses.select(F.col(id_col), F.col(license_col)), id_col
+    ).withColumn("__rank", F.expr(rank_case))
+    strict = tagged.groupBy("cluster_id").agg(
+        F.min("__rank").cast("int").alias("__minrank")
+    )
+    inv_case = "CASE " + " ".join(
+        f"WHEN __minrank = {i} THEN '{lic}'"
+        for i, lic in enumerate(strictness)
+    ) + " ELSE 'unknown' END"
+    return (
+        tagged.join(strict, "cluster_id")
+        .select(
+            F.col(id_col),
+            "cluster_id",
+            F.col(license_col).alias("license"),
+            F.expr(inv_case).alias("effective_license"),
+            (F.col("__rank") > F.col("__minrank")).alias("escalated"),
+        )
+    )

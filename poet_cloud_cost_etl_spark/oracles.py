@@ -4581,3 +4581,39 @@ ORACLES["neardup_pagerank"] = (
     FROM p8 ORDER BY node
 """
 )
+
+# X79 license propagation (operators/dedup.py: license_propagation):
+# dedup_clusters labels + deterministic doc_id%4 tags, integer
+# strictness rank (proprietary=0 < cc-by=1 < apache-2.0=2 < mit=3),
+# per-cluster MIN rank inverted back to the license name.
+ORACLES["license_propagation"] = (
+    "WITH clusters AS (SELECT doc_id, cluster_id FROM ("
+    + ORACLES["dedup_clusters"]
+    + """)),
+    lic AS (
+        SELECT doc_id,
+            CASE doc_id % 4 WHEN 0 THEN 'proprietary'
+                WHEN 1 THEN 'cc-by' WHEN 2 THEN 'mit'
+                ELSE 'apache-2.0' END AS license
+        FROM documents
+    ),
+    tagged AS (
+        SELECT c.doc_id, c.cluster_id, l.license,
+            CASE l.license WHEN 'proprietary' THEN 0 WHEN 'cc-by' THEN 1
+                WHEN 'apache-2.0' THEN 2 WHEN 'mit' THEN 3
+                ELSE -1 END AS r
+        FROM clusters c JOIN lic l USING (doc_id)
+    ),
+    strict AS (
+        SELECT cluster_id, CAST(MIN(r) AS INTEGER) AS minrank
+        FROM tagged GROUP BY 1
+    )
+    SELECT t.doc_id, t.cluster_id, t.license,
+        CASE s.minrank WHEN 0 THEN 'proprietary' WHEN 1 THEN 'cc-by'
+            WHEN 2 THEN 'apache-2.0' WHEN 3 THEN 'mit'
+            ELSE 'unknown' END AS effective_license,
+        t.r > s.minrank AS escalated
+    FROM tagged t JOIN strict s USING (cluster_id)
+    ORDER BY t.doc_id
+"""
+)

@@ -4218,6 +4218,38 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_ppm(edges).orderBy("node")
 
 
+@query("license_propagation")
+def q_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X79: strictest-license propagation through the X7 dedup
+    clusters (operators/dedup.py: license_propagation) — synthetic
+    deterministic license tags by doc_id % 4 (cc-by, mit, apache-2.0,
+    proprietary), cluster survivors inherit the strictest member
+    tag; `escalated` marks docs whose own tag was weaker."""
+    from .operators.dedup import license_propagation, ngram_jaccard_from_docs
+    from .operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_from_docs(d, "doc_id", "text", threshold=0.5,
+                                    min_df=2)
+    cc = connected_components(
+        d.select("doc_id"), pairs,
+        id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+        fixed_rounds=4,
+    )
+    lic = d.select(
+        "doc_id",
+        F.expr(
+            "CASE doc_id % 4 WHEN 0 THEN 'proprietary' "
+            "WHEN 1 THEN 'cc-by' WHEN 2 THEN 'mit' "
+            "ELSE 'apache-2.0' END"
+        ).alias("license"),
+    )
+    return license_propagation(
+        cc, lic, "doc_id", "license",
+        strictness=["proprietary", "cc-by", "apache-2.0", "mit"],
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

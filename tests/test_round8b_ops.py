@@ -882,3 +882,34 @@ def test_pagerank_star_hub_dominates(spark):
         p = nxt
     for n, v in p.items():
         assert out[n] == v / 1e6, n
+
+
+def test_license_propagation_strictest_wins(spark):
+    """X79: the survivor's effective license is the strictest tag in
+    its cluster; unlisted tags are strictest of all; singletons keep
+    their own tag."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        license_propagation,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (20, 20), (21, 20)],
+        ["doc_id", "cluster_id"],
+    )
+    lic = spark.createDataFrame(
+        [(1, "mit"), (2, "cc-by"), (3, "mit"),
+         (10, "apache-2.0"), (20, "mit"), (21, "mystery-eula")],
+        ["doc_id", "license"],
+    )
+    out = {r["doc_id"]: r for r in license_propagation(
+        clusters, lic, "doc_id", "license",
+        strictness=["proprietary", "cc-by", "apache-2.0", "mit"],
+    ).collect()}
+    assert out[1]["effective_license"] == "cc-by" and out[1]["escalated"]
+    assert out[2]["effective_license"] == "cc-by" and not out[2]["escalated"]
+    assert out[10]["effective_license"] == "apache-2.0"
+    assert not out[10]["escalated"]
+    # unlisted license is conservative: strictest in its cluster
+    assert out[20]["effective_license"] == "unknown" and out[20]["escalated"]
+    assert out[21]["effective_license"] == "unknown"
+    assert not out[21]["escalated"]
