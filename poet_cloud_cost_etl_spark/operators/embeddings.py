@@ -740,3 +740,68 @@ def remove_top_pc(
             "dim", "__d"
         ),
     ).select(F.col(id_col), "dim", F.round("__d", 6).alias("deflated"))
+
+
+def embedding_health_audit(
+    df: DataFrame, id_col: str, vec_col: str, dim: int
+) -> DataFrame:
+    """X80: embedding corpus health audit — the gate run before any
+    indexing/clustering job: a single NaN poisons every cosine it
+    touches (NaN ≥ threshold is false, so the row silently vanishes
+    from near-dup candidates), a zero vector makes cosine undefined,
+    and a dimension mismatch turns zip_with folds into nulls.  All
+    three arrive in real exports (failed encoder batches, truncated
+    writes) and none of them error on read — they corrupt results
+    downstream, which is why the audit is a standing pipeline stage
+    and not a debugging step.
+
+    One corpus scan, ONE row out: n_vectors, n_dim_mismatch,
+    n_with_nan, n_with_inf, n_zero_vectors, plus exact integer norm
+    statistics over the CLEAN rows (min/max/mean of the 1e-6-
+    quantized squared norm — order-free integer aggregation, the
+    X50 convention).
+
+    Scale: zero shuffle before the final 1-row aggregate (map-side
+    partials reduce each partition to one row)."""
+    checks = df.select(
+        F.expr(f"size({vec_col}) != {dim}").alias("__mis"),
+        F.expr(
+            f"exists({vec_col}, x -> isnan(CAST(x AS DOUBLE)))"
+        ).alias("__nan"),
+        F.expr(
+            f"exists({vec_col}, x -> abs(CAST(x AS DOUBLE)) = CAST('Infinity' AS DOUBLE))"
+        ).alias("__inf"),
+        F.expr(
+            f"NOT exists({vec_col}, x -> CAST(x AS DOUBLE) != 0.0)"
+        ).alias("__zero"),
+        F.expr(
+            "aggregate(transform({v}, x -> "
+            "CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), "
+            "0L, (a, q) -> a + q * q)".format(v=vec_col)
+        ).alias("__nsq"),
+    )
+    clean_nsq = F.when(
+        ~F.col("__mis") & ~F.col("__nan") & ~F.col("__inf"),
+        F.col("__nsq"),
+    )
+    return checks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum(F.col("__mis").cast("int")).cast("long").alias(
+            "n_dim_mismatch"
+        ),
+        F.sum(F.col("__nan").cast("int")).cast("long").alias("n_with_nan"),
+        F.sum(F.col("__inf").cast("int")).cast("long").alias("n_with_inf"),
+        F.sum(F.col("__zero").cast("int")).cast("long").alias(
+            "n_zero_vectors"
+        ),
+        F.min(clean_nsq).alias("min_norm_sq_q"),
+        F.max(clean_nsq).alias("max_norm_sq_q"),
+        F.expr(
+            "CASE WHEN count(CASE WHEN NOT __mis AND NOT __nan AND "
+            "NOT __inf THEN 1 END) = 0 THEN NULL ELSE "
+            "sum(CASE WHEN NOT __mis AND NOT __nan AND NOT __inf "
+            "THEN __nsq END) div "
+            "count(CASE WHEN NOT __mis AND NOT __nan AND NOT __inf "
+            "THEN 1 END) END"
+        ).alias("mean_norm_sq_q"),
+    )

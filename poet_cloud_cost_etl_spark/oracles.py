@@ -4617,3 +4617,53 @@ ORACLES["license_propagation"] = (
     ORDER BY t.doc_id
 """
 )
+
+# X80 embedding health audit (operators/embeddings.py:
+# embedding_health_audit): same deterministic corruption (NaN dim 0
+# of vec 0, truncation of vec 1, zeroed vec 2), counters + exact
+# quantized norm stats over clean rows.
+ORACLES["embedding_health_audit"] = """
+    WITH corrupted AS (
+        SELECT vec_id,
+            CASE WHEN vec_id = 0 THEN
+                list_concat([CAST('NaN' AS FLOAT)], embedding[2:])
+            WHEN vec_id = 1 THEN embedding[1:3]
+            WHEN vec_id = 2 THEN
+                list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+            ELSE embedding END AS v
+        FROM embeddings
+    ),
+    checks AS (
+        SELECT
+            len(v) <> 64 AS mis,
+            len(list_filter(v, x -> isnan(CAST(x AS DOUBLE)))) > 0 AS nn,
+            len(list_filter(v, x -> isinf(CAST(x AS DOUBLE)))) > 0 AS inf,
+            len(list_filter(v, x -> CAST(x AS DOUBLE) <> 0.0)) = 0 AS zer,
+            -- DuckDB raises on CAST(NaN AS BIGINT) where Spark nulls,
+            -- so quantize only rows that pass the NaN/Inf checks
+            CASE WHEN nn OR inf THEN NULL ELSE
+                list_reduce(list_concat([CAST(0 AS BIGINT)],
+                    list_transform(v, x ->
+                        CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))),
+                    (a, q) -> a + q * q) END AS nsq
+        FROM corrupted
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        CAST(SUM(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dim_mismatch,
+        CAST(SUM(CASE WHEN nn THEN 1 ELSE 0 END) AS BIGINT) AS n_with_nan,
+        CAST(SUM(CASE WHEN inf THEN 1 ELSE 0 END) AS BIGINT) AS n_with_inf,
+        CAST(SUM(CASE WHEN zer THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_zero_vectors,
+        MIN(CASE WHEN NOT mis AND NOT nn AND NOT inf THEN nsq END)
+            AS min_norm_sq_q,
+        MAX(CASE WHEN NOT mis AND NOT nn AND NOT inf THEN nsq END)
+            AS max_norm_sq_q,
+        CASE WHEN COUNT(CASE WHEN NOT mis AND NOT nn AND NOT inf
+                        THEN 1 END) = 0 THEN NULL
+            ELSE SUM(CASE WHEN NOT mis AND NOT nn AND NOT inf
+                     THEN nsq END)
+                 // COUNT(CASE WHEN NOT mis AND NOT nn AND NOT inf
+                          THEN 1 END) END AS mean_norm_sq_q
+    FROM checks
+"""

@@ -4250,6 +4250,33 @@ def q_license_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("embedding_health_audit")
+def q_embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80: embedding corpus health audit (operators/embeddings.py:
+    embedding_health_audit) — NaN/Inf/zero-vector/dim-mismatch
+    counts plus exact quantized norm statistics, one row; corrupt
+    rows are injected deterministically (doc_id-keyed) so every
+    counter exercises a non-zero path at the oracle SF."""
+    from .operators.embeddings import embedding_health_audit
+
+    e = table(spark, sf_dir, "embeddings")
+    # deterministic corruption: vec_id 0 -> NaN in dim 0; vec_id 1 ->
+    # truncated to 3 dims; vec_id 2 -> all-zero vector
+    corrupted = e.select(
+        "vec_id",
+        F.expr(
+            "CASE WHEN vec_id = 0 THEN "
+            "  array_insert(slice(embedding, 2, size(embedding) - 1), 1, "
+            "               CAST('NaN' AS FLOAT)) "
+            "WHEN vec_id = 1 THEN slice(embedding, 1, 3) "
+            "WHEN vec_id = 2 THEN transform(embedding, x -> "
+            "                                CAST(0.0 AS FLOAT)) "
+            "ELSE embedding END"
+        ).alias("embedding"),
+    )
+    return embedding_health_audit(corrupted, "vec_id", "embedding", dim=64)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

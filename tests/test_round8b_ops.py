@@ -913,3 +913,31 @@ def test_license_propagation_strictest_wins(spark):
     assert out[20]["effective_license"] == "unknown" and out[20]["escalated"]
     assert out[21]["effective_license"] == "unknown"
     assert not out[21]["escalated"]
+
+
+def test_embedding_health_audit_counters(spark):
+    """X80: each corruption class counts exactly once; norm stats
+    cover only clean rows."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        embedding_health_audit,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.0, 2.0, 0.0]),
+        (3, [float("nan"), 1.0, 1.0]),
+        (4, [float("inf"), 1.0, 1.0]),
+        (5, [0.0, 0.0, 0.0]),          # zero vector (clean otherwise)
+        (6, [1.0, 1.0]),               # dim mismatch
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    r = embedding_health_audit(df, "vec_id", "embedding", dim=3).collect()[0]
+    assert r["n_vectors"] == 6
+    assert r["n_dim_mismatch"] == 1
+    assert r["n_with_nan"] == 1
+    assert r["n_with_inf"] == 1
+    assert r["n_zero_vectors"] == 1
+    # clean rows: 1, 2, 5 -> quantized norm_sq 1e12, 4e12, 0
+    assert r["min_norm_sq_q"] == 0
+    assert r["max_norm_sq_q"] == 4_000_000_000_000
+    assert r["mean_norm_sq_q"] == 5_000_000_000_000 // 3
