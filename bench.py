@@ -150,6 +150,9 @@ HEADLINE = [
     "dedup_simhash_pairs",
     "dedup_lsh_plan",
     "multimodal_sniff_format",
+    "neardup_pagerank",
+    "license_propagation",
+    "embedding_health_audit",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
