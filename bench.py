@@ -153,6 +153,7 @@ HEADLINE = [
     "neardup_pagerank",
     "license_propagation",
     "embedding_health_audit",
+    "classifier_pr_curve",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -1592,3 +1592,67 @@ def vocab_growth_curve(
             / 1_000_000.0
         ).alias("cum_share"),
     ).orderBy("bucket")
+
+
+def pr_curve(
+    df: DataFrame, score_col: str, label_col: str, grid: int = 1000
+) -> DataFrame:
+    """X81: exact-integer precision–recall curve — the operating-
+    point selection step for a quality/toxicity/language filter
+    (classifier scored the corpus, now pick the threshold: the
+    FineWeb-Edu-style "keep everything above t" decision is read
+    straight off this table).  Standard PR tooling computes the
+    curve driver-side on collected scores; at corpus scale the curve
+    itself must be a distributed aggregate.
+
+    Semantics: scores bucket onto a 1/``grid`` lattice
+    (round(score·grid) — the threshold resolution); for each
+    occupied bucket t the row reports keeping every doc with bucket
+    ≥ t: n_kept, n_true_pos, precision = 1e6·tp div kept ppm, and
+    recall vs the corpus positive total.  All counts exact integers;
+    both ratios are ppm integer divisions (order-free — no float
+    accumulation anywhere).
+
+    Scale: one (bucket) hash-aggregate with map-side combine
+    collapses the corpus to ≤ (score-range · grid) rows; the
+    cumulative window runs over THAT bounded table, never the
+    corpus.  (A per-distinct-raw-score curve would make the window
+    corpus-sized — the lattice is what keeps this distributed.)"""
+    from pyspark.sql.window import Window
+
+    b = df.select(
+        F.expr(f"CAST(round({score_col} * {grid}) AS BIGINT)").alias(
+            "bucket"
+        ),
+        F.col(label_col).cast("int").alias("__y"),
+    )
+    agg = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__y").cast("long").alias("n_pos"),
+    )
+    w = Window.orderBy(F.desc("bucket")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    cur = agg.select(
+        "bucket",
+        F.sum("n").over(w).cast("long").alias("n_kept"),
+        F.sum("n_pos").over(w).cast("long").alias("n_true_pos"),
+        F.sum("n_pos").over(tot).cast("long").alias("__all_pos"),
+    )
+    return cur.select(
+        (F.col("bucket").cast("double") / grid).alias("threshold"),
+        "n_kept",
+        "n_true_pos",
+        (
+            F.expr("(1000000 * n_true_pos) div n_kept").cast("double")
+            / 1_000_000.0
+        ).alias("precision"),
+        (
+            F.expr(
+                "CASE WHEN __all_pos = 0 THEN 0L "
+                "ELSE (1000000 * n_true_pos) div __all_pos END"
+            ).cast("double")
+            / 1_000_000.0
+        ).alias("recall"),
+    )

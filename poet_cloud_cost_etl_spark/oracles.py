@@ -4667,3 +4667,40 @@ ORACLES["embedding_health_audit"] = """
                           THEN 1 END) END AS mean_norm_sq_q
     FROM checks
 """
+
+# X81 exact-integer PR curve (operators/textstats.py: pr_curve):
+# X41 mean_weight scores vs the lang='en' pseudo-label, 1/1000
+# threshold lattice, cumulative-from-top integer counts, ppm ratios.
+ORACLES["classifier_pr_curve"] = (
+    "WITH scored AS (SELECT doc_id, mean_weight FROM ("
+    + ORACLES["classifier_hashed_logit"].replace("ORDER BY doc_id", "")
+    + """)),
+    lab AS (
+        SELECT doc_id, CAST(lang = 'en' AS INTEGER) AS y FROM documents
+    ),
+    b AS (
+        SELECT CAST(round(mean_weight * 1000) AS BIGINT) AS bucket, y
+        FROM scored JOIN lab USING (doc_id)
+    ),
+    agg AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n,
+            CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM b GROUP BY 1
+    ),
+    cur AS (
+        SELECT bucket,
+            CAST(SUM(n) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_kept,
+            CAST(SUM(n_pos) OVER (ORDER BY bucket DESC) AS BIGINT)
+                AS n_true_pos,
+            CAST(SUM(n_pos) OVER () AS BIGINT) AS all_pos
+        FROM agg
+    )
+    SELECT CAST(bucket AS DOUBLE) / 1000 AS threshold, n_kept, n_true_pos,
+        CAST((1000000 * n_true_pos) // n_kept AS DOUBLE) / 1000000.0
+            AS precision,
+        CAST(CASE WHEN all_pos = 0 THEN 0
+             ELSE (1000000 * n_true_pos) // all_pos END AS DOUBLE)
+            / 1000000.0 AS recall
+    FROM cur ORDER BY threshold DESC
+"""
+)

@@ -4277,6 +4277,26 @@ def q_embedding_health_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_health_audit(corrupted, "vec_id", "embedding", dim=64)
 
 
+@query("classifier_pr_curve")
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: exact-integer PR curve (operators/textstats.py: pr_curve)
+    — the X41 hashed-logit mean_weight scored against the lang=='en'
+    pseudo-label on a 1/1000 threshold lattice; the operating-point
+    table for the quality-filter deployment decision."""
+    from .operators.textstats import hashed_logit_scores, pr_curve
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_logit_scores(d, "doc_id", "text").join(
+        d.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    return pr_curve(scored, "mean_weight", "label").orderBy(
+        F.desc("threshold")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

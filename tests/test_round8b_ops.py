@@ -941,3 +941,39 @@ def test_embedding_health_audit_counters(spark):
     assert r["min_norm_sq_q"] == 0
     assert r["max_norm_sq_q"] == 4_000_000_000_000
     assert r["mean_norm_sq_q"] == 5_000_000_000_000 // 3
+
+
+def test_pr_curve_hand_computed(spark):
+    """X81: 4 docs, 2 positives — the cumulative table matches the
+    hand-enumerated curve; recall is monotone down-threshold,
+    and the top threshold keeps only the top bucket."""
+    from poet_cloud_cost_etl_spark.operators.textstats import pr_curve
+
+    rows = [
+        (1, 0.9, 1), (2, 0.7, 0), (3, 0.4, 1), (4, 0.1, 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "score", "label"])
+    out = sorted(
+        pr_curve(df, "score", "label").collect(),
+        key=lambda r: -r["threshold"],
+    )
+    got = [(r["threshold"], r["n_kept"], r["n_true_pos"],
+            r["precision"], r["recall"]) for r in out]
+    assert got == [
+        (0.9, 1, 1, 1.0, 0.5),
+        (0.7, 2, 1, 0.5, 0.5),
+        (0.4, 3, 2, 0.666666, 1.0),
+        (0.1, 4, 2, 0.5, 1.0),
+    ]
+
+
+def test_pr_curve_no_positives(spark):
+    """X81: an all-negative corpus yields recall 0 everywhere (no
+    division by zero)."""
+    from poet_cloud_cost_etl_spark.operators.textstats import pr_curve
+
+    df = spark.createDataFrame(
+        [(1, 0.5, 0), (2, 0.2, 0)], ["doc_id", "score", "label"]
+    )
+    out = pr_curve(df, "score", "label").collect()
+    assert all(r["recall"] == 0.0 and r["precision"] == 0.0 for r in out)
