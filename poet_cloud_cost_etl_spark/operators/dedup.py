@@ -1480,3 +1480,61 @@ def license_propagation(
             (F.col("__rank") > F.col("__minrank")).alias("escalated"),
         )
     )
+
+
+def cluster_density_audit(
+    clusters: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """X82: transitive-merge audit — a CC dedup cluster is the
+    transitive CLOSURE of pairwise near-dup evidence, and closure
+    merges chains: A~B and B~C put A and C in one cluster even when
+    A and C share nothing (the classic over-merge failure of
+    threshold+CC dedup — one borderline pair welds two genuinely
+    different groups and the survivor policy then deletes text that
+    was never a duplicate).  Edge density separates the cases: a
+    true duplicate group is (near-)complete — density ≈ 1 — while a
+    chain merge is sparse (density → 2/n).  Curation reviews
+    low-density clusters before trusting the cut.
+
+    Output (clusters of ≥2 only — density is undefined for
+    singletons): (cluster_id, n_members, n_edges, density,
+    is_clique) with density = 1e6·2e div n(n−1) ppm.
+
+    Scale: one id-keyed join of edge endpoints onto cluster labels
+    (edges are within-cluster by construction, so joining ONE
+    endpoint suffices), then two cluster-keyed count aggregates —
+    nothing beyond the volumes CC itself already processed."""
+    sizes = (
+        clusters.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .filter(F.col("n_members") >= 2)
+    )
+    labeled = edges.select(F.col(src_col).alias(id_col)).join(
+        clusters.select(F.col(id_col), "cluster_id"), id_col
+    )
+    ecount = labeled.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    return (
+        sizes.join(ecount, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce("n_edges", F.lit(0)).cast("long").alias("n_edges"),
+            (
+                F.expr(
+                    "CAST((1000000 * 2 * coalesce(n_edges, 0L)) div "
+                    "(n_members * (n_members - 1)) AS DOUBLE)"
+                )
+                / 1_000_000.0
+            ).alias("density"),
+            (
+                F.coalesce("n_edges", F.lit(0))
+                == F.expr("(n_members * (n_members - 1)) div 2")
+            ).alias("is_clique"),
+        )
+    )

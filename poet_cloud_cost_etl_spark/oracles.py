@@ -4704,3 +4704,33 @@ ORACLES["classifier_pr_curve"] = (
     FROM cur ORDER BY threshold DESC
 """
 )
+
+# X82 cluster density audit (operators/dedup.py:
+# cluster_density_audit): dedup_clusters labels + dedup_ngram_jaccard
+# edges, per-cluster edge counts vs n(n-1)/2.
+ORACLES["dedup_cluster_density"] = (
+    "WITH clusters AS (SELECT doc_id, cluster_id FROM ("
+    + ORACLES["dedup_clusters"]
+    + ")), ej AS (SELECT doc_a FROM ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + """)),
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM clusters GROUP BY 1 HAVING COUNT(*) >= 2
+    ),
+    ecount AS (
+        SELECT c.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+        FROM ej JOIN clusters c ON ej.doc_a = c.doc_id
+        GROUP BY 1
+    )
+    SELECT s.cluster_id, s.n_members,
+        COALESCE(e.n_edges, CAST(0 AS BIGINT)) AS n_edges,
+        CAST((1000000 * 2 * COALESCE(e.n_edges, 0))
+             // (s.n_members * (s.n_members - 1)) AS DOUBLE)
+            / 1000000.0 AS density,
+        COALESCE(e.n_edges, 0)
+            = (s.n_members * (s.n_members - 1)) // 2 AS is_clique
+    FROM sizes s LEFT JOIN ecount e USING (cluster_id)
+    ORDER BY s.cluster_id
+"""
+)

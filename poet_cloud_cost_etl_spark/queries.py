@@ -4297,6 +4297,26 @@ def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("dedup_cluster_density")
+def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82: transitive-merge audit (operators/dedup.py:
+    cluster_density_audit) — edge density of every multi-member X7
+    cluster; sparse clusters flag chain merges (the threshold+CC
+    over-merge failure)."""
+    from .operators.dedup import cluster_density_audit, ngram_jaccard_from_docs
+    from .operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_from_docs(d, "doc_id", "text", threshold=0.5,
+                                    min_df=2)
+    cc = connected_components(
+        d.select("doc_id"), pairs,
+        id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+        fixed_rounds=4,
+    )
+    return cluster_density_audit(cc, pairs).orderBy("cluster_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

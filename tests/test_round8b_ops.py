@@ -977,3 +977,29 @@ def test_pr_curve_no_positives(spark):
     )
     out = pr_curve(df, "score", "label").collect()
     assert all(r["recall"] == 0.0 and r["precision"] == 0.0 for r in out)
+
+
+def test_cluster_density_flags_chain_merge(spark):
+    """X82: a triangle is a clique (density 1.0); a 3-chain is not
+    (density 2/3); singletons are excluded."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        cluster_density_audit,
+    )
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1),      # triangle cluster
+         (10, 10), (11, 10), (12, 10),  # chain 10-11-12
+         (99, 99)],                   # singleton
+        ["doc_id", "cluster_id"],
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12)],
+        ["doc_a", "doc_b"],
+    )
+    out = {r["cluster_id"]: r for r in
+           cluster_density_audit(clusters, edges).collect()}
+    assert set(out) == {1, 10}                  # singleton excluded
+    assert out[1]["is_clique"] and out[1]["density"] == 1.0
+    assert not out[10]["is_clique"]
+    assert out[10]["density"] == 0.666666       # 2*2/(3*2) ppm-floored
+    assert out[10]["n_edges"] == 2
