@@ -1656,3 +1656,88 @@ def pr_curve(
             / 1_000_000.0
         ).alias("recall"),
     )
+
+
+def cms_heavy_hitters_eval(
+    df: DataFrame,
+    text_col: str,
+    depth: int = 3,
+    width: int = 256,
+    k_probe: int = 50,
+) -> DataFrame:
+    """X83: Count-Min sketch heavy-hitters eval (Cormode &
+    Muthukrishnan 2005) — token frequencies under FIXED memory:
+    ``depth`` hash rows × ``width`` counters (d·w integers total, vs
+    a vocabulary-sized exact table), point estimate = min over rows,
+    one-sided error (never under-counts; over-counts by collision
+    mass ~ N/width).  The streaming-side primitive behind every
+    "top talkers / hot tokens under bounded state" monitor; this is
+    its EVAL form (X45's pattern): estimates vs exact counts for the
+    top-``k_probe`` tokens, so the (depth, width) dial is tuned
+    against the corpus's real skew before the sketch replaces the
+    exact table in a memory-capped context.
+
+    All integer arithmetic on the repo's md5 hash family —
+    engine-portable; the one-sided guarantee (estimate ≥ exact) is
+    asserted by the unit test, not just documented.
+
+    Scale: the sketch build is ONE (row, bucket)-keyed aggregate
+    with map-side combine collapsing every partition to ≤ d·w rows;
+    probes join the d·w-row sketch (broadcast-sized by
+    construction).  The exact counts exist only for the probe set —
+    the eval's ground truth, not the production path."""
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    buckets = [
+        F.expr(
+            f"CAST(conv(substring(md5(concat('{j}|', tok)), 1, 8), "
+            f"16, 10) AS BIGINT) % {width}"
+        ).alias(f"b{j}")
+        for j in range(1, depth + 1)
+    ]
+    hashed = toks.select(F.col("tok"), *buckets)
+    sketch = (
+        hashed.select(
+            F.posexplode(
+                F.array(*[F.col(f"b{j}") for j in range(1, depth + 1)])
+            ).alias("row_idx", "bucket")
+        )
+        .groupBy("row_idx", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    w = Window.orderBy(F.desc("exact_count"), F.asc("tok"))
+    probes = (
+        exact.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k_probe)
+        .drop("__r")
+    )
+    probe_b = probes.select(
+        "tok",
+        "exact_count",
+        F.posexplode(
+            F.array(*[
+                F.expr(
+                    f"CAST(conv(substring(md5(concat('{j}|', tok)), 1, 8), "
+                    f"16, 10) AS BIGINT) % {width}"
+                )
+                for j in range(1, depth + 1)
+            ])
+        ).alias("row_idx", "bucket"),
+    )
+    return (
+        probe_b.join(F.broadcast(sketch), ["row_idx", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").cast("long").alias("cms_estimate"))
+        .select(
+            "tok",
+            "exact_count",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias(
+                "overcount"
+            ),
+        )
+    )

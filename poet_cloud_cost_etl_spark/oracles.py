@@ -4734,3 +4734,41 @@ ORACLES["dedup_cluster_density"] = (
     ORDER BY s.cluster_id
 """
 )
+
+# X83 Count-Min heavy hitters (operators/textstats.py:
+# cms_heavy_hitters_eval): 3x256 sketch from the same md5 bucket
+# family, min-over-rows estimates for the top-50 exact tokens.
+ORACLES["cms_heavy_hitters"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents
+    ),
+    occ AS (SELECT unnest(t) AS tok FROM toks),
+    sk AS (
+        SELECT u.j,
+            CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || '|' || tok),
+                1, 8)) AS BIGINT) % 256 AS bucket,
+            CAST(COUNT(*) AS BIGINT) AS c
+        FROM occ, UNNEST([1, 2, 3]) AS u(j)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS ec FROM occ GROUP BY 1
+    ),
+    probes AS (
+        SELECT tok, ec FROM (
+            SELECT tok, ec,
+                ROW_NUMBER() OVER (ORDER BY ec DESC, tok) AS r
+            FROM exact
+        ) WHERE r <= 50
+    )
+    SELECT p.tok, p.ec AS exact_count,
+        CAST(MIN(s.c) AS BIGINT) AS cms_estimate,
+        CAST(MIN(s.c) - p.ec AS BIGINT) AS overcount
+    FROM probes p
+    CROSS JOIN UNNEST([1, 2, 3]) AS u(j)
+    JOIN sk s ON s.j = u.j AND s.bucket =
+        CAST(('0x' || substr(md5(CAST(u.j AS VARCHAR) || '|' || p.tok),
+            1, 8)) AS BIGINT) % 256
+    GROUP BY 1, 2
+    ORDER BY p.tok
+"""

