@@ -1538,3 +1538,98 @@ def cluster_density_audit(
             ).alias("is_clique"),
         )
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+) -> DataFrame:
+    """X84: sorted-neighborhood candidate generation (Hernández &
+    Stolfo 1995, the record-linkage SNM) — the third candidate
+    paradigm next to LSH banding (X2c) and shingle blocking (X2d):
+    sort the corpus by a canonical key and pair each doc with its
+    next ``window`` neighbors in sort order.  Linear candidate count
+    (N·w pairs, NO dependence on bucket skew — the property LSH
+    loses on hot buckets), at the price that recall lives entirely
+    in the SORT KEY: here the canonicalized text, so docs that
+    diverge only late in the text sort adjacent; prefix-insensitive
+    edits need a different key (e.g. sorted-token canon) — the
+    documented dial.  Each candidate pair is scored with exact
+    3-gram Jaccard.
+
+    Scale: ONE range-partitioned global sort (Spark's sort shuffle);
+    the neighbor pairing is lead() inside the sorted window — zero
+    joins for candidate generation; scoring joins each side against
+    the (id, shingle-array) projection, two id-keyed joins of an
+    N·w pair table.
+
+    Output: (doc_a, doc_b, sort_gap, jaccard) — doc_a/doc_b ordered
+    by id, sort_gap = neighbor offset that generated the pair."""
+    from pyspark.sql.window import Window
+
+    canon = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    keyed = df.select(F.col(id_col), canon.alias("__key"))
+    w = Window.orderBy("__key", id_col)
+    # lead() first (window stage), THEN the generator: Spark rejects
+    # a window function inside a generator's argument in one select
+    with_leads = keyed.select(
+        F.col(id_col),
+        *[
+            F.lead(F.col(id_col), off).over(w).alias(f"__n{off}")
+            for off in range(1, window + 1)
+        ],
+    )
+    leads = with_leads.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(*[F.col(f"__n{off}") for off in range(1, window + 1)])
+        ).alias("__off0", "__nbr"),
+    ).filter(F.col("__nbr").isNotNull())
+    pairs = leads.select(
+        F.least(F.col(id_col), F.col("__nbr")).alias("doc_a"),
+        F.greatest(F.col(id_col), F.col("__nbr")).alias("doc_b"),
+        (F.col("__off0") + 1).cast("int").alias("sort_gap"),
+    )
+    arrs = df.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).select(
+        F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
+    )
+    a = arrs.select(
+        F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa")
+    )
+    b = arrs.select(
+        F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "sort_gap",
+            F.when(
+                F.size("__sa") + F.size("__sb") > 0,
+                F.round(
+                    F.expr(
+                        "CAST(size(array_intersect(__sa, __sb)) AS DOUBLE)"
+                    )
+                    / F.expr(
+                        "CAST(size(__sa) + size(__sb) "
+                        "- size(array_intersect(__sa, __sb)) AS DOUBLE)"
+                    ),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("jaccard"),
+        )
+    )

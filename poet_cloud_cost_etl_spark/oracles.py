@@ -4772,3 +4772,56 @@ ORACLES["cms_heavy_hitters"] = f"""
     GROUP BY 1, 2
     ORDER BY p.tok
 """
+
+# X84 sorted-neighborhood pairs (operators/dedup.py:
+# sorted_neighborhood_pairs): canonical-key sort order, lead(1..3)
+# neighbors, exact distinct-3-gram Jaccard via list_intersect;
+# empty-shingle docs join with empty lists (jaccard 0).
+ORACLES["dedup_sorted_neighborhood"] = f"""
+    WITH keyed AS (
+        SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS k
+        FROM documents
+    ),
+    leads AS (
+        SELECT doc_id,
+            lead(doc_id, 1) OVER (ORDER BY k, doc_id) AS n1,
+            lead(doc_id, 2) OVER (ORDER BY k, doc_id) AS n2,
+            lead(doc_id, 3) OVER (ORDER BY k, doc_id) AS n3
+        FROM keyed
+    ),
+    pairs AS (
+        SELECT LEAST(doc_id, n1) AS doc_a, GREATEST(doc_id, n1) AS doc_b,
+            CAST(1 AS INTEGER) AS sort_gap FROM leads WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT LEAST(doc_id, n2), GREATEST(doc_id, n2), 2
+        FROM leads WHERE n2 IS NOT NULL
+        UNION ALL
+        SELECT LEAST(doc_id, n3), GREATEST(doc_id, n3), 3
+        FROM leads WHERE n3 IS NOT NULL
+    ),
+    toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    shl AS (
+        SELECT t.doc_id,
+            COALESCE(s.lst, []) AS lst
+        FROM toks t LEFT JOIN (
+            SELECT doc_id, list(DISTINCT shingle) AS lst
+            FROM (
+                SELECT doc_id,
+                    t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+                FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+            ) GROUP BY doc_id
+        ) s USING (doc_id)
+    )
+    SELECT p.doc_a, p.doc_b, p.sort_gap,
+        CASE WHEN len(sa.lst) + len(sb.lst) > 0 THEN
+            ROUND(CAST(len(list_intersect(sa.lst, sb.lst)) AS DOUBLE)
+                / (len(sa.lst) + len(sb.lst)
+                   - len(list_intersect(sa.lst, sb.lst))), 6)
+        ELSE 0.0 END AS jaccard
+    FROM pairs p
+    JOIN shl sa ON p.doc_a = sa.doc_id
+    JOIN shl sb ON p.doc_b = sb.doc_id
+    ORDER BY p.doc_a, p.doc_b, p.sort_gap
+"""

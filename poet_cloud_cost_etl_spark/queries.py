@@ -4329,6 +4329,20 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_heavy_hitters_eval(d, "text").orderBy("tok")
 
 
+@query("dedup_sorted_neighborhood")
+def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84: sorted-neighborhood candidate pairs (operators/dedup.py:
+    sorted_neighborhood_pairs) — canonical-text sort, window-3
+    neighbors, exact-Jaccard scoring; the linear-candidate-count
+    paradigm next to LSH banding and shingle blocking."""
+    from .operators.dedup import sorted_neighborhood_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return sorted_neighborhood_pairs(d, "doc_id", "text", window=3).orderBy(
+        "doc_a", "doc_b", "sort_gap"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -1033,3 +1033,30 @@ def test_cms_one_sided_and_exact_when_wide(spark):
              cms_heavy_hitters_eval(df, "text", depth=2, width=1,
                                     k_probe=10).collect()}
     assert set(tight.values()) == {8}
+
+
+def test_sorted_neighborhood_pairs_semantics(spark):
+    """X84: adjacency in canonical sort order generates exactly the
+    window pairs; identical docs sort adjacent and score jaccard
+    1.0 regardless of their ids."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    rows = [
+        (5, "zebra yak xylophone words continue here"),
+        (1, "Apple banana cherry dates elderberry fig!"),
+        (9, "apple banana cherry dates elderberry fig"),
+        (3, "middle of the sort order sits here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = sorted_neighborhood_pairs(df, "doc_id", "text", window=1).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out}
+    # canonical sort: "apple..."(1), "apple..."(9), "middle..."(3),
+    # "zebra..."(5) -> window-1 pairs (1,9), (3,9), (3,5)
+    assert set(pairs) == {(1, 9), (3, 9), (3, 5)}
+    assert pairs[(1, 9)] == 1.0          # canonicalization-equal docs
+    assert pairs[(3, 9)] == 0.0
+    # window=3 on 4 docs yields all 6 pairs
+    full = sorted_neighborhood_pairs(df, "doc_id", "text", window=3)
+    assert full.count() == 6
