@@ -1741,3 +1741,48 @@ def cms_heavy_hitters_eval(
             ),
         )
     )
+
+
+def pr_auc(curve: DataFrame) -> DataFrame:
+    """X85: area under the X81 precision–recall curve — the single
+    scalar that compares two quality classifiers corpus-wide (the
+    headline metric next to the X81 operating-point table).
+    Trapezoidal rule over the curve's points in increasing recall,
+    anchored at (recall 0, precision of the strictest threshold).
+
+    Exact integer arithmetic end to end: recall/precision re-enter
+    as their ppm integers (they were ppm divisions — the ×1e6
+    round-trip is lossless), 2·AUC·1e12 accumulates as an exact
+    integer sum of Δr·(p_i + p_{i+1}) terms (order-free), and ONE
+    double division at the end produces the scalar.
+
+    Scale: the curve is lattice-bounded (X81's contract), so the
+    lag window and the final 1-row sum run over ≤ grid rows."""
+    from pyspark.sql.window import Window
+
+    pts = curve.select(
+        F.expr("CAST(round(recall * 1000000) AS BIGINT)").alias("r"),
+        F.expr("CAST(round(precision * 1000000) AS BIGINT)").alias("p"),
+    )
+    # (r asc, p desc) IS threshold-descending order: recall is
+    # non-decreasing as the threshold drops, and within an equal-
+    # recall run precision strictly decreases (tp fixed, kept grows)
+    # — so this window walks the operating-point polyline in the
+    # order a deployment would sweep it.
+    w = Window.orderBy(F.asc("r"), F.desc("p"))
+    seg = pts.select(
+        "r",
+        "p",
+        F.lag("r", 1, 0).over(w).alias("r0"),
+        # anchor: the first (lowest-recall) point extends flat to r=0
+        F.lag("p", 1).over(w).alias("p0"),
+    ).select(
+        F.expr(
+            "(r - r0) * (coalesce(p0, p) + p)"
+        ).alias("term")
+    )
+    return seg.agg(
+        (
+            F.sum("term").cast("double") / 2_000_000_000_000.0
+        ).alias("pr_auc")
+    )

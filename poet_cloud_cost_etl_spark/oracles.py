@@ -4825,3 +4825,30 @@ ORACLES["dedup_sorted_neighborhood"] = f"""
     JOIN shl sb ON p.doc_b = sb.doc_id
     ORDER BY p.doc_a, p.doc_b, p.sort_gap
 """
+
+# X85 PR-AUC (operators/textstats.py: pr_auc): exact-integer
+# trapezoid over the X81 curve in (recall, precision) ppm order;
+# zero-width segments (recall ties) contribute nothing, the flat
+# anchor extends the strictest point to recall 0.
+ORACLES["classifier_pr_auc"] = (
+    "WITH curve AS (SELECT recall, precision FROM ("
+    + ORACLES["classifier_pr_curve"].replace(
+        "ORDER BY threshold DESC", ""
+    )
+    + """)),
+    pts AS (
+        SELECT CAST(round(recall * 1000000) AS BIGINT) AS r,
+            CAST(round(precision * 1000000) AS BIGINT) AS p
+        FROM curve
+    ),
+    seg AS (
+        SELECT (r - lag(r, 1, CAST(0 AS BIGINT))
+                OVER (ORDER BY r, p DESC))
+            * (COALESCE(lag(p, 1) OVER (ORDER BY r, p DESC), p) + p)
+            AS term
+        FROM pts
+    )
+    SELECT CAST(SUM(term) AS DOUBLE) / 2000000000000.0 AS pr_auc
+    FROM seg
+"""
+)

@@ -4343,6 +4343,23 @@ def q_dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("classifier_pr_auc")
+def q_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85: PR-AUC scalar (operators/textstats.py: pr_auc) — exact
+    integer trapezoid over the X81 curve; the corpus-wide
+    classifier-comparison headline number."""
+    from .operators.textstats import hashed_logit_scores, pr_auc, pr_curve
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_logit_scores(d, "doc_id", "text").join(
+        d.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    return pr_auc(pr_curve(scored, "mean_weight", "label"))
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -1060,3 +1060,30 @@ def test_sorted_neighborhood_pairs_semantics(spark):
     # window=3 on 4 docs yields all 6 pairs
     full = sorted_neighborhood_pairs(df, "doc_id", "text", window=3)
     assert full.count() == 6
+
+
+def test_pr_auc_hand_computed(spark):
+    """X85: perfect classifier -> AUC 1.0; the 4-doc curve from the
+    X81 test integrates to the hand trapezoid."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        pr_auc,
+        pr_curve,
+    )
+
+    perfect = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.8, 1), (3, 0.2, 0), (4, 0.1, 0)],
+        ["doc_id", "score", "label"],
+    )
+    r = pr_auc(pr_curve(perfect, "score", "label")).collect()[0]
+    assert r["pr_auc"] == 1.0
+
+    mixed = spark.createDataFrame(
+        [(1, 0.9, 1), (2, 0.7, 0), (3, 0.4, 1), (4, 0.1, 0)],
+        ["doc_id", "score", "label"],
+    )
+    # threshold-ordered polyline: (0.5, 1.0), (0.5, 0.5),
+    # (1.0, 0.666666), (1.0, 0.5); trapezoids:
+    # anchor->(0.5,1.0): 0.5*1.0 = 0.5; zero-width at r=0.5;
+    # (0.5,0.5)->(1.0,0.666666): 0.5*(0.5+0.666666)/2 = 0.2916665
+    r2 = pr_auc(pr_curve(mixed, "score", "label")).collect()[0]
+    assert r2["pr_auc"] == 0.7916665
