@@ -1633,3 +1633,106 @@ def sorted_neighborhood_pairs(
             .alias("jaccard"),
         )
     )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """X86: prefix-filtered similarity join (Chaudhuri/Ganti/Kaushik
+    SSJoin 2006; Xiao et al. PPJoin 2008) — the candidate-collapse
+    theorem every serious set-similarity system builds on: order
+    every doc's shingles by a GLOBAL canonical order (document
+    frequency ascending, rarest first), keep only the first
+    n − ⌈t·n⌉ + 1 of each doc's n shingles, and any pair with
+    Jaccard ≥ t MUST share a shingle inside both prefixes (J ≥ t ⟹
+    overlap ≥ ⌈t·|A|⌉; if no common element sat in the prefix, the
+    overlap could not exceed ⌈t·|A|⌉ − 1).  Versus X2d's
+    any-shared-shingle blocking this prunes the candidate stream by
+    the prefix ratio (~(1−t) of each doc) AND biases surviving
+    blocks toward RARE shingles — exactly the hot-bucket mass X2d
+    needs skew handling for.  Results are IDENTICAL to X2d at the
+    same threshold (asserted by test), only the candidate set
+    shrinks.
+
+    ``threshold_num/threshold_den`` keep t rational so the prefix
+    length ⌈t·n⌉ = (num·n + den − 1) div den is exact integer
+    arithmetic in both engines.
+
+    Scale: dfreq ranking is a vocab-bounded window (NOT corpus);
+    per-doc prefix selection is an id-partitioned window; candidate
+    generation reuses the grouped single-shuffle pattern; exact
+    verification joins the (id, shingle-array) projection twice."""
+    from pyspark.sql.window import Window
+
+    arrs = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(
+            F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+    )
+    ex = arrs.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n"),
+        F.explode("__sh").alias("shingle"),
+    )
+    dfreq = ex.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    # global canonical order: vocab-bounded single-partition window
+    rk = dfreq.withColumn(
+        "__rk",
+        F.row_number().over(Window.orderBy("__df", "shingle")).cast("long"),
+    ).select("shingle", "__rk")
+    pos_w = Window.partitionBy(id_col).orderBy("__rk")
+    prefix = (
+        ex.join(rk, "shingle")
+        .withColumn("__pos", F.row_number().over(pos_w))
+        .filter(
+            F.expr(
+                f"__pos <= n - (({threshold_num} * n + {threshold_den} - 1) "
+                f"div {threshold_den}) + 1"
+            )
+        )
+        .select(F.col(id_col), "shingle")
+    )
+    cand = (
+        prefix.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    a = arrs.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
+    b = arrs.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
+    scored = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.expr("CAST(size(array_intersect(__sa, __sb)) AS DOUBLE)")
+                / F.expr(
+                    "CAST(size(__sa) + size(__sb) "
+                    "- size(array_intersect(__sa, __sb)) AS DOUBLE)"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    t = threshold_num / threshold_den
+    return scored.filter(F.col("jaccard") >= t)

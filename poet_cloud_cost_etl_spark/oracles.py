@@ -4852,3 +4852,16 @@ ORACLES["classifier_pr_auc"] = (
     FROM seg
 """
 )
+
+# X86 prefix-filtered join (operators/dedup.py:
+# prefix_filter_jaccard_join): by the prefix-filter THEOREM the
+# result set equals the any-shared-shingle join at the same
+# threshold (the Spark-side unit test pins the algorithmic
+# equivalence; tests/test_round8b_ops.py::
+# test_prefix_filter_equals_full_blocking), so the oracle is the
+# X2d jaccard SQL — the ground truth both algorithms must produce.
+ORACLES["dedup_prefix_filter_join"] = (
+    "SELECT doc_a, doc_b, jaccard FROM ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + ") ORDER BY doc_a, doc_b"
+)

@@ -4360,6 +4360,20 @@ def q_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr_auc(pr_curve(scored, "mean_weight", "label"))
 
 
+@query("dedup_prefix_filter_join")
+def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86: prefix-filtered similarity join (operators/dedup.py:
+    prefix_filter_jaccard_join) — SSJoin/PPJoin candidate collapse
+    at Jaccard >= 1/2; by the prefix-filter theorem the result set
+    is identical to X2d's, with a fraction of the candidates."""
+    from .operators.dedup import prefix_filter_jaccard_join
+
+    d = table(spark, sf_dir, "documents")
+    return prefix_filter_jaccard_join(d, "doc_id", "text", 1, 2).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -1087,3 +1087,35 @@ def test_pr_auc_hand_computed(spark):
     # (0.5,0.5)->(1.0,0.666666): 0.5*(0.5+0.666666)/2 = 0.2916665
     r2 = pr_auc(pr_curve(mixed, "score", "label")).collect()[0]
     assert r2["pr_auc"] == 0.7916665
+
+
+def test_prefix_filter_equals_full_blocking(spark):
+    """X86: the prefix-filter theorem — results identical to the
+    any-shared-shingle X2d join at the same threshold, on both the
+    fixture corpus and a synthetic with heavy boilerplate overlap."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        ngram_jaccard_from_docs,
+        prefix_filter_jaccard_join,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+            ngram_jaccard_from_docs(d, "doc_id", "text", 0.5).collect()}
+    pref = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+            prefix_filter_jaccard_join(d, "doc_id", "text", 1, 2).collect()}
+    assert pref == full and full  # non-vacuous
+
+    rows = [
+        (1, "common boiler plate text alpha beta gamma"),
+        (2, "common boiler plate text alpha beta delta"),
+        (3, "common boiler plate text entirely different tail"),
+        (4, "nothing shared with anyone at all here"),
+    ]
+    sdf = spark.createDataFrame(rows, ["doc_id", "text"])
+    f2 = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+          ngram_jaccard_from_docs(sdf, "doc_id", "text", 0.5).collect()}
+    p2 = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
+          prefix_filter_jaccard_join(sdf, "doc_id", "text", 1, 2).collect()}
+    assert p2 == f2
