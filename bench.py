@@ -154,6 +154,11 @@ HEADLINE = [
     "license_propagation",
     "embedding_health_audit",
     "classifier_pr_curve",
+    "dedup_cluster_density",
+    "cms_heavy_hitters",
+    "dedup_sorted_neighborhood",
+    "classifier_pr_auc",
+    "dedup_prefix_filter_join",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
