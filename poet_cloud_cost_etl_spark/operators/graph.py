@@ -266,7 +266,13 @@ def pagerank_ppm(
     Scale: per iteration one (dst-keyed) aggregate over the edge
     list joined to the current score table — the textbook
     edge-partitioned PageRank; scores/degrees are node-sized.
-    localCheckpoint per round caps the lineage exactly like CC."""
+    The symmetrized (src, dst, deg) edge frame is materialized ONCE
+    (localCheckpoint) before the loop: the upstream edge list is
+    typically an expensive LSH/similarity-join chain, and without
+    the pin every iteration would replay it from the parquet scan —
+    8 iterations cost 8 pair-generations instead of 1.
+    localCheckpoint per round caps the score lineage exactly like
+    CC."""
     sym = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).unionByName(
@@ -275,14 +281,15 @@ def pagerank_ppm(
         )
     ).distinct()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    sym_deg = sym.join(deg, "src").localCheckpoint(eager=True)
+    deg = sym_deg.select("src", "deg").distinct()
     p = deg.select(
         F.col("src").alias("node"), F.lit(1_000_000).cast("long").alias("p")
     )
     base = (100 - damping_pct) * 10_000
     for _ in range(int(iters)):
         contrib = (
-            sym.join(p, sym.src == p.node)
-            .join(deg, "src")
+            sym_deg.join(p, sym_deg.src == p.node)
             .select(F.col("dst"), F.expr("p div deg").alias("c"))
         )
         p = (
