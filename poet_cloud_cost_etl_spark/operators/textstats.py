@@ -1786,3 +1786,59 @@ def pr_auc(curve: DataFrame) -> DataFrame:
             F.sum("term").cast("double") / 2_000_000_000_000.0
         ).alias("pr_auc")
     )
+
+
+def canary_scan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    canaries: list[str],
+) -> DataFrame:
+    """X87: canary-string leak scan — the memorization / secret-leak
+    guardrail run before every training-set freeze: a registry of
+    literal strings (planted canaries per Carlini et al. 2019 "The
+    Secret Sharer", benchmark answer keys, revoked API-key prefixes)
+    is swept across the corpus and every hit is attributed.  Unlike
+    X13's shingle-overlap decontamination this is EXACT SUBSTRING
+    match — a canary is a verbatim secret, not a paraphrasable
+    passage, so shingle recall tricks don't apply and zero false
+    positives are required (a hit triggers doc quarantine).
+
+    Semantics: for each canary, n_docs = docs containing it at least
+    once, n_occurrences = total non-overlapping occurrence count
+    summed over docs (exact integers via the length-difference
+    identity: (len(t) − len(replace(t, c, ''))) / len(c)), and
+    first_doc_id = lowest hit doc (the quarantine starting point).
+    Canaries with zero hits still report a row — "scanned and clean"
+    is the audit artifact.
+
+    Scale: the registry is a BROADCAST literal array (canary
+    registries are small — thousands, not millions); the scan is one
+    narrow pass over the corpus (explode over the broadcast array +
+    per-row contains/replace arithmetic — no join, no shuffle until
+    the ≤|registry| -row aggregate).  A million-pattern registry
+    would swap the per-canary replace for an Aho-Corasick automaton
+    inside mapInPandas — the documented dial; the output contract is
+    unchanged."""
+    cans = F.array(*[F.lit(c) for c in canaries])
+    hits = (
+        df.select(F.col(id_col), F.col(text_col).alias("__txt"))
+        .select(
+            F.col(id_col),
+            F.col("__txt"),
+            F.explode(cans).alias("canary"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("canary"),
+            (
+                (F.length("__txt") - F.length(F.expr("replace(__txt, canary, '')")))
+                / F.length("canary")
+            ).cast("long").alias("__occ"),
+        )
+    )
+    return hits.groupBy("canary").agg(
+        F.sum(F.when(F.col("__occ") > 0, 1).otherwise(0)).cast("long").alias("n_docs"),
+        F.sum("__occ").cast("long").alias("n_occurrences"),
+        F.min(F.when(F.col("__occ") > 0, F.col(id_col))).alias("first_doc_id"),
+    )

@@ -4865,3 +4865,24 @@ ORACLES["dedup_prefix_filter_join"] = (
     + ORACLES["dedup_ngram_jaccard"]
     + ") ORDER BY doc_a, doc_b"
 )
+
+# X87 canary leak scan (operators/textstats.py: canary_scan):
+# exact-substring occurrence accounting via the length-difference
+# identity; zero-hit canaries keep their row (clean-audit artifact).
+ORACLES["canary_leak_scan"] = """
+    WITH cans AS (
+        SELECT * FROM (VALUES ('table table'), ('fast key'),
+                              ('zzz-canary-7f3a')) t(canary)
+    ),
+    hits AS (
+        SELECT c.canary, d.doc_id,
+            (length(d.text) - length(replace(d.text, c.canary, '')))
+                // length(c.canary) AS occ
+        FROM documents d, cans c
+    )
+    SELECT canary,
+        CAST(SUM(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+        CAST(SUM(occ) AS BIGINT) AS n_occurrences,
+        MIN(CASE WHEN occ > 0 THEN doc_id END) AS first_doc_id
+    FROM hits GROUP BY canary ORDER BY canary
+"""

@@ -4374,6 +4374,25 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Canary registry for the X87 leak scan: two phrases that occur in
+# the fixture vocabulary stream plus one planted secret that must
+# report zero (the "scanned and clean" audit row).
+CANARIES = ["table table", "fast key", "zzz-canary-7f3a"]
+
+
+@query("canary_leak_scan")
+def q_canary_leak_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87: canary-string leak scan (operators/textstats.py:
+    canary_scan) — exact-substring sweep of a broadcast canary
+    registry over the corpus; per-canary doc count, non-overlapping
+    occurrence count, and first hit doc.  Zero-hit canaries report a
+    clean row."""
+    from .operators.textstats import canary_scan
+
+    d = table(spark, sf_dir, "documents")
+    return canary_scan(d, "doc_id", "text", CANARIES).orderBy("canary")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
