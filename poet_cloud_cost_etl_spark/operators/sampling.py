@@ -456,3 +456,57 @@ def training_order_shuffle(
         .withColumn("pos", F.row_number().over(w))
         .select(F.col(id_col), "shard", "pos")
     )
+
+
+def priority_sample(
+    df: DataFrame, key_col: str, weight_col: str, k: int
+) -> DataFrame:
+    """X88: priority sampling (Duffield-Lund-Thorup 2007) — the
+    weighted k-sample with UNBIASED subset-sum estimates, the tool
+    for "estimate any slice's token total from a fixed-size sample"
+    corpus accounting: each row gets priority q = w/u (u uniform),
+    the k highest-priority rows are kept, and every kept row's
+    Horvitz-Thompson weight estimate is max(w, τ) with τ the
+    (k+1)-th priority.  Σ max(w, τ) over the sample is unbiased for
+    Σw over ANY predicate-restricted subset — near-optimal variance
+    (within 1+O(1/k) of the best possible k-sample, per the paper).
+
+    Engine-pinned arithmetic: u = (unit_hash(key)+1)/2^32 rational,
+    so the quantized priority q = (w · 2^32) div (h+1) is EXACT
+    integer arithmetic (weights must be integers; max fixture weight
+    ~1e5 · 2^32 ≈ 4e14 — no overflow).  Order (q desc, key asc) is a
+    deterministic total order; the quantized-q tie/truncation
+    behavior is part of the pinned semantics.  If |corpus| ≤ k the
+    threshold is 0 and every estimate is the exact weight.
+
+    Scale: two TakeOrdered top-(k+1) passes over a narrow
+    (key, w, q) projection — no global-partition window, no shuffle
+    beyond the top-k machinery; τ is a broadcast 1-row frame."""
+    r = (unit_hash(key_col) + F.lit(1)).alias("__r")
+    keyed = df.select(
+        F.col(key_col),
+        F.col(weight_col).cast("long").alias("weight"),
+        F.expr(
+            f"(CAST({weight_col} AS BIGINT) * {UNIT_DENOM}) div "
+            f"({_UNIT_SQL.format(col=key_col)} + 1)"
+        ).alias("priority"),
+    )
+    top_k1 = keyed.orderBy(
+        F.col("priority").desc(), F.col(key_col).asc()
+    ).limit(int(k) + 1)
+    tau = top_k1.agg(
+        F.when(F.count(F.lit(1)) == int(k) + 1, F.min("priority"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("threshold")
+    )
+    sample = keyed.orderBy(
+        F.col("priority").desc(), F.col(key_col).asc()
+    ).limit(int(k))
+    return sample.crossJoin(F.broadcast(tau)).select(
+        F.col(key_col),
+        "weight",
+        "priority",
+        "threshold",
+        F.greatest(F.col("weight"), F.col("threshold")).alias("est_weight"),
+    )

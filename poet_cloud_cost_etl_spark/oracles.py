@@ -4886,3 +4886,29 @@ ORACLES["canary_leak_scan"] = """
         MIN(CASE WHEN occ > 0 THEN doc_id END) AS first_doc_id
     FROM hits GROUP BY canary ORDER BY canary
 """
+
+# X88 priority sampling (operators/sampling.py: priority_sample):
+# q = (w * 2^32) // (h+1) exact integers; (q desc, doc_id asc) total
+# order; threshold = (k+1)-th priority (0 when the corpus fits);
+# HT estimate = max(w, threshold).
+ORACLES["priority_sample_docs"] = f"""
+    WITH keyed AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+            (CAST(n_chars AS BIGINT) * 4294967296)
+                // ({_UNIT.format(col='doc_id')} + 1) AS priority
+        FROM documents
+    ),
+    top_k1 AS (
+        SELECT * FROM keyed ORDER BY priority DESC, doc_id ASC LIMIT 33
+    ),
+    tau AS (
+        SELECT CAST(CASE WHEN COUNT(*) = 33 THEN MIN(priority)
+                    ELSE 0 END AS BIGINT) AS threshold
+        FROM top_k1
+    )
+    SELECT doc_id, weight, priority, threshold,
+        GREATEST(weight, threshold) AS est_weight
+    FROM (SELECT * FROM keyed ORDER BY priority DESC, doc_id ASC LIMIT 32),
+        tau
+    ORDER BY doc_id
+"""

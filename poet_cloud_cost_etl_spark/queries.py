@@ -4393,6 +4393,19 @@ def q_canary_leak_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canary_scan(d, "doc_id", "text", CANARIES).orderBy("canary")
 
 
+@query("priority_sample_docs")
+def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88: Duffield-Lund-Thorup priority sampling
+    (operators/sampling.py: priority_sample) — the 32 highest
+    q = w·2^32 div (h+1) docs weighted by n_chars, with the
+    (k+1)-th-priority threshold and per-row Horvitz-Thompson
+    max(w, τ) subset-sum estimates."""
+    from .operators.sampling import priority_sample
+
+    d = table(spark, sf_dir, "documents")
+    return priority_sample(d, "doc_id", "n_chars", 32).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -46,3 +46,65 @@ def test_canary_scan_python_reference(spark):
         nd = sum(1 for r in rows if c in r["text"])
         no = sum(r["text"].count(c) for r in rows)
         assert got[c] == (nd, no)
+
+
+def test_priority_sample_hashlib_reference(spark):
+    """X88 vs an independent hashlib/md5 Python reference: the full
+    (sample, priority, threshold, estimate) output must be equal."""
+    import hashlib
+
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.sampling import priority_sample
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    k = 8
+    got = sorted(
+        (r["doc_id"], r["weight"], r["priority"], r["threshold"], r["est_weight"])
+        for r in priority_sample(d, "doc_id", "n_chars", k).collect()
+    )
+    rows = d.select("doc_id", "n_chars").collect()
+    ref = []
+    for r in rows:
+        h = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:8], 16)
+        q = (r["n_chars"] * 4294967296) // (h + 1)
+        ref.append((q, r["doc_id"], r["n_chars"]))
+    ref.sort(key=lambda t: (-t[0], t[1]))
+    tau = ref[k][0] if len(ref) > k else 0
+    expect = sorted(
+        (doc, w, q, tau, max(w, tau)) for q, doc, w in ref[:k]
+    )
+    assert got == expect
+
+
+def test_priority_sample_small_corpus_exact(spark):
+    """X88: when |corpus| <= k the threshold is 0 and the HT
+    estimates are the exact weights (the estimator degenerates to
+    the identity — zero variance, as the paper requires)."""
+    from poet_cloud_cost_etl_spark.operators.sampling import priority_sample
+
+    df = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 30)], ["doc_id", "w"]
+    )
+    out = priority_sample(df, "doc_id", "w", 5).collect()
+    assert len(out) == 3
+    assert all(r["threshold"] == 0 for r in out)
+    assert sorted((r["doc_id"], r["est_weight"]) for r in out) == [
+        (1, 10), (2, 20), (3, 30)
+    ]
+
+
+def test_priority_sample_ht_sum_sane(spark):
+    """X88: the HT subset-sum estimate of total chars lands within a
+    loose factor of the exact total (single-draw smoke, not a
+    distributional claim)."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.sampling import priority_sample
+    import pyspark.sql.functions as F
+
+    d = table(spark, "/root/testdata/sf0.01", "documents")
+    est = (
+        priority_sample(d, "doc_id", "n_chars", 64)
+        .agg(F.sum("est_weight")).collect()[0][0]
+    )
+    exact = d.agg(F.sum("n_chars")).collect()[0][0]
+    assert 0.5 * exact <= est <= 2.0 * exact
