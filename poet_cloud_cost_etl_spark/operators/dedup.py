@@ -77,6 +77,30 @@ def minhash_signatures(sh: DataFrame, id_col: str, k: int = 8) -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_membership(
+    sig: DataFrame, id_col: str, k: int = 8, bands: int = 4
+) -> DataFrame:
+    """The banded-signature bucket membership table
+    (id, band_idx, band_val): each band hashes k/bands consecutive
+    signature components.  Shared by X2c's pair generation and X89's
+    pairless star clustering — a (band_idx, band_val) bucket IS the
+    LSH hyperedge."""
+    rows = k // bands
+    band_cols = [
+        F.md5(F.concat_ws("", *[F.col(f"mh{b * rows + r + 1}") for r in range(rows)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str,
@@ -101,20 +125,7 @@ def lsh_candidate_pairs(
     over-full buckets entirely (recall trade; a bucket that hot is
     near-useless for near-dup). Running exact dedup (X1/X2a) first
     remains standard pipeline order."""
-    rows = k // bands
-    band_cols = [
-        F.md5(F.concat_ws("", *[F.col(f"mh{b * rows + r + 1}") for r in range(rows)])).alias(
-            f"band{b}"
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(F.col(id_col), *band_cols)
-    exploded = banded.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
-            "band_idx", "band_val"
-        ),
-    )
+    exploded = lsh_band_membership(sig, id_col, k, bands)
     grouped = (
         exploded.groupBy("band_idx", "band_val")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))

@@ -307,3 +307,55 @@ def pagerank_ppm(
         F.col("node"),
         (F.col("p").cast("double") / 1_000_000.0).alias("pagerank"),
     )
+
+
+def hyperedge_components(
+    members: DataFrame,
+    group_cols: list[str],
+    member_col: str,
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """X89: connected components over HYPEREDGES (group-membership
+    tables) without ever materializing in-group pairs — the scale
+    path for LSH-bucket clustering: X7 expands each bucket of m docs
+    into m·(m−1)/2 candidate pairs before clustering, which is
+    exactly the quadratic blow-up the skew split exists to contain;
+    but when the goal is the CLUSTERS (not scored pairs), the
+    expansion is pure waste.  A bucket is a hyperedge — replace its
+    clique with the m−1 STAR edges (member → bucket-min) and the
+    connected components are IDENTICAL (each bucket stays internally
+    connected through its min; unions of buckets compose unchanged —
+    asserted against the clique expansion by test).  Pair count
+    drops from Σ m²/2 to Σ m, and a degenerate 10⁶-member bucket
+    (the hot-bucket hazard) costs 10⁶ edges, not 5·10¹¹.
+
+    This is the standard single-linkage trick in minhash dedup at
+    corpus scale (the "bucket → union-find" formulation of
+    Lee et al. 2022 Deduplicating Training Data Makes LMs Better —
+    pair scoring is skipped entirely when banding alone decides).
+
+    ``members``: one row per (group, member); ``nodes`` defaults to
+    the distinct members (pass the full corpus to cluster singletons
+    with themselves).
+
+    Scale: one group-keyed min-window (map-side combinable via the
+    groupBy/join form below — no collect_list), then the shared
+    minlabel/checkpoint CC machinery over a member-count-sized edge
+    list."""
+    g = [F.col(c) for c in group_cols]
+    mins = members.groupBy(*g).agg(F.min(member_col).alias("__gmin"))
+    star = (
+        members.join(mins, group_cols)
+        .filter(F.col(member_col) != F.col("__gmin"))
+        .select(
+            F.col(member_col).alias("src"), F.col("__gmin").alias("dst")
+        )
+        .distinct()
+    )
+    if nodes is None:
+        nodes = members.select(F.col(member_col).alias(id_col)).distinct()
+    return connected_components(
+        nodes, star, id_col=id_col, max_iter=max_iter
+    )

@@ -4912,3 +4912,41 @@ ORACLES["priority_sample_docs"] = f"""
         tau
     ORDER BY doc_id
 """
+
+# X89 pairless LSH-bucket clustering (operators/graph.py:
+# hyperedge_components): the oracle walks the CLIQUE edges of the
+# same band buckets (components of star expansion == components of
+# clique expansion — the operator-side test pins the algorithmic
+# equivalence; here the ground truth is the component structure
+# itself, reachability labels via recursive walk).
+ORACLES["dedup_lsh_clusters_star"] = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    mh AS (
+        SELECT doc_id,
+            {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_BAND_UNION}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk AS (
+        SELECT doc_id AS node, doc_id AS reach FROM documents
+        UNION
+        SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a
+    )
+    SELECT node AS doc_id, MIN(reach) AS cluster_id,
+        node = MIN(reach) AS keep
+    FROM walk GROUP BY node ORDER BY node
+"""

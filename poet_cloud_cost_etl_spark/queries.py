@@ -4406,6 +4406,39 @@ def q_priority_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return priority_sample(d, "doc_id", "n_chars", 32).orderBy("doc_id")
 
 
+@query("dedup_lsh_clusters_star")
+def q_dedup_lsh_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89: pairless LSH-bucket clustering (operators/graph.py:
+    hyperedge_components) — band buckets are hyperedges, each
+    replaced by its m-1 star edges instead of the m(m-1)/2 clique
+    X7 expands; components are provably identical, candidate volume
+    is linear in membership.  Clusters the full corpus (singletons
+    cluster with themselves)."""
+    from .operators.dedup import (
+        doc_shingles,
+        lsh_band_membership,
+        minhash_signatures,
+    )
+    from .operators.graph import hyperedge_components
+
+    d = table(spark, sf_dir, "documents")
+    sh = doc_shingles(d, "doc_id", "text")
+    sig = minhash_signatures(sh, "doc_id", 8)
+    buckets = lsh_band_membership(sig, "doc_id", 8, 4)
+    labels = hyperedge_components(
+        buckets,
+        ["band_idx", "band_val"],
+        "doc_id",
+        nodes=d.select("doc_id"),
+        id_col="doc_id",
+    )
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -108,3 +108,75 @@ def test_priority_sample_ht_sum_sane(spark):
     )
     exact = d.agg(F.sum("n_chars")).collect()[0][0]
     assert 0.5 * exact <= est <= 2.0 * exact
+
+
+def test_hyperedge_components_equals_clique_expansion(spark):
+    """X89: star reduction of group hyperedges yields the SAME
+    components as expanding each group into all in-group pairs."""
+    from poet_cloud_cost_etl_spark.operators.graph import (
+        connected_components,
+        hyperedge_components,
+    )
+    import pyspark.sql.functions as F
+
+    # groups: {1,2,3}, {3,4}, {5,6}, {7} — components {1,2,3,4},{5,6},{7},{8 isolated}
+    members = spark.createDataFrame(
+        [("g1", 1), ("g1", 2), ("g1", 3), ("g2", 3), ("g2", 4),
+         ("g3", 5), ("g3", 6), ("g4", 7)],
+        ["grp", "m"],
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], ["id"])
+    star = {
+        (r["id"], r["cluster_id"])
+        for r in hyperedge_components(
+            members, ["grp"], "m", nodes=nodes, id_col="id"
+        ).collect()
+    }
+    # clique expansion of the same groups
+    pairs = (
+        members.alias("a")
+        .join(members.alias("b"), "grp")
+        .filter(F.col("a.m") < F.col("b.m"))
+        .select(F.col("a.m").alias("src"), F.col("b.m").alias("dst"))
+        .distinct()
+    )
+    clique = {
+        (r["id"], r["cluster_id"])
+        for r in connected_components(nodes, pairs, id_col="id").collect()
+    }
+    assert star == clique
+    assert star == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5), (7, 7), (8, 8)}
+
+
+def test_hyperedge_components_fixture_matches_pair_pipeline(spark):
+    """X89 on fixture LSH buckets == CC over X2c candidate pairs."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        doc_shingles,
+        lsh_band_membership,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from poet_cloud_cost_etl_spark.operators.graph import (
+        connected_components,
+        hyperedge_components,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    sig = minhash_signatures(doc_shingles(d, "doc_id", "text"), "doc_id", 8)
+    star = hyperedge_components(
+        lsh_band_membership(sig, "doc_id", 8, 4),
+        ["band_idx", "band_val"],
+        "doc_id",
+        nodes=d.select("doc_id"),
+        id_col="doc_id",
+    )
+    pairs = lsh_candidate_pairs(sig, "doc_id", 8, 4)
+    via_pairs = connected_components(
+        d.select("doc_id"),
+        pairs.withColumnRenamed("doc_a", "src").withColumnRenamed("doc_b", "dst"),
+        id_col="doc_id",
+    )
+    assert sorted(map(tuple, star.collect())) == sorted(
+        map(tuple, via_pairs.collect())
+    )
