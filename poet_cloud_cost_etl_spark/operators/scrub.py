@@ -50,3 +50,31 @@ def clean_documents(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col),
         scrub_pii(strip_html(F.col(text_col))).alias("clean_text"),
     )
+
+
+def k_anonymity_audit(
+    df: DataFrame, qi_cols: list[str], k: int
+) -> DataFrame:
+    """X90: k-anonymity audit (Sweeney 2002) over a quasi-identifier
+    combination — the structured-data privacy gate that complements
+    X11's free-text PII scrub: a row whose QI combo is shared by
+    fewer than ``k`` rows is re-identifiable by linkage even after
+    direct identifiers are gone, so a release/training freeze wants
+    the census of rare combos BEFORE the data ships.  (The classic
+    motivating join: 87% of the US population is unique on
+    (zip, birthdate, sex) — rarity of the combo, not any one value,
+    is the leak.)
+
+    Output: one row per occupied QI combo — the combo values, its
+    row count, and ``anonymous = n >= k``.  The risky slice (rare
+    combos) plus the clean slice together are the audit artifact;
+    suppression/generalization acts on the risky rows downstream.
+
+    Scale: ONE map-side-combinable hash aggregate over the QI
+    columns — combo-bounded output, no window, no join.  Exactly the
+    plan a 100-TB release audit wants: the count table IS small
+    (bounded by the QI domain product), only the scan is big."""
+    return df.groupBy(*[F.col(c) for c in qi_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) >= int(k)).alias("anonymous"),
+    )

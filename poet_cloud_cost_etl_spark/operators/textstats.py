@@ -1842,3 +1842,81 @@ def canary_scan(
         F.sum("__occ").cast("long").alias("n_occurrences"),
         F.min(F.when(F.col("__occ") > 0, F.col(id_col))).alias("first_doc_id"),
     )
+
+
+def agreement_kappa(
+    df: DataFrame, pred_col: str, label_col: str
+) -> DataFrame:
+    """X91: inter-rater agreement audit — Cohen's kappa (Cohen 1960)
+    between two categorical columns, the chance-corrected headline
+    number for "does the cheap classifier agree with the trusted
+    labels beyond what marginal imbalance alone would produce".
+    Accuracy rewards a rater that always answers the majority class;
+    kappa subtracts the agreement that identical marginals would
+    generate by chance — the standard acceptance metric when a
+    distilled quality filter (X41) is audited against human/LLM
+    labels before it gates a corpus.
+
+    EXACT integer arithmetic end-to-end: with N rows, trace = Σ
+    diagonal cells, and pe_num = Σ_i row_i·col_i,
+        kappa = (N·trace − pe_num) / (N² − pe_num)
+    — both sides exact BIGINTs, ONE double division rounded to 1e-6
+    (the repo's cross-engine float convention).  accuracy_ppm and
+    expected (chance) agreement are integer-ppm divisions.  A
+    degenerate marginal (both raters constant — denominator 0)
+    yields NULL kappa rather than a fabricated 0 or 1.
+
+    Scale: one hash aggregate to the confusion cells (bounded by
+    |classes|²); every downstream step runs on that bounded table."""
+    cells = (
+        df.select(
+            F.col(pred_col).cast("string").alias("__p"),
+            F.col(label_col).cast("string").alias("__l"),
+        )
+        .groupBy("__p", "__l")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    totals = cells.agg(
+        F.sum("__c").cast("long").alias("n"),
+        F.sum(F.when(F.col("__p") == F.col("__l"), F.col("__c")).otherwise(0))
+        .cast("long")
+        .alias("trace"),
+    )
+    marg_r = cells.groupBy("__p").agg(F.sum("__c").cast("long").alias("__r"))
+    marg_c = cells.groupBy("__l").agg(F.sum("__c").cast("long").alias("__cc"))
+    pe = (
+        marg_r.join(marg_c, marg_r.__p == marg_c.__l)
+        .agg(
+            F.coalesce(F.sum(F.col("__r") * F.col("__cc")), F.lit(0))
+            .cast("long")
+            .alias("pe_num")
+        )
+    )
+    n_classes = (
+        cells.select(F.col("__p").alias("cls"))
+        .union(cells.select(F.col("__l").alias("cls")))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_classes"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(pe))
+        .crossJoin(F.broadcast(n_classes))
+        .select(
+            "n",
+            "n_classes",
+            F.expr("1000000 * trace div n").cast("long").alias("accuracy_ppm"),
+            F.expr("1000000 * pe_num div (n * n)")
+            .cast("long")
+            .alias("chance_ppm"),
+            F.when(
+                F.expr("n * n - pe_num") != 0,
+                F.round(
+                    F.expr(
+                        "CAST(n * trace - pe_num AS DOUBLE) "
+                        "/ CAST(n * n - pe_num AS DOUBLE)"
+                    ),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+    )

@@ -4950,3 +4950,60 @@ ORACLES["dedup_lsh_clusters_star"] = f"""
         node = MIN(reach) AS keep
     FROM walk GROUP BY node ORDER BY node
 """
+
+# X90 k-anonymity audit (operators/scrub.py: k_anonymity_audit):
+# one hash aggregate over the quasi-identifier combo; anonymous =
+# combo count >= k (k=10 in the registered query).
+ORACLES["events_k_anonymity"] = """
+    SELECT event_type,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        COUNT(*) >= 10 AS anonymous
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY event_type, prop_k
+"""
+
+# X91 Cohen's kappa agreement (operators/textstats.py:
+# agreement_kappa): kappa = (N*trace - pe_num)/(N^2 - pe_num) from
+# exact confusion-cell BIGINTs; one double division rounded 1e-6.
+ORACLES["classifier_agreement_kappa"] = (
+    """
+    WITH scored AS (SELECT * FROM ("""
+    + ORACLES["classifier_hashed_logit"].replace("ORDER BY doc_id", "")
+    + """)),
+    pl AS (
+        SELECT CAST(s.pred_keep AS INTEGER) AS p,
+            CAST(d.lang = 'en' AS INTEGER) AS l
+        FROM scored s JOIN documents d USING (doc_id)
+    ),
+    cells AS (
+        SELECT CAST(p AS VARCHAR) AS p, CAST(l AS VARCHAR) AS l,
+            CAST(COUNT(*) AS BIGINT) AS c
+        FROM pl GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN p = l THEN c ELSE 0 END) AS BIGINT) AS trace
+        FROM cells
+    ),
+    mr AS (SELECT p, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY p),
+    mc AS (SELECT l, CAST(SUM(c) AS BIGINT) AS cc FROM cells GROUP BY l),
+    pe AS (
+        SELECT CAST(COALESCE(SUM(r * cc), 0) AS BIGINT) AS pe_num
+        FROM mr JOIN mc ON mr.p = mc.l
+    ),
+    ncl AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes
+        FROM (SELECT p AS cls FROM cells UNION SELECT l FROM cells)
+    )
+    SELECT n, n_classes,
+        (1000000 * trace) // n AS accuracy_ppm,
+        (1000000 * pe_num) // (n * n) AS chance_ppm,
+        CASE WHEN n * n - pe_num != 0
+             THEN ROUND(CAST(n * trace - pe_num AS DOUBLE)
+                        / CAST(n * n - pe_num AS DOUBLE), 6)
+        END AS kappa
+    FROM tot, pe, ncl
+"""
+)

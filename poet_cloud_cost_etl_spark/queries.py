@@ -4439,6 +4439,46 @@ def q_dedup_lsh_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("events_k_anonymity")
+def q_events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X90: k-anonymity audit (operators/scrub.py: k_anonymity_audit)
+    — census of (event_type, props.k) quasi-identifier combos at
+    k=10; combos under the threshold are the re-identification
+    risk slice."""
+    from .operators.scrub import k_anonymity_audit
+
+    ev = table(spark, sf_dir, "events")
+    qi = ev.select(
+        "event_type",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("prop_k"),
+    )
+    return k_anonymity_audit(qi, ["event_type", "prop_k"], 10).orderBy(
+        "event_type", "prop_k"
+    )
+
+
+@query("classifier_agreement_kappa")
+def q_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91: Cohen's kappa agreement audit (operators/textstats.py:
+    agreement_kappa) — the X41 hashed-logit pred_keep vs the
+    lang=='en' pseudo-label; chance-corrected agreement from exact
+    confusion-cell integers."""
+    from .operators.textstats import agreement_kappa, hashed_logit_scores
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_logit_scores(d, "doc_id", "text").join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("label")),
+        "doc_id",
+    )
+    return agreement_kappa(
+        scored.select(
+            F.col("pred_keep").cast("int").alias("pred"), F.col("label")
+        ),
+        "pred",
+        "label",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -180,3 +180,83 @@ def test_hyperedge_components_fixture_matches_pair_pipeline(spark):
     assert sorted(map(tuple, star.collect())) == sorted(
         map(tuple, via_pairs.collect())
     )
+
+
+def test_k_anonymity_audit_threshold_law(spark):
+    """X90: combos below k are flagged, at/above k are anonymous."""
+    from poet_cloud_cost_etl_spark.operators.scrub import k_anonymity_audit
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 3,
+        ["t", "z"],
+    )
+    out = {
+        (r["t"], r["z"]): (r["n_rows"], r["anonymous"])
+        for r in k_anonymity_audit(df, ["t", "z"], 3).collect()
+    }
+    assert out == {
+        ("a", 1): (5, True),
+        ("a", 2): (2, False),
+        ("b", 1): (3, True),
+    }
+
+
+def test_agreement_kappa_hand_computed(spark):
+    """X91 vs a hand-computed 2x2 kappa: cells a=20 (1,1), b=5 (1,0),
+    c=10 (0,1), d=15 (0,0): po=0.5833..., pe=0.5, kappa=0.166667."""
+    from poet_cloud_cost_etl_spark.operators.textstats import agreement_kappa
+
+    rows = (
+        [(1, 1)] * 20 + [(1, 0)] * 5 + [(0, 1)] * 10 + [(0, 0)] * 15
+    )
+    df = spark.createDataFrame(rows, ["pred", "label"])
+    r = agreement_kappa(df, "pred", "label").collect()[0]
+    # N=50, trace=35, pe_num = r1*c1 + r0*c0 = 25*30 + 25*20 = 1250
+    # kappa = (50*35 - 1250) / (2500 - 1250) = 500/1250 = 0.4
+    assert r["n"] == 50
+    assert r["n_classes"] == 2
+    assert r["accuracy_ppm"] == 700000
+    assert r["chance_ppm"] == 500000
+    assert r["kappa"] == 0.4
+
+
+def test_agreement_kappa_perfect_and_degenerate(spark):
+    """X91: identical raters give kappa=1; both-constant raters give
+    NULL (denominator 0), not a fabricated value."""
+    from poet_cloud_cost_etl_spark.operators.textstats import agreement_kappa
+
+    same = spark.createDataFrame(
+        [(1, 1), (0, 0), (1, 1), (2, 2)], ["p", "l"]
+    )
+    assert agreement_kappa(same, "p", "l").collect()[0]["kappa"] == 1.0
+    const = spark.createDataFrame([(1, 1), (1, 1)], ["p", "l"])
+    assert agreement_kappa(const, "p", "l").collect()[0]["kappa"] is None
+
+
+def test_agreement_kappa_sklearn_style_reference(spark):
+    """X91 on fixture scores vs an independent Python reference."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        agreement_kappa,
+        hashed_logit_scores,
+    )
+    import pyspark.sql.functions as F
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    scored = hashed_logit_scores(d, "doc_id", "text").join(
+        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("label")),
+        "doc_id",
+    ).select(F.col("pred_keep").cast("int").alias("pred"), "label")
+    got = agreement_kappa(scored, "pred", "label").collect()[0]
+    pairs = [(r["pred"], r["label"]) for r in scored.collect()]
+    n = len(pairs)
+    trace = sum(1 for p, l in pairs if p == l)
+    classes = {p for p, _ in pairs} | {l for _, l in pairs}
+    pe_num = sum(
+        sum(1 for p, _ in pairs if p == c) * sum(1 for _, l in pairs if l == c)
+        for c in classes
+    )
+    assert got["n"] == n
+    assert got["accuracy_ppm"] == 1_000_000 * trace // n
+    expect_kappa = round((n * trace - pe_num) / (n * n - pe_num), 6)
+    assert got["kappa"] == expect_kappa
