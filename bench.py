@@ -159,6 +159,11 @@ HEADLINE = [
     "dedup_sorted_neighborhood",
     "classifier_pr_auc",
     "dedup_prefix_filter_join",
+    "canary_leak_scan",
+    "priority_sample_docs",
+    "dedup_lsh_clusters_star",
+    "events_k_anonymity",
+    "classifier_agreement_kappa",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
