@@ -805,3 +805,59 @@ def embedding_health_audit(
             "THEN 1 END) END"
         ).alias("mean_norm_sq_q"),
     )
+
+
+def cluster_label_purity(
+    assigned: DataFrame, cluster_col: str, label_col: str
+) -> DataFrame:
+    """X93: cluster label purity — the standard external-validation
+    panel for an unsupervised partition (IVF lists, SemDeDup
+    clusters, topic buckets) against trusted labels: per cluster,
+    the share held by its majority label.  Low-purity clusters are
+    where an ANN index mixes classes (recall danger zone) and where
+    semantic dedup would merge across labels — the per-cluster view
+    is the actionable artifact (re-center, split, or quarantine).
+
+    Semantics: majority label = highest member count, LOWEST label
+    string as the deterministic tie-break; purity_ppm = 1e6 ·
+    majority_n div n (exact integer division — the repo convention).
+
+    Scale: one hash aggregate to (cluster, label) cells — bounded by
+    clusters × labels, NOT corpus size — then a cells-table window.
+    The corpus appears only in the first aggregate's scan."""
+    from pyspark.sql.window import Window
+
+    cells = (
+        assigned.select(
+            F.col(cluster_col).alias("cluster"),
+            F.col(label_col).cast("string").alias("__lab"),
+        )
+        .groupBy("cluster", "__lab")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("__c").desc(), F.col("__lab").asc()
+    )
+    totals = cells.groupBy("cluster").agg(
+        F.sum("__c").cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_labels"),
+    )
+    majority = (
+        cells.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(
+            "cluster",
+            F.col("__lab").alias("majority_label"),
+            F.col("__c").alias("majority_n"),
+        )
+    )
+    return totals.join(majority, "cluster").select(
+        "cluster",
+        "n_members",
+        "n_labels",
+        "majority_label",
+        "majority_n",
+        F.expr("1000000 * majority_n div n_members")
+        .cast("long")
+        .alias("purity_ppm"),
+    )

@@ -359,3 +359,82 @@ def hyperedge_components(
     return connected_components(
         nodes, star, id_col=id_col, max_iter=max_iter
     )
+
+
+def cluster_hops(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 20,
+) -> DataFrame:
+    """X94: hop distance from every node to its cluster canonical
+    (the min-id root) — the DEPTH companion to X82's edge-density
+    audit: a near-dup cluster whose members sit many hops from the
+    survivor was built by TRANSITIVE chaining (A≈B≈C≈D with A≉D),
+    exactly the over-merge mode a pairwise threshold can't see.
+    radius (max hops) per cluster is the review dial: radius ≤ 1 is
+    a star of true dups; radius ≥ 3 at a 0.5 threshold deserves a
+    human look before the cluster collapses to one survivor.
+
+    Semantics: BFS level over the symmetrized graph from each
+    component's min-id node (components computed here via the shared
+    CC machinery, so labels and roots agree with X7 by
+    construction).  Exact integers; singletons have hops 0.
+
+    Scale: CC (shared machinery) + diameter-many min-plus rounds,
+    each one edge-keyed join + node-keyed min aggregate with
+    localCheckpoint lineage cuts — same per-round shape and cost as
+    one CC round.  Convergence is confirmed (a round that changes
+    nothing), never assumed."""
+    labels = connected_components(
+        nodes, edges, id_col=id_col, src_col=src_col, dst_col=dst_col,
+        max_iter=max_iter,
+    )
+    sym = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    INF = 1_000_000_000
+    dist = labels.select(
+        F.col(id_col).alias("node"),
+        F.when(F.col(id_col) == F.col("cluster_id"), F.lit(0))
+        .otherwise(F.lit(INF))
+        .cast("long")
+        .alias("d"),
+    ).localCheckpoint(eager=True)
+
+    def _relax(dd: DataFrame) -> DataFrame:
+        nbr = sym.join(dd, sym["b"] == dd["node"]).select(
+            F.col("a").alias("node"), (F.col("d") + 1).alias("d")
+        )
+        return dd.union(nbr).groupBy("node").agg(F.min("d").alias("d"))
+
+    converged = False
+    for it in range(max_iter):
+        new = _relax(dist).localCheckpoint(eager=True)
+        if it > 0:
+            changed = (
+                new.alias("n")
+                .join(dist.alias("o"), "node")
+                .filter(F.col("n.d") != F.col("o.d"))
+                .limit(1)
+                .count()
+            )
+            if changed == 0:
+                dist = new
+                converged = True
+                break
+        dist = new
+    if not converged:
+        raise RuntimeError(
+            f"cluster_hops did not stabilize in {max_iter} rounds — "
+            "raise max_iter above the graph diameter"
+        )
+    return (
+        labels.join(dist, labels[id_col] == dist["node"])
+        .select(F.col(id_col), F.col("cluster_id"), F.col("d").alias("hops"))
+    )

@@ -510,3 +510,96 @@ def priority_sample(
         "threshold",
         F.greatest(F.col("weight"), F.col("threshold")).alias("est_weight"),
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    budget: int,
+    epoch_cap: int = 4,
+) -> DataFrame:
+    """X92: UniMax budget allocation (Chung et al. 2023 "UniMax:
+    Fairer and More Effective Language Sampling"; epoch cap per
+    Muennighoff et al. 2023 data-constrained scaling) — distribute a
+    token ``budget`` UNIFORMLY across sources, but never take more
+    than ``epoch_cap`` passes over any source: the allocation that
+    stops temperature-mixing (X19) from either starving small
+    domains or repeating them into memorization.
+
+    Semantics: capacity_s = epoch_cap · tokens_s; water-fill level L
+    solves Σ min(L, cap_s) = budget.  EXACT integer closed form: in
+    (capacity asc, group) order with prefix sums, a source saturates
+    iff filling every remaining source to ITS capacity still fits
+    the remaining budget; the unsaturated sources split the rest
+    evenly — quotient each, and the remainder goes +1 apiece to the
+    FIRST (budget-left mod m) sources in the same pinned order (no
+    fractional tokens, no float level).  If Σ cap ≤ budget every
+    source saturates (the budget simply can't be met — surfaced by
+    the saturated flags all being true).
+
+    Output per source: tokens, capacity, allocation, epochs_ppm =
+    1e6·alloc div tokens, saturated.  Σ allocation = min(budget,
+    Σ capacity) exactly.
+
+    Scale: one group aggregate to the source-level table (sources
+    number in the dozens), then window prefix sums over THAT bounded
+    table — the corpus-sized work is the token count only."""
+    sizes = df.groupBy(group_col).agg(
+        F.sum(size_col).cast("long").alias("tokens")
+    )
+    w = Window.orderBy(F.col("capacity").asc(), F.col(group_col).asc())
+    wall = Window.partitionBy()
+    capped = sizes.select(
+        F.col(group_col),
+        "tokens",
+        (F.lit(int(epoch_cap)) * F.col("tokens")).cast("long").alias("capacity"),
+    )
+    ranked = capped.select(
+        F.col(group_col),
+        "tokens",
+        "capacity",
+        F.row_number().over(w).alias("__i"),
+        (F.sum("capacity").over(w) - F.col("capacity")).cast("long").alias("__pfx"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("__n"),
+    )
+    # a source saturates iff cap_i * (n - i + 1) + pfx_i <= budget:
+    # every source from i on could take cap_i and still fit — so the
+    # water level is above cap_i.
+    B = int(budget)
+    marked = ranked.withColumn(
+        "saturated",
+        F.expr(f"capacity * (__n - __i + 1) + __pfx <= {B}"),
+    )
+    sat = marked.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), F.col("capacity")).otherwise(0)),
+            F.lit(0),
+        ).cast("long").alias("__sat_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("saturated"), 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("__sat_n"),
+    )
+    return (
+        marked.crossJoin(F.broadcast(sat))
+        .select(
+            F.col(group_col),
+            "tokens",
+            "capacity",
+            F.when(F.col("saturated"), F.col("capacity"))
+            .otherwise(
+                F.expr(f"({B} - __sat_total) div (__n - __sat_n)")
+                + F.when(
+                    F.col("__i") - F.col("__sat_n")
+                    <= F.expr(f"({B} - __sat_total) % (__n - __sat_n)"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("allocation"),
+            "saturated",
+        )
+        .withColumn(
+            "epochs_ppm", F.expr("1000000 * allocation div tokens").cast("long")
+        )
+    )

@@ -1920,3 +1920,82 @@ def agreement_kappa(
             ).alias("kappa"),
         )
     )
+
+
+def robust_outlier_panel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    scaled_cut: int = 44478,
+) -> DataFrame:
+    """X95: robust outlier gate — per-group median/MAD flagging of a
+    numeric column (doc length, token count), the heavy-tail-safe
+    twin of X17's mean/stddev norm QA: one 10⁶-char concatenated
+    page shifts a mean-based z-score for the whole source, while the
+    median and the MAD (median absolute deviation) ignore it — which
+    is why robust stats are the curation default for length screens
+    (a corpus's length distribution is Zipf-tailed, not Gaussian).
+
+    EXACT integer semantics: median = the value at rank
+    (n+1) div 2 in (value, id) order (the lower median — pinned, no
+    averaging of middle pairs, no float percentile); MAD = the same
+    lower median of |x − med|; a row is an outlier iff
+    10000·|x − med| > ``scaled_cut``·MAD — the default 44478 =
+    round(3·1.4826·10⁴) is the classic "3 robust sigmas" cut with
+    the Gaussian-consistency constant folded in as an integer.  A
+    degenerate group (MAD = 0: over half the values identical)
+    flags every value differing from the median — the documented
+    convention (the alternative, flagging nothing, hides exactly
+    the template-flood sources the gate exists to catch).
+
+    Scale: two rank windows per group (value order, then deviation
+    order) — group-keyed shuffles, no global sort; the output is one
+    row per group."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("rid"),
+    )
+    wv = Window.partitionBy("grp").orderBy(F.col("v").asc(), F.col("rid").asc())
+    wn = Window.partitionBy("grp")
+    med = (
+        base.select(
+            "grp", "v",
+            F.row_number().over(wv).alias("__rk"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        .filter(F.expr("__rk = (__n + 1) div 2"))
+        .select("grp", F.col("v").alias("median"))
+    )
+    dev = base.join(med, "grp").select(
+        "grp", "v", "rid", "median",
+        F.abs(F.col("v") - F.col("median")).alias("__ad"),
+    )
+    wd = Window.partitionBy("grp").orderBy(F.col("__ad").asc(), F.col("rid").asc())
+    mad = (
+        dev.select(
+            "grp", "__ad",
+            F.row_number().over(wd).alias("__rk"),
+            F.count(F.lit(1)).over(wn).alias("__n"),
+        )
+        .filter(F.expr("__rk = (__n + 1) div 2"))
+        .select("grp", F.col("__ad").alias("mad"))
+    )
+    flagged = dev.join(mad, "grp").select(
+        "grp", "median", "mad",
+        (F.lit(10000) * F.col("__ad") > F.lit(int(scaled_cut)) * F.col("mad"))
+        .alias("__out"),
+    )
+    return flagged.groupBy("grp", "median", "mad").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col("__out"), 1).otherwise(0)).cast("long").alias("n_outliers"),
+        F.expr(
+            "1000000 * sum(CASE WHEN __out THEN 1 ELSE 0 END) div count(1)"
+        ).cast("long").alias("outlier_ppm"),
+    ).select(
+        F.col("grp").alias(group_col), "median", "mad",
+        "n_rows", "n_outliers", "outlier_ppm",
+    )

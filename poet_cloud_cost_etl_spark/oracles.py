@@ -5007,3 +5007,189 @@ ORACLES["classifier_agreement_kappa"] = (
     FROM tot, pe, ncl
 """
 )
+
+# X92 UniMax allocation (operators/sampling.py: unimax_allocation):
+# exact integer water-filling in (capacity asc, source) order —
+# saturated iff cap_i*(n-i+1)+pfx_i <= B (saturated sources are a
+# prefix of the order by monotonicity); unsaturated sources split
+# the remainder evenly, +1 apiece for the first (left mod m).
+ORACLES["unimax_budget_allocation"] = f"""
+    WITH per_doc AS (
+        SELECT source, len({_TOKS.format(col='text')}) AS n_toks
+        FROM documents
+    ),
+    sizes AS (
+        SELECT source, CAST(SUM(n_toks) AS BIGINT) AS tokens
+        FROM per_doc GROUP BY source
+    ),
+    capped AS (
+        SELECT source, tokens, CAST(4 * tokens AS BIGINT) AS capacity
+        FROM sizes
+    ),
+    ranked AS (
+        SELECT source, tokens, capacity,
+            ROW_NUMBER() OVER (ORDER BY capacity, source) AS i,
+            CAST(COALESCE(SUM(capacity) OVER (
+                ORDER BY capacity, source
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ), 0) AS BIGINT) AS pfx,
+            CAST(COUNT(*) OVER () AS BIGINT) AS n
+        FROM capped
+    ),
+    marked AS (
+        SELECT *, capacity * (n - i + 1) + pfx <= 100000 AS saturated
+        FROM ranked
+    ),
+    sat AS (
+        SELECT CAST(COALESCE(SUM(CASE WHEN saturated THEN capacity END), 0)
+                    AS BIGINT) AS sat_total,
+            CAST(COALESCE(SUM(CASE WHEN saturated THEN 1 END), 0)
+                    AS BIGINT) AS sat_n
+        FROM marked
+    )
+    SELECT source, tokens, capacity,
+        CAST(CASE WHEN saturated THEN capacity
+             ELSE (100000 - sat_total) // (n - sat_n)
+                  + CASE WHEN i - sat_n <= (100000 - sat_total) % (n - sat_n)
+                         THEN 1 ELSE 0 END
+        END AS BIGINT) AS allocation,
+        saturated,
+        CAST(1000000 * (CASE WHEN saturated THEN capacity
+             ELSE (100000 - sat_total) // (n - sat_n)
+                  + CASE WHEN i - sat_n <= (100000 - sat_total) % (n - sat_n)
+                         THEN 1 ELSE 0 END
+        END) // tokens AS BIGINT) AS epochs_ppm
+    FROM marked, sat
+    ORDER BY source
+"""
+
+# X93 cluster label purity (operators/embeddings.py:
+# cluster_label_purity): majority = (count desc, label string asc)
+# tie-break; purity = 1e6 * majority_n // n exact integer.
+ORACLES["ivf_cluster_purity"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    assigned AS (
+        SELECT a.vec_id, a.centroid_id, e.label
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')}) a
+        JOIN embeddings e USING (vec_id)
+        WHERE a.probe_rank = 1
+    ),
+    cells AS (
+        SELECT centroid_id AS cluster, CAST(label AS VARCHAR) AS lab,
+            CAST(COUNT(*) AS BIGINT) AS c
+        FROM assigned GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT cluster, CAST(SUM(c) AS BIGINT) AS n_members,
+            CAST(COUNT(*) AS BIGINT) AS n_labels
+        FROM cells GROUP BY cluster
+    ),
+    maj AS (
+        SELECT cluster, lab AS majority_label, c AS majority_n
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY cluster ORDER BY c DESC, lab ASC
+            ) AS rk
+            FROM cells
+        ) WHERE rk = 1
+    )
+    SELECT cluster, n_members, n_labels, majority_label, majority_n,
+        (1000000 * majority_n) // n_members AS purity_ppm
+    FROM tot JOIN maj USING (cluster)
+    ORDER BY cluster
+"""
+
+# X94 cluster radius audit (operators/graph.py: cluster_hops): BFS
+# level via a depth-tracked recursive walk (bounded depth; min depth
+# per (node, reach) pair is the shortest path), root = min reachable
+# id; per-cluster radius/mean over clusters with >= 2 members.
+ORACLES["dedup_cluster_radius"] = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT doc_a, doc_b,
+                ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+                    AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk AS (
+        SELECT doc_id AS node, doc_id AS reach, 0 AS d FROM documents
+        UNION
+        SELECT w.node, e.b AS reach, w.d + 1 AS d
+        FROM walk w JOIN edges e ON w.reach = e.a
+        WHERE w.d < 20
+    ),
+    roots AS (
+        SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY node
+    ),
+    hops AS (
+        SELECT r.node, r.cluster_id, MIN(w.d) AS hops
+        FROM roots r
+        JOIN walk w ON w.node = r.node AND w.reach = r.cluster_id
+        GROUP BY r.node, r.cluster_id
+    )
+    SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+        CAST(MAX(hops) AS BIGINT) AS radius,
+        (1000000 * CAST(SUM(hops) AS BIGINT)) // COUNT(*) AS mean_hops_ppm
+    FROM hops GROUP BY cluster_id HAVING COUNT(*) > 1
+    ORDER BY cluster_id
+"""
+
+# X95 robust outlier gate (operators/textstats.py:
+# robust_outlier_panel): lower median at rank (n+1)//2 in
+# (value, id) order; MAD = lower median of |x - med|; outlier iff
+# 10000*|x - med| > 44478*MAD.
+ORACLES["length_outliers_robust"] = """
+    WITH base AS (
+        SELECT source AS grp, CAST(n_chars AS BIGINT) AS v, doc_id AS rid
+        FROM documents
+    ),
+    med AS (
+        SELECT grp, v AS median
+        FROM (
+            SELECT grp, v,
+                ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, rid) AS rk,
+                COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM base
+        ) WHERE rk = (n + 1) // 2
+    ),
+    dev AS (
+        SELECT b.grp, b.v, b.rid, m.median, ABS(b.v - m.median) AS ad
+        FROM base b JOIN med m USING (grp)
+    ),
+    mad AS (
+        SELECT grp, ad AS mad
+        FROM (
+            SELECT grp, ad,
+                ROW_NUMBER() OVER (PARTITION BY grp ORDER BY ad, rid) AS rk,
+                COUNT(*) OVER (PARTITION BY grp) AS n
+            FROM dev
+        ) WHERE rk = (n + 1) // 2
+    )
+    SELECT d.grp AS source, d.median, x.mad,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(CASE WHEN 10000 * d.ad > 44478 * x.mad
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        (1000000 * CAST(SUM(CASE WHEN 10000 * d.ad > 44478 * x.mad
+                        THEN 1 ELSE 0 END) AS BIGINT)) // COUNT(*)
+            AS outlier_ppm
+    FROM dev d JOIN mad x USING (grp)
+    GROUP BY d.grp, d.median, x.mad
+    ORDER BY d.grp
+"""

@@ -4479,6 +4479,86 @@ def q_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("unimax_budget_allocation")
+def q_unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: UniMax epoch-capped budget allocation
+    (operators/sampling.py: unimax_allocation) — water-fill a
+    100k-token budget uniformly over sources, at most 4 epochs per
+    source, exact integer closed form."""
+    from .operators.dedup import tokens
+    from .operators.sampling import unimax_allocation
+
+    d = table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source", F.size(tokens("text")).cast("long").alias("n_toks")
+    )
+    return unimax_allocation(
+        per_doc, "source", "n_toks", budget=100_000, epoch_cap=4
+    ).orderBy("source")
+
+
+@query("ivf_cluster_purity")
+def q_ivf_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93: cluster label purity (operators/embeddings.py:
+    cluster_label_purity) — the 8 IVF inverted lists validated
+    against the embeddings labels; per-list majority label and
+    purity ppm, the ANN-mixes-classes danger panel."""
+    from .operators.embeddings import cluster_label_purity
+    from .operators.similarity import ivf_assign, ivf_centroids
+
+    e = table(spark, sf_dir, "embeddings")
+    cents = ivf_centroids(e, "vec_id", "embedding", k=8)
+    assigned = ivf_assign(e, cents, "vec_id", "embedding", nprobe=1).join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    return cluster_label_purity(assigned, "centroid_id", "label").orderBy(
+        "cluster"
+    )
+
+
+@query("dedup_cluster_radius")
+def q_dedup_cluster_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94: cluster radius audit (operators/graph.py: cluster_hops)
+    — BFS hops from each doc to its cluster canonical over the X2d
+    near-dup graph; per-cluster radius and mean hops, the
+    transitive-chain-merge depth panel (companion to X82's edge
+    density)."""
+    from .operators.dedup import ngram_jaccard_from_docs
+    from .operators.graph import cluster_hops
+
+    d = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_from_docs(d, "doc_id", "text", 0.5).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    hops = cluster_hops(d.select("doc_id"), edges, id_col="doc_id")
+    return (
+        hops.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("hops").cast("long").alias("radius"),
+            F.expr("1000000 * sum(hops) div count(1)")
+            .cast("long")
+            .alias("mean_hops_ppm"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("cluster_id")
+    )
+
+
+@query("length_outliers_robust")
+def q_length_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95: robust median/MAD outlier gate (operators/textstats.py:
+    robust_outlier_panel) — per-source doc-length screen at the
+    3-robust-sigma cut; the Zipf-tail-safe twin of X17's
+    mean/stddev QA."""
+    from .operators.textstats import robust_outlier_panel
+
+    d = table(spark, sf_dir, "documents")
+    return robust_outlier_panel(
+        d, "source", "n_chars", "doc_id"
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

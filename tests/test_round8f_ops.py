@@ -260,3 +260,112 @@ def test_agreement_kappa_sklearn_style_reference(spark):
     assert got["accuracy_ppm"] == 1_000_000 * trace // n
     expect_kappa = round((n * trace - pe_num) / (n * n - pe_num), 6)
     assert got["kappa"] == expect_kappa
+
+
+def test_unimax_allocation_water_fill_laws(spark):
+    """X92: hand-computed water-fill — saturation prefix, even split
+    of the remainder, exact budget conservation."""
+    from poet_cloud_cost_etl_spark.operators.sampling import unimax_allocation
+
+    # tokens: a=10, b=100, c=100  (epoch_cap=2 -> caps 20, 200, 200)
+    rows = (
+        [("a", 10)] + [("b", 100)] + [("c", 100)]
+    )
+    df = spark.createDataFrame(rows, ["src", "n"])
+    out = {
+        r["src"]: r
+        for r in unimax_allocation(df, "src", "n", budget=240, epoch_cap=2).collect()
+    }
+    # level: a saturates (20*3+0=60 <= 240); b,c split 220 -> 110 each
+    assert out["a"]["allocation"] == 20 and out["a"]["saturated"]
+    assert out["b"]["allocation"] == 110 and not out["b"]["saturated"]
+    assert out["c"]["allocation"] == 110 and not out["c"]["saturated"]
+    assert sum(r["allocation"] for r in out.values()) == 240
+    # epochs_ppm: a ran 2.0 epochs (cap), b/c 1.1
+    assert out["a"]["epochs_ppm"] == 2_000_000
+    assert out["b"]["epochs_ppm"] == 1_100_000
+
+
+def test_unimax_allocation_remainder_and_overbudget(spark):
+    """X92: remainder goes +1 to the first sources in pinned order;
+    an unmeetable budget saturates everyone at capacity."""
+    from poet_cloud_cost_etl_spark.operators.sampling import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", 50), ("b", 50), ("c", 50)], ["src", "n"]
+    )
+    # budget 100, caps 100 each: nobody saturates (100*3 > 100);
+    # 100 // 3 = 33 rem 1 -> first source in (cap, name) order gets 34
+    out = {
+        r["src"]: r["allocation"]
+        for r in unimax_allocation(df, "src", "n", budget=100, epoch_cap=2).collect()
+    }
+    assert out == {"a": 34, "b": 33, "c": 33}
+    # unmeetable: budget 1000 > total capacity 300 -> all at cap
+    out2 = unimax_allocation(df, "src", "n", budget=1000, epoch_cap=2).collect()
+    assert all(r["saturated"] for r in out2)
+    assert sum(r["allocation"] for r in out2) == 300
+
+
+def test_cluster_label_purity_hand_computed(spark):
+    """X93: majority tie broken toward the LOWEST label string; ppm
+    floor division."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        cluster_label_purity,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "x"), (2, "y"), (3, "z")],
+        ["cl", "lab"],
+    )
+    out = {r["cluster"]: r for r in cluster_label_purity(df, "cl", "lab").collect()}
+    assert out[1]["majority_label"] == "a"
+    assert out[1]["purity_ppm"] == 666666
+    assert out[1]["n_labels"] == 2
+    # tie 1-1 in cluster 2 -> lowest label string wins
+    assert out[2]["majority_label"] == "x"
+    assert out[2]["purity_ppm"] == 500000
+    assert out[3]["purity_ppm"] == 1_000_000
+
+
+def test_cluster_hops_chain_and_star(spark):
+    """X94: a 4-chain rooted at its min has hops 0,1,2,3 (radius 3);
+    a star rooted at its min has radius 1; singleton hops 0."""
+    from poet_cloud_cost_etl_spark.operators.graph import cluster_hops
+
+    nodes = spark.createDataFrame([(i,) for i in range(1, 9)], ["id"])
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4, star 5-{6,7}, singleton 8
+        [(1, 2), (2, 3), (3, 4), (5, 6), (5, 7)], ["src", "dst"]
+    )
+    out = {r["id"]: (r["cluster_id"], r["hops"]) for r in
+           cluster_hops(nodes, edges, id_col="id").collect()}
+    assert out == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3),
+        5: (5, 0), 6: (5, 1), 7: (5, 1), 8: (8, 0),
+    }
+
+
+def test_robust_outlier_panel_hand_computed(spark):
+    """X95: lower-median law, MAD law, the 3-robust-sigma cut, and
+    the degenerate MAD=0 convention (any deviation flags)."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        robust_outlier_panel,
+    )
+
+    rows = (
+        # group g: values 1..9 plus a 1000 spike -> median(10 vals,
+        # lower)=5, deviations sorted: 0,1,1,2,2,3,3,4,4,995 ->
+        # MAD=lower median=2; cut: 10000*ad > 44478*2=88956 -> ad>8.9
+        [("g", v, i) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+        # group h: constant 7s plus one 8 -> median 7, MAD 0 ->
+        # the 8 flags (any deviation beats 0)
+        + [("h", 7, 100), ("h", 7, 101), ("h", 7, 102), ("h", 8, 103)]
+    )
+    df = spark.createDataFrame(rows, ["src", "val", "rid"])
+    out = {r["src"]: r for r in
+           robust_outlier_panel(df, "src", "val", "rid").collect()}
+    assert out["g"]["median"] == 5 and out["g"]["mad"] == 2
+    assert out["g"]["n_outliers"] == 1  # only the 1000 spike
+    assert out["h"]["median"] == 7 and out["h"]["mad"] == 0
+    assert out["h"]["n_outliers"] == 1 and out["h"]["n_rows"] == 4
