@@ -1747,3 +1747,146 @@ def prefix_filter_jaccard_join(
     )
     t = threshold_num / threshold_den
     return scored.filter(F.col("jaccard") >= t)
+
+
+# Non-overlapping SEG-token blocks from raw text: canonical tokens
+# (empty tokens filtered), then ceil(n/SEG) blocks of SEG tokens each
+# joined by ' ' (the last block keeps the short tail).  Both outer
+# transform(array(...)) wrappers are LET BINDINGS (see SHINGLES_SQL):
+# without them every sequence index would re-evaluate the whole
+# regexp+split chain.  sequence(1, 0) in Spark DESCENDS ([1, 0]), so
+# the empty-token case is guarded with an explicit CASE.
+_BLOCKS_SQL = (
+    "flatten(transform(array(filter({t}, __x -> __x != '')), __a -> "
+    "CASE WHEN size(__a) = 0 THEN array() "
+    "ELSE transform(sequence(1, (size(__a) + {seg} - 1) div {seg}), "
+    "j -> array_join(slice(__a, (j - 1) * {seg} + 1, {seg}), ' ')) END))"
+)
+
+
+def text_blocks(text_col: str, seg_tokens: int = 8):
+    """Column of non-overlapping ``seg_tokens``-token block strings."""
+    return F.expr(
+        _BLOCKS_SQL.format(t=TOKENS_SQL.format(col=text_col), seg=seg_tokens)
+    )
+
+
+def within_doc_block_dedup(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 8
+) -> DataFrame:
+    """X96: within-document duplicate-block removal — rewrite each
+    document keeping only the FIRST occurrence of every
+    ``seg_tokens``-token block (the FineWeb/RefinedWeb "drop repeated
+    lines inside a page" transform, re-keyed to fixed token blocks
+    because the corpus has no line structure).  Repetition INSIDE a
+    page (nav bars, pagination footers, scraper stutter) is the
+    cheapest duplication signal there is, and removing it needs no
+    corpus state at all.
+
+    Output per document (empty-token documents drop out, the
+    chunk_documents convention): ``n_blocks``, ``n_kept``,
+    ``dedup_text`` (kept blocks joined in original order), and
+    ``removed_ppm`` (ppm integer division).
+
+    Scale: ZERO SHUFFLE — the whole transform is one narrow
+    projection inside codegen.  The keep-first filter is the indexed
+    lambda ``filter(__b, (x, i) -> array_position(__b, x) = i + 1)``
+    over the let-bound block array: array_position returns the FIRST
+    1-based index of the value, so exactly the first occurrence of
+    every distinct block survives, in place.  Quadratic only in
+    blocks-per-document (bounded, ~tokens/seg), never in corpus
+    size."""
+    blocks = text_blocks(text_col, seg_tokens)
+    kept = F.expr(
+        "flatten(transform(array(__blocks), __b -> "
+        "filter(__b, (x, i) -> array_position(__b, x) = i + 1)))"
+    )
+    return (
+        df.select(F.col(id_col), blocks.alias("__blocks"))
+        .filter(F.size("__blocks") > 0)
+        .select(F.col(id_col), "__blocks", kept.alias("__kept"))
+        .select(
+            F.col(id_col),
+            F.size("__blocks").cast("long").alias("n_blocks"),
+            F.size("__kept").cast("long").alias("n_kept"),
+            F.array_join("__kept", " ").alias("dedup_text"),
+            F.expr(
+                "(1000000 * CAST(size(__blocks) - size(__kept) AS BIGINT))"
+                " div size(__blocks)"
+            ).alias("removed_ppm"),
+        )
+    )
+
+
+def corpus_block_dedup(
+    df: DataFrame, id_col: str, text_col: str, seg_tokens: int = 8, max_freq: int = 1
+) -> DataFrame:
+    """X97: corpus-level duplicate-block rewrite (the CCNet move —
+    Wenzek et al. 2020 deduplicate CommonCrawl by PARAGRAPH hash
+    across the whole dump, not by whole-document identity; re-keyed
+    to fixed ``seg_tokens``-token blocks here for the same reason as
+    X96).  A block occurrence survives iff its block value is rare
+    (corpus frequency <= ``max_freq``) OR it is the CANONICAL
+    occurrence — the minimal (doc_id, position) pair for that value —
+    so exactly ONE copy of every duplicated block remains corpus-wide
+    and the result is deterministic and ingestion-order-free (CCNet's
+    own keep-first-seen depends on shard order; min-pair does not).
+
+    Output per document: ``n_blocks``, ``n_kept``, ``kept_ppm``, and
+    ``dedup_text`` (survivors joined in original order; documents
+    whose every block canonicalizes elsewhere keep an empty string).
+
+    Scale: one map-side-combinable count aggregate over the block
+    keyspace (~corpus_tokens/seg keys), one min-pair aggregate on the
+    same key, and one equi-join of occurrences against that bounded
+    per-value table — boilerplate-heavy hot values skew the join and
+    are exactly what AQE skew splitting handles.  The rebuild is one
+    doc-keyed aggregate with an array_sort on (position, block), the
+    deterministic collect_list discipline used throughout."""
+    occ = df.select(
+        F.col(id_col).alias("__doc"),
+        F.posexplode(text_blocks(text_col, seg_tokens)).alias("__j", "__b"),
+    )
+    stats = occ.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__freq"),
+        F.min(F.struct("__doc", "__j")).alias("__canon"),
+    )
+    tagged = occ.join(stats, "__b").select(
+        "__doc",
+        "__j",
+        "__b",
+        (
+            (F.col("__freq") <= F.lit(max_freq))
+            | (
+                (F.col("__canon.__doc") == F.col("__doc"))
+                & (F.col("__canon.__j") == F.col("__j"))
+            )
+        ).alias("__keep"),
+    )
+    return (
+        tagged.groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_blocks"),
+            F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__keep"), F.struct("__j", "__b")
+                            )
+                        )
+                    ),
+                    lambda s: s["__b"],
+                ),
+                " ",
+            ).alias("dedup_text"),
+        )
+        .select(
+            F.col("__doc").alias(id_col),
+            "n_blocks",
+            "n_kept",
+            F.expr("(1000000 * n_kept) div n_blocks").alias("kept_ppm"),
+            "dedup_text",
+        )
+    )

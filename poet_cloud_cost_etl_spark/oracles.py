@@ -5193,3 +5193,72 @@ ORACLES["length_outliers_robust"] = """
     GROUP BY d.grp, d.median, x.mad
     ORDER BY d.grp
 """
+
+# X96 within-doc block dedup (operators/dedup.py:
+# within_doc_block_dedup): 8-token non-overlapping blocks (empty
+# tokens filtered, short tail kept), first occurrence of each block
+# value survives in place.  Keep-first is MIN(position) per value +
+# ordered string_agg — the relational twin of Spark's indexed
+# array_position filter.
+ORACLES["dedup_within_doc_blocks"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+            list_filter({_TOKS.format(col='text')}, __x -> __x <> '') AS t
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, j,
+            array_to_string(list_slice(t, (j - 1) * 8 + 1, j * 8), ' ') AS b
+        FROM toks, UNNEST(range(1, ((len(t) + 7) // 8) + 1)) AS u(j)
+    ),
+    firsts AS (
+        SELECT doc_id, b, MIN(j) AS fj FROM blk GROUP BY doc_id, b
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_blocks FROM blk GROUP BY doc_id),
+    kept AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+            string_agg(b, ' ' ORDER BY fj) AS dedup_text
+        FROM firsts GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_blocks, k.n_kept, k.dedup_text,
+        (1000000 * (t.n_blocks - k.n_kept)) // t.n_blocks AS removed_ppm
+    FROM tot t JOIN kept k USING (doc_id) ORDER BY doc_id
+"""
+
+# X97 corpus block dedup (operators/dedup.py: corpus_block_dedup):
+# same 8-token blocks corpus-wide; an occurrence survives iff its
+# value is unique (freq <= 1) or it is the minimal (doc_id, j)
+# occurrence of the value.  Documents losing every block keep an
+# empty dedup_text ('' — string_agg over kept-only via FILTER
+# returns NULL, coalesced to match Spark's array_join of an empty
+# array).
+ORACLES["dedup_corpus_blocks"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+            list_filter({_TOKS.format(col='text')}, __x -> __x <> '') AS t
+        FROM documents
+    ),
+    blk AS (
+        SELECT doc_id, j,
+            array_to_string(list_slice(t, (j - 1) * 8 + 1, j * 8), ' ') AS b
+        FROM toks, UNNEST(range(1, ((len(t) + 7) // 8) + 1)) AS u(j)
+    ),
+    stats AS (
+        SELECT b, COUNT(*) AS freq,
+            MIN(ROW(doc_id, j)) AS canon
+        FROM blk GROUP BY b
+    ),
+    tagged AS (
+        SELECT k.doc_id, k.j, k.b,
+            (s.freq <= 1 OR ROW(k.doc_id, k.j) = s.canon) AS keep
+        FROM blk k JOIN stats s USING (b)
+    )
+    SELECT doc_id,
+        COUNT(*) AS n_blocks,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        (1000000 * CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT))
+            // COUNT(*) AS kept_ppm,
+        COALESCE(string_agg(b, ' ' ORDER BY j) FILTER (WHERE keep), '')
+            AS dedup_text
+    FROM tagged GROUP BY doc_id ORDER BY doc_id
+"""

@@ -4559,6 +4559,32 @@ def q_length_outliers_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@query("dedup_within_doc_blocks")
+def q_dedup_within_doc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: within-document duplicate-block removal
+    (operators/dedup.py: within_doc_block_dedup) — the zero-shuffle
+    FineWeb-style repeated-segment rewrite, 8-token blocks."""
+    from .operators.dedup import within_doc_block_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return within_doc_block_dedup(d, "doc_id", "text", seg_tokens=8).orderBy(
+        "doc_id"
+    )
+
+
+@query("dedup_corpus_blocks")
+def q_dedup_corpus_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97: corpus-level duplicate-block rewrite (operators/dedup.py:
+    corpus_block_dedup) — CCNet paragraph-hash dedup re-keyed to
+    8-token blocks, canonical-occurrence-keeps-one semantics."""
+    from .operators.dedup import corpus_block_dedup
+
+    d = table(spark, sf_dir, "documents")
+    return corpus_block_dedup(
+        d, "doc_id", "text", seg_tokens=8, max_freq=1
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -1,0 +1,104 @@
+"""Round-8g operator tests: X96+ (within-doc block dedup, corpus
+block dedup, encoding artifacts, distinct-n diversity, KMV source
+overlap, Good-Turing, rank fusion)."""
+
+from __future__ import annotations
+
+
+def test_within_doc_block_dedup_semantics(spark):
+    """X96: keep-first-in-place, tail block kept, empty docs drop."""
+    from poet_cloud_cost_etl_spark.operators.dedup import within_doc_block_dedup
+
+    df = spark.createDataFrame(
+        [
+            # block "a..h" twice + tail "x y" -> 3 blocks, 2 kept
+            (1, "a b c d e f g h a b c d e f g h x y"),
+            (2, "a b c d e f g h q r"),
+            (3, "!!!"),  # no alnum tokens -> dropped
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in within_doc_block_dedup(df, "doc_id", "text", 8).collect()
+    }
+    assert set(out) == {1, 2}
+    assert out[1]["n_blocks"] == 3 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_text"] == "a b c d e f g h x y"
+    assert out[1]["removed_ppm"] == 333333
+    assert out[2]["n_blocks"] == 2 and out[2]["n_kept"] == 2
+    assert out[2]["removed_ppm"] == 0
+
+
+def test_within_doc_block_dedup_zero_shuffle(spark):
+    """X96 is one narrow projection: no Exchange in the plan."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.dedup import within_doc_block_dedup
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    plan = within_doc_block_dedup(d, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_corpus_block_dedup_canonical_keeps_one(spark):
+    """X97: exactly one copy of every duplicated block survives
+    corpus-wide, at the minimal (doc_id, position)."""
+    from poet_cloud_cost_etl_spark.operators.dedup import corpus_block_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h a b c d e f g h x y"),
+            (2, "a b c d e f g h q r"),
+            (4, "x y"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in corpus_block_dedup(df, "doc_id", "text", 8, 1).collect()
+    }
+    # doc1 keeps its first "a..h" (canonical) and "x y" (canonical)
+    assert out[1]["n_kept"] == 2 and out[1]["dedup_text"] == "a b c d e f g h x y"
+    # doc2's "a..h" canonicalizes to doc1; unique tail survives
+    assert out[2]["n_kept"] == 1 and out[2]["dedup_text"] == "q r"
+    # doc4 is entirely duplicated elsewhere -> empty rewrite, row kept
+    assert out[4]["n_kept"] == 0 and out[4]["dedup_text"] == ""
+    # global invariant: every distinct block value survives exactly once
+    kept_blocks = []
+    for r in out.values():
+        if r["dedup_text"]:
+            toks = r["dedup_text"].split(" ")
+            kept_blocks += [
+                " ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)
+            ]
+    assert len(kept_blocks) == len(set(kept_blocks))
+
+
+def test_block_dedup_python_reference(spark):
+    """X96 vs an independent Python keep-first reference on fixture
+    documents (sf0.001)."""
+    import re
+
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.dedup import within_doc_block_dedup
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["doc_id"]: (r["n_blocks"], r["n_kept"], r["dedup_text"])
+        for r in within_doc_block_dedup(d, "doc_id", "text", 8).collect()
+    }
+    for row in d.select("doc_id", "text").collect():
+        toks = [
+            t
+            for t in re.sub(r"[^a-z0-9 ]", "", row["text"].lower()).strip().split()
+            if t
+        ]
+        if not toks:
+            assert row["doc_id"] not in got
+            continue
+        blocks = [" ".join(toks[i : i + 8]) for i in range(0, len(toks), 8)]
+        seen: list[str] = []
+        for b in blocks:
+            if b not in seen:
+                seen.append(b)
+        assert got[row["doc_id"]] == (len(blocks), len(seen), " ".join(seen))
