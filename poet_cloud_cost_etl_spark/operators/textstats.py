@@ -1999,3 +1999,90 @@ def robust_outlier_panel(
         F.col("grp").alias(group_col), "median", "mad",
         "n_rows", "n_outliers", "outlier_ppm",
     )
+
+
+# Encoding-artifact regexes (literal backslash escapes: both Java
+# regex and RE2 interpret \xNN themselves, so the same pattern string
+# is handed to both engines verbatim).  NUL is excluded from the
+# control class — embedding it in a SQL literal is engine-hostile —
+# and \t\n\r are legitimate whitespace, not artifacts.
+_CTRL_RE = r"[\x01-\x08\x0b\x0c\x0e-\x1f]"
+_NON_ASCII_RE = r"[^\x00-\x7f]"
+_MOJIBAKE_RE = "[ÃÂ]"  # Ã / Â — the UTF-8-read-as-Latin-1 lead bytes
+_REPLACEMENT = "�"
+
+
+def encoding_artifact_panel(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """X98: per-group encoding-corruption audit — the pre-ingest
+    screen for the three classic text-corpus failure modes: U+FFFD
+    replacement characters (decode failures already baked into the
+    upstream extraction), C0 control characters (binary bleed-through
+    / OCR noise), and Ã/Â lead characters (UTF-8 bytes re-decoded as
+    Latin-1, the canonical mojibake signature — Wenzek et al. 2020
+    route such pages to re-decoding rather than filtering).  A corpus
+    with a nonzero artifact ppm needs a decoder fix, not a quality
+    filter.
+
+    Counting is the X87 length-difference identity: occurrences =
+    len(s) − len(regexp_replace(s, class, '')) — pure codegen, no
+    explode, no UDF.  All counts are exact BIGINTs; ratios are ppm
+    integer divisions.
+
+    Cross-engine caveat (documented, not hidden): Spark ``length()``
+    counts UTF-16 code units, DuckDB counts codepoints, so totals
+    diverge on non-BMP text (emoji).  Every artifact CLASS counted
+    here is BMP, and the corpus contract for the parity gate is BMP
+    text; the operator itself is correct under either unit — the ppm
+    denominators just shift by the astral-char count.
+
+    Scale: one narrow map + one |G|-row hash aggregate with map-side
+    combine.  Nothing else."""
+    ln = F.length(F.col(text_col))
+
+    def _n(pat: str) -> Column:
+        return (ln - F.length(F.regexp_replace(F.col(text_col), pat, ""))).cast(
+            "long"
+        )
+
+    per = df.select(
+        F.col(group_col).alias("grp"),
+        ln.cast("long").alias("__n"),
+        _n(_REPLACEMENT).alias("__repl"),
+        _n(_CTRL_RE).alias("__ctrl"),
+        _n(_MOJIBAKE_RE).alias("__moji"),
+        _n(_NON_ASCII_RE).alias("__na"),
+    )
+    agg = per.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__n").alias("n_chars"),
+        F.sum("__repl").alias("replacement_chars"),
+        F.sum("__ctrl").alias("control_chars"),
+        F.sum("__moji").alias("mojibake_chars"),
+        F.sum("__na").alias("non_ascii_chars"),
+        F.sum(
+            F.when(
+                (F.col("__repl") + F.col("__ctrl") + F.col("__moji")) > 0, 1
+            ).otherwise(0)
+        ).alias("artifact_docs"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "n_chars",
+        "replacement_chars",
+        "control_chars",
+        "mojibake_chars",
+        "non_ascii_chars",
+        "artifact_docs",
+        F.expr(
+            "CASE WHEN n_chars = 0 THEN 0 ELSE (1000000 * "
+            "(replacement_chars + control_chars + mojibake_chars))"
+            " div n_chars END"
+        ).alias("artifact_ppm"),
+        F.expr(
+            "CASE WHEN n_chars = 0 THEN 0 ELSE "
+            "(1000000 * non_ascii_chars) div n_chars END"
+        ).alias("non_ascii_ppm"),
+    )

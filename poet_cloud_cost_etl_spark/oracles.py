@@ -5262,3 +5262,42 @@ ORACLES["dedup_corpus_blocks"] = f"""
             AS dedup_text
     FROM tagged GROUP BY doc_id ORDER BY doc_id
 """
+
+# X98 encoding artifacts (operators/textstats.py:
+# encoding_artifact_panel): same literal regexes, same
+# length-difference identity; DuckDB regexp_replace needs the 'g'
+# flag to mirror Spark's replace-all default.
+ORACLES["encoding_artifacts"] = r"""
+    WITH per AS (
+        SELECT source AS grp,
+            CAST(length(text) AS BIGINT) AS n,
+            CAST(length(text)
+                - length(regexp_replace(text, '\x{FFFD}', '', 'g'))
+                AS BIGINT) AS repl,
+            CAST(length(text)
+                - length(regexp_replace(text, '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g'))
+                AS BIGINT) AS ctrl,
+            CAST(length(text)
+                - length(regexp_replace(text, '[ÃÂ]', '', 'g'))
+                AS BIGINT) AS moji,
+            CAST(length(text)
+                - length(regexp_replace(text, '[^\x00-\x7f]', '', 'g'))
+                AS BIGINT) AS na
+        FROM documents
+    )
+    SELECT grp AS source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(n) AS BIGINT) AS n_chars,
+        CAST(SUM(repl) AS BIGINT) AS replacement_chars,
+        CAST(SUM(ctrl) AS BIGINT) AS control_chars,
+        CAST(SUM(moji) AS BIGINT) AS mojibake_chars,
+        CAST(SUM(na) AS BIGINT) AS non_ascii_chars,
+        CAST(SUM(CASE WHEN repl + ctrl + moji > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS artifact_docs,
+        CAST(CASE WHEN SUM(n) = 0 THEN 0
+            ELSE (1000000 * SUM(repl + ctrl + moji)) // SUM(n) END AS BIGINT)
+            AS artifact_ppm,
+        CAST(CASE WHEN SUM(n) = 0 THEN 0
+            ELSE (1000000 * SUM(na)) // SUM(n) END AS BIGINT) AS non_ascii_ppm
+    FROM per GROUP BY grp ORDER BY grp
+"""

@@ -4585,6 +4585,17 @@ def q_dedup_corpus_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query("encoding_artifacts")
+def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: encoding-corruption audit (operators/textstats.py:
+    encoding_artifact_panel) — U+FFFD / C0-control / mojibake
+    lead-char census per source, length-difference counting."""
+    from .operators.textstats import encoding_artifact_panel
+
+    d = table(spark, sf_dir, "documents")
+    return encoding_artifact_panel(d, "source", "text").orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

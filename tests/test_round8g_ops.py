@@ -102,3 +102,57 @@ def test_block_dedup_python_reference(spark):
             if b not in seen:
                 seen.append(b)
         assert got[row["doc_id"]] == (len(blocks), len(seen), " ".join(seen))
+
+
+def test_encoding_artifact_panel_counts(spark):
+    """X98: injected mojibake/control/replacement chars are counted
+    exactly; the clean group reports all-zero artifact columns."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        encoding_artifact_panel,
+    )
+
+    bad = "cafÃ© Â ok �\x01\x1f"  # 2 moji leads
+    df = spark.createDataFrame(
+        [(1, bad, "dirty"), (2, "plain ascii", "clean")],
+        ["doc_id", "text", "source"],
+    )
+    out = {
+        r["source"]: r
+        for r in encoding_artifact_panel(df, "source", "text").collect()
+    }
+    d = out["dirty"]
+    assert d["n_chars"] == len(bad)
+    assert d["replacement_chars"] == 1
+    assert d["control_chars"] == 2  # \x01 and \x1f
+    assert d["mojibake_chars"] == 2  # the Ã and Â leads
+    # Ã © Â nbsp � = 5 non-ASCII codepoints
+    assert d["non_ascii_chars"] == 5
+    assert d["artifact_docs"] == 1
+    assert d["artifact_ppm"] == (1_000_000 * 5) // len(bad)
+    c = out["clean"]
+    assert (
+        c["replacement_chars"]
+        == c["control_chars"]
+        == c["mojibake_chars"]
+        == c["non_ascii_chars"]
+        == c["artifact_docs"]
+        == 0
+    )
+
+
+def test_encoding_artifact_panel_zero_shuffle_prefix(spark):
+    """X98 is one narrow map + one hash aggregate: exactly one
+    Exchange (the |G|-row final aggregation) in the plan."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        encoding_artifact_panel,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        encoding_artifact_panel(d, "source", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1
