@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import TOKENS_SQL, tokens
 
 # BPE-ish token pattern: letter runs, digit runs, single punctuation.
 BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
@@ -2085,4 +2085,97 @@ def encoding_artifact_panel(
             "CASE WHEN n_chars = 0 THEN 0 ELSE "
             "(1000000 * non_ascii_chars) div n_chars END"
         ).alias("non_ascii_ppm"),
+    )
+
+
+def distinct_ngram_diversity(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """X99: corpus-level distinct-n diversity + unigram entropy per
+    group — distinct-1/2/3 ratios (Li et al. 2016's distinct-n,
+    the standard collapse detector for generated or template-heavy
+    corpora: a source whose distinct-2 ppm craters is repeating
+    itself) and Shannon unigram entropy in nats (the other classic
+    diversity axis — low entropy = a few tokens dominate).
+
+    One position explode yields (w1, bigram, trigram) per token
+    position with NULL padding at the tail, so all three distinct
+    counts come from a SINGLE corpus pass (Spark compiles the
+    multi-countDistinct into one Expand — 3× rows, still one scan,
+    no self-union).  The entropy branch is the usual
+    (group, token)-count aggregate.
+
+    Exactness: counts are exact BIGINTs; ratios are ppm integer
+    divisions; entropy is the scaled-integer convention —
+    H_e6 = round(10⁶·ln N) − (Σ c·round(10⁶·ln c)) div N — exact
+    integer arithmetic after the per-value rounds, so partial-agg
+    order cannot move the result (HALF_UP vs half-away agree on
+    positives; ln values never land on ties).
+
+    Scale: one Expand aggregate over the corpus (map-side partial
+    distinct) + one vocab-bounded count aggregate; both |G|-row
+    outputs join broadcast."""
+    toks = TOKENS_SQL.format(col=text_col)
+    pos_sql = (
+        f"flatten(transform(array(filter({toks}, __x -> __x != '')), __a -> "
+        "CASE WHEN size(__a) = 0 THEN array() "
+        "ELSE transform(sequence(1, size(__a)), i -> struct("
+        "element_at(__a, i) AS w1, "
+        "CASE WHEN i + 1 <= size(__a) THEN "
+        "concat(element_at(__a, i), ' ', element_at(__a, i + 1)) END AS bg, "
+        "CASE WHEN i + 2 <= size(__a) THEN "
+        "concat(element_at(__a, i), ' ', element_at(__a, i + 1), ' ', "
+        "element_at(__a, i + 2)) END AS tg)) END))"
+    )
+    pos = df.select(
+        F.col(group_col).alias("grp"), F.explode(F.expr(pos_sql)).alias("p")
+    ).select("grp", "p.w1", "p.bg", "p.tg")
+    panel = pos.groupBy("grp").agg(
+        F.count("w1").alias("n_tokens"),
+        F.count("bg").alias("n_bigrams"),
+        F.count("tg").alias("n_trigrams"),
+        F.countDistinct("w1").alias("distinct_unigrams"),
+        F.countDistinct("bg").alias("distinct_bigrams"),
+        F.countDistinct("tg").alias("distinct_trigrams"),
+    )
+    ent = (
+        pos.groupBy("grp", "w1")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("grp")
+        .agg(
+            F.sum("__c").alias("__n"),
+            F.sum(
+                F.col("__c")
+                * F.round(F.log("__c") * 1_000_000.0).cast("long")
+            ).alias("__s"),
+        )
+        .select(
+            "grp",
+            (
+                F.round(F.log("__n") * 1_000_000.0).cast("long")
+                - F.expr("__s div __n")
+            ).alias("unigram_entropy_nats_e6"),
+        )
+    )
+    return panel.join(ent, "grp").select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "n_bigrams",
+        "n_trigrams",
+        "distinct_unigrams",
+        "distinct_bigrams",
+        "distinct_trigrams",
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0 "
+            "ELSE (1000000 * distinct_unigrams) div n_tokens END"
+        ).alias("distinct1_ppm"),
+        F.expr(
+            "CASE WHEN n_bigrams = 0 THEN 0 "
+            "ELSE (1000000 * distinct_bigrams) div n_bigrams END"
+        ).alias("distinct2_ppm"),
+        F.expr(
+            "CASE WHEN n_trigrams = 0 THEN 0 "
+            "ELSE (1000000 * distinct_trigrams) div n_trigrams END"
+        ).alias("distinct3_ppm"),
+        "unigram_entropy_nats_e6",
     )

@@ -5301,3 +5301,59 @@ ORACLES["encoding_artifacts"] = r"""
             ELSE (1000000 * SUM(na)) // SUM(n) END AS BIGINT) AS non_ascii_ppm
     FROM per GROUP BY grp ORDER BY grp
 """
+
+# X99 distinct-n diversity (operators/textstats.py:
+# distinct_ngram_diversity): position CTE with NULL-padded
+# bigram/trigram tails; entropy via the scaled-integer convention
+# H_e6 = round(1e6*ln N) - (sum c*round(1e6*ln c)) // N.
+ORACLES["distinct_ngram_diversity"] = f"""
+    WITH toks AS (
+        SELECT source AS grp,
+            list_filter({_TOKS.format(col='text')}, __x -> __x <> '') AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT grp, t[i] AS w1,
+            CASE WHEN i + 1 <= len(t)
+                THEN t[i] || ' ' || t[i + 1] END AS bg,
+            CASE WHEN i + 2 <= len(t)
+                THEN t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] END AS tg
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS u(i)
+    ),
+    panel AS (
+        SELECT grp,
+            COUNT(w1) AS n_tokens,
+            COUNT(bg) AS n_bigrams,
+            COUNT(tg) AS n_trigrams,
+            COUNT(DISTINCT w1) AS distinct_unigrams,
+            COUNT(DISTINCT bg) AS distinct_bigrams,
+            COUNT(DISTINCT tg) AS distinct_trigrams
+        FROM pos GROUP BY grp
+    ),
+    cnt AS (
+        SELECT grp, w1, COUNT(*) AS c FROM pos GROUP BY grp, w1
+    ),
+    ent AS (
+        SELECT grp,
+            CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(c * CAST(round(1000000 * ln(c)) AS BIGINT)) AS BIGINT)
+                AS s
+        FROM cnt GROUP BY grp
+    )
+    SELECT p.grp AS source,
+        p.n_tokens, p.n_bigrams, p.n_trigrams,
+        p.distinct_unigrams, p.distinct_bigrams, p.distinct_trigrams,
+        CASE WHEN p.n_tokens = 0 THEN 0
+            ELSE (1000000 * p.distinct_unigrams) // p.n_tokens END
+            AS distinct1_ppm,
+        CASE WHEN p.n_bigrams = 0 THEN 0
+            ELSE (1000000 * p.distinct_bigrams) // p.n_bigrams END
+            AS distinct2_ppm,
+        CASE WHEN p.n_trigrams = 0 THEN 0
+            ELSE (1000000 * p.distinct_trigrams) // p.n_trigrams END
+            AS distinct3_ppm,
+        CAST(round(1000000 * ln(e.n)) AS BIGINT) - (e.s // e.n)
+            AS unigram_entropy_nats_e6
+    FROM panel p JOIN ent e USING (grp)
+    ORDER BY p.grp
+"""

@@ -4596,6 +4596,18 @@ def q_encoding_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encoding_artifact_panel(d, "source", "text").orderBy("source")
 
 
+@query("distinct_ngram_diversity")
+def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: distinct-n diversity + unigram entropy per source
+    (operators/textstats.py: distinct_ngram_diversity) — the Li et
+    al. 2016 distinct-1/2/3 panel with scaled-integer Shannon
+    entropy."""
+    from .operators.textstats import distinct_ngram_diversity
+
+    d = table(spark, sf_dir, "documents")
+    return distinct_ngram_diversity(d, "source", "text").orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -156,3 +156,70 @@ def test_encoding_artifact_panel_zero_shuffle_prefix(spark):
         .toString()
     )
     assert plan.count("Exchange") == 1
+
+
+def test_distinct_ngram_diversity_python_reference(spark):
+    """X99 vs an independent Python reference (collections.Counter +
+    math.log) on fixture documents."""
+    import math
+    import re
+    from collections import Counter, defaultdict
+
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        distinct_ngram_diversity,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        r["source"]: r
+        for r in distinct_ngram_diversity(d, "source", "text").collect()
+    }
+    uni = defaultdict(list)
+    for row in d.select("source", "text").collect():
+        toks = [
+            t
+            for t in re.sub(r"[^a-z0-9 ]", "", row["text"].lower()).strip().split()
+            if t
+        ]
+        uni[row["source"]].append(toks)
+    for src, docs in uni.items():
+        w1 = [t for ts in docs for t in ts]
+        bg = [
+            " ".join(ts[i : i + 2]) for ts in docs for i in range(len(ts) - 1)
+        ]
+        tg = [
+            " ".join(ts[i : i + 3]) for ts in docs for i in range(len(ts) - 2)
+        ]
+        g = got[src]
+        assert g["n_tokens"] == len(w1)
+        assert g["distinct_unigrams"] == len(set(w1))
+        assert g["n_bigrams"] == len(bg)
+        assert g["distinct_bigrams"] == len(set(bg))
+        assert g["n_trigrams"] == len(tg)
+        assert g["distinct_trigrams"] == len(set(tg))
+        assert g["distinct2_ppm"] == (1_000_000 * len(set(bg))) // len(bg)
+        c = Counter(w1)
+        n = len(w1)
+        s = sum(v * round(1_000_000 * math.log(v)) for v in c.values())
+        assert g["unigram_entropy_nats_e6"] == round(
+            1_000_000 * math.log(n)
+        ) - s // n
+
+
+def test_distinct_ngram_diversity_single_scan(spark):
+    """X99's panel branch runs the multi-countDistinct in one Expand
+    over one scan (no self-union of the corpus)."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        distinct_ngram_diversity,
+    )
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        distinct_ngram_diversity(d, "source", "text")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" in plan and "Union" not in plan
