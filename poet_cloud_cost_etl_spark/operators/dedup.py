@@ -1890,3 +1890,93 @@ def corpus_block_dedup(
             "dedup_text",
         )
     )
+
+
+def kmv_source_overlap(
+    df: DataFrame, text_col: str, group_col: str, k: int = 256
+) -> DataFrame:
+    """X100: sketch-based cross-group overlap — the K-Minimum-Values
+    twin of X29's exact shingle-overlap matrix (Beyer et al. 2007's
+    KMV set operations: the k smallest hashes of a set are a uniform
+    sample of its distinct values, and Jaccard is estimated by
+    |A∩B within the k smallest of A∪B| / k).  X29 shuffles the full
+    distinct-shingle keyspace; at 100 TB that keyspace IS the corpus,
+    while this sketch caps every group at ``k`` 8-byte hashes — the
+    overlap matrix then costs |G|²·k rows total, independent of
+    corpus size.  Run the sketch to ORDER the dedup/merge plan, run
+    X29 only on the pairs the sketch flags.
+
+    Per unordered pair (grp_a < grp_b): both sketch sizes, the
+    merged-sketch size (min(k, |union of sketches|)), the number of
+    merged-k hashes present in BOTH sketches, and jaccard_est_ppm
+    (ppm integer division — exact given the hashes).
+
+    Determinism: md5 unit hashes (the X9/X62 convention), distinct
+    (group, hash) collapses 32-bit collisions identically in both
+    engines, k-smallest via ROW_NUMBER on the unique hash value.
+
+    Scale: one corpus scan into a per-group k-row sketch (the
+    per-group window compiles to WindowGroupLimit — at most k rows
+    per map partition reach the shuffle); everything after is
+    sketch-sized.  The pair grid joins broadcast."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import unit_hash
+
+    sk = (
+        df.select(F.col(group_col).alias("grp"), tokens(text_col).alias("__t"))
+        .select("grp", F.explode(shingles("__t")).alias("__sh"))
+        .select("grp", unit_hash("__sh").alias("__h"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("__h")
+    sk = (
+        sk.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("grp", "__h")
+        .localCheckpoint(eager=True)
+    )
+    sizes = sk.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sk"))
+    grid = (
+        sizes.select(F.col("grp").alias("grp_a"), F.col("n_sk").alias("sketch_a"))
+        .crossJoin(
+            sizes.select(
+                F.col("grp").alias("grp_b"), F.col("n_sk").alias("sketch_b")
+            )
+        )
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    both_sides = grid.select("grp_a", "grp_b").join(
+        sk.select(F.col("grp").alias("grp_a"), "__h"), "grp_a"
+    ).select("grp_a", "grp_b", "__h", F.lit("a").alias("__side")).unionByName(
+        grid.select("grp_a", "grp_b")
+        .join(sk.select(F.col("grp").alias("grp_b"), "__h"), "grp_b")
+        .select("grp_a", "grp_b", "__h", F.lit("b").alias("__side"))
+    )
+    merged = both_sides.groupBy("grp_a", "grp_b", "__h").agg(
+        (F.count(F.lit(1)) == 2).cast("long").alias("__both")
+    )
+    wp = Window.partitionBy("grp_a", "grp_b").orderBy("__h")
+    topk = merged.withColumn("__r", F.row_number().over(wp)).filter(
+        F.col("__r") <= k
+    )
+    est = topk.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("merged_k"),
+        F.sum("__both").alias("n_both"),
+    )
+    return (
+        grid.join(est, ["grp_a", "grp_b"], "left")
+        .select(
+            "grp_a",
+            "grp_b",
+            "sketch_a",
+            "sketch_b",
+            F.coalesce("merged_k", F.lit(0)).alias("merged_k"),
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            F.expr(
+                "CASE WHEN coalesce(merged_k, 0) = 0 THEN 0 "
+                "ELSE (1000000 * coalesce(n_both, 0)) div merged_k END"
+            ).alias("jaccard_est_ppm"),
+        )
+        .orderBy("grp_a", "grp_b")
+    )

@@ -5357,3 +5357,56 @@ ORACLES["distinct_ngram_diversity"] = f"""
     FROM panel p JOIN ent e USING (grp)
     ORDER BY p.grp
 """
+
+# X100 KMV source overlap (operators/dedup.py: kmv_source_overlap):
+# per-group k-smallest distinct unit hashes of the 3-shingle set,
+# merged-k intersection count per pair — all-integer estimator.
+ORACLES["source_overlap_kmv"] = f"""
+    WITH toks AS (
+        SELECT source AS grp, {_TOKS.format(col='text')} AS t FROM documents
+    ),
+    hs AS (
+        SELECT DISTINCT grp,
+            {_UNIT.format(col="t[i] || ' ' || t[i+1] || ' ' || t[i+2]")} AS h
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sk AS (
+        SELECT grp, h FROM (
+            SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS r
+            FROM hs
+        ) WHERE r <= 64
+    ),
+    sizes AS (SELECT grp, COUNT(*) AS n_sk FROM sk GROUP BY grp),
+    grid AS (
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+            a.n_sk AS sketch_a, b.n_sk AS sketch_b
+        FROM sizes a, sizes b WHERE a.grp < b.grp
+    ),
+    merged AS (
+        SELECT g.grp_a, g.grp_b, s.h,
+            CASE WHEN COUNT(*) = 2 THEN 1 ELSE 0 END AS in_both
+        FROM grid g
+        JOIN sk s ON s.grp = g.grp_a OR s.grp = g.grp_b
+        GROUP BY g.grp_a, g.grp_b, s.h
+    ),
+    topk AS (
+        SELECT grp_a, grp_b, h, in_both FROM (
+            SELECT grp_a, grp_b, h, in_both,
+                ROW_NUMBER() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS r
+            FROM merged
+        ) WHERE r <= 64
+    ),
+    est AS (
+        SELECT grp_a, grp_b, COUNT(*) AS merged_k,
+            CAST(SUM(in_both) AS BIGINT) AS n_both
+        FROM topk GROUP BY grp_a, grp_b
+    )
+    SELECT g.grp_a, g.grp_b, g.sketch_a, g.sketch_b,
+        COALESCE(e.merged_k, 0) AS merged_k,
+        COALESCE(e.n_both, 0) AS n_both,
+        CASE WHEN COALESCE(e.merged_k, 0) = 0 THEN 0
+            ELSE (1000000 * COALESCE(e.n_both, 0)) // e.merged_k END
+            AS jaccard_est_ppm
+    FROM grid g LEFT JOIN est e USING (grp_a, grp_b)
+    ORDER BY g.grp_a, g.grp_b
+"""

@@ -4608,6 +4608,17 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_ngram_diversity(d, "source", "text").orderBy("source")
 
 
+@query("source_overlap_kmv")
+def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100: KMV sketch overlap matrix (operators/dedup.py:
+    kmv_source_overlap) — the fixed-size-sketch scale twin of X29's
+    exact shingle-overlap matrix, k=64."""
+    from .operators.dedup import kmv_source_overlap
+
+    d = table(spark, sf_dir, "documents")
+    return kmv_source_overlap(d, "text", "source", k=64)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

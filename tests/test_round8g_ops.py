@@ -223,3 +223,60 @@ def test_distinct_ngram_diversity_single_scan(spark):
         .toString()
     )
     assert "Expand" in plan and "Union" not in plan
+
+
+def test_kmv_source_overlap_python_reference(spark):
+    """X100 vs an independent hashlib/md5 KMV reference: sketches,
+    merged-k intersection, and the ppm estimate must all agree."""
+    import hashlib
+    import re
+    from collections import defaultdict
+
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.dedup import kmv_source_overlap
+
+    k = 32
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    got = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_source_overlap(d, "text", "source", k=k).collect()
+    }
+
+    def uh(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    sets = defaultdict(set)
+    for row in d.select("source", "text").collect():
+        toks = re.sub(r"[^a-z0-9 ]", "", row["text"].lower()).strip()
+        toks = re.split(r" +", toks) if toks else []
+        for i in range(len(toks) - 2):
+            sets[row["source"]].add(uh(" ".join(toks[i : i + 3])))
+    sk = {g: set(sorted(h)[:k]) for g, h in sets.items()}
+    for (a, b), r in got.items():
+        merged = sorted(sk[a] | sk[b])[:k]
+        n_both = sum(1 for h in merged if h in sk[a] and h in sk[b])
+        assert r["sketch_a"] == len(sk[a]) and r["sketch_b"] == len(sk[b])
+        assert r["merged_k"] == len(merged)
+        assert r["n_both"] == n_both
+        assert r["jaccard_est_ppm"] == (1_000_000 * n_both) // len(merged)
+
+
+def test_kmv_overlap_tracks_exact_on_duplicated_sources(spark):
+    """X100 sanity: a source that is a superset of another scores a
+    much higher estimated Jaccard than two disjoint sources."""
+    from poet_cloud_cost_etl_spark.operators.dedup import kmv_source_overlap
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base, "sA"),
+        (2, base + " lambda mu nu xi omicron pi rho sigma", "sB"),
+        (3, "one two three four five six seven eight nine ten", "sC"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r["grp_a"], r["grp_b"]): r["jaccard_est_ppm"]
+        for r in kmv_source_overlap(df, "text", "source", k=64).collect()
+    }
+    assert out[("sA", "sB")] > 300_000
+    assert out[("sA", "sC")] == 0
+    assert out[("sB", "sC")] == 0
