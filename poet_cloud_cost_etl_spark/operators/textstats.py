@@ -2179,3 +2179,53 @@ def distinct_ngram_diversity(
         ).alias("distinct3_ppm"),
         "unigram_entropy_nats_e6",
     )
+
+
+def good_turing_panel(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """X101: Good-Turing missing-mass panel per group (Good 1953) —
+    the frequency-of-frequencies estimator answering the curation
+    question X51's richness panel cannot: how much probability mass
+    does this source assign to tokens we have NOT seen yet?  The
+    missing mass P₀ ≈ N₁/N (hapax share of TOKENS, not of vocab) is
+    the standard stop-crawling / keep-crawling dial: high missing
+    mass = the source is far from exhausted; near-zero = more of it
+    is rehash.  The r=1 Turing-adjusted count r* = 2·N₂/N₁ is the
+    companion smoothing diagnostic (how much a singleton's count is
+    discounted under GT smoothing; NULL when the group has no
+    singletons — degenerate marginals yield NULL, not a fabricated
+    value, the X91 convention).
+
+    Exactness: N, V, N₁, N₂ are exact BIGINTs from one
+    (group, token) count; ratios are ppm/e6 integer divisions.
+
+    Scale: one vocab-bounded count aggregate with map-side combine,
+    then a |G|-row aggregate.  Same shape as lexical_diversity; the
+    two share a scan when composed."""
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+        .groupBy("grp", "__t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    agg = counts.groupBy("grp").agg(
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(F.when(F.col("__c") == 1, 1).otherwise(0)).alias("hapax"),
+        F.sum(F.when(F.col("__c") == 2, 1).otherwise(0)).alias("dis_legomena"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_tokens",
+        "vocab",
+        "hapax",
+        "dis_legomena",
+        F.expr("(1000000 * hapax) div n_tokens").alias("missing_mass_ppm"),
+        F.expr("1000000 - (1000000 * hapax) div n_tokens").alias("coverage_ppm"),
+        F.expr(
+            "CASE WHEN hapax = 0 THEN NULL "
+            "ELSE (2000000 * dis_legomena) div hapax END"
+        ).alias("r1_star_e6"),
+    )

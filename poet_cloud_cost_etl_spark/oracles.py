@@ -5410,3 +5410,31 @@ ORACLES["source_overlap_kmv"] = f"""
     FROM grid g LEFT JOIN est e USING (grp_a, grp_b)
     ORDER BY g.grp_a, g.grp_b
 """
+
+# X101 Good-Turing missing mass (operators/textstats.py:
+# good_turing_panel): frequency-of-frequencies from one
+# (group, token) count; r1* is NULL when the group has no hapax.
+ORACLES["good_turing_missing_mass"] = f"""
+    WITH tok AS (
+        SELECT source AS grp, u.x AS t
+        FROM (SELECT source, {_TOKS.format(col='text')} AS ts FROM documents),
+             UNNEST(ts) AS u(x)
+        WHERE u.x <> ''
+    ),
+    cnt AS (SELECT grp, t, COUNT(*) AS c FROM tok GROUP BY grp, t),
+    agg AS (
+        SELECT grp,
+            CAST(SUM(c) AS BIGINT) AS n_tokens,
+            COUNT(*) AS vocab,
+            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+            CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS dis_legomena
+        FROM cnt GROUP BY grp
+    )
+    SELECT grp AS source, n_tokens, vocab, hapax, dis_legomena,
+        (1000000 * hapax) // n_tokens AS missing_mass_ppm,
+        1000000 - (1000000 * hapax) // n_tokens AS coverage_ppm,
+        CASE WHEN hapax = 0 THEN NULL
+            ELSE (2000000 * dis_legomena) // hapax END AS r1_star_e6
+    FROM agg ORDER BY grp
+"""

@@ -4619,6 +4619,17 @@ def q_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_source_overlap(d, "text", "source", k=64)
 
 
+@query("good_turing_missing_mass")
+def q_good_turing_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X101: Good-Turing missing-mass panel (operators/textstats.py:
+    good_turing_panel) — unseen-vocabulary mass and the r=1 Turing
+    discount per source."""
+    from .operators.textstats import good_turing_panel
+
+    d = table(spark, sf_dir, "documents")
+    return good_turing_panel(d, "source", "text").orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

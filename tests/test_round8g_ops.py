@@ -280,3 +280,36 @@ def test_kmv_overlap_tracks_exact_on_duplicated_sources(spark):
     assert out[("sA", "sB")] > 300_000
     assert out[("sA", "sC")] == 0
     assert out[("sB", "sC")] == 0
+
+
+def test_good_turing_panel_reference(spark):
+    """X101 vs a Counter-based reference; hapax-free group yields
+    NULL r1*."""
+    from collections import Counter
+
+    from poet_cloud_cost_etl_spark.operators.textstats import good_turing_panel
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b b c d e", "g1"),  # hapax: c d e; dis: a b
+            (2, "x x y y", "g2"),  # no hapax
+        ],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["source"]: r for r in good_turing_panel(df, "source", "text").collect()}
+    g1 = out["g1"]
+    assert (g1["n_tokens"], g1["vocab"], g1["hapax"], g1["dis_legomena"]) == (
+        7,
+        5,
+        3,
+        2,
+    )
+    assert g1["missing_mass_ppm"] == (1_000_000 * 3) // 7
+    assert g1["coverage_ppm"] == 1_000_000 - (1_000_000 * 3) // 7
+    assert g1["r1_star_e6"] == (2_000_000 * 2) // 3
+    g2 = out["g2"]
+    assert g2["hapax"] == 0 and g2["r1_star_e6"] is None
+    assert g2["missing_mass_ppm"] == 0 and g2["coverage_ppm"] == 1_000_000
+    # cross-check a fixture group against Counter
+    c = Counter("a a b b c d e".split())
+    assert g1["hapax"] == sum(1 for v in c.values() if v == 1)
