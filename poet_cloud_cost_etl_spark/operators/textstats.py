@@ -2229,3 +2229,57 @@ def good_turing_panel(df: DataFrame, group_col: str, text_col: str) -> DataFrame
             "ELSE (2000000 * dis_legomena) div hapax END"
         ).alias("r1_star_e6"),
     )
+
+
+def rank_fusion_topk(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    signal_cols: list[str],
+    k: int = 5,
+) -> DataFrame:
+    """X102: Borda rank fusion over multiple quality signals — rank
+    each signal independently per group (higher value = better =
+    rank 1), sum the ranks, keep the top-``k`` rows by fused rank.
+    Rank fusion is the standard way to combine incommensurable
+    curation signals (a length score, a diversity ratio, an LM
+    score) WITHOUT normalizing scales: ranks are dimensionless, so
+    no signal dominates by unit choice, and a document must do well
+    across the board to surface.
+
+    Determinism: every per-signal rank breaks ties on ``id_col``
+    ascending, and the fused rank breaks (borda_sum, id) the same
+    way — exact integers throughout, no scale normalization to
+    diverge on.
+
+    Scale: all |signals|+1 windows share the same partitionBy key,
+    so Catalyst plans ONE shuffle on the group column and stacks the
+    Window operators over it; the final top-k window compiles to
+    WindowGroupLimit (only k rows per group per map partition reach
+    the last stage)."""
+    from pyspark.sql.window import Window
+
+    out = df
+    rank_cols = []
+    for c in signal_cols:
+        w = Window.partitionBy(group_col).orderBy(
+            F.col(c).desc(), F.col(id_col).asc()
+        )
+        rc = f"rank_{c}"
+        out = out.withColumn(rc, F.row_number().over(w).cast("long"))
+        rank_cols.append(rc)
+    borda = None
+    for rc in rank_cols:
+        borda = F.col(rc) if borda is None else borda + F.col(rc)
+    out = out.withColumn("borda_sum", borda.cast("long"))
+    wf = Window.partitionBy(group_col).orderBy(
+        F.col("borda_sum").asc(), F.col(id_col).asc()
+    )
+    return (
+        out.withColumn("fused_rank", F.row_number().over(wf).cast("long"))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            group_col, id_col, *rank_cols, "borda_sum", "fused_rank"
+        )
+        .orderBy(group_col, "fused_rank")
+    )

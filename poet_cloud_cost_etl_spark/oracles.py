@@ -5438,3 +5438,48 @@ ORACLES["good_turing_missing_mass"] = f"""
             ELSE (2000000 * dis_legomena) // hapax END AS r1_star_e6
     FROM agg ORDER BY grp
 """
+
+# X102 Borda rank fusion (operators/textstats.py: rank_fusion_topk):
+# per-signal ROW_NUMBER (value desc, doc_id asc), integer borda sum,
+# fused top-3 per source with (borda, doc_id) tie-break.
+ORACLES["quality_rank_fusion"] = f"""
+    WITH sig AS (
+        SELECT source, doc_id,
+            CAST(len(t) AS BIGINT) AS sig_tokens,
+            (1000000 * len(list_distinct(t)))
+                // greatest(len(t), 1) AS sig_distinct_ppm,
+            (100 * length(array_to_string(t, '')))
+                // greatest(len(t), 1) AS sig_toklen_e2
+        FROM (
+            SELECT source, doc_id,
+                list_filter({_TOKS.format(col='text')}, __x -> __x <> '') AS t
+            FROM documents
+        )
+    ),
+    ranked AS (
+        SELECT source, doc_id,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY sig_tokens DESC, doc_id ASC) AS BIGINT)
+                AS rank_sig_tokens,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY sig_distinct_ppm DESC, doc_id ASC) AS BIGINT)
+                AS rank_sig_distinct_ppm,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY sig_toklen_e2 DESC, doc_id ASC) AS BIGINT)
+                AS rank_sig_toklen_e2
+        FROM sig
+    ),
+    fused AS (
+        SELECT source, doc_id,
+            rank_sig_tokens, rank_sig_distinct_ppm, rank_sig_toklen_e2,
+            rank_sig_tokens + rank_sig_distinct_ppm + rank_sig_toklen_e2
+                AS borda_sum,
+            CAST(ROW_NUMBER() OVER (PARTITION BY source
+                ORDER BY rank_sig_tokens + rank_sig_distinct_ppm
+                    + rank_sig_toklen_e2 ASC, doc_id ASC) AS BIGINT)
+                AS fused_rank
+        FROM ranked
+    )
+    SELECT * FROM fused WHERE fused_rank <= 3
+    ORDER BY source, fused_rank
+"""

@@ -4630,6 +4630,41 @@ def q_good_turing_missing_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return good_turing_panel(d, "source", "text").orderBy("source")
 
 
+@query("quality_rank_fusion")
+def q_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X102: Borda rank fusion (operators/textstats.py:
+    rank_fusion_topk) — three zero-shuffle per-doc signals (token
+    count, distinct-token ppm, mean token length e2) fused by rank,
+    top-3 per source."""
+    from .operators.dedup import TOKENS_SQL
+    from .operators.textstats import rank_fusion_topk
+
+    d = table(spark, sf_dir, "documents")
+    toks = TOKENS_SQL.format(col="text")
+    sig = d.select(
+        "source",
+        "doc_id",
+        F.expr(
+            f"CAST(size(filter({toks}, __x -> __x != '')) AS BIGINT)"
+        ).alias("sig_tokens"),
+        F.expr(
+            f"(1000000 * size(array_distinct(filter({toks}, __x -> __x != ''))))"
+            f" div greatest(size(filter({toks}, __x -> __x != '')), 1)"
+        ).alias("sig_distinct_ppm"),
+        F.expr(
+            f"(100 * length(array_join(filter({toks}, __x -> __x != ''), '')))"
+            f" div greatest(size(filter({toks}, __x -> __x != '')), 1)"
+        ).alias("sig_toklen_e2"),
+    )
+    return rank_fusion_topk(
+        sig,
+        "source",
+        "doc_id",
+        ["sig_tokens", "sig_distinct_ppm", "sig_toklen_e2"],
+        k=3,
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

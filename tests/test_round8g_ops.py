@@ -4,6 +4,8 @@ overlap, Good-Turing, rank fusion)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 def test_within_doc_block_dedup_semantics(spark):
     """X96: keep-first-in-place, tail block kept, empty docs drop."""
@@ -313,3 +315,50 @@ def test_good_turing_panel_reference(spark):
     # cross-check a fixture group against Counter
     c = Counter("a a b b c d e".split())
     assert g1["hapax"] == sum(1 for v in c.values() if v == 1)
+
+
+def test_rank_fusion_topk_semantics(spark):
+    """X102: per-signal ranks, borda sum, pinned tie-breaks, top-k."""
+    from poet_cloud_cost_etl_spark.operators.textstats import rank_fusion_topk
+
+    df = spark.createDataFrame(
+        [
+            # (group, id, s1, s2): id 1 wins s1, id 3 wins s2, id 2 balanced
+            ("g", 1, 10, 1),
+            ("g", 2, 8, 8),
+            ("g", 3, 1, 10),
+            ("g", 4, 1, 1),  # ties with nobody relevant; worst
+        ],
+        ["grp", "rid", "s1", "s2"],
+    )
+    out = rank_fusion_topk(df, "grp", "rid", ["s1", "s2"], k=3).collect()
+    rows = {r["rid"]: r for r in out}
+    assert len(out) == 3 and 4 not in rows
+    assert rows[1]["rank_s1"] == 1 and rows[1]["rank_s2"] == 3
+    assert rows[2]["borda_sum"] == 2 + 2
+    # id 1 and id 3 both have borda 4; tie broken by id asc
+    order = [r["rid"] for r in out]
+    assert order == [1, 2, 3] or order == [1, 3, 2]
+    assert rows[1]["fused_rank"] < rows[3]["fused_rank"]
+
+
+def test_rank_fusion_single_shuffle(spark):
+    """X102: all windows share one partitioning — exactly one hash
+    Exchange in the plan (the trailing range Exchange is the display
+    sort)."""
+    from poet_cloud_cost_etl_spark.operators.textstats import rank_fusion_topk
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).cast("string").alias("grp"),
+        F.col("id").alias("rid"),
+        (F.col("id") * 7 % 13).alias("s1"),
+        (F.col("id") * 3 % 11).alias("s2"),
+    )
+    plan = (
+        rank_fusion_topk(df, "grp", "rid", ["s1", "s2"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
