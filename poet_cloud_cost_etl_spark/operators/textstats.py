@@ -2283,3 +2283,79 @@ def rank_fusion_topk(
         )
         .orderBy(group_col, "fused_rank")
     )
+
+
+def lm_gate_ablation(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    min_score_ppm: int = 20000,
+) -> DataFrame:
+    """X103: LM-score gate ablation — what a corpus-LM fluency
+    threshold would DO to each source before you commit to it: per
+    group, document and token counts, how many survive
+    ``score >= min_score_ppm`` under the X5-extension bigram LM
+    (bigram_cond_prob_score), the surviving shares, and the mean
+    score of the survivors.  This is the model-based twin of X30's
+    heuristic quality-gate ablation: CCNet/RedPajama gate on an LM
+    score exactly like this, and the ablation table is what you read
+    before picking the cut.
+
+    Documents too short to have a bigram (< 2 tokens) have no score
+    and count as DROPPED — a gate that silently passes unscorable
+    docs would let empty fragments through.
+
+    Exactness: the doc score is recovered as the exact integer
+    ``round(avg_cond_prob·10⁶)`` (the double IS ppm-scaled integer /
+    10⁶, so the round-trip is lossless); survivor means are integer
+    divisions, NULL when a group keeps nothing.
+
+    Scale: the LM scorer's two corpus counts + joins (see
+    bigram_cond_prob_score), then one doc-keyed left join and a
+    |G|-row aggregate."""
+    scores = bigram_cond_prob_score(df, id_col, text_col).select(
+        F.col(id_col),
+        F.round(F.col("avg_cond_prob") * 1_000_000.0).cast("long").alias("__sp"),
+    )
+    toks = TOKENS_SQL.format(col=text_col)
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.expr(
+            f"CAST(size(filter({toks}, __x -> __x != '')) AS BIGINT)"
+        ).alias("__nt"),
+    )
+    j = base.join(scores, id_col, "left").select(
+        "grp",
+        "__nt",
+        "__sp",
+        (
+            F.col("__sp").isNotNull() & (F.col("__sp") >= F.lit(min_score_ppm))
+        ).alias("__keep"),
+    )
+    agg = j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("__keep").cast("long")).alias("kept_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.sum(F.when(F.col("__keep"), F.col("__nt")).otherwise(0)).alias(
+            "kept_tokens"
+        ),
+        F.sum(F.when(F.col("__keep"), F.col("__sp"))).alias("__kept_sp"),
+    )
+    return agg.select(
+        F.col("grp").alias(group_col),
+        "n_docs",
+        "kept_docs",
+        "n_tokens",
+        "kept_tokens",
+        F.expr("(1000000 * kept_docs) div n_docs").alias("kept_doc_ppm"),
+        F.expr(
+            "CASE WHEN n_tokens = 0 THEN 0 "
+            "ELSE (1000000 * kept_tokens) div n_tokens END"
+        ).alias("kept_token_ppm"),
+        F.expr(
+            "CASE WHEN kept_docs = 0 THEN NULL "
+            "ELSE __kept_sp div kept_docs END"
+        ).alias("mean_kept_score_ppm"),
+    )

@@ -5483,3 +5483,43 @@ ORACLES["quality_rank_fusion"] = f"""
     SELECT * FROM fused WHERE fused_rank <= 3
     ORDER BY source, fused_rank
 """
+
+
+# X103 LM gate ablation (operators/textstats.py: lm_gate_ablation):
+# composes the X5-extension bigram LM oracle; unscorable docs (< 2
+# tokens) count as dropped; survivor mean is an integer division,
+# NULL when nothing survives.
+ORACLES["lm_gate_ablation"] = f"""
+    WITH sc AS ({ORACLES['text_bigram_lm_score']}),
+    base AS (
+        SELECT doc_id, source AS grp,
+            CAST(len(list_filter({_TOKS.format(col='text')},
+                __x -> __x <> '')) AS BIGINT) AS nt
+        FROM documents
+    ),
+    j AS (
+        SELECT b.grp, b.nt,
+            CAST(round(s.avg_cond_prob * 1000000) AS BIGINT) AS sp
+        FROM base b LEFT JOIN sc s USING (doc_id)
+    ),
+    k AS (
+        SELECT grp, nt, sp,
+            (sp IS NOT NULL AND sp >= 20000) AS keep
+        FROM j
+    )
+    SELECT grp AS source,
+        COUNT(*) AS n_docs,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN keep THEN nt ELSE 0 END) AS BIGINT) AS kept_tokens,
+        (1000000 * CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT))
+            // COUNT(*) AS kept_doc_ppm,
+        CASE WHEN SUM(nt) = 0 THEN 0
+            ELSE CAST((1000000 * SUM(CASE WHEN keep THEN nt ELSE 0 END))
+                // SUM(nt) AS BIGINT) END AS kept_token_ppm,
+        CASE WHEN SUM(CASE WHEN keep THEN 1 ELSE 0 END) = 0 THEN NULL
+            ELSE CAST(SUM(CASE WHEN keep THEN sp ELSE 0 END)
+                // SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) END
+            AS mean_kept_score_ppm
+    FROM k GROUP BY grp ORDER BY grp
+"""

@@ -4665,6 +4665,19 @@ def q_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("lm_gate_ablation")
+def q_lm_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X103: bigram-LM gate ablation (operators/textstats.py:
+    lm_gate_ablation) — per-source survivor shares at a 0.02
+    mean-conditional-probability cut."""
+    from .operators.textstats import lm_gate_ablation
+
+    d = table(spark, sf_dir, "documents")
+    return lm_gate_ablation(
+        d, "doc_id", "text", "source", min_score_ppm=20000
+    ).orderBy("source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
