@@ -164,6 +164,22 @@ HEADLINE = [
     "dedup_lsh_clusters_star",
     "events_k_anonymity",
     "classifier_agreement_kappa",
+    # round-8f additions (X92-X95), benched from birth.
+    "unimax_budget_allocation",
+    "ivf_cluster_purity",
+    "dedup_cluster_radius",
+    "length_outliers_robust",
+    # round-8g additions (X96-X103), benched from birth.
+    "dedup_within_doc_blocks",
+    "dedup_corpus_blocks",
+    "encoding_artifacts",
+    "distinct_ngram_diversity",
+    "source_overlap_kmv",
+    "good_turing_missing_mass",
+    "quality_rank_fusion",
+    "lm_gate_ablation",
+    "neyman_audit_allocation",
+    "length_tail_hill",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -603,3 +603,78 @@ def unimax_allocation(
             "epochs_ppm", F.expr("1000000 * allocation div tokens").cast("long")
         )
     )
+
+
+def neyman_allocation(
+    df: DataFrame, group_col: str, value_col: str, budget: int
+) -> DataFrame:
+    """X104: Neyman optimal allocation of an eval/QA sampling budget
+    across strata (Neyman 1934) — the variance-minimizing rule
+    n_h ∝ N_h·σ_h for estimating a corpus mean from a fixed audit
+    budget.  UniMax (X92) answers "how do I fill a TRAINING budget
+    under epoch caps"; this answers the orthogonal auditing question
+    "where do my QA samples buy the most variance reduction":
+    high-variance strata get disproportionately many samples,
+    deterministic strata (σ = 0) none at all — the textbook result.
+
+    Exactness: N_h·σ_h = sqrt(N_h·Σx² − (Σx)²) EXACTLY (the N_h
+    cancels), so the weight is one sqrt of an exact integer — the
+    sums run in DECIMAL(38,0) (the X60 Gram convention; BIGINT
+    overflows at N·Σx² scale) and the sqrt is rounded to an integer
+    weight before any division.  Allocation is floor(budget·w_h/W)
+    plus largest-remainder top-up, remainders ranked with a pinned
+    (remainder desc, group asc) order — Σ n_alloc = budget exactly
+    whenever W > 0 (Hamilton's method).
+
+    Scale: one keyed aggregate over the corpus (three sums with
+    map-side combine), then all arithmetic on the |G|-row table —
+    one |G|-row window for the remainder rank, one 1-row broadcast
+    total."""
+    from pyspark.sql.window import Window
+
+    v = F.col(value_col).cast("decimal(38,0)")
+    per = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(v).alias("__sv"),
+        F.sum(v * v).alias("__sv2"),
+    )
+    s2num = (
+        F.col("n_rows").cast("decimal(38,0)") * F.col("__sv2")
+        - F.col("__sv") * F.col("__sv")
+    )
+    w = per.select(
+        "grp",
+        "n_rows",
+        F.round(F.sqrt(s2num.cast("double"))).cast("long").alias("neyman_w"),
+    )
+    tot = w.agg(F.sum("neyman_w").alias("__wt"))
+    j = w.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        "n_rows",
+        "neyman_w",
+        F.expr(
+            f"CASE WHEN __wt = 0 THEN 0 ELSE ({budget} * neyman_w) div __wt END"
+        ).alias("alloc_floor"),
+        F.expr(
+            f"CASE WHEN __wt = 0 THEN 0 ELSE ({budget} * neyman_w) % __wt END"
+        ).alias("__rem"),
+        F.col("__wt").alias("__wt"),
+    )
+    wleft = Window.orderBy(F.col("__rem").desc(), F.col("grp").asc())
+    leftover = F.expr(f"CASE WHEN __wt = 0 THEN 0 ELSE {budget} - __floor_sum END")
+    floors = j.agg(F.sum("alloc_floor").alias("__floor_sum"))
+    return (
+        j.crossJoin(F.broadcast(floors))
+        .withColumn("__rk", F.row_number().over(wleft).cast("long"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "neyman_w",
+            "alloc_floor",
+            (F.col("__rk") <= leftover).cast("long").alias("extra"),
+            (
+                F.col("alloc_floor") + (F.col("__rk") <= leftover).cast("long")
+            ).alias("n_alloc"),
+        )
+        .orderBy(group_col)
+    )

@@ -2359,3 +2359,77 @@ def lm_gate_ablation(
             "ELSE __kept_sp div kept_docs END"
         ).alias("mean_kept_score_ppm"),
     )
+
+
+def hill_tail_index(
+    df: DataFrame, group_col: str, value_col: str, id_col: str, k: int = 50
+) -> DataFrame:
+    """X105: Hill estimator of the power-law tail exponent (Hill
+    1975) per group — THE tail-heaviness dial for doc-length /
+    cluster-size / degree distributions: 1/α̂ = mean_{i≤k}
+    ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the k largest order statistics.  X95 flags
+    WHICH rows are outliers; this measures HOW heavy the tail
+    generating them is (α ≤ 2 ⇒ infinite variance — mean/stddev QA
+    like X17 is then meaningless and the robust panel is mandatory;
+    α large ⇒ tails are benign).  The partition-pruning and skew
+    story at 100 TB hinges on this exponent.
+
+    Determinism: order statistics ranked by the pinned
+    (value desc, id asc) window; each log is rounded to an integer
+    once — lᵢ = round(10⁶·ln xᵢ) — and everything after is exact
+    integer arithmetic: inv_alpha_e6 = (Σᵢ≤ₖ lᵢ − k·lₖ₊₁) div k with
+    lₖ₊₁ the smallest kept log, alpha_e6 = 10¹² div inv_alpha_e6
+    (NULL when the top k+1 values are all equal — a flat tail has no
+    exponent; the X91 degenerate convention).  Groups with fewer
+    than k+1 positive rows shrink k to n−1; groups with < 2 positive
+    rows drop out.
+
+    Scale: one group-keyed window that compiles to WindowGroupLimit
+    (k+1 rows per group per map partition reach the shuffle), then a
+    |G|-row aggregate — the corpus never shuffles beyond the k+1
+    rows per group."""
+    from pyspark.sql.window import Window
+
+    pos = df.filter(F.col(value_col) > 0).select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("__x"),
+        F.col(id_col).alias("__id"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.col("__x").desc(), F.col("__id").asc())
+    top = (
+        pos.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k + 1)
+        .select(
+            "grp",
+            "__r",
+            F.round(F.log(F.col("__x").cast("double")) * 1_000_000.0)
+            .cast("long")
+            .alias("__l"),
+        )
+    )
+    sums = (
+        top.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("__m"),  # min(n, k+1) kept rows
+            F.sum("__l").alias("__lsum"),
+            # the k+1-th order statistic's log: the row with max rank
+            F.max(F.struct(F.col("__r"), F.col("__l"))).alias("__last"),
+        )
+        .filter(F.col("__m") >= 2)
+        .select(
+            "grp",
+            "__m",
+            "__lsum",
+            F.col("__last.__l").alias("__lk1"),
+        )
+    )
+    inv_sql = "(__lsum - __m * __lk1) div (__m - 1)"
+    return sums.select(
+        F.col("grp").alias(group_col),
+        (F.col("__m") - 1).cast("long").alias("k_used"),
+        F.expr(inv_sql).alias("inv_alpha_e6"),
+        F.expr(
+            f"CASE WHEN {inv_sql} <= 0 THEN NULL "
+            f"ELSE 1000000000000 div ({inv_sql}) END"
+        ).alias("alpha_e6"),
+    ).orderBy(group_col)

@@ -5523,3 +5523,80 @@ ORACLES["lm_gate_ablation"] = f"""
             AS mean_kept_score_ppm
     FROM k GROUP BY grp ORDER BY grp
 """
+
+# X104 Neyman allocation (operators/sampling.py: neyman_allocation):
+# weight = round(sqrt(N*Sx2 - Sx^2)) in HUGEINT-exact arithmetic,
+# floor shares + Hamilton largest-remainder with (rem desc, grp asc)
+# pinned rank.
+ORACLES["neyman_audit_allocation"] = """
+    WITH per AS (
+        SELECT source AS grp,
+            COUNT(*) AS n_rows,
+            CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sv,
+            CAST(SUM(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+                AS HUGEINT) AS sv2
+        FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT grp, n_rows,
+            CAST(round(sqrt(CAST(CAST(n_rows AS HUGEINT) * sv2 - sv * sv
+                AS DOUBLE))) AS BIGINT) AS neyman_w
+        FROM per
+    ),
+    tot AS (SELECT CAST(SUM(neyman_w) AS BIGINT) AS wt FROM w),
+    j AS (
+        SELECT w.grp, w.n_rows, w.neyman_w,
+            CASE WHEN t.wt = 0 THEN 0
+                ELSE (1000 * w.neyman_w) // t.wt END AS alloc_floor,
+            CASE WHEN t.wt = 0 THEN 0
+                ELSE (1000 * w.neyman_w) % t.wt END AS rem,
+            t.wt
+        FROM w, tot t
+    ),
+    fl AS (SELECT CAST(SUM(alloc_floor) AS BIGINT) AS floor_sum FROM j),
+    rk AS (
+        SELECT j.*, f.floor_sum,
+            ROW_NUMBER() OVER (ORDER BY j.rem DESC, j.grp ASC) AS r
+        FROM j, fl f
+    )
+    SELECT grp AS source, n_rows, neyman_w,
+        CAST(alloc_floor AS BIGINT) AS alloc_floor,
+        CAST(CASE WHEN wt = 0 THEN 0
+            WHEN r <= 1000 - floor_sum THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        CAST(alloc_floor + CASE WHEN wt = 0 THEN 0
+            WHEN r <= 1000 - floor_sum THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+    FROM rk ORDER BY grp
+"""
+
+# X105 Hill tail index (operators/textstats.py: hill_tail_index):
+# top-(k+1) order statistics in pinned (value desc, id asc) order,
+# per-value round(1e6*ln x) then exact integer arithmetic;
+# alpha NULL when the kept logs are all equal.
+ORACLES["length_tail_hill"] = """
+    WITH pos AS (
+        SELECT source AS grp, n_chars AS x, doc_id AS rid
+        FROM documents WHERE n_chars > 0
+    ),
+    top AS (
+        SELECT grp, r, CAST(round(1000000 * ln(x)) AS BIGINT) AS l
+        FROM (
+            SELECT grp, x, rid,
+                ROW_NUMBER() OVER (PARTITION BY grp
+                    ORDER BY x DESC, rid ASC) AS r
+            FROM pos
+        ) WHERE r <= 21
+    ),
+    sums AS (
+        SELECT grp, COUNT(*) AS m,
+            CAST(SUM(l) AS BIGINT) AS lsum,
+            CAST(MAX_BY(l, r) AS BIGINT) AS lk1
+        FROM top GROUP BY grp HAVING COUNT(*) >= 2
+    )
+    SELECT grp AS source,
+        CAST(m - 1 AS BIGINT) AS k_used,
+        (lsum - m * lk1) // (m - 1) AS inv_alpha_e6,
+        CASE WHEN (lsum - m * lk1) // (m - 1) <= 0 THEN NULL
+            ELSE 1000000000000 // ((lsum - m * lk1) // (m - 1)) END
+            AS alpha_e6
+    FROM sums ORDER BY grp
+"""

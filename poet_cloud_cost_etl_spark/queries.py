@@ -4678,6 +4678,29 @@ def q_lm_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source")
 
 
+@query("neyman_audit_allocation")
+def q_neyman_audit_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104: Neyman optimal audit-budget allocation
+    (operators/sampling.py: neyman_allocation) — n_h proportional to
+    N_h*sigma_h over doc length, 1000-sample budget, Hamilton
+    largest-remainder top-up."""
+    from .operators.sampling import neyman_allocation
+
+    d = table(spark, sf_dir, "documents")
+    return neyman_allocation(d, "source", "n_chars", budget=1000)
+
+
+@query("length_tail_hill")
+def q_length_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105: Hill tail-exponent estimator (operators/textstats.py:
+    hill_tail_index) — doc-length tail heaviness per source over the
+    top-21 order statistics (k=20)."""
+    from .operators.textstats import hill_tail_index
+
+    d = table(spark, sf_dir, "documents")
+    return hill_tail_index(d, "source", "n_chars", "doc_id", k=20)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

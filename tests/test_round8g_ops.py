@@ -411,3 +411,76 @@ def test_lm_gate_ablation_empty_group_mean_null(spark):
     assert r["kept_docs"] == 0
     assert r["mean_kept_score_ppm"] is None
     assert r["kept_token_ppm"] == 0
+
+
+def test_neyman_allocation_semantics(spark):
+    """X104: weight = sqrt(N*Sx2 - Sx^2) exactly, zero-variance
+    strata get nothing, allocations sum to the budget."""
+    from poet_cloud_cost_etl_spark.operators.sampling import neyman_allocation
+
+    rows = (
+        [("a", 10)] * 4  # sigma = 0
+        + [("b", 1), ("b", 100), ("b", 1), ("b", 100)]
+        + [("c", 50), ("c", 60)]
+    )
+    df = spark.createDataFrame(rows, ["src", "x"])
+    out = {r["src"]: r for r in neyman_allocation(df, "src", "x", 100).collect()}
+    assert out["a"]["neyman_w"] == 0 and out["a"]["n_alloc"] == 0
+    assert out["b"]["neyman_w"] == 198  # sqrt(4*20002 - 202^2) = sqrt(39204)
+    assert out["c"]["neyman_w"] == 10  # sqrt(2*6100 - 110^2) = sqrt(100)
+    assert sum(r["n_alloc"] for r in out.values()) == 100
+    # Hamilton: c's remainder (168/208) beats b's (40/208)
+    assert out["c"]["extra"] == 1 and out["b"]["extra"] == 0
+
+
+def test_neyman_allocation_all_zero_variance(spark):
+    """X104: W = 0 (every stratum deterministic) allocates nothing
+    rather than dividing by zero."""
+    from poet_cloud_cost_etl_spark.operators.sampling import neyman_allocation
+
+    df = spark.createDataFrame(
+        [("a", 5), ("a", 5), ("b", 7)], ["src", "x"]
+    )
+    out = neyman_allocation(df, "src", "x", 10).collect()
+    assert all(r["n_alloc"] == 0 for r in out)
+
+
+def test_hill_tail_index_python_reference(spark):
+    """X105 vs an independent math.log reference on a Pareto-ish
+    sample; a constant group yields NULL alpha."""
+    import math
+    import random
+
+    from poet_cloud_cost_etl_spark.operators.textstats import hill_tail_index
+
+    random.seed(7)
+    rows = [("p", int(1000 * (random.random() ** -0.5)), i) for i in range(200)]
+    rows += [("flat", 5, 1000 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["src", "x", "rid"])
+    out = {r["src"]: r for r in hill_tail_index(df, "src", "x", "rid", k=50).collect()}
+    xs = sorted((x for s, x, _ in rows if s == "p"), reverse=True)[:51]
+    ls = [round(1e6 * math.log(x)) for x in xs]
+    m = len(ls)
+    inv = (sum(ls) - m * ls[-1]) // (m - 1)
+    assert out["p"]["k_used"] == 50
+    assert out["p"]["inv_alpha_e6"] == inv
+    assert out["p"]["alpha_e6"] == 10**12 // inv
+    # Pareto(alpha=2) sample: the estimate lands near 2
+    assert 1_500_000 < out["p"]["alpha_e6"] < 2_500_000
+    assert out["flat"]["inv_alpha_e6"] == 0 and out["flat"]["alpha_e6"] is None
+
+
+def test_hill_window_group_limit(spark):
+    """X105's rank window compiles to WindowGroupLimit — only k+1
+    rows per group per map partition reach the shuffle."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.textstats import hill_tail_index
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        hill_tail_index(d, "source", "n_chars", "doc_id", k=20)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan
