@@ -180,6 +180,9 @@ HEADLINE = [
     "lm_gate_ablation",
     "neyman_audit_allocation",
     "length_tail_hill",
+    "shuffle_key_skew_audit",
+    "range_partition_plan",
+    "benford_value_audit",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -53,3 +53,212 @@ def two_phase_count_distinct(
         .groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias(f"n_distinct_{value_col}"))
     )
+
+
+def skew_audit(
+    df: DataFrame, key_col: str, partitions: int = 32, top_k: int = 256
+) -> DataFrame:
+    """X106: join/shuffle-key skew audit — the one-row panel you read
+    BEFORE keying a 100 TB join or aggregate on a column: key count,
+    hot-key concentration (share of rows held by the top 1 / 16 /
+    ``top_k`` keys), key-distribution entropy, and the salt factor a
+    ``partitions``-way shuffle on this key needs (ceil(max_count /
+    ceil(n_rows / partitions)) — 1 means no salting, n means split
+    the hot key n ways, the dial ``salted_agg`` and AQE skew-join
+    both turn).  The sibling of X77's LSH banding planner: corpus-
+    grounded numbers instead of rules of thumb.
+
+    Exactness: counts are exact BIGINTs; shares are ppm integer
+    divisions; entropy uses the X99 scaled-integer convention.
+
+    Scale: one map-side-combinable count aggregate over the keyspace;
+    the top-``top_k`` ranks come from a single-partition window over
+    the |keys|-row COUNT table (bounded by distinct keys, and
+    WindowGroupLimit caps what reaches it at top_k per map
+    partition); everything else is a 1-row aggregate.  The corpus
+    itself is scanned once."""
+    from pyspark.sql.window import Window
+
+    counts = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("k").asc())
+    ranked = counts.withColumn("__r", F.row_number().over(w)).filter(
+        F.col("__r") <= top_k
+    )
+    tops = ranked.agg(
+        F.max(F.when(F.col("__r") == 1, F.col("c"))).alias("max_count"),
+        F.sum(F.when(F.col("__r") <= 1, F.col("c")).otherwise(0)).alias("__t1"),
+        F.sum(F.when(F.col("__r") <= 16, F.col("c")).otherwise(0)).alias(
+            "__t16"
+        ),
+        F.sum(F.col("c")).alias("__tk"),
+    )
+    base = counts.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.col("c") * F.round(F.log("c") * 1_000_000.0).cast("long")
+        ).alias("__s"),
+    )
+    return (
+        base.crossJoin(F.broadcast(tops))
+        .select(
+            "n_rows",
+            "n_keys",
+            "max_count",
+            F.expr("(1000000 * __t1) div n_rows").alias("top1_ppm"),
+            F.expr("(1000000 * __t16) div n_rows").alias("top16_ppm"),
+            F.expr("(1000000 * __tk) div n_rows").alias(f"top{top_k}_ppm"),
+            (
+                F.round(F.log("n_rows") * 1_000_000.0).cast("long")
+                - F.expr("__s div n_rows")
+            ).alias("key_entropy_nats_e6"),
+            # pure-integer ceil-div chain: target rows/partition,
+            # then how many ways the hot key must split to fit it
+            F.expr(
+                f"(max_count + (n_rows + {partitions} - 1) div {partitions} - 1)"
+                f" div ((n_rows + {partitions} - 1) div {partitions})"
+            ).alias("salt_factor"),
+        )
+    )
+
+
+def range_partition_plan(
+    df: DataFrame, value_col: str, n_partitions: int = 8
+) -> DataFrame:
+    """X107: equi-depth range-partition planner — exact split
+    boundaries for an ``n_partitions``-way range partitioning of
+    ``value_col``, with the REALIZED row count each partition would
+    receive.  Spark's RangePartitioner samples to estimate exactly
+    these boundaries; this computes them exactly and, crucially,
+    reports the realized balance: with duplicated values every tie
+    lands in one partition, so realized_rows ≠ n/N is precisely the
+    skew a sampled partitioner cannot see.  balance_x_ppm = 10⁶
+    means perfect balance; a partition at 3·10⁶ holds 3× its share
+    and is the straggler-to-be.
+
+    Boundary i is the SMALLEST value whose cumulative count reaches
+    ceil(i·n/N) — the textbook equi-depth histogram bound, all
+    integer arithmetic.
+
+    Scale: one map-side-combinable count aggregate over the VALUE
+    keyspace, then a single-partition cumulative window over the
+    |values|-row count table — bounded by distinct values, never
+    corpus rows (plan over a deterministic X9 sample or a pre-bucket
+    when the value domain is itself corpus-sized, e.g. raw doubles).
+    The boundary pick is an N × |values| bounded join."""
+    from pyspark.sql.window import Window
+
+    vc = df.groupBy(F.col(value_col).alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select(
+        "v", "c", F.sum("c").over(w).alias("cum")
+    ).withColumn("prev_cum", F.col("cum") - F.col("c"))
+    tot = cum.agg(F.max("cum").alias("n_rows"))
+    targets = tot.select(
+        "n_rows",
+        F.explode(F.expr(f"sequence(1, {n_partitions})")).alias("pidx"),
+    ).select(
+        "n_rows",
+        "pidx",
+        F.expr(f"(pidx * n_rows + {n_partitions} - 1) div {n_partitions}").alias(
+            "__t"
+        ),
+    )
+    bounds = (
+        targets.join(
+            F.broadcast(cum),
+            (F.col("__t") > F.col("prev_cum")) & (F.col("__t") <= F.col("cum")),
+        )
+        .select(
+            "pidx",
+            "n_rows",
+            F.col("v").alias("boundary_value"),
+            F.col("cum").alias("cum_rows"),
+        )
+    )
+    wlag = Window.orderBy("pidx")
+    return (
+        bounds.withColumn(
+            "realized_rows",
+            F.col("cum_rows") - F.coalesce(F.lag("cum_rows").over(wlag), F.lit(0)),
+        )
+        .select(
+            "pidx",
+            "boundary_value",
+            "cum_rows",
+            "realized_rows",
+            F.expr(
+                f"(1000000 * realized_rows * {n_partitions}) div n_rows"
+            ).alias("balance_x_ppm"),
+        )
+        .orderBy("pidx")
+    )
+
+
+# Benford expected first-digit shares, ppm: round(1e6*log10(1 + 1/d))
+# for d = 1..9 — hardcoded constants so neither engine evaluates a
+# log at query time (libm log10 boundary cases like log10(1000)
+# differ across runtimes; literals cannot).
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+
+
+def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
+    """X108: Benford first-significant-digit audit (Newcomb 1881 /
+    Benford 1938) — the classic fabricated-or-truncated-numbers
+    screen for any multi-scale positive quantity (costs, usage
+    counters, file sizes).  Organic data spanning orders of magnitude
+    follows P(d) = log10(1+1/d); capped, synthesized, or
+    unit-mangled feeds don't, and the per-digit deltas point at the
+    digit range that was tampered with.  A curation engine runs this
+    on ingested numeric feeds for the same reason auditors run it on
+    ledgers.
+
+    The first digit is taken from the DECIMAL STRING of the
+    integer-cents value (exact in every engine) — never from
+    floor(log10(x)), whose libm boundary behavior (log10(1000) <
+    3.0 on some runtimes) would misbin exact powers of ten.  Zeros
+    are excluded (no first significant digit).
+
+    Output: one row per digit 1-9 with exact counts, observed ppm,
+    the hardcoded Benford ppm, and delta_ppm.  Digits that never
+    occur still report a row (0 observed vs expected).
+
+    Scale: one narrow map + one 9-row aggregate, then a 9×9-bounded
+    fill join.  Nothing else touches the corpus."""
+    cents = F.expr(f"abs(CAST(round({value_col} * 100) AS BIGINT))")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int")
+    obs = (
+        df.select(cents.alias("__c"), digit.alias("digit"))
+        .filter(F.col("__c") > 0)
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.agg(F.sum("n").alias("__nt"))
+    exp_rows = ", ".join(
+        f"struct({d + 1} AS digit, {p}L AS benford_ppm)"
+        for d, p in enumerate(BENFORD_PPM)
+    )
+    grid = (
+        df.sparkSession.range(1)
+        .select(F.explode(F.expr(f"array({exp_rows})")).alias("e"))
+        .select("e.digit", "e.benford_ppm")
+    )
+    return (
+        grid.join(F.broadcast(obs), "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+            F.expr("(1000000 * coalesce(n, 0)) div __nt").alias("observed_ppm"),
+            "benford_ppm",
+            (
+                F.expr("(1000000 * coalesce(n, 0)) div __nt")
+                - F.col("benford_ppm")
+            ).alias("delta_ppm"),
+        )
+        .orderBy("digit")
+    )

@@ -5600,3 +5600,101 @@ ORACLES["length_tail_hill"] = """
             AS alpha_e6
     FROM sums ORDER BY grp
 """
+
+# X106 skew audit (operators/aggregates.py: skew_audit): exact key
+# counts, pinned (count desc, key asc) hot-key ranks, X99 entropy
+# convention, pure-integer ceil-div salt factor.
+ORACLES["shuffle_key_skew_audit"] = """
+    WITH counts AS (
+        SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY user_id
+    ),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS r FROM counts
+    ),
+    tops AS (
+        SELECT
+            MAX(CASE WHEN r = 1 THEN c END) AS max_count,
+            CAST(SUM(CASE WHEN r <= 1 THEN c ELSE 0 END) AS BIGINT) AS t1,
+            CAST(SUM(CASE WHEN r <= 16 THEN c ELSE 0 END) AS BIGINT) AS t16,
+            CAST(SUM(c) AS BIGINT) AS tk
+        FROM ranked WHERE r <= 256
+    ),
+    base AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+            COUNT(*) AS n_keys,
+            CAST(SUM(c * CAST(round(1000000 * ln(c)) AS BIGINT)) AS BIGINT)
+                AS s
+        FROM counts
+    )
+    SELECT b.n_rows, b.n_keys, t.max_count,
+        (1000000 * t.t1) // b.n_rows AS top1_ppm,
+        (1000000 * t.t16) // b.n_rows AS top16_ppm,
+        (1000000 * t.tk) // b.n_rows AS top256_ppm,
+        CAST(round(1000000 * ln(b.n_rows)) AS BIGINT) - (b.s // b.n_rows)
+            AS key_entropy_nats_e6,
+        (t.max_count + (b.n_rows + 31) // 32 - 1)
+            // ((b.n_rows + 31) // 32) AS salt_factor
+    FROM base b, tops t
+"""
+
+# X107 range-partition plan (operators/aggregates.py:
+# range_partition_plan): boundary i = smallest value whose
+# cumulative count reaches ceil(i*n/N); realized counts from the
+# cumulative diffs; all integer arithmetic.
+ORACLES["range_partition_plan"] = """
+    WITH vc AS (
+        SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY n_chars
+    ),
+    cum AS (
+        SELECT v, c,
+            CAST(SUM(c) OVER (ORDER BY v
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM vc
+    ),
+    cum2 AS (SELECT v, c, cum, cum - c AS prev_cum FROM cum),
+    tot AS (SELECT MAX(cum) AS n_rows FROM cum2),
+    targets AS (
+        SELECT t.n_rows, u.i AS pidx,
+            (u.i * t.n_rows + 7) // 8 AS tgt
+        FROM tot t, UNNEST(range(1, 9)) AS u(i)
+    ),
+    bounds AS (
+        SELECT tg.pidx, tg.n_rows, c2.v AS boundary_value,
+            c2.cum AS cum_rows
+        FROM targets tg JOIN cum2 c2
+            ON tg.tgt > c2.prev_cum AND tg.tgt <= c2.cum
+    )
+    SELECT pidx, boundary_value, cum_rows,
+        cum_rows - COALESCE(LAG(cum_rows) OVER (ORDER BY pidx), 0)
+            AS realized_rows,
+        (1000000 * (cum_rows - COALESCE(LAG(cum_rows)
+            OVER (ORDER BY pidx), 0)) * 8) // n_rows AS balance_x_ppm
+    FROM bounds ORDER BY pidx
+"""
+
+# X108 Benford audit (operators/aggregates.py: benford_audit):
+# first digit from the decimal string of integer cents (never
+# floor(log10)); hardcoded expected ppm so no engine evaluates a
+# log; zero-count digits still report.
+ORACLES["benford_value_audit"] = """
+    WITH obs AS (
+        SELECT CAST(substr(CAST(abs(CAST(round(value * 100) AS BIGINT))
+                AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+            COUNT(*) AS n
+        FROM events
+        WHERE abs(CAST(round(value * 100) AS BIGINT)) > 0
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM obs),
+    grid(digit, benford_ppm) AS (
+        VALUES (1, 301030), (2, 176091), (3, 124939), (4, 96910),
+               (5, 79181), (6, 66947), (7, 57992), (8, 51153), (9, 45757)
+    )
+    SELECT g.digit,
+        CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+        (1000000 * COALESCE(o.n, 0)) // t.nt AS observed_ppm,
+        CAST(g.benford_ppm AS BIGINT) AS benford_ppm,
+        (1000000 * COALESCE(o.n, 0)) // t.nt - g.benford_ppm AS delta_ppm
+    FROM grid g LEFT JOIN obs o USING (digit), tot t
+    ORDER BY g.digit
+"""

@@ -4701,6 +4701,40 @@ def q_length_tail_hill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hill_tail_index(d, "source", "n_chars", "doc_id", k=20)
 
 
+@query("shuffle_key_skew_audit")
+def q_shuffle_key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106: shuffle-key skew audit (operators/aggregates.py:
+    skew_audit) — hot-key concentration, key entropy, and the
+    required salt factor for a 32-way shuffle keyed on
+    events.user_id."""
+    from .operators.aggregates import skew_audit
+
+    e = table(spark, sf_dir, "events")
+    return skew_audit(e, "user_id", partitions=32, top_k=256)
+
+
+@query("range_partition_plan")
+def q_range_partition_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107: equi-depth range-partition planner
+    (operators/aggregates.py: range_partition_plan) — exact 8-way
+    boundaries over doc length with realized per-partition balance."""
+    from .operators.aggregates import range_partition_plan
+
+    d = table(spark, sf_dir, "documents")
+    return range_partition_plan(d, "n_chars", n_partitions=8)
+
+
+@query("benford_value_audit")
+def q_benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108: Benford first-digit audit (operators/aggregates.py:
+    benford_audit) — observed vs expected first-digit shares of the
+    events value column in integer cents."""
+    from .operators.aggregates import benford_audit
+
+    e = table(spark, sf_dir, "events")
+    return benford_audit(e, "value")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

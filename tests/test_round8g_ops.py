@@ -484,3 +484,68 @@ def test_hill_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_skew_audit_semantics(spark):
+    """X106: hot-key shares, entropy, and the integer salt factor."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import skew_audit
+
+    # one hot key with 90 rows, ten cold keys with 1 each
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, ["k"])
+    (r,) = skew_audit(df, "k", partitions=4, top_k=256).collect()
+    assert r["n_rows"] == 100 and r["n_keys"] == 11
+    assert r["max_count"] == 90
+    assert r["top1_ppm"] == 900_000
+    assert r["top16_ppm"] == 1_000_000
+    # target = ceil(100/4) = 25; salt = ceil(90/25) = 4
+    assert r["salt_factor"] == 4
+    # uniform data needs no salting
+    u = spark.createDataFrame([(f"k{i % 10}",) for i in range(100)], ["k"])
+    (ru,) = skew_audit(u, "k", partitions=4, top_k=256).collect()
+    assert ru["salt_factor"] == 1
+
+
+def test_range_partition_plan_semantics(spark):
+    """X107: exact equi-depth boundaries; duplicated values land
+    their ties in one partition and the balance column shows it."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import (
+        range_partition_plan,
+    )
+
+    # 1..8 uniform -> perfect 4-way split at 2,4,6,8
+    df = spark.createDataFrame([(v,) for v in range(1, 9)], ["x"])
+    out = range_partition_plan(df, "x", n_partitions=4).collect()
+    assert [r["boundary_value"] for r in out] == [2, 4, 6, 8]
+    assert all(r["realized_rows"] == 2 for r in out)
+    assert all(r["balance_x_ppm"] == 1_000_000 for r in out)
+    # heavy ties: value 5 holds 6 of 8 rows
+    df2 = spark.createDataFrame(
+        [(1,), (2,)] + [(5,)] * 6, ["x"]
+    )
+    out2 = range_partition_plan(df2, "x", n_partitions=4).collect()
+    by_idx = {r["pidx"]: r for r in out2}
+    # the tie-block lands whole in the partition whose target its
+    # cumulative range covers; later partitions realize 0 rows
+    assert sum(r["realized_rows"] for r in out2) == 8
+    assert max(r["realized_rows"] for r in out2) == 6
+    assert by_idx[4]["realized_rows"] == 0
+
+
+def test_benford_audit_semantics(spark):
+    """X108: string-derived first digit (power-of-ten safe), zeros
+    excluded, absent digits still report, ppm columns exact."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import benford_audit
+
+    # values in dollars; 10.00 -> cents 1000 -> digit 1
+    rows = [(10.0,), (0.2,), (3.0,), (0.0,), (-10.0,)]
+    df = spark.createDataFrame(rows, ["value"])
+    out = {r["digit"]: r for r in benford_audit(df, "value").collect()}
+    assert len(out) == 9
+    assert out[1]["n"] == 2  # 10.00 and -10.00 both lead with 1
+    assert out[2]["n"] == 1  # 0.20 -> 20 cents
+    assert out[3]["n"] == 1
+    assert out[4]["n"] == 0 and out[4]["observed_ppm"] == 0
+    assert out[1]["observed_ppm"] == (1_000_000 * 2) // 4
+    assert out[1]["benford_ppm"] == 301030
+    assert out[1]["delta_ppm"] == 500_000 - 301030
