@@ -4774,6 +4774,12 @@ def q_benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # staleness bound is a second independent layer — whereas retiring
 # near-duplicate queries would shrink the graded coverage surface.
 # The wall after this one is 250.
+# NO-ROW OVERFLOW (round 8g): round 8 registered more than WINDOW
+# new queries, so not every new query can draw its first official
+# row this round.  The window takes the FIRST 50 no-row names in
+# registration order; the newest registrations wait one round
+# (tests/test_rotation.py pins exactly this), and every overflow
+# query stays locally pinned by test_oracle_parity in the meantime.
 
 
 def _rotation_order() -> list[str]:

@@ -67,13 +67,25 @@ def test_upcoming_window_is_stalest_first():
     upcoming, rest = names[:WINDOW], names[WINDOW:]
 
     # Every registered query without an official row must be in the
-    # upcoming window (new queries may never wait a round).
+    # upcoming window (new queries may never wait a round) — UNLESS a
+    # single round registered more than WINDOW new queries, in which
+    # case the window must be exactly the FIRST (oldest-registered)
+    # WINDOW of them and only the newest registrations overflow to the
+    # next round (round-8g decision: the overflow is still pinned
+    # locally every session by test_oracle_parity, so the wait costs
+    # an official row, not correctness coverage).
     no_row = [n for n in names if n not in last]
-    stragglers = [n for n in no_row if n not in upcoming]
-    assert not stragglers, (
-        f"queries with no official driver row outside the upcoming "
-        f"window: {stragglers}"
-    )
+    if len(no_row) <= WINDOW:
+        stragglers = [n for n in no_row if n not in upcoming]
+        assert not stragglers, (
+            f"queries with no official driver row outside the upcoming "
+            f"window: {stragglers}"
+        )
+    else:
+        assert upcoming == no_row[:WINDOW], (
+            "no-row overflow: the window must be the first WINDOW "
+            "no-row queries in registration order"
+        )
 
     # Staleness-first: no excluded query may be staler than an
     # included one — max(last round inside) <= min(last round outside).
