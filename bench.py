@@ -183,6 +183,7 @@ HEADLINE = [
     "shuffle_key_skew_audit",
     "range_partition_plan",
     "benford_value_audit",
+    "multimodal_image_dims",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

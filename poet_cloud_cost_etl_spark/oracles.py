@@ -5698,3 +5698,81 @@ ORACLES["benford_value_audit"] = """
     FROM grid g LEFT JOIN obs o USING (digit), tot t
     ORDER BY g.digit
 """
+
+# X109 image header dims (operators/multimodal.py:
+# image_header_dims): same synthesized headers; parsing runs on the
+# HEX STRING of the payload (byte i = hex chars 2(i-1)+1..2i), with
+# little-endian values folded per byte and the BMP int32 height's
+# two's complement folded for negatives.
+ORACLES["multimodal_image_dims"] = """
+    WITH pay AS (
+        SELECT doc_id,
+            hex(CASE CAST(doc_id % 4 AS INT)
+                WHEN 0 THEN from_hex('89504E470D0A1A0A')
+                    || from_hex('0000000D') || from_hex('49484452')
+                    || from_hex(lpad(to_hex(16 + doc_id % 1000), 8, '0'))
+                    || from_hex(lpad(to_hex(16 + (doc_id * 7) % 1000), 8, '0'))
+                WHEN 1 THEN from_hex('474946383961')
+                    || from_hex(lpad(to_hex((16 + doc_id % 1000) % 256), 2, '0')
+                        || lpad(to_hex((16 + doc_id % 1000) // 256), 2, '0'))
+                    || from_hex(lpad(to_hex((16 + (doc_id * 7) % 1000) % 256), 2, '0')
+                        || lpad(to_hex((16 + (doc_id * 7) % 1000) // 256), 2, '0'))
+                WHEN 2 THEN from_hex('424D') || from_hex('46000000')
+                    || from_hex('00000000') || from_hex('36000000')
+                    || from_hex('28000000')
+                    || from_hex(lpad(to_hex((16 + doc_id % 1000) % 256), 2, '0')
+                        || lpad(to_hex((16 + doc_id % 1000) // 256), 2, '0')
+                        || '0000')
+                    || from_hex(lpad(to_hex((16 + (doc_id * 7) % 1000) % 256), 2, '0')
+                        || lpad(to_hex((16 + (doc_id * 7) % 1000) // 256), 2, '0')
+                        || '0000')
+                    || from_hex('0100180000000000')
+                ELSE encode(text) END) AS hx
+        FROM documents
+    ),
+    parsed AS (
+        SELECT doc_id, hx,
+            length(hx) // 2 AS n_bytes,
+            CASE
+                WHEN starts_with(hx, '89504E47') AND length(hx) >= 48
+                    THEN 'png'
+                WHEN starts_with(hx, '47494638') AND length(hx) >= 20
+                    THEN 'gif'
+                WHEN starts_with(hx, '424D') AND length(hx) >= 52
+                    THEN 'bmp'
+                ELSE 'unknown' END AS format
+        FROM pay
+    )
+    SELECT doc_id, format,
+        CAST(CASE format
+            WHEN 'png' THEN CAST('0x' || substr(hx, 33, 8) AS BIGINT)
+            WHEN 'gif' THEN CAST('0x' || substr(hx, 13, 2) AS BIGINT)
+                + 256 * CAST('0x' || substr(hx, 15, 2) AS BIGINT)
+            WHEN 'bmp' THEN CAST('0x' || substr(hx, 37, 2) AS BIGINT)
+                + 256 * CAST('0x' || substr(hx, 39, 2) AS BIGINT)
+                + 65536 * CAST('0x' || substr(hx, 41, 2) AS BIGINT)
+                + 16777216 * CAST('0x' || substr(hx, 43, 2) AS BIGINT)
+            END AS BIGINT) AS width,
+        CAST(CASE format
+            WHEN 'png' THEN CAST('0x' || substr(hx, 41, 8) AS BIGINT)
+            WHEN 'gif' THEN CAST('0x' || substr(hx, 17, 2) AS BIGINT)
+                + 256 * CAST('0x' || substr(hx, 19, 2) AS BIGINT)
+            WHEN 'bmp' THEN
+                CASE WHEN CAST('0x' || substr(hx, 45, 2) AS BIGINT)
+                    + 256 * CAST('0x' || substr(hx, 47, 2) AS BIGINT)
+                    + 65536 * CAST('0x' || substr(hx, 49, 2) AS BIGINT)
+                    + 16777216 * CAST('0x' || substr(hx, 51, 2) AS BIGINT)
+                    >= 2147483648
+                THEN 4294967296 - (CAST('0x' || substr(hx, 45, 2) AS BIGINT)
+                    + 256 * CAST('0x' || substr(hx, 47, 2) AS BIGINT)
+                    + 65536 * CAST('0x' || substr(hx, 49, 2) AS BIGINT)
+                    + 16777216 * CAST('0x' || substr(hx, 51, 2) AS BIGINT))
+                ELSE CAST('0x' || substr(hx, 45, 2) AS BIGINT)
+                    + 256 * CAST('0x' || substr(hx, 47, 2) AS BIGINT)
+                    + 65536 * CAST('0x' || substr(hx, 49, 2) AS BIGINT)
+                    + 16777216 * CAST('0x' || substr(hx, 51, 2) AS BIGINT)
+                END
+            END AS BIGINT) AS height,
+        CAST(n_bytes AS BIGINT) AS n_bytes
+    FROM parsed ORDER BY doc_id
+"""

@@ -4735,6 +4735,53 @@ def q_benford_value_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(e, "value")
 
 
+@query("multimodal_image_dims")
+def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109: header-byte image dimensions (operators/multimodal.py:
+    image_header_dims) — deterministic payloads carrying REAL PNG /
+    GIF / BMP headers with doc-id-derived dimensions (residue 3 gets
+    plain text), parsed back from the bytes alone."""
+    from .operators.multimodal import image_header_dims
+
+    d = table(spark, sf_dir, "documents")
+    w = "(16 + doc_id % 1000)"
+    h = "(16 + (doc_id * 7) % 1000)"
+
+    def be4(v: str) -> str:
+        return f"unhex(lpad(hex({v}), 8, '0'))"
+
+    def le2(v: str) -> str:
+        return (
+            f"unhex(concat(lpad(hex({v} % 256), 2, '0'), "
+            f"lpad(hex({v} div 256), 2, '0')))"
+        )
+
+    def le4(v: str) -> str:
+        return (
+            f"unhex(concat(lpad(hex({v} % 256), 2, '0'), "
+            f"lpad(hex({v} div 256), 2, '0'), '0000'))"
+        )
+
+    png = (
+        "concat(X'89504E470D0A1A0A', X'0000000D', X'49484452', "
+        f"{be4(w)}, {be4(h)})"
+    )
+    gif = f"concat(X'474946383961', {le2(w)}, {le2(h)})"
+    bmp = (
+        "concat(X'424D', X'46000000', X'00000000', X'36000000', "
+        f"X'28000000', {le4(w)}, {le4(h)}, X'0100180000000000')"
+    )
+    payloads = d.select(
+        "doc_id",
+        F.expr(
+            f"CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN {png} "
+            f"WHEN 1 THEN {gif} WHEN 2 THEN {bmp} "
+            "ELSE encode(text, 'utf-8') END"
+        ).alias("payload"),
+    )
+    return image_header_dims(payloads, "doc_id", "payload").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

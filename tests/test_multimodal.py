@@ -129,3 +129,54 @@ def test_frame_sample_fanout(spark, payloads):
     r = frames.filter(F.col("doc_id") == 0).orderBy("frame_idx").collect()
     assert [f.frame_idx for f in r] == list(range(0, 4 * len(r), 4))
     assert all(f.frame_bytes <= 64 for f in r)
+
+
+def test_image_header_dims_real_headers(spark):
+    """X109: PNG/GIF/BMP dims parsed from real header bytes built
+    with struct.pack; truncated and non-image payloads yield NULL
+    dims; top-down (negative-height) BMP folds to the absolute
+    value; the whole op is one shuffle-free projection."""
+    import struct
+    import zlib
+
+    from poet_cloud_cost_etl_spark.operators.multimodal import image_header_dims
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        return (
+            b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" + ihdr
+            + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+    def bmp(w, h):
+        return (
+            b"BM" + struct.pack("<IHHI", 70, 0, 0, 54)
+            + struct.pack("<IiiHH", 40, w, h, 1, 24) + b"\x00" * 24
+        )
+
+    rows = [
+        (1, bytearray(png(640, 480))),
+        (2, bytearray(gif(320, 200))),
+        (3, bytearray(bmp(1920, 1080))),
+        (4, bytearray(bmp(100, -50))),  # top-down row order
+        (5, bytearray(b"\x89PN")),  # truncated magic
+        (6, bytearray(b"plain text bytes")),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "payload"])
+    out = {r["doc_id"]: r for r in image_header_dims(df, "doc_id", "payload").collect()}
+    assert (out[1]["format"], out[1]["width"], out[1]["height"]) == ("png", 640, 480)
+    assert (out[2]["format"], out[2]["width"], out[2]["height"]) == ("gif", 320, 200)
+    assert (out[3]["format"], out[3]["width"], out[3]["height"]) == ("bmp", 1920, 1080)
+    assert (out[4]["width"], out[4]["height"]) == (100, 50)
+    assert out[5]["format"] == "unknown" and out[5]["width"] is None
+    assert out[6]["format"] == "unknown" and out[6]["height"] is None
+    plan = (
+        image_header_dims(df, "doc_id", "payload")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
