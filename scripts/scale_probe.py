@@ -68,6 +68,17 @@ HEAVY = [
     "dedup_containment",
     "source_datacard",
     "text_trigram_backoff",
+    # round-8g: the corpus-level block-dedup rewrite (count agg +
+    # occurrence->hash join + ordered rebuild; the c{i} prefixes keep
+    # cross-copy blocks disjoint so duplicate structure scales
+    # linearly), the KMV sketch overlap (pair stage is |G|^2*k and
+    # CONSTANT across scales — only the hash-distinct scan grows),
+    # the Expand multi-countDistinct diversity panel, and the
+    # LM-score gate (corpus bigram counts + two joins + panel).
+    "dedup_corpus_blocks",
+    "source_overlap_kmv",
+    "distinct_ngram_diversity",
+    "lm_gate_ablation",
 ]
 N_RUNS = 3
 
