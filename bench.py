@@ -184,6 +184,9 @@ HEADLINE = [
     "range_partition_plan",
     "benford_value_audit",
     "multimodal_image_dims",
+    "dedup_levenshtein_block",
+    "signal_correlation_matrix",
+    "signal_spearman_by_source",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -262,3 +262,120 @@ def benford_audit(df: DataFrame, value_col: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def signal_correlation_matrix(
+    df: DataFrame, signal_cols: list[str]
+) -> DataFrame:
+    """X111: exact Pearson correlation matrix over integer-valued
+    quality signals — the redundancy audit for a filter ensemble:
+    two signals correlating at r ≈ 1 vote twice for the same thing
+    (X102's rank fusion then double-counts them), and a signal
+    correlating with nothing may be noise.  Read this panel before
+    weighting any multi-signal gate.
+
+    Exactness: all five accumulators (n, Σx, Σy, Σxy, Σx², Σy²) run
+    in DECIMAL(38,0) (the X60/X104 convention — BIGINT overflows at
+    n·Σx² scale), so numerator and both variance terms are EXACT
+    integers; the only floating step is the final
+    num / sqrt(d1·d2), identical IEEE ops in any engine, rounded to
+    r_e6.  Zero-variance signals yield NULL (degenerate marginal,
+    the X91 convention), never a fabricated 0.
+
+    Scale: ONE corpus scan — a single hash aggregate computes every
+    pairwise accumulator (k signals → k(k−1)/2 literal product
+    columns inside codegen, k is single-digit); the reshape to pair
+    rows explodes a bounded literal array on the 1-row result."""
+    k = len(signal_cols)
+    aggs = []
+    for i, c in enumerate(signal_cols):
+        v = F.col(c).cast("decimal(38,0)")
+        aggs.append(F.sum(v).alias(f"__s{i}"))
+        aggs.append(F.sum(v * v).alias(f"__q{i}"))
+    for i in range(k):
+        for j in range(i + 1, k):
+            vi = F.col(signal_cols[i]).cast("decimal(38,0)")
+            vj = F.col(signal_cols[j]).cast("decimal(38,0)")
+            aggs.append(F.sum(vi * vj).alias(f"__p{i}_{j}"))
+    one = df.agg(F.count(F.lit(1)).alias("__n"), *aggs)
+    pairs = []
+    for i in range(k):
+        for j in range(i + 1, k):
+            num = f"(__n * __p{i}_{j} - __s{i} * __s{j})"
+            d1 = f"(__n * __q{i} - __s{i} * __s{i})"
+            d2 = f"(__n * __q{j} - __s{j} * __s{j})"
+            pairs.append(
+                f"struct('{signal_cols[i]}' AS sig_a, "
+                f"'{signal_cols[j]}' AS sig_b, "
+                f"CASE WHEN {d1} = 0 OR {d2} = 0 THEN NULL "
+                f"ELSE CAST(round(1000000 * CAST({num} AS DOUBLE) / "
+                f"sqrt(CAST({d1} AS DOUBLE) * CAST({d2} AS DOUBLE))) "
+                f"AS BIGINT) END AS r_e6)"
+            )
+    return (
+        one.select(
+            F.col("__n").cast("long").alias("n_rows"),
+            F.explode(F.expr("array(" + ", ".join(pairs) + ")")).alias("__p"),
+        )
+        .select("n_rows", "__p.sig_a", "__p.sig_b", "__p.r_e6")
+        .orderBy("sig_a", "sig_b")
+    )
+
+
+def spearman_rank_correlation(
+    df: DataFrame, group_col: str, col_x: str, col_y: str
+) -> DataFrame:
+    """X112: exact Spearman rank correlation per group — the
+    monotone-association twin of X111's Pearson: rank-based, so one
+    Zipf-tail outlier cannot fake (or hide) an association between
+    two signals.  The standard question it answers: does the LM
+    score actually ORDER documents the same way the heuristic gate
+    does, across each source?
+
+    Exactness trick: Spearman needs AVERAGE ranks for ties
+    (fractional), so the operator computes DOUBLED average ranks —
+    2·avg_rank = 2·RANK() + ties − 1, an exact INTEGER (RANK gives
+    the min rank of the tie run, a count-over-value window gives the
+    run length) — and feeds them to the exact Pearson machinery
+    (Pearson is scale/shift-invariant, so rho is unchanged).  All
+    accumulators DECIMAL(38,0); one final IEEE division rounded to
+    rho_e6; constant columns yield NULL.
+
+    Scale: two rank windows + one tie-count window, all sharing the
+    group partitioning (one shuffle), then a |G|-row aggregate."""
+    from pyspark.sql.window import Window
+
+    wx = Window.partitionBy(group_col).orderBy(col_x)
+    wy = Window.partitionBy(group_col).orderBy(col_y)
+    tx = Window.partitionBy(group_col, col_x)
+    ty = Window.partitionBy(group_col, col_y)
+    r = df.select(
+        F.col(group_col).alias("grp"),
+        (
+            2 * F.rank().over(wx) + F.count(F.lit(1)).over(tx) - 1
+        ).cast("decimal(38,0)").alias("__rx"),
+        (
+            2 * F.rank().over(wy) + F.count(F.lit(1)).over(ty) - 1
+        ).cast("decimal(38,0)").alias("__ry"),
+    )
+    agg = r.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__rx").alias("__sx"),
+        F.sum("__ry").alias("__sy"),
+        F.sum(F.col("__rx") * F.col("__ry")).alias("__sxy"),
+        F.sum(F.col("__rx") * F.col("__rx")).alias("__sxx"),
+        F.sum(F.col("__ry") * F.col("__ry")).alias("__syy"),
+    )
+    num = "(__n * __sxy - __sx * __sy)"
+    d1 = "(__n * __sxx - __sx * __sx)"
+    d2 = "(__n * __syy - __sy * __sy)"
+    return agg.select(
+        F.col("grp").alias(group_col),
+        F.col("__n").cast("long").alias("n_rows"),
+        F.expr(
+            f"CASE WHEN {d1} = 0 OR {d2} = 0 THEN NULL "
+            f"ELSE CAST(round(1000000 * CAST({num} AS DOUBLE) / "
+            f"sqrt(CAST({d1} AS DOUBLE) * CAST({d2} AS DOUBLE))) AS BIGINT) "
+            "END"
+        ).alias("rho_e6"),
+    ).orderBy(group_col)

@@ -1980,3 +1980,74 @@ def kmv_source_overlap(
         )
         .orderBy("grp_a", "grp_b")
     )
+
+
+def levenshtein_block_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 8,
+    prefix_chars: int = 40,
+    length_bucket: int = 16,
+) -> DataFrame:
+    """X110: bounded edit-distance near-dup pairs via blocking — the
+    record-linkage classic (Levenshtein metric under a blocking key)
+    that catches CHARACTER-level near-dups the token-set family
+    (Jaccard X2, containment X69, prefix-filter X86) cannot see:
+    OCR single-char errors, typo farms, template fills that perturb
+    spelling rather than word choice.  Candidates are restricted to
+    blocks sharing (first canonical token, token-count bucket) — a
+    length-difference bound is implied by the bucket, and edit
+    distance >= length difference makes cross-bucket pairs mostly
+    hopeless anyway — then scored with ``levenshtein`` on the first
+    ``prefix_chars`` canonical characters (the banded-DP bound: cost
+    per pair is O(prefix²), corpus-independent).
+
+    Returns (id_a < id_b, edit_distance <= max_dist, both lengths).
+    Exactness: Levenshtein is integer-valued and both engines
+    implement the same textbook DP; the canonical prefix is the same
+    deterministic string.
+
+    Scale: one narrow map to (block, prefix), one block-keyed
+    self-join (map-side combine on the block count; hot template
+    blocks are exactly what AQE skew-split handles), pair scoring
+    inside codegen.  Never all-pairs: the block key caps candidate
+    generation the same way X84's sorted window and X86's prefix
+    filter do — three INDEPENDENT candidate generators for the same
+    metric family is deliberate (recall audits X45/X64 need
+    disagreeing generators)."""
+    canon = (
+        f"substring(array_join(filter({TOKENS_SQL.format(col=text_col)}, "
+        f"__x -> __x != ''), ' '), 1, {prefix_chars})"
+    )
+    ntok = f"size(filter({TOKENS_SQL.format(col=text_col)}, __x -> __x != ''))"
+    b = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(canon).alias("__pfx"),
+        F.expr(ntok).alias("__nt"),
+    ).filter(F.col("__nt") > 0).select(
+        "__id",
+        "__pfx",
+        "__nt",
+        F.concat_ws(
+            "|",
+            F.expr("substring_index(__pfx, ' ', 1)"),
+            F.expr(f"CAST(__nt div {length_bucket} AS STRING)"),
+        ).alias("__blk"),
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, F.col("a.__blk") == F.col("b.__blk"))
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.levenshtein(F.col("a.__pfx"), F.col("b.__pfx")).alias(
+                "edit_distance"
+            ),
+            F.col("a.__nt").alias("n_tokens_a"),
+            F.col("b.__nt").alias("n_tokens_b"),
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+        .orderBy("id_a", "id_b")
+    )

@@ -5776,3 +5776,123 @@ ORACLES["multimodal_image_dims"] = """
         CAST(n_bytes AS BIGINT) AS n_bytes
     FROM parsed ORDER BY doc_id
 """
+
+# X110 Levenshtein block join (operators/dedup.py:
+# levenshtein_block_join): same canonical 40-char prefixes, same
+# (first token, n_tokens // 16) blocking, DuckDB's levenshtein is
+# the same textbook DP.
+ORACLES["dedup_levenshtein_block"] = f"""
+    WITH b AS (
+        SELECT doc_id AS id,
+            substr(array_to_string(t, ' '), 1, 40) AS pfx,
+            len(t) AS nt,
+            t[1] || '|' || CAST(len(t) // 16 AS VARCHAR) AS blk
+        FROM (
+            SELECT doc_id,
+                list_filter({_TOKS.format(col='text')}, __x -> __x <> '') AS t
+            FROM documents
+        ) WHERE len(t) > 0
+    )
+    SELECT a.id AS id_a, c.id AS id_b,
+        CAST(levenshtein(a.pfx, c.pfx) AS INTEGER) AS edit_distance,
+        CAST(a.nt AS BIGINT) AS n_tokens_a,
+        CAST(c.nt AS BIGINT) AS n_tokens_b
+    FROM b a JOIN b c ON a.blk = c.blk AND a.id < c.id
+    WHERE levenshtein(a.pfx, c.pfx) <= 8
+    ORDER BY id_a, id_b
+"""
+
+# X111 Pearson signal matrix (operators/aggregates.py:
+# signal_correlation_matrix): HUGEINT-exact accumulators, one IEEE
+# division rounded to r_e6, NULL on zero variance.
+_X111_SIG = f"""
+        SELECT CAST(n_chars AS HUGEINT) AS sig_chars,
+            CAST(len(t) AS HUGEINT) AS sig_tokens,
+            CAST((1000000 * len(list_distinct(t)))
+                // greatest(len(t), 1) AS HUGEINT) AS sig_distinct_ppm,
+            CAST((100 * length(array_to_string(t, '')))
+                // greatest(len(t), 1) AS HUGEINT) AS sig_toklen_e2
+        FROM (
+            SELECT n_chars,
+                list_filter({_TOKS.format(col='text')}, __x -> __x <> '') AS t
+            FROM documents
+        )
+"""
+
+
+def _x111_pair(a: str, b: str) -> str:
+    num = f"(n * p_{a}_{b} - s_{a} * s_{b})"
+    d1 = f"(n * q_{a} - s_{a} * s_{a})"
+    d2 = f"(n * q_{b} - s_{b} * s_{b})"
+    return (
+        f"SELECT n AS n_rows, 'sig_{a}' AS sig_a, 'sig_{b}' AS sig_b, "
+        f"CASE WHEN {d1} = 0 OR {d2} = 0 THEN NULL "
+        f"ELSE CAST(round(1000000 * CAST({num} AS DOUBLE) / "
+        f"sqrt(CAST({d1} AS DOUBLE) * CAST({d2} AS DOUBLE))) AS BIGINT) END "
+        "AS r_e6 FROM acc"
+    )
+
+
+_X111_NAMES = ["chars", "tokens", "distinct_ppm", "toklen_e2"]
+ORACLES["signal_correlation_matrix"] = (
+    "WITH sig AS (" + _X111_SIG + "), acc AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+    + ", ".join(
+        f"CAST(SUM(sig_{c}) AS HUGEINT) AS s_{c}, "
+        f"CAST(SUM(sig_{c} * sig_{c}) AS HUGEINT) AS q_{c}"
+        for c in _X111_NAMES
+    )
+    + ", "
+    + ", ".join(
+        f"CAST(SUM(sig_{a} * sig_{b}) AS HUGEINT) AS p_{a}_{b}"
+        for i, a in enumerate(_X111_NAMES)
+        for b in _X111_NAMES[i + 1 :]
+    )
+    + " FROM sig) "
+    + " UNION ALL ".join(
+        _x111_pair(a, b)
+        for i, a in enumerate(_X111_NAMES)
+        for b in _X111_NAMES[i + 1 :]
+    )
+    + " ORDER BY sig_a, sig_b"
+)
+
+# X112 Spearman per source (operators/aggregates.py:
+# spearman_rank_correlation): doubled average ranks
+# 2*RANK() + ties - 1 keep tie handling integer-exact; then the
+# X111 Pearson machinery on the doubled ranks.
+ORACLES["signal_spearman_by_source"] = f"""
+    WITH sig AS (
+        SELECT source AS grp,
+            CAST(n_chars AS BIGINT) AS x,
+            CAST((1000000 * len(list_distinct(t)))
+                // greatest(len(t), 1) AS BIGINT) AS y
+        FROM (
+            SELECT source, n_chars,
+                list_filter({_TOKS.format(col='text')}, __x -> __x <> '') AS t
+            FROM documents
+        )
+    ),
+    r AS (
+        SELECT grp,
+            CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY x)
+                + COUNT(*) OVER (PARTITION BY grp, x) - 1 AS HUGEINT) AS rx,
+            CAST(2 * RANK() OVER (PARTITION BY grp ORDER BY y)
+                + COUNT(*) OVER (PARTITION BY grp, y) - 1 AS HUGEINT) AS ry
+        FROM sig
+    ),
+    acc AS (
+        SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+            CAST(SUM(rx) AS HUGEINT) AS sx, CAST(SUM(ry) AS HUGEINT) AS sy,
+            CAST(SUM(rx * ry) AS HUGEINT) AS sxy,
+            CAST(SUM(rx * rx) AS HUGEINT) AS sxx,
+            CAST(SUM(ry * ry) AS HUGEINT) AS syy
+        FROM r GROUP BY grp
+    )
+    SELECT grp AS source, CAST(n AS BIGINT) AS n_rows,
+        CASE WHEN (n * sxx - sx * sx) = 0 OR (n * syy - sy * sy) = 0 THEN NULL
+            ELSE CAST(round(1000000 * CAST(n * sxy - sx * sy AS DOUBLE) /
+                sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE))) AS BIGINT) END
+            AS rho_e6
+    FROM acc ORDER BY grp
+"""

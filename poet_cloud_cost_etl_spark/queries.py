@@ -4782,6 +4782,73 @@ def q_multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_header_dims(payloads, "doc_id", "payload").orderBy("doc_id")
 
 
+@query("dedup_levenshtein_block")
+def q_dedup_levenshtein_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110: bounded edit-distance near-dup pairs
+    (operators/dedup.py: levenshtein_block_join) — (first token,
+    length bucket) blocking, Levenshtein over 40-char canonical
+    prefixes, distance <= 8."""
+    from .operators.dedup import levenshtein_block_join
+
+    d = table(spark, sf_dir, "documents")
+    return levenshtein_block_join(
+        d, "doc_id", "text", max_dist=8, prefix_chars=40, length_bucket=16
+    )
+
+
+@query("signal_correlation_matrix")
+def q_signal_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X111: exact Pearson correlation matrix
+    (operators/aggregates.py: signal_correlation_matrix) over the
+    X102 per-doc quality signals + raw length."""
+    from .operators.aggregates import signal_correlation_matrix
+    from .operators.dedup import TOKENS_SQL
+
+    d = table(spark, sf_dir, "documents")
+    toks = TOKENS_SQL.format(col="text")
+    sig = d.select(
+        F.col("n_chars").alias("sig_chars"),
+        F.expr(
+            f"CAST(size(filter({toks}, __x -> __x != '')) AS BIGINT)"
+        ).alias("sig_tokens"),
+        F.expr(
+            f"(1000000 * size(array_distinct(filter({toks}, __x -> __x != ''))))"
+            f" div greatest(size(filter({toks}, __x -> __x != '')), 1)"
+        ).alias("sig_distinct_ppm"),
+        F.expr(
+            f"(100 * length(array_join(filter({toks}, __x -> __x != ''), '')))"
+            f" div greatest(size(filter({toks}, __x -> __x != '')), 1)"
+        ).alias("sig_toklen_e2"),
+    )
+    return signal_correlation_matrix(
+        sig, ["sig_chars", "sig_tokens", "sig_distinct_ppm", "sig_toklen_e2"]
+    )
+
+
+@query("signal_spearman_by_source")
+def q_signal_spearman_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X112: exact Spearman rank correlation per source
+    (operators/aggregates.py: spearman_rank_correlation) between doc
+    length and distinct-token share — doubled average ranks keep the
+    tie handling integer-exact."""
+    from .operators.aggregates import spearman_rank_correlation
+    from .operators.dedup import TOKENS_SQL
+
+    d = table(spark, sf_dir, "documents")
+    toks = TOKENS_SQL.format(col="text")
+    sig = d.select(
+        "source",
+        F.col("n_chars").alias("sig_chars"),
+        F.expr(
+            f"(1000000 * size(array_distinct(filter({toks}, __x -> __x != ''))))"
+            f" div greatest(size(filter({toks}, __x -> __x != '')), 1)"
+        ).alias("sig_distinct_ppm"),
+    )
+    return spearman_rank_correlation(
+        sig, "source", "sig_chars", "sig_distinct_ppm"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

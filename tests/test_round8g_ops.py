@@ -549,3 +549,98 @@ def test_benford_audit_semantics(spark):
     assert out[1]["observed_ppm"] == (1_000_000 * 2) // 4
     assert out[1]["benford_ppm"] == 301030
     assert out[1]["delta_ppm"] == 500_000 - 301030
+
+
+def test_levenshtein_block_join_semantics(spark):
+    """X110: same-block near-identical texts pair with the right
+    distance; cross-block and far pairs don't."""
+    from poet_cloud_cost_etl_spark.operators.dedup import levenshtein_block_join
+
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delte"),  # 1 edit in the prefix
+        (3, "alpha " + "x " * 40),  # same first token, far length bucket
+        (4, "zeta eta theta iota"),  # different block
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = levenshtein_block_join(df, "doc_id", "text", max_dist=8).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["edit_distance"] for r in out}
+    assert pairs == {(1, 2): 1}
+
+
+def test_levenshtein_python_reference(spark):
+    """X110 distances vs a pure-Python DP on fixture pairs."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.dedup import levenshtein_block_join
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    import re
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    out = levenshtein_block_join(d, "doc_id", "text", max_dist=30).collect()
+    texts = {
+        r["doc_id"]: " ".join(
+            t
+            for t in re.sub(r"[^a-z0-9 ]", "", r["text"].lower()).strip().split()
+            if t
+        )[:40]
+        for r in d.select("doc_id", "text").collect()
+    }
+    assert out, "blocking produced no candidate pairs on the fixture"
+    for r in out:
+        assert r["edit_distance"] == lev(texts[r["id_a"]], texts[r["id_b"]])
+
+
+def test_signal_correlation_matrix_exact(spark):
+    """X111 vs numpy corrcoef; constant signal yields NULL."""
+    import numpy as np
+
+    from poet_cloud_cost_etl_spark.operators.aggregates import (
+        signal_correlation_matrix,
+    )
+
+    rows = [(i, i, 2 * i + 1, (i * 37) % 11, 5) for i in range(50)]
+    df = spark.createDataFrame(rows, ["id", "a", "b", "d", "e"])
+    out = {
+        (r["sig_a"], r["sig_b"]): r["r_e6"]
+        for r in signal_correlation_matrix(df, ["a", "b", "d", "e"]).collect()
+    }
+    assert out[("a", "b")] == 1_000_000
+    a = np.array([r[1] for r in rows], dtype=float)
+    d = np.array([r[3] for r in rows], dtype=float)
+    assert out[("a", "d")] == round(1e6 * np.corrcoef(a, d)[0, 1])
+    assert out[("a", "e")] is None and out[("b", "e")] is None
+
+
+def test_spearman_rank_correlation_ties_and_outliers(spark):
+    """X112: monotone maps give rho = 1 even under wild outliers
+    (rank-based), reversal gives -1, ties stay exact vs scipy-free
+    reference."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import (
+        spearman_rank_correlation,
+    )
+
+    rows = (
+        [("g", i, i**3) for i in range(15)]  # monotone, heavy outlier tail
+        + [("h", i, -i) for i in range(15)]  # reversed
+        + [("t", 1, 1), ("t", 1, 2), ("t", 2, 2), ("t", 2, 1)]  # pure ties
+    )
+    df = spark.createDataFrame(rows, ["grp", "x", "y"])
+    out = {
+        r["grp"]: r["rho_e6"]
+        for r in spearman_rank_correlation(df, "grp", "x", "y").collect()
+    }
+    assert out["g"] == 1_000_000
+    assert out["h"] == -1_000_000
+    # t: ranks2 x = (3,3,7,7), y = (3,7,7,3) -> rho = 0
+    assert out["t"] == 0
