@@ -187,6 +187,8 @@ HEADLINE = [
     "dedup_levenshtein_block",
     "signal_correlation_matrix",
     "signal_spearman_by_source",
+    "join_size_estimate",
+    "embedding_similarity_profile",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -379,3 +379,72 @@ def spearman_rank_correlation(
             "END"
         ).alias("rho_e6"),
     ).orderBy(group_col)
+
+
+def join_size_estimate(
+    df_a: DataFrame,
+    key_a: str,
+    df_b: DataFrame,
+    key_b: str,
+    broadcast_threshold_rows: int = 1_000_000,
+) -> DataFrame:
+    """X113: exact pre-join cardinality estimate — |A ⋈ B| =
+    Σ_k cA(k)·cB(k) computed from the two per-key count tables, plus
+    the hot-pair fanout (max cA·cB over matching keys) and a join-
+    strategy recommendation.  The planning companion to X106: the
+    skew audit says whether ONE side's key is concentrated; this says
+    what the join itself will produce — the difference between a
+    10⁹-row result you partition for and a 10¹³-row fanout you
+    redesign around, discovered BEFORE the shuffle instead of as a
+    dying executor.  (Catalyst estimates this from column stats when
+    they exist; on raw parquet ingest they usually don't.)
+
+    Exactness: per-key counts and the Σ cA·cB products are exact
+    integers (DECIMAL(38,0) for the products — two Zipf keysides can
+    push past BIGINT).
+
+    Scale: one count aggregate per side (map-side combine), one
+    equi-join of the two KEY tables (bounded by distinct keys), one
+    1-row aggregate."""
+    ca = df_a.groupBy(F.col(key_a).alias("k")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    cb = df_b.groupBy(F.col(key_b).alias("k")).agg(
+        F.count(F.lit(1)).alias("cb")
+    )
+    sa = ca.agg(
+        F.sum("ca").alias("rows_a"), F.count(F.lit(1)).alias("keys_a")
+    )
+    sb = cb.agg(
+        F.sum("cb").alias("rows_b"), F.count(F.lit(1)).alias("keys_b")
+    )
+    prod = F.col("ca").cast("decimal(38,0)") * F.col("cb").cast("decimal(38,0)")
+    j = ca.join(cb, "k").agg(
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.coalesce(F.sum(prod), F.lit(0).cast("decimal(38,0)")).alias(
+            "__est"
+        ),
+        F.max(prod).alias("__maxp"),
+    )
+    return (
+        j.crossJoin(F.broadcast(sa))
+        .crossJoin(F.broadcast(sb))
+        .select(
+            "rows_a",
+            "keys_a",
+            "rows_b",
+            "keys_b",
+            "matched_keys",
+            F.col("__est").cast("long").alias("est_join_rows"),
+            F.coalesce(F.col("__maxp").cast("long"), F.lit(0)).alias(
+                "max_key_fanout"
+            ),
+            F.expr(
+                f"CASE WHEN rows_b <= {broadcast_threshold_rows} "
+                "THEN 'broadcast_b' "
+                f"WHEN rows_a <= {broadcast_threshold_rows} "
+                "THEN 'broadcast_a' "
+                "ELSE 'shuffle' END"
+            ).alias("strategy"),
+        )
+    )

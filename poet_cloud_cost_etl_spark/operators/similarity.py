@@ -824,3 +824,93 @@ def retrieval_mrr_eval(
             / 1_000_000.0
         ).alias("mrr"),
     )
+
+
+def similarity_profile(
+    df: DataFrame, id_col: str, vec_col: str, bins: int = 20
+) -> DataFrame:
+    """X114: random-pair cosine histogram — the corpus ISOTROPY
+    profile.  Embedding models are anisotropic (Ethayarajh 2019):
+    two UNRELATED texts' vectors often score cosine 0.3-0.6, and
+    every cosine threshold in the dedup/ANN family (X8, X28, X39)
+    is only meaningful relative to this background.  Read the
+    profile first, THEN pick thresholds; a mean random-pair cosine
+    far above 0 is also the empirical motivation for X68's
+    all-but-the-top deflation.
+
+    Pairing is hash-driven and shuffle-friendly: each id buckets by
+    unit_hash mod ⌈n/2⌉, each bucket contributes its two smallest
+    (hash, id) members as ONE disjoint pair (WindowGroupLimit — two
+    rows per bucket per map partition reach the shuffle), giving
+    ~0.4·n deterministic pseudo-random pairs with no global sort and
+    no self-join.  Cosines round to 6 decimals (the X8 cross-engine
+    convention) before binning into ``bins`` equal [-1, 1] buckets;
+    empty buckets still report.
+
+    Scale: one narrow map, one bucket-keyed window, one bounded
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    from ..operators.sampling import unit_hash
+
+    n1 = df.agg(
+        F.greatest(
+            (F.count(F.lit(1)) / 2).cast("long"), F.lit(1)
+        ).alias("__nb")
+    )
+    h = (
+        df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "__id", "__v", (unit_hash("__id") % F.col("__nb")).alias("__bkt"),
+            unit_hash("__id").alias("__h"),
+        )
+    )
+    w = Window.partitionBy("__bkt").orderBy("__h", "__id")
+    two = h.withColumn("__r", F.row_number().over(w)).filter(F.col("__r") <= 2)
+    pairs = (
+        two.groupBy("__bkt")
+        .agg(
+            F.count(F.lit(1)).alias("__m"),
+            F.max(F.when(F.col("__r") == 1, F.col("__v"))).alias("__va"),
+            F.max(F.when(F.col("__r") == 2, F.col("__v"))).alias("__vb"),
+        )
+        .filter(F.col("__m") == 2)
+        .select(F.round(cosine("__va", "__vb"), 6).alias("__cos"))
+    )
+    binned = pairs.select(
+        F.expr(
+            f"CAST(least({bins} - 1, greatest(0, "
+            f"floor((__cos + 1.0) / 2.0 * {bins}))) AS BIGINT)"
+        ).alias("bin"),
+        "__cos",
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.round(F.col("__cos") * 1_000_000.0).cast("long")).alias("__s"),
+    )
+    grid = (
+        df.sparkSession.range(bins)
+        .select(F.col("id").cast("long").alias("bin"))
+    )
+    tot = agg.agg(F.sum("n_pairs").alias("__np"))
+    return (
+        grid.join(F.broadcast(agg), "bin", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            F.expr(f"-1000000 + bin * (2000000 div {bins})").alias(
+                "bin_lo_e6"
+            ),
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.expr(
+                "CASE WHEN __np = 0 THEN 0 "
+                "ELSE (1000000 * coalesce(n_pairs, 0)) div __np END"
+            ).alias("share_ppm"),
+            F.expr(
+                "CASE WHEN coalesce(n_pairs, 0) = 0 THEN NULL "
+                "ELSE __s div n_pairs END"
+            ).alias("mean_cos_e6"),
+        )
+        .orderBy("bin")
+    )

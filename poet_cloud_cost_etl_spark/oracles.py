@@ -5896,3 +5896,77 @@ ORACLES["signal_spearman_by_source"] = f"""
             AS rho_e6
     FROM acc ORDER BY grp
 """
+
+# X113 join size estimate (operators/aggregates.py:
+# join_size_estimate): |A join B| = sum cA*cB over matched keys,
+# HUGEINT products, exact integers throughout.
+ORACLES["join_size_estimate"] = """
+    WITH ca AS (SELECT user_id AS k, COUNT(*) AS c FROM events GROUP BY 1),
+    cb AS (SELECT c_custkey AS k, COUNT(*) AS c FROM customer GROUP BY 1),
+    sa AS (SELECT CAST(SUM(c) AS BIGINT) AS rows_a, COUNT(*) AS keys_a FROM ca),
+    sb AS (SELECT CAST(SUM(c) AS BIGINT) AS rows_b, COUNT(*) AS keys_b FROM cb),
+    j AS (
+        SELECT COUNT(*) AS matched_keys,
+            CAST(COALESCE(SUM(CAST(ca.c AS HUGEINT) * cb.c), 0) AS BIGINT)
+                AS est_join_rows,
+            CAST(COALESCE(MAX(CAST(ca.c AS HUGEINT) * cb.c), 0) AS BIGINT)
+                AS max_key_fanout
+        FROM ca JOIN cb USING (k)
+    )
+    SELECT sa.rows_a, sa.keys_a, sb.rows_b, sb.keys_b,
+        j.matched_keys, j.est_join_rows, j.max_key_fanout,
+        CASE WHEN sb.rows_b <= 2000 THEN 'broadcast_b'
+             WHEN sa.rows_a <= 2000 THEN 'broadcast_a'
+             ELSE 'shuffle' END AS strategy
+    FROM j, sa, sb
+"""
+
+# X114 similarity profile (operators/similarity.py:
+# similarity_profile): unit-hash bucket pairing (two smallest
+# (hash, id) per bucket), list_cosine_similarity rounded to 6 (the
+# X8 convention), fixed 20-bin grid with empty bins reported.
+ORACLES["embedding_similarity_profile"] = f"""
+    WITH nb AS (
+        SELECT greatest(COUNT(*) // 2, 1) AS b FROM embeddings
+    ),
+    h AS (
+        SELECT vec_id, embedding,
+            {_UNIT.format(col='vec_id')} % (SELECT b FROM nb) AS bkt,
+            {_UNIT.format(col='vec_id')} AS hh
+        FROM embeddings
+    ),
+    two AS (
+        SELECT bkt, vec_id, embedding, r FROM (
+            SELECT bkt, vec_id, embedding,
+                ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY hh, vec_id) AS r
+            FROM h
+        ) WHERE r <= 2
+    ),
+    pairs AS (
+        SELECT round(list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        FROM two a JOIN two b ON a.bkt = b.bkt AND a.r = 1 AND b.r = 2
+    ),
+    binned AS (
+        SELECT CAST(least(19, greatest(0,
+            floor((cos + 1.0) / 2.0 * 20))) AS BIGINT) AS bin, cos
+        FROM pairs
+    ),
+    agg AS (
+        SELECT bin, COUNT(*) AS n_pairs,
+            CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT) AS s
+        FROM binned GROUP BY bin
+    ),
+    tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS np FROM agg),
+    grid AS (SELECT unnest(range(20)) AS bin)
+    SELECT g.bin,
+        -1000000 + g.bin * (2000000 // 20) AS bin_lo_e6,
+        CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        CASE WHEN t.np = 0 THEN 0
+            ELSE (1000000 * COALESCE(a.n_pairs, 0)) // t.np END AS share_ppm,
+        CASE WHEN COALESCE(a.n_pairs, 0) = 0 THEN NULL
+            ELSE a.s // a.n_pairs END AS mean_cos_e6
+    FROM grid g LEFT JOIN agg a USING (bin), tot t
+    ORDER BY g.bin
+"""

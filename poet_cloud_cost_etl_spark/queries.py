@@ -4849,6 +4849,32 @@ def q_signal_spearman_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("join_size_estimate")
+def q_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X113: exact pre-join cardinality estimate
+    (operators/aggregates.py: join_size_estimate) — events.user_id
+    vs customer.c_custkey, with hot-pair fanout and a strategy
+    recommendation."""
+    from .operators.aggregates import join_size_estimate
+
+    e = table(spark, sf_dir, "events")
+    c = table(spark, sf_dir, "customer")
+    return join_size_estimate(
+        e, "user_id", c, "c_custkey", broadcast_threshold_rows=2000
+    )
+
+
+@query("embedding_similarity_profile")
+def q_embedding_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X114: random-pair cosine isotropy histogram
+    (operators/similarity.py: similarity_profile) — hash-paired
+    disjoint pairs, 20 bins over [-1, 1]."""
+    from .operators.similarity import similarity_profile
+
+    e = table(spark, sf_dir, "embeddings")
+    return similarity_profile(e, "vec_id", "embedding", bins=20)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

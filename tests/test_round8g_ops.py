@@ -644,3 +644,60 @@ def test_spearman_rank_correlation_ties_and_outliers(spark):
     assert out["h"] == -1_000_000
     # t: ranks2 x = (3,3,7,7), y = (3,7,7,3) -> rho = 0
     assert out["t"] == 0
+
+
+def test_join_size_estimate_exact(spark):
+    """X113: the estimate equals the actual join cardinality."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import join_size_estimate
+
+    a = spark.createDataFrame([(1,), (1,), (2,), (3,)], ["k"])
+    b = spark.createDataFrame([(1,), (2,), (2,), (9,)], ["j"])
+    (r,) = join_size_estimate(a, "k", b, "j", broadcast_threshold_rows=2).collect()
+    assert r["est_join_rows"] == a.join(b, a.k == b.j).count() == 4
+    assert r["max_key_fanout"] == 2
+    assert r["matched_keys"] == 2
+    assert r["strategy"] == "shuffle"
+    # disjoint keys -> zero estimate, no NULLs
+    c = spark.createDataFrame([(100,), (200,)], ["j"])
+    (r2,) = join_size_estimate(a, "k", c, "j").collect()
+    assert r2["est_join_rows"] == 0 and r2["max_key_fanout"] == 0
+    assert r2["strategy"] == "broadcast_b"
+
+
+def test_similarity_profile_reference(spark):
+    """X114 vs a hashlib/numpy reference: same pairing, same bins."""
+    import hashlib
+
+    import numpy as np
+
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import similarity_profile
+
+    e = table(spark, "/root/testdata/sf0.001", "embeddings")
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=float)
+            for r in e.collect()}
+    out = {r["bin"]: r for r in
+           similarity_profile(e, "vec_id", "embedding", bins=20).collect()}
+    assert len(out) == 20
+
+    def uh(v: int) -> int:
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+
+    nb = max(len(rows) // 2, 1)
+    buckets: dict = {}
+    for vid in rows:
+        buckets.setdefault(uh(vid) % nb, []).append((uh(vid), vid))
+    import collections
+    ref = collections.Counter()
+    for members in buckets.values():
+        if len(members) < 2:
+            continue
+        members.sort()
+        (_, a), (_, b) = members[0], members[1]
+        va, vb = rows[a], rows[b]
+        cos = round(float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb))), 6)
+        ref[min(19, max(0, int((cos + 1.0) / 2.0 * 20)))] += 1
+    for b_idx in range(20):
+        assert out[b_idx]["n_pairs"] == ref.get(b_idx, 0)
+    assert sum(r["n_pairs"] for r in out.values()) == sum(ref.values())
+    assert out[0]["bin_lo_e6"] == -1_000_000 and out[10]["bin_lo_e6"] == 0
