@@ -189,6 +189,7 @@ HEADLINE = [
     "signal_spearman_by_source",
     "join_size_estimate",
     "embedding_similarity_profile",
+    "documents_constraint_suite",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -448,3 +448,95 @@ def join_size_estimate(
             ).alias("strategy"),
         )
     )
+
+
+def constraint_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """X115: declarative data-quality constraint suite compiled into
+    ONE aggregate scan — the Deequ pattern (Schelter et al., "Unit
+    Tests for Data", VLDB 2018): a 100 TB ingest cannot afford one
+    pass per check, so every metric the suite needs becomes one
+    aggregate column of a single hash aggregate and the corpus is
+    read exactly once.  This is the admission gate a curation
+    pipeline runs on every new source drop before any downstream
+    operator sees it.
+
+    Check kinds (each a dict with ``name``, ``kind``, and bounds
+    ``lo``/``hi`` as inclusive integers; NULL bound = unbounded):
+
+    - ``row_count``: COUNT(*) between lo and hi.
+    - ``completeness``: non-null ppm of ``col``.
+    - ``distinctness``: exact COUNT(DISTINCT col) ppm of COUNT(*) —
+      1_000_000 means the column is a key.  Exact, not approximate:
+      multiple distincts still plan as ONE scan (Spark rewrites them
+      through a single Expand).
+    - ``match``: ppm of non-null values rlike ``pattern`` (keep
+      patterns in the portable character-class subset).
+    - ``in_set``: ppm of non-null values in ``allowed`` (strings).
+    - ``min`` / ``max``: the column extremum itself (integer cents
+      convention for money; raw integer otherwise).
+
+    Metric exactness: every ppm is an integer division by
+    greatest(count, 1) — the X40 clamp, so an empty input yields
+    metric 0 rather than an engine-divergent division by zero — and
+    every verdict is pure integer comparison.  Output one row per
+    check: (check, kind, metric, lo, hi, status 'pass'/'fail'),
+    ordered by check name.  An empty input fails row_count-with-lo
+    checks and passes vacuous bound checks — deliberate: the suite,
+    not the engine, decides emptiness via its row_count check.
+
+    Scale: ONE corpus scan (a single agg row carries every metric),
+    then the verdict table explodes a bounded per-check literal
+    array on that 1-row result.  Nothing else touches the corpus."""
+    metric_exprs: list[Column] = []
+    for i, c in enumerate(checks):
+        kind = c["kind"]
+        if kind == "row_count":
+            e = "count(1)"
+        elif kind == "completeness":
+            e = f"(1000000 * count({c['col']})) div greatest(count(1), 1)"
+        elif kind == "distinctness":
+            e = (
+                f"(1000000 * count(DISTINCT {c['col']})) "
+                "div greatest(count(1), 1)"
+            )
+        elif kind == "match":
+            e = (
+                f"(1000000 * count(CASE WHEN {c['col']} rlike "
+                f"'{c['pattern']}' THEN 1 END)) "
+                f"div greatest(count({c['col']}), 1)"
+            )
+        elif kind == "in_set":
+            vals = ", ".join(f"'{v}'" for v in c["allowed"])
+            e = (
+                f"(1000000 * count(CASE WHEN {c['col']} IN ({vals}) "
+                f"THEN 1 END)) div greatest(count({c['col']}), 1)"
+            )
+        elif kind in ("min", "max"):
+            e = f"CAST({kind}({c['col']}) AS BIGINT)"
+        else:
+            raise ValueError(f"unknown check kind {kind!r}")
+        metric_exprs.append(F.expr(e).cast("long").alias(f"__m{i}"))
+    one = df.agg(*metric_exprs)
+
+    def _b(v) -> str:
+        return "CAST(NULL AS BIGINT)" if v is None else f"{int(v)}L"
+
+    rows = ", ".join(
+        f"struct('{c['name']}' AS check, '{c['kind']}' AS kind, "
+        f"__m{i} AS metric, {_b(c.get('lo'))} AS lo, "
+        f"{_b(c.get('hi'))} AS hi)"
+        for i, c in enumerate(checks)
+    )
+    return (
+        one.select(F.explode(F.expr(f"array({rows})")).alias("c"))
+        .select("c.check", "c.kind", "c.metric", "c.lo", "c.hi")
+        .withColumn(
+            "status",
+            F.expr(
+                "CASE WHEN (lo IS NULL OR coalesce(metric, lo) >= lo) "
+                "AND (hi IS NULL OR coalesce(metric, hi) <= hi) "
+                "THEN 'pass' ELSE 'fail' END"
+            ),
+        )
+        .orderBy("check")
+    )

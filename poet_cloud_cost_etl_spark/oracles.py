@@ -5970,3 +5970,44 @@ ORACLES["embedding_similarity_profile"] = f"""
     FROM grid g LEFT JOIN agg a USING (bin), tot t
     ORDER BY g.bin
 """
+
+# X115 constraint suite (operators/aggregates.py: constraint_suite):
+# every metric from ONE aggregate pass; ppm divisions clamped with
+# greatest(n, 1); verdicts are pure integer comparisons with NULL
+# bounds unbounded and NULL metrics passing vacuous bound checks.
+ORACLES["documents_constraint_suite"] = """
+    WITH m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m0,
+            (1000000 * COUNT(text)) // greatest(COUNT(*), 1) AS m1,
+            (1000000 * COUNT(DISTINCT doc_id)) // greatest(COUNT(*), 1) AS m2,
+            (1000000 * COUNT(CASE WHEN regexp_matches(lang,
+                '^[a-z][a-z]$') THEN 1 END)) // greatest(COUNT(lang), 1) AS m3,
+            (1000000 * COUNT(CASE WHEN lang IN ('en', 'de', 'fr', 'es')
+                THEN 1 END)) // greatest(COUNT(lang), 1) AS m4,
+            CAST(MIN(n_chars) AS BIGINT) AS m5,
+            CAST(MAX(n_chars) AS BIGINT) AS m6
+        FROM documents
+    ),
+    grid("check", kind, mi, lo, hi) AS (
+        VALUES ('chk01_rows', 'row_count', 0, 1, NULL),
+               ('chk02_text_complete', 'completeness', 1, 1000000, NULL),
+               ('chk03_docid_unique', 'distinctness', 2, 1000000, NULL),
+               ('chk04_lang_iso2', 'match', 3, 1000000, NULL),
+               ('chk05_lang_allowed', 'in_set', 4, 1000000, NULL),
+               ('chk06_nchars_min', 'min', 5, 1, NULL),
+               ('chk07_nchars_max', 'max', 6, NULL, 1000000)
+    ),
+    v AS (
+        SELECT g."check", g.kind,
+            CASE g.mi WHEN 0 THEN m.m0 WHEN 1 THEN m.m1
+                WHEN 2 THEN m.m2 WHEN 3 THEN m.m3 WHEN 4 THEN m.m4
+                WHEN 5 THEN m.m5 ELSE m.m6 END AS metric,
+            CAST(g.lo AS BIGINT) AS lo, CAST(g.hi AS BIGINT) AS hi
+        FROM grid g, m
+    )
+    SELECT "check", kind, metric, lo, hi,
+        CASE WHEN (lo IS NULL OR COALESCE(metric, lo) >= lo)
+            AND (hi IS NULL OR COALESCE(metric, hi) <= hi)
+            THEN 'pass' ELSE 'fail' END AS status
+    FROM v ORDER BY "check"
+"""

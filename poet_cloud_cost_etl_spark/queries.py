@@ -4875,6 +4875,37 @@ def q_embedding_similarity_profile(spark: SparkSession, sf_dir: str) -> DataFram
     return similarity_profile(e, "vec_id", "embedding", bins=20)
 
 
+@query("documents_constraint_suite")
+def q_documents_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X115: Deequ-style single-pass constraint suite
+    (operators/aggregates.py: constraint_suite) — seven admission
+    checks on the documents drop compiled into ONE aggregate scan;
+    chk05 deliberately excludes 'zh' from the allowed set so the
+    fixture exercises the fail branch."""
+    from .operators.aggregates import constraint_suite
+
+    d = table(spark, sf_dir, "documents")
+    return constraint_suite(
+        d,
+        [
+            {"name": "chk01_rows", "kind": "row_count", "lo": 1},
+            {"name": "chk02_text_complete", "kind": "completeness",
+             "col": "text", "lo": 1000000},
+            {"name": "chk03_docid_unique", "kind": "distinctness",
+             "col": "doc_id", "lo": 1000000},
+            {"name": "chk04_lang_iso2", "kind": "match", "col": "lang",
+             "pattern": "^[a-z][a-z]$", "lo": 1000000},
+            {"name": "chk05_lang_allowed", "kind": "in_set",
+             "col": "lang", "allowed": ["en", "de", "fr", "es"],
+             "lo": 1000000},
+            {"name": "chk06_nchars_min", "kind": "min", "col": "n_chars",
+             "lo": 1},
+            {"name": "chk07_nchars_max", "kind": "max", "col": "n_chars",
+             "hi": 1000000},
+        ],
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
