@@ -190,6 +190,7 @@ HEADLINE = [
     "join_size_estimate",
     "embedding_similarity_profile",
     "documents_constraint_suite",
+    "source_mean_bootstrap_ci",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -678,3 +678,116 @@ def neyman_allocation(
         )
         .orderBy(group_col)
     )
+
+
+# Cumulative Poisson(1) CDF scaled to 2^32 (floor), k = 0..8: a unit
+# hash u < _POIS1_T32[k] means the deterministic Poisson draw is <= k.
+# Hardcoded so no engine evaluates exp() at query time (the X108
+# hardcoded-constants convention); draws are capped at 9.
+_POIS1_T32 = [
+    1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+    4292415291, 4294609777, 4294923276, 4294962463,
+]
+
+
+def _poisson1_weight_sql(id_col: str, rep: int) -> str:
+    """Deterministic Poisson(1) count for (row, replicate): the md5
+    unit hash of 'id|rep' inverted through the hardcoded CDF."""
+    u = (
+        f"CAST(conv(substring(md5(concat(CAST({id_col} AS STRING), "
+        f"'|', '{rep}')), 1, 8), 16, 10) AS BIGINT)"
+    )
+    whens = " ".join(
+        f"WHEN {u} < {t}L THEN {k}" for k, t in enumerate(_POIS1_T32)
+    )
+    return f"CASE {whens} ELSE 9 END"
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    group_col: str,
+    b_reps: int = 32,
+) -> DataFrame:
+    """X116: Poisson-bootstrap confidence interval for a per-group
+    mean (Chamandy et al. 2012, "Estimating uncertainty for massive
+    data streams"; Kleiner et al.'s BLB is the heavier alternative) —
+    the error bar every per-source quality metric (X30/X63/X103)
+    should carry before anyone compares two sources: a 2-point
+    mean gap on 40 docs is noise, on 40M docs it's real, and only a
+    resampling interval says which.
+
+    The classical bootstrap resamples n rows WITH replacement B
+    times — undistributable at 100 TB (each replicate is a global
+    multinomial).  The Poisson trick: each row independently enters
+    replicate b with multiplicity ~ Poisson(1) (the B·n multinomial
+    marginals decouple), so every replicate becomes two conditional
+    SUMs and the corpus is scanned ONCE.  The draw is the md5 unit
+    hash of (id, b) inverted through a hardcoded Poisson(1) CDF —
+    deterministic, engine-identical, reproducible across reruns
+    (the X43/X44 hash convention; no engine RNG anywhere).
+
+    Exactness: integer weights (0-9), integer value sums; the
+    replicate mean is (10^6·Σw·x) div Σw with the 10^6 multiply in
+    DECIMAL(38,0) (BIGINT overflows at corpus scale, the X111
+    convention); a zero-weight replicate yields NULL and is dropped
+    (degenerate resample, the X91 convention).  The CI is exact
+    order statistics over the ≤B surviving replicate means at the
+    X107 ceil positions ceil(25·L/1000) and ceil(975·L/1000)
+    (1-indexed) — no floating percentile interpolation.
+
+    Scale: ONE corpus scan, ONE group-keyed hash aggregate whose
+    map-side combine reduces everything; the shuffle carries
+    |G|·(2B+2) integers and the order-statistic step sorts a
+    bounded B-element array per group row.  The replicate dimension
+    lives in aggregate COLUMNS, never exploded rows."""
+    wx = [
+        F.expr(
+            f"sum(CAST({_poisson1_weight_sql(id_col, b)} AS BIGINT) "
+            f"* {value_col})"
+        ).alias(f"__swx{b}")
+        for b in range(b_reps)
+    ]
+    w = [
+        F.expr(f"sum(CAST({_poisson1_weight_sql(id_col, b)} AS BIGINT))").alias(
+            f"__sw{b}"
+        )
+        for b in range(b_reps)
+    ]
+    g = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum({value_col})").alias("__sx"),
+        *wx,
+        *w,
+    )
+    reps = ", ".join(
+        f"CASE WHEN __sw{b} > 0 THEN CAST((CAST(1000000 AS DECIMAL(38,0)) "
+        f"* __swx{b}) div __sw{b} AS BIGINT) END"
+        for b in range(b_reps)
+    )
+    return (
+        g.withColumn(
+            "__reps",
+            F.expr(
+                f"array_sort(filter(array({reps}), x -> x IS NOT NULL))"
+            ),
+        )
+        .select(
+            "grp",
+            "n",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * __sx) div n AS BIGINT)"
+            ).alias("mean_e6"),
+            F.expr(
+                "CASE WHEN size(__reps) > 0 THEN element_at(__reps, "
+                "CAST((25 * size(__reps) + 999) div 1000 AS INT)) END"
+            ).alias("boot_lo_e6"),
+            F.expr(
+                "CASE WHEN size(__reps) > 0 THEN element_at(__reps, "
+                "CAST((975 * size(__reps) + 999) div 1000 AS INT)) END"
+            ).alias("boot_hi_e6"),
+            F.expr("size(__reps)").cast("long").alias("reps_valid"),
+        )
+        .orderBy("grp")
+    )

@@ -6011,3 +6011,55 @@ ORACLES["documents_constraint_suite"] = """
             THEN 'pass' ELSE 'fail' END AS status
     FROM v ORDER BY "check"
 """
+
+# X116 Poisson bootstrap CI (operators/sampling.py:
+# poisson_bootstrap_ci): per-(row, replicate) Poisson(1) weights
+# from the md5 unit hash of 'doc_id|b' inverted through the SAME
+# hardcoded CDF thresholds; replicate means are exact integer
+# divisions (HUGEINT scale multiply); CI bounds are exact order
+# statistics at the ceil positions.  The oracle materializes the
+# replicate dimension as a bounded cross join (n x 32 at sf0.01);
+# the Spark operator keeps it in aggregate columns.
+_POIS1_CASE = (
+    "CASE WHEN u < 1580030168 THEN 0 WHEN u < 3160060337 THEN 1 "
+    "WHEN u < 3950075421 THEN 2 WHEN u < 4213413783 THEN 3 "
+    "WHEN u < 4279248373 THEN 4 WHEN u < 4292415291 THEN 5 "
+    "WHEN u < 4294609777 THEN 6 WHEN u < 4294923276 THEN 7 "
+    "WHEN u < 4294962463 THEN 8 ELSE 9 END"
+)
+ORACLES["source_mean_bootstrap_ci"] = f"""
+    WITH hv AS (
+        SELECT d.source, t.b, d.n_chars,
+            CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '|' ||
+                CAST(t.b AS VARCHAR)), 1, 8)) AS BIGINT) AS u
+        FROM documents d, range(32) t(b)
+    ),
+    w AS (SELECT source, b, n_chars, {_POIS1_CASE} AS w FROM hv),
+    rb AS (
+        SELECT source, b,
+            CASE WHEN SUM(w) > 0 THEN CAST((1000000::HUGEINT *
+                SUM(w * n_chars)) // SUM(w) AS BIGINT) END AS rep
+        FROM w GROUP BY 1, 2
+    ),
+    arr AS (
+        SELECT source,
+            list_sort(list(rep) FILTER (WHERE rep IS NOT NULL)) AS a
+        FROM rb GROUP BY 1
+    ),
+    base AS (
+        SELECT source, COUNT(*) AS n,
+            CAST((1000000::HUGEINT * SUM(n_chars)) // COUNT(*)
+                AS BIGINT) AS mean_e6
+        FROM documents GROUP BY 1
+    )
+    SELECT b.source AS grp, b.n, b.mean_e6,
+        CASE WHEN len(a.a) > 0 THEN
+            a.a[CAST((25 * len(a.a) + 999) // 1000 AS INT)] END
+            AS boot_lo_e6,
+        CASE WHEN len(a.a) > 0 THEN
+            a.a[CAST((975 * len(a.a) + 999) // 1000 AS INT)] END
+            AS boot_hi_e6,
+        CAST(len(a.a) AS BIGINT) AS reps_valid
+    FROM base b JOIN arr a ON b.source = a.source
+    ORDER BY grp
+"""

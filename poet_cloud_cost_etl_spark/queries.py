@@ -4906,6 +4906,18 @@ def q_documents_constraint_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("source_mean_bootstrap_ci")
+def q_source_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X116: Poisson-bootstrap CI (operators/sampling.py:
+    poisson_bootstrap_ci) — 95% resampling interval for each
+    source's mean n_chars from 32 deterministic hash-seeded
+    replicates, all computed in one corpus scan."""
+    from .operators.sampling import poisson_bootstrap_ci
+
+    d = table(spark, sf_dir, "documents")
+    return poisson_bootstrap_ci(d, "doc_id", "n_chars", "source", b_reps=32)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -87,3 +87,68 @@ def test_constraint_suite_single_scan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def _pois1_weight(key: str) -> int:
+    """Independent Python reference for the deterministic Poisson(1)
+    draw: md5 unit hash inverted through the same hardcoded CDF."""
+    import hashlib
+
+    u = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    ts = [1580030168, 3160060337, 3950075421, 4213413783, 4279248373,
+          4292415291, 4294609777, 4294923276, 4294962463]
+    for k, t in enumerate(ts):
+        if u < t:
+            return k
+    return 9
+
+
+def test_poisson_bootstrap_ci_hashlib_reference(spark):
+    """X116 equals an independent hashlib + pure-Python bootstrap on
+    a two-group fixture (exact integer convention throughout)."""
+    from poet_cloud_cost_etl_spark.operators.sampling import poisson_bootstrap_ci
+
+    rows = [(i, "a" if i % 2 == 0 else "b", 10 + 7 * i) for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    got = {
+        r["grp"]: r
+        for r in poisson_bootstrap_ci(
+            df, "doc_id", "n_chars", "source", b_reps=16
+        ).collect()
+    }
+
+    for grp in ("a", "b"):
+        members = [(i, v) for i, s, v in rows if s == grp]
+        reps = []
+        for b in range(16):
+            sw = swx = 0
+            for i, v in members:
+                w = _pois1_weight(f"{i}|{b}")
+                sw += w
+                swx += w * v
+            if sw > 0:
+                reps.append((1000000 * swx) // sw)
+        reps.sort()
+        n = len(members)
+        mean_e6 = (1000000 * sum(v for _, v in members)) // n
+        lo = reps[(25 * len(reps) + 999) // 1000 - 1]
+        hi = reps[(975 * len(reps) + 999) // 1000 - 1]
+        r = got[grp]
+        assert r["n"] == n and r["mean_e6"] == mean_e6
+        assert r["boot_lo_e6"] == lo and r["boot_hi_e6"] == hi
+        assert r["reps_valid"] == len(reps)
+        # the interval brackets the point estimate
+        assert r["boot_lo_e6"] <= r["mean_e6"] <= r["boot_hi_e6"]
+
+
+def test_poisson_bootstrap_single_scan_no_explode(spark):
+    """X116 keeps replicates in aggregate columns: one parquet scan,
+    no Generate (explode) node anywhere in the plan."""
+    from poet_cloud_cost_etl_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["source_mean_bootstrap_ci"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
+    assert "Generate" not in plan
