@@ -191,6 +191,7 @@ HEADLINE = [
     "embedding_similarity_profile",
     "documents_constraint_suite",
     "source_mean_bootstrap_ci",
+    "heaps_law_fit",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -2433,3 +2433,121 @@ def hill_tail_index(
             f"ELSE 1000000000000 div ({inv_sql}) END"
         ).alias("alpha_e6"),
     ).orderBy(group_col)
+
+
+def heaps_law_fit(
+    df: DataFrame, id_col: str, text_col: str, n_buckets: int = 16
+) -> DataFrame:
+    """X117: Heaps-law exponent fit V(n) = K·n^β — the scalar X65's
+    curve only shows: log-log least squares over per-bucket
+    (cumulative units, cumulative vocabulary) checkpoints.  β is the
+    data-acquisition dial itself (β → 0: the source is exhausted,
+    more data buys no new phrases; β near 1: still harvesting) and
+    the pair (β, ln K) extrapolates vocabulary to corpus sizes never
+    scanned — the same closed-form-fit-then-extrapolate move as
+    scaling-law analysis, done here entirely inside the engine.
+
+    Unit convention: per-doc DISTINCT 3-gram shingles (the X65
+    vocabulary space; unigrams saturate immediately), so n counts
+    (doc, shingle) instances and V counts distinct shingles.
+    Checkpoints are the X65 equal-width integer id buckets.
+
+    Exactness: fit points are x = round(10⁶·ln n_i), y =
+    round(10⁶·ln V_i) (the X105 scaled-ln convention); every fit
+    accumulator (m, Σx, Σy, Σxy, Σx², Σy²) is DECIMAL(38,0)-exact
+    (X111), so num = m·Σxy − Σx·Σy and den = m·Σx² − (Σx)² are
+    EXACT integers; the only floating steps are the three final
+    divisions (identical IEEE ops in any engine) rounded to
+    beta_e6 / lnk_e6 / r2_e6.  Degenerate fits (m < 2 or zero
+    x-variance) yield NULL, never a fabricated slope (X91).
+
+    Scale: two vocab-bounded aggregates (per-bucket occurrence
+    counts; per-shingle MIN id → per-bucket new-vocab counts, the
+    X65 shape) with map-side combine, a broadcast id-range row, and
+    every window/join/fit step runs on ≤ n_buckets rows."""
+    from .dedup import SHINGLES_SQL, tokens
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    ex = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"array_distinct({SHINGLES_SQL.format(t='__t')})")
+        ).alias("t"),
+    )
+    rng = df.agg(
+        F.min(id_col).cast("long").alias("__lo"),
+        F.max(id_col).cast("long").alias("__hi"),
+    )
+    bexpr = (
+        f"CAST(((%s - __lo) * {n_buckets}) div (__hi - __lo + 1) AS INT)"
+    )
+    occ = (
+        ex.crossJoin(F.broadcast(rng))
+        .select(F.expr(bexpr % id_col).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("occ"))
+    )
+    newv = (
+        ex.groupBy("t")
+        .agg(F.min(id_col).alias("__fid"))
+        .crossJoin(F.broadcast(rng))
+        .select(F.expr(bexpr % "__fid").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("newv"))
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    pts = (
+        occ.join(newv, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("occ").over(w).cast("long").alias("cum_n"),
+            F.sum(F.coalesce("newv", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("cum_v"),
+        )
+        .filter("cum_n > 0 AND cum_v > 0")
+        .select(
+            "cum_n",
+            "cum_v",
+            F.round(F.log("cum_n") * 1_000_000.0).cast("long").alias("x"),
+            F.round(F.log("cum_v") * 1_000_000.0).cast("long").alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("m"),
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).alias("syy"),
+        F.max("cum_n").alias("n_units"),
+        F.max("cum_v").alias("vocab"),
+    )
+    return s.select(
+        F.col("m").cast("long").alias("m_points"),
+        "n_units",
+        "vocab",
+        F.expr(
+            "CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 THEN "
+            "CAST(round(1000000 * CAST(m * sxy - sx * sy AS DOUBLE) / "
+            "CAST(m * sxx - sx * sx AS DOUBLE)) AS BIGINT) END"
+        ).alias("beta_e6"),
+        F.expr(
+            "CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 THEN "
+            "CAST(round((CAST(sy AS DOUBLE) - "
+            "CAST(m * sxy - sx * sy AS DOUBLE) / "
+            "CAST(m * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) / "
+            "CAST(m AS DOUBLE)) AS BIGINT) END"
+        ).alias("lnk_e6"),
+        F.expr(
+            "CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 "
+            "AND m * syy - sy * sy > 0 THEN "
+            "CAST(round(1000000 * "
+            "CAST((m * sxy - sx * sy) * (m * sxy - sx * sy) AS DOUBLE) / "
+            "(CAST(m * sxx - sx * sx AS DOUBLE) * "
+            "CAST(m * syy - sy * sy AS DOUBLE))) AS BIGINT) END"
+        ).alias("r2_e6"),
+    )

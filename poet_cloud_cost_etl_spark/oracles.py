@@ -6063,3 +6063,70 @@ ORACLES["source_mean_bootstrap_ci"] = f"""
     FROM base b JOIN arr a ON b.source = a.source
     ORDER BY grp
 """
+
+# X117 Heaps-law fit (operators/textstats.py: heaps_law_fit):
+# per-doc DISTINCT shingles (the _SHINGLE_CTE set), 16 equal-width
+# id buckets, cumulative (instances, vocab) checkpoints, fit points
+# round(1e6*ln), exact HUGEINT fit accumulators, floating only in
+# the three final divisions (identical IEEE op order as Spark).
+ORACLES["heaps_law_fit"] = f"""
+    WITH {_SHINGLE_CTE},
+    rng AS (
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS lo,
+               CAST(MAX(doc_id) AS BIGINT) AS hi
+        FROM documents
+    ),
+    occ AS (
+        SELECT CAST(((doc_id - lo) * 16) // (hi - lo + 1) AS INTEGER)
+            AS bucket, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM sh, rng GROUP BY 1
+    ),
+    firsts AS (SELECT shingle, MIN(doc_id) AS fid FROM sh GROUP BY 1),
+    newv AS (
+        SELECT CAST(((fid - lo) * 16) // (hi - lo + 1) AS INTEGER)
+            AS bucket, CAST(COUNT(*) AS BIGINT) AS newv
+        FROM firsts, rng GROUP BY 1
+    ),
+    pts AS (
+        SELECT o.bucket,
+            CAST(SUM(o.occ) OVER (ORDER BY o.bucket) AS BIGINT) AS cum_n,
+            CAST(SUM(COALESCE(v.newv, 0)) OVER (ORDER BY o.bucket)
+                AS BIGINT) AS cum_v
+        FROM occ o LEFT JOIN newv v ON o.bucket = v.bucket
+    ),
+    xy AS (
+        SELECT cum_n, cum_v,
+            CAST(round(ln(cum_n) * 1000000) AS BIGINT) AS x,
+            CAST(round(ln(cum_v) * 1000000) AS BIGINT) AS y
+        FROM pts WHERE cum_n > 0 AND cum_v > 0
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS HUGEINT) AS m,
+            CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+            CAST(SUM(x::HUGEINT * y) AS HUGEINT) AS sxy,
+            CAST(SUM(x::HUGEINT * x) AS HUGEINT) AS sxx,
+            CAST(SUM(y::HUGEINT * y) AS HUGEINT) AS syy,
+            CAST(MAX(cum_n) AS BIGINT) AS n_units,
+            CAST(MAX(cum_v) AS BIGINT) AS vocab
+        FROM xy
+    )
+    SELECT CAST(m AS BIGINT) AS m_points, n_units, vocab,
+        CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 THEN
+            CAST(round(1000000 * CAST(m * sxy - sx * sy AS DOUBLE) /
+                CAST(m * sxx - sx * sx AS DOUBLE)) AS BIGINT) END
+            AS beta_e6,
+        CASE WHEN m >= 2 AND m * sxx - sx * sx > 0 THEN
+            CAST(round((CAST(sy AS DOUBLE) -
+                CAST(m * sxy - sx * sy AS DOUBLE) /
+                CAST(m * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE)) /
+                CAST(m AS DOUBLE)) AS BIGINT) END
+            AS lnk_e6,
+        CASE WHEN m >= 2 AND m * sxx - sx * sx > 0
+            AND m * syy - sy * sy > 0 THEN
+            CAST(round(1000000 *
+                CAST((m * sxy - sx * sy) * (m * sxy - sx * sy) AS DOUBLE) /
+                (CAST(m * sxx - sx * sx AS DOUBLE) *
+                 CAST(m * syy - sy * sy AS DOUBLE))) AS BIGINT) END
+            AS r2_e6
+    FROM s
+"""

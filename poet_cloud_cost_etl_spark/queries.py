@@ -4918,6 +4918,18 @@ def q_source_mean_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return poisson_bootstrap_ci(d, "doc_id", "n_chars", "source", b_reps=32)
 
 
+@query("heaps_law_fit")
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117: Heaps-law exponent fit (operators/textstats.py:
+    heaps_law_fit) — log-log least squares over 16 id-order
+    (cumulative shingle instances, cumulative vocabulary)
+    checkpoints; beta is the data-acquisition saturation scalar."""
+    from .operators.textstats import heaps_law_fit
+
+    d = table(spark, sf_dir, "documents")
+    return heaps_law_fit(d, "doc_id", "text", n_buckets=16)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

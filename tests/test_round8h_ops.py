@@ -152,3 +152,96 @@ def test_poisson_bootstrap_single_scan_no_explode(spark):
     )
     assert plan.count("Scan parquet") == 1
     assert "Generate" not in plan
+
+
+def test_heaps_law_fit_python_reference(spark):
+    """X117 equals an independent pure-Python pipeline (tokenize,
+    shingle, bucket, scaled-ln least squares) on a small corpus."""
+    import math
+    import re
+
+    from poet_cloud_cost_etl_spark.operators.textstats import heaps_law_fit
+
+    texts = {
+        i: " ".join(
+            f"w{(i * 31 + j * 7) % (10 + 3 * i)}" for j in range(30)
+        )
+        for i in range(20)
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = heaps_law_fit(df, "doc_id", "text", n_buckets=5).collect()[0]
+
+    def sh(t):
+        toks = re.sub(r"[^a-z0-9 ]", "", t.lower()).strip().split()
+        return {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        } if len(toks) >= 3 else set()
+
+    lo, hi = 0, 19
+    occ, first = {}, {}
+    for i, t in texts.items():
+        b = ((i - lo) * 5) // (hi - lo + 1)
+        s = sh(t)
+        occ[b] = occ.get(b, 0) + len(s)
+        for g in s:
+            if g not in first or i < first[g]:
+                first[g] = i
+    newv = {}
+    for g, i in first.items():
+        b = ((i - lo) * 5) // (hi - lo + 1)
+        newv[b] = newv.get(b, 0) + 1
+    pts, cn, cv = [], 0, 0
+    for b in sorted(occ):
+        cn += occ[b]
+        cv += newv.get(b, 0)
+        if cn > 0 and cv > 0:
+            pts.append(
+                (round(math.log(cn) * 1e6), round(math.log(cv) * 1e6))
+            )
+    m = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num, den = m * sxy - sx * sy, m * sxx - sx * sx
+    assert got["m_points"] == m and got["n_units"] == cn
+    assert got["vocab"] == cv
+    assert got["beta_e6"] == round(1000000 * num / den)
+    assert got["lnk_e6"] == round((sy - num / den * sx) / m)
+    # a Heaps exponent is in (0, 1] on any organic corpus
+    assert 0 < got["beta_e6"] <= 1000000
+
+
+def test_heaps_law_fit_saturated_corpus(spark):
+    """X117: a corpus whose vocabulary is exhausted in bucket 0
+    (every doc identical) fits beta = 0 with r2 NULL (zero
+    y-variance is degenerate only in r2's denominator guard... the
+    y-variance IS zero, so r2 is NULL and beta is exactly 0)."""
+    from poet_cloud_cost_etl_spark.operators.textstats import heaps_law_fit
+
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(12)],
+        ["doc_id", "text"],
+    )
+    r = heaps_law_fit(df, "doc_id", "text", n_buckets=4).collect()[0]
+    assert r["vocab"] == 3  # three 3-gram shingles, fixed vocabulary
+    assert r["beta_e6"] == 0
+    assert r["r2_e6"] is None
+
+
+def test_heaps_law_fit_bounded_windows(spark):
+    """X117's windows and fit run on bucket-bounded rows: the only
+    corpus-sized work is the two shingle aggregates (plan has no
+    window over an unbounded partition before aggregation)."""
+    from poet_cloud_cost_etl_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["heaps_law_fit"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # two corpus scans (occurrence counts + first-occurrence minima
+    # branch from the exploded source) and two column-pruned
+    # doc_id-only scans for the broadcast id-range row
+    assert plan.count("Scan parquet") <= 4
