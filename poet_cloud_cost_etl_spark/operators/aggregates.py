@@ -540,3 +540,92 @@ def constraint_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
         )
         .orderBy("check")
     )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """X118: exact Mann-Whitney U rank-sum test (Mann & Whitney
+    1947) — "is source A's length/quality distribution shifted
+    relative to source B's?", asked without assuming normality and
+    immune to the Zipf-tail outliers that invalidate a t-test on
+    corpus data.  The AUC reading of U (P(a > b) + ½P(a = b)) is
+    the same common-language effect size classifier evals use.
+
+    Exactness: ranks come from a VALUE-KEYED count aggregate — the
+    corpus collapses to its distinct-value lattice (the X81
+    argument: the lattice, not the corpus, is what the cumulative
+    window walks), so there is no corpus-wide sort anywhere.  The
+    doubled-average-rank identity (X112): a value run with L
+    smaller values and t ties has 2·avg_rank = 2L + t + 1, an exact
+    integer; the doubled rank sum gives U2_a = R2_a − n_a(n_a+1)
+    exactly.  auc_ppm = (10⁶·U2_a) div (2·n_a·n_b).  The normal
+    approximation carries the full tie correction: z = (U2_a −
+    n_a·n_b) / (2·sqrt(A/B)) with A = n_a·n_b·((N+1)·N·(N−1) −
+    Σ(t³−t)) and B = 12·N·(N−1) both DECIMAL(38,0)-exact integers
+    (X111); the sqrt and one division are the only floating steps,
+    rounded to z_e6.  Degenerate inputs (either group empty, or all
+    values tied so A = 0) yield NULL z (X91).
+
+    Scale: one (group ∈ {a,b}) filtered value-keyed hash aggregate
+    with map-side combine, a cumulative window over the bounded
+    distinct-value table, and a 1-row final aggregate."""
+    v = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("ca"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("cb"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = v.select(
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("t"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0)
+        ).alias("lss"),
+    )
+    s = ranked.agg(
+        F.sum("ca").cast("decimal(38,0)").alias("na"),
+        F.sum("cb").cast("decimal(38,0)").alias("nb"),
+        F.sum(F.expr("ca * (2 * lss + t + 1)"))
+        .cast("decimal(38,0)")
+        .alias("r2a"),
+        F.sum(F.expr("CAST(t AS DECIMAL(38,0)) * t * t - t")).alias(
+            "ties3"
+        ),
+    )
+    u = s.select(
+        "na",
+        "nb",
+        "ties3",
+        F.expr("CAST(r2a - na * (na + 1) AS DECIMAL(38,0))").alias("__u2a"),
+    )
+    return u.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr("CAST(__u2a AS BIGINT)").alias("u2_a"),
+        F.expr("CAST(2 * na * nb - __u2a AS BIGINT)").alias("u2_b"),
+        F.expr(
+            "CASE WHEN na > 0 AND nb > 0 THEN "
+            "CAST((1000000 * __u2a) div (2 * na * nb) AS BIGINT) END"
+        ).alias("auc_ppm"),
+        F.expr(
+            "CASE WHEN na > 0 AND nb > 0 AND "
+            "na * nb * ((na + nb + 1) * (na + nb) * (na + nb - 1) - ties3) "
+            "> 0 THEN "
+            "CAST(round(1000000 * CAST(__u2a - na * nb AS DOUBLE) / "
+            "(2 * sqrt(CAST(na * nb * ((na + nb + 1) * (na + nb) * "
+            "(na + nb - 1) - ties3) AS DOUBLE) / "
+            "CAST(12 * (na + nb) * (na + nb - 1) AS DOUBLE)))) AS BIGINT) "
+            "END"
+        ).alias("z_e6"),
+    )

@@ -6130,3 +6130,47 @@ ORACLES["heaps_law_fit"] = f"""
             AS r2_e6
     FROM s
 """
+
+# X118 Mann-Whitney U (operators/aggregates.py: mann_whitney_u):
+# value-keyed counts, doubled-average-rank identity 2L + t + 1,
+# HUGEINT-exact U2 / AUC / tie-corrected variance pieces, floating
+# only in the final sqrt + division (same IEEE order as Spark).
+ORACLES["length_rank_test_en_zh"] = """
+    WITH v AS (
+        SELECT n_chars AS v,
+            COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ca,
+            COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS cb
+        FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1
+    ),
+    r AS (
+        SELECT ca, cb, ca + cb AS t,
+            COALESCE(SUM(ca + cb) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS lss
+        FROM v
+    ),
+    s AS (
+        SELECT CAST(SUM(ca) AS HUGEINT) AS na,
+            CAST(SUM(cb) AS HUGEINT) AS nb,
+            CAST(SUM(ca * (2 * lss + t + 1)) AS HUGEINT) AS r2a,
+            CAST(SUM(t::HUGEINT * t * t - t) AS HUGEINT) AS ties3
+        FROM r
+    ),
+    u AS (SELECT na, nb, ties3, r2a - na * (na + 1) AS u2a FROM s)
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST(u2a AS BIGINT) AS u2_a,
+        CAST(2 * na * nb - u2a AS BIGINT) AS u2_b,
+        CASE WHEN na > 0 AND nb > 0 THEN
+            CAST((1000000 * u2a) // (2 * na * nb) AS BIGINT) END
+            AS auc_ppm,
+        CASE WHEN na > 0 AND nb > 0 AND
+            na * nb * ((na + nb + 1) * (na + nb) * (na + nb - 1) - ties3)
+            > 0 THEN
+            CAST(round(1000000 * CAST(u2a - na * nb AS DOUBLE) /
+                (2 * sqrt(CAST(na * nb * ((na + nb + 1) * (na + nb) *
+                (na + nb - 1) - ties3) AS DOUBLE) /
+                CAST(12 * (na + nb) * (na + nb - 1) AS DOUBLE))))
+                AS BIGINT) END
+            AS z_e6
+    FROM u
+"""

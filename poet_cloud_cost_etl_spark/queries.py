@@ -4930,6 +4930,17 @@ def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heaps_law_fit(d, "doc_id", "text", n_buckets=16)
 
 
+@query("length_rank_test_en_zh")
+def q_length_rank_test_en_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118: exact Mann-Whitney U (operators/aggregates.py:
+    mann_whitney_u) — is the en length distribution shifted vs zh?
+    Rank test on the distinct-length lattice, tie-corrected z."""
+    from .operators.aggregates import mann_whitney_u
+
+    d = table(spark, sf_dir, "documents")
+    return mann_whitney_u(d, "lang", "n_chars", "en", "zh")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -245,3 +245,78 @@ def test_heaps_law_fit_bounded_windows(spark):
     # branch from the exploded source) and two column-pruned
     # doc_id-only scans for the broadcast id-range row
     assert plan.count("Scan parquet") <= 4
+
+
+def test_mann_whitney_u_python_reference(spark):
+    """X118 equals a pure-Python tie-corrected Mann-Whitney on a
+    mixed fixture (exact integers; z checked at e6)."""
+    import math
+
+    from poet_cloud_cost_etl_spark.operators.aggregates import mann_whitney_u
+
+    a = [5, 7, 7, 9, 12, 12, 12, 20]
+    b = [4, 5, 7, 8, 8, 10]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "i"]
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+
+    allv = sorted(a + b)
+    # doubled average rank per value
+    d2 = {}
+    for v in set(allv):
+        less = sum(1 for x in allv if x < v)
+        t = allv.count(v)
+        d2[v] = 2 * less + t + 1
+    r2a = sum(d2[v] for v in a)
+    na, nb, n = len(a), len(b), len(a) + len(b)
+    u2a = r2a - na * (na + 1)
+    ties3 = sum(
+        allv.count(v) ** 3 - allv.count(v) for v in set(allv)
+    )
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["u2_a"] == u2a and r["u2_b"] == 2 * na * nb - u2a
+    assert r["auc_ppm"] == (1000000 * u2a) // (2 * na * nb)
+    var = na * nb * ((n + 1) * n * (n - 1) - ties3) / (12 * n * (n - 1))
+    z = (u2a - na * nb) / (2 * math.sqrt(var))
+    assert abs(r["z_e6"] - round(1e6 * z)) <= 1
+
+
+def test_mann_whitney_u_identical_distributions(spark):
+    """X118: the same values in both groups -> AUC exactly 500000
+    ppm and z exactly 0."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import mann_whitney_u
+
+    vals = [3, 5, 5, 8, 13]
+    rows = [("a", v) for v in vals] + [("b", v) for v in vals]
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "i"]
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r["auc_ppm"] == 500000 and r["z_e6"] == 0
+
+
+def test_mann_whitney_u_complete_separation(spark):
+    """X118: every a above every b -> U2_b = 0, AUC = 1e6 ppm."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import mann_whitney_u
+
+    rows = [("a", v) for v in (10, 11, 12)] + [("b", v) for v in (1, 2)]
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "i"]
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r["u2_b"] == 0 and r["auc_ppm"] == 1000000
+
+
+def test_mann_whitney_u_all_tied_degenerate(spark):
+    """X118: every value identical -> zero variance -> z NULL, AUC
+    exactly 500000 (pure ties)."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import mann_whitney_u
+
+    rows = [("a", 7), ("a", 7), ("b", 7), ("b", 7), ("b", 7)]
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "i"]
+    )
+    r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+    assert r["z_e6"] is None and r["auc_ppm"] == 500000
