@@ -193,6 +193,7 @@ HEADLINE = [
     "source_mean_bootstrap_ci",
     "heaps_law_fit",
     "length_rank_test_en_zh",
+    "length_ks_test_en_zh",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

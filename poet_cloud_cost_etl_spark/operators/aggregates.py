@@ -629,3 +629,86 @@ def mann_whitney_u(
             "END"
         ).alias("z_e6"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """X119: exact two-sample Kolmogorov-Smirnov statistic — the
+    SHAPE-shift companion to X118's location test: D = max |F_a −
+    F_b| sees variance changes, bimodality, truncation — anything
+    that moves the CDFs apart — where a rank test only sees
+    stochastic dominance.  Run both: a source whose new crawl
+    passes the rank test but fails KS changed shape, not center.
+
+    Exactness: the corpus collapses to its distinct-value lattice
+    (X81/X118); empirical CDFs are cumulative integer counts, and D
+    is kept as the EXACT cross-multiplied integer d_num =
+    max |cum_a·n_b − cum_b·n_a| (denominator n_a·n_b) — no floating
+    CDF anywhere.  d_ppm = (10⁶·d_num) div (n_a·n_b).  The argmax
+    location reported is the SMALLEST value achieving the max
+    (deterministic tie-break), with the sign of F_a − F_b there.
+    The one floating step is the asymptotic lambda = D·sqrt(n_a·n_b
+    / (n_a+n_b)) (the Kolmogorov-distribution argument; lambda ≳
+    1.36 rejects at 5%), rounded to lambda_e6.  Either group empty
+    → NULLs (X91).
+
+    Scale: one filtered value-keyed hash aggregate, a cumulative
+    window over the bounded lattice, a broadcast 1-row max, and a
+    lattice-bounded argmax filter."""
+    v = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.count(F.when(F.col(group_col) == group_a, 1)).alias("ca"),
+            F.count(F.when(F.col(group_col) == group_b, 1)).alias("cb"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = Window.partitionBy()
+    cum = v.select(
+        "v",
+        F.sum("ca").over(w).alias("cuma"),
+        F.sum("cb").over(w).alias("cumb"),
+        F.sum("ca").over(tot).alias("na"),
+        F.sum("cb").over(tot).alias("nb"),
+    ).select(
+        "v",
+        "na",
+        "nb",
+        F.expr("cuma * nb - cumb * na").alias("diff"),
+    )
+    mx = cum.agg(F.max(F.abs("diff")).alias("d_num"))
+    at = (
+        cum.crossJoin(F.broadcast(mx))
+        .filter(F.abs(F.col("diff")) == F.col("d_num"))
+        .groupBy("na", "nb", "d_num")
+        .agg(
+            F.min("v").alias("d_at_value"),
+            F.expr("CAST(signum(min_by(diff, v)) AS INT)").alias("d_sign"),
+        )
+    )
+    return at.select(
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr(
+            "CASE WHEN na > 0 AND nb > 0 THEN "
+            "CAST((1000000 * d_num) div (na * nb) AS BIGINT) END"
+        ).alias("d_ppm"),
+        "d_at_value",
+        "d_sign",
+        F.expr(
+            "CASE WHEN na > 0 AND nb > 0 THEN "
+            "CAST(round(1000000 * CAST(d_num AS DOUBLE) / "
+            "CAST(na * nb AS DOUBLE) * "
+            "sqrt(CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE))) "
+            "AS BIGINT) END"
+        ).alias("lambda_e6"),
+    )

@@ -6174,3 +6174,46 @@ ORACLES["length_rank_test_en_zh"] = """
             AS z_e6
     FROM u
 """
+
+# X119 two-sample KS (operators/aggregates.py: ks_two_sample):
+# cumulative lattice counts, D kept as the exact cross-multiplied
+# integer max |cum_a*n_b - cum_b*n_a|, argmax at the smallest value
+# (deterministic tie-break), floating only in lambda.
+ORACLES["length_ks_test_en_zh"] = """
+    WITH v AS (
+        SELECT n_chars AS v,
+            COUNT(CASE WHEN lang = 'en' THEN 1 END) AS ca,
+            COUNT(CASE WHEN lang = 'zh' THEN 1 END) AS cb
+        FROM documents WHERE lang IN ('en', 'zh') GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+            SUM(ca) OVER (ORDER BY v) AS cuma,
+            SUM(cb) OVER (ORDER BY v) AS cumb,
+            SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+        FROM v
+    ),
+    d AS (
+        SELECT v, na, nb, cuma * nb - cumb * na AS diff FROM cum
+    ),
+    mx AS (SELECT MAX(abs(diff)) AS d_num FROM d),
+    at AS (
+        SELECT d.na, d.nb, m.d_num,
+            MIN(d.v) AS d_at_value,
+            CAST(sign(min_by(d.diff, d.v)) AS INTEGER) AS d_sign
+        FROM d, mx m WHERE abs(d.diff) = m.d_num
+        GROUP BY d.na, d.nb, m.d_num
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        CAST(d_num AS BIGINT) AS d_num,
+        CASE WHEN na > 0 AND nb > 0 THEN
+            CAST((1000000 * d_num) // (na * nb) AS BIGINT) END AS d_ppm,
+        d_at_value,
+        d_sign,
+        CASE WHEN na > 0 AND nb > 0 THEN
+            CAST(round(1000000 * CAST(d_num AS DOUBLE) /
+                CAST(na * nb AS DOUBLE) *
+                sqrt(CAST(na * nb AS DOUBLE) / CAST(na + nb AS DOUBLE)))
+                AS BIGINT) END AS lambda_e6
+    FROM at
+"""

@@ -4941,6 +4941,18 @@ def q_length_rank_test_en_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_whitney_u(d, "lang", "n_chars", "en", "zh")
 
 
+@query("length_ks_test_en_zh")
+def q_length_ks_test_en_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119: exact two-sample Kolmogorov-Smirnov
+    (operators/aggregates.py: ks_two_sample) — the shape-shift
+    companion to X118 on the same en-vs-zh length comparison;
+    cross-multiplied integer CDFs, no floating CDF anywhere."""
+    from .operators.aggregates import ks_two_sample
+
+    d = table(spark, sf_dir, "documents")
+    return ks_two_sample(d, "lang", "n_chars", "en", "zh")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

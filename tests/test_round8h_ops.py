@@ -320,3 +320,55 @@ def test_mann_whitney_u_all_tied_degenerate(spark):
     )
     r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
     assert r["z_e6"] is None and r["auc_ppm"] == 500000
+
+
+def test_ks_two_sample_python_reference(spark):
+    """X119 equals a pure-Python exact KS on a mixed fixture."""
+    import math
+
+    from poet_cloud_cost_etl_spark.operators.aggregates import ks_two_sample
+
+    a = [1, 3, 3, 5, 9, 14, 14]
+    b = [2, 3, 6, 6, 10]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "i"]
+    )
+    r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+
+    na, nb = len(a), len(b)
+    lattice = sorted(set(a + b))
+    best, at, sign = -1, None, 0
+    for v in lattice:
+        ca = sum(1 for x in a if x <= v)
+        cb = sum(1 for x in b if x <= v)
+        diff = ca * nb - cb * na
+        if abs(diff) > best:
+            best, at, sign = abs(diff), v, (diff > 0) - (diff < 0)
+    assert r["n_a"] == na and r["n_b"] == nb
+    assert r["d_num"] == best and r["d_at_value"] == at
+    assert r["d_sign"] == sign
+    assert r["d_ppm"] == (1000000 * best) // (na * nb)
+    lam = 1e6 * best / (na * nb) * math.sqrt(na * nb / (na + nb))
+    assert abs(r["lambda_e6"] - round(lam)) <= 1
+
+
+def test_ks_two_sample_identical_and_disjoint(spark):
+    """X119: identical samples -> D = 0 (sign 0 at the smallest
+    value); disjoint supports -> d_ppm = 1e6 exactly."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import ks_two_sample
+
+    same = [("a", v) for v in (2, 4, 6)] + [("b", v) for v in (2, 4, 6)]
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(same)], ["g", "v", "i"]
+    )
+    r = ks_two_sample(df, "g", "v", "a", "b").collect()[0]
+    assert r["d_num"] == 0 and r["d_at_value"] == 2 and r["d_sign"] == 0
+
+    dis = [("a", v) for v in (1, 2)] + [("b", v) for v in (8, 9, 10)]
+    df2 = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(dis)], ["g", "v", "i"]
+    )
+    r2 = ks_two_sample(df2, "g", "v", "a", "b").collect()[0]
+    assert r2["d_ppm"] == 1000000 and r2["d_at_value"] == 2
+    assert r2["d_sign"] == 1
