@@ -194,6 +194,7 @@ HEADLINE = [
     "heaps_law_fit",
     "length_rank_test_en_zh",
     "length_ks_test_en_zh",
+    "multimodal_wav_info",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

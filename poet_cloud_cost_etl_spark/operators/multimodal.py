@@ -224,3 +224,66 @@ def image_header_dims(df: DataFrame, id_col: str, payload_col: str) -> DataFrame
         height.cast("long").alias("height"),
         n_bytes.cast("long").alias("n_bytes"),
     )
+
+
+def wav_header_info(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """X121: audio stream parameters from WAV HEADER BYTES — channel
+    count, sample rate, bit depth, frame count, and duration straight
+    out of the RIFF/WAVE fmt+data chunks (canonical 44-byte PCM
+    layout: channels @23-24 LE, sample rate @25-28 LE, bits @35-36
+    LE, data size @41-44 LE) with substring+hex+conv inside codegen —
+    the audio twin of X109: a 100 TB audio ingest filters on
+    duration/rate/channels long before any decode, and reading 44
+    header bytes is ~10⁵× cheaper than decoding a waveform.  No
+    codec, no UDF, ZERO shuffle (the X76/X109 discipline).
+
+    Only the canonical contiguous-fmt PCM layout is parsed (fmt
+    chunk at offset 13 with size 16, 'data' at offset 37) — WAVs
+    with extension chunks yield is_canonical_wav = false and NULL
+    params rather than misread values; the reject-rate is auditable.
+
+    Exactness: n_frames = (8·data_size) div (channels·bits) and
+    duration_ms = (1000·8·data_size) div (rate·channels·bits) — two
+    exact integer divisions, no floating seconds anywhere.
+
+    Scale: one narrow projection — ZERO shuffle, header-prefix
+    prunable."""
+
+    def le(start: int, n: int) -> str:
+        # per-byte weighted sum (reverse() on BINARY mangles bytes —
+        # the X109 note)
+        terms = " + ".join(
+            f"{256 ** i} * CAST(conv(hex(substring({payload_col}, "
+            f"{start + i}, 1)), 16, 10) AS BIGINT)"
+            for i in range(n)
+        )
+        return f"({terms})"
+
+    hx = f"upper(hex(substring({payload_col}, 1, 44)))"
+    wav = (
+        f"(substring({hx}, 1, 8) = '52494646' AND "
+        f"substring({hx}, 17, 8) = '57415645' AND "
+        f"octet_length({payload_col}) >= 44)"
+    )
+    canon = (
+        f"({wav} AND substring({hx}, 25, 8) = '666D7420' AND "
+        f"substring({hx}, 33, 8) = '10000000' AND "
+        f"substring({hx}, 73, 8) = '64617461')"
+    )
+    ch, rate, bits, dsize = le(23, 2), le(25, 4), le(35, 2), le(41, 4)
+    ok = f"({canon} AND {ch} > 0 AND {rate} > 0 AND {bits} > 0)"
+    return df.select(
+        F.col(id_col),
+        F.expr(wav).alias("is_wav"),
+        F.expr(ok).alias("is_canonical_wav"),
+        F.expr(f"CASE WHEN {ok} THEN {ch} END").alias("channels"),
+        F.expr(f"CASE WHEN {ok} THEN {rate} END").alias("sample_rate_hz"),
+        F.expr(f"CASE WHEN {ok} THEN {bits} END").alias("bits_per_sample"),
+        F.expr(
+            f"CASE WHEN {ok} THEN (8 * {dsize}) div ({ch} * {bits}) END"
+        ).alias("n_frames"),
+        F.expr(
+            f"CASE WHEN {ok} THEN (8000 * {dsize}) div "
+            f"({rate} * {ch} * {bits}) END"
+        ).alias("duration_ms"),
+    )

@@ -6217,3 +6217,30 @@ ORACLES["length_ks_test_en_zh"] = """
                 AS BIGINT) END AS lambda_e6
     FROM at
 """
+
+# X121 WAV header info (operators/multimodal.py: wav_header_info):
+# the oracle does NOT re-parse bytes — it derives every expected
+# value independently from the same doc_id formulas the query packs
+# into the header, so an error in Spark's byte packing OR parsing
+# mismatches (stronger than a mirrored parse).
+ORACLES["multimodal_wav_info"] = """
+    SELECT doc_id,
+        doc_id % 4 != 3 AS is_wav,
+        doc_id % 4 != 3 AS is_canonical_wav,
+        CASE WHEN doc_id % 4 != 3 THEN
+            CAST(1 + doc_id % 2 AS BIGINT) END AS channels,
+        CASE WHEN doc_id % 4 != 3 THEN
+            CAST(8000 + (doc_id % 5) * 2000 AS BIGINT) END
+            AS sample_rate_hz,
+        CASE WHEN doc_id % 4 != 3 THEN
+            CAST(8 * (1 + doc_id % 3) AS BIGINT) END AS bits_per_sample,
+        CASE WHEN doc_id % 4 != 3 THEN
+            CAST((8 * (800 + (doc_id * 13) % 4000)) //
+                ((1 + doc_id % 2) * 8 * (1 + doc_id % 3)) AS BIGINT) END
+            AS n_frames,
+        CASE WHEN doc_id % 4 != 3 THEN
+            CAST((8000 * (800 + (doc_id * 13) % 4000)) //
+                ((8000 + (doc_id % 5) * 2000) * (1 + doc_id % 2) *
+                 (8 * (1 + doc_id % 3))) AS BIGINT) END AS duration_ms
+    FROM documents ORDER BY doc_id
+"""

@@ -4953,6 +4953,54 @@ def q_length_ks_test_en_zh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_two_sample(d, "lang", "n_chars", "en", "zh")
 
 
+@query("multimodal_wav_info")
+def q_multimodal_wav_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X121: WAV header audio parameters (operators/multimodal.py:
+    wav_header_info) — deterministic payloads carrying REAL 44-byte
+    canonical RIFF/WAVE headers with doc-id-derived parameters
+    (residue 3 gets plain text), parsed back from the bytes alone.
+    The oracle derives the expected values INDEPENDENTLY from the
+    doc_id formulas, so a byte-packing or parsing error on either
+    leg mismatches."""
+    from .operators.multimodal import wav_header_info
+
+    d = table(spark, sf_dir, "documents")
+    ch = "(1 + doc_id % 2)"
+    rate = "(8000 + (doc_id % 5) * 2000)"
+    bits = "(8 * (1 + doc_id % 3))"
+    dsize = "(800 + (doc_id * 13) % 4000)"
+
+    def le2(v: str) -> str:
+        return (
+            f"unhex(concat(lpad(hex({v} % 256), 2, '0'), "
+            f"lpad(hex(({v} div 256) % 256), 2, '0')))"
+        )
+
+    def le4(v: str) -> str:
+        return (
+            f"unhex(concat(lpad(hex({v} % 256), 2, '0'), "
+            f"lpad(hex(({v} div 256) % 256), 2, '0'), "
+            f"lpad(hex(({v} div 65536) % 256), 2, '0'), "
+            f"lpad(hex(({v} div 16777216) % 256), 2, '0')))"
+        )
+
+    wav = (
+        f"concat(X'52494646', {le4(f'(36 + {dsize})')}, X'57415645', "
+        f"X'666D7420', X'10000000', X'0100', {le2(ch)}, {le4(rate)}, "
+        f"{le4(f'({rate} * {ch} * {bits} div 8)')}, "
+        f"{le2(f'({ch} * {bits} div 8)')}, {le2(bits)}, "
+        f"X'64617461', {le4(dsize)})"
+    )
+    payload = d.select(
+        "doc_id",
+        F.expr(
+            f"CASE WHEN doc_id % 4 = 3 THEN CAST('not audio' AS BINARY) "
+            f"ELSE {wav} END"
+        ).alias("payload"),
+    )
+    return wav_header_info(payload, "doc_id", "payload").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

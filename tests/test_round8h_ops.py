@@ -372,3 +372,72 @@ def test_ks_two_sample_identical_and_disjoint(spark):
     r2 = ks_two_sample(df2, "g", "v", "a", "b").collect()[0]
     assert r2["d_ppm"] == 1000000 and r2["d_at_value"] == 2
     assert r2["d_sign"] == 1
+
+
+def test_wav_header_info_stdlib_wave_reference(spark):
+    """X121 parses a REAL WAV produced by Python's stdlib wave
+    module (independent byte-layout implementation)."""
+    import io
+    import wave
+
+    from poet_cloud_cost_etl_spark.operators.multimodal import wav_header_info
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)  # 16-bit
+        w.setframerate(44100)
+        w.writeframes(b"\x00\x01\x02\x03" * 441)  # 441 frames
+    payload = buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"not a wav at all......."))],
+        "id LONG, payload BINARY",
+    )
+    out = {r["id"]: r for r in wav_header_info(df, "id", "payload").collect()}
+    r = out[1]
+    assert r["is_wav"] and r["is_canonical_wav"]
+    assert r["channels"] == 2
+    assert r["sample_rate_hz"] == 44100
+    assert r["bits_per_sample"] == 16
+    assert r["n_frames"] == 441
+    assert r["duration_ms"] == (8000 * 441 * 4) // (44100 * 2 * 16)
+    r2 = out[2]
+    assert not r2["is_wav"] and r2["channels"] is None
+
+
+def test_wav_header_info_rejects_extended_fmt(spark):
+    """X121: a WAVE whose fmt chunk is not the canonical 16-byte PCM
+    layout is flagged is_wav but NOT canonical (params NULL, never
+    misread)."""
+    import struct
+
+    from poet_cloud_cost_etl_spark.operators.multimodal import wav_header_info
+
+    # fmt size 18 (extended) shifts 'data'; parser must refuse
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8) + b"\x00\x00"
+    payload = (
+        b"RIFF" + struct.pack("<I", 40 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    )
+    df = spark.createDataFrame([(1, bytearray(payload))], "id LONG, payload BINARY")
+    r = wav_header_info(df, "id", "payload").collect()[0]
+    assert r["is_wav"] and not r["is_canonical_wav"]
+    assert r["sample_rate_hz"] is None
+
+
+def test_wav_header_info_zero_shuffle(spark):
+    """X121 is one narrow projection: no Exchange before the (query-
+    level) orderBy; the operator itself plans shuffle-free."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.multimodal import wav_header_info
+
+    d = table(spark, "/root/testdata/sf0.001", "documents").selectExpr(
+        "doc_id", "CAST(text AS BINARY) AS payload"
+    )
+    plan = (
+        wav_header_info(d, "doc_id", "payload")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
