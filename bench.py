@@ -195,6 +195,7 @@ HEADLINE = [
     "length_rank_test_en_zh",
     "length_ks_test_en_zh",
     "multimodal_wav_info",
+    "doc_span_merge",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

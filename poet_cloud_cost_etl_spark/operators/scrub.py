@@ -78,3 +78,72 @@ def k_anonymity_audit(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         (F.count(F.lit(1)) >= int(k)).alias("anonymous"),
     )
+
+
+def merge_spans(
+    df: DataFrame,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    gap: int = 0,
+) -> DataFrame:
+    """X122: span coalescing (the gaps-and-islands pattern) — merge
+    overlapping or near-adjacent half-open [start, end) character
+    spans per document into maximal intervals.  This is the
+    primitive between span DETECTION and span ACTION: X66's
+    duplicated-substring positions, this module's PII matches, or a
+    toxicity tagger all emit overlapping fragments, and the rewrite
+    /loss-mask/redaction step needs disjoint maximal regions
+    (masking the same bytes twice corrupts offsets; two abutting
+    redactions should be one).  ``gap`` merges spans separated by
+    at most that many characters (0 = only touching/overlapping).
+
+    Semantics: a span opens a new island iff its start exceeds
+    gap + the running maximum end of all earlier spans (ordered by
+    (start, end) — the end tie-break makes island numbering
+    deterministic under duplicate starts); island id = cumulative
+    count of openers.  Empty/inverted spans (end ≤ start) are
+    dropped before merging.  All arithmetic integer-exact.
+
+    Output: one row per merged interval — (id, span_start,
+    span_end, n_merged), ordered for display.
+
+    Scale: ONE shuffle on the document key; both windows (running
+    max, cumulative island count) share that partitioning so
+    Catalyst plans a single Exchange; the final interval aggregate
+    re-uses the same (id, island) key prefix.  Per-doc span counts
+    are bounded by text length — no skew beyond document size
+    itself."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(start_col).cast("long").alias("s"),
+        F.col(end_col).cast("long").alias("e"),
+    ).filter("e > s")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = Window.partitionBy("id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = base.withColumn(
+        "__new",
+        F.when(
+            F.col("s") > F.coalesce(F.max("e").over(w), F.lit(-(2**62)))
+            + F.lit(gap),
+            1,
+        ).otherwise(0),
+    ).withColumn("__island", F.sum("__new").over(wc))
+    return (
+        flagged.groupBy("id", "__island")
+        .agg(
+            F.min("s").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .select("id", "span_start", "span_end", "n_merged")
+        .orderBy("id", "span_start")
+    )

@@ -6244,3 +6244,36 @@ ORACLES["multimodal_wav_info"] = """
                  (8 * (1 + doc_id % 3))) AS BIGINT) END AS duration_ms
     FROM documents ORDER BY doc_id
 """
+
+# X122 span merge (operators/scrub.py: merge_spans): same
+# deterministic span generation, textbook gaps-and-islands — new
+# island iff s > gap + running max(e) over earlier (s, e)-ordered
+# spans, island id = cumulative opener count.
+ORACLES["doc_span_merge"] = """
+    WITH spans AS (
+        SELECT doc_id,
+            (doc_id * 7 + j * 13) % n_chars AS s,
+            (doc_id * 7 + j * 13) % n_chars + 5 + doc_id % 11 AS e
+        FROM documents, UNNEST(range(0, doc_id % 4 + 1)) AS u(j)
+    ),
+    flagged AS (
+        SELECT doc_id, s, e,
+            CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+                ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND
+                1 PRECEDING), -4611686018427387904) + 2
+                THEN 1 ELSE 0 END AS nw
+        FROM spans WHERE e > s
+    ),
+    isl AS (
+        SELECT doc_id, s, e,
+            SUM(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS island
+        FROM flagged
+    )
+    SELECT doc_id AS id, CAST(MIN(s) AS BIGINT) AS span_start,
+        CAST(MAX(e) AS BIGINT) AS span_end,
+        CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM isl GROUP BY doc_id, island
+    ORDER BY id, span_start
+"""

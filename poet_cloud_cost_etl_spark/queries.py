@@ -5001,6 +5001,29 @@ def q_multimodal_wav_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wav_header_info(payload, "doc_id", "payload").orderBy("doc_id")
 
 
+@query("doc_span_merge")
+def q_doc_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X122: span coalescing (operators/scrub.py: merge_spans) —
+    deterministic doc-id-derived overlapping char spans merged into
+    maximal intervals with gap tolerance 2; the redaction/loss-mask
+    primitive."""
+    from .operators.scrub import merge_spans
+
+    d = table(spark, sf_dir, "documents")
+    spans = d.select(
+        "doc_id",
+        F.expr("explode(sequence(0, CAST(doc_id % 4 AS INT)))").alias("j"),
+        "n_chars",
+    ).select(
+        "doc_id",
+        F.expr("(doc_id * 7 + j * 13) % n_chars").alias("s"),
+        F.expr("(doc_id * 7 + j * 13) % n_chars + 5 + doc_id % 11").alias(
+            "e"
+        ),
+    )
+    return merge_spans(spans, "doc_id", "s", "e", gap=2)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -441,3 +441,55 @@ def test_wav_header_info_zero_shuffle(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan
+
+
+def test_merge_spans_semantics(spark):
+    """X122: overlap, adjacency-within-gap, distinct islands,
+    inverted-span drop, containment."""
+    from poet_cloud_cost_etl_spark.operators.scrub import merge_spans
+
+    df = spark.createDataFrame(
+        [
+            # doc 1: [0,5) + [3,9) overlap; [11,14) within gap 2 of 9;
+            # [20,25) separate island; [21,22) contained
+            (1, 0, 5), (1, 3, 9), (1, 11, 14), (1, 20, 25), (1, 21, 22),
+            # doc 2: inverted span dropped entirely
+            (2, 7, 7), (2, 1, 4),
+        ],
+        ["doc", "s", "e"],
+    )
+    out = [
+        (r["id"], r["span_start"], r["span_end"], r["n_merged"])
+        for r in merge_spans(df, "doc", "s", "e", gap=2).collect()
+    ]
+    assert out == [(1, 0, 14, 3), (1, 20, 25, 2), (2, 1, 4, 1)]
+
+
+def test_merge_spans_gap_zero_touching(spark):
+    """X122: with gap 0, [0,5) and [5,8) merge (half-open adjacency)
+    but [0,5) and [6,8) do not."""
+    from poet_cloud_cost_etl_spark.operators.scrub import merge_spans
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 5, 8), (2, 0, 5), (2, 6, 8)], ["doc", "s", "e"]
+    )
+    out = {
+        (r["id"], r["span_start"]): r["span_end"]
+        for r in merge_spans(df, "doc", "s", "e", gap=0).collect()
+    }
+    assert out == {(1, 0): 8, (2, 0): 5, (2, 6): 8}
+
+
+def test_merge_spans_one_exchange(spark):
+    """X122's two windows + interval aggregate share the doc-key
+    partitioning: exactly one hash Exchange before the display sort."""
+    from poet_cloud_cost_etl_spark.operators.scrub import merge_spans
+
+    df = spark.createDataFrame(
+        [(1, 0, 5), (1, 3, 9)], ["doc", "s", "e"]
+    )
+    plan = (
+        merge_spans(df, "doc", "s", "e")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
