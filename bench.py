@@ -196,6 +196,7 @@ HEADLINE = [
     "length_ks_test_en_zh",
     "multimodal_wav_info",
     "doc_span_merge",
+    "embedding_mmr_select",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

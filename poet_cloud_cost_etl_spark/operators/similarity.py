@@ -914,3 +914,110 @@ def similarity_profile(
         )
         .orderBy("bin")
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    probe_vec_sql: str,
+    k: int = 6,
+    shortlist: int = 24,
+    lambda_x10: int = 7,
+) -> DataFrame:
+    """X120: Maximal Marginal Relevance selection (Carbonell &
+    Goldstein, SIGIR 1998) — pick k items that are RELEVANT to a
+    probe but DIVERSE among themselves: round i selects argmax
+    λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s).  Pure top-k by relevance
+    returns k near-duplicates of the best hit; every RAG retriever,
+    few-shot-example picker, and eval-set sampler needs exactly this
+    de-redundancy step, and at corpus scale it must run inside the
+    engine.
+
+    Two-phase shape (the standard production split): the DISTRIBUTED
+    phase scores the whole corpus against the probe and takes a
+    ``shortlist``-sized head via orderBy+limit (compiles to
+    TakeOrderedAndProject — each partition forwards only its top
+    ``shortlist`` rows, the O3 discipline); the greedy phase then
+    runs as ``k`` unrolled stages over that bounded table — each
+    round is a broadcast of the 1-row selection + a greatest()
+    update of each candidate's max-sim-to-selected + a LIMIT-1
+    argmax.  Every round's candidate table is lazily
+    localCheckpoint-ed (the X7 connected-components convention):
+    without the cut, round i's lineage replays rounds 1..i-1 and
+    the unrolled plan grows quadratically in k.  No driver
+    collect() anywhere: the loop is plan construction, not data
+    movement.
+
+    Determinism/exactness: similarities use the house cosine rounded
+    to 6 decimals, then scaled to e6 integers; the MMR score is kept
+    ×10 — score_x10_e6 = λ₁₀·rel_e6 − (10−λ₁₀)·maxsim_e6 — so it is
+    a PURE integer with no division at all (Spark div truncates
+    toward zero, DuckDB // floors; on the negative scores diversity
+    penalties produce, those diverge — not dividing sidesteps the
+    trap entirely and the ordering is identical).  Tie-break
+    (score desc, id asc).  Round 1 has no selected set: score =
+    10·rel_e6 (the standard MMR convention).
+
+    Scale: corpus work is ONE scan + one bounded top-k; the k·C
+    greedy work is independent of corpus size."""
+    rel = (
+        f"CAST(round(round({_COS_SQL.format(a=vec_col, b=probe_vec_sql)}, 6)"
+        " * 1000000) AS BIGINT)"
+    )
+    scored = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.expr(rel).alias("rel_e6"),
+    )
+    cand = (
+        scored.orderBy(F.col("rel_e6").desc(), F.col("id").asc())
+        .limit(shortlist)
+        .select("id", "vec", "rel_e6", F.lit(None).cast("long").alias("maxsim_e6"))
+        .localCheckpoint(eager=False)
+    )
+    score = (
+        f"CASE WHEN maxsim_e6 IS NULL THEN 10 * rel_e6 ELSE "
+        f"{lambda_x10} * rel_e6 - {10 - lambda_x10} * maxsim_e6 END"
+    )
+    picks = []
+    for i in range(1, k + 1):
+        sel = (
+            cand.withColumn("score_x10_e6", F.expr(score))
+            .orderBy(F.col("score_x10_e6").desc(), F.col("id").asc())
+            .limit(1)
+        )
+        picks.append(
+            sel.select(
+                F.lit(i).alias("rank"),
+                "id",
+                "rel_e6",
+                "maxsim_e6",
+                "score_x10_e6",
+            )
+        )
+        if i < k:
+            selv = sel.select(
+                F.col("id").alias("__sid"), F.col("vec").alias("__svec")
+            )
+            sim = (
+                f"CAST(round(round({_COS_SQL.format(a='vec', b='__svec')}, 6)"
+                " * 1000000) AS BIGINT)"
+            )
+            cand = (
+                cand.crossJoin(F.broadcast(selv))
+                .filter(F.col("id") != F.col("__sid"))
+                .select(
+                    "id",
+                    "vec",
+                    "rel_e6",
+                    F.expr(f"greatest(coalesce(maxsim_e6, {sim}), {sim})").alias(
+                        "maxsim_e6"
+                    ),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("rank")

@@ -6277,3 +6277,60 @@ ORACLES["doc_span_merge"] = """
     FROM isl GROUP BY doc_id, island
     ORDER BY id, span_start
 """
+
+
+# X120 MMR selection (operators/similarity.py: mmr_select): the
+# greedy rounds are UNROLLED into a CTE chain generated by the same
+# loop shape as the Spark plan construction — round-6 cosine scaled
+# to e6, score kept x10 (no division: Spark div truncates, DuckDB
+# // floors; negative diversity-penalized scores would diverge).
+def _mmr_oracle(k: int = 6, shortlist: int = 24, lam: int = 7) -> str:
+    sim = (
+        "CAST(round(ROUND(list_cosine_similarity(CAST(c.vec AS DOUBLE[]), "
+        "CAST(s.vec AS DOUBLE[])), 6) * 1000000) AS BIGINT)"
+    )
+    parts = [
+        f"""probe AS (
+        SELECT embedding AS pv FROM embeddings ORDER BY vec_id LIMIT 1
+    ),
+    scored AS (
+        SELECT vec_id AS id, embedding AS vec,
+            CAST(round(ROUND(list_cosine_similarity(
+                CAST(embedding AS DOUBLE[]), CAST(p.pv AS DOUBLE[])), 6)
+                * 1000000) AS BIGINT) AS rel_e6
+        FROM embeddings, probe p WHERE vec_id > 0
+    ),
+    cand1 AS (
+        SELECT id, vec, rel_e6, CAST(NULL AS BIGINT) AS maxsim_e6
+        FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY rel_e6 DESC, id ASC)
+              AS r FROM scored) t WHERE r <= {shortlist}
+    )"""
+    ]
+    score = (
+        f"CASE WHEN maxsim_e6 IS NULL THEN 10 * rel_e6 "
+        f"ELSE {lam} * rel_e6 - {10 - lam} * maxsim_e6 END"
+    )
+    for i in range(1, k + 1):
+        parts.append(
+            f"""sel{i} AS (
+        SELECT {i} AS "rank", id, vec, rel_e6, maxsim_e6,
+            {score} AS score_x10_e6
+        FROM cand{i} ORDER BY score_x10_e6 DESC, id ASC LIMIT 1
+    )"""
+        )
+        if i < k:
+            parts.append(
+                f"""cand{i + 1} AS (
+        SELECT c.id, c.vec, c.rel_e6,
+            greatest(coalesce(c.maxsim_e6, {sim}), {sim}) AS maxsim_e6
+        FROM cand{i} c, sel{i} s WHERE c.id != s.id
+    )"""
+            )
+    union = " UNION ALL ".join(
+        f'SELECT "rank", id, rel_e6, maxsim_e6, score_x10_e6 FROM sel{i}'
+        for i in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + f' {union} ORDER BY "rank"'
+
+
+ORACLES["embedding_mmr_select"] = _mmr_oracle()

@@ -5024,6 +5024,23 @@ def q_doc_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_spans(spans, "doc_id", "s", "e", gap=2)
 
 
+@query("embedding_mmr_select")
+def q_embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120: MMR diverse top-k (operators/similarity.py: mmr_select)
+    — 6 relevant-but-diverse vectors for the vec_id-0 probe from a
+    24-deep relevance shortlist; the RAG/few-shot de-redundancy
+    selection, greedy rounds unrolled as plan stages (no driver
+    collect)."""
+    from .operators.similarity import mmr_select
+
+    e = table(spark, sf_dir, "embeddings")
+    probe = (
+        e.orderBy("vec_id").limit(1).select(F.col("embedding").alias("__probe"))
+    )
+    base = e.filter("vec_id > 0").crossJoin(F.broadcast(probe))
+    return mmr_select(base, "vec_id", "embedding", "__probe", k=6, shortlist=24)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -493,3 +493,90 @@ def test_merge_spans_one_exchange(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mmr_select_python_reference(spark):
+    """X120 equals a pure-Python greedy MMR (round-6 cosine, e6
+    integers, x10 score, id tie-break) on a deterministic set."""
+    import math
+
+    from poet_cloud_cost_etl_spark.operators.similarity import mmr_select
+
+    vecs = {
+        i: [math.sin(i * 3 + d) for d in range(8)] for i in range(1, 13)
+    }
+    probe = [math.sin(d) for d in range(8)]
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        da = math.sqrt(sum(x * x for x in a))
+        db = math.sqrt(sum(x * x for x in b))
+        return round(round(num / (da * db), 6) * 1e6)
+
+    df = spark.createDataFrame(
+        [(i, v, probe) for i, v in vecs.items()],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, __probe ARRAY<DOUBLE>",
+    )
+    got = [
+        (r["rank"], r["id"], r["score_x10_e6"])
+        for r in mmr_select(
+            df, "vec_id", "embedding", "__probe", k=4, shortlist=8
+        ).collect()
+    ]
+
+    rel = {i: cos(v, probe) for i, v in vecs.items()}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:8]
+    maxsim = {i: None for i in cand}
+    exp = []
+    for rank in range(1, 5):
+        def sc(i):
+            return (
+                10 * rel[i]
+                if maxsim[i] is None
+                else 7 * rel[i] - 3 * maxsim[i]
+            )
+        pick = min((i for i in maxsim), key=lambda i: (-sc(i), i))
+        exp.append((rank, pick, sc(pick)))
+        del maxsim[pick]
+        for i in maxsim:
+            s = cos(vecs[i], vecs[pick])
+            maxsim[i] = s if maxsim[i] is None else max(maxsim[i], s)
+    assert got == exp
+
+
+def test_mmr_select_breaks_up_duplicate_cluster(spark):
+    """X120: three exact copies of the most relevant vector — pure
+    top-3 would return all three; MMR's diversity penalty (sim =
+    1e6 to a selected copy) must pick the orthogonal vector second."""
+    from poet_cloud_cost_etl_spark.operators.similarity import mmr_select
+
+    best = [1.0, 0.0, 0.0, 0.0]
+    orth = [0.0, 1.0, 0.0, 0.1]
+    rows = [(1, best), (2, best), (3, best), (4, orth)]
+    df = spark.createDataFrame(
+        [(i, v, [1.0, 0.05, 0.0, 0.0]) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, __probe ARRAY<DOUBLE>",
+    )
+    got = [
+        r["id"]
+        for r in mmr_select(
+            df, "vec_id", "embedding", "__probe", k=2, shortlist=4,
+            lambda_x10=3,
+        ).collect()
+    ]
+    assert got == [1, 4]
+
+
+def test_mmr_select_shortlist_take_ordered(spark):
+    """X120's distributed phase: the relevance shortlist compiles to
+    TakeOrderedAndProject (each partition forwards only its top-C
+    rows — the O3 discipline), and the checkpointed unroll keeps
+    the plan linear: no Window node anywhere."""
+    from poet_cloud_cost_etl_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["embedding_mmr_select"](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
