@@ -197,6 +197,7 @@ HEADLINE = [
     "multimodal_wav_info",
     "doc_span_merge",
     "embedding_mmr_select",
+    "conformal_value_bound",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

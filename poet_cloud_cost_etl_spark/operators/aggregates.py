@@ -712,3 +712,76 @@ def ks_two_sample(
             "AS BIGINT) END"
         ).alias("lambda_e6"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    alpha_ppm: int = 100000,
+) -> DataFrame:
+    """X123: split-conformal calibration bound per group (Vovk et
+    al.; Angelopoulos & Bates 2023 tutorial form) — the
+    distribution-free threshold with a finite-sample guarantee: if
+    q̂ is the ceil((n+1)(1−α))-th smallest calibration score, then
+    a fresh exchangeable score exceeds q̂ with probability ≤ α.
+    This is how a quality/anomaly gate gets an honest operating
+    point per source: X81's PR curve picks a threshold for
+    accuracy, this one guarantees COVERAGE — and on a small stratum
+    it says "impossible" (NULL) instead of fabricating certainty
+    (when ceil((n+1)(1−α)) > n no finite threshold delivers the
+    guarantee — the X91 degenerate convention).
+
+    Exactness: the rank is the pure-integer ceil
+    ((n+1)·(10⁶−alpha_ppm) + 10⁶ − 1) div 10⁶; q̂ is an exact order
+    statistic — the SMALLEST score whose cumulative count reaches
+    the rank (the X107 boundary pick, value-lattice cumulative
+    counts, no percentile interpolation); achieved_ppm re-reports
+    the realized calibration coverage (10⁶·cum at q̂) div n.
+
+    Scale: one (group, score) hash aggregate with map-side combine;
+    the cumulative window walks each group's distinct-score lattice
+    (X81/X118 argument), and the boundary pick is a lattice-bounded
+    aggregate.  One shuffle on the group key."""
+    from pyspark.sql.window import Window
+
+    vc = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(score_col).alias("v")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy("grp")
+    cum = vc.select(
+        "grp",
+        "v",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wg).alias("n"),
+    ).withColumn(
+        "rank_needed",
+        F.expr(
+            f"((n + 1) * (1000000 - {alpha_ppm}) + 999999) div 1000000"
+        ),
+    )
+    return (
+        cum.groupBy("grp", "n", "rank_needed")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("rank_needed"), F.col("v"))).alias(
+                "q_hat"
+            ),
+            F.min(
+                F.when(F.col("cum") >= F.col("rank_needed"), F.col("cum"))
+            ).alias("__cum_at_q"),
+        )
+        .select(
+            "grp",
+            F.col("n").cast("long").alias("n"),
+            F.col("rank_needed").cast("long").alias("rank_needed"),
+            "q_hat",
+            F.expr("(1000000 * __cum_at_q) div n").alias("achieved_ppm"),
+            F.lit(1000000 - alpha_ppm).cast("long").alias("target_ppm"),
+        )
+        .orderBy("grp")
+    )

@@ -6334,3 +6334,34 @@ def _mmr_oracle(k: int = 6, shortlist: int = 24, lam: int = 7) -> str:
 
 
 ORACLES["embedding_mmr_select"] = _mmr_oracle()
+
+# X123 conformal threshold (operators/aggregates.py:
+# conformal_threshold): pure-integer ceil rank, exact order
+# statistic as the smallest value whose cumulative count reaches
+# it, realized coverage re-reported; NULL when the guarantee is
+# finite-sample impossible.
+ORACLES["conformal_value_bound"] = """
+    WITH vc AS (
+        SELECT event_type AS grp, value AS v, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, v,
+            SUM(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+            SUM(c) OVER (PARTITION BY grp) AS n
+        FROM vc
+    ),
+    rk AS (
+        SELECT grp, v, cum, n,
+            ((n + 1) * 900000 + 999999) // 1000000 AS rank_needed
+        FROM cum
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+        CAST(rank_needed AS BIGINT) AS rank_needed,
+        MIN(CASE WHEN cum >= rank_needed THEN v END) AS q_hat,
+        (1000000 * MIN(CASE WHEN cum >= rank_needed THEN cum END)) // n
+            AS achieved_ppm,
+        CAST(900000 AS BIGINT) AS target_ppm
+    FROM rk GROUP BY grp, n, rank_needed
+    ORDER BY grp
+"""

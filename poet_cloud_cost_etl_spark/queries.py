@@ -5041,6 +5041,18 @@ def q_embedding_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(base, "vec_id", "embedding", "__probe", k=6, shortlist=24)
 
 
+@query("conformal_value_bound")
+def q_conformal_value_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X123: split-conformal upper bound (operators/aggregates.py:
+    conformal_threshold) — the 90%-coverage value threshold per
+    event_type with a finite-sample guarantee; exact order
+    statistic, no percentile interpolation."""
+    from .operators.aggregates import conformal_threshold
+
+    e = table(spark, sf_dir, "events")
+    return conformal_threshold(e, "event_type", "value", alpha_ppm=100000)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -580,3 +580,44 @@ def test_mmr_select_shortlist_take_ordered(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+def test_conformal_threshold_python_reference(spark):
+    """X123 equals the textbook split-conformal quantile on a known
+    calibration set (n=9, alpha=0.1 -> rank ceil(10*0.9)=9 -> the
+    9th smallest = max; n=4 -> rank ceil(4.5)=5 > 4 -> NULL)."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import conformal_threshold
+
+    a = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0]
+    b = [1.0, 2.0, 3.0, 4.0]
+    rows = [("a", v) for v in a] + [("b", v) for v in b]
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "i"]
+    )
+    out = {
+        r["grp"]: r
+        for r in conformal_threshold(df, "g", "v", alpha_ppm=100000).collect()
+    }
+    ra = out["a"]
+    assert ra["n"] == 9 and ra["rank_needed"] == 9
+    assert ra["q_hat"] == 9.0 and ra["achieved_ppm"] == 1000000
+    rb = out["b"]
+    assert rb["n"] == 4 and rb["rank_needed"] == 5
+    assert rb["q_hat"] is None and rb["achieved_ppm"] is None
+
+
+def test_conformal_threshold_tie_landing(spark):
+    """X123: duplicated scores — the rank lands inside a tie run and
+    q_hat is that value with the FULL run counted in coverage."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import conformal_threshold
+
+    # n=19, alpha=0.2 -> rank ceil(20*0.8)=16; values: 10 ones then
+    # 9 twos -> cum(1)=10 < 16, cum(2)=19 >= 16 -> q_hat=2,
+    # achieved = 19/19 = 1e6
+    rows = [("g", 1.0)] * 10 + [("g", 2.0)] * 9
+    df = spark.createDataFrame(
+        [(g, v, i) for i, (g, v) in enumerate(rows)], ["g", "v", "i"]
+    )
+    r = conformal_threshold(df, "g", "v", alpha_ppm=200000).collect()[0]
+    assert r["rank_needed"] == 16 and r["q_hat"] == 2.0
+    assert r["achieved_ppm"] == 1000000
