@@ -198,6 +198,7 @@ HEADLINE = [
     "doc_span_merge",
     "embedding_mmr_select",
     "conformal_value_bound",
+    "dedup_modularity",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -438,3 +438,87 @@ def cluster_hops(
         labels.join(dist, labels[id_col] == dist["node"])
         .select(F.col(id_col), F.col("cluster_id"), F.col("d").alias("hops"))
     )
+
+
+def modularity(
+    clusters: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """X124: Newman-Girvan modularity of a clustering over an
+    evidence graph (Newman & Girvan 2004) — the one-number answer
+    to "is this dedup partition real structure or an artifact of
+    the threshold?": Q = Σ_c [e_c/m − (d_c/2m)²] compares each
+    cluster's internal edge fraction against the degree-preserving
+    null model.  Q near 0 means the clustering explains nothing
+    beyond degrees (threshold too low — one giant hairball); the
+    complement to X82's per-cluster density: X82 flags WHICH
+    clusters are chain-merges, Q scores the partition as a whole,
+    tracked across threshold dials.
+
+    Exactness: all counts (m, per-cluster within-edges e_c, degree
+    sums d_c) are exact integers in DECIMAL(38,0) (Σd_c² reaches
+    4m², the X111 overflow argument); obs_ppm = (10⁶·Σe_c) div m
+    and exp_ppm = (10⁶·Σd_c²) div (4m²) are exact NON-NEGATIVE
+    integer divisions, and modularity_ppm := obs_ppm − exp_ppm — a
+    difference of two floored ppms, deterministic and
+    engine-identical, never a negative-numerator division (Spark
+    div truncates, DuckDB // floors; the X120 trap).  m = 0 →
+    NULLs (X91).
+
+    Scale: two id-keyed label joins (the volumes CC already
+    processed), one degree aggregate, two cluster-keyed aggregates,
+    and a 1-row panel.  Nothing touches more than the edge list."""
+    lab = clusters.select(F.col(id_col).alias("__id"), "cluster_id")
+    e2 = (
+        edges.select(F.col(src_col).alias("__a"), F.col(dst_col).alias("__b"))
+        .join(lab.withColumnRenamed("__id", "__a").withColumnRenamed(
+            "cluster_id", "__ca"), "__a")
+        .join(lab.withColumnRenamed("__id", "__b").withColumnRenamed(
+            "cluster_id", "__cb"), "__b")
+    )
+    within = e2.filter("__ca = __cb").groupBy("__ca").agg(
+        F.count(F.lit(1)).alias("ec")
+    )
+    deg = (
+        edges.select(F.col(src_col).alias("__id"))
+        .unionAll(edges.select(F.col(dst_col).alias("__id")))
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = deg.join(lab, "__id").groupBy("cluster_id").agg(
+        F.sum("d").alias("dcs")
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("m"))
+    s = (
+        dc.join(within, dc.cluster_id == within["__ca"], "left")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum(F.coalesce("ec", F.lit(0))).cast("decimal(38,0)").alias(
+                "sum_ec"
+            ),
+            F.sum(F.expr("CAST(dcs AS DECIMAL(38,0)) * dcs")).alias(
+                "sum_dc2"
+            ),
+        )
+        .crossJoin(F.broadcast(m))
+    )
+    return s.select(
+        F.expr("CAST(m AS BIGINT)").alias("n_edges"),
+        "n_clusters",
+        F.expr(
+            "CASE WHEN m > 0 THEN CAST((1000000 * sum_ec) div m AS BIGINT) "
+            "END"
+        ).alias("obs_within_ppm"),
+        F.expr(
+            "CASE WHEN m > 0 THEN "
+            "CAST((1000000 * sum_dc2) div (4 * m * m) AS BIGINT) END"
+        ).alias("exp_within_ppm"),
+        F.expr(
+            "CASE WHEN m > 0 THEN "
+            "CAST((1000000 * sum_ec) div m - "
+            "(1000000 * sum_dc2) div (4 * m * m) AS BIGINT) END"
+        ).alias("modularity_ppm"),
+    )

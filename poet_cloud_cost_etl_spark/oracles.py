@@ -6365,3 +6365,55 @@ ORACLES["conformal_value_bound"] = """
     FROM rk GROUP BY grp, n, rank_needed
     ORDER BY grp
 """
+
+# X124 modularity (operators/graph.py: modularity): same cluster +
+# edge CTE composition as X82; HUGEINT-exact counts, two exact
+# non-negative ppm divisions, modularity as their difference (the
+# no-negative-division convention).
+ORACLES["dedup_modularity"] = (
+    "WITH clusters AS (SELECT doc_id, cluster_id FROM ("
+    + ORACLES["dedup_clusters"]
+    + ")), ed AS (SELECT doc_a, doc_b FROM ("
+    + ORACLES["dedup_ngram_jaccard"]
+    + """)),
+    e2 AS (
+        SELECT ca.cluster_id AS cca, cb.cluster_id AS ccb
+        FROM ed
+        JOIN clusters ca ON ed.doc_a = ca.doc_id
+        JOIN clusters cb ON ed.doc_b = cb.doc_id
+    ),
+    within AS (
+        SELECT cca AS cluster_id, CAST(COUNT(*) AS HUGEINT) AS ec
+        FROM e2 WHERE cca = ccb GROUP BY 1
+    ),
+    deg AS (
+        SELECT id, CAST(COUNT(*) AS HUGEINT) AS d FROM (
+            SELECT doc_a AS id FROM ed
+            UNION ALL SELECT doc_b AS id FROM ed
+        ) GROUP BY 1
+    ),
+    dc AS (
+        SELECT c.cluster_id, CAST(SUM(g.d) AS HUGEINT) AS dcs
+        FROM deg g JOIN clusters c ON g.id = c.doc_id GROUP BY 1
+    ),
+    m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m FROM ed),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+            CAST(SUM(COALESCE(w.ec, 0)) AS HUGEINT) AS sum_ec,
+            CAST(SUM(dc.dcs * dc.dcs) AS HUGEINT) AS sum_dc2
+        FROM dc LEFT JOIN within w USING (cluster_id)
+    )
+    SELECT CAST(m.m AS BIGINT) AS n_edges, s.n_clusters,
+        CASE WHEN m.m > 0 THEN
+            CAST((1000000 * s.sum_ec) // m.m AS BIGINT) END
+            AS obs_within_ppm,
+        CASE WHEN m.m > 0 THEN
+            CAST((1000000 * s.sum_dc2) // (4 * m.m * m.m) AS BIGINT) END
+            AS exp_within_ppm,
+        CASE WHEN m.m > 0 THEN
+            CAST((1000000 * s.sum_ec) // m.m -
+                 (1000000 * s.sum_dc2) // (4 * m.m * m.m) AS BIGINT) END
+            AS modularity_ppm
+    FROM s, m
+"""
+)

@@ -5053,6 +5053,26 @@ def q_conformal_value_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_threshold(e, "event_type", "value", alpha_ppm=100000)
 
 
+@query("dedup_modularity")
+def q_dedup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X124: Newman modularity of the X7 clustering over the X4
+    evidence graph (operators/graph.py: modularity) — the
+    whole-partition score next to X82's per-cluster density; same
+    pair/CC composition as dedup_cluster_density."""
+    from .operators.dedup import ngram_jaccard_from_docs
+    from .operators.graph import connected_components, modularity
+
+    d = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_from_docs(d, "doc_id", "text", threshold=0.5,
+                                    min_df=2)
+    cc = connected_components(
+        d.select("doc_id"), pairs,
+        id_col="doc_id", src_col="doc_a", dst_col="doc_b",
+        fixed_rounds=4,
+    )
+    return modularity(cc, pairs)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

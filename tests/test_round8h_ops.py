@@ -621,3 +621,53 @@ def test_conformal_threshold_tie_landing(spark):
     r = conformal_threshold(df, "g", "v", alpha_ppm=200000).collect()[0]
     assert r["rank_needed"] == 16 and r["q_hat"] == 2.0
     assert r["achieved_ppm"] == 1000000
+
+
+def test_modularity_python_reference(spark):
+    """X124 equals the textbook Q on a hand-built two-community
+    graph (two triangles + one bridge edge)."""
+    from poet_cloud_cost_etl_spark.operators.graph import modularity
+
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    clusters = [(i, 1) for i in (1, 2, 3)] + [(i, 2) for i in (4, 5, 6)]
+    e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    c = spark.createDataFrame(clusters, ["doc_id", "cluster_id"])
+    r = modularity(c, e).collect()[0]
+
+    m = len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    lab = dict(clusters)
+    ec = {}
+    dc = {}
+    for a, b in edges:
+        if lab[a] == lab[b]:
+            ec[lab[a]] = ec.get(lab[a], 0) + 1
+    for i, d in deg.items():
+        dc[lab[i]] = dc.get(lab[i], 0) + d
+    obs = (1000000 * sum(ec.values())) // m
+    exp = (1000000 * sum(v * v for v in dc.values())) // (4 * m * m)
+    assert r["n_edges"] == m and r["n_clusters"] == 2
+    assert r["obs_within_ppm"] == obs
+    assert r["exp_within_ppm"] == exp
+    assert r["modularity_ppm"] == obs - exp
+    # textbook check: Q = 6/7 - (7^2 + 7^2)/(4*49) = 0.357142...
+    assert abs(r["modularity_ppm"] - 357143) <= 2
+
+
+def test_modularity_single_hairball_is_zero(spark):
+    """X124: everything in ONE cluster -> obs = 1e6 and exp = 1e6
+    (all degree mass in one term), so Q = 0 — the 'partition
+    explains nothing' reading."""
+    from poet_cloud_cost_etl_spark.operators.graph import modularity
+
+    edges = [(1, 2), (2, 3), (3, 4)]
+    clusters = [(i, 1) for i in (1, 2, 3, 4)]
+    e = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    c = spark.createDataFrame(clusters, ["doc_id", "cluster_id"])
+    r = modularity(c, e).collect()[0]
+    assert r["obs_within_ppm"] == 1000000
+    assert r["exp_within_ppm"] == 1000000
+    assert r["modularity_ppm"] == 0
