@@ -124,6 +124,60 @@ def leakage_safe_split(
     )
 
 
+def group_kfold_plan(
+    clusters: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """X127: leakage-safe k-fold assignment — the cross-validation
+    generalization of X31's fixed train/val/test split.  Fold =
+    unit_hash(cluster_id) mod k, so every member of a near-dup
+    cluster lands in the same fold by construction and no fold's
+    held-out set contains near-copies of another fold's training
+    docs — the property plain doc-keyed k-fold silently violates on
+    a deduplicated-but-clustered corpus.
+
+    Output is one row per fold: doc and cluster counts, the fold's
+    exact ppm share of the corpus (integer division — folds are
+    hash-balanced, not exactly equal, and the share column is how
+    you check the imbalance is acceptable before training k models),
+    and ``n_leaked_naive`` — the docs a doc-keyed assignment would
+    have placed in a different fold than their cluster, i.e. the
+    contamination the cluster key prevents.
+
+    Scale: two narrow hash columns and one k-row aggregate over the
+    X7 cluster table; the share column is a window over k rows. No
+    join, no shuffle beyond the input."""
+    from pyspark.sql.window import Window
+
+    assigned = clusters.select(
+        F.col(id_col),
+        F.col(cluster_col),
+        (unit_hash(cluster_col) % k).alias("fold"),
+        (unit_hash(id_col) % k).alias("__naive"),
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(cluster_col).alias("n_clusters"),
+        F.count_if(F.col("fold") != F.col("__naive")).alias(
+            "n_leaked_naive"
+        ),
+    )
+    return per_fold.select(
+        "fold",
+        "n_docs",
+        "n_clusters",
+        "n_leaked_naive",
+        (
+            F.expr(
+                "CAST((1000000 * n_docs) div sum(n_docs) OVER () AS DOUBLE)"
+            )
+            / 1_000_000.0
+        ).alias("docs_share"),
+    ).orderBy("fold")
+
+
 def source_mixture_weights(
     df: DataFrame,
     group_col: str,

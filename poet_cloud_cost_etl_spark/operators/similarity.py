@@ -826,6 +826,107 @@ def retrieval_mrr_eval(
     )
 
 
+def _ndcg_discount_ppm(k: int) -> list[int]:
+    """Position-discount lookup table: round(1e6 / log2(rank + 1))
+    for ranks 1..k.  Computed ONCE in Python (a literal CASE in the
+    plan) so neither engine evaluates a transcendental at query time
+    — the one source of cross-engine drift in every nDCG
+    implementation.  The oracle computes the same table independently
+    from the same formula."""
+    import math
+
+    return [round(1_000_000 / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def retrieval_ndcg_eval(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 1,
+) -> DataFrame:
+    """X125: nDCG@k of the IVF index against the exact cosine top-k —
+    the GRADED companion to recall@k (X4/X8: is the true NN anywhere
+    in the list) and MRR@k (X73: how far down is the single true NN).
+    nDCG grades the WHOLE retrieved list: the exact top-k defines
+    graded relevance (rel = k+1-true_rank, so the true best neighbor
+    is worth k and the k-th is worth 1) and each retrieved position
+    pays the standard 1/log2(rank+1) discount.  This is the metric
+    retrieval deployments actually tune on — it moves when the index
+    returns the right set in the wrong order, which recall can't see
+    and MRR only sees for one item.
+
+    Exactness: discounts are a precomputed integer-ppm lookup table
+    (see ``_ndcg_discount_ppm``); gains, DCG, and the per-query ideal
+    DCG are exact BIGINT sums of rel·discount terms; ndcg_ppm is one
+    integer division per query and the corpus mean is an integer mean
+    of those — no float ever enters an aggregate.
+
+    Scale: truth is query-set-sized brute force (the eval's ground
+    truth, offline sample); the production side is the X4c keyed
+    centroid join; the per-query sum and corpus mean run over the
+    query set only."""
+    from pyspark.sql.window import Window
+
+    disc = _ndcg_discount_ppm(k)
+    disc_case = "CASE rank " + " ".join(
+        f"WHEN {r} THEN {d}L" for r, d in enumerate(disc, start=1)
+    ) + " ELSE 0L END"
+
+    truth = brute_force_topk(queries, corpus, id_col, vec_col, k=k).select(
+        "query_id",
+        "neighbor_id",
+        (F.lit(k + 1) - F.col("rank")).cast("long").alias("__rel"),
+        F.expr(disc_case).alias("__ideal_disc"),
+    )
+    approx = ivf_topk(
+        queries, corpus, id_col, vec_col,
+        k=k, n_centroids=n_centroids, nprobe=nprobe,
+    ).select("query_id", "neighbor_id", "rank")
+
+    # Retrieved-side gain: rel of the item under the discount of the
+    # position the index put it at (0 if the item isn't in the exact
+    # top-k). Ideal DCG folds the truth side under its own ranks, so
+    # a query whose candidate pool is thinner than k normalizes
+    # against its realizable ideal, not a fictional full list.
+    gains = approx.join(truth, ["query_id", "neighbor_id"], "left").select(
+        "query_id",
+        (F.coalesce(F.col("__rel"), F.lit(0)) * F.expr(disc_case)).alias(
+            "__gain_ppm"
+        ),
+    )
+    dcg = gains.groupBy("query_id").agg(
+        F.sum("__gain_ppm").alias("__dcg_ppm")
+    )
+    idcg = truth.groupBy("query_id").agg(
+        F.sum(F.col("__rel") * F.col("__ideal_disc")).alias("__idcg_ppm"),
+        F.count(F.lit(1)).alias("n_true"),
+    )
+    per = idcg.join(dcg, "query_id", "left").select(
+        "query_id",
+        "n_true",
+        F.coalesce("__dcg_ppm", F.lit(0)).alias("__dcg_ppm"),
+        "__idcg_ppm",
+        F.expr(
+            "(1000000L * coalesce(__dcg_ppm, 0L)) div __idcg_ppm"
+        ).alias("__ndcg_ppm"),
+    )
+    return per.select(
+        "query_id",
+        "n_true",
+        (F.col("__dcg_ppm").cast("double") / 1_000_000.0).alias("dcg"),
+        (F.col("__ndcg_ppm").cast("double") / 1_000_000.0).alias("ndcg"),
+        (
+            F.expr(
+                "CAST(sum(__ndcg_ppm) OVER () div count(1) OVER () AS DOUBLE)"
+            )
+            / 1_000_000.0
+        ).alias("mean_ndcg"),
+    )
+
+
 def similarity_profile(
     df: DataFrame, id_col: str, vec_col: str, bins: int = 20
 ) -> DataFrame:

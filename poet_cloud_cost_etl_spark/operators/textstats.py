@@ -868,6 +868,103 @@ def hashed_logit_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def calibration_brier(
+    scored: DataFrame,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """X126: reliability curve + Brier score of the X41 classifier —
+    the CALIBRATION half of classifier evaluation.  X81/X83 (PR
+    curve / PR-AUC) grade the RANKING; deployment as a quality gate
+    also needs the score to mean what it says ("0.9 keeps 90% good
+    docs"), and that is what a reliability table shows: per
+    forecast-probability bin, the mean predicted probability vs the
+    empirical positive rate, their gap, and the corpus-wide Brier
+    score and expected calibration error (ECE).
+
+    The forecast probability is a FIXED affine clamp of the X41
+    integer mean token weight: p_ppm = clamp(500000 + m_ppm div
+    1000, 0, 1e6) — weights live in [-512, 512), so a mean of ±500
+    spans the whole unit interval.  In production this map is a
+    trained Platt/isotonic calibrator loaded alongside the weights;
+    the fixed map keeps the operator engine-exact (no exp()) while
+    exercising the identical plumbing: score -> probability -> bin
+    -> empirical-rate comparison.
+
+    Exactness: p_ppm, bin id, per-bin sums, the squared-error terms
+    ((p_ppm - y·1e6)², each ≤ 1e12, summed as DECIMAL(38,0) so even
+    a 1e9-doc corpus cannot overflow), Brier and ECE are all integer
+    arithmetic with one final div; doubles appear only in the
+    display columns.
+
+    Scale: one narrow map (hash weights are computed upstream in the
+    scan stage) + one ``n_bins``-row aggregate + one window over
+    those bins. No join, no corpus-wide shuffle beyond the groupBy."""
+    # Sign-symmetric division (abs then re-sign), the X41 convention:
+    # Spark div truncates toward zero while DuckDB // floors, so a
+    # negative mean weight divided directly would round differently.
+    # 1000·logit div n IS mean_weight_ppm div 1000 for either sign
+    # (nested floor-div identity on the absolute value).
+    p_ppm = F.expr(
+        "LEAST(1000000L, GREATEST(0L, 500000L + "
+        "(CASE WHEN logit < 0 THEN -((1000 * -logit) div n_tokens) "
+        "ELSE (1000 * logit) div n_tokens END)))"
+    )
+    rows = scored.select(
+        p_ppm.alias("__p_ppm"),
+        F.col(label_col).cast("long").alias("__y"),
+    ).select(
+        "__p_ppm",
+        "__y",
+        F.expr(
+            f"LEAST(__p_ppm, 999999L) div {1_000_000 // n_bins}"
+        ).alias("bin"),
+        F.expr(
+            "CAST((__p_ppm - 1000000 * __y) * (__p_ppm - 1000000 * __y) "
+            "AS DECIMAL(38,0))"
+        ).alias("__sq"),
+    )
+    per_bin = rows.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__p_ppm").alias("__sum_p"),
+        F.sum("__y").alias("__n_pos"),
+        F.sum("__sq").alias("__sum_sq"),
+    )
+    per_bin = per_bin.select(
+        "bin",
+        "n_docs",
+        F.expr("__sum_p div n_docs").alias("__mean_p_ppm"),
+        F.expr("(1000000 * __n_pos) div n_docs").alias("__pos_ppm"),
+        "__sum_sq",
+    ).withColumn(
+        "__gap_ppm", F.expr("abs(__mean_p_ppm - __pos_ppm)")
+    )
+    return per_bin.select(
+        "bin",
+        "n_docs",
+        (F.col("__mean_p_ppm").cast("double") / 1_000_000.0).alias(
+            "mean_pred"
+        ),
+        (F.col("__pos_ppm").cast("double") / 1_000_000.0).alias("frac_pos"),
+        (F.col("__gap_ppm").cast("double") / 1_000_000.0).alias("gap"),
+        (
+            F.expr(
+                "CAST(sum(__sum_sq) OVER () div "
+                "(CAST(sum(n_docs) OVER () AS DECIMAL(38,0)) * 1000000) "
+                "AS DOUBLE)"
+            )
+            / 1_000_000.0
+        ).alias("brier"),
+        (
+            F.expr(
+                "CAST(sum(n_docs * __gap_ppm) OVER () div "
+                "sum(n_docs) OVER () AS DOUBLE)"
+            )
+            / 1_000_000.0
+        ).alias("ece"),
+    ).orderBy("bin")
+
+
 def collocation_lift(
     df: DataFrame, text_col: str, min_count: int = 5, k: int = 20
 ) -> DataFrame:

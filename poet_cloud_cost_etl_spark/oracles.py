@@ -6417,3 +6417,179 @@ ORACLES["dedup_modularity"] = (
     FROM s, m
 """
 )
+
+# X125 nDCG@5 retrieval eval (operators/similarity.py:
+# retrieval_ndcg_eval): exact top-5 defines graded relevance
+# rel = 6 - true_rank; the IVF list's positions pay the 1/log2(r+1)
+# discount via an integer-ppm LUT computed here INDEPENDENTLY from
+# the same closed form the operator uses (round(1e6/log2(r+1)) —
+# python round; no transcendental runs inside either engine).
+# Per-query ideal DCG folds the truth side under its own ranks.
+import math as _math
+
+_NDCG_DISC = {
+    r: round(1_000_000 / _math.log2(r + 1)) for r in range(1, 6)
+}
+_NDCG_CASE = (
+    "CASE {col} "
+    + " ".join(f"WHEN {r} THEN {d}" for r, d in _NDCG_DISC.items())
+    + " ELSE 0 END"
+)
+
+ORACLES["ann_ndcg_eval"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    lists AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')})
+        WHERE probe_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM embeddings WHERE vec_id < 12)', cents='cents')})
+        WHERE probe_rank <= 1
+    ),
+    ivf AS (
+        SELECT query_id, neighbor_id, rank
+        FROM (
+            SELECT query_id, neighbor_id,
+                CAST(ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS INTEGER) AS rank
+            FROM (
+                SELECT p.query_id, l.neighbor_id,
+                    ROUND(list_cosine_similarity(CAST(p.qv AS DOUBLE[]),
+                                                 CAST(l.cv AS DOUBLE[])), 6)
+                        AS cos_sim
+                FROM lists l JOIN probes p USING (centroid_id)
+                WHERE l.neighbor_id <> p.query_id
+            )
+        )
+        WHERE rank <= 5
+    ),
+    bf AS (
+        SELECT query_id, neighbor_id,
+            CAST(6 - rank AS BIGINT) AS rel,
+            CAST({_NDCG_CASE.format(col='rank')} AS BIGINT) AS ideal_disc
+        FROM (
+            SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS rank
+            FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                    ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                                 CAST(q.embedding AS DOUBLE[])), 6)
+                        AS cos_sim
+                FROM embeddings e,
+                     (SELECT * FROM embeddings WHERE vec_id < 12) q
+                WHERE e.vec_id <> q.vec_id
+            )
+        )
+        WHERE rank <= 5
+    ),
+    dcg AS (
+        SELECT i.query_id,
+            CAST(SUM(COALESCE(b.rel, 0)
+                     * CAST({_NDCG_CASE.format(col='i.rank')} AS BIGINT))
+                 AS BIGINT) AS dcg_ppm
+        FROM ivf i
+        LEFT JOIN bf b ON b.query_id = i.query_id
+                      AND b.neighbor_id = i.neighbor_id
+        GROUP BY i.query_id
+    ),
+    idcg AS (
+        SELECT query_id, CAST(SUM(rel * ideal_disc) AS BIGINT) AS idcg_ppm,
+            COUNT(*) AS n_true
+        FROM bf GROUP BY query_id
+    ),
+    per AS (
+        SELECT x.query_id, x.n_true,
+            COALESCE(d.dcg_ppm, 0) AS dcg_ppm, x.idcg_ppm,
+            (1000000 * COALESCE(d.dcg_ppm, 0)) // x.idcg_ppm AS ndcg_ppm
+        FROM idcg x LEFT JOIN dcg d USING (query_id)
+    )
+    SELECT query_id, n_true,
+        CAST(dcg_ppm AS DOUBLE) / 1000000.0 AS dcg,
+        CAST(ndcg_ppm AS DOUBLE) / 1000000.0 AS ndcg,
+        CAST((SELECT SUM(ndcg_ppm) // COUNT(*) FROM per) AS DOUBLE)
+            / 1000000.0 AS mean_ndcg
+    FROM per ORDER BY query_id
+"""
+
+# X126 reliability curve + Brier/ECE (operators/textstats.py:
+# calibration_brier): the X41 logit oracle as the scored input,
+# lang=='en' label, fixed affine clamp p_ppm = clamp(500000 +
+# sign-symmetric (1000*|logit|) // n, 0, 1e6), 10 p-deciles,
+# exact HUGEINT squared-error sums, one final // per display value.
+ORACLES["classifier_calibration"] = f"""
+    WITH scored AS (
+        SELECT s.doc_id, s.n_tokens, s.logit,
+            CAST(d.lang = 'en' AS BIGINT) AS y
+        FROM ({ORACLES['classifier_hashed_logit'].replace("ORDER BY doc_id", "")}) s
+        JOIN documents d USING (doc_id)
+    ),
+    p AS (
+        SELECT y,
+            LEAST(1000000, GREATEST(0, 500000 +
+                CASE WHEN logit < 0 THEN -((1000 * -logit) // n_tokens)
+                     ELSE (1000 * logit) // n_tokens END)) AS p_ppm
+        FROM scored
+    ),
+    rows_b AS (
+        SELECT p_ppm, y, LEAST(p_ppm, 999999) // 100000 AS bin,
+            CAST((p_ppm - 1000000 * y) * (p_ppm - 1000000 * y)
+                 AS HUGEINT) AS sq
+        FROM p
+    ),
+    per_bin AS (
+        SELECT bin, COUNT(*) AS n_docs,
+            SUM(p_ppm) // COUNT(*) AS mean_p_ppm,
+            (1000000 * SUM(y)) // COUNT(*) AS pos_ppm,
+            CAST(SUM(sq) AS HUGEINT) AS sum_sq
+        FROM rows_b GROUP BY bin
+    ),
+    g AS (
+        SELECT bin, n_docs, mean_p_ppm, pos_ppm,
+            ABS(mean_p_ppm - pos_ppm) AS gap_ppm, sum_sq
+        FROM per_bin
+    ),
+    tot AS (
+        SELECT CAST(SUM(sum_sq) // (CAST(SUM(n_docs) AS HUGEINT) * 1000000)
+                    AS BIGINT) AS brier_ppm,
+            CAST(SUM(n_docs * gap_ppm) // SUM(n_docs) AS BIGINT) AS ece_ppm
+        FROM g
+    )
+    SELECT g.bin, g.n_docs,
+        CAST(g.mean_p_ppm AS DOUBLE) / 1000000.0 AS mean_pred,
+        CAST(g.pos_ppm AS DOUBLE) / 1000000.0 AS frac_pos,
+        CAST(g.gap_ppm AS DOUBLE) / 1000000.0 AS gap,
+        CAST(tot.brier_ppm AS DOUBLE) / 1000000.0 AS brier,
+        CAST(tot.ece_ppm AS DOUBLE) / 1000000.0 AS ece
+    FROM g, tot ORDER BY g.bin
+"""
+
+# X127 leakage-safe k-fold plan (operators/sampling.py:
+# group_kfold_plan): the dedup_clusters oracle as the group input,
+# the unit-hash convention for both the cluster-keyed fold and the
+# naive doc-keyed fold, k=5.
+ORACLES["split_kfold_grouped"] = f"""
+    WITH clusters AS (
+        SELECT doc_id, cluster_id FROM ({ORACLES['dedup_clusters']})
+    ),
+    b AS (
+        SELECT doc_id, cluster_id,
+            {_UNIT.format(col='cluster_id')} % 5 AS fold,
+            {_UNIT.format(col='doc_id')} % 5 AS naive
+        FROM clusters
+    ),
+    per AS (
+        SELECT fold, COUNT(*) AS n_docs,
+            COUNT(DISTINCT cluster_id) AS n_clusters,
+            COUNT(*) FILTER (fold <> naive) AS n_leaked_naive
+        FROM b GROUP BY fold
+    )
+    SELECT fold, n_docs, n_clusters, n_leaked_naive,
+        CAST((1000000 * n_docs) // (SELECT SUM(n_docs) FROM per) AS DOUBLE)
+            / 1000000.0 AS docs_share
+    FROM per ORDER BY fold
+"""

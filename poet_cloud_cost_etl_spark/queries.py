@@ -5073,6 +5073,58 @@ def q_dedup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(cc, pairs)
 
 
+@query("ann_ndcg_eval")
+def q_ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X125: nDCG@5 of the IVF index vs the exact cosine top-5
+    (operators/similarity.py: retrieval_ndcg_eval) — graded
+    whole-list retrieval quality next to X73's MRR and X8's recall;
+    12 probe queries, nprobe=1 so rank drift actually occurs.
+    Discounts are a precomputed integer-ppm LUT, so no transcendental
+    is evaluated at query time in either engine."""
+    from .operators.similarity import retrieval_ndcg_eval
+
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 12)
+    return retrieval_ndcg_eval(
+        q, e, "vec_id", "embedding", k=5, n_centroids=8, nprobe=1
+    ).orderBy("query_id")
+
+
+@query("classifier_calibration")
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X126: reliability curve + Brier/ECE of the X41 hashed-logit
+    classifier (operators/textstats.py: calibration_brier) against
+    the lang=='en' pseudo-label — the calibration companion to
+    X81/X83's ranking metrics; forecast probability is the
+    documented fixed affine clamp of the integer mean token
+    weight."""
+    from .operators.textstats import calibration_brier, hashed_logit_scores
+
+    d = table(spark, sf_dir, "documents")
+    scored = hashed_logit_scores(d, "doc_id", "text").join(
+        d.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
+        ),
+        "doc_id",
+    )
+    return calibration_brier(scored, "label", n_bins=10)
+
+
+@query("split_kfold_grouped")
+def q_split_kfold_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127: leakage-safe k-fold plan (operators/sampling.py:
+    group_kfold_plan) — X31's cluster-keyed assignment generalized
+    to 5-fold cross-validation over the X7 near-dup clusters;
+    n_leaked_naive counts the docs a doc-keyed k-fold would have
+    contaminated across folds."""
+    from .operators.sampling import group_kfold_plan
+
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    return group_kfold_plan(clusters, "doc_id", "cluster_id", k=5)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
@@ -5111,7 +5163,14 @@ def q_dedup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session by tests/test_oracle_parity.py, so the driver-window
 # staleness bound is a second independent layer — whereas retiring
 # near-duplicate queries would shrink the graded coverage surface.
-# The wall after this one is 250.
+# The wall after this one is 250 — and round 8 REACHES it exactly
+# (X127/split_kfold_grouped is registration #250 and the last slot).
+# Round 9 must decide BEFORE registering anything: widen MAX_STALE
+# to 6 (cycle 6 rounds, capacity 300 — precedent: every query is
+# also locally re-pinned every session by test_oracle_parity, and
+# 12 rounds remain, so two full 6-round cycles still fit) or retire
+# near-duplicate registrations. test_rotation.py's capacity test
+# makes forgetting this a failure, not a drift.
 # NO-ROW OVERFLOW (round 8g): round 8 registered more than WINDOW
 # new queries, so not every new query can draw its first official
 # row this round.  The window takes the FIRST 50 no-row names in
