@@ -199,6 +199,10 @@ HEADLINE = [
     "embedding_mmr_select",
     "conformal_value_bound",
     "dedup_modularity",
+    # round-8i additions (X125-X127), benched from birth.
+    "ann_ndcg_eval",
+    "classifier_calibration",
+    "split_kfold_grouped",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -816,7 +816,12 @@ _BUCKET_SQL = (
 )
 
 
-def hashed_logit_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def hashed_logit_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """X41: hashed-feature linear classifier (fastText-style quality
     gate) — every token hashes into one of ``HASH_BUCKETS`` weight
     buckets; the document logit is the sum of its tokens' bucket
@@ -826,6 +831,11 @@ def hashed_logit_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     stand in for trained ones so the result is engine-verifiable,
     but the plumbing — hash, bucket, sum, threshold, no vocabulary
     lookup table — is the production shape.
+
+    ``carry`` names input columns to pass through unchanged (e.g. a
+    label for downstream eval): at scale that replaces the doc-keyed
+    self-join the eval would otherwise pay to get its label back —
+    the whole scored+labeled table stays ONE scan-stage narrow map.
 
     logit and n_tokens are exact integers; mean_weight (the per-
     token average weight, 1e-6 resolution) is an integer division
@@ -843,9 +853,11 @@ def hashed_logit_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     t = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry],
         tokens(text_col).alias("__toks"),
     ).select(
         F.col(id_col),
+        *carry,
         F.size("__toks").alias("n_tokens"),
         logit.alias("logit"),
     )
@@ -855,6 +867,7 @@ def hashed_logit_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # re-applying the sign is identical in both engines.
     return t.select(
         F.col(id_col),
+        *carry,
         "n_tokens",
         "logit",
         (

@@ -4286,11 +4286,11 @@ def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import hashed_logit_scores, pr_curve
 
     d = table(spark, sf_dir, "documents")
-    scored = hashed_logit_scores(d, "doc_id", "text").join(
-        d.select(
-            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
-        ),
+    scored = hashed_logit_scores(
+        d.withColumn("label", (F.col("lang") == "en").cast("int")),
         "doc_id",
+        "text",
+        carry=("label",),
     )
     return pr_curve(scored, "mean_weight", "label").orderBy(
         F.desc("threshold")
@@ -4351,11 +4351,11 @@ def q_classifier_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import hashed_logit_scores, pr_auc, pr_curve
 
     d = table(spark, sf_dir, "documents")
-    scored = hashed_logit_scores(d, "doc_id", "text").join(
-        d.select(
-            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
-        ),
+    scored = hashed_logit_scores(
+        d.withColumn("label", (F.col("lang") == "en").cast("int")),
         "doc_id",
+        "text",
+        carry=("label",),
     )
     return pr_auc(pr_curve(scored, "mean_weight", "label"))
 
@@ -4466,9 +4466,11 @@ def q_classifier_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import agreement_kappa, hashed_logit_scores
 
     d = table(spark, sf_dir, "documents")
-    scored = hashed_logit_scores(d, "doc_id", "text").join(
-        d.select("doc_id", (F.col("lang") == "en").cast("int").alias("label")),
+    scored = hashed_logit_scores(
+        d.withColumn("label", (F.col("lang") == "en").cast("int")),
         "doc_id",
+        "text",
+        carry=("label",),
     )
     return agreement_kappa(
         scored.select(
@@ -5101,11 +5103,11 @@ def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import calibration_brier, hashed_logit_scores
 
     d = table(spark, sf_dir, "documents")
-    scored = hashed_logit_scores(d, "doc_id", "text").join(
-        d.select(
-            "doc_id", (F.col("lang") == "en").cast("int").alias("label")
-        ),
+    scored = hashed_logit_scores(
+        d.withColumn("label", (F.col("lang") == "en").cast("int")),
         "doc_id",
+        "text",
+        carry=("label",),
     )
     return calibration_brier(scored, "label", n_bins=10)
 

@@ -635,3 +635,25 @@ def test_round8d_queries_plan_shapes(spark):
     pay = d.select("doc_id", F.encode(F.col("text"), "utf-8").alias("p"))
     sn = X.physical_plan(sniff_payload_format(pay, "doc_id", "p"))
     assert "Exchange" not in sn and "Join" not in sn, sn
+
+
+def test_round8i_queries_plan_shapes(spark):
+    """Round-8i scale pins. The classifier-eval chain carries its
+    label through the X41 scan-stage map instead of re-joining the
+    corpus on doc_id — the full calibration query must plan with ZERO
+    joins and exactly two shuffles (the 10-bin aggregate + the
+    single-partition window over those 10 rows). nDCG keeps the
+    broadcast/keyed-join discipline of the MRR eval it extends; the
+    k-fold plan never joins (two hash columns + one k-row agg)."""
+    cal = X.physical_plan(
+        QUERIES["classifier_calibration"](spark, SF_SMALL)
+    )
+    assert "Join" not in cal, cal
+    assert cal.count("Exchange") <= 2, cal
+
+    nd = X.physical_plan(QUERIES["ann_ndcg_eval"](spark, SF_SMALL))
+    assert "CartesianProduct" not in nd, nd
+    assert "BroadcastExchange" in nd, nd
+
+    kf = X.physical_plan(QUERIES["split_kfold_grouped"](spark, SF_SMALL))
+    assert "Join" not in kf and "CartesianProduct" not in kf, kf
