@@ -383,3 +383,87 @@ def test_bbit_minhash_matches_hashlib_reference(spark, shingle_sets):
                 est = max(0, ((c * mod - k) * 1000000) // (k * (mod - 1)))
                 want[(a, b)] = (c, est / 1e6)
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-20000, max_value=20000),  # logit
+            st.integers(min_value=1, max_value=50),          # n_tokens
+            st.integers(min_value=0, max_value=1),           # label
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_calibration_brier_matches_python_reference(spark, rows):
+    """X126 against an independent pure-Python fold: the affine clamp,
+    decile binning, per-bin integer means, Brier and ECE."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        calibration_brier,
+    )
+
+    df = spark.createDataFrame(
+        [(i, lo, n, y) for i, (lo, n, y) in enumerate(rows)],
+        ["doc_id", "logit", "n_tokens", "label"],
+    )
+    got = {
+        r["bin"]: r for r in calibration_brier(df, "label").collect()
+    }
+
+    def p_ppm(lo, n):
+        m = -((1000 * -lo) // n) if lo < 0 else (1000 * lo) // n
+        return min(1_000_000, max(0, 500_000 + m))
+
+    bins: dict[int, list[tuple[int, int]]] = {}
+    for lo, n, y in rows:
+        p = p_ppm(lo, n)
+        bins.setdefault(min(p, 999_999) // 100_000, []).append((p, y))
+    total_n = len(rows)
+    total_sq = sum((p - 1_000_000 * y) ** 2 for b in bins.values() for p, y in b)
+    gaps = {
+        k: abs(sum(p for p, _ in v) // len(v)
+               - (1_000_000 * sum(y for _, y in v)) // len(v))
+        for k, v in bins.items()
+    }
+    want_brier = total_sq // (total_n * 1_000_000)
+    want_ece = sum(len(v) * gaps[k] for k, v in bins.items()) // total_n
+
+    assert set(got) == set(bins)
+    for k, v in bins.items():
+        assert got[k]["n_docs"] == len(v)
+        assert int(round(got[k]["mean_pred"] * 1e6)) == sum(p for p, _ in v) // len(v)
+        assert int(round(got[k]["gap"] * 1e6)) == gaps[k]
+    any_row = next(iter(got.values()))
+    assert int(round(any_row["brier"] * 1e6)) == want_brier
+    assert int(round(any_row["ece"] * 1e6)) == want_ece
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40),
+    st.integers(min_value=2, max_value=7),
+)
+@settings(max_examples=8, deadline=None)
+def test_group_kfold_matches_python_reference(spark, ids, k):
+    """X127 against the hashlib unit-hash reference: fold membership,
+    naive-leak counts, exact shares."""
+    from poet_cloud_cost_etl_spark.operators.sampling import group_kfold_plan
+
+    rows = [(i, i % 3) for i in sorted(set(ids))]
+    df = spark.createDataFrame(rows, ["doc_id", "cluster_id"])
+    got = {r["fold"]: r for r in group_kfold_plan(df, "doc_id", "cluster_id", k=k).collect()}
+
+    per: dict[int, list[tuple[int, int]]] = {}
+    for d, c in rows:
+        per.setdefault(_uh(c) % k, []).append((d, c))
+    assert set(got) == set(per)
+    for f, v in per.items():
+        assert got[f]["n_docs"] == len(v)
+        assert got[f]["n_clusters"] == len({c for _, c in v})
+        assert got[f]["n_leaked_naive"] == sum(
+            1 for d, c in v if _uh(d) % k != f
+        )
+        assert int(round(got[f]["docs_share"] * 1e6)) == (
+            1_000_000 * len(v)
+        ) // len(rows)
