@@ -252,6 +252,16 @@ HEAVY = {
     "dedup_best_of_cluster",
     "dedup_lsh_recall",
     "curation_manifest",
+    # round-8 heavy additions (>4s idle medians in the round-8i
+    # record): the prefix-filter join, the banding planner, the
+    # b-bit eval, the modularity/CC chain, the scaled tree dedup,
+    # and the k-fold plan (embeds the X7 CC like its X31 sibling).
+    "dedup_prefix_filter_join",
+    "dedup_lsh_plan",
+    "dedup_bbit_minhash",
+    "dedup_modularity",
+    "semantic_dedup_tree",
+    "split_kfold_grouped",
 }
 
 # How many of the slowest per-query medians make it onto the stdout
