@@ -1673,8 +1673,9 @@ def prefix_filter_jaccard_join(
     length ⌈t·n⌉ = (num·n + den − 1) div den is exact integer
     arithmetic in both engines.
 
-    Scale: dfreq ranking is a vocab-bounded window (NOT corpus);
-    per-doc prefix selection is an id-partitioned window; candidate
+    Scale: the canonical order is the raw (dfreq, shingle) tuple —
+    no global rank, no single-partition vocab sort anywhere; per-doc
+    prefix selection is an id-partitioned window; candidate
     generation reuses the grouped single-shuffle pattern; exact
     verification joins the (id, shingle-array) projection twice."""
     from pyspark.sql.window import Window
@@ -1694,14 +1695,16 @@ def prefix_filter_jaccard_join(
     dfreq = ex.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("long").alias("__df")
     )
-    # global canonical order: vocab-bounded single-partition window
-    rk = dfreq.withColumn(
-        "__rk",
-        F.row_number().over(Window.orderBy("__df", "shingle")).cast("long"),
-    ).select("shingle", "__rk")
-    pos_w = Window.partitionBy(id_col).orderBy("__rk")
+    # Global canonical order: the theorem needs any TOTAL order shared
+    # by all docs, rarest-first — and (document frequency, shingle) IS
+    # one.  Using the tuple directly in the per-doc window (instead of
+    # densifying it to a rank first) removes what the first cut paid
+    # here: a row_number() over an UNPARTITIONED window, i.e. a
+    # single-partition sort of the entire vocabulary — fine at sf0.1,
+    # a straggler at a 100 TB vocab — plus one whole shuffle join.
+    pos_w = Window.partitionBy(id_col).orderBy("__df", "shingle")
     prefix = (
-        ex.join(rk, "shingle")
+        ex.join(dfreq, "shingle")
         .withColumn("__pos", F.row_number().over(pos_w))
         .filter(
             F.expr(
