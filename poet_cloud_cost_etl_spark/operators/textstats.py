@@ -343,30 +343,45 @@ def vocab_coverage(
 
     Scale: the token frequency table is one hash aggregate over the
     exploded token stream (map-side partial combine bounds the
-    shuffle at vocabulary size, not corpus size). The rank window and
-    the K-grid join then run on the VOCABULARY-sized table — millions
-    of rows at web scale, not corpus-sized — so the single-direction
-    orderBy window there is bounded, and the K cutoffs are a
-    broadcast cross of a handful of literals."""
+    shuffle at vocabulary size, not corpus size). Only the top
+    max(top_ks) rows ever need a rank: they come via orderBy+limit
+    (TakeOrderedAndProject — every partition forwards its own top
+    max-K, nothing vocab-sized moves through one task; the first cut
+    paid an unpartitioned row_number() window here AND crossed the
+    K-grid against the FULL vocabulary, a |Ks|× blowup of a
+    vocab-sized table). Corpus-wide totals are a 1-row aggregate;
+    the K-grid runs on the max-K-row table only."""
     toks = df.select(F.explode(tokens(text_col)).alias("tok")).filter(
         F.col("tok") != ""
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     from pyspark.sql.window import Window
 
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = freq.select(
-        F.col("n"), F.row_number().over(w).alias("rank")
+    totals = freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.sum("n").alias("total_tokens"),
+    )
+    max_k = max(int(k) for k in top_ks)
+    top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(max_k)
+    ranked = top.select(
+        F.col("n"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("n"), F.asc("tok")))
+        .alias("rank"),
     )
     ks = ranked.sparkSession.createDataFrame(
         [(int(k),) for k in top_ks], ["top_k"]
     )
-    grid = ks.crossJoin(ranked)
-    per_k = grid.groupBy("top_k").agg(
-        F.count(F.lit(1)).alias("vocab_size"),
-        F.sum("n").alias("total_tokens"),
-        F.sum(F.when(F.col("rank") <= F.col("top_k"), F.col("n")).otherwise(0))
-        .alias("covered_tokens"),
+    grid = ks.join(ranked, F.col("rank") <= F.col("top_k"), "left")
+    per_k = (
+        grid.groupBy("top_k")
+        .agg(
+            F.sum(F.coalesce(F.col("n"), F.lit(0))).alias("covered_tokens"),
+        )
+        .crossJoin(F.broadcast(totals))
+        # empty corpus -> empty result (the pre-rewrite contract: the
+        # old vocab-sized cross join vanished with the vocabulary)
+        .filter(F.col("total_tokens").isNotNull())
     )
     return per_k.select(
         "top_k",
@@ -1819,12 +1834,12 @@ def cms_heavy_hitters_eval(
     exact = toks.groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("exact_count")
     )
-    w = Window.orderBy(F.desc("exact_count"), F.asc("tok"))
-    probes = (
-        exact.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= k_probe)
-        .drop("__r")
-    )
+    # top-k_probe via orderBy+limit → TakeOrderedAndProject (each
+    # partition forwards its own top k_probe), not a row_number()
+    # window that would drag the whole vocabulary through one task.
+    probes = exact.orderBy(
+        F.desc("exact_count"), F.asc("tok")
+    ).limit(k_probe)
     probe_b = probes.select(
         "tok",
         "exact_count",
