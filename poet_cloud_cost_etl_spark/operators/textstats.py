@@ -301,10 +301,13 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
     health probe (a collapsed vocabulary or boilerplate flood shows up
     as a slope far from -1).
 
-    Scale: token counting is the only big shuffle; the regression runs
-    over the vocabulary (tiny). Ranking the vocabulary uses a global
-    order-by window over n_terms rows — fine for any real vocab."""
-    from pyspark.sql.window import Window
+    Scale: token counting is the only big shuffle; the regression is
+    one aggregate over the vocabulary table. Ranking the vocabulary
+    goes through the W-family two-phase global rank (ranking.py:
+    range-bucket, rank locally, add bucket offsets) — a web-scale
+    vocabulary is millions of rows, which the first cut dragged
+    through ONE task with an unpartitioned row_number() window."""
+    from .ranking import with_global_rank
 
     freqs = (
         df.select(tokens(text_col).alias("__t"))
@@ -312,11 +315,10 @@ def zipf_fit(df: DataFrame, text_col: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("freq"))
     )
-    ranked = freqs.withColumn(
-        "rank",
-        F.row_number().over(
-            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
-        ),
+    ranked = with_global_rank(
+        freqs.withColumn("__negf", -F.col("freq")),
+        ["__negf", "term"],
+        rank_col="rank",
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n_terms"),
