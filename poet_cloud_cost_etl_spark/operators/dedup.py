@@ -1570,15 +1570,20 @@ def sorted_neighborhood_pairs(
     documented dial.  Each candidate pair is scored with exact
     3-gram Jaccard.
 
-    Scale: ONE range-partitioned global sort (Spark's sort shuffle);
-    the neighbor pairing is lead() inside the sorted window — zero
-    joins for candidate generation; scoring joins each side against
-    the (id, shingle-array) projection, two id-keyed joins of an
-    N·w pair table.
+    Scale: the sort position comes from the W-family two-phase
+    global rank (ranking.py — range-bucket on an order-preserving
+    base-128 packed key prefix, rank locally, add bucket offsets);
+    an unpartitioned lead() window would drag the WHOLE corpus
+    through one task (Spark plans a no-partition window as Exchange
+    SinglePartition, not a range sort — the first cut's mistake).
+    Neighbor pairing is then one rank-keyed equi-join of the N·w
+    offset table; scoring joins each side against the (id,
+    shingle-array) projection, two id-keyed joins of an N·w pair
+    table.
 
     Output: (doc_a, doc_b, sort_gap, jaccard) — doc_a/doc_b ordered
     by id, sort_gap = neighbor offset that generated the pair."""
-    from pyspark.sql.window import Window
+    from .ranking import with_global_rank
 
     canon = F.trim(
         F.regexp_replace(
@@ -1588,26 +1593,32 @@ def sorted_neighborhood_pairs(
         )
     )
     keyed = df.select(F.col(id_col), canon.alias("__key"))
-    w = Window.orderBy("__key", id_col)
-    # lead() first (window stage), THEN the generator: Spark rejects
-    # a window function inside a generator's argument in one select
-    with_leads = keyed.select(
-        F.col(id_col),
-        *[
-            F.lead(F.col(id_col), off).over(w).alias(f"__n{off}")
-            for off in range(1, window + 1)
-        ],
+    # Order-preserving numeric proxy for range bucketing: the first 8
+    # canon chars packed base-128 (canon is ASCII by construction —
+    # [a-z0-9 ] — and every symbol is > 0, so zero-padding short keys
+    # keeps exactly the string prefix order; 128^8 fits in a BIGINT).
+    # Ordering by (__kp, __key, id) == ordering by (__key, id).
+    kp = F.expr(
+        "aggregate(sequence(1, 8), 0L, (acc, i) -> acc * 128 + "
+        "coalesce(ascii(nullif(substring(__key, i, 1), '')), 0))"
     )
-    leads = with_leads.select(
+    ranked = with_global_rank(
+        keyed.withColumn("__kp", kp),
+        ["__kp", "__key", id_col],
+        rank_col="__r",
+    ).select(F.col(id_col), "__r")
+    offs = ranked.select(
         F.col(id_col),
-        F.posexplode(
-            F.array(*[F.col(f"__n{off}") for off in range(1, window + 1)])
-        ).alias("__off0", "__nbr"),
-    ).filter(F.col("__nbr").isNotNull())
-    pairs = leads.select(
+        F.explode(F.expr(f"sequence(1, {window})")).alias("__gap"),
+        F.col("__r"),
+    ).withColumn("__tr", F.col("__r") + F.col("__gap"))
+    nbrs = ranked.select(
+        F.col(id_col).alias("__nbr"), F.col("__r").alias("__tr")
+    )
+    pairs = offs.join(nbrs, "__tr").select(
         F.least(F.col(id_col), F.col("__nbr")).alias("doc_a"),
         F.greatest(F.col(id_col), F.col("__nbr")).alias("doc_b"),
-        (F.col("__off0") + 1).cast("int").alias("sort_gap"),
+        F.col("__gap").cast("int").alias("sort_gap"),
     )
     arrs = df.select(
         F.col(id_col), tokens(text_col).alias("__t")
