@@ -79,6 +79,15 @@ HEAVY = [
     "source_overlap_kmv",
     "distinct_ngram_diversity",
     "lm_gate_ablation",
+    # round-8i: the five ops whose single-task stages were removed
+    # this round (unpartitioned windows -> TakeOrdered / two-phase
+    # rank / rank-offset join) — probed so the plan-shape fixes have
+    # a measured decade point, not just an .explain argument.
+    "dedup_prefix_filter_join",
+    "dedup_sorted_neighborhood",
+    "vocab_coverage",
+    "cms_heavy_hitters",
+    "token_zipf_fit",
 ]
 N_RUNS = 3
 
