@@ -657,3 +657,29 @@ def test_round8i_queries_plan_shapes(spark):
 
     kf = X.physical_plan(QUERIES["split_kfold_grouped"](spark, SF_SMALL))
     assert "Join" not in kf and "CartesianProduct" not in kf, kf
+
+
+def test_round8i_single_task_window_removals(spark):
+    """Round-8i re-plans: the five ops that carried unpartitioned
+    (single-task) windows over unbounded frames now pin their plan
+    shapes. Remaining Exchange SinglePartition nodes are all over
+    BOUNDED frames: with_global_rank's bucket-offset table (≤
+    n_buckets rows) in sorted-neighborhood / zipf, and the max(K)-row
+    rank window in vocab_coverage. prefix-filter and cms drop to
+    zero."""
+    pf = X.physical_plan(QUERIES["dedup_prefix_filter_join"](spark, SF_SMALL))
+    assert pf.count("Exchange SinglePartition") == 0, pf
+
+    cm = X.physical_plan(QUERIES["cms_heavy_hitters"](spark, SF_SMALL))
+    assert cm.count("Exchange SinglePartition") == 0, cm
+    assert "TakeOrderedAndProject" in cm, cm
+
+    vc = X.physical_plan(QUERIES["vocab_coverage"](spark, SF_SMALL))
+    assert vc.count("Exchange SinglePartition") <= 1, vc
+    assert "TakeOrderedAndProject" in vc, vc
+
+    sn = X.physical_plan(QUERIES["dedup_sorted_neighborhood"](spark, SF_SMALL))
+    assert sn.count("Exchange SinglePartition") <= 2, sn
+
+    zf = X.physical_plan(QUERIES["token_zipf_fit"](spark, SF_SMALL))
+    assert zf.count("Exchange SinglePartition") <= 2, zf
