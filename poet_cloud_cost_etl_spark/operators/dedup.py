@@ -1725,22 +1725,37 @@ def prefix_filter_jaccard_join(
         )
         .select(F.col(id_col), "shingle")
     )
-    cand = (
+    # Same small/hot hybrid as lsh_candidate_pairs / _jaccard_core:
+    # prefix blocks are biased rare by construction, but a template
+    # corpus can still produce a hot prefix shingle, and its B²/2
+    # pairs must not explode in one task — buckets above the split
+    # threshold re-explode into an AQE-skew-splittable self-join.
+    grouped = (
         prefix.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .localCheckpoint(eager=True)
     )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    small_pairs = (
+        grouped.filter(F.size("ids") <= 1024)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+    )
+    hot = grouped.filter(F.size("ids") > 1024).select(
+        "shingle", F.explode("ids").alias("d")
+    )
+    hot_pairs = (
+        hot.select("shingle", F.col("d").alias("doc_a"))
+        .join(hot.select("shingle", F.col("d").alias("doc_b")), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    cand = small_pairs.union(hot_pairs).distinct()
     a = arrs.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
     b = arrs.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
     scored = (
