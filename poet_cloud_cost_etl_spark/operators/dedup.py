@@ -1593,18 +1593,30 @@ def sorted_neighborhood_pairs(
         )
     )
     keyed = df.select(F.col(id_col), canon.alias("__key"))
-    # Order-preserving numeric proxy for range bucketing: the first 8
-    # canon chars packed base-128 (canon is ASCII by construction —
-    # [a-z0-9 ] — and every symbol is > 0, so zero-padding short keys
-    # keeps exactly the string prefix order; 128^8 fits in a BIGINT).
-    # Ordering by (__kp, __key, id) == ordering by (__key, id).
-    kp = F.expr(
-        "aggregate(sequence(1, 8), 0L, (acc, i) -> acc * 128 + "
-        "coalesce(ascii(nullif(substring(__key, i, 1), '')), 0))"
-    )
+    # Order-preserving numeric proxies for range bucketing: canon
+    # chars 1-8 / 9-16 / 17-24, each window packed base-128 (canon is
+    # ASCII by construction — [a-z0-9 ] — and every symbol is > 0, so
+    # zero-padding short keys keeps exactly the string prefix order;
+    # 128^8 fits in a BIGINT).  Ordering by (__kp, __kp2, __kp3,
+    # __key, id) == ordering by (__key, id).  Three levels because of
+    # the degenerate-prefix hazard (r8 advisor finding): a templated
+    # corpus where most docs share the first 8 canon chars collapses
+    # level-1 quantiles to one bucket; with_global_rank peels
+    # constant levels and buckets on the first discriminating one, so
+    # degradation to a single-task sort needs 24 shared leading chars
+    # — the documented dial (use a sorted-token canon key there).
+    def _packed(lo: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence({lo}, {lo + 7}), 0L, (acc, i) -> "
+            "acc * 128 + "
+            "coalesce(ascii(nullif(substring(__key, i, 1), '')), 0))"
+        )
+
     ranked = with_global_rank(
-        keyed.withColumn("__kp", kp),
-        ["__kp", "__key", id_col],
+        keyed.withColumn("__kp", _packed(1))
+        .withColumn("__kp2", _packed(9))
+        .withColumn("__kp3", _packed(17)),
+        ["__kp", "__kp2", "__kp3", "__key", id_col],
         rank_col="__r",
     ).select(F.col(id_col), "__r")
     offs = ranked.select(
@@ -1663,6 +1675,7 @@ def prefix_filter_jaccard_join(
     text_col: str,
     threshold_num: int = 1,
     threshold_den: int = 2,
+    split_threshold: int = 1024,
 ) -> DataFrame:
     """X86: prefix-filtered similarity join (Chaudhuri/Ganti/Kaushik
     SSJoin 2006; Xiao et al. PPJoin 2008) — the candidate-collapse
@@ -1742,11 +1755,11 @@ def prefix_filter_jaccard_join(
         "y -> struct(x AS doc_a, y AS doc_b))))"
     )
     small_pairs = (
-        grouped.filter(F.size("ids") <= 1024)
+        grouped.filter(F.size("ids") <= split_threshold)
         .select(F.explode(pair_expr).alias("p"))
         .select("p.doc_a", "p.doc_b")
     )
-    hot = grouped.filter(F.size("ids") > 1024).select(
+    hot = grouped.filter(F.size("ids") > split_threshold).select(
         "shingle", F.explode("ids").alias("d")
     )
     hot_pairs = (

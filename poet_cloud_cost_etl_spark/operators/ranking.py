@@ -44,14 +44,50 @@ def with_global_rank(
     ``total_col``: also attach the total row count as a column — it
     falls out of the per-bucket counts this function already computes
     (no extra scan), which is what ntile/percent_rank/cume_dist
-    consumers need."""
-    first = order_cols[0]
+    consumers need.
+
+    Degenerate-prefix guard (r8 advisor finding): the range buckets
+    come from approxQuantile on the FIRST order column, so a leading
+    column that is constant over the whole input (e.g. a templated
+    corpus where every packed key prefix is identical) collapses to
+    one bucket and silently re-creates the single-task sort this
+    function exists to remove.  Bucketing on a LATER order column is
+    order-preserving iff every earlier column is constant — exactly
+    the collapse condition — so we peel constant leading numeric
+    columns and bucket on the first non-constant one.  The peel scan
+    (one min/max agg per peeled column) only runs on degenerate
+    data; the normal path is the same single approxQuantile as
+    before.  If peeling reaches a non-numeric column the function
+    degrades to the pre-existing single-bucket behavior — callers
+    that range-bucket on packed string prefixes should supply enough
+    packed levels to make that practically unreachable (see
+    sorted_neighborhood_pairs: 3 levels = 24 shared chars)."""
     probs = [i / n_buckets for i in range(1, n_buckets)]
-    bounds = sorted(set(df.stat.approxQuantile(first, probs, 0.001))) if probs else []
+    bucket_col, bounds = order_cols[0], []
+    if probs:
+        for c in order_cols:
+            try:
+                cand = sorted(set(df.stat.approxQuantile(c, probs, 0.001)))
+            except Exception:
+                # non-numeric order column: can't range-bucket past
+                # here; keep whatever the previous level gave us.
+                break
+            bucket_col = c
+            if len(cand) > 1:
+                bounds = cand
+                break
+            # single distinct quantile: either the column is constant
+            # (peel and try the next level) or it is merely skewed
+            # (keep the single bound — 2 buckets, order-safe).
+            mm = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).first()
+            if mm.mn is None or mm.mn == mm.mx:
+                continue
+            bounds = cand
+            break
 
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
-        bucket = F.size(F.filter(barr, lambda b: F.col(first) > b))
+        bucket = F.size(F.filter(barr, lambda b: F.col(bucket_col) > b))
     else:
         bucket = F.lit(0)
     bucketed = df.withColumn("__bucket", bucket)

@@ -946,8 +946,13 @@ def calibration_brier(
     ).select(
         "__p_ppm",
         "__y",
+        # Clamp to n_bins-1: when n_bins does not divide 1e6 (e.g.
+        # 7), 999999 div (1e6 // n_bins) can reach n_bins — the last
+        # bin absorbs the remainder instead of spawning a phantom
+        # bin (r8 advisor finding).
         F.expr(
-            f"LEAST(__p_ppm, 999999L) div {1_000_000 // n_bins}"
+            f"LEAST({n_bins - 1}L, "
+            f"LEAST(__p_ppm, 999999L) div {1_000_000 // n_bins})"
         ).alias("bin"),
         F.expr(
             "CAST((__p_ppm - 1000000 * __y) * (__p_ppm - 1000000 * __y) "

@@ -49,19 +49,30 @@ COSTS_VIEW = f"({EVENTS_COSTS} UNION ALL {ORDERS_COSTS})"
 ORACLES["costs_normalize_events"] = EVENTS_COSTS
 
 # DECIMAL-money DDL parity (reference sql/init.sql:19): same
-# projection, cost as DECIMAL(10,2) — the reference's money type.
-# The VARCHAR round-trip pins DuckDB to the same rounding Spark uses
-# (BigDecimal.valueOf rounds the shortest round-trip decimal string,
-# and DuckDB's double→varchar is likewise shortest round-trip); a
-# direct double→decimal cast would instead round the exact binary
-# value, which diverged at scale (38,10) in r7.
+# projection, cost computed as DECIMAL(10,2) — the reference's money
+# type — then rendered as VARCHAR for the hashed surface.  Two
+# distinct hazards, two distinct defenses (r7+r8 post-mortems):
+#   (a) rounding: double→decimal is not engine-portable (Spark
+#       rounds the shortest round-trip decimal string via
+#       BigDecimal.valueOf; DuckDB rounds the exact binary
+#       expansion) — the inner VARCHAR round-trip pins DuckDB to
+#       Spark's semantics;
+#   (b) materialization: the driver fetches DuckDB results through
+#       pandas, which degrades DECIMAL(10,2) to float64 ('10.10' →
+#       10.1), changing the canonical string even when the decimal
+#       values are bit-identical — so the *output* column is VARCHAR
+#       ('10.10' on both engines; Spark scale-2 BigDecimal.toString
+#       and DuckDB decimal→varchar both always print 2 fraction
+#       digits).  The DecimalType(10,2) DDL itself is asserted in
+#       pytest (tests/test_pipeline.py) where no pandas leg exists.
 ORACLES["costs_normalize_decimal"] = """
     SELECT
         CAST(ts AS DATE) AS date,
         CAST(user_id AS VARCHAR) AS account_id,
         event_type AS service,
         CAST(NULL AS VARCHAR) AS region,
-        CAST(CAST(value AS VARCHAR) AS DECIMAL(10,2)) AS cost,
+        CAST(CAST(CAST(value AS VARCHAR) AS DECIMAL(10,2)) AS VARCHAR)
+            AS cost,
         'USD' AS currency,
         'aws' AS cloud_provider,
         'events' AS source_table,
@@ -4659,12 +4670,17 @@ ORACLES["embedding_health_audit"] = """
             AS min_norm_sq_q,
         MAX(CASE WHEN NOT mis AND NOT nn AND NOT inf THEN nsq END)
             AS max_norm_sq_q,
-        CASE WHEN COUNT(CASE WHEN NOT mis AND NOT nn AND NOT inf
+        -- r8 post-mortem: SUM(BIGINT) is HUGEINT in DuckDB, and the
+        -- driver's pandas materialization degrades HUGEINT to
+        -- float64 (997991955456 -> 997991955456.0), flipping the
+        -- canonical string vs Spark's int.  CAST back to BIGINT so
+        -- the hashed surface stays in the proven-portable type set.
+        CAST(CASE WHEN COUNT(CASE WHEN NOT mis AND NOT nn AND NOT inf
                         THEN 1 END) = 0 THEN NULL
             ELSE SUM(CASE WHEN NOT mis AND NOT nn AND NOT inf
                      THEN nsq END)
                  // COUNT(CASE WHEN NOT mis AND NOT nn AND NOT inf
-                          THEN 1 END) END AS mean_norm_sq_q
+                          THEN 1 END) END AS BIGINT) AS mean_norm_sq_q
     FROM checks
 """
 
@@ -5825,7 +5841,8 @@ def _x111_pair(a: str, b: str) -> str:
     d1 = f"(n * q_{a} - s_{a} * s_{a})"
     d2 = f"(n * q_{b} - s_{b} * s_{b})"
     return (
-        f"SELECT n AS n_rows, 'sig_{a}' AS sig_a, 'sig_{b}' AS sig_b, "
+        f"SELECT CAST(n AS BIGINT) AS n_rows, "
+        f"'sig_{a}' AS sig_a, 'sig_{b}' AS sig_b, "
         f"CASE WHEN {d1} = 0 OR {d2} = 0 THEN NULL "
         f"ELSE CAST(round(1000000 * CAST({num} AS DOUBLE) / "
         f"sqrt(CAST({d1} AS DOUBLE) * CAST({d2} AS DOUBLE))) AS BIGINT) END "
@@ -6359,8 +6376,11 @@ ORACLES["conformal_value_bound"] = """
     SELECT grp, CAST(n AS BIGINT) AS n,
         CAST(rank_needed AS BIGINT) AS rank_needed,
         MIN(CASE WHEN cum >= rank_needed THEN v END) AS q_hat,
-        (1000000 * MIN(CASE WHEN cum >= rank_needed THEN cum END)) // n
-            AS achieved_ppm,
+        -- CAST: the window SUM makes cum/n HUGEINT, which pandas
+        -- degrades to float64 (the r8 red-row mechanism); keep the
+        -- hashed surface BIGINT.
+        CAST((1000000 * MIN(CASE WHEN cum >= rank_needed THEN cum END)) // n
+            AS BIGINT) AS achieved_ppm,
         CAST(900000 AS BIGINT) AS target_ppm
     FROM rk GROUP BY grp, n, rank_needed
     ORDER BY grp

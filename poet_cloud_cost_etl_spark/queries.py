@@ -144,25 +144,28 @@ def q_costs_normalize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_costs_normalize_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DDL parity with the reference's DECIMAL money column
     (sql/init.sql:19, README.md:115): the normalized projection with
-    cost as DecimalType(10,2) — the reference's actual money type —
-    instead of double, row-level hash-checked against DuckDB.
+    cost computed as DecimalType(10,2) — the reference's actual money
+    type — then rendered as STRING for the hash-checked surface.
 
-    Rounding caveat (r7 post-mortem): double→decimal is NOT
-    engine-portable in general.  Spark casts via
-    BigDecimal.valueOf(double), i.e. it rounds the double's
-    *shortest round-trip decimal string*; DuckDB rounds the *exact
-    binary expansion*.  At scale (38,10) the double ULP above ~1e5
-    exceeds the 1e-10 grid so the two answers diverge on the 10th
-    digit (the r7 red row).  Two defenses here: (a) the 1e-2 grid of
-    DECIMAL(10,2) is far coarser than any ULP in the money range, and
-    (b) the oracle mirrors Spark's semantics exactly by round-tripping
-    through VARCHAR (DuckDB's double→varchar is also shortest
-    round-trip).  Decimal sums stay exact at any scale with no
-    integer-cents detour (money-exactness convention twin)."""
+    Two hazards, two defenses (r7 + r8 post-mortems):
+    (a) rounding — double→decimal is not engine-portable (Spark
+    rounds the double's shortest round-trip decimal string via
+    BigDecimal.valueOf; DuckDB rounds the exact binary expansion), so
+    the oracle round-trips through VARCHAR before the decimal cast to
+    pin DuckDB to Spark's semantics; (b) materialization — the
+    driver fetches the DuckDB side through pandas, which degrades
+    DECIMAL(10,2) to float64 ('10.10' → 10.1, trailing-zero loss ⇒
+    canonical-string change; this kept the row red in r7 AND r8 even
+    with (a) fixed), so the *hashed* column is the decimal's string
+    rendering — identical on both engines because a scale-2 decimal
+    always prints exactly 2 fraction digits.  The DecimalType(10,2)
+    schema itself (the actual DDL-parity claim) is asserted in
+    tests/test_pipeline.py::test_normalize_decimal_money_ddl, where
+    no pandas materialization is involved."""
     from pyspark.sql import types as T
 
     ev = table(spark, sf_dir, "events")
-    return normalize_mapped(
+    out = normalize_mapped(
         ev,
         source_table="events",
         mapping={
@@ -177,6 +180,7 @@ def q_costs_normalize_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
         sync_timestamp=SYNC_TS,
         cost_type=T.DecimalType(10, 2),
     )
+    return out.withColumn("cost", F.col("cost").cast("string"))
 
 
 @query("costs_union_view")

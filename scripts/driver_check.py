@@ -9,7 +9,6 @@ Exit code 0 iff entry smokes and every oracle-checked query matches.
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 
@@ -35,18 +34,6 @@ TABLES = [
 ]
 
 
-def canon(v) -> str:
-    if v is None:
-        return "<N>"
-    if isinstance(v, float):
-        return "<NaN>" if math.isnan(v) else repr(v)
-    if hasattr(v, "isoformat"):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
-    return str(v)
-
-
 def main() -> int:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_session(app_name="driver-check", master="local[8]", shuffle_partitions=8)
@@ -62,30 +49,27 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+    # r9: delegate to the shared two-leg harness (exact fetchall leg
+    # + the pandas-materialization leg that replicates the driver's
+    # fetchdf()/toPandas() type degradation — the r8 red-row class
+    # was invisible to the old fetchall-only comparison here).
+    from tests.oracle_harness import compare
+
     qs, osql = E.queries(), E.oracle_sql()
     for name, fn in sorted(qs.items()):
         try:
             sdf = fn(spark, sf)
-            scols, srows = sdf.columns, sdf.collect()
             if name not in osql:
-                print(f"{name}: rows-only ({len(srows)} rows)")
+                print(f"{name}: rows-only ({sdf.count()} rows)")
                 continue
-            r = con.execute(osql[name])
-            ocols = [d[0] for d in r.description]
-            orows = r.fetchall()
-            si = sorted(range(len(scols)), key=lambda i: scols[i])
-            oi = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            cs = sorted(tuple(canon(row[i]) for i in si) for row in srows)
-            co = sorted(tuple(canon(row[i]) for i in oi) for row in orows)
-            ok = sorted(scols) == sorted(ocols) and cs == co
-            bad += 0 if ok else 1
-            print(f"{name}: {'MATCH' if ok else 'MISMATCH'} ({len(srows)} rows)")
-            if not ok:
-                if sorted(scols) != sorted(ocols):
-                    print(f"  cols: spark={sorted(scols)} oracle={sorted(ocols)}")
-                for a, b in list(zip(cs, co))[:3]:
-                    if a != b:
-                        print(f"  spark={a}\n  oracle={b}")
+            cmp = compare(name, sdf, con, osql[name])
+            bad += 0 if cmp.match else 1
+            print(
+                f"{name}: {'MATCH' if cmp.match else 'MISMATCH'}"
+                f" ({cmp.spark_rows} rows)"
+            )
+            for issue in cmp.mismatches:
+                print(f"  {issue}")
         except Exception as exc:  # surface per-query errors, keep going
             bad += 1
             print(f"{name}: ERROR {type(exc).__name__}: {str(exc)[:200]}")

@@ -68,6 +68,63 @@ def canon_rows(columns: list[str], rows: list[tuple]) -> list[tuple[str, ...]]:
     return out
 
 
+def _canon_pandas_cell(v) -> str:
+    """Canonicalize a cell AFTER pandas materialization — the leg
+    that replicates the driver's degradation path (r8 post-mortem:
+    DuckDB ``fetchdf()`` degrades DECIMAL(10,2)→float64 with
+    trailing-zero loss and HUGEINT→float64, while Spark's
+    ``toPandas()`` keeps Decimal objects and int64 — an asymmetry
+    the exact ``fetchall()`` leg can never see).  NaN and None are
+    both NULL markers here (pandas erases the distinction), and a
+    midnight Timestamp equals a date (DuckDB widens DATE to
+    datetime64, Spark keeps datetime.date objects — symmetric under
+    this canon)."""
+    import datetime as _dt
+
+    import numpy as _np
+    import pandas as _pd
+
+    if v is None or v is _pd.NaT:
+        return "<N>"
+    if isinstance(v, (float, _np.floating)):
+        f = float(v)
+        return "<N>" if math.isnan(f) else repr(f)
+    if isinstance(v, (bool, _np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, _np.integer)):
+        return str(int(v))
+    if isinstance(v, _pd.Timestamp):
+        v = v.to_pydatetime()
+    if isinstance(v, _dt.datetime):
+        if v.hour == v.minute == v.second == v.microsecond == 0:
+            return v.date().isoformat()
+        return v.isoformat()
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple, _np.ndarray)):
+        return "[" + ",".join(_canon_pandas_cell(x) for x in v) + "]"
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        if _pd.isna(v):
+            return "<N>"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canon_pandas_rows(df) -> list[tuple[str, ...]]:
+    """Driver-leg canonicalization of a pandas DataFrame: sort
+    columns by name, canonicalize cells, sort rows."""
+    cols = sorted(df.columns)
+    out = [
+        tuple(_canon_pandas_cell(v) for v in row)
+        for row in df[cols].itertuples(index=False, name=None)
+    ]
+    out.sort()
+    return out
+
+
 @dataclass
 class Comparison:
     name: str
@@ -78,6 +135,7 @@ class Comparison:
 
 
 def compare(name: str, spark_df, oracle_con, oracle_query: str) -> Comparison:
+    spark_df = spark_df.persist()
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     o_res = oracle_con.execute(oracle_query)
@@ -105,4 +163,26 @@ def compare(name: str, spark_df, oracle_con, oracle_query: str) -> Comparison:
                 + "\n".join(diffs)
                 + f"\n  only-spark={only_s}\n  only-oracle={only_o}"
             )
+    if not issues:
+        # Driver-fidelity leg (r8 post-mortem): re-materialize BOTH
+        # sides through pandas — Spark via toPandas(), DuckDB via
+        # fetchdf() — and compare under the pandas canon.  The exact
+        # leg above proves the engines agree; this leg proves the
+        # agreement SURVIVES the driver's materialization (it is the
+        # leg that catches DECIMAL / HUGEINT result columns, which
+        # pandas degrades asymmetrically).
+        ps = canon_pandas_rows(spark_df.toPandas())
+        po = canon_pandas_rows(oracle_con.execute(oracle_query).fetchdf())
+        if ps != po:
+            diffs = [
+                f"  row {i}: spark={a} oracle={b}"
+                for i, (a, b) in enumerate(zip(ps, po))
+                if a != b
+            ][:5]
+            issues.append(
+                "pandas-leg divergence (driver-fragile result type — "
+                "exact values match but the driver's materialization "
+                "degrades them differently):\n" + "\n".join(diffs)
+            )
+    spark_df.unpersist()
     return Comparison(name, len(s_rows), len(o_rows), not issues, issues)

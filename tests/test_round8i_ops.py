@@ -105,6 +105,29 @@ def test_calibration_brier_hand_computed(spark):
     assert len({r["ece"] for r in out.values()}) == 1
 
 
+def test_calibration_brier_nondivisor_bins_stay_in_range(spark):
+    """r8 advisor finding: when n_bins does not divide 1e6 (e.g. 7,
+    width 142857, and 142857*7 = 999999 exactly) the unclamped bin id
+    for a clamped p_ppm of 999999 is 7 — an out-of-range 8th bin.
+    The LEAST(n_bins-1, ...) clamp folds it into the last bin."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        calibration_brier,
+    )
+
+    rows = [
+        (1, 9000, 4, 1),   # clamp -> p_ppm 1000000 -> must land in bin 6
+        (2, -9000, 4, 0),  # clamp -> 0 -> bin 0
+        (3, 0, 1, 1),      # 500000 -> 500000 div 142857 = 3
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "logit", "n_tokens", "label"]
+    )
+    out = {r["bin"]: r for r in calibration_brier(df, "label", n_bins=7).collect()}
+    assert set(out) == {0, 3, 6}
+    assert all(0 <= b <= 6 for b in out)
+    assert out[6]["mean_pred"] == 1.0
+
+
 def test_group_kfold_never_splits_a_cluster(spark):
     """Every member of a cluster shares its fold (leakage-safety by
     construction); shares sum to ~1; singleton corpora leak nothing."""
