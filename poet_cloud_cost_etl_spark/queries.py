@@ -5171,12 +5171,18 @@ def q_split_kfold_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-duplicate queries would shrink the graded coverage surface.
 # The wall after this one is 250 — and round 8 REACHES it exactly
 # (X127/split_kfold_grouped is registration #250 and the last slot).
-# Round 9 must decide BEFORE registering anything: widen MAX_STALE
-# to 6 (cycle 6 rounds, capacity 300 — precedent: every query is
-# also locally re-pinned every session by test_oracle_parity, and
-# 12 rounds remain, so two full 6-round cycles still fit) or retire
-# near-duplicate registrations. test_rotation.py's capacity test
-# makes forgetting this a failure, not a drift.
+# CAPACITY (round 9, DECIDED): MAX_STALE widened to 6 in
+# tests/test_rotation.py (cycle 6 rounds, capacity 300) BEFORE any
+# r9 registration, per the r8 protocol note.  Rationale unchanged
+# from the r7/r8 widenings: every query is also locally re-pinned
+# every session by test_oracle_parity — which as of r9 carries the
+# driver-fidelity pandas-materialization leg, making the local gate
+# at least as strict as the official one — and two full 6-round
+# cycles still fit in the rounds remaining.  Round-9 registrations
+# are BUDGETED so the window debt clears: 30 pre-r9 queries have no
+# official row yet and occupy the first 30 window slots; at most 20
+# new registrations join them, so after the r9 check NO query is
+# without an official row.  The next wall is 300.
 # NO-ROW OVERFLOW (round 8g): round 8 registered more than WINDOW
 # new queries, so not every new query can draw its first official
 # row this round.  The window takes the FIRST 50 no-row names in
