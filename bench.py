@@ -203,6 +203,13 @@ HEADLINE = [
     "ann_ndcg_eval",
     "classifier_calibration",
     "split_kfold_grouped",
+    # round-9 batch-1 additions (X128/X134/X135/X136/X145),
+    # benched from birth.
+    "term_burstiness",
+    "winsorized_length_stats",
+    "output_file_plan",
+    "zorder_locality",
+    "freshness_decay_weights",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
@@ -226,6 +233,21 @@ R1_SUBSET = 18
 #       Single-run timing was the root cause; this file now times
 #       each query N_RUNS times and reports the median, so one
 #       loaded run can no longer masquerade as a regression.
+#   r9 drift A/B (round-8 verdict task 5): the apparent ~1.2×
+#       round-over-round drift vs r7 (r1 subset 12.57s -> 16.02s in
+#       the r8 driver record) is NOT an operator regression — it
+#       conflates two things. (a) The r8 timed-action change from
+#       count() to the noop sink deliberately measures MORE work
+#       (count() let Catalyst prune unreferenced output columns),
+#       so r7 medians are not comparable; the valid same-action
+#       baseline is BENCH_PINNED (r8h idle full run). (b) Against
+#       THOSE pins, an idle r9 re-measure of the r1 anchor + the 10
+#       r7-overlap heavies summed to 1.04× (43.4s vs 41.7s pinned;
+#       per-query 0.69–1.29× with the heavies ~1.0–1.2×, inside the
+#       shared-JVM variance band; min-based gate: zero firings).
+#       Idle r1-subset-only run: 15.29s vs 13.36s pin-sum (1.14×,
+#       small-query JVM variance). Conclusion: no drift to bisect;
+#       cross-round comparisons must use pin-era-matched numbers.
 
 # Timing discipline (round-5 ask #3): one untimed warm-up per query
 # (codegen/planning caches), then N_RUNS timed runs. "queries" in the
@@ -321,6 +343,17 @@ def main() -> None:
         "r1 anchor subset drifted: a renamed/removed headline query "
         "would silently corrupt r1_subset_sec"
     )
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c restricts the run to the named
+    # headline queries (r9: for idle A/B re-measures of a suspect
+    # subset without paying the full multi-minute pass).  Headline
+    # order is preserved; r1_subset_sec is emitted only when the
+    # whole anchor subset is present.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        wanted = {w.strip() for w in only.split(",") if w.strip()}
+        unknown = wanted - set(names)
+        assert not unknown, f"SPARK_GRAFT_BENCH_ONLY names not in HEADLINE: {sorted(unknown)}"
+        names = [n for n in names if n in wanted]
 
     # Steady-state methodology: each query runs once to warm codegen/
     # planning caches (not counted), then N_RUNS timed runs; the
@@ -372,7 +405,12 @@ def main() -> None:
             "n_runs": len(runs),
         }
     total = round(sum(timings.values()), 4)
-    subset = round(sum(timings[n] for n in names[:R1_SUBSET]), 4)
+    anchor = [n for n in HEADLINE[:R1_SUBSET] if n in timings]
+    subset = (
+        round(sum(timings[n] for n in anchor), 4)
+        if len(anchor) == R1_SUBSET
+        else None
+    )
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     full = {
         "metric": "headline_queries_total",

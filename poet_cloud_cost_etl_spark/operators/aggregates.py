@@ -785,3 +785,209 @@ def conformal_threshold(
         )
         .orderBy("grp")
     )
+
+
+def output_file_plan(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> DataFrame:
+    """X135: output-file sizing plan — the write-side twin of X107's
+    read-side range planner.  Small-file storms (thousands of KB-
+    scale parquet files from an over-partitioned write) and
+    monster-file stragglers are the two classic sink failures at
+    100 TB; this op computes, per output partition group, the exact
+    byte mass and the file count a ``target_file_bytes`` budget
+    implies (ceil division — what a repartitionByRange(n) before the
+    write should use), plus the oversize-row diagnostics (a single
+    row larger than the target can never fit the budget; it needs a
+    row-level split upstream, not more files).
+
+    Exactness: byte counts are exact BIGINT sums of octet_length;
+    file counts and per-file averages are integer ceil/floor
+    divisions.
+
+    Scale: one map-side-combinable aggregate over the write key —
+    the plan costs one scan of the data it sizes, and the output is
+    one row per group."""
+    b = F.expr(f"octet_length({text_col})")
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(b).cast("long").alias("total_bytes"),
+            F.max(b).cast("long").alias("max_row_bytes"),
+            F.sum(F.when(b > target_file_bytes, 1).otherwise(0))
+            .cast("long")
+            .alias("n_oversize_rows"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "total_bytes",
+            F.expr(
+                f"(total_bytes + {target_file_bytes} - 1) div "
+                f"{target_file_bytes}"
+            ).alias("n_files"),
+            F.expr(
+                f"total_bytes div ((total_bytes + {target_file_bytes} - 1) "
+                f"div {target_file_bytes})"
+            ).alias("avg_file_bytes"),
+            F.expr(
+                f"(n_rows + (total_bytes + {target_file_bytes} - 1) div "
+                f"{target_file_bytes} - 1) div ((total_bytes + "
+                f"{target_file_bytes} - 1) div {target_file_bytes})"
+            ).alias("rows_per_file"),
+            "max_row_bytes",
+            "n_oversize_rows",
+        )
+        .orderBy(group_col)
+    )
+
+
+def zorder_locality(
+    df: DataFrame,
+    dim1_col: str,
+    dim2_col: str,
+    bits: int = 4,
+) -> DataFrame:
+    """X136: Z-order (Morton) clustering-key locality evaluation —
+    the multi-dimensional data-skipping layout (Z-ordering is what
+    Delta/Iceberg OPTIMIZE implements; Morton 1966): quantize two
+    columns to ``bits``-bit grid cells, interleave their bits into
+    one sort key, and measure what clustering BY that key buys a
+    scan that filters on EITHER dimension — per Z-range, the min/max
+    envelope of each source dimension (the file-skipping statistics
+    a lakehouse keeps) and its coverage of the dimension's full
+    range in ppm (low coverage ⇒ most files skip).
+
+    Quantization is exact integer: cell = (v − min)·2^bits div
+    (max − min + 1) over the true (aggregated) min/max; the
+    interleave is pure div/mod bit arithmetic, portable to any SQL
+    engine — no native bit-op dialect dependence.
+
+    Scale: one 1-row min/max aggregate broadcast back (the only
+    exchange besides the final per-Z-range aggregate); the Morton
+    key itself is a zero-shuffle narrow map — exactly how you'd
+    stamp the key on 100 TB before a repartitionByRange write."""
+    n_cells = 1 << bits
+    mm = df.agg(
+        F.min(F.col(dim1_col).cast("long")).alias("__mn1"),
+        F.max(F.col(dim1_col).cast("long")).alias("__mx1"),
+        F.min(F.col(dim2_col).cast("long")).alias("__mn2"),
+        F.max(F.col(dim2_col).cast("long")).alias("__mx2"),
+    )
+    cells = df.crossJoin(F.broadcast(mm)).select(
+        F.expr(
+            f"(({dim1_col} - __mn1) * {n_cells}) div (__mx1 - __mn1 + 1)"
+        ).alias("__c1"),
+        F.expr(
+            f"(({dim2_col} - __mn2) * {n_cells}) div (__mx2 - __mn2 + 1)"
+        ).alias("__c2"),
+        F.col(dim1_col).cast("long").alias("__v1"),
+        F.col(dim2_col).cast("long").alias("__v2"),
+        "__mn1",
+        "__mx1",
+        "__mn2",
+        "__mx2",
+    )
+    z = " + ".join(
+        f"((__c1 div {1 << i}) % 2) * {1 << (2 * i + 1)} + "
+        f"((__c2 div {1 << i}) % 2) * {1 << (2 * i)}"
+        for i in range(bits)
+    )
+    keyed = cells.withColumn("zkey", F.expr(z).cast("long"))
+    # Z-ranges: group the 2^(2*bits) Morton cells into 2^bits ranges
+    # (consecutive zkey div 2^bits) — the "file" granularity.
+    return (
+        keyed.withColumn("zrange", F.expr(f"zkey div {n_cells}"))
+        .groupBy("zrange")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("__v1").alias("min_d1"),
+            F.max("__v1").alias("max_d1"),
+            F.min("__v2").alias("min_d2"),
+            F.max("__v2").alias("max_d2"),
+            F.first("__mn1").alias("__g_mn1"),
+            F.first("__mx1").alias("__g_mx1"),
+            F.first("__mn2").alias("__g_mn2"),
+            F.first("__mx2").alias("__g_mx2"),
+        )
+        .select(
+            "zrange",
+            "n_rows",
+            "min_d1",
+            "max_d1",
+            "min_d2",
+            "max_d2",
+            F.expr(
+                "(1000000 * (max_d1 - min_d1 + 1)) div "
+                "(__g_mx1 - __g_mn1 + 1)"
+            ).alias("d1_coverage_ppm"),
+            F.expr(
+                "(1000000 * (max_d2 - min_d2 + 1)) div "
+                "(__g_mx2 - __g_mn2 + 1)"
+            ).alias("d2_coverage_ppm"),
+        )
+        .orderBy("zrange")
+    )
+
+
+def freshness_decay_weights(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_cents: Column,
+    half_life_days: int = 30,
+) -> DataFrame:
+    """X145: exponential-decay freshness weighting over event time —
+    the recency-weighted aggregate every monitoring/training-mix
+    dashboard wants ("weight last month ~2×  the month before"),
+    computed EXACTLY: the decay is quantized to half-life steps, so
+    weight_ppm = 10⁶ div 2^(age_days div half_life_days) is pure
+    integer arithmetic (a true exp() decay is engine-unportable
+    through doubles; the power-of-2 staircase is the deterministic
+    convention, and ages beyond 20 half-lives round to 0).  Age is
+    measured from the corpus max timestamp (exact, data-derived) so
+    the result is reproducible regardless of wall clock.
+
+    Scale: one 1-row max aggregate broadcast back + one
+    map-side-combinable group aggregate; the weight stamp is a
+    zero-shuffle narrow map."""
+    mx = df.agg(F.max(F.col(ts_col)).alias("__mx"))
+    aged = df.crossJoin(F.broadcast(mx)).select(
+        F.col(group_col).alias("grp"),
+        F.expr(f"datediff(CAST(__mx AS DATE), CAST({ts_col} AS DATE))").alias(
+            "__age"
+        ),
+        value_cents.alias("__cents"),
+    )
+    steps = F.expr(f"__age div {half_life_days}")
+    w = F.when(steps >= 20, F.lit(0)).otherwise(
+        F.expr(f"1000000 div CAST(pow(2, __age div {half_life_days}) AS LONG)")
+    )
+    return (
+        aged.withColumn("__w", w.cast("long"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("__w").cast("long").alias("weight_sum_ppm"),
+            F.expr("sum(__w) div count(1)").cast("long").alias(
+                "mean_weight_ppm"
+            ),
+            F.sum(F.expr("(__cents * __w) div 1000000"))
+            .cast("long")
+            .alias("weighted_cents"),
+            F.sum("__cents").cast("long").alias("raw_cents"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_events",
+            "weight_sum_ppm",
+            "mean_weight_ppm",
+            "weighted_cents",
+            "raw_cents",
+        )
+        .orderBy(group_col)
+    )

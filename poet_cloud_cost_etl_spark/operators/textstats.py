@@ -2683,3 +2683,156 @@ def heaps_law_fit(
             "CAST(m * syy - sy * sy AS DOUBLE))) AS BIGINT) END"
         ).alias("r2_e6"),
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 20,
+) -> DataFrame:
+    """X128: term burstiness panel (Church & Gale 1995, "Poisson
+    mixtures"): for the ``top_k`` highest-document-frequency terms,
+    how much more often a term occurs in the documents that contain
+    it than a Poisson model predicts.  Burstiness = tf/df (mean
+    occurrences per CONTAINING doc, the Church-Gale statistic) —
+    function words sit near 1.0, topical/template terms spike — and
+    the top-doc concentration (share of a term's total mass inside
+    its single heaviest document) separates "bursty because topical"
+    from "bursty because one doc repeats it 10⁴ times" (the X12
+    repetition-filter signal, here at corpus level).
+
+    Exactness: counts are exact BIGINTs; burstiness_e3 =
+    1000·tf div df and conc_ppm = 10⁶·max_doc_tf div tf are integer
+    divisions.  Top-k selection is deterministic: df desc, term asc.
+
+    Scale: tokenize → per-(term, doc) count (one shuffle, map-side
+    combinable) → per-term aggregate (second shuffle, bounded by
+    vocab) → TakeOrderedAndProject for the top_k — no global sort,
+    no single-task window, no join."""
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("__d"),
+            F.explode(
+                F.expr(
+                    f"filter({TOKENS_SQL.format(col=text_col)}, x -> x != '')"
+                )
+            ).alias("term"),
+        )
+        .groupBy("term", "__d")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    per_term = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("__c").cast("long").alias("tf"),
+        F.max("__c").cast("long").alias("max_doc_tf"),
+    )
+    return (
+        per_term.select(
+            "term",
+            "df",
+            "tf",
+            "max_doc_tf",
+            F.expr("(1000 * tf) div df").alias("burstiness_e3"),
+            F.expr("(1000000 * max_doc_tf) div tf").alias("conc_ppm"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(top_k)
+    )
+
+
+def winsorized_panel(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    lo_pct: int = 1,
+    hi_pct: int = 99,
+) -> DataFrame:
+    """X134: winsorized robust statistics per group — clamp a
+    Zipf-tailed numeric column (doc length, token count) at its
+    exact per-group P``lo_pct``/P``hi_pct`` order statistics and
+    report the winsorized mean next to the clipped mass.  The
+    mean-preserving counterpart to X95's outlier GATE: X95 flags
+    rows, this op repairs the STATISTIC (a corpus mean any
+    dashboard can trust without a 10⁶-char concatenated page
+    dragging it), which is why winsorized means are the reporting
+    default for heavy-tailed quality signals.
+
+    EXACT integer semantics: the Pk bound is the value at rank
+    ⌈k·n/100⌉ = (k·n + 99) div 100 in (value, id) order — a real
+    data value, no interpolation; the winsorized mean is
+    sum(clamp(v)) div n (floor division); clipped counts are exact.
+
+    Scale: two group-keyed rank windows (the X95 shape) + one
+    group aggregate — no global sort; output is one row per
+    group."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).cast("long").alias("v"),
+        F.col(id_col).alias("rid"),
+    )
+    wv = Window.partitionBy("grp").orderBy(F.col("v").asc(), F.col("rid").asc())
+    wn = Window.partitionBy("grp")
+    ranked = base.select(
+        "grp",
+        "v",
+        F.row_number().over(wv).alias("__rk"),
+        F.count(F.lit(1)).over(wn).alias("__n"),
+    )
+    bounds = (
+        ranked.filter(
+            F.expr(f"__rk = ({lo_pct} * __n + 99) div 100")
+            | F.expr(f"__rk = ({hi_pct} * __n + 99) div 100")
+        )
+        .groupBy("grp")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr(f"__rk = ({lo_pct} * __n + 99) div 100"), F.col("v")
+                )
+            ).alias("p_lo"),
+            F.min(
+                F.when(
+                    F.expr(f"__rk = ({hi_pct} * __n + 99) div 100"), F.col("v")
+                )
+            ).alias("p_hi"),
+        )
+    )
+    clamped = base.join(bounds, "grp").select(
+        "grp",
+        "p_lo",
+        "p_hi",
+        F.greatest(F.col("p_lo"), F.least(F.col("p_hi"), F.col("v"))).alias(
+            "__w"
+        ),
+        (F.col("v") < F.col("p_lo")).alias("__clo"),
+        (F.col("v") > F.col("p_hi")).alias("__chi"),
+    )
+    return (
+        clamped.groupBy("grp", "p_lo", "p_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("sum(__w) div count(1)").cast("long").alias("win_mean"),
+            F.sum(F.when(F.col("__clo"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_low"),
+            F.sum(F.when(F.col("__chi"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_high"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_rows",
+            "p_lo",
+            "p_hi",
+            "win_mean",
+            "n_clipped_low",
+            "n_clipped_high",
+            F.expr(
+                "(1000000 * (n_clipped_low + n_clipped_high)) div n_rows"
+            ).alias("clipped_ppm"),
+        )
+    )

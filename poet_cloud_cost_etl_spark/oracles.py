@@ -6613,3 +6613,174 @@ ORACLES["split_kfold_grouped"] = f"""
             / 1000000.0 AS docs_share
     FROM per ORDER BY fold
 """
+
+# --- round-9 batch 1 (X128/X134/X135/X136/X145) ---
+
+# X128 term burstiness (operators/textstats.py: term_burstiness):
+# per-(term, doc) counts -> per-term tf/df/max_doc_tf, integer
+# burstiness_e3 / conc_ppm, deterministic top-20 by (df DESC, term).
+ORACLES["term_burstiness"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+            list_filter({_TOKS.format(col='text')}, __x -> __x <> '') AS t
+        FROM documents
+    ),
+    per_doc AS (
+        SELECT doc_id, u.term, COUNT(*) AS c
+        FROM toks, UNNEST(t) AS u(term)
+        GROUP BY doc_id, u.term
+    ),
+    per_term AS (
+        SELECT term,
+            CAST(COUNT(*) AS BIGINT) AS df,
+            CAST(SUM(c) AS BIGINT) AS tf,
+            CAST(MAX(c) AS BIGINT) AS max_doc_tf
+        FROM per_doc GROUP BY term
+    )
+    SELECT term, df, tf, max_doc_tf,
+        CAST((1000 * tf) // df AS BIGINT) AS burstiness_e3,
+        CAST((1000000 * max_doc_tf) // tf AS BIGINT) AS conc_ppm
+    FROM per_term
+    ORDER BY df DESC, term ASC
+    LIMIT 20
+"""
+
+# X134 winsorized per-source length stats (operators/textstats.py:
+# winsorized_panel): exact rank-based P1/P99 (value at rank
+# ceil(k*n/100) in (v, doc_id) order), integer winsorized mean,
+# clipped mass.
+ORACLES["winsorized_length_stats"] = """
+    WITH base AS (
+        SELECT source AS grp, n_chars AS v, doc_id AS rid FROM documents
+    ),
+    ranked AS (
+        SELECT grp, v,
+            ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, rid) AS rk,
+            COUNT(*) OVER (PARTITION BY grp) AS n
+        FROM base
+    ),
+    bounds AS (
+        SELECT grp,
+            MIN(CASE WHEN rk = (1 * n + 99) // 100 THEN v END) AS p_lo,
+            MIN(CASE WHEN rk = (99 * n + 99) // 100 THEN v END) AS p_hi
+        FROM ranked
+        WHERE rk = (1 * n + 99) // 100 OR rk = (99 * n + 99) // 100
+        GROUP BY grp
+    ),
+    clamped AS (
+        SELECT b.grp, bo.p_lo, bo.p_hi,
+            GREATEST(bo.p_lo, LEAST(bo.p_hi, b.v)) AS w,
+            b.v < bo.p_lo AS clo,
+            b.v > bo.p_hi AS chi
+        FROM base b JOIN bounds bo ON b.grp = bo.grp
+    ),
+    agg AS (
+        SELECT grp, p_lo, p_hi,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(w) // COUNT(*) AS BIGINT) AS win_mean,
+            CAST(SUM(CASE WHEN clo THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clipped_low,
+            CAST(SUM(CASE WHEN chi THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_clipped_high
+        FROM clamped GROUP BY grp, p_lo, p_hi
+    )
+    SELECT grp AS source, n_rows, p_lo, p_hi, win_mean,
+        n_clipped_low, n_clipped_high,
+        CAST((1000000 * (n_clipped_low + n_clipped_high)) // n_rows
+            AS BIGINT) AS clipped_ppm
+    FROM agg ORDER BY source
+"""
+
+# X135 output-file sizing plan (operators/aggregates.py:
+# output_file_plan): exact byte sums (strlen = octet length in
+# DuckDB), ceil-division file counts, 64 KiB demo budget.
+ORACLES["output_file_plan"] = """
+    WITH agg AS (
+        SELECT source AS grp,
+            CAST(COUNT(*) AS BIGINT) AS n_rows,
+            CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+            CAST(MAX(strlen(text)) AS BIGINT) AS max_row_bytes,
+            CAST(SUM(CASE WHEN strlen(text) > 65536 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oversize_rows
+        FROM documents GROUP BY source
+    )
+    SELECT grp AS source, n_rows, total_bytes,
+        CAST((total_bytes + 65535) // 65536 AS BIGINT) AS n_files,
+        CAST(total_bytes // ((total_bytes + 65535) // 65536) AS BIGINT)
+            AS avg_file_bytes,
+        CAST((n_rows + (total_bytes + 65535) // 65536 - 1)
+            // ((total_bytes + 65535) // 65536) AS BIGINT) AS rows_per_file,
+        max_row_bytes, n_oversize_rows
+    FROM agg ORDER BY source
+"""
+
+# X136 Z-order locality eval (operators/aggregates.py:
+# zorder_locality): 4-bit grid quantization over exact global
+# min/max, div/mod Morton interleave, per-Z-range envelopes +
+# coverage ppm.
+_Z_INTERLEAVE = " + ".join(
+    f"((c1 // {1 << i}) % 2) * {1 << (2 * i + 1)} + "
+    f"((c2 // {1 << i}) % 2) * {1 << (2 * i)}"
+    for i in range(4)
+)
+ORACLES["zorder_locality"] = f"""
+    WITH mm AS (
+        SELECT CAST(MIN(n_chars) AS BIGINT) AS mn1,
+            CAST(MAX(n_chars) AS BIGINT) AS mx1,
+            CAST(MIN(doc_id) AS BIGINT) AS mn2,
+            CAST(MAX(doc_id) AS BIGINT) AS mx2
+        FROM documents
+    ),
+    cells AS (
+        SELECT ((d.n_chars - mm.mn1) * 16) // (mm.mx1 - mm.mn1 + 1) AS c1,
+            ((d.doc_id - mm.mn2) * 16) // (mm.mx2 - mm.mn2 + 1) AS c2,
+            CAST(d.n_chars AS BIGINT) AS v1,
+            CAST(d.doc_id AS BIGINT) AS v2,
+            mm.mn1, mm.mx1, mm.mn2, mm.mx2
+        FROM documents d, mm
+    ),
+    keyed AS (
+        SELECT CAST({_Z_INTERLEAVE} AS BIGINT) // 16 AS zrange,
+            v1, v2, mn1, mx1, mn2, mx2
+        FROM cells
+    )
+    SELECT zrange,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        MIN(v1) AS min_d1, MAX(v1) AS max_d1,
+        MIN(v2) AS min_d2, MAX(v2) AS max_d2,
+        CAST((1000000 * (MAX(v1) - MIN(v1) + 1)) //
+            (ANY_VALUE(mx1) - ANY_VALUE(mn1) + 1) AS BIGINT)
+            AS d1_coverage_ppm,
+        CAST((1000000 * (MAX(v2) - MIN(v2) + 1)) //
+            (ANY_VALUE(mx2) - ANY_VALUE(mn2) + 1) AS BIGINT)
+            AS d2_coverage_ppm
+    FROM keyed GROUP BY zrange ORDER BY zrange
+"""
+
+# X145 freshness decay (operators/aggregates.py:
+# freshness_decay_weights): age from the corpus max event DATE,
+# power-of-2 staircase weights (exact; >= 20 half-lives -> 0),
+# integer cents.
+ORACLES["freshness_decay_weights"] = f"""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    aged AS (
+        SELECT e.event_type AS grp,
+            datediff('day', CAST(e.ts AS DATE), CAST(mx.m AS DATE)) AS age,
+            {_cents('e.value')} AS c
+        FROM events e, mx
+    ),
+    weighted AS (
+        SELECT grp, c,
+            CASE WHEN age // 30 >= 20 THEN 0
+                ELSE 1000000 // CAST(pow(2, age // 30) AS BIGINT)
+            END AS w
+        FROM aged
+    )
+    SELECT grp AS event_type,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        CAST(SUM(w) AS BIGINT) AS weight_sum_ppm,
+        CAST(SUM(w) // COUNT(*) AS BIGINT) AS mean_weight_ppm,
+        CAST(SUM((c * w) // 1000000) AS BIGINT) AS weighted_cents,
+        CAST(SUM(c) AS BIGINT) AS raw_cents
+    FROM weighted GROUP BY grp ORDER BY event_type
+"""

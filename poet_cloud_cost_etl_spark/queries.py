@@ -5131,6 +5131,74 @@ def q_split_kfold_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return group_kfold_plan(clusters, "doc_id", "cluster_id", k=5)
 
 
+# --- round-9 registrations (X128-X147; BUDGET ≤ 20, see capacity
+# note below: 30 pre-r9 queries wait on their first official row and
+# take the first 30 window slots, so ≤ 20 new names keeps the r9
+# window exactly clearing the debt) ---
+
+
+@query("term_burstiness")
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128: Church-Gale term burstiness panel (operators/textstats.py:
+    term_burstiness) — tf/df and top-doc concentration for the 20
+    highest-df terms."""
+    from .operators.textstats import term_burstiness
+
+    d = table(spark, sf_dir, "documents")
+    return term_burstiness(d, "doc_id", "text", top_k=20)
+
+
+@query("winsorized_length_stats")
+def q_winsorized_length_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134: per-source winsorized doc-length statistics
+    (operators/textstats.py: winsorized_panel) — exact rank-based
+    P1/P99 clamp, winsorized mean, clipped mass."""
+    from .operators.textstats import winsorized_panel
+
+    d = table(spark, sf_dir, "documents")
+    return winsorized_panel(d, "source", "n_chars", "doc_id").orderBy(
+        "source"
+    )
+
+
+@query("output_file_plan")
+def q_output_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X135: output-file sizing plan (operators/aggregates.py:
+    output_file_plan) — per-source byte mass → file counts at a
+    64 KiB demo budget (the operator default is 128 MiB; the small
+    budget exercises multi-file plans at fixture scale)."""
+    from .operators.aggregates import output_file_plan
+
+    d = table(spark, sf_dir, "documents")
+    return output_file_plan(d, "source", "text", target_file_bytes=65536)
+
+
+@query("zorder_locality")
+def q_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X136: Morton/Z-order clustering-key locality eval
+    (operators/aggregates.py: zorder_locality) over (n_chars,
+    doc_id) — per Z-range min/max envelopes and range-coverage
+    ppm."""
+    from .operators.aggregates import zorder_locality
+
+    d = table(spark, sf_dir, "documents")
+    return zorder_locality(d, "n_chars", "doc_id", bits=4)
+
+
+@query("freshness_decay_weights")
+def q_freshness_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X145: exact power-of-2 freshness decay over event time
+    (operators/aggregates.py: freshness_decay_weights) — per
+    event_type recency-weighted counts and cents, 30-day
+    half-life."""
+    from .operators.aggregates import freshness_decay_weights
+
+    ev = table(spark, sf_dir, "events")
+    return freshness_decay_weights(
+        ev, "event_type", "ts", cents(F.col("value")), half_life_days=30
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------
