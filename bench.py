@@ -210,6 +210,13 @@ HEADLINE = [
     "output_file_plan",
     "zorder_locality",
     "freshness_decay_weights",
+    # round-9 batch-2 additions (X130/X132/X133/X137/X144),
+    # benched from birth.
+    "ivf_cluster_silhouette",
+    "kmeans_lloyd_step",
+    "semantic_threshold_calibration",
+    "ccnet_perplexity_buckets",
+    "doc_lang_mixture",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

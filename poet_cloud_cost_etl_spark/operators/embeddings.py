@@ -861,3 +861,167 @@ def cluster_label_purity(
         .cast("long")
         .alias("purity_ppm"),
     )
+
+
+def centroid_silhouette(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """X130: centroid-based silhouette panel — the O(N·k) simplified
+    silhouette (the classic O(N²) silhouette replaced by
+    distance-to-centroid, the standard large-scale variant): per
+    vector, a = cosine distance to its OWN (nearest) centroid, b =
+    distance to the second-nearest, s = (b−a)/max(a,b) ∈ [0,1] here
+    (b ≥ a by construction of the nearest assignment).  Low s means
+    the vector sits between two clusters — the internal-validation
+    twin of X93's external purity panel, readable BEFORE labels
+    exist.
+
+    Exactness: cosines round to 6 then re-round ×1e6 to exact ppm
+    integers (X27 convention); s_ppm = ((b−a)·1e6) div max(a,b) is
+    integer division; the degenerate max(a,b)=0 row (vector equal to
+    two centroids) pins s to 0.
+
+    Scale: ZERO shuffle up to the k-row aggregate — the k-centroid
+    table broadcasts as one array row and the top-2 scoring is a
+    narrow map inside the scan stage (the ivf_assign shape)."""
+    from .similarity import _COS_SQL, ivf_centroids
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    cent_arr = cents.agg(
+        F.collect_list(F.struct("centroid_id", "centroid_vec")).alias(
+            "__cents"
+        )
+    )
+    top2 = F.expr(
+        "slice(array_sort("
+        "transform(__cents, c -> struct("
+        f"round({_COS_SQL.format(a=vec_col, b='c.centroid_vec')}, 6) AS sim, "
+        "c.centroid_id AS cid)), "
+        "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
+        "), 1, 2)"
+    )
+    scored = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .crossJoin(F.broadcast(cent_arr))
+        .select(F.col(id_col), top2.alias("__top"))
+        .select(
+            F.col(id_col),
+            F.col("__top")[0]["cid"].alias("centroid_id"),
+            (
+                F.lit(1_000_000)
+                - F.round(F.col("__top")[0]["sim"] * 1_000_000).cast("long")
+            ).alias("__a"),
+            (
+                F.lit(1_000_000)
+                - F.round(F.col("__top")[1]["sim"] * 1_000_000).cast("long")
+            ).alias("__b"),
+        )
+        .withColumn(
+            "__s",
+            F.expr(
+                "CASE WHEN greatest(__a, __b) = 0 THEN 0 "
+                "ELSE ((__b - __a) * 1000000) div greatest(__a, __b) END"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.expr("sum(__s) div count(1)").cast("long").alias(
+                "mean_sil_ppm"
+            ),
+            F.min("__s").cast("long").alias("min_sil_ppm"),
+            F.sum(F.when(F.col("__s") < 500_000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_ambiguous"),
+        )
+        .select(
+            "centroid_id",
+            "n_vectors",
+            "mean_sil_ppm",
+            "min_sil_ppm",
+            F.expr("(1000000 * n_ambiguous) div n_vectors").alias(
+                "ambiguous_ppm"
+            ),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+def lloyd_step_diagnostics(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """X144: one-Lloyd-step convergence diagnostics — the iterative-
+    refinement observability panel: run exactly one k-means update
+    from the deterministic X8 seeds and report, per centroid, the
+    membership before/after, the mean assignment similarity
+    before/after (did the objective improve?), and how far the
+    centroid itself moved (cosine between old and new vector).  The
+    stop-iterating dial for ivf_centroids(refine_iters=...): when
+    cos_move_e6 pins to 1e6 and memberships stop shifting, more
+    rounds buy nothing.
+
+    Exactness: assignment similarity and movement go through
+    round-6-then-×1e6 ppm integers (X27 convention); means are
+    sum div n.  The refined centroids reuse ivf_centroids' scaled-
+    integer Lloyd round — the oracle replays it bit-identically.
+
+    Scale: two zero-shuffle assignments (broadcast centroid array,
+    narrow map) + two k-row aggregates + the k-row centroid join;
+    the corpus is scanned twice, shuffled never (beyond the k·dims
+    mean regroup inside the Lloyd round itself)."""
+    from .similarity import _COS_SQL, cosine, ivf_assign, ivf_centroids
+
+    c0 = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters=0)
+    c1 = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters=1)
+
+    def _panel(cents: DataFrame, n_col: str, sim_col: str) -> DataFrame:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        withsim = assigned.join(F.broadcast(cents), "centroid_id").select(
+            "centroid_id",
+            F.round(
+                F.round(cosine(vec_col, "centroid_vec"), 6) * 1_000_000
+            )
+            .cast("long")
+            .alias("__sim"),
+        )
+        return withsim.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias(n_col),
+            F.expr("sum(__sim) div count(1)").cast("long").alias(sim_col),
+        )
+    before = _panel(c0, "n_before", "mean_sim_before_e6")
+    after = _panel(c1, "n_after", "mean_sim_after_e6")
+    move = (
+        c0.select("centroid_id", F.col("centroid_vec").alias("__old"))
+        .join(
+            c1.select("centroid_id", F.col("centroid_vec").alias("__new")),
+            "centroid_id",
+        )
+        .select(
+            "centroid_id",
+            F.round(F.round(cosine("__old", "__new"), 6) * 1_000_000)
+            .cast("long")
+            .alias("cos_move_e6"),
+        )
+    )
+    return (
+        before.join(after, "centroid_id", "left")
+        .join(move, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            "n_before",
+            "mean_sim_before_e6",
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+            "mean_sim_after_e6",
+            "cos_move_e6",
+        )
+        .orderBy("centroid_id")
+    )

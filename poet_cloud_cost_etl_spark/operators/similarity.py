@@ -1122,3 +1122,111 @@ def mmr_select(
     for p in picks[1:]:
         out = out.unionAll(p)
     return out.orderBy("rank")
+
+
+def cosine_threshold_calibration(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_centroids: int = 8,
+    thresholds: tuple[int, ...] = (
+        200_000,
+        400_000,
+        600_000,
+        800_000,
+        950_000,
+    ),
+) -> DataFrame:
+    """X137: semantic-dedup threshold calibration — the operating
+    table you read before picking X28's ``threshold``: over the
+    cluster-bucketed candidate pairs SemDeDup would score anyway,
+    evaluate each candidate ppm threshold against a weak ground
+    truth (label agreement — the standard proxy when no human dup
+    labels exist), reporting predicted-duplicate counts, precision
+    and recall at every threshold in one pass.  The X81 PR-curve
+    idea applied to the embedding-similarity axis: thresholds are a
+    dial, and this table is the dial's face.
+
+    Exactness: cosines go through round-to-6 then the
+    round-times-1e6 re-round (the X27 convention — never a bare
+    double*1e6 truncation); counts are exact; precision/recall are
+    integer ppm with NULL (not 0) when the denominator is empty.
+
+    Scale: candidate generation is the X28 shape — centroid-keyed
+    self-join, never all-pairs; the threshold sweep is ONE explode
+    over the pair table (|thresholds|×pairs rows), not |thresholds|
+    passes; the output is |thresholds| rows."""
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    labels = corpus.select(F.col(id_col), F.col(label_col))
+    assigned = (
+        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        .join(labels, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            F.col(label_col).alias("__lab"),
+            "centroid_id",
+        )
+    )
+    a = assigned.select(
+        "centroid_id",
+        F.col("__id").alias("__ia"),
+        F.col("__v").alias("__va"),
+        F.col("__lab").alias("__la"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("__id").alias("__ib"),
+        F.col("__v").alias("__vb"),
+        F.col("__lab").alias("__lb"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .filter(F.col("__ia") < F.col("__ib"))
+        .select(
+            F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
+            .cast("long")
+            .alias("__cos_e6"),
+            (F.col("__la") == F.col("__lb")).alias("__same"),
+        )
+    )
+    thr_arr = F.array(*[F.lit(int(t)) for t in thresholds])
+    swept = pairs.select(
+        "__cos_e6", "__same", F.explode(thr_arr).alias("thr_ppm")
+    )
+    agg = swept.groupBy("thr_ppm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("__same"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pos"),
+        F.sum(F.when(F.col("__cos_e6") >= F.col("thr_ppm"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_pred"),
+        F.sum(
+            F.when(
+                F.col("__same") & (F.col("__cos_e6") >= F.col("thr_ppm")), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_tp"),
+    )
+    return agg.select(
+        F.col("thr_ppm").cast("long").alias("thr_ppm"),
+        "n_pairs",
+        "n_pos",
+        "n_pred",
+        "n_tp",
+        F.expr(
+            "CASE WHEN n_pred = 0 THEN NULL "
+            "ELSE (1000000 * n_tp) div n_pred END"
+        )
+        .cast("long")
+        .alias("precision_ppm"),
+        F.expr(
+            "CASE WHEN n_pos = 0 THEN NULL "
+            "ELSE (1000000 * n_tp) div n_pos END"
+        )
+        .cast("long")
+        .alias("recall_ppm"),
+    ).orderBy("thr_ppm")

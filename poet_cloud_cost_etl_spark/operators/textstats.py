@@ -2836,3 +2836,186 @@ def winsorized_panel(
             ).alias("clipped_ppm"),
         )
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+) -> DataFrame:
+    """X132: CCNet-style per-language quality terciles (Wenzek et al.
+    2020: bucket each language's documents into head/middle/tail by
+    LM score and keep/weight buckets differently downstream).  The
+    score is X15's corpus-bigram mean conditional probability (high
+    = fluent/templated, low = token salad); ranking is per-language
+    so a low-resource language's tail is judged against ITS OWN
+    distribution, not English's — the core CCNet design point.
+
+    Exactness: the score is X15's exact integer (sum_ppm div
+    n_bigrams); tercile = (3·(rank−1)) div n over the per-language
+    (score DESC, id) rank — pure integer arithmetic, deterministic
+    ties.  Docs with no bigrams (< 2 tokens) have no score and are
+    excluded, the X15 convention.
+
+    Scale: X15's two corpus-count joins + one doc aggregate, then
+    ONE language-keyed rank window (group-keyed shuffle, no global
+    sort) + a 3k-row aggregate."""
+    from pyspark.sql.window import Window
+
+    scores = bigram_cond_prob_score(df, id_col, text_col).select(
+        F.col(id_col),
+        "n_bigrams",
+        F.round(F.col("avg_cond_prob") * 1_000_000).cast("long").alias(
+            "__score_ppm"
+        ),
+    )
+    langs = df.select(F.col(id_col), F.col(lang_col).alias("__lang"))
+    joined = scores.join(langs, id_col)
+    w = Window.partitionBy("__lang").orderBy(
+        F.col("__score_ppm").desc(), F.col(id_col).asc()
+    )
+    wn = Window.partitionBy("__lang")
+    bucketed = (
+        joined.withColumn("__rk", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .select(
+            "__lang",
+            "n_bigrams",
+            "__score_ppm",
+            F.expr("(3 * (__rk - 1)) div __n").alias("__b"),
+        )
+    )
+    return (
+        bucketed.groupBy("__lang", "__b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.expr("sum(__score_ppm) div count(1)").cast("long").alias(
+                "mean_score_ppm"
+            ),
+            F.min("__score_ppm").cast("long").alias("min_score_ppm"),
+            F.max("__score_ppm").cast("long").alias("max_score_ppm"),
+        )
+        .select(
+            F.col("__lang").alias(lang_col),
+            F.expr(
+                "CASE __b WHEN 0 THEN 'head' WHEN 1 THEN 'middle' "
+                "ELSE 'tail' END"
+            ).alias("bucket"),
+            "n_docs",
+            "total_bigrams",
+            "mean_score_ppm",
+            "min_score_ppm",
+            "max_score_ppm",
+        )
+        .orderBy(lang_col, "bucket")
+    )
+
+
+def lang_mixture_panel(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    chunk_tokens: int = 64,
+) -> DataFrame:
+    """X133: within-document language-mixture detection — chunk each
+    document into non-overlapping ``chunk_tokens`` windows (the X21
+    machinery, overlap 0), run the X5b marker-word language vote per
+    CHUNK, and flag documents whose chunks disagree.  Doc-level
+    language ID averages a 50/50 code-switched page into whichever
+    language wins overall; chunk-level disagreement is the signal
+    monolingual-corpus curation actually filters on (and mixed docs
+    poison langid-conditioned mixtures like X19's).
+
+    Exactness: marker counts, votes and ratios are exact integers;
+    the per-doc verdict is COUNT(DISTINCT chunk_pred) > 1 over
+    non-'unknown' predictions (an unknown chunk is no evidence of
+    mixing).
+
+    Scale: the chunk explode is the X21 zero-shuffle narrow map;
+    votes are per-row expressions; then one doc-keyed aggregate and
+    one group aggregate — no joins."""
+    stride = chunk_tokens
+    t = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__grp"),
+        F.expr(
+            f"filter({TOKENS_SQL.format(col=text_col)}, x -> x != '')"
+        ).alias("__t"),
+    ).filter(F.size("__t") > 0)
+    chunks = t.select(
+        F.col(id_col),
+        "__grp",
+        F.explode(
+            F.expr(f"sequence(0, size(__t) - 1, {stride})")
+        ).alias("__s"),
+        F.col("__t"),
+    ).select(
+        F.col(id_col),
+        "__grp",
+        F.slice(F.col("__t"), F.col("__s") + 1, F.lit(chunk_tokens)).alias(
+            "__ck"
+        ),
+    )
+    scored = chunks.select(
+        F.col(id_col),
+        "__grp",
+        *[
+            F.expr(_in_list("__ck", words)).alias(f"s_{lang}")
+            for lang, words in LANG_MARKERS.items()
+        ],
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") >= F.col("s_es"))
+            & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr"))
+            & (F.col("s_en") > 0),
+            "en",
+        )
+        .when(
+            (F.col("s_es") >= F.col("s_de"))
+            & (F.col("s_es") >= F.col("s_fr"))
+            & (F.col("s_es") > 0),
+            "es",
+        )
+        .when((F.col("s_de") >= F.col("s_fr")) & (F.col("s_de") > 0), "de")
+        .when(F.col("s_fr") > 0, "fr")
+        .otherwise("unknown")
+    )
+    per_doc = (
+        scored.select(F.col(id_col), "__grp", pred.alias("__p"))
+        .groupBy(F.col(id_col), "__grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n_chunks"),
+            F.countDistinct(
+                F.when(F.col("__p") != "unknown", F.col("__p"))
+            ).alias("__n_langs"),
+        )
+    )
+    return (
+        per_doc.groupBy("__grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n_chunks").cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__n_langs") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mixed_docs"),
+            F.sum(F.when(F.col("__n_langs") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unknown_docs"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_docs",
+            "n_chunks",
+            "n_mixed_docs",
+            "n_unknown_docs",
+            F.expr("(1000000 * n_mixed_docs) div n_docs").alias(
+                "mixed_ppm"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -6784,3 +6784,236 @@ ORACLES["freshness_decay_weights"] = f"""
         CAST(SUM(c) AS BIGINT) AS raw_cents
     FROM weighted GROUP BY grp ORDER BY event_type
 """
+
+# --- round-9 batch 2 (X130/X132/X133/X137/X144) ---
+
+# Shared: cosine of a corpus vector against every centroid with the
+# round-6 + rank discipline of _IVF_ASSIGN, keeping c_sim.
+_CENT_SIMS = """
+        SELECT v.vec_id, c.centroid_id,
+            ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+                                         CAST(c.centroid_vec AS DOUBLE[])), 6)
+                AS c_sim,
+            ROW_NUMBER() OVER (
+                PARTITION BY v.vec_id
+                ORDER BY ROUND(list_cosine_similarity(
+                    CAST(v.embedding AS DOUBLE[]),
+                    CAST(c.centroid_vec AS DOUBLE[])), 6) DESC,
+                    c.centroid_id ASC
+            ) AS rk
+        FROM embeddings v, {cents} c
+"""
+
+# X130 centroid silhouette (operators/embeddings.py:
+# centroid_silhouette): top-2 centroid sims -> ppm distances a/b,
+# s = ((b-a)*1e6)//max(a,b), per-own-centroid panel.
+ORACLES["ivf_cluster_silhouette"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    scored AS ({_CENT_SIMS.format(cents='cents')}),
+    pivoted AS (
+        SELECT vec_id,
+            MIN(CASE WHEN rk = 1 THEN centroid_id END) AS cid,
+            1000000 - CAST(ROUND(
+                MIN(CASE WHEN rk = 1 THEN c_sim END) * 1000000) AS BIGINT)
+                AS a,
+            1000000 - CAST(ROUND(
+                MIN(CASE WHEN rk = 2 THEN c_sim END) * 1000000) AS BIGINT)
+                AS b
+        FROM scored WHERE rk <= 2 GROUP BY vec_id
+    ),
+    s AS (
+        SELECT cid,
+            CASE WHEN GREATEST(a, b) = 0 THEN 0
+                ELSE ((b - a) * 1000000) // GREATEST(a, b) END AS sil
+        FROM pivoted
+    )
+    SELECT cid AS centroid_id,
+        CAST(COUNT(*) AS BIGINT) AS n_vectors,
+        CAST(SUM(sil) // COUNT(*) AS BIGINT) AS mean_sil_ppm,
+        CAST(MIN(sil) AS BIGINT) AS min_sil_ppm,
+        CAST((1000000 * SUM(CASE WHEN sil < 500000 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS ambiguous_ppm
+    FROM s GROUP BY cid ORDER BY cid
+"""
+
+# X144 one-Lloyd-step diagnostics (operators/embeddings.py:
+# lloyd_step_diagnostics): cents0 -> one _IVF_LLOYD_ROUND -> cents1;
+# per-centroid membership + mean round-6-ppm assignment sim under
+# each, and old->new centroid cosine.
+ORACLES["kmeans_lloyd_step"] = f"""
+    WITH cents0 AS ({_IVF_CENTS}),
+    {_IVF_LLOYD_ROUND.format(n=1, prev=0, assign=_IVF_ASSIGN.format(src='embeddings', cents='cents0'))},
+    b_sims AS ({_CENT_SIMS.format(cents='cents0')}),
+    before AS (
+        SELECT centroid_id,
+            CAST(COUNT(*) AS BIGINT) AS n_before,
+            CAST(SUM(CAST(ROUND(c_sim * 1000000) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS mean_sim_before_e6
+        FROM b_sims WHERE rk = 1 GROUP BY centroid_id
+    ),
+    a_sims AS ({_CENT_SIMS.format(cents='cents1')}),
+    after AS (
+        SELECT centroid_id,
+            CAST(COUNT(*) AS BIGINT) AS n_after,
+            CAST(SUM(CAST(ROUND(c_sim * 1000000) AS BIGINT)) // COUNT(*)
+                AS BIGINT) AS mean_sim_after_e6
+        FROM a_sims WHERE rk = 1 GROUP BY centroid_id
+    ),
+    move AS (
+        SELECT c0.centroid_id,
+            CAST(ROUND(ROUND(list_cosine_similarity(
+                CAST(c0.centroid_vec AS DOUBLE[]),
+                CAST(c1.centroid_vec AS DOUBLE[])), 6) * 1000000) AS BIGINT)
+                AS cos_move_e6
+        FROM cents0 c0 JOIN cents1 c1 USING (centroid_id)
+    )
+    SELECT b.centroid_id, b.n_before, b.mean_sim_before_e6,
+        CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
+        a.mean_sim_after_e6, m.cos_move_e6
+    FROM before b
+    LEFT JOIN after a USING (centroid_id)
+    LEFT JOIN move m USING (centroid_id)
+    ORDER BY b.centroid_id
+"""
+
+# X137 cosine-threshold calibration (operators/similarity.py:
+# cosine_threshold_calibration): rank-1 centroid buckets, within-
+# bucket pairs, round-6-then-x1e6 ppm cosine, label-agreement truth,
+# one explode over the candidate thresholds.
+ORACLES["semantic_threshold_calibration"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    assigned AS (
+        SELECT s.vec_id, e.embedding, e.label, s.centroid_id
+        FROM ({_CENT_SIMS.format(cents='cents')}) s
+        JOIN embeddings e ON s.vec_id = e.vec_id
+        WHERE s.rk = 1
+    ),
+    pairs AS (
+        SELECT CAST(ROUND(ROUND(list_cosine_similarity(
+                CAST(x.embedding AS DOUBLE[]),
+                CAST(y.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT)
+                AS cos_e6,
+            x.label = y.label AS same
+        FROM assigned x JOIN assigned y
+            ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+    ),
+    thr(thr_ppm) AS (
+        VALUES (200000), (400000), (600000), (800000), (950000)
+    ),
+    agg AS (
+        SELECT t.thr_ppm,
+            CAST(COUNT(*) AS BIGINT) AS n_pairs,
+            CAST(SUM(CASE WHEN p.same THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_pos,
+            CAST(SUM(CASE WHEN p.cos_e6 >= t.thr_ppm THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pred,
+            CAST(SUM(CASE WHEN p.same AND p.cos_e6 >= t.thr_ppm
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+        FROM thr t, pairs p GROUP BY t.thr_ppm
+    )
+    SELECT CAST(thr_ppm AS BIGINT) AS thr_ppm, n_pairs, n_pos, n_pred, n_tp,
+        CAST(CASE WHEN n_pred = 0 THEN NULL
+            ELSE (1000000 * n_tp) // n_pred END AS BIGINT) AS precision_ppm,
+        CAST(CASE WHEN n_pos = 0 THEN NULL
+            ELSE (1000000 * n_tp) // n_pos END AS BIGINT) AS recall_ppm
+    FROM agg ORDER BY thr_ppm
+"""
+
+# X132 CCNet per-language perplexity terciles (operators/textstats.py:
+# perplexity_buckets): the X15 integer score, per-language
+# (score DESC, doc_id) rank, tercile (3*(rk-1))//n.
+ORACLES["ccnet_perplexity_buckets"] = f"""
+    WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS t FROM documents),
+    grams AS (
+        SELECT doc_id, t[i] AS w1, t[i] || ' ' || t[i+1] AS gram
+        FROM toks, UNNEST(range(1, len(t))) AS u(i)
+    ),
+    gc AS (SELECT gram, COUNT(*) AS cg FROM grams GROUP BY 1),
+    uc AS (SELECT w1, COUNT(*) AS cu FROM grams GROUP BY 1),
+    ps AS (
+        SELECT g.doc_id,
+            CAST(ROUND(CAST(gc.cg AS DOUBLE) * 1000000.0 / uc.cu) AS BIGINT)
+                AS p
+        FROM grams g JOIN gc USING (gram) JOIN uc USING (w1)
+    ),
+    scores AS (
+        SELECT doc_id, COUNT(*) AS n_bigrams,
+            CAST(SUM(p) AS BIGINT) // COUNT(*) AS score_ppm
+        FROM ps GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT d.lang, s.n_bigrams, s.score_ppm,
+            ROW_NUMBER() OVER (
+                PARTITION BY d.lang ORDER BY s.score_ppm DESC, s.doc_id ASC
+            ) AS rk,
+            COUNT(*) OVER (PARTITION BY d.lang) AS n
+        FROM scores s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+        CASE (3 * (rk - 1)) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+        CAST(SUM(score_ppm) // COUNT(*) AS BIGINT) AS mean_score_ppm,
+        CAST(MIN(score_ppm) AS BIGINT) AS min_score_ppm,
+        CAST(MAX(score_ppm) AS BIGINT) AS max_score_ppm
+    FROM ranked
+    GROUP BY lang, (3 * (rk - 1)) // n
+    ORDER BY lang, bucket
+"""
+
+# X133 language-mixture panel (operators/textstats.py:
+# lang_mixture_panel): non-overlapping 64-token chunks, X5b marker
+# vote per chunk, per-doc distinct non-unknown predictions.
+_CHUNK_SCORE_COLS = ",\n            ".join(
+    f"len(list_filter(ck, x -> x IN ({words}))) AS s_{lang}"
+    for lang, words in _MARKERS.items()
+)
+ORACLES["doc_lang_mixture"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, {_TOKLIST.format(col='text')} AS tk
+        FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE len(tk) > 0),
+    chunks AS (
+        SELECT doc_id, source, tk[s + 1 : s + 64] AS ck
+        FROM (
+            SELECT doc_id, source, tk,
+                unnest(generate_series(0, len(tk) - 1, 64)) AS s
+            FROM nz
+        )
+    ),
+    scored AS (
+        SELECT doc_id, source,
+            {_CHUNK_SCORE_COLS}
+        FROM chunks
+    ),
+    preds AS (
+        SELECT doc_id, source,
+            CASE
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                    AND s_en > 0 THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'unknown'
+            END AS p
+        FROM scored
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+            COUNT(*) AS n_chunks,
+            COUNT(DISTINCT CASE WHEN p <> 'unknown' THEN p END) AS n_langs
+        FROM preds GROUP BY doc_id, source
+    )
+    SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_mixed_docs,
+        CAST(SUM(CASE WHEN n_langs = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_unknown_docs,
+        CAST((1000000 * SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS mixed_ppm
+    FROM per_doc GROUP BY source ORDER BY source
+"""

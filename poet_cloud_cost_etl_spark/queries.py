@@ -5199,6 +5199,68 @@ def q_freshness_decay_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivf_cluster_silhouette")
+def q_ivf_cluster_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130: centroid-based silhouette panel (operators/embeddings.py:
+    centroid_silhouette) — the O(N·k) internal cluster-quality twin
+    of X93's external purity, over the X8 IVF partition."""
+    from .operators.embeddings import centroid_silhouette
+
+    emb = table(spark, sf_dir, "embeddings")
+    return centroid_silhouette(emb, "vec_id", "embedding", n_centroids=8)
+
+
+@query("kmeans_lloyd_step")
+def q_kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X144: one-Lloyd-step convergence diagnostics
+    (operators/embeddings.py: lloyd_step_diagnostics) — membership,
+    mean assignment similarity before/after one k-means round, and
+    centroid movement; the refine_iters stopping dial."""
+    from .operators.embeddings import lloyd_step_diagnostics
+
+    emb = table(spark, sf_dir, "embeddings")
+    return lloyd_step_diagnostics(emb, "vec_id", "embedding", n_centroids=8)
+
+
+@query("semantic_threshold_calibration")
+def q_semantic_threshold_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X137: SemDeDup threshold operating table
+    (operators/similarity.py: cosine_threshold_calibration) —
+    precision/recall of each candidate cosine threshold against
+    label agreement over the cluster-bucketed pairs."""
+    from .operators.similarity import cosine_threshold_calibration
+
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_threshold_calibration(
+        emb, "vec_id", "embedding", "label", n_centroids=8
+    )
+
+
+@query("ccnet_perplexity_buckets")
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132: CCNet-style per-language head/middle/tail quality
+    terciles (operators/textstats.py: perplexity_buckets) over the
+    X15 bigram-LM score."""
+    from .operators.textstats import perplexity_buckets
+
+    d = table(spark, sf_dir, "documents")
+    return perplexity_buckets(d, "doc_id", "text", "lang")
+
+
+@query("doc_lang_mixture")
+def q_doc_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133: within-document language-mixture detection
+    (operators/textstats.py: lang_mixture_panel) — per-source rate
+    of documents whose 64-token chunks vote for different
+    languages."""
+    from .operators.textstats import lang_mixture_panel
+
+    d = table(spark, sf_dir, "documents")
+    return lang_mixture_panel(d, "doc_id", "text", "source")
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

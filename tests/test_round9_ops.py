@@ -123,3 +123,134 @@ def test_freshness_decay_staircase(spark):
     assert out.mean_weight_ppm == 1_750_000 // 4
     assert out.raw_cents == 4000
     assert out.weighted_cents == 1000 + 500 + 250 + 0
+
+
+def test_centroid_silhouette_well_separated(spark):
+    """Two tight orthogonal clusters: every vector's own-centroid
+    distance is tiny vs the cross-centroid distance, so the
+    silhouette is high and nothing is ambiguous."""
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        centroid_silhouette,
+    )
+
+    # centroid seeds are the two md5-smallest ids (the deterministic
+    # X8 draw) — put them in DIFFERENT clusters by construction
+    import hashlib
+
+    ids = list(range(12))
+    by_md5 = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    group_a = {by_md5[0]} | set(by_md5[2:7])
+    rows = [
+        (
+            i,
+            [1.0, 0.0, float(i) * 1e-4]
+            if i in group_a
+            else [0.0, 1.0, float(i) * 1e-4],
+        )
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    out = centroid_silhouette(df, "vec_id", "embedding", n_centroids=2)
+    rows = out.collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.n_vectors == 6
+        assert r.mean_sil_ppm > 900_000
+        assert r.ambiguous_ppm == 0
+
+
+def test_lloyd_step_improves_objective(spark):
+    """On the fixture embeddings, one Lloyd round must not reduce
+    the membership-weighted mean assignment similarity — checked as:
+    overall weighted mean after >= before (k-means monotonicity,
+    exact integers)."""
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        lloyd_step_diagnostics,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    rows = lloyd_step_diagnostics(emb, "vec_id", "embedding").collect()
+    assert len(rows) == 8
+    before = sum(r.n_before * r.mean_sim_before_e6 for r in rows)
+    n_b = sum(r.n_before for r in rows)
+    after = sum(r.n_after * (r.mean_sim_after_e6 or 0) for r in rows)
+    n_a = sum(r.n_after for r in rows)
+    assert n_b == n_a  # every vector reassigned somewhere
+    assert after / n_a >= before / n_b
+    for r in rows:
+        assert 0 <= r.cos_move_e6 <= 1_000_000
+
+
+def test_threshold_calibration_monotone(spark):
+    """Raising the threshold can only shrink predictions and true
+    positives (monotone counts), and precision/recall stay in
+    [0, 1e6] or NULL."""
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        cosine_threshold_calibration,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    rows = cosine_threshold_calibration(
+        emb, "vec_id", "embedding", "label"
+    ).collect()
+    assert [r.thr_ppm for r in rows] == sorted(r.thr_ppm for r in rows)
+    assert len({r.n_pairs for r in rows}) == 1  # same candidate set
+    for lo, hi in zip(rows, rows[1:]):
+        assert hi.n_pred <= lo.n_pred and hi.n_tp <= lo.n_tp
+    for r in rows:
+        for v in (r.precision_ppm, r.recall_ppm):
+            assert v is None or 0 <= v <= 1_000_000
+
+
+def test_perplexity_buckets_tercile_shape(spark):
+    """Terciles partition each language's scoreable docs into three
+    nearly-equal buckets with head >= middle >= tail mean scores."""
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        perplexity_buckets,
+    )
+    from tests.conftest import SF_SMALL
+
+    d = _t(spark, SF_SMALL, "documents")
+    rows = perplexity_buckets(d, "doc_id", "text", "lang").collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        assert (
+            b["head"].mean_score_ppm
+            >= b["middle"].mean_score_ppm
+            >= b["tail"].mean_score_ppm
+        )
+        sizes = sorted(x.n_docs for x in b.values())
+        assert sizes[-1] - sizes[0] <= 1  # near-equal terciles
+
+
+def test_lang_mixture_flags_code_switch(spark):
+    """A doc whose first 64-token chunk is English markers and second
+    chunk is German markers must be flagged mixed; monolingual and
+    marker-free docs must not."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        lang_mixture_panel,
+    )
+
+    en = ("the and of to is a " * 11).strip()  # 66 tokens -> 2 chunks
+    de = "der die das und nicht " * 13
+    mixed = en + " " + de
+    mono = "the cat sat on the mat"
+    nomark = "zzz qqq www"
+    df = spark.createDataFrame(
+        [(1, mixed, "s1"), (2, mono, "s1"), (3, nomark, "s2")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r for r in lang_mixture_panel(df, "doc_id", "text", "source").collect()}
+    assert out["s1"].n_mixed_docs == 1 and out["s1"].n_docs == 2
+    assert out["s1"].mixed_ppm == 500_000
+    assert out["s2"].n_mixed_docs == 0 and out["s2"].n_unknown_docs == 1
