@@ -217,6 +217,18 @@ HEADLINE = [
     "semantic_threshold_calibration",
     "ccnet_perplexity_buckets",
     "doc_lang_mixture",
+    # round-9 batch-3 additions (X129/X131/X138-X143/X146/X147),
+    # benched from birth.
+    "domain_tag_mixture",
+    "markup_density",
+    "unique_token_mass",
+    "boundary_overlap_chains",
+    "quantile_sample_error",
+    "bitext_margin_mining",
+    "source_coverage_greedy",
+    "contrastive_pairs_plan",
+    "dedup_survivor_bias",
+    "pc_variance_explained",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

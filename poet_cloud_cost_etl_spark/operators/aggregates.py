@@ -991,3 +991,104 @@ def freshness_decay_weights(
         )
         .orderBy(group_col)
     )
+
+
+def quantile_sample_error(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    sample_mod: int = 16,
+    percents: tuple[int, ...] = (25, 50, 75, 90, 99),
+) -> DataFrame:
+    """X141: sampled-quantile rank-error evaluation — the sketch-
+    accuracy eval for the cheapest quantile estimator there is (a
+    deterministic 1/``sample_mod`` hash sample): for each requested
+    percentile, the exact order statistic over the FULL data, the
+    same statistic over the sample, and the realized rank error of
+    the sampled estimate measured against the full distribution —
+    the number that tells you whether approxQuantile-class shortcuts
+    are safe for this column's shape (uniform: tiny error;
+    Zipf-tailed p99: blows up — measure, don't guess).  The X45/X62
+    eval-the-estimator discipline applied to quantiles.
+
+    EXACT semantics: order statistics are values at rank
+    ⌈p·n/100⌉ in (value, key) order, computed on the distinct-value
+    lattice (value → exact cumulative count; no per-row global
+    window); the achieved rank of the estimate is the full-data
+    cumulative count at the estimated value; rank_err_ppm =
+    |achieved − target| · 1e6 div n.
+
+    Scale: two value-keyed count aggregates (full + sample), one
+    bounded lattice window each (distinct values, not rows), one
+    |percents|-row join."""
+    from pyspark.sql.window import Window
+
+    from .sampling import unit_hash
+
+    base = df.select(
+        F.col(value_col).cast("long").alias("v"), F.col(key_col).alias("k")
+    )
+    pcts = [int(p) for p in percents]
+
+    def _lattice(src: DataFrame) -> DataFrame:
+        counts = src.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        return counts.withColumn("cum", F.sum("c").over(w)).crossJoin(
+            F.broadcast(counts.agg(F.sum("c").alias("n")))
+        )
+
+    full = _lattice(base).localCheckpoint(eager=True)
+    samp = _lattice(
+        base.filter(unit_hash("k") % sample_mod == 0)
+    ).localCheckpoint(eager=True)
+    p_arr = F.array(*[F.lit(p) for p in pcts])
+    targets = (
+        full.select(F.col("n").alias("__n"))
+        .limit(1)
+        .select(F.explode(p_arr).alias("pct"), "__n")
+        .select(
+            "pct", "__n", F.expr("(pct * __n + 99) div 100").alias("__tr")
+        )
+    )
+    exact = (
+        targets.join(full.drop("n"), F.col("cum") >= F.col("__tr"))
+        .groupBy("pct", "__n", "__tr")
+        .agg(F.min("v").alias("exact_value"))
+    )
+    s_targets = (
+        samp.select(F.col("n").alias("__sn"))
+        .limit(1)
+        .select(F.explode(p_arr).alias("pct"), "__sn")
+        .select("pct", F.expr("(pct * __sn + 99) div 100").alias("__str"))
+    )
+    est = (
+        s_targets.join(samp, F.col("cum") >= F.col("__str"))
+        .groupBy("pct")
+        .agg(F.min("v").alias("est_value"))
+    )
+    achieved = (
+        est.join(
+            full.select(
+                F.col("v").alias("__fv"), F.col("cum").alias("__fc")
+            ),
+            F.col("__fv") <= F.col("est_value"),
+            "left",
+        )
+        .groupBy("pct", "est_value")
+        .agg(F.coalesce(F.max("__fc"), F.lit(0)).alias("__ach"))
+    )
+    return (
+        exact.join(achieved, "pct")
+        .select(
+            F.col("pct").cast("long").alias("pct"),
+            F.col("__n").cast("long").alias("n_rows"),
+            "exact_value",
+            "est_value",
+            F.col("__ach").cast("long").alias("achieved_rank"),
+            F.col("__tr").cast("long").alias("target_rank"),
+            F.expr("(1000000 * abs(__ach - __tr)) div __n").alias(
+                "rank_err_ppm"
+            ),
+        )
+        .orderBy("pct")
+    )

@@ -2093,3 +2093,199 @@ def levenshtein_block_join(
         .filter(F.col("edit_distance") <= max_dist)
         .orderBy("id_a", "id_b")
     )
+
+
+def unique_token_mass(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+) -> DataFrame:
+    """X140: duplication-adjusted source contribution — X24's
+    first-occurrence attribution aggregated to the SOURCE axis:
+    per source, how much of its shingle mass is the corpus seeing
+    for the FIRST time (min doc-id occurrence lives in this source)
+    versus restating earlier documents.  The honest denominator for
+    mixture weighting: X19/X37 weight sources by raw mass, and a
+    mirror site with huge raw mass but near-zero novel mass should
+    be weighted by THIS table instead.
+
+    Exactness: instance counts are exact (distinct (doc, shingle)
+    grains, the X24 grain); shares are ppm integer divisions.
+
+    Scale: the X24 shape — one shingle→min(doc) aggregate (vocab-
+    bounded shuffle), one shingle-keyed join back, one group
+    aggregate.  No pairs anywhere."""
+    sh = doc_shingles(df, id_col, text_col)
+    first = sh.groupBy("shingle").agg(F.min(F.col(id_col)).alias("__first"))
+    grp = df.select(F.col(id_col), F.col(group_col).alias("__grp"))
+    return (
+        sh.join(first, "shingle")
+        .join(grp, id_col)
+        .groupBy("__grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_instances"),
+            F.countDistinct("shingle").cast("long").alias(
+                "n_distinct_shingles"
+            ),
+            F.sum(
+                F.when(F.col("__first") == F.col(id_col), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel_instances"),
+        )
+        .select(
+            F.col("__grp").alias(group_col),
+            "n_instances",
+            "n_distinct_shingles",
+            "n_novel_instances",
+            F.expr("(1000000 * n_novel_instances) div n_instances").alias(
+                "novel_ppm"
+            ),
+        )
+        .orderBy(group_col)
+    )
+
+
+def boundary_overlap_chains(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    max_boundary_df: int = 256,
+) -> DataFrame:
+    """X142: document continuation detection via boundary-shingle
+    overlap — doc A's LAST 3-shingle equal to doc B's FIRST
+    3-shingle is the fingerprint of one logical document split
+    across crawl records (pagination, chunked dumps, mail threads);
+    near-dup detection misses these because the bodies share almost
+    nothing.  Emits the per-source-pair edge census the re-stitching
+    (or at least co-assignment to one training shard) decision
+    reads.
+
+    Guardrail: a boundary shingle occurring as a head in more than
+    ``max_boundary_df`` docs is a TEMPLATE boundary ("click here to
+    continue"), not a continuation signal — it is dropped before the
+    join, which also caps the join's per-key fanout (the same
+    df-cap discipline as the X2d blocking family).
+
+    Exactness: exact counts; docs need ≥ 3 tokens to have
+    boundaries.
+
+    Scale: two narrow maps (head/tail shingle per doc), a df-capped
+    equi-join on the boundary shingle, one group aggregate."""
+    t = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("__grp"),
+        F.expr(
+            f"filter({TOKENS_SQL.format(col=text_col)}, x -> x != '')"
+        ).alias("__t"),
+    ).filter(F.size("__t") >= 3)
+    heads = t.select(
+        F.col(id_col).alias("__hb"),
+        F.col("__grp").alias("__hg"),
+        F.expr(
+            "concat_ws(' ', element_at(__t, 1), element_at(__t, 2), "
+            "element_at(__t, 3))"
+        ).alias("__b"),
+    )
+    tails = t.select(
+        F.col(id_col).alias("__ta"),
+        F.col("__grp").alias("__tg"),
+        F.expr(
+            "concat_ws(' ', element_at(__t, -3), element_at(__t, -2), "
+            "element_at(__t, -1))"
+        ).alias("__b"),
+    )
+    head_df = heads.groupBy("__b").agg(F.count(F.lit(1)).alias("__hdf"))
+    ok_heads = heads.join(
+        head_df.filter(F.col("__hdf") <= max_boundary_df), "__b"
+    )
+    edges = ok_heads.join(tails, "__b").filter(F.col("__ta") != F.col("__hb"))
+    return (
+        edges.groupBy(
+            F.col("__tg").alias("source_from"),
+            F.col("__hg").alias("source_to"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.countDistinct("__b").cast("long").alias("n_boundaries"),
+            F.countDistinct("__ta").cast("long").alias("n_from_docs"),
+            F.countDistinct("__hb").cast("long").alias("n_to_docs"),
+        )
+        .orderBy("source_from", "source_to")
+    )
+
+
+def survivor_bias_panel(
+    clusters: DataFrame,
+    scores: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    score_e2_col: str,
+) -> DataFrame:
+    """X146: dedup survivorship-policy bias audit — the same
+    clustered corpus summarized under three retention policies:
+    'corpus' (nothing removed), 'min_id' (X1/X7 canonical-survivor
+    rule), 'best_score' (X32 quality-aware rule).  The mean-quality
+    delta between the two survivor rows is exactly what X32 buys;
+    if it is ~0 the cheaper min-id rule is fine, and if the
+    survivor means sit far above the corpus mean the dedup step is
+    ALSO doing quality filtering — a bias worth knowing before
+    attributing downstream wins to deduplication alone (the
+    Lee et al. 2022 "Deduplicating Training Data..." ablation
+    question).
+
+    Exactness: scores enter as e2 integers (the X5 quality score
+    ×100); means are sum div n; policy membership is exact rank
+    arithmetic (ties to ascending id, both policies).
+
+    Scale: one id-keyed join + ONE cluster-keyed shuffle serving
+    both policy ranks (the X32 window shape) + a 3-row aggregate."""
+    from pyspark.sql.window import Window
+
+    joined = clusters.select(F.col(id_col), F.col(cluster_col)).join(
+        scores.select(F.col(id_col), F.col(score_e2_col)), id_col
+    )
+    w_best = Window.partitionBy(cluster_col).orderBy(
+        F.desc(score_e2_col), F.asc(id_col)
+    )
+    w_min = Window.partitionBy(cluster_col).orderBy(F.asc(id_col))
+    flagged = joined.select(
+        F.col(score_e2_col).alias("__s"),
+        (F.row_number().over(w_best) == 1).alias("__is_best"),
+        (F.row_number().over(w_min) == 1).alias("__is_min"),
+    )
+    panel = flagged.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("corpus").alias("policy"),
+                    F.lit(True).alias("keep"),
+                    F.col("__s"),
+                ),
+                F.struct(
+                    F.lit("min_id").alias("policy"),
+                    F.col("__is_min").alias("keep"),
+                    F.col("__s"),
+                ),
+                F.struct(
+                    F.lit("best_score").alias("policy"),
+                    F.col("__is_best").alias("keep"),
+                    F.col("__s"),
+                ),
+            )
+        ).alias("e")
+    ).filter(F.col("e.keep"))
+    return (
+        panel.groupBy(F.col("e.policy").alias("policy"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("sum(e.__s) div count(1)").cast("long").alias(
+                "mean_score_e2"
+            ),
+            F.min("e.__s").cast("long").alias("min_score_e2"),
+            F.max("e.__s").cast("long").alias("max_score_e2"),
+        )
+        .orderBy("policy")
+    )

@@ -1025,3 +1025,105 @@ def lloyd_step_diagnostics(
         )
         .orderBy("centroid_id")
     )
+
+
+def pc_variance_explained(
+    df: DataFrame, vec_col: str, dim: int, iters: int = 8
+) -> DataFrame:
+    """X147: variance-explained ratio of the leading principal
+    direction — the one-number justification for the X60/X68 ABTT
+    pipeline: explained = uᵀGu / (uᵀu · tr(G)) over the uncentered
+    second-moment matrix G, i.e. the share of the corpus's total
+    second-moment mass living along the top direction.  High share
+    (anisotropy) is exactly the condition under which removing the
+    top PC (X68) improves similarity geometry (Mu & Viswanath
+    2018); measuring it closes that loop — X114 profiles the
+    symptom (pair-cosine bias), this op quantifies the cause.
+
+    Exactness: G is the X60 exact-DECIMAL Gram (order-free at any
+    scale), converted to double once; u is X60's 8-iteration
+    deterministic power vector (rounded loadings).  Every remaining
+    reduction — trace, uᵀu, the G·u matvec and the final uᵀ(Gu) —
+    is an INDEX-ORDERED fold over j-sorted arrays (the X46/X60
+    convention), so double accumulation order is pinned in both
+    engines; the ratio is emitted as a ROUND(×1e6) BIGINT ppm.
+
+    Scale: the corpus is touched once (the fixed-size Gram
+    shuffle); everything after runs on d-row / 1-row frames."""
+    quant = df.select(
+        F.expr(
+            "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))".format(
+                v=vec_col
+            )
+        ).alias("__a")
+    )
+    pairs = quant.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__a, (x, i) -> transform(slice(__a, i + 1, size(__a) - i), "
+                "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    upper = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
+    )
+    gram = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "__g"
+        )
+    )
+    gj = gram.groupBy("j").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, __g))), "
+            "s -> CAST(s.__g AS DOUBLE) / 1000000000000.0)"
+        ).alias("row")
+    ).localCheckpoint(eager=True)
+    u = (
+        top_principal_component(df, vec_col, dim, iters=iters)
+        .groupBy()
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, loading))), "
+                "s -> s.loading)"
+            ).alias("u")
+        )
+    )
+    w = (
+        gj.crossJoin(F.broadcast(u))
+        .select(
+            "j",
+            F.expr(
+                "aggregate(zip_with(row, u, (g, x) -> g * x), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("w"),
+            F.expr("element_at(row, CAST(j + 1 AS INT))").alias("__diag"),
+            F.expr("element_at(u, CAST(j + 1 AS INT))").alias("__uj"),
+        )
+        .groupBy()
+        .agg(
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(j, w, __diag, __uj))), s -> s.w * s.__uj), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("__ugu"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(j, w, __diag, __uj))), s -> s.__diag), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("__trace"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list("
+                "struct(j, w, __diag, __uj))), s -> s.__uj * s.__uj), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("__uu"),
+        )
+    )
+    return w.select(
+        F.lit(int(dim)).cast("long").alias("dim"),
+        F.round(F.col("__trace"), 6).alias("trace_total"),
+        F.round(F.col("__ugu") / F.col("__uu"), 6).alias("pc_variance"),
+        F.expr(
+            "CAST(ROUND(1000000 * __ugu / (__uu * __trace)) AS BIGINT)"
+        ).alias("explained_ppm"),
+    )

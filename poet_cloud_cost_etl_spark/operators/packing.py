@@ -175,3 +175,76 @@ def padding_plan(
         )
         .orderBy("cap")
     )
+
+
+def contrastive_pairs_plan(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    n_batches: int = 8,
+) -> DataFrame:
+    """X139: contrastive training-pair construction plan — the
+    SimCSE/DPR-style data layout: anchor/positive = consecutive
+    non-overlapping ``chunk_tokens`` windows of the SAME document
+    (adjacent text shares topic — the standard weak-supervision
+    positive), negatives = the in-batch trick (every OTHER pair's
+    positive inside the same hash batch).  This op emits the
+    per-batch feasibility panel: pair counts, and the min/mean
+    in-batch negatives a pair actually gets — mean_neg collapsing
+    toward 0 means batches are dominated by single documents and
+    the in-batch trick silently trains on false negatives.
+
+    Exactness: batch = unit-hash(doc) mod ``n_batches``; negatives
+    per pair = B − p_own (B pairs in batch, p_own from the pair's
+    own doc), so Σ negatives = B² − Σ p_d² — all exact integers;
+    mean is scaled e3 integer division.
+
+    Scale: the chunk explode is narrow; pairing is ONE id-keyed
+    self-join of the chunk table at offset +1; the panel is one
+    batch aggregate over (batch, doc) partials — map-side
+    combinable."""
+    from .sampling import unit_hash
+
+    chunks = chunk_documents(
+        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0
+    ).select(
+        F.col(id_col).alias("__d"),
+        "chunk_id",
+        "n_tokens",
+    )
+    nxt = chunks.select(
+        F.col("__d"),
+        (F.col("chunk_id") - 1).alias("chunk_id"),
+        F.col("n_tokens").alias("__pos_tokens"),
+    )
+    pairs = chunks.join(nxt, ["__d", "chunk_id"]).select(
+        "__d",
+        (unit_hash("__d") % n_batches).alias("batch_id"),
+        "__pos_tokens",
+    )
+    per_doc = pairs.groupBy("batch_id", "__d").agg(
+        F.count(F.lit(1)).alias("__p"),
+        F.sum("__pos_tokens").alias("__pt"),
+    )
+    return (
+        per_doc.groupBy("batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__p").cast("long").alias("n_pairs"),
+            F.max("__p").cast("long").alias("__maxp"),
+            F.sum(F.col("__p") * F.col("__p")).cast("long").alias("__sumsq"),
+            F.sum("__pt").cast("long").alias("__pt_sum"),
+        )
+        .select(
+            F.col("batch_id").cast("long").alias("batch_id"),
+            "n_docs",
+            "n_pairs",
+            (F.col("n_pairs") - F.col("__maxp")).alias("min_neg_per_pair"),
+            F.expr(
+                "(1000 * (n_pairs * n_pairs - __sumsq)) div n_pairs"
+            ).alias("mean_neg_per_pair_e3"),
+            F.expr("__pt_sum div n_pairs").alias("mean_pos_tokens"),
+        )
+        .orderBy("batch_id")
+    )

@@ -845,3 +845,86 @@ def poisson_bootstrap_ci(
         )
         .orderBy("grp")
     )
+
+
+def greedy_source_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    steps: int = 4,
+) -> DataFrame:
+    """X131: greedy source selection by marginal vocabulary gain —
+    the submodular-coverage answer to "which ``steps`` sources buy
+    the most distinct content?": repeatedly pick the source whose
+    shingle set adds the most NOT-YET-COVERED distinct shingles
+    (the 1−1/e-approximate max-coverage greedy; Nemhauser et al.
+    1978).  Raw size ranks mirror-heavy sources first; marginal
+    gain ranks them last — this is the acquisition-order table
+    X140's novelty audit implies.
+
+    Determinism: ties break on ascending source name; gains are
+    exact distinct counts.  The selection loop is UNROLLED into the
+    plan (``steps`` anti-join rounds) — no driver-side collect; each
+    round's covered set is localCheckpoint-ed so round r does not
+    replay rounds 1..r−1.  A source with NO uncovered shingles left
+    is unpickable (zero marginal value), so once coverage is
+    complete the output stops early with fewer than ``steps`` rows —
+    the oracle unrolls to the identical convention.
+
+    Scale: per round, one shingle-keyed anti-join + one group count
+    + a |sources|-row argmax — the corpus-sized table is touched
+    once per round, always key-partitioned; covered-set size is
+    bounded by distinct corpus shingles."""
+    from .dedup import doc_shingles
+
+    grp = df.select(F.col(id_col), F.col(group_col).alias("__grp"))
+    ss = (
+        doc_shingles(df, id_col, text_col)
+        .join(grp, id_col)
+        .select("__grp", "shingle")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    covered = None
+    winners = []
+    for step in range(1, steps + 1):
+        remaining = (
+            ss
+            if covered is None
+            else ss.join(covered, "shingle", "left_anti")
+        )
+        gains = remaining.groupBy("__grp").agg(
+            F.count(F.lit(1)).cast("long").alias("gain")
+        )
+        winner = (
+            gains.orderBy(F.col("gain").desc(), F.col("__grp").asc())
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("step"),
+                F.col("__grp"),
+                "gain",
+            )
+            .localCheckpoint(eager=True)
+        )
+        winners.append(winner)
+        newly = remaining.join(
+            F.broadcast(winner.select("__grp")), "__grp"
+        ).select("shingle")
+        covered = (
+            newly
+            if covered is None
+            else covered.union(newly)
+        ).distinct().localCheckpoint(eager=True)
+    out = winners[0]
+    for w in winners[1:]:
+        out = out.unionByName(w)
+    from pyspark.sql.window import Window
+
+    wc = Window.orderBy("step").rowsBetween(Window.unboundedPreceding, 0)
+    return out.select(
+        "step",
+        F.col("__grp").alias(group_col),
+        "gain",
+        F.sum("gain").over(wc).cast("long").alias("covered_total"),
+    ).orderBy("step")

@@ -1230,3 +1230,124 @@ def cosine_threshold_calibration(
         .cast("long")
         .alias("recall_ppm"),
     ).orderBy("thr_ppm")
+
+
+def margin_knn_pairs(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    n_centroids: int = 8,
+    k: int = 4,
+    top_pairs: int = 20,
+) -> DataFrame:
+    """X129: margin-based nearest-neighbor pair mining (Artetxe &
+    Schwenk 2019, the LASER bitext-mining criterion): a cross-group
+    pair (x, y) is a good match not when cos(x, y) is ABSOLUTELY
+    high but when it is high RELATIVE to what x and y score against
+    their other candidates — margin = 2·cos(x,y) / (avgₖ(x) +
+    avgₖ(y)), where avgₖ is the mean similarity to the k nearest
+    cross-group candidates.  Kills the hub problem (a vector near
+    everything wins every absolute ranking but margins ~1).  Groups
+    here are the label's parity — the fixture stand-in for the
+    two-language split.
+
+    Exactness: cosines are round-6-×1e6 ppm ints; avgₖ = sum div
+    count over the top-k window (ties: higher cos first, then the
+    candidate id); margin_ppm = (2e6·cos) div (avgₓ+avg_y), NULL
+    when the denominator is ≤ 0 (all-negative neighborhoods carry
+    no margin signal); final order (margin DESC NULLS LAST, ids).
+
+    Scale: candidates are centroid-bucketed (the X28 shape — never
+    the full G0×G1 cross join); the two avgₖ windows are keyed on
+    x / y respectively; top-``top_pairs`` goes through
+    TakeOrderedAndProject."""
+    from pyspark.sql.window import Window
+
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    labels = corpus.select(
+        F.col(id_col), (F.col(label_col) % 2).alias("__g")
+    )
+    assigned = (
+        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        .join(labels, id_col)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            "__g",
+            "centroid_id",
+        )
+    )
+    x = assigned.filter(F.col("__g") == 0).select(
+        "centroid_id",
+        F.col("__id").alias("id_a"),
+        F.col("__v").alias("__va"),
+    )
+    y = assigned.filter(F.col("__g") == 1).select(
+        "centroid_id",
+        F.col("__id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+    )
+    pairs = x.join(y, "centroid_id").select(
+        "id_a",
+        "id_b",
+        F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
+        .cast("long")
+        .alias("cos_e6"),
+    ).localCheckpoint(eager=True)
+    wa = Window.partitionBy("id_a").orderBy(
+        F.col("cos_e6").desc(), F.col("id_b").asc()
+    )
+    ka = (
+        pairs.withColumn("__r", F.row_number().over(wa))
+        .filter(F.col("__r") <= k)
+        .groupBy("id_a")
+        .agg(
+            F.expr(
+                "CASE WHEN sum(cos_e6) < 0 THEN "
+                "-((-sum(cos_e6)) div count(1)) "
+                "ELSE sum(cos_e6) div count(1) END"
+            ).alias("__ax")
+        )
+    )
+    wb = Window.partitionBy("id_b").orderBy(
+        F.col("cos_e6").desc(), F.col("id_a").asc()
+    )
+    kb = (
+        pairs.withColumn("__r", F.row_number().over(wb))
+        .filter(F.col("__r") <= k)
+        .groupBy("id_b")
+        .agg(
+            F.expr(
+                "CASE WHEN sum(cos_e6) < 0 THEN "
+                "-((-sum(cos_e6)) div count(1)) "
+                "ELSE sum(cos_e6) div count(1) END"
+            ).alias("__ay")
+        )
+    )
+    return (
+        pairs.join(ka, "id_a")
+        .join(kb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "cos_e6",
+            # sign-symmetric division (the X41 convention): Spark div
+            # truncates toward zero, DuckDB // floors — abs then
+            # re-sign so a negative cosine's margin agrees.
+            F.expr(
+                "CASE WHEN __ax + __ay <= 0 THEN NULL "
+                "WHEN cos_e6 < 0 THEN "
+                "-((2000000 * -cos_e6) div (__ax + __ay)) "
+                "ELSE (2000000 * cos_e6) div (__ax + __ay) END"
+            )
+            .cast("long")
+            .alias("margin_ppm"),
+        )
+        .orderBy(
+            F.col("margin_ppm").desc_nulls_last(),
+            F.col("id_a").asc(),
+            F.col("id_b").asc(),
+        )
+        .limit(top_pairs)
+    )

@@ -3019,3 +3019,140 @@ def lang_mixture_panel(
         )
         .orderBy(group_col)
     )
+
+
+# Domain-rule marker vocabularies (X138): tiny keyword rules in the
+# LANG_MARKERS style — token-set membership, fixed precedence, no
+# classifier weights to drift between engines.
+DOMAIN_MARKERS = {
+    "code": ["def", "class", "function", "return", "import", "var"],
+    "news": ["said", "report", "today", "announced", "according"],
+    "legal": ["shall", "pursuant", "herein", "thereof", "whereas"],
+}
+
+
+def domain_tag_mixture(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """X138: rule-based domain tagging + mixture panel — the
+    zero-training domain axis every mixture table (X19/X37/X43)
+    wants as its row key when no domain column exists: tag each doc
+    by keyword-rule vote (code > news > legal > general precedence on
+    ties, a doc needs ≥ 1 marker hit to leave 'general'), then
+    report the per-domain mixture: doc share, token mass, mean doc
+    length.  The deterministic stand-in for a fastText domain
+    classifier (X41 is the learned twin); rules are auditable, which
+    is why curation pipelines run both.
+
+    Exactness: marker hits are token-set membership counts (exact);
+    shares are ppm integer divisions; mean length is sum div n.
+
+    Scale: per-row expression work in the scan stage + ONE 4-row
+    aggregate — no joins, no windows."""
+    t = df.select(
+        F.col(id_col),
+        F.expr(
+            f"filter({TOKENS_SQL.format(col=text_col)}, x -> x != '')"
+        ).alias("__t"),
+    )
+    scored = t.select(
+        F.col(id_col),
+        F.size("__t").alias("__n_tok"),
+        *[
+            F.expr(_in_list("__t", words)).alias(f"d_{name}")
+            for name, words in DOMAIN_MARKERS.items()
+        ],
+    )
+    tag = (
+        F.when(
+            (F.col("d_code") >= F.col("d_news"))
+            & (F.col("d_code") >= F.col("d_legal"))
+            & (F.col("d_code") > 0),
+            "code",
+        )
+        .when(
+            (F.col("d_news") >= F.col("d_legal")) & (F.col("d_news") > 0),
+            "news",
+        )
+        .when(F.col("d_legal") > 0, "legal")
+        .otherwise("general")
+    )
+    tagged = scored.select(tag.alias("domain"), "__n_tok")
+    tot = tagged.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        tagged.groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__n_tok").cast("long").alias("token_mass"),
+            F.expr("sum(__n_tok) div count(1)").cast("long").alias(
+                "mean_tokens"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "domain",
+            "n_docs",
+            F.expr("(1000000 * n_docs) div __total").alias("doc_share_ppm"),
+            "token_mass",
+            "mean_tokens",
+        )
+        .orderBy("domain")
+    )
+
+
+def markup_density(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """X143: markup/boilerplate-signal census — the WET-extraction
+    QA panel: per source, how much HTML-ish residue (tag-like
+    runs), link residue (URLs) and sentence punctuation the raw text
+    carries.  A source whose tag density spikes was extracted from
+    HTML without cleaning (run X11's scrubber); one with ZERO
+    sentence punctuation is probably not prose (tables, logs, token
+    dumps).  Works on the RAW text — the canonical tokenizer strips
+    exactly the characters this op audits.
+
+    Exactness: counts are exact regexp-match counts (identical
+    regex semantics: the patterns use no engine-specific classes);
+    densities are integer per-million-chars divisions.
+
+    Scale: per-row regex work in the scan stage + one group
+    aggregate — no joins."""
+    tagc = F.expr(f"regexp_count({text_col}, '<[a-zA-Z]')")
+    linkc = F.expr(f"regexp_count({text_col}, 'https?://')")
+    sentc = F.expr(f"regexp_count({text_col}, '[.!?]')")
+    chars = F.expr(f"length({text_col})")
+    return (
+        df.groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(chars).cast("long").alias("n_chars"),
+            F.sum(tagc).cast("long").alias("tag_count"),
+            F.sum(linkc).cast("long").alias("link_count"),
+            F.sum(sentc).cast("long").alias("sentence_punct"),
+            F.sum(F.when(tagc > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_markup"),
+            F.sum(F.when(sentc == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_no_punct"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_docs",
+            "n_chars",
+            "tag_count",
+            "link_count",
+            "sentence_punct",
+            "docs_with_markup",
+            "docs_no_punct",
+            F.expr("(1000000 * sentence_punct) div n_chars").alias(
+                "punct_per_mchar"
+            ),
+        )
+        .orderBy(group_col)
+    )

@@ -7017,3 +7017,429 @@ ORACLES["doc_lang_mixture"] = f"""
             // COUNT(*) AS BIGINT) AS mixed_ppm
     FROM per_doc GROUP BY source ORDER BY source
 """
+
+# --- round-9 batch 3a (X138/X140/X141/X142/X143) ---
+
+# X138 domain-rule tagging (operators/textstats.py:
+# domain_tag_mixture): token-set marker counts, code > news > legal
+# > general precedence, 4-row mixture panel.
+_DOMAIN_MARKERS = {
+    "code": "'def', 'class', 'function', 'return', 'import', 'var'",
+    "news": "'said', 'report', 'today', 'announced', 'according'",
+    "legal": "'shall', 'pursuant', 'herein', 'thereof', 'whereas'",
+}
+_DOMAIN_SCORE_COLS = ",\n            ".join(
+    f"len(list_filter(t, x -> x IN ({words}))) AS d_{name}"
+    for name, words in _DOMAIN_MARKERS.items()
+)
+ORACLES["domain_tag_mixture"] = f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKLIST.format(col='text')} AS t FROM documents
+    ),
+    s AS (
+        SELECT doc_id, len(t) AS n_tok,
+            {_DOMAIN_SCORE_COLS}
+        FROM toks
+    ),
+    tagged AS (
+        SELECT n_tok,
+            CASE
+                WHEN d_code >= d_news AND d_code >= d_legal AND d_code > 0
+                    THEN 'code'
+                WHEN d_news >= d_legal AND d_news > 0 THEN 'news'
+                WHEN d_legal > 0 THEN 'legal'
+                ELSE 'general'
+            END AS domain
+        FROM s
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM tagged)
+    SELECT domain,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST((1000000 * COUNT(*)) // ANY_VALUE(tot.total) AS BIGINT)
+            AS doc_share_ppm,
+        CAST(SUM(n_tok) AS BIGINT) AS token_mass,
+        CAST(SUM(n_tok) // COUNT(*) AS BIGINT) AS mean_tokens
+    FROM tagged, tot GROUP BY domain ORDER BY domain
+"""
+
+# X143 markup census (operators/textstats.py: markup_density): raw-
+# text regex counts (len(regexp_extract_all) = Spark regexp_count),
+# per-source aggregate.
+ORACLES["markup_density"] = """
+    WITH per AS (
+        SELECT source,
+            length(text) AS chars,
+            len(regexp_extract_all(text, '<[a-zA-Z]')) AS tagc,
+            len(regexp_extract_all(text, 'https?://')) AS linkc,
+            len(regexp_extract_all(text, '[.!?]')) AS sentc
+        FROM documents
+    )
+    SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(chars) AS BIGINT) AS n_chars,
+        CAST(SUM(tagc) AS BIGINT) AS tag_count,
+        CAST(SUM(linkc) AS BIGINT) AS link_count,
+        CAST(SUM(sentc) AS BIGINT) AS sentence_punct,
+        CAST(SUM(CASE WHEN tagc > 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_with_markup,
+        CAST(SUM(CASE WHEN sentc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+            AS docs_no_punct,
+        CAST((1000000 * SUM(sentc)) // SUM(chars) AS BIGINT)
+            AS punct_per_mchar
+    FROM per GROUP BY source ORDER BY source
+"""
+
+# X140 unique token mass (operators/dedup.py: unique_token_mass):
+# the X24 shingle->min(doc) attribution aggregated per source.
+ORACLES["unique_token_mass"] = f"""
+    WITH {_SHINGLE_CTE},
+    first AS (SELECT shingle, MIN(doc_id) AS f FROM sh GROUP BY shingle)
+    SELECT d.source,
+        CAST(COUNT(*) AS BIGINT) AS n_instances,
+        CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_distinct_shingles,
+        CAST(SUM(CASE WHEN fi.f = s.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_novel_instances,
+        CAST((1000000 * SUM(CASE WHEN fi.f = s.doc_id THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS novel_ppm
+    FROM sh s
+    JOIN first fi USING (shingle)
+    JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+"""
+
+# X142 boundary-overlap chains (operators/dedup.py:
+# boundary_overlap_chains): head/tail 3-shingles, df-capped head
+# join, per-source-pair census.
+ORACLES["boundary_overlap_chains"] = f"""
+    WITH t AS (
+        SELECT doc_id, source, {_TOKLIST.format(col='text')} AS tk
+        FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE len(tk) >= 3),
+    heads AS (
+        SELECT doc_id AS hb, source AS hg,
+            tk[1] || ' ' || tk[2] || ' ' || tk[3] AS b
+        FROM nz
+    ),
+    tails AS (
+        SELECT doc_id AS ta, source AS tg,
+            tk[-3] || ' ' || tk[-2] || ' ' || tk[-1] AS b
+        FROM nz
+    ),
+    hdf AS (SELECT b, COUNT(*) AS c FROM heads GROUP BY b),
+    okh AS (
+        SELECT h.* FROM heads h JOIN hdf ON h.b = hdf.b WHERE hdf.c <= 256
+    ),
+    edges AS (
+        SELECT t2.tg, h.hg, h.b, t2.ta, h.hb
+        FROM okh h JOIN tails t2 ON h.b = t2.b
+        WHERE t2.ta <> h.hb
+    )
+    SELECT tg AS source_from, hg AS source_to,
+        CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(COUNT(DISTINCT b) AS BIGINT) AS n_boundaries,
+        CAST(COUNT(DISTINCT ta) AS BIGINT) AS n_from_docs,
+        CAST(COUNT(DISTINCT hb) AS BIGINT) AS n_to_docs
+    FROM edges GROUP BY tg, hg ORDER BY source_from, source_to
+"""
+
+# X141 sampled-quantile rank error (operators/aggregates.py:
+# quantile_sample_error): distinct-value lattice cumulative counts,
+# exact rank targets, 1/16 unit-hash sample estimates.
+ORACLES["quantile_sample_error"] = f"""
+    WITH full_c AS (
+        SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1
+    ),
+    full_l AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+            SUM(c) OVER () AS n
+        FROM full_c
+    ),
+    samp_c AS (
+        SELECT n_chars AS v, COUNT(*) AS c FROM documents
+        WHERE {_UNIT.format(col='doc_id')} % 16 = 0
+        GROUP BY 1
+    ),
+    samp_l AS (
+        SELECT v, SUM(c) OVER (ORDER BY v) AS cum,
+            SUM(c) OVER () AS sn
+        FROM samp_c
+    ),
+    pcts(pct) AS (VALUES (25), (50), (75), (90), (99)),
+    tgt AS (
+        SELECT p.pct, f.n, (p.pct * f.n + 99) // 100 AS tr
+        FROM pcts p, (SELECT DISTINCT n FROM full_l) f
+    ),
+    ex AS (
+        SELECT t.pct, t.n, t.tr, MIN(f.v) AS exact_value
+        FROM tgt t JOIN full_l f ON f.cum >= t.tr
+        GROUP BY t.pct, t.n, t.tr
+    ),
+    stgt AS (
+        SELECT p.pct, (p.pct * s.sn + 99) // 100 AS str
+        FROM pcts p, (SELECT DISTINCT sn FROM samp_l) s
+    ),
+    est AS (
+        SELECT t.pct, MIN(s.v) AS est_value
+        FROM stgt t JOIN samp_l s ON s.cum >= t.str
+        GROUP BY t.pct
+    ),
+    ach AS (
+        SELECT e.pct, e.est_value,
+            COALESCE(MAX(f.cum), 0) AS a
+        FROM est e LEFT JOIN full_l f ON f.v <= e.est_value
+        GROUP BY e.pct, e.est_value
+    )
+    SELECT CAST(ex.pct AS BIGINT) AS pct,
+        CAST(ex.n AS BIGINT) AS n_rows,
+        ex.exact_value, ach.est_value,
+        CAST(ach.a AS BIGINT) AS achieved_rank,
+        CAST(ex.tr AS BIGINT) AS target_rank,
+        CAST((1000000 * abs(ach.a - ex.tr)) // ex.n AS BIGINT)
+            AS rank_err_ppm
+    FROM ex JOIN ach ON ex.pct = ach.pct
+    ORDER BY pct
+"""
+
+# --- round-9 batch 3b (X129/X131/X139/X146/X147) ---
+
+# X129 margin-kNN mining (operators/similarity.py: margin_knn_pairs):
+# label-parity groups, rank-1 centroid buckets, top-4 neighborhood
+# means with sign-symmetric division, margin DESC NULLS LAST top-20.
+ORACLES["bitext_margin_mining"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    asn AS (
+        SELECT s.vec_id, e.embedding, e.label % 2 AS g, s.centroid_id
+        FROM ({_CENT_SIMS.format(cents='cents')}) s
+        JOIN embeddings e ON s.vec_id = e.vec_id
+        WHERE s.rk = 1
+    ),
+    pairs AS (
+        SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+            CAST(ROUND(ROUND(list_cosine_similarity(
+                CAST(x.embedding AS DOUBLE[]),
+                CAST(y.embedding AS DOUBLE[])), 6) * 1000000) AS BIGINT)
+                AS cos_e6
+        FROM asn x JOIN asn y ON x.centroid_id = y.centroid_id
+        WHERE x.g = 0 AND y.g = 1
+    ),
+    ka AS (
+        SELECT id_a,
+            CASE WHEN SUM(cos_e6) < 0
+                THEN -((-SUM(cos_e6)) // COUNT(*))
+                ELSE SUM(cos_e6) // COUNT(*) END AS ax
+        FROM (
+            SELECT id_a, cos_e6, ROW_NUMBER() OVER (
+                PARTITION BY id_a ORDER BY cos_e6 DESC, id_b ASC) AS r
+            FROM pairs
+        ) WHERE r <= 4 GROUP BY id_a
+    ),
+    kb AS (
+        SELECT id_b,
+            CASE WHEN SUM(cos_e6) < 0
+                THEN -((-SUM(cos_e6)) // COUNT(*))
+                ELSE SUM(cos_e6) // COUNT(*) END AS ay
+        FROM (
+            SELECT id_b, cos_e6, ROW_NUMBER() OVER (
+                PARTITION BY id_b ORDER BY cos_e6 DESC, id_a ASC) AS r
+            FROM pairs
+        ) WHERE r <= 4 GROUP BY id_b
+    )
+    SELECT p.id_a, p.id_b, p.cos_e6,
+        CAST(CASE WHEN ka.ax + kb.ay <= 0 THEN NULL
+            WHEN p.cos_e6 < 0
+                THEN -((2000000 * -p.cos_e6) // (ka.ax + kb.ay))
+            ELSE (2000000 * p.cos_e6) // (ka.ax + kb.ay) END AS BIGINT)
+            AS margin_ppm
+    FROM pairs p JOIN ka USING (id_a) JOIN kb USING (id_b)
+    ORDER BY margin_ppm DESC NULLS LAST, id_a ASC, id_b ASC
+    LIMIT 20
+"""
+
+# X131 greedy source coverage (operators/sampling.py:
+# greedy_source_coverage): 4 unrolled max-coverage rounds over the
+# distinct (source, shingle) table; ties to ascending source.
+ORACLES["source_coverage_greedy"] = f"""
+    WITH {_SHINGLE_CTE},
+    ssrc AS (
+        SELECT DISTINCT d.source AS g, s.shingle
+        FROM sh s JOIN documents d USING (doc_id)
+    ),
+    w1 AS (
+        SELECT 1 AS step, g, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM ssrc GROUP BY g ORDER BY gain DESC, g ASC LIMIT 1
+    ),
+    c1 AS (SELECT DISTINCT s.shingle FROM ssrc s JOIN w1 USING (g)),
+    r2 AS (
+        SELECT s.g, s.shingle FROM ssrc s
+        LEFT JOIN c1 ON s.shingle = c1.shingle WHERE c1.shingle IS NULL
+    ),
+    w2 AS (
+        SELECT 2 AS step, g, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM r2 GROUP BY g ORDER BY gain DESC, g ASC LIMIT 1
+    ),
+    c2 AS (
+        SELECT shingle FROM c1
+        UNION SELECT s.shingle FROM r2 s JOIN w2 USING (g)
+    ),
+    r3 AS (
+        SELECT s.g, s.shingle FROM ssrc s
+        LEFT JOIN c2 ON s.shingle = c2.shingle WHERE c2.shingle IS NULL
+    ),
+    w3 AS (
+        SELECT 3 AS step, g, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM r3 GROUP BY g ORDER BY gain DESC, g ASC LIMIT 1
+    ),
+    c3 AS (
+        SELECT shingle FROM c2
+        UNION SELECT s.shingle FROM r3 s JOIN w3 USING (g)
+    ),
+    r4 AS (
+        SELECT s.g, s.shingle FROM ssrc s
+        LEFT JOIN c3 ON s.shingle = c3.shingle WHERE c3.shingle IS NULL
+    ),
+    w4 AS (
+        SELECT 4 AS step, g, CAST(COUNT(*) AS BIGINT) AS gain
+        FROM r4 GROUP BY g ORDER BY gain DESC, g ASC LIMIT 1
+    ),
+    allw AS (
+        SELECT * FROM w1 UNION ALL SELECT * FROM w2
+        UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
+    )
+    SELECT CAST(step AS BIGINT) AS step, g AS source, gain,
+        CAST(SUM(gain) OVER (ORDER BY step) AS BIGINT) AS covered_total
+    FROM allw ORDER BY step
+"""
+
+# X139 contrastive pair plan (operators/packing.py:
+# contrastive_pairs_plan): stride-64 chunks, adjacent-chunk pairs,
+# unit-hash batches, exact in-batch negative availability.
+ORACLES["contrastive_pairs_plan"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKLIST.format(col='text')} AS tk FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE len(tk) > 0),
+    chunks AS (
+        SELECT doc_id, s // 64 AS chunk_id,
+            LEAST(64, len(tk) - s) AS n_tokens
+        FROM (
+            SELECT doc_id, tk,
+                unnest(generate_series(0, len(tk) - 1, 64)) AS s
+            FROM nz
+        )
+    ),
+    pairs AS (
+        SELECT a.doc_id,
+            {_UNIT.format(col='a.doc_id')} % 8 AS batch_id,
+            b.n_tokens AS pos_tokens
+        FROM chunks a JOIN chunks b
+            ON a.doc_id = b.doc_id AND b.chunk_id = a.chunk_id + 1
+    ),
+    per_doc AS (
+        SELECT batch_id, doc_id, COUNT(*) AS p, SUM(pos_tokens) AS pt
+        FROM pairs GROUP BY batch_id, doc_id
+    )
+    SELECT CAST(batch_id AS BIGINT) AS batch_id,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(p) AS BIGINT) AS n_pairs,
+        CAST(SUM(p) - MAX(p) AS BIGINT) AS min_neg_per_pair,
+        CAST((1000 * (SUM(p) * SUM(p) - SUM(p * p))) // SUM(p) AS BIGINT)
+            AS mean_neg_per_pair_e3,
+        CAST(SUM(pt) // SUM(p) AS BIGINT) AS mean_pos_tokens
+    FROM per_doc GROUP BY batch_id ORDER BY batch_id
+"""
+
+# X146 survivor-bias audit (operators/dedup.py: survivor_bias_panel):
+# X7 clusters x X5 quality e2 scores, three retention policies via
+# UNION ALL, exact means.
+ORACLES["dedup_survivor_bias"] = f"""
+    WITH clusters AS (
+        SELECT doc_id, cluster_id FROM ({ORACLES['dedup_clusters']})
+    ),
+    scores AS (
+        SELECT doc_id, CAST(ROUND(quality_score * 100) AS BIGINT) AS s
+        FROM ({ORACLES['text_quality_score']})
+    ),
+    j AS (
+        SELECT c.cluster_id, c.doc_id, s.s,
+            ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                ORDER BY s.s DESC, c.doc_id ASC) AS rb,
+            ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                ORDER BY c.doc_id ASC) AS rm
+        FROM clusters c JOIN scores s USING (doc_id)
+    ),
+    panel AS (
+        SELECT 'corpus' AS policy, s FROM j
+        UNION ALL SELECT 'min_id' AS policy, s FROM j WHERE rm = 1
+        UNION ALL SELECT 'best_score' AS policy, s FROM j WHERE rb = 1
+    )
+    SELECT policy,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(s) // COUNT(*) AS BIGINT) AS mean_score_e2,
+        CAST(MIN(s) AS BIGINT) AS min_score_e2,
+        CAST(MAX(s) AS BIGINT) AS max_score_e2
+    FROM panel GROUP BY policy ORDER BY policy
+"""
+
+# X147 variance explained (operators/embeddings.py:
+# pc_variance_explained): the X60 Gram + 8-iteration power vector
+# (ROUNDED loadings), then index-ordered folds for trace, u'u and
+# u'Gu — all double accumulation orders pinned.
+ORACLES["pc_variance_explained"] = f"""
+    WITH q AS (
+        SELECT list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        FROM embeddings
+    ),
+    pr AS (
+        SELECT CAST(ii.i AS INTEGER) - 1 AS i, CAST(jj.j AS INTEGER) - 1 AS j,
+            CAST(a[CAST(ii.i AS INTEGER)] AS HUGEINT)
+                * a[CAST(jj.j AS INTEGER)] AS p
+        FROM q,
+            UNNEST(range(1, {_PC_D} + 1)) AS ii(i),
+            UNNEST(range(1, {_PC_D} + 1)) AS jj(j)
+    ),
+    gram AS (SELECT i, j, SUM(p) AS g FROM pr GROUP BY 1, 2),
+    gj AS (
+        SELECT j, list(CAST(g AS DOUBLE) / 1000000000000.0 ORDER BY i) AS row
+        FROM gram GROUP BY j
+    ),
+    u0 AS (
+        SELECT list_transform(range(1, {_PC_D} + 1),
+            x -> CAST(1.0 AS DOUBLE)) AS u
+    ),{",".join(_pc_iter_cte(k) for k in range(1, 9))},
+    uload AS (
+        SELECT list_transform(u, x -> ROUND(x, 6)) AS u FROM u8
+    ),
+    wv AS (
+        SELECT j,
+            list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                list_transform(range(1, {_PC_D} + 1),
+                    i -> row[CAST(i AS INTEGER)] * u[CAST(i AS INTEGER)])),
+                (a, b) -> a + b) AS w,
+            row[CAST(j + 1 AS INTEGER)] AS diag,
+            u[CAST(j + 1 AS INTEGER)] AS uj
+        FROM gj, uload
+    ),
+    arrs AS (
+        SELECT list(w * uj ORDER BY j) AS wu,
+            list(diag ORDER BY j) AS dg,
+            list(uj * uj ORDER BY j) AS uu2
+        FROM wv
+    ),
+    folds AS (
+        SELECT
+            list_reduce(list_concat([CAST(0.0 AS DOUBLE)], wu),
+                (a, b) -> a + b) AS ugu,
+            list_reduce(list_concat([CAST(0.0 AS DOUBLE)], dg),
+                (a, b) -> a + b) AS tr,
+            list_reduce(list_concat([CAST(0.0 AS DOUBLE)], uu2),
+                (a, b) -> a + b) AS uu
+        FROM arrs
+    )
+    SELECT CAST({_PC_D} AS BIGINT) AS dim,
+        ROUND(tr, 6) AS trace_total,
+        ROUND(ugu / uu, 6) AS pc_variance,
+        CAST(ROUND(1000000 * ugu / (uu * tr)) AS BIGINT) AS explained_ppm
+    FROM folds
+"""

@@ -5261,6 +5261,130 @@ def q_doc_lang_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_mixture_panel(d, "doc_id", "text", "source")
 
 
+@query("domain_tag_mixture")
+def q_domain_tag_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X138: rule-based domain tagging + mixture panel
+    (operators/textstats.py: domain_tag_mixture) — keyword-rule
+    domain votes, doc shares and token mass per domain."""
+    from .operators.textstats import domain_tag_mixture
+
+    d = table(spark, sf_dir, "documents")
+    return domain_tag_mixture(d, "doc_id", "text")
+
+
+@query("markup_density")
+def q_markup_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X143: markup/boilerplate-signal census
+    (operators/textstats.py: markup_density) — per-source tag/link/
+    sentence-punct counts over the RAW text."""
+    from .operators.textstats import markup_density
+
+    d = table(spark, sf_dir, "documents")
+    return markup_density(d, "source", "text")
+
+
+@query("unique_token_mass")
+def q_unique_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X140: duplication-adjusted source contribution
+    (operators/dedup.py: unique_token_mass) — X24's first-occurrence
+    attribution rolled up to the source axis."""
+    from .operators.dedup import unique_token_mass
+
+    d = table(spark, sf_dir, "documents")
+    return unique_token_mass(d, "doc_id", "text", "source")
+
+
+@query("boundary_overlap_chains")
+def q_boundary_overlap_chains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X142: document continuation detection (operators/dedup.py:
+    boundary_overlap_chains) — tail-shingle = head-shingle edges per
+    source pair with the template-boundary df cap."""
+    from .operators.dedup import boundary_overlap_chains
+
+    d = table(spark, sf_dir, "documents")
+    return boundary_overlap_chains(d, "doc_id", "text", "source")
+
+
+@query("quantile_sample_error")
+def q_quantile_sample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X141: sampled-quantile rank-error eval
+    (operators/aggregates.py: quantile_sample_error) — exact order
+    statistics vs a deterministic 1/16 hash sample, realized rank
+    error per percentile."""
+    from .operators.aggregates import quantile_sample_error
+
+    d = table(spark, sf_dir, "documents")
+    return quantile_sample_error(d, "doc_id", "n_chars")
+
+
+@query("bitext_margin_mining")
+def q_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129: margin-based nearest-neighbor pair mining
+    (operators/similarity.py: margin_knn_pairs) — the LASER bitext
+    criterion over the label-parity split, centroid-bucketed
+    candidates, top-20 by margin."""
+    from .operators.similarity import margin_knn_pairs
+
+    emb = table(spark, sf_dir, "embeddings")
+    return margin_knn_pairs(emb, "vec_id", "embedding", "label")
+
+
+@query("source_coverage_greedy")
+def q_source_coverage_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131: greedy max-coverage source selection
+    (operators/sampling.py: greedy_source_coverage) — 4 unrolled
+    marginal-vocabulary-gain rounds, no driver loop."""
+    from .operators.sampling import greedy_source_coverage
+
+    d = table(spark, sf_dir, "documents")
+    return greedy_source_coverage(d, "doc_id", "text", "source", steps=4)
+
+
+@query("contrastive_pairs_plan")
+def q_contrastive_pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X139: contrastive pair-construction feasibility panel
+    (operators/packing.py: contrastive_pairs_plan) —
+    adjacent-chunk positives, in-batch negative availability per
+    hash batch."""
+    from .operators.packing import contrastive_pairs_plan
+
+    d = table(spark, sf_dir, "documents")
+    return contrastive_pairs_plan(d, "doc_id", "text")
+
+
+@query("dedup_survivor_bias")
+def q_dedup_survivor_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X146: survivorship-policy bias audit (operators/dedup.py:
+    survivor_bias_panel) — corpus vs min-id vs best-score retention,
+    mean quality per policy over the X7 clusters."""
+    from .operators.dedup import survivor_bias_panel
+    from .operators.textstats import quality_features
+
+    d = table(spark, sf_dir, "documents")
+    clusters = QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    scores = quality_features(d, "doc_id", "text").select(
+        "doc_id",
+        F.round(F.col("quality_score") * 100).cast("long").alias("score_e2"),
+    )
+    return survivor_bias_panel(
+        clusters, scores, "doc_id", "cluster_id", "score_e2"
+    )
+
+
+@query("pc_variance_explained")
+def q_pc_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X147: top-PC variance-explained ratio
+    (operators/embeddings.py: pc_variance_explained) — uGu/(uu·trG)
+    over the X60 exact Gram and power vector; the ABTT go/no-go
+    number."""
+    from .operators.embeddings import pc_variance_explained
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pc_variance_explained(emb, "embedding", 64)
+
+
 # ---------------------------------------------------------------------------
 # Registration-order rotation — COMPUTED staleness-first (round 6)
 # ---------------------------------------------------------------------------

@@ -254,3 +254,207 @@ def test_lang_mixture_flags_code_switch(spark):
     assert out["s1"].n_mixed_docs == 1 and out["s1"].n_docs == 2
     assert out["s1"].mixed_ppm == 500_000
     assert out["s2"].n_mixed_docs == 0 and out["s2"].n_unknown_docs == 1
+
+
+def test_domain_tag_rules_and_precedence(spark):
+    """Marker rules and the code > news > legal > general precedence,
+    including the tie case (equal code and news hits -> code)."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        domain_tag_mixture,
+    )
+
+    docs = [
+        (1, "def foo return bar"),          # code
+        (2, "he said the report today"),    # news
+        (3, "shall be pursuant to law"),    # legal
+        (4, "plain words only here"),       # general
+        (5, "def said"),                    # tie code/news -> code
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.domain: r for r in domain_tag_mixture(df, "doc_id", "text").collect()}
+    assert out["code"].n_docs == 2
+    assert out["news"].n_docs == 1
+    assert out["legal"].n_docs == 1
+    assert out["general"].n_docs == 1
+    assert sum(r.doc_share_ppm for r in out.values()) <= 1_000_000
+    assert out["code"].doc_share_ppm == 400_000
+
+
+def test_markup_density_counts(spark):
+    """Tag/link/punct regex counts on crafted rows."""
+    from poet_cloud_cost_etl_spark.operators.textstats import markup_density
+
+    docs = [
+        ("s", "<div>hello</div> see https://x.test now!"),
+        ("s", "no markup here"),
+    ]
+    df = spark.createDataFrame(docs, ["source", "text"])
+    r = markup_density(df, "source", "text").collect()[0]
+    # '<[a-zA-Z]' matches the opening '<d' only ('</div>' starts '</')
+    assert r.tag_count == 1
+    assert r.link_count == 1
+    assert r.docs_with_markup == 1
+    assert r.docs_no_punct == 1
+    assert r.sentence_punct == 2  # '.' in x.test + '!' in now!
+
+
+def test_unique_token_mass_attribution(spark):
+    """Doc 1 introduces every shingle; doc 2 (other source) restates
+    them: source of doc 1 gets full novelty, doc 2's source zero."""
+    from poet_cloud_cost_etl_spark.operators.dedup import unique_token_mass
+
+    text = "alpha beta gamma delta epsilon"
+    df = spark.createDataFrame(
+        [(1, text, "first"), (2, text, "second")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r.source: r for r in unique_token_mass(df, "doc_id", "text", "source").collect()}
+    assert out["first"].novel_ppm == 1_000_000
+    assert out["second"].novel_ppm == 0
+    assert out["first"].n_instances == out["second"].n_instances == 3
+
+
+def test_boundary_chains_detects_split_docs(spark):
+    """Doc A's tail 3-shingle equals doc B's head -> one edge; the
+    df-capped template boundary is excluded."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        boundary_overlap_chains,
+    )
+
+    a = "one two three four five six"
+    b = "four five six seven eight nine"
+    docs = [(1, a, "s1"), (2, b, "s2"), (3, "zz yy xx", "s3")]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+    rows = boundary_overlap_chains(df, "doc_id", "text", "source").collect()
+    assert len(rows) == 1
+    e = rows[0]
+    assert (e.source_from, e.source_to, e.n_edges) == ("s1", "s2", 1)
+
+    # template boundary shared by many heads is dropped at the cap
+    tmpl = [(i, "click here now plus unique" + str(i), f"t{i}") for i in range(10)]
+    tmpl.append((99, "ending with click here now", "src_tail"))
+    df2 = spark.createDataFrame(tmpl, ["doc_id", "text", "source"])
+    rows2 = boundary_overlap_chains(
+        df2, "doc_id", "text", "source", max_boundary_df=5
+    ).collect()
+    assert rows2 == []
+
+
+def test_quantile_sample_error_full_sample_is_exact(spark):
+    """With sample_mod=1 the 'sample' IS the full data, so every
+    estimate equals the exact order statistic and rank error is 0."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import (
+        quantile_sample_error,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 100) for i in range(200)], ["k", "v"]
+    )
+    rows = quantile_sample_error(df, "k", "v", sample_mod=1).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r.est_value == r.exact_value
+        assert r.rank_err_ppm == 0
+
+
+def test_greedy_coverage_is_marginal_not_raw(spark):
+    """Source B has the biggest raw vocabulary but is a subset of
+    A union C's coverage path: greedy must pick by MARGINAL gain
+    with exact counts, cumulative total = distinct union."""
+    from poet_cloud_cost_etl_spark.operators.sampling import (
+        greedy_source_coverage,
+    )
+
+    # A: shingles {a1..a6}; B: {a1..a5} (subset-heavy); C: {c1..c3}
+    mk = lambda toks: " ".join(toks)
+    A = mk([f"w{i}" for i in range(8)])          # 6 shingles
+    B = mk([f"w{i}" for i in range(7)])          # 5 shingles, all in A
+    C = mk([f"z{i}" for i in range(5)])          # 3 novel shingles
+    df = spark.createDataFrame(
+        [(1, A, "A"), (2, B, "B"), (3, C, "C")],
+        ["doc_id", "text", "source"],
+    )
+    rows = greedy_source_coverage(df, "doc_id", "text", "source", steps=3).collect()
+    # B's marginal gain is 0 once A is covered, and a source with no
+    # remaining shingles is unpickable — the selection stops early
+    # when coverage is complete (identical semantics in the oracle)
+    assert [r.source for r in rows] == ["A", "C"]
+    assert [r.gain for r in rows] == [6, 3]
+    assert rows[-1].covered_total == 9
+
+
+def test_contrastive_plan_negative_math(spark):
+    """One batch, two docs with 2 and 1 pairs: sum=3, sum_sq=5,
+    mean_neg_e3 = 1000*(9-5)//3, min_neg = 3-2."""
+    from poet_cloud_cost_etl_spark.operators.packing import (
+        contrastive_pairs_plan,
+    )
+
+    t3 = " ".join(f"w{i}" for i in range(130))  # 3 chunks -> 2 pairs
+    t2 = " ".join(f"v{i}" for i in range(70))   # 2 chunks -> 1 pair
+    df = spark.createDataFrame(
+        [(1, t3), (2, t2)], ["doc_id", "text"]
+    )
+    rows = contrastive_pairs_plan(df, "doc_id", "text", n_batches=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_pairs) == (2, 3)
+    assert r.min_neg_per_pair == 1
+    assert r.mean_neg_per_pair_e3 == (1000 * (9 - 5)) // 3
+
+
+def test_survivor_bias_policies(spark):
+    """Two clusters with known scores: best_score keeps the max,
+    min_id keeps the lowest id, corpus keeps all."""
+    from poet_cloud_cost_etl_spark.operators.dedup import survivor_bias_panel
+
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 20)], ["doc_id", "cluster_id"]
+    )
+    scores = spark.createDataFrame(
+        [(1, 50), (2, 75), (3, 100), (4, 25)], ["doc_id", "score_e2"]
+    )
+    out = {
+        r.policy: r
+        for r in survivor_bias_panel(
+            clusters, scores, "doc_id", "cluster_id", "score_e2"
+        ).collect()
+    }
+    assert out["corpus"].n_docs == 4 and out["corpus"].mean_score_e2 == 62
+    assert out["min_id"].n_docs == 2 and out["min_id"].mean_score_e2 == 75
+    assert out["best_score"].mean_score_e2 == (75 + 100) // 2
+
+
+def test_pc_variance_explained_bounds(spark):
+    """On the fixture embeddings: trace > 0, 0 < explained <= 1e6,
+    and pc_variance <= trace (the top direction can't carry more
+    than the whole spectrum)."""
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        pc_variance_explained,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    r = pc_variance_explained(emb, "embedding", 64).collect()[0]
+    assert r.trace_total > 0
+    assert 0 < r.explained_ppm <= 1_000_000
+    assert r.pc_variance <= r.trace_total
+
+
+def test_margin_mining_hub_suppression(spark):
+    """A hub vector close to every candidate gets margin ~1 while a
+    genuinely matched pair scores a higher margin despite a lower
+    absolute cosine being possible elsewhere."""
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+    from poet_cloud_cost_etl_spark.operators.similarity import margin_knn_pairs
+    from tests.conftest import SF_SMALL
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    rows = margin_knn_pairs(emb, "vec_id", "embedding", "label").collect()
+    assert 0 < len(rows) <= 20
+    margins = [r.margin_ppm for r in rows if r.margin_ppm is not None]
+    assert margins == sorted(margins, reverse=True)
+    # margin is a RATIO to the neighborhood mean: the top pair must
+    # beat its own neighborhoods (> 1e6)
+    assert margins[0] > 1_000_000
