@@ -413,6 +413,110 @@ def ivf_topk(
 FLAT_ASSIGN_MAX_K = 64
 
 
+
+
+def _bucket_dups(
+    buckets: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bucket_col: str,
+    threshold: float,
+    pair_impl: str,
+) -> DataFrame:
+    """Shared within-bucket SemDeDup duplicate stage: a vector is a
+    duplicate iff some lower-id bucket-mate has round-6 cosine >=
+    ``threshold``; returns one (id, bucket, is_dup) row per input
+    row.
+
+    ``pair_impl="expr"``: bucket-keyed self-join + the interpreted
+    higher-order-function cosine — oracle-identical arithmetic, but
+    O(m²·d) interpreted scalar ops per bucket of size m; the
+    correctness-pinned path.
+
+    ``pair_impl="gemm"``: one ``applyInPandas`` per bucket — rows
+    normalize into a float64 matrix, ONE BLAS matmul scores every
+    pair, and the lower-id test vectorizes (the
+    cosine_near_dup_pairs(impl="block") kernel re-aimed at SemDeDup
+    leaves; round-8 verdict task 6: the within-leaf constant was
+    what buried the tree's assignment win in the 10x record).  Same
+    round-to-6 discipline; per-task memory is one bucket's matrix —
+    bounded by the constant-cluster-size policy that IS SemDeDup's
+    scaling knob.  An oversized bucket is one task; split buckets
+    by growing the leaf count, exactly as for the expr path."""
+    if pair_impl == "expr":
+        a = buckets.select(
+            F.col(id_col).alias("__ida"),
+            F.col(vec_col).alias("__va"),
+            bucket_col,
+        )
+        b = buckets.select(
+            F.col(id_col).alias("__idb"),
+            F.col(vec_col).alias("__vb"),
+            bucket_col,
+        )
+        dup_ids = (
+            a.join(b, bucket_col)
+            .filter(F.col("__idb") > F.col("__ida"))
+            .filter(F.round(cosine("__va", "__vb"), 6) >= F.lit(threshold))
+            .select(F.col("__idb").alias(id_col))
+            .distinct()
+            .withColumn("__dup", F.lit(True))
+        )
+        return (
+            buckets.select(id_col, bucket_col)
+            .join(dup_ids, id_col, "left")
+            .select(
+                id_col,
+                bucket_col,
+                F.coalesce("__dup", F.lit(False)).alias("is_dup"),
+            )
+        )
+    if pair_impl != "gemm":
+        raise ValueError(f"pair_impl must be expr|gemm, got {pair_impl!r}")
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    bucket_field = buckets.schema[bucket_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, buckets.schema[id_col].dataType),
+            T.StructField(bucket_col, bucket_field),
+            T.StructField("is_dup", T.BooleanType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = np.array(list(pdf[vec_col].iloc[order]), dtype=np.float64)
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0  # zero vectors: cosine undefined -> 0
+        X = X / nrm
+        sims = np.round(X @ X.T, 6)
+        # ids ascend along the axis, so "some lower-id mate >= thr"
+        # is an any() over the strict lower triangle per row
+        low = np.tril(sims >= thr, k=-1)
+        is_dup = low.any(axis=1)
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                bucket_col: pdf[bucket_col].iloc[0],
+                "is_dup": is_dup,
+            }
+        )
+
+    return (
+        buckets.select(id_col, vec_col, bucket_col)
+        .groupBy(bucket_col)
+        .applyInPandas(_kern, out_schema)
+    )
+
+
+
 def semantic_dedup(
     corpus: DataFrame,
     id_col: str,
@@ -421,6 +525,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     refine_iters: int = 0,
     assign: str = "auto",
+    pair_impl: str = "expr",
 ) -> DataFrame:
     """X28: SemDeDup-style embedding near-duplicate pruning (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -470,7 +575,7 @@ def semantic_dedup(
         branching = math.ceil(math.sqrt(n_centroids))
         return semantic_dedup_tree(
             corpus, id_col, vec_col, branching=branching, depth=2,
-            threshold=threshold,
+            threshold=threshold, pair_impl=pair_impl,
         ).select(
             id_col,
             F.col("leaf_id").alias("centroid_id"),
@@ -478,28 +583,8 @@ def semantic_dedup(
         )
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
     assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-    a = assigned.select(
-        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "centroid_id"
-    )
-    b = assigned.select(
-        F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "centroid_id"
-    )
-    dup_ids = (
-        a.join(b, "centroid_id")
-        .filter(F.col("__idb") > F.col("__ida"))
-        .filter(F.round(cosine("__va", "__vb"), 6) >= F.lit(threshold))
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
-    return (
-        assigned.select(id_col, "centroid_id")
-        .join(dup_ids, id_col, "left")
-        .select(
-            id_col,
-            "centroid_id",
-            F.coalesce("__dup", F.lit(False)).alias("is_dup"),
-        )
+    return _bucket_dups(
+        assigned, id_col, vec_col, "centroid_id", threshold, pair_impl
     )
 
 
@@ -664,6 +749,7 @@ def semantic_dedup_tree(
     branching: int = 8,
     depth: int = 2,
     threshold: float = 0.95,
+    pair_impl: str = "expr",
 ) -> DataFrame:
     """X28 at scale: SemDeDup over the log-depth centroid tree.
     Identical duplicate semantics to ``semantic_dedup`` (within-
@@ -677,28 +763,8 @@ def semantic_dedup_tree(
 
     Returns ``(id, leaf_id, is_dup)``, one row per corpus vector."""
     leaves = ivf_tree_assign(corpus, id_col, vec_col, branching, depth)
-    a = leaves.select(
-        F.col(id_col).alias("__ida"), F.col(vec_col).alias("__va"), "leaf_id"
-    )
-    b = leaves.select(
-        F.col(id_col).alias("__idb"), F.col(vec_col).alias("__vb"), "leaf_id"
-    )
-    dup_ids = (
-        a.join(b, "leaf_id")
-        .filter(F.col("__idb") > F.col("__ida"))
-        .filter(F.round(cosine("__va", "__vb"), 6) >= F.lit(threshold))
-        .select(F.col("__idb").alias(id_col))
-        .distinct()
-        .withColumn("__dup", F.lit(True))
-    )
-    return (
-        leaves.select(id_col, "leaf_id")
-        .join(dup_ids, id_col, "left")
-        .select(
-            id_col,
-            "leaf_id",
-            F.coalesce("__dup", F.lit(False)).alias("is_dup"),
-        )
+    return _bucket_dups(
+        leaves, id_col, vec_col, "leaf_id", threshold, pair_impl
     )
 
 

@@ -171,9 +171,46 @@ def _bm25_scaled(spark, sf_dir, k_scale):
     return bm25_topk(d, "doc_id", "text", probes, k=10)
 
 
+# Round-9 (r8 verdict task 6): the equal-leaf-count r8 probe showed
+# flat and tree both ~21x at 10x data because WITHIN-LEAF pair work
+# (interpreted higher-order cosine per pair) dominated and buried the
+# assignment-strategy delta the record exists to demonstrate. The
+# gemm twins run the SAME probes with the BLAS within-leaf kernel
+# (_bucket_dups(pair_impl="gemm"), bit-identical results — pinned by
+# test_semantic_dedup_gemm_matches_expr), so pair cost stops masking
+# assignment cost: flat k=64 scores 64 centroids/row, the depth-2
+# tree scores 16 — the N·k vs N·b·log k claim, finally isolated.
+def _semantic_dedup_gemm(spark, sf_dir, k_scale):
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=k, assign="flat",
+        pair_impl="gemm",
+    )
+
+
+def _semantic_dedup_tree_gemm(spark, sf_dir, k_scale):
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        semantic_dedup_tree,
+    )
+
+    depth = 2 if k_scale > 1 else 1
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_dedup_tree(
+        e, "vec_id", "embedding", branching=8, depth=depth, threshold=0.35,
+        pair_impl="gemm",
+    )
+
+
 SCALED_K = [
     ("semantic_dedup_scaled_k", _semantic_dedup_scaled),
     ("semantic_dedup_tree_scaled", _semantic_dedup_tree),
+    ("semantic_dedup_gemm_scaled_k", _semantic_dedup_gemm),
+    ("semantic_dedup_tree_gemm_scaled", _semantic_dedup_tree_gemm),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
     ("bm25_retrieval_scaled", _bm25_scaled),

@@ -458,3 +458,44 @@ def test_margin_mining_hub_suppression(spark):
     # margin is a RATIO to the neighborhood mean: the top pair must
     # beat its own neighborhoods (> 1e6)
     assert margins[0] > 1_000_000
+
+
+def test_semantic_dedup_gemm_matches_expr(spark):
+    """The GEMM within-bucket kernel (r8 verdict task 6) must agree
+    bit-for-bit with the interpreted expr path on the fixture
+    embeddings — flat and tree, dup flags AND bucket ids."""
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_tree,
+    )
+    from tests.conftest import SF_SMALL
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    for thr in (0.35, 0.95):
+        flat_e = {
+            (r.vec_id, r.centroid_id, r.is_dup)
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", threshold=thr, pair_impl="expr"
+            ).collect()
+        }
+        flat_g = {
+            (r.vec_id, r.centroid_id, r.is_dup)
+            for r in semantic_dedup(
+                emb, "vec_id", "embedding", threshold=thr, pair_impl="gemm"
+            ).collect()
+        }
+        assert flat_e == flat_g, f"flat mismatch at thr={thr}"
+    tree_e = {
+        (r.vec_id, r.leaf_id, r.is_dup)
+        for r in semantic_dedup_tree(
+            emb, "vec_id", "embedding", threshold=0.35, pair_impl="expr"
+        ).collect()
+    }
+    tree_g = {
+        (r.vec_id, r.leaf_id, r.is_dup)
+        for r in semantic_dedup_tree(
+            emb, "vec_id", "embedding", threshold=0.35, pair_impl="gemm"
+        ).collect()
+    }
+    assert tree_e == tree_g
