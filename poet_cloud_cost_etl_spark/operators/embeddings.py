@@ -1079,15 +1079,37 @@ def pc_variance_explained(
             "s -> CAST(s.__g AS DOUBLE) / 1000000000000.0)"
         ).alias("row")
     ).localCheckpoint(eager=True)
-    u = (
-        top_principal_component(df, vec_col, dim, iters=iters)
-        .groupBy()
-        .agg(
+    # Power-iterate on THIS gj instead of calling
+    # top_principal_component (which would rebuild the Gram — the
+    # corpus scan and the fixed-size shuffle would run twice; the r9
+    # bench measured the double-Gram form at ~2x the cost).  Same
+    # iteration, same normalization, same final round-to-6 as X60.
+    spark = df.sparkSession
+    u = spark.range(1).select(
+        F.expr(
+            f"transform(sequence(1, {dim}), x -> CAST(1.0 AS DOUBLE))"
+        ).alias("u")
+    )
+    normalize = (
+        "transform(warr, x -> x / element_at(warr, "
+        "CAST(array_position(transform(warr, y -> abs(y)), "
+        "array_max(transform(warr, y -> abs(y)))) AS INT)))"
+    )
+    for _ in range(iters):
+        wi = gj.crossJoin(F.broadcast(u)).select(
+            "j",
             F.expr(
-                "transform(array_sort(collect_list(struct(dim, loading))), "
-                "s -> s.loading)"
-            ).alias("u")
+                "aggregate(zip_with(row, u, (g, x) -> g * x), "
+                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("w"),
         )
+        u = wi.groupBy().agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(j, w))), s -> s.w)"
+            ).alias("warr")
+        ).select(F.expr(normalize).alias("u"))
+    u = u.select(
+        F.expr("transform(u, x -> round(x, 6))").alias("u")
     )
     w = (
         gj.crossJoin(F.broadcast(u))

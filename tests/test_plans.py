@@ -683,3 +683,64 @@ def test_round8i_single_task_window_removals(spark):
 
     zf = X.physical_plan(QUERIES["token_zipf_fit"](spark, SF_SMALL))
     assert zf.count("Exchange SinglePartition") <= 2, zf
+
+
+def test_round9_queries_plan_shapes(spark):
+    """Round-9 scale pins. The cheap panels (domain mixture, markup
+    census, file plan, freshness decay) must plan with no joins
+    beyond their 1-row broadcast totals and no corpus-sized
+    single-partition exchange; burstiness's top-k must arrive via
+    TakeOrderedAndProject; the Z-order key stamp must not shuffle
+    before its final aggregate; the quantile-error lattice windows
+    are the X107-style bounded single-partition exception (distinct
+    values, not rows)."""
+    tb = X.physical_plan(QUERIES["term_burstiness"](spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in tb, tb
+    assert "CartesianProduct" not in tb, tb
+
+    dm = X.physical_plan(QUERIES["domain_tag_mixture"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in dm and "ShuffledHashJoin" not in dm, dm
+
+    md = X.physical_plan(QUERIES["markup_density"](spark, SF_SMALL))
+    assert "Join" not in md, md
+    assert md.count("Exchange SinglePartition") == 0, md
+
+    fp = X.physical_plan(QUERIES["output_file_plan"](spark, SF_SMALL))
+    assert "Join" not in fp, fp
+
+    zo = X.physical_plan(QUERIES["zorder_locality"](spark, SF_SMALL))
+    # one broadcast of the 1-row min/max table; no shuffle join
+    assert "BroadcastNestedLoopJoin" in zo or "BroadcastExchange" in zo, zo
+    assert "SortMergeJoin" not in zo, zo
+
+    fd = X.physical_plan(QUERIES["freshness_decay_weights"](spark, SF_SMALL))
+    assert "SortMergeJoin" not in fd, fd
+
+    qe = X.physical_plan(QUERIES["quantile_sample_error"](spark, SF_SMALL))
+    # lattice windows: bounded by distinct values — allowed, but the
+    # corpus-sized side must never cross one task: the only
+    # single-partition exchanges feed the distinct-value windows
+    assert qe.count("Exchange SinglePartition") <= 4, qe
+
+    cp = X.physical_plan(QUERIES["contrastive_pairs_plan"](spark, SF_SMALL))
+    assert "CartesianProduct" not in cp, cp
+
+    sb = X.physical_plan(QUERIES["dedup_survivor_bias"](spark, SF_SMALL))
+    assert "CartesianProduct" not in sb, sb
+
+
+def test_round9_gemm_kernel_plan(spark):
+    """pair_impl='gemm' must plan the within-bucket stage as ONE
+    FlatMapGroupsInPandas (Arrow-sanctioned kernel) keyed on the
+    bucket — no bucket-keyed self-join remains."""
+    from poet_cloud_cost_etl_spark.operators.similarity import semantic_dedup
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    g = X.physical_plan(
+        semantic_dedup(emb, "vec_id", "embedding", pair_impl="gemm")
+    )
+    assert "FlatMapGroupsInPandas" in g, g
+    e = X.physical_plan(
+        semantic_dedup(emb, "vec_id", "embedding", pair_impl="expr")
+    )
+    assert "FlatMapGroupsInPandas" not in e, e
