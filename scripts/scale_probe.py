@@ -88,6 +88,14 @@ HEAVY = [
     "vocab_coverage",
     "cms_heavy_hitters",
     "token_zipf_fit",
+    # round-9 operators heavy enough to deserve a decade point (the
+    # c{i} prefixes keep cross-copy shingle overlap at zero, so the
+    # shingle-join families scale linearly — fair):
+    "dedup_survivor_bias",
+    "source_coverage_greedy",
+    "unique_token_mass",
+    "boundary_overlap_chains",
+    "pc_variance_explained",
 ]
 N_RUNS = 3
 
@@ -206,11 +214,40 @@ def _semantic_dedup_tree_gemm(spark, sf_dir, k_scale):
     )
 
 
+# The two round-9 bucketed-pair embedding ops pin k=8 in their
+# registered queries (oracle determinism); at 10x data that measures
+# 10x-bigger buckets (quadratic pair growth — a mis-deployment, same
+# reasoning as the semantic probes above). The scaled variants apply
+# the granularity knob: k = 8 -> 64 so bucket size stays constant.
+def _threshold_calibration_scaled(spark, sf_dir, k_scale):
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        cosine_threshold_calibration,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return cosine_threshold_calibration(
+        e, "vec_id", "embedding", "label", n_centroids=k
+    )
+
+
+def _margin_mining_scaled(spark, sf_dir, k_scale):
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import margin_knn_pairs
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return margin_knn_pairs(e, "vec_id", "embedding", "label", n_centroids=k)
+
+
 SCALED_K = [
     ("semantic_dedup_scaled_k", _semantic_dedup_scaled),
     ("semantic_dedup_tree_scaled", _semantic_dedup_tree),
     ("semantic_dedup_gemm_scaled_k", _semantic_dedup_gemm),
     ("semantic_dedup_tree_gemm_scaled", _semantic_dedup_tree_gemm),
+    ("semantic_threshold_calibration_scaled", _threshold_calibration_scaled),
+    ("bitext_margin_mining_scaled", _margin_mining_scaled),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
     ("bm25_retrieval_scaled", _bm25_scaled),
