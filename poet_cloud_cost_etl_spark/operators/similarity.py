@@ -516,6 +516,153 @@ def _bucket_dups(
     )
 
 
+def _bucket_pair_scores_gemm(
+    buckets: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    vec_col: str,
+    payload_cols: tuple[str, ...] = (),
+    cross_col: str | None = None,
+) -> DataFrame:
+    """Shared BLAS pair-scoring kernel: one ``applyInPandas`` per
+    bucket emits every candidate pair with its exact ppm cosine —
+    the vectorized twin of the bucket-keyed self-join +
+    interpreted-``cosine()`` pair stage used by the X129/X137
+    family (same role the ``pair_impl="gemm"`` branch of
+    ``_bucket_dups`` plays for X28, but emitting the scored pairs
+    instead of a dup verdict, so margin windows / threshold sweeps
+    can run on top).
+
+    Output: ``(id_a, id_b, cos_e6, <p>_a, <p>_b ...)`` — one row
+    per within-bucket pair with ``id_a < id_b`` (default), or per
+    cross pair between ``cross_col == 0`` (a-side) and
+    ``cross_col == 1`` (b-side) rows when ``cross_col`` is given.
+
+    Exactness: ``cos_e6`` follows the expr path's arithmetic —
+    dot/(‖a‖·‖b‖) in float64 (NOT pre-normalized rows, so the
+    division order matches the SQL expression), round-6 then ×1e6;
+    a zero-norm side yields NULL exactly as SQL's x/0 does.
+
+    Scale: per-task memory is one bucket's m×d matrix plus its m²
+    (or mₐ·m_b) pair block — bounded by the constant-cluster-size
+    policy that is this family's scaling knob; an oversized bucket
+    is split by growing the centroid count, never by widening a
+    task."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("id_a", buckets.schema[id_col].dataType),
+        T.StructField("id_b", buckets.schema[id_col].dataType),
+        T.StructField("cos_e6", T.LongType()),
+    ]
+    for p in payload_cols:
+        fields.append(T.StructField(f"{p}_a", buckets.schema[p].dataType))
+        fields.append(T.StructField(f"{p}_b", buckets.schema[p].dataType))
+    out_schema = T.StructType(fields)
+    payloads = tuple(payload_cols)
+    cross = cross_col
+
+    def _empty() -> "pd.DataFrame":
+        cols: dict = {
+            "id_a": pd.Series([], dtype="object"),
+            "id_b": pd.Series([], dtype="object"),
+            "cos_e6": pd.array([], dtype="Int64"),
+        }
+        for p in payloads:
+            cols[f"{p}_a"] = pd.Series([], dtype="object")
+            cols[f"{p}_b"] = pd.Series([], dtype="object")
+        return pd.DataFrame(cols)
+
+    def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        pdf = pdf.iloc[order]
+        if cross is None:
+            a_pdf = b_pdf = pdf
+        else:
+            g = pdf[cross].to_numpy()
+            a_pdf = pdf.iloc[g == 0]
+            b_pdf = pdf.iloc[g == 1]
+        na_rows, nb_rows = len(a_pdf), len(b_pdf)
+        if na_rows == 0 or nb_rows == 0 or (cross is None and na_rows < 2):
+            return _empty()
+        A = np.array(list(a_pdf[vec_col]), dtype=np.float64)
+        B = A if cross is None else np.array(
+            list(b_pdf[vec_col]), dtype=np.float64
+        )
+        na = np.linalg.norm(A, axis=1)
+        nb = na if cross is None else np.linalg.norm(B, axis=1)
+        denom = np.outer(na, nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (A @ B.T) / denom
+        cos_e6 = np.rint(np.round(sims, 6) * 1_000_000)
+        valid = denom > 0.0
+        if cross is None:
+            ii, jj = np.triu_indices(na_rows, k=1)
+        else:
+            ii, jj = np.indices((na_rows, nb_rows))
+            ii, jj = ii.ravel(), jj.ravel()
+        vflat = valid[ii, jj]
+        vals = pd.array(
+            np.where(vflat, cos_e6[ii, jj], 0).astype(np.int64),
+            dtype="Int64",
+        )
+        vals[~vflat] = pd.NA
+        out: dict = {
+            "id_a": a_pdf[id_col].to_numpy()[ii],
+            "id_b": b_pdf[id_col].to_numpy()[jj],
+            "cos_e6": vals,
+        }
+        for p in payloads:
+            out[f"{p}_a"] = a_pdf[p].to_numpy()[ii]
+            out[f"{p}_b"] = b_pdf[p].to_numpy()[jj]
+        return pd.DataFrame(out)
+
+    keep = [id_col, vec_col, bucket_col, *payloads]
+    if cross is not None:
+        keep.append(cross)
+    return (
+        buckets.select(*dict.fromkeys(keep))
+        .groupBy(bucket_col)
+        .applyInPandas(_kern, out_schema)
+    )
+
+
+def _centroid_buckets(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int,
+    assign: str,
+) -> DataFrame:
+    """Shared bucket-assignment front end for the centroid-bucketed
+    pair family (X28/X129/X137): returns ``(id, vec, centroid_id)``
+    via flat N·k scoring (``ivf_assign``) or the log-depth centroid
+    tree (``ivf_tree_assign``), with ``"auto"`` switching to the
+    tree above ``FLAT_ASSIGN_MAX_K`` — the same policy
+    ``semantic_dedup`` pins, applied uniformly so every op whose
+    granularity knob must grow with the corpus inherits the
+    N·b·log k assignment instead of re-discovering the N²/c flat
+    form at scale."""
+    if assign not in ("auto", "flat", "tree"):
+        raise ValueError(f"assign must be auto|flat|tree, got {assign!r}")
+    if assign == "auto":
+        assign = "flat" if n_centroids <= FLAT_ASSIGN_MAX_K else "tree"
+    if assign == "tree":
+        branching = math.ceil(math.sqrt(n_centroids))
+        return ivf_tree_assign(
+            corpus, id_col, vec_col, branching=branching, depth=2
+        ).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.col("leaf_id").alias("centroid_id"),
+        )
+    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    return ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+        id_col, vec_col, "centroid_id"
+    )
+
 
 def semantic_dedup(
     corpus: DataFrame,
@@ -1203,6 +1350,8 @@ def cosine_threshold_calibration(
         800_000,
         950_000,
     ),
+    pair_impl: str = "expr",
+    assign: str = "auto",
 ) -> DataFrame:
     """X137: semantic-dedup threshold calibration — the operating
     table you read before picking X28's ``threshold``: over the
@@ -1222,11 +1371,21 @@ def cosine_threshold_calibration(
     Scale: candidate generation is the X28 shape — centroid-keyed
     self-join, never all-pairs; the threshold sweep is ONE explode
     over the pair table (|thresholds|×pairs rows), not |thresholds|
-    passes; the output is |thresholds| rows."""
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    passes; the output is |thresholds| rows.  ``pair_impl="gemm"``
+    swaps the interpreted per-pair cosine for the shared BLAS
+    bucket kernel (``_bucket_pair_scores_gemm``) — the r9 10×
+    probe showed the interpreted pair stage dominating (13.2× at
+    constant bucket size); the sweep and aggregation are unchanged,
+    so both impls are bit-identical by test.  ``assign`` picks the
+    bucket-assignment engine (flat N·k vs log-depth tree) with the
+    X28 auto policy — once the pair stage is GEMM-cheap, flat
+    assignment's N·k growth is what remains superlinear when k
+    must scale with N."""
+    if pair_impl not in ("expr", "gemm"):
+        raise ValueError(f"pair_impl must be expr|gemm, got {pair_impl!r}")
     labels = corpus.select(F.col(id_col), F.col(label_col))
     assigned = (
-        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        _centroid_buckets(corpus, id_col, vec_col, n_centroids, assign)
         .join(labels, id_col)
         .select(
             F.col(id_col).alias("__id"),
@@ -1235,28 +1394,36 @@ def cosine_threshold_calibration(
             "centroid_id",
         )
     )
-    a = assigned.select(
-        "centroid_id",
-        F.col("__id").alias("__ia"),
-        F.col("__v").alias("__va"),
-        F.col("__lab").alias("__la"),
-    )
-    b = assigned.select(
-        "centroid_id",
-        F.col("__id").alias("__ib"),
-        F.col("__v").alias("__vb"),
-        F.col("__lab").alias("__lb"),
-    )
-    pairs = (
-        a.join(b, "centroid_id")
-        .filter(F.col("__ia") < F.col("__ib"))
-        .select(
-            F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
-            .cast("long")
-            .alias("__cos_e6"),
-            (F.col("__la") == F.col("__lb")).alias("__same"),
+    if pair_impl == "gemm":
+        pairs = _bucket_pair_scores_gemm(
+            assigned, "centroid_id", "__id", "__v", payload_cols=("__lab",)
+        ).select(
+            F.col("cos_e6").alias("__cos_e6"),
+            (F.col("__lab_a") == F.col("__lab_b")).alias("__same"),
         )
-    )
+    else:
+        a = assigned.select(
+            "centroid_id",
+            F.col("__id").alias("__ia"),
+            F.col("__v").alias("__va"),
+            F.col("__lab").alias("__la"),
+        )
+        b = assigned.select(
+            "centroid_id",
+            F.col("__id").alias("__ib"),
+            F.col("__v").alias("__vb"),
+            F.col("__lab").alias("__lb"),
+        )
+        pairs = (
+            a.join(b, "centroid_id")
+            .filter(F.col("__ia") < F.col("__ib"))
+            .select(
+                F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
+                .cast("long")
+                .alias("__cos_e6"),
+                (F.col("__la") == F.col("__lb")).alias("__same"),
+            )
+        )
     thr_arr = F.array(*[F.lit(int(t)) for t in thresholds])
     swept = pairs.select(
         "__cos_e6", "__same", F.explode(thr_arr).alias("thr_ppm")
@@ -1306,6 +1473,8 @@ def margin_knn_pairs(
     n_centroids: int = 8,
     k: int = 4,
     top_pairs: int = 20,
+    pair_impl: str = "expr",
+    assign: str = "auto",
 ) -> DataFrame:
     """X129: margin-based nearest-neighbor pair mining (Artetxe &
     Schwenk 2019, the LASER bitext-mining criterion): a cross-group
@@ -1327,15 +1496,25 @@ def margin_knn_pairs(
     Scale: candidates are centroid-bucketed (the X28 shape — never
     the full G0×G1 cross join); the two avgₖ windows are keyed on
     x / y respectively; top-``top_pairs`` goes through
-    TakeOrderedAndProject."""
+    TakeOrderedAndProject.  ``pair_impl="gemm"`` scores each
+    bucket's G0×G1 block with one BLAS matmul
+    (``_bucket_pair_scores_gemm``, cross mode) instead of the
+    interpreted per-pair cosine — the r9 10× probe put the expr
+    pair stage at 18.6× for 10× data at constant bucket size, and
+    the per-pair interpreter constant is that gap; the margin
+    windows and final ranking are shared, so both impls are
+    bit-identical by test.  ``assign`` picks the bucket-assignment
+    engine (flat N·k vs log-depth tree) with the X28 auto policy."""
     from pyspark.sql.window import Window
 
-    cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    if pair_impl not in ("expr", "gemm"):
+        raise ValueError(f"pair_impl must be expr|gemm, got {pair_impl!r}")
+
     labels = corpus.select(
         F.col(id_col), (F.col(label_col) % 2).alias("__g")
     )
     assigned = (
-        ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+        _centroid_buckets(corpus, id_col, vec_col, n_centroids, assign)
         .join(labels, id_col)
         .select(
             F.col(id_col).alias("__id"),
@@ -1344,23 +1523,28 @@ def margin_knn_pairs(
             "centroid_id",
         )
     )
-    x = assigned.filter(F.col("__g") == 0).select(
-        "centroid_id",
-        F.col("__id").alias("id_a"),
-        F.col("__v").alias("__va"),
-    )
-    y = assigned.filter(F.col("__g") == 1).select(
-        "centroid_id",
-        F.col("__id").alias("id_b"),
-        F.col("__v").alias("__vb"),
-    )
-    pairs = x.join(y, "centroid_id").select(
-        "id_a",
-        "id_b",
-        F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
-        .cast("long")
-        .alias("cos_e6"),
-    ).localCheckpoint(eager=True)
+    if pair_impl == "gemm":
+        pairs = _bucket_pair_scores_gemm(
+            assigned, "centroid_id", "__id", "__v", cross_col="__g"
+        ).select("id_a", "id_b", "cos_e6").localCheckpoint(eager=True)
+    else:
+        x = assigned.filter(F.col("__g") == 0).select(
+            "centroid_id",
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"),
+        )
+        y = assigned.filter(F.col("__g") == 1).select(
+            "centroid_id",
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
+        )
+        pairs = x.join(y, "centroid_id").select(
+            "id_a",
+            "id_b",
+            F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
+            .cast("long")
+            .alias("cos_e6"),
+        ).localCheckpoint(eager=True)
     wa = Window.partitionBy("id_a").orderBy(
         F.col("cos_e6").desc(), F.col("id_b").asc()
     )

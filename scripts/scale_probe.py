@@ -219,26 +219,38 @@ def _semantic_dedup_tree_gemm(spark, sf_dir, k_scale):
 # 10x-bigger buckets (quadratic pair growth — a mis-deployment, same
 # reasoning as the semantic probes above). The scaled variants apply
 # the granularity knob: k = 8 -> 64 so bucket size stays constant.
-def _threshold_calibration_scaled(spark, sf_dir, k_scale):
-    from poet_cloud_cost_etl_spark.catalog import table
-    from poet_cloud_cost_etl_spark.operators.similarity import (
-        cosine_threshold_calibration,
-    )
+def _threshold_calibration_scaled(pair_impl, assign="flat"):
+    def fn(spark, sf_dir, k_scale):
+        from poet_cloud_cost_etl_spark.catalog import table
+        from poet_cloud_cost_etl_spark.operators.similarity import (
+            cosine_threshold_calibration,
+        )
 
-    e = table(spark, sf_dir, "embeddings")
-    k = 8 ** (2 if k_scale > 1 else 1)
-    return cosine_threshold_calibration(
-        e, "vec_id", "embedding", "label", n_centroids=k
-    )
+        e = table(spark, sf_dir, "embeddings")
+        k = 8 ** (2 if k_scale > 1 else 1)
+        return cosine_threshold_calibration(
+            e, "vec_id", "embedding", "label", n_centroids=k,
+            pair_impl=pair_impl, assign=assign,
+        )
+
+    return fn
 
 
-def _margin_mining_scaled(spark, sf_dir, k_scale):
-    from poet_cloud_cost_etl_spark.catalog import table
-    from poet_cloud_cost_etl_spark.operators.similarity import margin_knn_pairs
+def _margin_mining_scaled(pair_impl, assign="flat"):
+    def fn(spark, sf_dir, k_scale):
+        from poet_cloud_cost_etl_spark.catalog import table
+        from poet_cloud_cost_etl_spark.operators.similarity import (
+            margin_knn_pairs,
+        )
 
-    e = table(spark, sf_dir, "embeddings")
-    k = 8 ** (2 if k_scale > 1 else 1)
-    return margin_knn_pairs(e, "vec_id", "embedding", "label", n_centroids=k)
+        e = table(spark, sf_dir, "embeddings")
+        k = 8 ** (2 if k_scale > 1 else 1)
+        return margin_knn_pairs(
+            e, "vec_id", "embedding", "label", n_centroids=k,
+            pair_impl=pair_impl, assign=assign,
+        )
+
+    return fn
 
 
 SCALED_K = [
@@ -246,8 +258,16 @@ SCALED_K = [
     ("semantic_dedup_tree_scaled", _semantic_dedup_tree),
     ("semantic_dedup_gemm_scaled_k", _semantic_dedup_gemm),
     ("semantic_dedup_tree_gemm_scaled", _semantic_dedup_tree_gemm),
-    ("semantic_threshold_calibration_scaled", _threshold_calibration_scaled),
-    ("bitext_margin_mining_scaled", _margin_mining_scaled),
+    ("semantic_threshold_calibration_scaled", _threshold_calibration_scaled("expr")),
+    ("bitext_margin_mining_scaled", _margin_mining_scaled("expr")),
+    ("semantic_threshold_calibration_gemm", _threshold_calibration_scaled("gemm")),
+    ("bitext_margin_mining_gemm", _margin_mining_scaled("gemm")),
+    # gemm pair kernel + tree assignment: the full scale shape (the
+    # remaining ~19x of the flat gemm probes is flat assignment's
+    # N*k growth at k prop. to N — same term the X28 tree removes).
+    ("semantic_threshold_calibration_tree_gemm",
+     _threshold_calibration_scaled("gemm", "tree")),
+    ("bitext_margin_mining_tree_gemm", _margin_mining_scaled("gemm", "tree")),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
     ("bm25_retrieval_scaled", _bm25_scaled),

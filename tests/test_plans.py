@@ -744,3 +744,34 @@ def test_round9_gemm_kernel_plan(spark):
         semantic_dedup(emb, "vec_id", "embedding", pair_impl="expr")
     )
     assert "FlatMapGroupsInPandas" not in e, e
+
+
+def test_round9_pair_scores_gemm_plan(spark):
+    """The X129/X137 gemm pair stage must also plan as ONE
+    FlatMapGroupsInPandas keyed on the centroid bucket, with the
+    expr path staying kernel-free (the correctness-pinned shape)."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        cosine_threshold_calibration,
+        margin_knn_pairs,
+    )
+
+    emb = table(spark, SF_SMALL, "embeddings")
+    g = X.physical_plan(
+        cosine_threshold_calibration(
+            emb, "vec_id", "embedding", "label", pair_impl="gemm"
+        )
+    )
+    assert g.count("FlatMapGroupsInPandas") == 1, g
+    # margin's pair table is eagerly localCheckpoint-ed (reused by
+    # two windows + the final join), so its kernel has already run
+    # by plan time and the final plan reads the checkpoint RDD —
+    # assert that shape instead of the (invisible) kernel node.
+    mg = X.physical_plan(
+        margin_knn_pairs(emb, "vec_id", "embedding", "label", pair_impl="gemm")
+    )
+    assert "ExistingRDD" in mg, mg
+    for fn in (cosine_threshold_calibration, margin_knn_pairs):
+        e2 = X.physical_plan(
+            fn(emb, "vec_id", "embedding", "label", pair_impl="expr")
+        )
+        assert "FlatMapGroupsInPandas" not in e2, e2

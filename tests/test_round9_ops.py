@@ -499,3 +499,120 @@ def test_semantic_dedup_gemm_matches_expr(spark):
         ).collect()
     }
     assert tree_e == tree_g
+
+
+def test_pair_scores_gemm_matches_expr(spark):
+    """The shared BLAS pair-scoring kernel (X129/X137 gemm path)
+    must agree bit-for-bit with the interpreted expr pair stage —
+    threshold-calibration table AND margin-ranked pair list,
+    including NULL margins and tie-broken ordering."""
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        cosine_threshold_calibration,
+        margin_knn_pairs,
+    )
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    cal_e = [
+        tuple(r)
+        for r in cosine_threshold_calibration(
+            emb, "vec_id", "embedding", "label", pair_impl="expr"
+        ).collect()
+    ]
+    cal_g = [
+        tuple(r)
+        for r in cosine_threshold_calibration(
+            emb, "vec_id", "embedding", "label", pair_impl="gemm"
+        ).collect()
+    ]
+    assert cal_e == cal_g
+    mar_e = [
+        tuple(r)
+        for r in margin_knn_pairs(
+            emb, "vec_id", "embedding", "label", pair_impl="expr"
+        ).collect()
+    ]
+    mar_g = [
+        tuple(r)
+        for r in margin_knn_pairs(
+            emb, "vec_id", "embedding", "label", pair_impl="gemm"
+        ).collect()
+    ]
+    assert mar_e == mar_g
+    # tree assignment (the scale path for k > FLAT_ASSIGN_MAX_K):
+    # expr and gemm must also agree under the tree's bucketing
+    cal_te = sorted(
+        tuple(r)
+        for r in cosine_threshold_calibration(
+            emb, "vec_id", "embedding", "label",
+            n_centroids=16, assign="tree", pair_impl="expr",
+        ).collect()
+    )
+    cal_tg = sorted(
+        tuple(r)
+        for r in cosine_threshold_calibration(
+            emb, "vec_id", "embedding", "label",
+            n_centroids=16, assign="tree", pair_impl="gemm",
+        ).collect()
+    )
+    assert cal_te == cal_tg
+    mar_te = [
+        tuple(r)
+        for r in margin_knn_pairs(
+            emb, "vec_id", "embedding", "label",
+            n_centroids=16, assign="tree", pair_impl="expr",
+        ).collect()
+    ]
+    mar_tg = [
+        tuple(r)
+        for r in margin_knn_pairs(
+            emb, "vec_id", "embedding", "label",
+            n_centroids=16, assign="tree", pair_impl="gemm",
+        ).collect()
+    ]
+    assert mar_te == mar_tg
+
+
+def test_bucket_pair_scores_gemm_edges(spark):
+    """Kernel edge semantics pinned by hand: a zero-norm side yields
+    NULL cos_e6 (the SQL x/0 convention the expr path inherits), a
+    singleton bucket emits no pairs, cross mode emits only 0-side ×
+    1-side pairs (an empty side → nothing), and payload columns ride
+    along as <p>_a/<p>_b."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        _bucket_pair_scores_gemm,
+    )
+
+    rows = [
+        (1, [1.0, 0.0], 0, "p"),
+        (2, [0.0, 0.0], 0, "q"),  # zero norm
+        (3, [1.0, 1.0], 0, "r"),
+        (9, [1.0, 0.0], 1, "s"),  # singleton bucket
+    ]
+    df = spark.createDataFrame(rows, ["vid", "vec", "b", "lab"])
+    out = {
+        (r.id_a, r.id_b): r
+        for r in _bucket_pair_scores_gemm(
+            df, "b", "vid", "vec", payload_cols=("lab",)
+        ).collect()
+    }
+    assert set(out) == {(1, 2), (1, 3), (2, 3)}
+    assert out[(1, 2)].cos_e6 is None and out[(2, 3)].cos_e6 is None
+    assert out[(1, 3)].cos_e6 == 707107  # round(cos 45°, 6)·1e6
+    assert (out[(1, 3)].lab_a, out[(1, 3)].lab_b) == ("p", "r")
+
+    cr = [
+        (1, [1.0, 0.0], 0, 0),
+        (2, [0.0, 1.0], 0, 0),
+        (3, [1.0, 0.0], 0, 1),
+        (7, [1.0, 0.0], 5, 0),  # bucket 5 has no side-1 rows
+    ]
+    cdf = spark.createDataFrame(cr, ["vid", "vec", "b", "g"])
+    pairs = {
+        (r.id_a, r.id_b): r.cos_e6
+        for r in _bucket_pair_scores_gemm(
+            cdf, "b", "vid", "vec", cross_col="g"
+        ).collect()
+    }
+    assert pairs == {(1, 3): 1_000_000, (2, 3): 0}
