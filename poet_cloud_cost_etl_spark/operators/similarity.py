@@ -742,6 +742,9 @@ def hard_negatives(
     vec_col: str,
     label_col: str,
     k: int,
+    candidates: str = "broadcast",
+    n_centroids: int = 8,
+    nprobe: int = 2,
 ) -> DataFrame:
     """X39: hard-negative mining — for each query vector, the top-k
     most cosine-similar corpus vectors whose LABEL DIFFERS from the
@@ -752,36 +755,88 @@ def hard_negatives(
     ``brute_force_topk`` (rounded cosine, neighbor id tie-break) so
     results are engine-reproducible.
 
-    Scale: the query side is broadcast-small (mining batches are
-    thousands of anchors, not the corpus); the corpus side streams
-    through the scan stage scoring each anchor — O(Q·N) like any
-    brute-force pass, swapped for the IVF candidate join
-    (``ivf_topk`` with a label filter) when Q grows. The label
-    filter lands BEFORE ranking, so the window ranks only cross-label
-    pairs."""
+    Scale: ``candidates="broadcast"`` (default) broadcasts the query
+    side (mining batches are thousands of anchors, not the corpus);
+    the corpus streams through the scan stage scoring each anchor —
+    O(Q·N) like any brute-force pass. ``candidates="ivf"`` is the
+    form for when Q grows to corpus scale: both sides assign to the
+    X8 centroid table (broadcast, zero-shuffle) and the candidate
+    join is keyed on ``centroid_id`` — shuffle volume N + Q·nprobe
+    rows instead of Q·N scores, recall tuned by ``nprobe`` exactly
+    like ``ivf_topk`` (neighbors outside probed lists are missed:
+    the documented approximation; ``nprobe=n_centroids`` recovers
+    the exact broadcast result, which is the equivalence the test
+    pins). Either way the label filter lands BEFORE ranking, so the
+    window ranks only cross-label pairs."""
     from pyspark.sql.window import Window
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.col(label_col).alias("query_label"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.col(label_col).alias("neighbor_label"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_label") != F.col("query_label"))
-        .select(
-            "query_id",
-            "query_label",
-            "neighbor_id",
-            "neighbor_label",
-            F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+    if candidates not in ("broadcast", "ivf"):
+        raise ValueError(
+            f"candidates must be broadcast|ivf, got {candidates!r}"
         )
-    )
+    if candidates == "ivf":
+        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "centroid_id",
+        ).join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(label_col).alias("neighbor_label"),
+            ),
+            "neighbor_id",
+        )
+        probes = ivf_assign(
+            queries, cents, id_col, vec_col, nprobe=nprobe
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            "centroid_id",
+        ).join(
+            queries.select(
+                F.col(id_col).alias("query_id"),
+                F.col(label_col).alias("query_label"),
+            ),
+            "query_id",
+        )
+        scored = (
+            lists.join(probes, "centroid_id")
+            .filter(F.col("neighbor_label") != F.col("query_label"))
+            .select(
+                "query_id",
+                "query_label",
+                "neighbor_id",
+                "neighbor_label",
+                F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+            )
+            # no dedup needed: corpus vectors live in exactly one
+            # list (nprobe=1 build), so a (query, neighbor) pair
+            # meets through at most one centroid — same argument as
+            # ivf_topk.
+        )
+    else:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            F.col(label_col).alias("query_label"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            F.col(label_col).alias("neighbor_label"),
+        )
+        scored = (
+            c.crossJoin(F.broadcast(q))
+            .filter(F.col("neighbor_label") != F.col("query_label"))
+            .select(
+                "query_id",
+                "query_label",
+                "neighbor_id",
+                "neighbor_label",
+                F.round(cosine("__qv", "__cv"), 6).alias("cos_sim"),
+            )
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.asc("neighbor_id")
     )

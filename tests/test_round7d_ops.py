@@ -149,6 +149,59 @@ def test_hard_negatives_k_bound(spark):
     assert all(r["count"] == 2 for r in counts)
 
 
+def test_hard_negatives_ivf_full_probe_matches_broadcast(spark):
+    """candidates="ivf" with nprobe=n_centroids probes every inverted
+    list, so the candidate set is ALL cross-label pairs and the output
+    must equal the broadcast brute-force path bit-for-bit — the
+    documented exact-recovery point of the approximation dial."""
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 11 == 0)
+    bf = sorted(
+        map(tuple, hard_negatives(
+            anchors, emb, "vec_id", "embedding", "label", k=3
+        ).collect())
+    )
+    ivf = sorted(
+        map(tuple, hard_negatives(
+            anchors, emb, "vec_id", "embedding", "label", k=3,
+            candidates="ivf", n_centroids=4, nprobe=4,
+        ).collect())
+    )
+    assert bf and bf == ivf
+
+
+def test_hard_negatives_ivf_partial_probe_is_true_subset(spark):
+    """With nprobe < n_centroids the IVF path may MISS neighbors but
+    must never invent or mis-score a pair: every emitted
+    (query, neighbor, cos) must appear in the full cross-label scored
+    set, with identical labels and rounded cosine."""
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+
+    emb = _t(spark, SF_SMALL, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 11 == 0)
+    full = {
+        (r.query_id, r.neighbor_id): (
+            r.query_label, r.neighbor_label, r.cos_sim
+        )
+        for r in hard_negatives(
+            anchors, emb, "vec_id", "embedding", "label", k=10**6
+        ).collect()
+    }
+    ivf = hard_negatives(
+        anchors, emb, "vec_id", "embedding", "label", k=3,
+        candidates="ivf", n_centroids=8, nprobe=2,
+    ).collect()
+    assert ivf
+    for r in ivf:
+        assert full[(r.query_id, r.neighbor_id)] == (
+            r.query_label, r.neighbor_label, r.cos_sim
+        )
+
+
 # ---------------------------------------------------------------- X42
 
 
