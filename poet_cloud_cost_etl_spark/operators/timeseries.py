@@ -73,17 +73,45 @@ def rolling_distinct_count(
     day_col: str,
     entity_col: str,
     window_days: int = 7,
+    impl: str = "exact",
 ) -> DataFrame:
-    """Exact rolling N-day distinct-entity count (e.g. weekly active
+    """Rolling N-day distinct-entity count (e.g. weekly active
     users): for each day in the observed span, the number of distinct
     entities seen in ``[day - window_days + 1, day]``.
 
-    Exact rolling COUNT(DISTINCT) cannot be a window frame (distinct
-    state doesn't subtract); the scalable exact formulation is the
-    bounded fan-out join used here — each distinct (day, entity) pair
-    lands in at most ``window_days`` output days. Approximate twins
-    would swap the distinct-agg for an HLL sketch merge.
+    ``impl="exact"``: exact rolling COUNT(DISTINCT) cannot be a
+    window frame (distinct state doesn't subtract); the scalable
+    exact formulation is the bounded fan-out join — each distinct
+    (day, entity) pair lands in at most ``window_days`` output days.
+
+    ``impl="hll"``: the sketch twin for when even the fanned-out
+    pair volume is the bottleneck (billions of entities/day). Each
+    day collapses to ONE DataSketches HLL sketch first
+    (``hll_sketch_agg``, map-side partial like any agg), and only
+    the tiny per-day sketch table (n_days rows) goes through the
+    range fan-out; the window merge is ``hll_union_agg`` — so join
+    volume drops from |distinct pairs|·w to n_days·w regardless of
+    entity cardinality, the exact property that makes sketch
+    rollups the standard at 100 TB. Estimate error is the HLL
+    default (~1.6% at lgConfigK=12); counts are NOT bit-exact,
+    which is why exact stays the oracle-pinned default.
     """
+    if impl not in ("exact", "hll"):
+        raise ValueError(f"impl must be exact|hll, got {impl!r}")
+    out_col = f"rolling{window_days}d_{entity_col}s"
+    if impl == "hll":
+        sketches = pairs.groupBy(day_col).agg(
+            F.hll_sketch_agg(entity_col).alias("__sk")
+        )
+        days = sketches.select(F.col(day_col).alias("__d"))
+        joined = days.join(
+            sketches,
+            (F.col(day_col) <= F.col("__d"))
+            & (F.col(day_col) >= F.date_sub(F.col("__d"), window_days - 1)),
+        )
+        return joined.groupBy(F.col("__d").alias(day_col)).agg(
+            F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias(out_col)
+        )
     distinct_pairs = pairs.select(day_col, entity_col).distinct()
     days = distinct_pairs.select(F.col(day_col).alias("__d")).distinct()
     joined = days.join(
@@ -92,7 +120,7 @@ def rolling_distinct_count(
         & (F.col(day_col) >= F.date_sub(F.col("__d"), window_days - 1)),
     )
     return joined.groupBy(F.col("__d").alias(day_col)).agg(
-        F.countDistinct(entity_col).alias(f"rolling{window_days}d_{entity_col}s")
+        F.countDistinct(entity_col).alias(out_col)
     )
 
 

@@ -616,3 +616,35 @@ def test_bucket_pair_scores_gemm_edges(spark):
         ).collect()
     }
     assert pairs == {(1, 3): 1_000_000, (2, 3): 0}
+
+
+def test_rolling_distinct_hll_twin(spark):
+    """impl="hll" (per-day DataSketches sketch + windowed
+    hll_union_agg merge) must cover the same days as the exact
+    fan-out form with estimates within HLL tolerance — and its
+    fan-out join must run over the n_days-row sketch table, which
+    is the whole point of the sketch twin."""
+    from datetime import date
+    from poet_cloud_cost_etl_spark.operators.timeseries import (
+        rolling_distinct_count,
+    )
+
+    rows = [
+        (date(2026, 1, 1 + d % 10), f"u{(d * 7) % 37}") for d in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["day", "user_id"])
+    exact = {
+        r.day: r.rolling3d_user_ids
+        for r in rolling_distinct_count(
+            df, "day", "user_id", window_days=3
+        ).collect()
+    }
+    approx = {
+        r.day: r.rolling3d_user_ids
+        for r in rolling_distinct_count(
+            df, "day", "user_id", window_days=3, impl="hll"
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(1, 0.05 * n), (day, n, approx[day])
