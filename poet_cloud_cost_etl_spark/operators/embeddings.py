@@ -887,7 +887,7 @@ def centroid_silhouette(
     Scale: ZERO shuffle up to the k-row aggregate — the k-centroid
     table broadcasts as one array row and the top-2 scoring is a
     narrow map inside the scan stage (the ivf_assign shape)."""
-    from .similarity import _COS_SQL, ivf_centroids
+    from .similarity import ivf_centroids, topk_centroid_expr
 
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
     cent_arr = cents.agg(
@@ -895,15 +895,11 @@ def centroid_silhouette(
             "__cents"
         )
     )
-    top2 = F.expr(
-        "slice(array_sort("
-        "transform(__cents, c -> struct("
-        f"round({_COS_SQL.format(a=vec_col, b='c.centroid_vec')}, 6) AS sim, "
-        "c.centroid_id AS cid)), "
-        "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
-        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
-        "), 1, 2)"
-    )
+    # the shared parity-sensitive comparator (similarity.
+    # topk_centroid_expr) — top-2 in ONE row keeps the zero-shuffle
+    # shape (an ivf_assign nprobe=2 posexplode would need an id-keyed
+    # regroup to pair a with b).
+    top2 = topk_centroid_expr(vec_col, 2)
     scored = (
         corpus.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(cent_arr))
@@ -977,28 +973,44 @@ def lloyd_step_diagnostics(
     Scale: two zero-shuffle assignments (broadcast centroid array,
     narrow map) + two k-row aggregates + the k-row centroid join;
     the corpus is scanned twice, shuffled never (beyond the k·dims
-    mean regroup inside the Lloyd round itself)."""
-    from .similarity import _COS_SQL, cosine, ivf_assign, ivf_centroids
+    mean regroup inside the Lloyd round itself).  The BEFORE
+    assignment is computed ONCE and feeds both the before-panel and
+    the Lloyd mean-update (``similarity.lloyd_update``), and the
+    seed draw runs once — the r9 review found the original
+    ivf_centroids(refine_iters=1) composition paying one redundant
+    corpus assignment and a duplicate global seed sort per run of a
+    bench-pinned query.  ``emit_sim`` reads the comparator's own
+    round-6 cosine instead of re-joining the centroid table and
+    re-scoring — same value, one fewer join, one comparator
+    expression in the codebase."""
+    from .similarity import cosine, ivf_assign, ivf_centroids, lloyd_update
 
-    c0 = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters=0)
-    c1 = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters=1)
+    c0 = ivf_centroids(
+        corpus, id_col, vec_col, n_centroids, refine_iters=0
+    ).localCheckpoint(eager=True)
+    # eager checkpoint: assigned0 has two consumers (before-panel +
+    # Lloyd update); without materialization each would replay the
+    # corpus assignment from lineage.
+    assigned0 = ivf_assign(
+        corpus, c0, id_col, vec_col, nprobe=1, emit_sim=True
+    ).localCheckpoint(eager=True)
+    c1 = lloyd_update(assigned0, c0, vec_col)
 
-    def _panel(cents: DataFrame, n_col: str, sim_col: str) -> DataFrame:
-        assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-        withsim = assigned.join(F.broadcast(cents), "centroid_id").select(
+    def _panel(assigned: DataFrame, n_col: str, sim_col: str) -> DataFrame:
+        withsim = assigned.select(
             "centroid_id",
-            F.round(
-                F.round(cosine(vec_col, "centroid_vec"), 6) * 1_000_000
-            )
-            .cast("long")
-            .alias("__sim"),
+            F.round(F.col("sim") * 1_000_000).cast("long").alias("__sim"),
         )
         return withsim.groupBy("centroid_id").agg(
             F.count(F.lit(1)).cast("long").alias(n_col),
             F.expr("sum(__sim) div count(1)").cast("long").alias(sim_col),
         )
-    before = _panel(c0, "n_before", "mean_sim_before_e6")
-    after = _panel(c1, "n_after", "mean_sim_after_e6")
+    before = _panel(assigned0, "n_before", "mean_sim_before_e6")
+    after = _panel(
+        ivf_assign(corpus, c1, id_col, vec_col, nprobe=1, emit_sim=True),
+        "n_after",
+        "mean_sim_after_e6",
+    )
     move = (
         c0.select("centroid_id", F.col("centroid_vec").alias("__old"))
         .join(

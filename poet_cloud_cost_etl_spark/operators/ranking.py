@@ -79,8 +79,23 @@ def with_global_rank(
             # single distinct quantile: either the column is constant
             # (peel and try the next level) or it is merely skewed
             # (keep the single bound — 2 buckets, order-safe).
-            mm = df.agg(F.min(c).alias("mn"), F.max(c).alias("mx")).first()
-            if mm.mn is None or mm.mn == mm.mx:
+            # "Constant" must mean constant over EVERY row: min/max
+            # (and approxQuantile) ignore NULLs, so a column mixing
+            # NULLs with one non-null value would otherwise be
+            # peeled — but its order (NULLS FIRST, then the value)
+            # is NOT constant, and bucketing on a later column would
+            # interleave the NULL rows' ranks (r9 review finding).
+            # Such a column falls through to the single-bound path,
+            # which is order-safe: the bucket expression sends NULL
+            # to bucket 0, exactly where NULLS FIRST ascending
+            # ordering needs it.
+            mm = df.agg(
+                F.min(c).alias("mn"),
+                F.max(c).alias("mx"),
+                F.count(c).alias("nn"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            if mm.nn == 0 or (mm.nn == mm.n and mm.mn == mm.mx):
                 continue
             bounds = cand
             break

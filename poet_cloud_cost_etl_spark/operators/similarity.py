@@ -252,8 +252,6 @@ def ivf_centroids(
     clusters keep their previous centroid.  The refined table is
     ``localCheckpoint``-ed so downstream double-use (build lists +
     probe queries) doesn't replay the iterations."""
-    from .embeddings import SCALE
-
     cents = (
         corpus.select(
             F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("centroid_vec")
@@ -265,39 +263,84 @@ def ivf_centroids(
         return cents
     for _ in range(refine_iters):
         assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
-        dims = assigned.select(
-            "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
-        )
-        scaled = F.round(F.col("val").cast("double") * SCALE).cast("long")
-        means = (
-            dims.groupBy("centroid_id", "dim")
-            .agg(F.sum(scaled).alias("__s"), F.count(F.lit(1)).alias("__n"))
-            .select(
-                "centroid_id",
-                "dim",
-                F.round(
-                    F.col("__s").cast("double") / (F.col("__n") * SCALE), 6
-                ).alias("__m"),
-            )
-        )
-        regrouped = means.groupBy("centroid_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim", "__m"))),
-                lambda s: s["__m"].cast("float"),
-            ).alias("__new_vec")
-        )
-        # Checkpoint every iteration, not just at the end: each round's
-        # assignment otherwise replays the full centroid lineage, and
-        # the plan grows superlinearly with refine_iters.
-        cents = (
-            cents.join(regrouped, "centroid_id", "left")
-            .select(
-                "centroid_id",
-                F.coalesce("__new_vec", "centroid_vec").alias("centroid_vec"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        cents = lloyd_update(assigned, cents, vec_col)
     return cents
+
+
+def lloyd_update(
+    assigned: DataFrame, cents: DataFrame, vec_col: str
+) -> DataFrame:
+    """One Lloyd mean-update from an ALREADY-ASSIGNED corpus
+    (``ivf_assign`` output): recompute each centroid as its members'
+    mean through SCALED-INTEGER per-dimension sums (posexplode long
+    form, ``round(val·10⁶)`` exact long addition, one final
+    division) so the result is bit-identical regardless of
+    partial-aggregation order.  Empty clusters keep their previous
+    centroid.  Factored out of ``ivf_centroids`` so consumers that
+    need BOTH the assignment and the update (X144
+    ``lloyd_step_diagnostics``) can feed one assignment pass to
+    both instead of assigning twice."""
+    from .embeddings import SCALE
+
+    dims = assigned.select(
+        "centroid_id", F.posexplode(F.col(vec_col)).alias("dim", "val")
+    )
+    scaled = F.round(F.col("val").cast("double") * SCALE).cast("long")
+    means = (
+        dims.groupBy("centroid_id", "dim")
+        .agg(F.sum(scaled).alias("__s"), F.count(F.lit(1)).alias("__n"))
+        .select(
+            "centroid_id",
+            "dim",
+            F.round(
+                F.col("__s").cast("double") / (F.col("__n") * SCALE), 6
+            ).alias("__m"),
+        )
+    )
+    regrouped = means.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "__m"))),
+            lambda s: s["__m"].cast("float"),
+        ).alias("__new_vec")
+    )
+    # Checkpoint every iteration, not just at the end: each round's
+    # assignment otherwise replays the full centroid lineage, and
+    # the plan grows superlinearly with refine_iters.
+    return (
+        cents.join(regrouped, "centroid_id", "left")
+        .select(
+            "centroid_id",
+            F.coalesce("__new_vec", "centroid_vec").alias("centroid_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
+def topk_centroid_expr(
+    vec_col: str,
+    nprobe: int,
+    cands_col: str = "__cents",
+    id_field: str = "centroid_id",
+    vec_field: str = "centroid_vec",
+) -> Column:
+    """THE centroid-scoring comparator — the engine's most
+    parity-sensitive expression (round-6 cosine, centroid-id
+    tie-break), built in exactly one place and shared by
+    ``ivf_assign``, ``ivf_tree_assign`` and ``centroid_silhouette``
+    (the r9 review found three inline copies plus the oracle twin —
+    a tie-break or rounding tweak would have had to land in all of
+    them or Spark/DuckDB silently diverge).  Returns the top
+    ``nprobe`` ``struct<sim, cid>`` of the broadcast candidate
+    array ``cands_col``."""
+    return F.expr(
+        "slice(array_sort("
+        f"transform({cands_col}, c -> struct("
+        f"round({_COS_SQL.format(a=vec_col, b=f'c.{vec_field}')}, 6) AS sim, "
+        f"c.{id_field} AS cid)), "
+        "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
+        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
+        f"), 1, {int(nprobe)})"
+    )
 
 
 def ivf_assign(
@@ -306,6 +349,7 @@ def ivf_assign(
     id_col: str,
     vec_col: str,
     nprobe: int = 1,
+    emit_sim: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``nprobe`` nearest centroids by
     cosine (rounded to 6 decimals, centroid id as tie-break). Returns
@@ -320,19 +364,16 @@ def ivf_assign(
     through the exchange; this form does the same arithmetic, same
     rounding, same tie-break, as a narrow map.) With ``nprobe=1``
     this builds the inverted lists; with ``nprobe>1`` it is the
-    query-side probe."""
+    query-side probe.  ``emit_sim=True`` additionally returns the
+    round-6 cosine the comparator already computed as ``sim`` —
+    consumers that need the assignment similarity (X130 silhouette,
+    X144 Lloyd diagnostics) read it here instead of re-joining the
+    centroid table and re-scoring, keeping the parity-sensitive
+    comparator expression in ONE place."""
     cent_arr = centroids.agg(
         F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("__cents")
     )
-    top_expr = F.expr(
-        "slice(array_sort("
-        "transform(__cents, c -> struct("
-        f"round({_COS_SQL.format(a=vec_col, b='c.centroid_vec')}, 6) AS sim, "
-        "c.centroid_id AS cid)), "
-        "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
-        "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
-        f"), 1, {int(nprobe)})"
-    )
+    top_expr = topk_centroid_expr(vec_col, nprobe)
     return (
         corpus.select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(cent_arr))
@@ -346,6 +387,7 @@ def ivf_assign(
             F.col(vec_col),
             F.col("__probe.cid").alias("centroid_id"),
             (F.col("__pos") + 1).alias("probe_rank"),
+            *((F.col("__probe.sim").alias("sim"),) if emit_sim else ()),
         )
     )
 
@@ -493,13 +535,21 @@ def _bucket_dups(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         X = np.array(list(pdf[vec_col].iloc[order]), dtype=np.float64)
-        nrm = np.linalg.norm(X, axis=1, keepdims=True)
-        nrm[nrm == 0.0] = 1.0  # zero vectors: cosine undefined -> 0
-        X = X / nrm
-        sims = np.round(X @ X.T, 6)
+        # dot/(na*nb), NOT pre-normalized rows: the division order
+        # matches the SQL expression (_COS_SQL), same discipline as
+        # _bucket_pair_scores_gemm. A zero-norm side is NaN here =
+        # NULL in SQL, and NaN >= thr is False = SQL's NULL
+        # comparison dropping the pair — so a zero vector is never a
+        # duplicate under EITHER impl (the pre-normalized form mapped
+        # it to cos 0, which flipped is_dup vs expr when thr <= 0).
+        nrm = np.linalg.norm(X, axis=1)
+        denom = np.outer(nrm, nrm)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = np.round((X @ X.T) / denom, 6)
         # ids ascend along the axis, so "some lower-id mate >= thr"
         # is an any() over the strict lower triangle per row
-        low = np.tril(sims >= thr, k=-1)
+        with np.errstate(invalid="ignore"):
+            low = np.tril(sims >= thr, k=-1)
         is_dup = low.any(axis=1)
         return pd.DataFrame(
             {
@@ -926,15 +976,10 @@ def ivf_tree_assign(
         grouped = cents.groupBy("__bucket").agg(
             F.collect_list(F.struct("cid", "cvec")).alias("__cands")
         )
-        best = F.expr(
-            "element_at(array_sort("
-            "transform(__cands, c -> struct("
-            f"round({_COS_SQL.format(a=vec_col, b='c.cvec')}, 6) AS sim, "
-            "c.cid AS cid)), "
-            "(l, r) -> CASE WHEN l.sim > r.sim THEN -1 WHEN l.sim < r.sim THEN 1 "
-            "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END"
-            "), 1).cid"
-        )
+        best = topk_centroid_expr(
+            vec_col, 1, cands_col="__cands", id_field="cid",
+            vec_field="cvec",
+        ).getItem(0).getField("cid")
         assigned = (
             assigned.join(F.broadcast(grouped), "__bucket")
             .select(F.col(id_col), F.col(vec_col), best.alias("__bucket"))

@@ -60,7 +60,12 @@ def main() -> int:
         try:
             sdf = fn(spark, sf)
             if name not in osql:
-                print(f"{name}: rows-only ({sdf.count()} rows)")
+                # collect(), not count(): under count() Catalyst
+                # prunes every unreferenced output column's
+                # expression tree, so a rows-only query with a
+                # broken per-row expression would pass green (the
+                # bench.py noop-action hazard, same reasoning).
+                print(f"{name}: rows-only ({len(sdf.collect())} rows)")
                 continue
             cmp = compare(name, sdf, con, osql[name])
             bad += 0 if cmp.match else 1

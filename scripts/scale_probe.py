@@ -96,6 +96,31 @@ HEAVY = [
     "unique_token_mass",
     "boundary_overlap_chains",
     "pc_variance_explained",
+    # round-9b: the heaviest never-probed queries (sf0.1 bench rank).
+    # The graph family (modularity / pagerank / radius / density /
+    # license / kfold) recomputes the X2d pair core + X7 CC per run —
+    # the c{i} copy prefixes keep cross-copy shingles disjoint, so the
+    # near-dup graph and its clusters scale linearly and each probe
+    # measures the op's own aggregate on top of the shared core. The
+    # id-residue subsets (vec_id % 5 probes, doc_id % 7 probes,
+    # doc_id % 4 licenses) stay scale-invariant under the 10^7 id
+    # offsets: 10^7 ≡ 0 (mod 4) and (mod 5), so each copy replicates
+    # the base residue classes exactly; mod 7 the offset is ≡ 3, so
+    # copy i's residues shift by 3i but each copy still contributes
+    # exactly 1/7 of its ids. Either way subset fractions are
+    # constant across scales and the probes grow with the corpus.
+    "dedup_modularity",
+    "neardup_pagerank",
+    "dedup_cluster_radius",
+    "dedup_cluster_density",
+    "license_propagation",
+    "dedup_lsh_clusters_star",
+    "split_kfold_grouped",
+    "embedding_remove_top_pc",
+    "dedup_lsh_plan",
+    "neardup_probe_retrieval",
+    "dedup_lsh_recall",
+    "dedup_bbit_minhash",
 ]
 N_RUNS = 3
 

@@ -135,7 +135,21 @@ class Comparison:
 
 
 def compare(name: str, spark_df, oracle_con, oracle_query: str) -> Comparison:
+    # persist/unpersist in try/finally: driver_check keeps sweeping
+    # after a per-query ERROR, so a raise between persist and
+    # unpersist would pin cached blocks for the rest of the sweep —
+    # the cross-query bleed bench.py's _release_persisted() exists
+    # to prevent.
     spark_df = spark_df.persist()
+    try:
+        return _compare_impl(name, spark_df, oracle_con, oracle_query)
+    finally:
+        spark_df.unpersist()
+
+
+def _compare_impl(
+    name: str, spark_df, oracle_con, oracle_query: str
+) -> Comparison:
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     o_res = oracle_con.execute(oracle_query)
@@ -184,5 +198,4 @@ def compare(name: str, spark_df, oracle_con, oracle_query: str) -> Comparison:
                 "exact values match but the driver's materialization "
                 "degrades them differently):\n" + "\n".join(diffs)
             )
-    spark_df.unpersist()
     return Comparison(name, len(s_rows), len(o_rows), not issues, issues)

@@ -114,6 +114,37 @@ def test_global_rank_peels_constant_leading_column(spark):
     assert len(set(df.stat.approxQuantile("k2", probs, 0.001))) > 1
 
 
+def test_global_rank_null_mixed_leading_column_not_peeled(spark):
+    """r9 review finding: a leading order column holding NULLs plus
+    ONE distinct non-null value must NOT be peeled as "constant" —
+    min/max ignore NULLs, but the order (NULLS FIRST, then the
+    value) is real, and bucketing on the next column would
+    interleave the NULL rows' ranks.  Exact ranks against the
+    reference single-window ordering are the contract."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators.ranking import with_global_rank
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") % 100 == 0, None)
+        .otherwise(F.lit(7))
+        .alias("a"),
+        (999 - F.col("id")).alias("b"),
+        F.col("id"),
+    )
+    out = with_global_rank(df, ["a", "b", "id"], rank_col="r")
+    rows = out.orderBy("r").collect()
+    assert [x.r for x in rows] == list(range(1, 1001))
+    # NULLS FIRST: the 10 NULL-a rows must hold ranks 1..10 in b
+    # order, before every a=7 row.
+    null_ranks = [x.r for x in rows if x.a is None]
+    assert null_ranks == list(range(1, 11))
+    nulls_sorted = [x.b for x in rows if x.a is None]
+    assert nulls_sorted == sorted(nulls_sorted)
+    rest = [x.b for x in rows if x.a is not None]
+    assert rest == sorted(rest)
+
+
 def test_sorted_neighborhood_survives_templated_prefix(spark):
     """A corpus where EVERY canonical key shares a >8-char template
     prefix (the r8 advisor's degenerate case for the packed-prefix

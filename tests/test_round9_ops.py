@@ -706,3 +706,38 @@ def test_pair_scores_gemm_adversarial_parity(spark):
         .collect()
     }
     assert g == e and len(e) > 10_000
+
+
+def test_semantic_dedup_gemm_zero_vector_threshold_parity(spark):
+    """A zero-norm vector has NULL cosine to every mate; the expr
+    path's NULL comparison never marks it a duplicate at ANY
+    threshold — the gemm kernel must agree (the earlier
+    pre-normalized form mapped zero vectors to cos 0, flipping
+    is_dup vs expr whenever threshold <= 0)."""
+    from poet_cloud_cost_etl_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [-1.0, 0.0]),
+        (4, [0.0, 0.0]),
+        (5, [1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    for thr in (-1.0, 0.0, 0.95):
+        e = {
+            r.vec_id: r.is_dup
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", n_centroids=1,
+                threshold=thr, pair_impl="expr",
+            ).collect()
+        }
+        g = {
+            r.vec_id: r.is_dup
+            for r in semantic_dedup(
+                df, "vec_id", "embedding", n_centroids=1,
+                threshold=thr, pair_impl="gemm",
+            ).collect()
+        }
+        assert e == g, (thr, e, g)
+        assert e[1] is False and e[4] is False, (thr, e)
