@@ -442,17 +442,23 @@ def main() -> None:
         "n_runs": N_RUNS,
         "heavy_n_runs": HEAVY_N_RUNS,
     }
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                     "BENCH_FULL_LATEST.json"),
-    )
-    try:
-        with open(out_path, "w") as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError:
-        out_path = None  # read-only checkout: stdout line still valid
+    # A SPARK_GRAFT_BENCH_ONLY subset run must NOT clobber the
+    # committed full-pass record (observed r9: a 2-query A/B
+    # overwrote the 168-query BENCH_FULL_LATEST) — subset runs only
+    # write when SPARK_GRAFT_BENCH_OUT names an explicit target.
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT")
+    if out_path is None and not os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_FULL_LATEST.json",
+        )
+    if out_path is not None:
+        try:
+            with open(out_path, "w") as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError:
+            out_path = None  # read-only checkout: stdout line still valid
     # Per-query regression gate (round-7 ask #7): compare each median
     # against the committed pin (BENCH_PINNED.json — updated
     # DELIBERATELY after an idle re-measure, never by this script) and
