@@ -928,3 +928,42 @@ def greedy_source_coverage(
         "gain",
         F.sum("gain").over(wc).cast("long").alias("covered_total"),
     ).orderBy("step")
+
+
+def uniform_group_sample(
+    df: DataFrame, group_col: str, id_col: str, n: int
+) -> DataFrame:
+    """r10-queue: exact deterministic top-``n`` uniform draw PER
+    GROUP — X9's stratified sampler gives hash-Bernoulli *fractions*
+    (count only approximately proportional); this gives exact
+    per-group COUNTS, the form an eval-set builder or per-source
+    audit quota actually needs. The draw order is (md5(id), id) —
+    seed-free, engine-reproducible, uniform over each group.
+
+    Output: the sampled rows as (group, id, draw_rank), draw_rank
+    1..n within each group.
+
+    Scale: the naive form is one row_number window per group —
+    a mega-group becomes one unbounded window partition. This is the
+    ``_topb_per_group`` two-phase shape (similarity.py): each input
+    partition pre-prunes to its local top-n per group (≤ n·P rows
+    per group survive), then the global window ranks only survivors
+    — no whole-group single-task window at any scale."""
+    key = F.md5(F.col(id_col).cast("string"))
+    local_w = Window.partitionBy(
+        group_col, F.spark_partition_id()
+    ).orderBy(key, F.col(id_col))
+    pruned = (
+        df.select(F.col(group_col), F.col(id_col))
+        .withColumn("__lrn", F.row_number().over(local_w))
+        .filter(F.col("__lrn") <= n)
+        .drop("__lrn")
+    )
+    global_w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        pruned.withColumn(
+            "draw_rank", F.row_number().over(global_w).cast("long")
+        )
+        .filter(F.col("draw_rank") <= n)
+        .orderBy(group_col, "draw_rank")
+    )

@@ -147,3 +147,58 @@ def merge_spans(
         .select("id", "span_start", "span_end", "n_merged")
         .orderBy("id", "span_start")
     )
+
+
+def pii_cooccurrence_audit(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """r10-queue: PII co-occurrence audit — the X11 scrub patterns ×
+    the X90 re-identification question: a document carrying TWO OR
+    MORE distinct PII classes (email + phone, email + URL, ...) is a
+    linkage record, categorically worse than a lone address, and the
+    per-source multi-PII rate is the dial for where a scrub-only
+    policy stops being enough (Sweeney 2002's quasi-identifier
+    argument applied to free text).
+
+    Output: one row per source — n_docs, per-class hit counts, the
+    three pairwise co-occurrence counts, n_any/n_multi, and
+    multi_pii_ppm = ppm of docs with ≥2 classes.
+
+    Exactness: flags are `rlike` on the SAME portable regex subset
+    X11 pins (Java regex ∩ RE2, kept in sync with the oracle);
+    counts are exact integers, the single ppm is integer division.
+
+    Scale: ZERO shuffle to the |sources|-row aggregate — all three
+    regex probes evaluate in the scan stage (whole-stage codegen,
+    one text pass), the aggregate is map-side combinable."""
+    e = F.col(text_col).rlike(EMAIL_RE)
+    u = F.col(text_col).rlike(URL_RE)
+    p = F.col(text_col).rlike(PHONE_RE)
+    k = e.cast("int") + u.cast("int") + p.cast("int")
+    flags = df.select(
+        F.col(source_col),
+        e.alias("__e"),
+        u.alias("__u"),
+        p.alias("__p"),
+        k.alias("__k"),
+    )
+    cnt = lambda c: F.sum(c.cast("int")).cast("long")  # noqa: E731
+    return (
+        flags.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            cnt(F.col("__e")).alias("n_email"),
+            cnt(F.col("__u")).alias("n_url"),
+            cnt(F.col("__p")).alias("n_phone"),
+            cnt(F.col("__e") & F.col("__p")).alias("n_email_phone"),
+            cnt(F.col("__e") & F.col("__u")).alias("n_email_url"),
+            cnt(F.col("__u") & F.col("__p")).alias("n_url_phone"),
+            cnt(F.col("__k") >= 1).alias("n_any_pii"),
+            cnt(F.col("__k") >= 2).alias("n_multi_pii"),
+        )
+        .withColumn(
+            "multi_pii_ppm",
+            F.expr("(1000000 * n_multi_pii) div n_docs").cast("long"),
+        )
+        .orderBy(source_col)
+    )

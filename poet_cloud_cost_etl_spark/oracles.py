@@ -7443,3 +7443,59 @@ ORACLES["pc_variance_explained"] = f"""
         CAST(ROUND(1000000 * ugu / (uu * tr)) AS BIGINT) AS explained_ppm
     FROM folds
 """
+
+
+# ------------------------------------------------------------------
+# r10-queue oracles: READY but NOT merged into ORACLES — round 9's
+# correctness window must cover exactly the 50 never-checked
+# registrations (VERDICT r8 task 4), so these register in round 10
+# (move the entries into ORACLES next to the @query registrations).
+# Parity is already proven by tests/test_r10_queue.py against the
+# same sf0.001 tables the driver uses.
+R10_QUEUED_ORACLES: dict[str, str] = {}
+
+R10_QUEUED_ORACLES["pii_cooccurrence_audit"] = r"""
+    WITH flags AS (
+        SELECT source,
+            regexp_matches(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') AS e,
+            regexp_matches(text, 'https?://[^ \t\n]+') AS u,
+            regexp_matches(text, '[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}') AS p
+        FROM documents
+    ), agg AS (
+        SELECT source,
+            CAST(COUNT(*) AS BIGINT) AS n_docs,
+            CAST(SUM(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n_email,
+            CAST(SUM(CASE WHEN u THEN 1 ELSE 0 END) AS BIGINT) AS n_url,
+            CAST(SUM(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS n_phone,
+            CAST(SUM(CASE WHEN e AND p THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_email_phone,
+            CAST(SUM(CASE WHEN e AND u THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_email_url,
+            CAST(SUM(CASE WHEN u AND p THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_url_phone,
+            CAST(SUM(CASE WHEN e OR u OR p THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_any_pii,
+            CAST(SUM(CASE WHEN
+                (CASE WHEN e THEN 1 ELSE 0 END
+                 + CASE WHEN u THEN 1 ELSE 0 END
+                 + CASE WHEN p THEN 1 ELSE 0 END) >= 2
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_pii
+        FROM flags GROUP BY source
+    )
+    SELECT *, CAST((1000000 * n_multi_pii) // n_docs AS BIGINT)
+        AS multi_pii_ppm
+    FROM agg ORDER BY source
+"""
+
+R10_QUEUED_ORACLES["uniform_group_sample"] = """
+    SELECT source, doc_id, draw_rank FROM (
+        SELECT source, doc_id,
+            CAST(ROW_NUMBER() OVER (
+                PARTITION BY source
+                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+            ) AS BIGINT) AS draw_rank
+        FROM documents
+    ) WHERE draw_rank <= 5
+    ORDER BY source, draw_rank
+"""

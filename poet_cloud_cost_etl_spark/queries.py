@@ -5486,3 +5486,33 @@ def _rotation_order() -> list[str]:
 for _name in _rotation_order():
     QUERIES[_name] = QUERIES.pop(_name)  # reinsert in staleness order
 del _name
+
+
+# ------------------------------------------------------------------
+# r10-queue: implemented + DuckDB-parity-proven in round 9
+# (tests/test_r10_queue.py), registration DEFERRED so the round-9
+# window covers exactly the 50 never-checked queries (VERDICT r8
+# task 4). Round 10: decorate with @query(...) and move the
+# R10_QUEUED_ORACLES entries (oracles.py) into ORACLES.
+def _r10q_pii_cooccurrence_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PII co-occurrence audit (operators/scrub.py:
+    pii_cooccurrence_audit) — per-source multi-PII linkage-record
+    rates over the X11 portable regex classes."""
+    from .operators.scrub import pii_cooccurrence_audit
+
+    d = table(spark, sf_dir, "documents")
+    return pii_cooccurrence_audit(d, "doc_id", "text", "source")
+
+
+def _r10q_uniform_group_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact per-group uniform draw (operators/sampling.py:
+    uniform_group_sample) — 5 docs per source by the seed-free
+    (md5(id), id) order, two-phase rank (no whole-group window)."""
+    from .operators.sampling import uniform_group_sample
+
+    d = table(spark, sf_dir, "documents")
+    return uniform_group_sample(d, "source", "doc_id", 5)
