@@ -7499,3 +7499,72 @@ R10_QUEUED_ORACLES["uniform_group_sample"] = """
     ) WHERE draw_rank <= 5
     ORDER BY source, draw_rank
 """
+
+R10_QUEUED_ORACLES["dedup_survival_by_source"] = """
+    WITH RECURSIVE
+    toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT doc_a, doc_b,
+                ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 6)
+                    AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk AS (
+        SELECT doc_id AS node, doc_id AS reach FROM documents
+        UNION
+        SELECT w.node, e.b AS reach FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    cl_surv AS (
+        SELECT node AS doc_id FROM walk GROUP BY node HAVING node = MIN(reach)
+    ),
+    totals AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM documents GROUP BY source
+    ),
+    ex_surv AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+    fp_surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM documents
+        GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text),
+            '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')))
+    ),
+    src AS (SELECT doc_id, source FROM documents),
+    stages AS (
+        SELECT source, '1_total' AS stage, n_total AS n_surviving FROM totals
+        UNION ALL
+        SELECT s.source, '2_exact', COUNT(*)
+        FROM ex_surv e JOIN src s USING (doc_id) GROUP BY s.source
+        UNION ALL
+        SELECT s.source, '3_fingerprint', COUNT(*)
+        FROM fp_surv f JOIN src s USING (doc_id) GROUP BY s.source
+        UNION ALL
+        SELECT s.source, '4_near_dup_clusters', COUNT(*)
+        FROM cl_surv c JOIN src s USING (doc_id) GROUP BY s.source
+    )
+    SELECT st.source, st.stage,
+        CAST(st.n_surviving AS BIGINT) AS n_surviving,
+        CAST((1000000 * st.n_surviving) // t.n_total AS BIGINT)
+            AS survival_ppm
+    FROM stages st JOIN totals t ON st.source = t.source
+    ORDER BY st.source, st.stage
+"""

@@ -5516,3 +5516,83 @@ def _r10q_uniform_group_sample(
 
     d = table(spark, sf_dir, "documents")
     return uniform_group_sample(d, "source", "doc_id", 5)
+
+
+def _r10q_dedup_survival_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source dedup survival curves — X20's funnel rolled onto
+    the SOURCE axis under GLOBAL dedup with the canonical
+    lowest-id-survivor rule: a mirror site's docs lose to the
+    original source's lower ids, so its curve collapses while the
+    original's stays flat — the honest per-source shrinkage table a
+    mixture rebalance (X19/X37) should read instead of raw sizes.
+    Stages reuse the oracle-checked cores: exact text groups,
+    X2a canonical fingerprints, X7 near-dup clusters (survivor =
+    cluster canonical). Scale: three keyed min-aggregates + keyed
+    joins back to the |sources| axis; the cluster stage is the
+    existing pair+CC chain — nothing new shuffles."""
+    from .operators.dedup import fingerprint, ngram_jaccard_from_docs
+    from .operators.graph import connected_components
+
+    d = table(spark, sf_dir, "documents")
+    base = d.select("source", "doc_id", "text")
+    src_of = base.select("doc_id", "source")
+    totals = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+
+    def stage_counts(surv_ids: DataFrame, stage: str) -> DataFrame:
+        return (
+            surv_ids.join(src_of, "doc_id")
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_surviving"))
+            .withColumn("stage", F.lit(stage))
+        )
+
+    exact = stage_counts(
+        base.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select(
+            "doc_id"
+        ),
+        "2_exact",
+    )
+    fp = stage_counts(
+        base.select(fingerprint(F.col("text")).alias("__fp"), "doc_id")
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
+        "3_fingerprint",
+    )
+    pairs = ngram_jaccard_from_docs(
+        d, "doc_id", "text", threshold=0.5, min_df=2
+    )
+    cc = connected_components(
+        d.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        fixed_rounds=4,
+    )
+    cl = stage_counts(
+        cc.filter(F.col("doc_id") == F.col("cluster_id")).select("doc_id"),
+        "4_near_dup_clusters",
+    )
+    tot_stage = totals.select(
+        "source", F.col("n_total").alias("n_surviving")
+    ).withColumn("stage", F.lit("1_total"))
+    allst = (
+        tot_stage.unionByName(exact).unionByName(fp).unionByName(cl)
+    )
+    return (
+        allst.join(F.broadcast(totals), "source")
+        .select(
+            "source",
+            "stage",
+            "n_surviving",
+            F.expr("(1000000 * n_surviving) div n_total")
+            .cast("long")
+            .alias("survival_ppm"),
+        )
+        .orderBy("source", "stage")
+    )

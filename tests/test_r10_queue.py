@@ -124,3 +124,33 @@ def test_uniform_group_sample_duckdb_parity(spark):
     cols, orows = _duck(con, R10_QUEUED_ORACLES["uniform_group_sample"])
     assert sorted(tuple(r) for r in orows) == srows
     assert len(srows) > 0
+
+
+def test_dedup_survival_by_source_duckdb_parity(spark):
+    """Composition query: per-source survivorship under the global
+    lowest-id rule at three stages (exact / fingerprint / X7
+    clusters) — full DuckDB parity against the staged oracle,
+    plus the structural invariants (1_total row per source,
+    monotone non-increasing survival down the stages)."""
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.oracles import R10_QUEUED_ORACLES
+    from poet_cloud_cost_etl_spark.queries import (
+        _r10q_dedup_survival_by_source,
+    )
+
+    out = _r10q_dedup_survival_by_source(spark, SF_SMALL).collect()
+    srows = sorted(tuple(r) for r in out)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    cols, orows = _duck(con, R10_QUEUED_ORACLES["dedup_survival_by_source"])
+    assert sorted(tuple(r) for r in orows) == srows and srows
+    per = {}
+    for r in out:
+        per.setdefault(r.source, {})[r.stage] = r.n_surviving
+    for source, stages in per.items():
+        assert "1_total" in stages
+        seq = [stages[s] for s in sorted(stages)]
+        assert all(a >= b for a, b in zip(seq, seq[1:])), (source, stages)
