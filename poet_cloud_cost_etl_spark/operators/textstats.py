@@ -1169,7 +1169,11 @@ _TRIGRAMS_SQL = (
 
 
 def trigram_backoff_scores(
-    df: DataFrame, id_col: str, text_col: str, min_count: int = 3
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 3,
+    model_df: DataFrame | None = None,
 ) -> DataFrame:
     """X59: stupid-backoff trigram LM scoring (Brants et al. 2007,
     "Large Language Models in Machine Translation" — the web-scale
@@ -1194,7 +1198,15 @@ def trigram_backoff_scores(
     joins back to the position stream (fanout 1 each), one doc-keyed
     aggregate. The pruned trigram table is the model actually
     shipped at 100 TB: the cutoff bounds it by the corpus's
-    above-threshold trigram vocabulary, not its token count."""
+    above-threshold trigram vocabulary, not its token count.
+
+    ``model_df``: score ``df``'s positions against counts built from
+    a DIFFERENT corpus (the held-out-eval form — r10 queue); the
+    default (None) keeps the original self-scored semantics, where
+    model counts come from ``df`` itself. A position whose bigram
+    context or pivot unigram is absent from the model is dropped by
+    the inner count joins — the documented OOV policy (scores cover
+    model-known contexts only; coverage shows up in n_trigrams)."""
     t = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     tri = (
         t.select(F.col(id_col), F.explode(F.expr(_TRIGRAMS_SQL.format(t="__t"))).alias("g"))
@@ -1206,10 +1218,18 @@ def trigram_backoff_scores(
             F.col("g.w2").alias("w2"),
         )
     )
-    bi = t.select(F.explode(bigrams("__t")).alias("g12"))
-    uni = t.select(F.explode(F.col("__t")).alias("w"))
+    mt = (
+        t
+        if model_df is None
+        else model_df.select(tokens(text_col).alias("__t"))
+    )
+    tri_m = mt.select(
+        F.explode(F.expr(_TRIGRAMS_SQL.format(t="__t"))).alias("g")
+    ).select(F.concat_ws(" ", "g.w1", "g.w2", "g.w3").alias("g3"))
+    bi = mt.select(F.explode(bigrams("__t")).alias("g12"))
+    uni = mt.select(F.explode(F.col("__t")).alias("w"))
     c3 = (
-        tri.groupBy("g3").agg(F.count(F.lit(1)).alias("__c3"))
+        tri_m.groupBy("g3").agg(F.count(F.lit(1)).alias("__c3"))
         .filter(F.col("__c3") >= min_count)
     )
     cb = bi.groupBy("g12").agg(F.count(F.lit(1)).alias("__cb"))
@@ -3155,4 +3175,67 @@ def markup_density(
             ),
         )
         .orderBy(group_col)
+    )
+
+
+def trigram_backoff_heldout_eval(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    min_count: int = 3,
+    holdout_mod: int = 5,
+) -> DataFrame:
+    """r10-queue: held-out LM eval per source — the honest form of
+    X59's quality signal: the model's trigram/bigram/unigram counts
+    come ONLY from the train split (unit_hash(id) % holdout_mod != 0)
+    and the scored positions ONLY from the held-out split, so a
+    document can never inflate its own score by contributing its own
+    counts (the self-scored X59 form systematically flatters
+    templated/duplicated text — exactly the text a curation gate
+    must not flatter). Per source: scored-doc count, position count,
+    backoff rate, and the mean per-doc score — the data-ablation
+    readout ("which source's text does a model of everyone ELSE's
+    text predict?").
+
+    Exactness: per-position score and every mean are exact integer
+    ppm divisions on exact counts (X59's convention); the per-doc
+    score is floored to ppm BEFORE the source mean (mean-of-doc-means,
+    so a 10^6-position doc can't swamp its source's number).
+
+    Scale: the X59 plan with the split filters pushed into the
+    count/score scans — no new shuffle; the split is a hash
+    expression, not a join."""
+    from .sampling import unit_hash
+
+    held = unit_hash(id_col) % holdout_mod == 0
+    per_doc = trigram_backoff_scores(
+        df.filter(held),
+        id_col,
+        text_col,
+        min_count,
+        model_df=df.filter(~held),
+    )
+    src = df.select(F.col(id_col), F.col(source_col))
+    joined = per_doc.join(src, id_col).select(
+        F.col(source_col),
+        F.col("n_trigrams").cast("long").alias("__nt"),
+        F.col("n_backoff").cast("long").alias("__nb"),
+        F.round(F.col("avg_score") * 1_000_000)
+        .cast("long")
+        .alias("__sp"),
+    )
+    return (
+        joined.groupBy(source_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_positions"),
+            F.expr("(1000000 * sum(__nb)) div sum(__nt)")
+            .cast("long")
+            .alias("backoff_ppm"),
+            F.expr("sum(__sp) div count(1)")
+            .cast("long")
+            .alias("mean_score_ppm"),
+        )
+        .orderBy(source_col)
     )

@@ -7568,3 +7568,56 @@ R10_QUEUED_ORACLES["dedup_survival_by_source"] = """
     FROM stages st JOIN totals t ON st.source = t.source
     ORDER BY st.source, st.stage
 """
+
+R10_QUEUED_ORACLES["lm_heldout_eval"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+            string_split_regex(trim(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g')), ' +') AS t,
+            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 5 = 0 AS held
+        FROM documents),
+    tri AS (
+        SELECT doc_id,
+            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3,
+            t[i] || ' ' || t[i+1] AS g12,
+            t[i+1] || ' ' || t[i+2] AS g23,
+            t[i+1] AS w2
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE held
+    ),
+    tri_m AS (
+        SELECT t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g3
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i) WHERE NOT held
+    ),
+    bi AS (
+        SELECT t[i] || ' ' || t[i+1] AS g12
+        FROM toks, UNNEST(range(1, len(t))) AS u(i) WHERE NOT held
+    ),
+    uni AS (SELECT u.x AS w FROM toks, UNNEST(t) AS u(x) WHERE NOT held),
+    c3 AS (SELECT g3, COUNT(*) AS c FROM tri_m GROUP BY 1 HAVING COUNT(*) >= 3),
+    cbn AS (SELECT g12, COUNT(*) AS c FROM bi GROUP BY 1),
+    cu AS (SELECT w, COUNT(*) AS c FROM uni GROUP BY 1),
+    s AS (
+        SELECT t.doc_id,
+            CASE WHEN c3.c IS NOT NULL THEN (1000000 * c3.c) // cb.c
+                 ELSE (400000 * cb23.c) // cu.c END AS s,
+            CASE WHEN c3.c IS NULL THEN 1 ELSE 0 END AS bo
+        FROM tri t
+        LEFT JOIN c3 USING (g3)
+        JOIN cbn cb ON t.g12 = cb.g12
+        JOIN cbn cb23 ON t.g23 = cb23.g12
+        JOIN cu ON t.w2 = cu.w
+    ),
+    perdoc AS (
+        SELECT doc_id, COUNT(*) AS nt, SUM(bo) AS nb,
+            CAST(SUM(s) AS BIGINT) // COUNT(*) AS sp
+        FROM s GROUP BY doc_id
+    )
+    SELECT d.source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nt) AS BIGINT) AS n_positions,
+        CAST((1000000 * SUM(nb)) // SUM(nt) AS BIGINT) AS backoff_ppm,
+        CAST(SUM(sp) // COUNT(*) AS BIGINT) AS mean_score_ppm
+    FROM perdoc p JOIN documents d USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+"""

@@ -5596,3 +5596,14 @@ def _r10q_dedup_survival_by_source(
         )
         .orderBy("source", "stage")
     )
+
+
+def _r10q_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out trigram-LM eval per source (operators/textstats.py:
+    trigram_backoff_heldout_eval) — train counts from the 4/5
+    unit-hash split, scores over the held 1/5; the self-scoring
+    flattery X59 permits is structurally impossible here."""
+    from .operators.textstats import trigram_backoff_heldout_eval
+
+    d = table(spark, sf_dir, "documents")
+    return trigram_backoff_heldout_eval(d, "doc_id", "text", "source")

@@ -154,3 +154,56 @@ def test_dedup_survival_by_source_duckdb_parity(spark):
         assert "1_total" in stages
         seq = [stages[s] for s in sorted(stages)]
         assert all(a >= b for a, b in zip(seq, seq[1:])), (source, stages)
+
+
+def test_lm_heldout_eval_duckdb_parity_and_split(spark):
+    """Held-out LM eval: full DuckDB parity on sf0.001, plus the
+    structural guarantee that the model never sees a held doc — a
+    held doc whose trigrams are corpus-unique must score through
+    the backoff or not at all, never through its own c3 counts."""
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.oracles import R10_QUEUED_ORACLES
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        trigram_backoff_heldout_eval,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    out = trigram_backoff_heldout_eval(d, "doc_id", "text", "source").collect()
+    srows = sorted(tuple(r) for r in out)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    cols, orows = _duck(con, R10_QUEUED_ORACLES["lm_heldout_eval"])
+    assert sorted(tuple(r) for r in orows) == srows and srows
+
+
+def test_trigram_backoff_model_df_blocks_self_scoring(spark):
+    """A doc whose trigram appears 3+ times ONLY in itself scores
+    c3-hit when self-scored (the X59 form) but must back off when the
+    model excludes it — the exact flattery the held-out form kills."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        trigram_backoff_scores,
+    )
+
+    rep = "alpha beta gamma " * 4  # 'alpha beta gamma' trigram x4
+    docs = [(1, rep), (2, "alpha beta delta beta gamma eps")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    selfscored = {
+        r.doc_id: r.n_backoff
+        for r in trigram_backoff_scores(df, "doc_id", "text").collect()
+    }
+    assert selfscored[1] < 10  # mostly c3 hits on its own repeats
+    held = {
+        r.doc_id: r
+        for r in trigram_backoff_scores(
+            df.filter(F.col("doc_id") == 1),
+            "doc_id",
+            "text",
+            model_df=df.filter(F.col("doc_id") == 2),
+        ).collect()
+    }
+    # every surviving position backs off (no c3 in the model)
+    assert 1 not in held or held[1].n_backoff == held[1].n_trigrams
