@@ -2289,3 +2289,46 @@ def survivor_bias_panel(
         )
         .orderBy("policy")
     )
+
+
+def exact_substring_cut_spans(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 2
+) -> DataFrame:
+    """r10-queue: the REWRITE half of X66 (Lee et al. 2021
+    ExactSubstr) — X66 reports how much of each doc is duplicated
+    substring mass; this emits the actual cut list: per document,
+    the MERGED maximal token-position spans covered by 3-gram start
+    positions whose gram occurs >= ``min_count`` times corpus-wide
+    (position-counted, X66's convention). A rewrite pass drops or
+    loss-masks exactly these spans — the deployment step between
+    the X66 signal and a deduplicated corpus.
+
+    Output: (doc_id, span_start, span_end, n_merged) with 1-based
+    half-open token intervals [span_start, span_end) and n_merged =
+    number of duplicated gram positions the span absorbed.
+
+    Scale: one keyed gram count + one keyed join back to the
+    position stream (both map-side combinable / AQE-splittable like
+    X66's plan), then the X122 gaps-and-islands merge — ONE shuffle
+    on the doc key for both of its windows. Per-doc span counts are
+    bounded by doc length; nothing corpus-sized broadcasts."""
+    from .scrub import merge_spans
+
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    pos = base.select(
+        F.col(id_col),
+        F.posexplode(shingles("__t")).alias("__p", "g"),
+    )
+    cnt = (
+        pos.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+    )
+    dup = pos.join(cnt, "g").select(
+        F.col(id_col),
+        (F.col("__p") + 1).alias("s"),  # 1-based token index
+        (F.col("__p") + 4).alias("e"),  # half-open, covers 3 tokens
+    )
+    return merge_spans(dup, id_col, "s", "e").select(
+        F.col("id").alias(id_col), "span_start", "span_end", "n_merged"
+    )

@@ -7621,3 +7621,36 @@ R10_QUEUED_ORACLES["lm_heldout_eval"] = """
     FROM perdoc p JOIN documents d USING (doc_id)
     GROUP BY d.source ORDER BY d.source
 """
+
+R10_QUEUED_ORACLES["exact_substring_cut_spans"] = """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(
+            lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t FROM documents),
+    pos AS (
+        SELECT doc_id, i AS s, i + 3 AS e,
+            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (SELECT g, COUNT(*) AS c FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, s, e FROM pos JOIN cnt USING (g)),
+    flagged AS (
+        SELECT doc_id, s, e,
+            CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -4611686018427387904)
+                THEN 1 ELSE 0 END AS nw
+        FROM dup
+    ),
+    islands AS (
+        SELECT doc_id, s, e, SUM(nw) OVER (
+            PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM flagged
+    )
+    SELECT doc_id,
+        CAST(MIN(s) AS BIGINT) AS span_start,
+        CAST(MAX(e) AS BIGINT) AS span_end,
+        CAST(COUNT(*) AS BIGINT) AS n_merged
+    FROM islands GROUP BY doc_id, isl
+    ORDER BY doc_id, span_start
+"""

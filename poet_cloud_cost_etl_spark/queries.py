@@ -5607,3 +5607,16 @@ def _r10q_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     return trigram_backoff_heldout_eval(d, "doc_id", "text", "source")
+
+
+def _r10q_exact_substring_cut_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr cut list (operators/dedup.py:
+    exact_substring_cut_spans) — merged 1-based half-open token
+    spans of corpus-duplicated 3-gram positions; the rewrite step
+    X66's coverage signal feeds."""
+    from .operators.dedup import exact_substring_cut_spans
+
+    d = table(spark, sf_dir, "documents")
+    return exact_substring_cut_spans(d, "doc_id", "text")

@@ -207,3 +207,52 @@ def test_trigram_backoff_model_df_blocks_self_scoring(spark):
     }
     # every surviving position backs off (no c3 in the model)
     assert 1 not in held or held[1].n_backoff == held[1].n_trigrams
+
+
+def test_exact_substring_cut_spans_hand_computed(spark):
+    """Two docs sharing one 3-gram ('b c d' at doc1 pos 2, doc2
+    pos 1) plus a doc-internal repeat: spans merge per the
+    gaps-and-islands rule, 1-based half-open token intervals."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        exact_substring_cut_spans,
+    )
+
+    docs = [
+        (1, "a b c d e"),      # 'b c d' at pos 2 -> span [2, 5)
+        (2, "b c d z z"),      # 'b c d' at pos 1 -> span [1, 4)
+        (3, "x y x y x y x"),  # 'x y x'/'y x y' repeat internally
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {}
+    for r in exact_substring_cut_spans(df, "doc_id", "text").collect():
+        out.setdefault(r.doc_id, []).append(
+            (r.span_start, r.span_end, r.n_merged)
+        )
+    assert out[1] == [(2, 5, 1)]
+    assert out[2] == [(1, 4, 1)]
+    # doc 3: every position 1..5 duplicated -> one merged span [1, 8)
+    assert out[3] == [(1, 8, 5)]
+
+
+def test_exact_substring_cut_spans_duckdb_parity(spark):
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.oracles import R10_QUEUED_ORACLES
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        exact_substring_cut_spans,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    srows = sorted(
+        tuple(r)
+        for r in exact_substring_cut_spans(d, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    cols, orows = _duck(
+        con, R10_QUEUED_ORACLES["exact_substring_cut_spans"]
+    )
+    assert sorted(tuple(r) for r in orows) == srows and srows
