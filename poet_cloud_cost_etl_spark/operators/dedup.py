@@ -2332,3 +2332,57 @@ def exact_substring_cut_spans(
     return merge_spans(dup, id_col, "s", "e").select(
         F.col("id").alias(id_col), "span_start", "span_end", "n_merged"
     )
+
+
+def exact_substring_rewrite(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 2
+) -> DataFrame:
+    """r10-queue: APPLY the ExactSubstr cut list — the final step of
+    the Lee et al. 2021 pipeline: drop every token inside a merged
+    duplicated span (``exact_substring_cut_spans``) and rebuild the
+    document from the survivors. Operates on the canonical token
+    stream (the form the dedup pipeline scores and a tokenizer
+    consumes); X96's within-doc block rewrite is the
+    paragraph-granularity sibling, this is the corpus-duplicate
+    token-granularity one.
+
+    Output: (doc_id, n_tokens, n_tokens_kept, kept_ppm,
+    text_rewritten) — text_rewritten is '' when every token is cut.
+
+    Scale: the span table is doc-keyed and per-doc-bounded; it
+    regroups to ONE array row per doc and joins back doc-keyed, and
+    the token drop + rebuild is a single narrow higher-order
+    expression (filter/transform/concat_ws) in the scan stage — the
+    rewrite itself never shuffles."""
+    spans = exact_substring_cut_spans(df, id_col, text_col, min_count)
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    joined = base.join(sp, id_col, "left")
+    kept = F.expr(
+        "filter(transform(__t, (w, i) -> struct(w AS w, i + 1 AS p)), "
+        "x -> __spans IS NULL OR NOT exists(__spans, "
+        "s -> x.p >= s.span_start AND x.p < s.span_end))"
+    )
+    return (
+        joined.select(
+            F.col(id_col),
+            F.size("__t").cast("long").alias("n_tokens"),
+            kept.alias("__kept"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.size("__kept").cast("long").alias("n_tokens_kept"),
+            F.expr(
+                "(1000000 * size(__kept)) div greatest(n_tokens, 1L)"
+            )
+            .cast("long")
+            .alias("kept_ppm"),
+            F.concat_ws(
+                " ", F.expr("transform(__kept, x -> x.w)")
+            ).alias("text_rewritten"),
+        )
+        .orderBy(id_col)
+    )

@@ -7654,3 +7654,54 @@ R10_QUEUED_ORACLES["exact_substring_cut_spans"] = """
     FROM islands GROUP BY doc_id, isl
     ORDER BY doc_id, span_start
 """
+
+R10_QUEUED_ORACLES["exact_substring_rewrite"] = """
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(
+            lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t FROM documents),
+    pos AS (
+        SELECT doc_id, i AS s, i + 3 AS e,
+            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (SELECT g, COUNT(*) AS c FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, s, e FROM pos JOIN cnt USING (g)),
+    flagged AS (
+        SELECT doc_id, s, e,
+            CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -4611686018427387904)
+                THEN 1 ELSE 0 END AS nw
+        FROM dup
+    ),
+    islands AS (
+        SELECT doc_id, s, e, SUM(nw) OVER (
+            PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+        FROM islands GROUP BY doc_id, isl
+    ),
+    tokpos AS (
+        SELECT doc_id, t[p] AS w, CAST(p AS BIGINT) AS p
+        FROM toks, UNNEST(range(1, len(t) + 1)) AS u(p)
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.w, tp.p,
+            NOT EXISTS (SELECT 1 FROM spans sp
+                WHERE sp.doc_id = tp.doc_id
+                  AND tp.p >= sp.span_start AND tp.p < sp.span_end) AS keep
+        FROM tokpos tp
+    )
+    SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_tokens_kept,
+        CAST((1000000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END))
+            // GREATEST(COUNT(*), 1) AS BIGINT) AS kept_ppm,
+        COALESCE(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY p), '')
+            AS text_rewritten
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+"""

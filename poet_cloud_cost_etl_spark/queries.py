@@ -5620,3 +5620,16 @@ def _r10q_exact_substring_cut_spans(
 
     d = table(spark, sf_dir, "documents")
     return exact_substring_cut_spans(d, "doc_id", "text")
+
+
+def _r10q_exact_substring_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ExactSubstr rewrite (operators/dedup.py:
+    exact_substring_rewrite) — the corpus with every duplicated-span
+    token dropped; completes the X66 signal -> cut list -> rewrite
+    chain."""
+    from .operators.dedup import exact_substring_rewrite
+
+    d = table(spark, sf_dir, "documents")
+    return exact_substring_rewrite(d, "doc_id", "text")

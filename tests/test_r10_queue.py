@@ -9,7 +9,6 @@ parity already proven."""
 from __future__ import annotations
 
 import duckdb
-import pandas as pd
 from pyspark.sql import functions as F
 
 
@@ -255,4 +254,48 @@ def test_exact_substring_cut_spans_duckdb_parity(spark):
     cols, orows = _duck(
         con, R10_QUEUED_ORACLES["exact_substring_cut_spans"]
     )
+    assert sorted(tuple(r) for r in orows) == srows and srows
+
+
+def test_exact_substring_rewrite_hand_computed(spark):
+    """The doc-1/doc-2 shared gram is cut from both; untouched
+    tokens survive in order; a fully-duplicated doc rewrites to ''."""
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        exact_substring_rewrite,
+    )
+
+    docs = [
+        (1, "a b c d e"),   # span [2,5) cut -> 'a e'
+        (2, "b c d z z"),   # span [1,4) cut -> 'z z'
+        (3, "p q r"),       # unique -> untouched
+        (4, "p q r"),       # exact dup of 3 -> both fully cut
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    out = {r.doc_id: r for r in exact_substring_rewrite(df, "doc_id", "text").collect()}
+    assert out[1].text_rewritten == "a e"
+    assert (out[1].n_tokens, out[1].n_tokens_kept) == (5, 2)
+    assert out[2].text_rewritten == "z z"
+    assert out[3].text_rewritten == "" and out[4].text_rewritten == ""
+    assert out[3].kept_ppm == 0 and out[1].kept_ppm == 400_000
+
+
+def test_exact_substring_rewrite_duckdb_parity(spark):
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.oracles import R10_QUEUED_ORACLES
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        exact_substring_rewrite,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    srows = sorted(
+        tuple(r)
+        for r in exact_substring_rewrite(d, "doc_id", "text").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    cols, orows = _duck(con, R10_QUEUED_ORACLES["exact_substring_rewrite"])
     assert sorted(tuple(r) for r in orows) == srows and srows
