@@ -2312,9 +2312,20 @@ def exact_substring_cut_spans(
     X66's plan), then the X122 gaps-and-islands merge — ONE shuffle
     on the doc key for both of its windows. Per-doc span counts are
     bounded by doc length; nothing corpus-sized broadcasts."""
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    return _cut_spans_from_tokens(base, id_col, min_count)
+
+
+def _cut_spans_from_tokens(
+    base: DataFrame, id_col: str, min_count: int
+) -> DataFrame:
+    """Tokens-in core of ``exact_substring_cut_spans`` — takes the
+    pre-tokenized ``(id, __t)`` frame so ``exact_substring_rewrite``
+    can share ONE tokenization pass with its rebuild stage (the
+    TOKENS_SQL regex is the dominant scan cost on a text corpus;
+    r9 review finding)."""
     from .scrub import merge_spans
 
-    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     pos = base.select(
         F.col(id_col),
         F.posexplode(shingles("__t")).alias("__p", "g"),
@@ -2354,11 +2365,11 @@ def exact_substring_rewrite(
     the token drop + rebuild is a single narrow higher-order
     expression (filter/transform/concat_ws) in the scan stage — the
     rewrite itself never shuffles."""
-    spans = exact_substring_cut_spans(df, id_col, text_col, min_count)
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    spans = _cut_spans_from_tokens(base, id_col, min_count)
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )
-    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     joined = base.join(sp, id_col, "left")
     kept = F.expr(
         "filter(transform(__t, (w, i) -> struct(w AS w, i + 1 AS p)), "

@@ -1024,12 +1024,16 @@ def lloyd_step_diagnostics(
             .alias("cos_move_e6"),
         )
     )
+    # FULL outer (r9 review finding): a centroid that only GAINS
+    # members after the Lloyd step (possible when duplicate seed
+    # vectors leave a centroid empty before) has no before-row; a
+    # left join would silently drop its n_after mass from the panel.
     return (
-        before.join(after, "centroid_id", "left")
+        before.join(after, "centroid_id", "full")
         .join(move, "centroid_id", "left")
         .select(
             "centroid_id",
-            "n_before",
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
             "mean_sim_before_e6",
             F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
             "mean_sim_after_e6",

@@ -944,26 +944,22 @@ def uniform_group_sample(
     1..n within each group.
 
     Scale: the naive form is one row_number window per group —
-    a mega-group becomes one unbounded window partition. This is the
-    ``_topb_per_group`` two-phase shape (similarity.py): each input
-    partition pre-prunes to its local top-n per group (≤ n·P rows
-    per group survive), then the global window ranks only survivors
-    — no whole-group single-task window at any scale."""
-    key = F.md5(F.col(id_col).cast("string"))
-    local_w = Window.partitionBy(
-        group_col, F.spark_partition_id()
-    ).orderBy(key, F.col(id_col))
-    pruned = (
-        df.select(F.col(group_col), F.col(id_col))
-        .withColumn("__lrn", F.row_number().over(local_w))
-        .filter(F.col("__lrn") <= n)
-        .drop("__lrn")
-    )
-    global_w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
+    a mega-group becomes one unbounded window partition. Delegates
+    to ``similarity._topb_per_group`` (the SAME two-phase seed-free
+    draw the IVF centroid machinery uses — one implementation, r9
+    review finding): each input partition pre-prunes to its local
+    top-n per group, then the global window ranks only survivors —
+    no whole-group single-task window at any scale."""
+    from .similarity import _topb_per_group
+
     return (
-        pruned.withColumn(
-            "draw_rank", F.row_number().over(global_w).cast("long")
+        _topb_per_group(
+            df.select(F.col(group_col), F.col(id_col)),
+            group_col,
+            id_col,
+            int(n),
+            rank_col="draw_rank",
         )
-        .filter(F.col("draw_rank") <= n)
+        .withColumn("draw_rank", F.col("draw_rank").cast("long"))
         .orderBy(group_col, "draw_rank")
     )

@@ -825,7 +825,13 @@ def hard_negatives(
             f"candidates must be broadcast|ivf, got {candidates!r}"
         )
     if candidates == "ivf":
-        cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+        # eager checkpoint: the seed table feeds two ivf_assign
+        # broadcasts (lists + probes); un-checkpointed, each would
+        # replay the corpus-wide md5 seed draw (r9 review finding —
+        # the same redundancy fixed in lloyd_step_diagnostics).
+        cents = ivf_centroids(
+            corpus, id_col, vec_col, n_centroids
+        ).localCheckpoint(eager=True)
         lists = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cv"),
@@ -905,7 +911,11 @@ def hard_negatives(
 
 
 def _topb_per_group(
-    df: DataFrame, group_col: str, id_col: str, b: int
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    b: int,
+    rank_col: str | None = None,
 ) -> DataFrame:
     """Exact deterministic top-``b`` rows per group by (md5(id), id)
     — the seed-free draw — WITHOUT a whole-group window partition.
@@ -926,11 +936,12 @@ def _topb_per_group(
         .drop("__lrn")
     )
     global_w = Window.partitionBy(group_col).orderBy(key, F.col(id_col))
-    return (
-        pruned.withColumn("__rn", F.row_number().over(global_w))
-        .filter(F.col("__rn") <= b)
-        .drop("__rn")
+    ranked = pruned.withColumn("__rn", F.row_number().over(global_w)).filter(
+        F.col("__rn") <= b
     )
+    if rank_col is None:
+        return ranked.drop("__rn")
+    return ranked.withColumnRenamed("__rn", rank_col)
 
 
 def ivf_tree_assign(

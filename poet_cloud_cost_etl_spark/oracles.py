@@ -6867,13 +6867,15 @@ ORACLES["kmeans_lloyd_step"] = f"""
                 AS cos_move_e6
         FROM cents0 c0 JOIN cents1 c1 USING (centroid_id)
     )
-    SELECT b.centroid_id, b.n_before, b.mean_sim_before_e6,
+    SELECT centroid_id,
+        CAST(COALESCE(b.n_before, 0) AS BIGINT) AS n_before,
+        b.mean_sim_before_e6,
         CAST(COALESCE(a.n_after, 0) AS BIGINT) AS n_after,
         a.mean_sim_after_e6, m.cos_move_e6
     FROM before b
-    LEFT JOIN after a USING (centroid_id)
+    FULL JOIN after a USING (centroid_id)
     LEFT JOIN move m USING (centroid_id)
-    ORDER BY b.centroid_id
+    ORDER BY centroid_id
 """
 
 # X137 cosine-threshold calibration (operators/similarity.py:
