@@ -3239,3 +3239,93 @@ def trigram_backoff_heldout_eval(
         )
         .orderBy(source_col)
     )
+
+
+def langid_agreement_by_source(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    lang_col: str,
+    source_col: str,
+) -> DataFrame:
+    """r10-queue: label-quality audit — X91's Cohen-kappa machinery
+    keyed on the SOURCE axis, grading each source's ``lang`` labels
+    against the X5b marker-word prediction: a source whose labels
+    disagree with even a crude content signal beyond chance is a
+    mislabeled-ingest suspect, and per-language curation (X132
+    CCNet buckets, X19/X37 mixtures) silently inherits its errors.
+    The global confusion matrix (``text_lang_id``) says WHAT gets
+    confused; this says WHICH SOURCE to distrust.
+
+    Exactness: X91's convention — confusion cells / marginals /
+    pe_num as exact keyed BIGINT aggregates, kappa =
+    (N·trace − pe_num)/(N² − pe_num) as ONE double division rounded
+    to 1e-6, NULL on the degenerate denominator; accuracy and
+    chance agreement as integer ppm.
+
+    Scale: one scan scores the markers (scan-stage expressions);
+    everything downstream aggregates on (source, class) keys
+    bounded by |sources|·|langs|² — corpus size never appears past
+    the first aggregate."""
+    src = df.select(F.col(id_col), F.col(source_col))
+    scored = lang_scores(df, id_col, text_col, lang_col).join(src, id_col)
+    cells = scored.groupBy(
+        source_col,
+        F.col("pred_lang").alias("__p"),
+        F.col(lang_col).cast("string").alias("__l"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__c"))
+    totals = cells.groupBy(source_col).agg(
+        F.sum("__c").cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("__p") == F.col("__l"), F.col("__c")).otherwise(0)
+        )
+        .cast("long")
+        .alias("__trace"),
+    )
+    marg_r = cells.groupBy(source_col, "__p").agg(
+        F.sum("__c").cast("long").alias("__r")
+    )
+    marg_c = cells.groupBy(source_col, "__l").agg(
+        F.sum("__c").cast("long").alias("__cc")
+    )
+    pe = (
+        marg_r.join(
+            marg_c,
+            (marg_r[source_col] == marg_c[source_col])
+            & (marg_r.__p == marg_c.__l),
+        )
+        .groupBy(marg_r[source_col].alias(source_col))
+        .agg(
+            F.coalesce(F.sum(F.col("__r") * F.col("__cc")), F.lit(0))
+            .cast("long")
+            .alias("__pe_num")
+        )
+    )
+    return (
+        totals.join(pe, source_col)
+        .select(
+            F.col(source_col),
+            "n_docs",
+            F.expr("(1000000 * __trace) div n_docs")
+            .cast("long")
+            .alias("accuracy_ppm"),
+            F.expr("1000000 * __pe_num div (n_docs * n_docs)")
+            .cast("long")
+            .alias("chance_ppm"),
+            F.when(
+                F.col("n_docs") * F.col("n_docs") != F.col("__pe_num"),
+                F.round(
+                    (
+                        F.col("n_docs") * F.col("__trace")
+                        - F.col("__pe_num")
+                    ).cast("double")
+                    / (
+                        F.col("n_docs") * F.col("n_docs")
+                        - F.col("__pe_num")
+                    ).cast("double"),
+                    6,
+                ),
+            ).alias("kappa"),
+        )
+        .orderBy(source_col)
+    )

@@ -7707,3 +7707,59 @@ R10_QUEUED_ORACLES["exact_substring_rewrite"] = """
             AS text_rewritten
     FROM kept GROUP BY doc_id ORDER BY doc_id
 """
+
+R10_QUEUED_ORACLES["langid_source_agreement"] = """
+    WITH toks AS (
+        SELECT doc_id, lang, source, string_split_regex(trim(regexp_replace(
+            lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t FROM documents
+    ),
+    s AS (
+        SELECT doc_id, lang, source,
+            len(list_filter(t, x -> x IN ('the', 'and', 'of', 'to', 'is', 'a'))) AS s_en,
+            len(list_filter(t, x -> x IN ('el', 'la', 'de', 'los', 'y', 'que'))) AS s_es,
+            len(list_filter(t, x -> x IN ('der', 'die', 'das', 'und', 'nicht'))) AS s_de,
+            len(list_filter(t, x -> x IN ('le', 'les', 'et', 'des', 'une'))) AS s_fr
+        FROM toks
+    ),
+    pred AS (
+        SELECT source, lang AS l,
+            CASE
+                WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en > 0
+                    THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr AND s_es > 0 THEN 'es'
+                WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                WHEN s_fr > 0 THEN 'fr'
+                ELSE 'unknown'
+            END AS p
+        FROM s
+    ),
+    cells AS (
+        SELECT source, p, l, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pred GROUP BY source, p, l
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+            CAST(SUM(CASE WHEN p = l THEN c ELSE 0 END) AS BIGINT) AS trace
+        FROM cells GROUP BY source
+    ),
+    marg_r AS (SELECT source, p, CAST(SUM(c) AS BIGINT) AS r
+        FROM cells GROUP BY source, p),
+    marg_c AS (SELECT source, l, CAST(SUM(c) AS BIGINT) AS cc
+        FROM cells GROUP BY source, l),
+    pe AS (
+        SELECT mr.source, CAST(COALESCE(SUM(mr.r * mc.cc), 0) AS BIGINT)
+            AS pe_num
+        FROM marg_r mr JOIN marg_c mc
+            ON mr.source = mc.source AND mr.p = mc.l
+        GROUP BY mr.source
+    )
+    SELECT t.source, t.n AS n_docs,
+        CAST((1000000 * t.trace) // t.n AS BIGINT) AS accuracy_ppm,
+        CAST((1000000 * pe.pe_num) // (t.n * t.n) AS BIGINT) AS chance_ppm,
+        CASE WHEN t.n * t.n != pe.pe_num THEN
+            ROUND(CAST(t.n * t.trace - pe.pe_num AS DOUBLE)
+                / CAST(t.n * t.n - pe.pe_num AS DOUBLE), 6)
+        END AS kappa
+    FROM totals t JOIN pe ON t.source = pe.source
+    ORDER BY t.source
+"""

@@ -5633,3 +5633,16 @@ def _r10q_exact_substring_rewrite(
 
     d = table(spark, sf_dir, "documents")
     return exact_substring_rewrite(d, "doc_id", "text")
+
+
+def _r10q_langid_source_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source lang-label agreement (operators/textstats.py:
+    langid_agreement_by_source) — X91 kappa of the X5b marker
+    prediction vs the lang column, keyed by source: the
+    which-source-to-distrust label-quality audit."""
+    from .operators.textstats import langid_agreement_by_source
+
+    d = table(spark, sf_dir, "documents")
+    return langid_agreement_by_source(d, "doc_id", "text", "lang", "source")

@@ -299,3 +299,51 @@ def test_exact_substring_rewrite_duckdb_parity(spark):
     )
     cols, orows = _duck(con, R10_QUEUED_ORACLES["exact_substring_rewrite"])
     assert sorted(tuple(r) for r in orows) == srows and srows
+
+
+def test_langid_source_agreement_duckdb_parity_and_kappa(spark):
+    """Per-source kappa panel: full DuckDB parity on sf0.001, plus
+    a hand-computed kappa on a fixture where one 'source' has
+    perfect labels (kappa 1.0) and another has labels shuffled
+    against a constant prediction (kappa NULL via the degenerate
+    denominator guard)."""
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.oracles import R10_QUEUED_ORACLES
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        langid_agreement_by_source,
+    )
+
+    d = table(spark, SF_SMALL, "documents")
+    srows = sorted(
+        tuple(r)
+        for r in langid_agreement_by_source(
+            d, "doc_id", "text", "lang", "source"
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/documents.parquet')"
+    )
+    cols, orows = _duck(con, R10_QUEUED_ORACLES["langid_source_agreement"])
+    assert sorted(tuple(r) for r in orows) == srows and srows
+
+    docs = [
+        # source A: en text labeled en, es text labeled es -> kappa 1
+        (1, "the cat and the dog is a pet", "en", "A"),
+        (2, "el perro y la casa de los que", "es", "A"),
+        # source B: all predictions 'en', labels constant 'en' ->
+        # pe_num = n^2 -> degenerate -> NULL kappa, accuracy 1e6
+        (3, "the and of to is a", "en", "B"),
+        (4, "the and of to is a", "en", "B"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+    out = {
+        r.source: r
+        for r in langid_agreement_by_source(
+            df, "doc_id", "text", "lang", "source"
+        ).collect()
+    }
+    assert out["A"].kappa == 1.0 and out["A"].accuracy_ppm == 1_000_000
+    assert out["B"].kappa is None and out["B"].accuracy_ppm == 1_000_000
