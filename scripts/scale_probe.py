@@ -278,6 +278,37 @@ def _margin_mining_scaled(pair_impl, assign="flat"):
     return fn
 
 
+# Shared-stage isolation probe (SURVEY r10 follow-up, settled r9):
+# dedup_lsh_plan (8.52x) and dedup_bbit_minhash (8.62x) both embed
+# the X2d/_pair_common grouped pair core — timing the core ALONE
+# shows whether the 8.5x is the shared stage or the per-op tail.
+def _bbit_pair_core_only(spark, sf_dir, k_scale):
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.dedup import (
+        _pair_common,
+        shingles,
+        tokens,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    arrs = (
+        d.select(F.col("doc_id"), tokens("text").alias("__t"))
+        .select(
+            F.col("doc_id"),
+            F.array_distinct(shingles("__t")).alias("__sh"),
+        )
+        .filter(F.size("__sh") > 0)
+    )
+    sh_n = arrs.select(
+        F.col("doc_id"),
+        F.size("__sh").cast("long").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
+    return _pair_common(sh_n, "doc_id", None, None)
+
+
 SCALED_K = [
     ("semantic_dedup_scaled_k", _semantic_dedup_scaled),
     ("semantic_dedup_tree_scaled", _semantic_dedup_tree),
@@ -293,6 +324,7 @@ SCALED_K = [
     ("semantic_threshold_calibration_tree_gemm",
      _threshold_calibration_scaled("gemm", "tree")),
     ("bitext_margin_mining_tree_gemm", _margin_mining_scaled("gemm", "tree")),
+    ("bbit_pair_core_only", _bbit_pair_core_only),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
     ("bm25_retrieval_scaled", _bm25_scaled),
