@@ -1165,3 +1165,84 @@ def pc_variance_explained(
             "CAST(ROUND(1000000 * __ugu / (__uu * __trace)) AS BIGINT)"
         ).alias("explained_ppm"),
     )
+
+
+def participation_ratio(
+    df: DataFrame, vec_col: str, dim: int = 64
+) -> DataFrame:
+    """r10-queue: embedding participation ratio — the effective
+    dimensionality scalar PR = (Σλ)²/Σλ² = trace(G)²/‖G‖²_F of the
+    corpus second-moment matrix, computed WITHOUT any
+    eigendecomposition (trace and Frobenius norm are entry-level
+    sums — the identity that makes effective rank measurable at any
+    scale). PR ∈ [1, d]: near 1 means one direction carries
+    everything (X60's top PC is the whole story — rank-collapsed
+    embeddings), near d means isotropy; the scalar companion to
+    X114's pairwise-cosine histogram and the dial that says whether
+    X68's deflation is even needed.
+
+    Exactness: Gram entries are X60's exact DECIMAL(38,0) sums of
+    1e-6-quantized BIGINT products (order-free), converted to double
+    once; trace and ‖G‖²_F are INDEX-ORDERED folds over the (i,j)-
+    sorted entry array (the X46/X60 convention), so the double
+    accumulation order is pinned in both engines; PR is one round-6
+    double division, NULL on the all-zero degenerate corpus.
+
+    Scale: identical to X60's Gram stage — upper-triangle pair
+    explode, map-side partials collapse every partition to
+    ≤ d(d+1)/2 rows, a FIXED-SIZE shuffle independent of corpus
+    size; the folds run on one d²-entry array row."""
+    quant = df.select(
+        F.expr(
+            "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000)"
+            " AS BIGINT))".format(v=vec_col)
+        ).alias("__a")
+    )
+    pairs = quant.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__a, (x, i) -> "
+                "transform(slice(__a, i + 1, size(__a) - i), "
+                "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    upper = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
+    )
+    gram = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "__g"
+        )
+    )
+    ents = gram.agg(
+        F.expr(
+            "array_sort(collect_list(struct(i, j, "
+            "CAST(__g AS DOUBLE) / 1000000000000.0 AS gd)))"
+        ).alias("es")
+    )
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    return (
+        ents.crossJoin(F.broadcast(n))
+        .select(
+            F.lit(int(dim)).cast("long").alias("dim"),
+            "n_vectors",
+            F.expr(
+                "aggregate(filter(es, e -> e.i = e.j), 0.0D, "
+                "(acc, e) -> acc + e.gd)"
+            ).alias("__tr"),
+            F.expr(
+                "aggregate(es, 0.0D, (acc, e) -> acc + e.gd * e.gd)"
+            ).alias("__fr"),
+        )
+        .select(
+            "dim",
+            "n_vectors",
+            F.round("__tr", 6).alias("trace_total"),
+            F.round("__fr", 6).alias("frob_sq"),
+            F.when(
+                F.col("__fr") != 0.0,
+                F.round(F.col("__tr") * F.col("__tr") / F.col("__fr"), 6),
+            ).alias("participation_ratio"),
+        )
+    )

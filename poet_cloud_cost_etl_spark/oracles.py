@@ -7763,3 +7763,43 @@ R10_QUEUED_ORACLES["langid_source_agreement"] = """
     FROM totals t JOIN pe ON t.source = pe.source
     ORDER BY t.source
 """
+
+R10_QUEUED_ORACLES["embedding_participation_ratio"] = """
+    WITH q AS (
+        SELECT list_transform(embedding,
+            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS a
+        FROM embeddings
+    ),
+    pr AS (
+        SELECT CAST(ii.i AS INTEGER) - 1 AS i, CAST(jj.j AS INTEGER) - 1 AS j,
+            CAST(a[CAST(ii.i AS INTEGER)] AS HUGEINT)
+                * a[CAST(jj.j AS INTEGER)] AS p
+        FROM q,
+            UNNEST(range(1, 64 + 1)) AS ii(i),
+            UNNEST(range(1, 64 + 1)) AS jj(j)
+    ),
+    gram AS (SELECT i, j, SUM(p) AS g FROM pr GROUP BY 1, 2),
+    ents AS (
+        SELECT list(CAST(g AS DOUBLE) / 1000000000000.0 ORDER BY i, j)
+            AS gs,
+        list(CASE WHEN i = j THEN CAST(g AS DOUBLE) / 1000000000000.0 END
+            ORDER BY i, j) FILTER (i = j) AS ds
+        FROM gram
+    ),
+    folds AS (
+        SELECT
+            list_reduce(list_concat([CAST(0.0 AS DOUBLE)], ds),
+                (acc, x) -> acc + x) AS tr,
+            list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                list_transform(gs, x -> x * x)),
+                (acc, x) -> acc + x) AS fr
+        FROM ents
+    )
+    SELECT CAST(64 AS BIGINT) AS dim,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings) AS n_vectors,
+        ROUND(tr, 6) AS trace_total,
+        ROUND(fr, 6) AS frob_sq,
+        CASE WHEN fr != 0.0 THEN ROUND(tr * tr / fr, 6) END
+            AS participation_ratio
+    FROM folds
+"""

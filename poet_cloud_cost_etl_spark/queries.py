@@ -5646,3 +5646,15 @@ def _r10q_langid_source_agreement(
 
     d = table(spark, sf_dir, "documents")
     return langid_agreement_by_source(d, "doc_id", "text", "lang", "source")
+
+
+def _r10q_embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Effective dimensionality (operators/embeddings.py:
+    participation_ratio) — trace(G)^2 / ||G||_F^2 of the exact X60
+    Gram, no eigendecomposition; the rank-collapse dial."""
+    from .operators.embeddings import participation_ratio
+
+    e = table(spark, sf_dir, "embeddings")
+    return participation_ratio(e, "embedding", dim=64)

@@ -347,3 +347,46 @@ def test_langid_source_agreement_duckdb_parity_and_kappa(spark):
     }
     assert out["A"].kappa == 1.0 and out["A"].accuracy_ppm == 1_000_000
     assert out["B"].kappa is None and out["B"].accuracy_ppm == 1_000_000
+
+
+def test_participation_ratio_duckdb_parity_and_bounds(spark):
+    """PR parity on sf0.001 embeddings plus the analytic bounds:
+    1 <= PR <= dim; and on a hand-built isotropic fixture (identity
+    directions, equal mass) PR must equal the vector dimension
+    exactly."""
+    from tests.conftest import SF_SMALL
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.oracles import R10_QUEUED_ORACLES
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        participation_ratio,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    out = participation_ratio(e, "embedding", dim=64).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert 1.0 <= r.participation_ratio <= 64.0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/embeddings.parquet')"
+    )
+    cols, orows = _duck(
+        con, R10_QUEUED_ORACLES["embedding_participation_ratio"]
+    )
+    assert sorted(map(tuple, orows)) == sorted(map(tuple, out))
+
+    # isotropic fixture: 4 one-hot directions, equal mass -> G = I,
+    # trace = 4, frob = 4, PR = 4 = dim exactly
+    iso = spark.createDataFrame(
+        [(i, [1.0 if d == i else 0.0 for d in range(4)]) for i in range(4)],
+        ["vec_id", "embedding"],
+    )
+    ri = participation_ratio(iso, "embedding", dim=4).collect()[0]
+    assert ri.participation_ratio == 4.0 and ri.trace_total == 4.0
+    # rank-1 fixture: all mass on one direction -> PR = 1
+    r1 = spark.createDataFrame(
+        [(i, [2.0, 0.0, 0.0]) for i in range(5)], ["vec_id", "embedding"]
+    )
+    rr = participation_ratio(r1, "embedding", dim=3).collect()[0]
+    assert rr.participation_ratio == 1.0
