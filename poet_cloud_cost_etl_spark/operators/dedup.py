@@ -2365,7 +2365,15 @@ def exact_substring_rewrite(
     the token drop + rebuild is a single narrow higher-order
     expression (filter/transform/concat_ws) in the scan stage — the
     rewrite itself never shuffles."""
-    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    # eager checkpoint (r9 review finding): base feeds TWO plan
+    # branches (span detection + rebuild probe side); without
+    # materialization Spark recomputes the TOKENS_SQL regex scan in
+    # each branch — the subtrees share no identical exchange, so
+    # ReuseExchange cannot fire (the _pair_common / assigned0
+    # precedent).
+    base = df.select(
+        F.col(id_col), tokens(text_col).alias("__t")
+    ).localCheckpoint(eager=True)
     spans = _cut_spans_from_tokens(base, id_col, min_count)
     sp = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")

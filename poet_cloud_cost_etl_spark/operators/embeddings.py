@@ -568,6 +568,52 @@ def standardize_dims(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _exact_gram(df: DataFrame, vec_col: str) -> DataFrame:
+    """THE exact second-moment (uncentered Gram) construction — the
+    load-bearing arithmetic convention (1e-6 quantization to BIGINT,
+    exact BIGINT products, DECIMAL(38,0) accumulation, upper-triangle
+    explode mirrored once) in ONE place, shared by X60
+    ``top_principal_component``, X147 ``pc_variance_explained`` and
+    the r10-queue ``participation_ratio`` (r9 review finding: three
+    verbatim copies would let a scale-constant tweak silently
+    desynchronize the ops and their oracles).
+
+    Quantize ONCE per row (d rounds), not once per pair (2·d²
+    rounds — the first cut paid ~5× the scan CPU); the per-pair work
+    is a single BIGINT multiply (exact while |component| < ~3e3:
+    3e9² < 2⁶³), DECIMAL(38,0) widening once per pair inside the
+    SUM. Returns the FULL mirrored gram ``(i, j, __g)`` — ÷1e12
+    recovers the double value.
+
+    Scale: the pair explode covers only the upper triangle
+    (d(d+1)/2 pairs per row); map-side partials collapse every
+    partition to ≤ d(d+1)/2 rows — the shuffle is FIXED-SIZE,
+    independent of corpus size."""
+    quant = df.select(
+        F.expr(
+            "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000)"
+            " AS BIGINT))".format(v=vec_col)
+        ).alias("__a")
+    )
+    pairs = quant.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__a, (x, i) -> "
+                "transform(slice(__a, i + 1, size(__a) - i), "
+                "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))"
+            )
+        ).alias("e")
+    ).select("e.i", "e.j", "e.p")
+    upper = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
+    )
+    return upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "__g"
+        )
+    )
+
+
 def top_principal_component(
     df: DataFrame, vec_col: str, dim: int, iters: int = 8
 ) -> DataFrame:
@@ -607,37 +653,7 @@ def top_principal_component(
     the vector length: a mismatch surfaces as NULL loadings (zip_with
     pads with null and the fold propagates it), never as a silent
     truncation."""
-    # Quantize ONCE per row (64 rounds), not once per pair (2·d²
-    # rounds — the first cut of this operator did that and paid ~5×
-    # the scan CPU); the per-pair work is then a single BIGINT
-    # multiply (exact while |component| < ~3e3: 3e9² < 2⁶³), and the
-    # DECIMAL(38,0) widening happens once per pair inside the SUM.
-    quant = df.select(
-        F.expr(
-            "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))".format(
-                v=vec_col
-            )
-        ).alias("__a")
-    )
-    # G is symmetric: explode only the upper triangle (j >= i) —
-    # d(d+1)/2 pairs per row instead of d² — and mirror the strictly-
-    # upper entries after the aggregate (a (d²/2)-row map, one-time).
-    pairs = quant.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(__a, (x, i) -> transform(slice(__a, i + 1, size(__a) - i), "
-                "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))"
-            )
-        ).alias("e")
-    ).select("e.i", "e.j", "e.p")
-    upper = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
-    )
-    gram = upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "__g"
-        )
-    )
+    gram = _exact_gram(df, vec_col)
     gj = gram.groupBy("j").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(i, __g))), "
@@ -1066,29 +1082,7 @@ def pc_variance_explained(
 
     Scale: the corpus is touched once (the fixed-size Gram
     shuffle); everything after runs on d-row / 1-row frames."""
-    quant = df.select(
-        F.expr(
-            "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))".format(
-                v=vec_col
-            )
-        ).alias("__a")
-    )
-    pairs = quant.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(__a, (x, i) -> transform(slice(__a, i + 1, size(__a) - i), "
-                "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))"
-            )
-        ).alias("e")
-    ).select("e.i", "e.j", "e.p")
-    upper = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
-    )
-    gram = upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "__g"
-        )
-    )
+    gram = _exact_gram(df, vec_col)
     gj = gram.groupBy("j").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(i, __g))), "
@@ -1167,9 +1161,7 @@ def pc_variance_explained(
     )
 
 
-def participation_ratio(
-    df: DataFrame, vec_col: str, dim: int = 64
-) -> DataFrame:
+def participation_ratio(df: DataFrame, vec_col: str) -> DataFrame:
     """r10-queue: embedding participation ratio — the effective
     dimensionality scalar PR = (Σλ)²/Σλ² = trace(G)²/‖G‖²_F of the
     corpus second-moment matrix, computed WITHOUT any
@@ -1191,41 +1183,26 @@ def participation_ratio(
     Scale: identical to X60's Gram stage — upper-triangle pair
     explode, map-side partials collapse every partition to
     ≤ d(d+1)/2 rows, a FIXED-SIZE shuffle independent of corpus
-    size; the folds run on one d²-entry array row."""
-    quant = df.select(
-        F.expr(
-            "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000)"
-            " AS BIGINT))".format(v=vec_col)
-        ).alias("__a")
-    )
-    pairs = quant.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(__a, (x, i) -> "
-                "transform(slice(__a, i + 1, size(__a) - i), "
-                "(y, j) -> struct(i AS i, i + j AS j, x * y AS p))))"
-            )
-        ).alias("e")
-    ).select("e.i", "e.j", "e.p")
-    upper = pairs.groupBy("i", "j").agg(
-        F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
-    )
-    gram = upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "__g"
-        )
-    )
+    size; the folds run on one d²-entry array row. ``dim`` is
+    DERIVED from the data (max array size — r9 review finding: a
+    parameter the computation never validates is a lie waiting to
+    be read), so the PR ≤ dim bound always refers to the actual
+    vectors."""
+    gram = _exact_gram(df, vec_col)
     ents = gram.agg(
         F.expr(
             "array_sort(collect_list(struct(i, j, "
             "CAST(__g AS DOUBLE) / 1000000000000.0 AS gd)))"
         ).alias("es")
     )
-    n = df.agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+    n = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.max(F.size(F.col(vec_col))).cast("long").alias("dim"),
+    )
     return (
         ents.crossJoin(F.broadcast(n))
         .select(
-            F.lit(int(dim)).cast("long").alias("dim"),
+            "dim",
             "n_vectors",
             F.expr(
                 "aggregate(filter(es, e -> e.i = e.j), 0.0D, "

@@ -70,13 +70,27 @@ def quality_features(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return feat.select("*", F.round(score, 2).alias("quality_score"))
 
 
-def lang_scores(df: DataFrame, id_col: str, text_col: str, true_lang: str) -> DataFrame:
+def lang_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    true_lang: str,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """Language-ID heuristic: marker-word hit counts per language,
-    argmax with fixed precedence (en > es > de > fr > unknown)."""
-    t = df.select(F.col(id_col), F.col(true_lang), tokens(text_col).alias("__t"))
+    argmax with fixed precedence (en > es > de > fr > unknown).
+    ``carry_cols`` ride through the scan-stage select so consumers
+    that need extra axes (e.g. the per-source agreement audit) don't
+    pay a corpus-sized join to re-attach them."""
+    carries = [F.col(c) for c in carry_cols]
+    t = df.select(
+        F.col(id_col), F.col(true_lang), *carries,
+        tokens(text_col).alias("__t"),
+    )
     scored = t.select(
         F.col(id_col),
         F.col(true_lang),
+        *carries,
         *[
             F.expr(_in_list("__t", words)).alias(f"s_{lang}")
             for lang, words in LANG_MARKERS.items()
@@ -95,7 +109,9 @@ def lang_scores(df: DataFrame, id_col: str, text_col: str, true_lang: str) -> Da
         .when(F.col("s_fr") > 0, "fr")
         .otherwise("unknown")
     )
-    return scored.select(F.col(id_col), F.col(true_lang), pred.alias("pred_lang"))
+    return scored.select(
+        F.col(id_col), F.col(true_lang), *carries, pred.alias("pred_lang")
+    )
 
 
 def winnow_fingerprint(sh: DataFrame, id_col: str) -> DataFrame:
@@ -3267,8 +3283,9 @@ def langid_agreement_by_source(
     everything downstream aggregates on (source, class) keys
     bounded by |sources|·|langs|² — corpus size never appears past
     the first aggregate."""
-    src = df.select(F.col(id_col), F.col(source_col))
-    scored = lang_scores(df, id_col, text_col, lang_col).join(src, id_col)
+    scored = lang_scores(
+        df, id_col, text_col, lang_col, carry_cols=(source_col,)
+    )
     cells = scored.groupBy(
         source_col,
         F.col("pred_lang").alias("__p"),
@@ -3301,8 +3318,17 @@ def langid_agreement_by_source(
             .alias("__pe_num")
         )
     )
+    # LEFT join + coalesce (r9 review finding): a source whose label
+    # set and predicted set are DISJOINT — exactly the fully-
+    # mislabeled source this audit exists to flag — has an empty
+    # p=l marginal join and therefore no pe row; an inner join would
+    # silently drop it from the panel. pe_num=0 degrades kappa to
+    # trace/n, the correct chance-free limit.
     return (
-        totals.join(pe, source_col)
+        totals.join(pe, source_col, "left")
+        .withColumn(
+            "__pe_num", F.coalesce(F.col("__pe_num"), F.lit(0).cast("long"))
+        )
         .select(
             F.col(source_col),
             "n_docs",

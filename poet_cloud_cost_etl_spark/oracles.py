@@ -7755,12 +7755,13 @@ R10_QUEUED_ORACLES["langid_source_agreement"] = """
     )
     SELECT t.source, t.n AS n_docs,
         CAST((1000000 * t.trace) // t.n AS BIGINT) AS accuracy_ppm,
-        CAST((1000000 * pe.pe_num) // (t.n * t.n) AS BIGINT) AS chance_ppm,
-        CASE WHEN t.n * t.n != pe.pe_num THEN
-            ROUND(CAST(t.n * t.trace - pe.pe_num AS DOUBLE)
-                / CAST(t.n * t.n - pe.pe_num AS DOUBLE), 6)
+        CAST((1000000 * COALESCE(pe.pe_num, 0)) // (t.n * t.n) AS BIGINT)
+            AS chance_ppm,
+        CASE WHEN t.n * t.n != COALESCE(pe.pe_num, 0) THEN
+            ROUND(CAST(t.n * t.trace - COALESCE(pe.pe_num, 0) AS DOUBLE)
+                / CAST(t.n * t.n - COALESCE(pe.pe_num, 0) AS DOUBLE), 6)
         END AS kappa
-    FROM totals t JOIN pe ON t.source = pe.source
+    FROM totals t LEFT JOIN pe ON t.source = pe.source
     ORDER BY t.source
 """
 

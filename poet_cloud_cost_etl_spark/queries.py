@@ -5657,4 +5657,4 @@ def _r10q_embedding_participation_ratio(
     from .operators.embeddings import participation_ratio
 
     e = table(spark, sf_dir, "embeddings")
-    return participation_ratio(e, "embedding", dim=64)
+    return participation_ratio(e, "embedding")

@@ -362,7 +362,7 @@ def test_participation_ratio_duckdb_parity_and_bounds(spark):
     )
 
     e = table(spark, SF_SMALL, "embeddings")
-    out = participation_ratio(e, "embedding", dim=64).collect()
+    out = participation_ratio(e, "embedding").collect()
     assert len(out) == 1
     r = out[0]
     assert 1.0 <= r.participation_ratio <= 64.0
@@ -382,11 +382,53 @@ def test_participation_ratio_duckdb_parity_and_bounds(spark):
         [(i, [1.0 if d == i else 0.0 for d in range(4)]) for i in range(4)],
         ["vec_id", "embedding"],
     )
-    ri = participation_ratio(iso, "embedding", dim=4).collect()[0]
+    ri = participation_ratio(iso, "embedding").collect()[0]
     assert ri.participation_ratio == 4.0 and ri.trace_total == 4.0
+    assert ri.dim == 4  # derived from the data, not declared
     # rank-1 fixture: all mass on one direction -> PR = 1
     r1 = spark.createDataFrame(
         [(i, [2.0, 0.0, 0.0]) for i in range(5)], ["vec_id", "embedding"]
     )
-    rr = participation_ratio(r1, "embedding", dim=3).collect()[0]
+    rr = participation_ratio(r1, "embedding").collect()[0]
     assert rr.participation_ratio == 1.0
+
+
+def test_langid_agreement_keeps_disjoint_label_source(spark):
+    """r9 review finding: a source whose labels are entirely outside
+    the predictable class set (e.g. 'pt') must STAY in the panel —
+    accuracy 0, chance 0, kappa 0.0 — not vanish through an inner
+    marginal join. Pinned on both engines via the oracle."""
+    import pandas as pd
+    from poet_cloud_cost_etl_spark.oracles import R10_QUEUED_ORACLES
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        langid_agreement_by_source,
+    )
+
+    docs = [
+        (1, "the and of to is a", "pt", "BAD"),  # pred en, label pt
+        (2, "the and of to is a", "en", "GOOD"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+    out = {
+        r.source: r
+        for r in langid_agreement_by_source(
+            df, "doc_id", "text", "lang", "source"
+        ).collect()
+    }
+    assert set(out) == {"BAD", "GOOD"}
+    assert out["BAD"].accuracy_ppm == 0 and out["BAD"].kappa == 0.0
+    assert out["BAD"].chance_ppm == 0
+    assert out["GOOD"].accuracy_ppm == 1_000_000
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame(docs, columns=["doc_id", "text", "lang", "source"]),
+    )
+    cols, orows = _duck(con, R10_QUEUED_ORACLES["langid_source_agreement"])
+    srows = sorted(
+        tuple(r)
+        for r in langid_agreement_by_source(
+            df, "doc_id", "text", "lang", "source"
+        ).collect()
+    )
+    assert sorted(tuple(r) for r in orows) == srows
