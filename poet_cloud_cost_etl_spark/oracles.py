@@ -7448,12 +7448,11 @@ ORACLES["pc_variance_explained"] = f"""
 
 
 # ------------------------------------------------------------------
-# r10-queue oracles: READY but NOT merged into ORACLES — round 9's
-# correctness window must cover exactly the 50 never-checked
-# registrations (VERDICT r8 task 4), so these register in round 10
-# (move the entries into ORACLES next to the @query registrations).
-# Parity is already proven by tests/test_r10_queue.py against the
-# same sf0.001 tables the driver uses.
+# r10-cohort oracles: written and parity-proven in round 9
+# (tests/test_r10_queue.py), merged into ORACLES in round 10 when the
+# matching @query registrations landed (queries.py r10-cohort block).
+# The dict keeps its own name so the round-9 parity tests keep
+# reading it directly; ORACLES.update() below makes them official.
 R10_QUEUED_ORACLES: dict[str, str] = {}
 
 R10_QUEUED_ORACLES["pii_cooccurrence_audit"] = r"""
@@ -7804,3 +7803,8 @@ R10_QUEUED_ORACLES["embedding_participation_ratio"] = """
             AS participation_ratio
     FROM folds
 """
+
+
+# r10-cohort registration (see the block comment above): every queued
+# oracle becomes official alongside its @query twin in queries.py.
+ORACLES.update(R10_QUEUED_ORACLES)

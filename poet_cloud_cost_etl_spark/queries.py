@@ -5483,17 +5483,17 @@ def _rotation_order() -> list[str]:
     return sorted(QUERIES, key=lambda n: (last.get(n, -1), reg_index[n]))
 
 
-for _name in _rotation_order():
-    QUERIES[_name] = QUERIES.pop(_name)  # reinsert in staleness order
-del _name
-
-
 # ------------------------------------------------------------------
-# r10-queue: implemented + DuckDB-parity-proven in round 9
-# (tests/test_r10_queue.py), registration DEFERRED so the round-9
-# window covers exactly the 50 never-checked queries (VERDICT r8
-# task 4). Round 10: decorate with @query(...) and move the
-# R10_QUEUED_ORACLES entries (oracles.py) into ORACLES.
+# r10-cohort: implemented + DuckDB-parity-proven in round 9
+# (tests/test_r10_queue.py), registration deferred to round 10 so the
+# round-9 window could cover exactly the 50 never-checked queries
+# (VERDICT r8 task 4).  Registered here (r10, VERDICT r9 task 1);
+# their oracles live in oracles.py's R10_QUEUED_ORACLES block, merged
+# into ORACLES.  The rotation reorder runs AFTER these registrations
+# (end of module) so the no-row names — dedup_survivor_bias and
+# pc_variance_explained first (registered r9), then these 8 — lead
+# the r10 window: 10 slots, leaving 40 for the r4/r5-stale cohort.
+@query("pii_cooccurrence_audit")
 def _r10q_pii_cooccurrence_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5506,6 +5506,7 @@ def _r10q_pii_cooccurrence_audit(
     return pii_cooccurrence_audit(d, "doc_id", "text", "source")
 
 
+@query("uniform_group_sample")
 def _r10q_uniform_group_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5518,6 +5519,7 @@ def _r10q_uniform_group_sample(
     return uniform_group_sample(d, "source", "doc_id", 5)
 
 
+@query("dedup_survival_by_source")
 def _r10q_dedup_survival_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5598,6 +5600,7 @@ def _r10q_dedup_survival_by_source(
     )
 
 
+@query("lm_heldout_eval")
 def _r10q_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Held-out trigram-LM eval per source (operators/textstats.py:
     trigram_backoff_heldout_eval) — train counts from the 4/5
@@ -5609,6 +5612,7 @@ def _r10q_lm_heldout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_backoff_heldout_eval(d, "doc_id", "text", "source")
 
 
+@query("exact_substring_cut_spans")
 def _r10q_exact_substring_cut_spans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5622,6 +5626,7 @@ def _r10q_exact_substring_cut_spans(
     return exact_substring_cut_spans(d, "doc_id", "text")
 
 
+@query("exact_substring_rewrite")
 def _r10q_exact_substring_rewrite(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5635,6 +5640,7 @@ def _r10q_exact_substring_rewrite(
     return exact_substring_rewrite(d, "doc_id", "text")
 
 
+@query("langid_source_agreement")
 def _r10q_langid_source_agreement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5648,6 +5654,7 @@ def _r10q_langid_source_agreement(
     return langid_agreement_by_source(d, "doc_id", "text", "lang", "source")
 
 
+@query("embedding_participation_ratio")
 def _r10q_embedding_participation_ratio(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5658,3 +5665,10 @@ def _r10q_embedding_participation_ratio(
 
     e = table(spark, sf_dir, "embeddings")
     return participation_ratio(e, "embedding")
+
+
+# Rotation reorder (staleness-first window protocol) — runs LAST so
+# every registration above, including the r10 cohort, participates.
+for _name in _rotation_order():
+    QUERIES[_name] = QUERIES.pop(_name)  # reinsert in staleness order
+del _name
