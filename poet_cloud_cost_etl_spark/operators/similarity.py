@@ -454,7 +454,63 @@ def ivf_topk(
 # output work and is superseded; see bench.py's noop-action note.)
 FLAT_ASSIGN_MAX_K = 64
 
+# Below this bucket size the interpreted whole-stage-codegen pair
+# expression beats the BLAS kernel: the gemm path pays a fixed
+# Arrow-serialize + Python-worker + pandas-group round-trip per
+# bucket, while the expr path's m²·d interpreted scalar ops stay
+# JVM-side — at m=128/d=64 that is ~0.5M scalar ops (~sub-ms in
+# codegen) vs a ~ms-scale per-group Python round-trip. Above it the
+# m² growth buys the matmul back (the r9 10× probes: X137 13.2×→5.4×,
+# X129 18.6×→5.9× at constant ~600-row buckets). ``pair_impl="auto"``
+# splits each run's buckets on this size so a corpus with many tiny
+# leaves and a few hot ones gets the right engine PER BUCKET.
+GEMM_MIN_BUCKET = 128
 
+
+def _round6_half_up(x):
+    """Vectorized twin of Spark's ``F.round(col, 6)`` on DOUBLE:
+    ``BigDecimal.valueOf(x).setScale(6, HALF_UP)`` — decimal HALF_UP
+    (ties away from zero) on the SHORTEST-REPR decimal expansion of
+    the float, not numpy's binary round-half-even. The two disagree
+    exactly when the decimal expansion sits on (or the binary value
+    sits across) the .5 tie at the 7th decimal — e.g. the double
+    nearest 2.5e-6 rounds to 3e-6 under Spark but wherever its binary
+    error points under ``np.round`` (r9 ADVICE item 1; this class is
+    what kept the gemm kernels' bit-identity claim soft).
+
+    Fast path: on the |x|·1e6 scale the binary product sits within
+    ~4e-10 of the exact decimal expansion for |x| ≤ ~1 (cosines), so
+    any element whose fractional part is ≥ 1e-8 away from .5 rounds
+    identically under floor/ceil arithmetic; the rare guarded
+    elements round exactly via ``decimal`` on ``repr(x)`` — the same
+    shortest round-trip string ``Double.toString`` feeds
+    ``BigDecimal.valueOf``. NaN (the SQL NULL-cosine carrier) passes
+    through unchanged."""
+    import numpy as np
+
+    y = x * 1e6
+    finite = np.isfinite(y)
+    ay = np.abs(np.where(finite, y, 0.0))
+    fl = np.floor(ay)
+    frac = ay - fl
+    near_tie = finite & (np.abs(frac - 0.5) < 1e-8)
+    fast = np.where(frac >= 0.5, fl + 1.0, fl)
+    out = np.where(np.signbit(x), -fast, fast) / 1e6
+    out = np.where(finite, out, x)
+    if near_tie.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal("0.000001")
+        flat_x = x.ravel()
+        flat_out = out.ravel()
+        for i in np.flatnonzero(near_tie.ravel()):
+            flat_out[i] = float(
+                Decimal(repr(float(flat_x[i]))).quantize(
+                    q, rounding=ROUND_HALF_UP
+                )
+            )
+        out = flat_out.reshape(x.shape)
+    return out
 
 
 def _bucket_dups(
@@ -484,7 +540,32 @@ def _bucket_dups(
     round-to-6 discipline; per-task memory is one bucket's matrix —
     bounded by the constant-cluster-size policy that IS SemDeDup's
     scaling knob.  An oversized bucket is one task; split buckets
-    by growing the leaf count, exactly as for the expr path."""
+    by growing the leaf count, exactly as for the expr path.
+
+    ``pair_impl="auto"`` (the default at every call site since r10):
+    ONE window count over the bucket key — the same hash partitioning
+    every downstream stage needs anyway — splits the buckets at
+    ``GEMM_MIN_BUCKET`` rows; small buckets take the codegen expr
+    path, large ones the BLAS kernel, and the union is the per-bucket
+    best engine. The two branches are arithmetic-identical: the gemm
+    kernel rounds via ``_round6_half_up`` (Spark ``F.round``
+    semantics, r9 ADVICE item 1), so the split point never shows in
+    the output."""
+    if pair_impl == "auto":
+        from pyspark.sql.window import Window as _W
+
+        sized = buckets.withColumn(
+            "__m", F.count(F.lit(1)).over(_W.partitionBy(bucket_col))
+        )
+        small = sized.filter(F.col("__m") < GEMM_MIN_BUCKET).drop("__m")
+        large = sized.filter(F.col("__m") >= GEMM_MIN_BUCKET).drop("__m")
+        return _bucket_dups(
+            small, id_col, vec_col, bucket_col, threshold, "expr"
+        ).unionByName(
+            _bucket_dups(
+                large, id_col, vec_col, bucket_col, threshold, "gemm"
+            )
+        )
     if pair_impl == "expr":
         a = buckets.select(
             F.col(id_col).alias("__ida"),
@@ -514,7 +595,9 @@ def _bucket_dups(
             )
         )
     if pair_impl != "gemm":
-        raise ValueError(f"pair_impl must be expr|gemm, got {pair_impl!r}")
+        raise ValueError(
+            f"pair_impl must be auto|expr|gemm, got {pair_impl!r}"
+        )
 
     import numpy as np
     import pandas as pd
@@ -545,7 +628,7 @@ def _bucket_dups(
         nrm = np.linalg.norm(X, axis=1)
         denom = np.outer(nrm, nrm)
         with np.errstate(divide="ignore", invalid="ignore"):
-            sims = np.round((X @ X.T) / denom, 6)
+            sims = _round6_half_up((X @ X.T) / denom)
         # ids ascend along the axis, so "some lower-id mate >= thr"
         # is an any() over the strict lower triangle per row
         with np.errstate(invalid="ignore"):
@@ -646,7 +729,7 @@ def _bucket_pair_scores_gemm(
         denom = np.outer(na, nb)
         with np.errstate(divide="ignore", invalid="ignore"):
             sims = (A @ B.T) / denom
-        cos_e6 = np.rint(np.round(sims, 6) * 1_000_000)
+        cos_e6 = np.rint(_round6_half_up(sims) * 1_000_000)
         valid = denom > 0.0
         if cross is None:
             ii, jj = np.triu_indices(na_rows, k=1)
@@ -676,6 +759,99 @@ def _bucket_pair_scores_gemm(
         buckets.select(*dict.fromkeys(keep))
         .groupBy(bucket_col)
         .applyInPandas(_kern, out_schema)
+    )
+
+
+def _bucket_pair_scores_expr(
+    buckets: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    vec_col: str,
+    payload_cols: tuple[str, ...] = (),
+    cross_col: str | None = None,
+) -> DataFrame:
+    """Interpreted twin of ``_bucket_pair_scores_gemm``: bucket-keyed
+    self-join + the higher-order-function cosine, round-6 then the
+    ×1e6 re-round via ``F.round`` (HALF_UP) — the oracle-pinned
+    arithmetic, whole-stage codegen end-to-end. Same output contract:
+    ``(id_a, id_b, cos_e6, <p>_a, <p>_b ...)``, within-bucket pairs
+    with ``id_a < id_b`` (default) or the full a×b cross block when
+    ``cross_col`` is given (0 = a-side, 1 = b-side); a zero-norm side
+    yields NULL ``cos_e6``. This is the right engine for SMALL
+    buckets, where the gemm path's per-group Arrow round-trip
+    dominates its matmul win (see ``GEMM_MIN_BUCKET``)."""
+    sel_a = [
+        F.col(bucket_col),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("__va"),
+    ]
+    sel_b = [
+        F.col(bucket_col),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("__vb"),
+    ]
+    for p in payload_cols:
+        sel_a.append(F.col(p).alias(f"{p}_a"))
+        sel_b.append(F.col(p).alias(f"{p}_b"))
+    a_side = b_side = buckets
+    if cross_col is not None:
+        a_side = buckets.filter(F.col(cross_col) == 0)
+        b_side = buckets.filter(F.col(cross_col) == 1)
+    j = a_side.select(*sel_a).join(b_side.select(*sel_b), bucket_col)
+    if cross_col is None:
+        j = j.filter(F.col("id_a") < F.col("id_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
+        .cast("long")
+        .alias("cos_e6"),
+        *[c for p in payload_cols for c in (f"{p}_a", f"{p}_b")],
+    )
+
+
+def _pair_scores(
+    buckets: DataFrame,
+    bucket_col: str,
+    id_col: str,
+    vec_col: str,
+    payload_cols: tuple[str, ...] = (),
+    cross_col: str | None = None,
+    pair_impl: str = "auto",
+) -> DataFrame:
+    """Engine dispatcher for the within-bucket pair-scoring family
+    (X129/X137): ``"expr"`` = codegen self-join, ``"gemm"`` = BLAS
+    kernel, ``"auto"`` (default since r10, VERDICT r9 task 2) splits
+    the buckets at ``GEMM_MIN_BUCKET`` rows with one window count
+    over the bucket key and unions the per-bucket best engine. The
+    branches are arithmetic-identical (``_round6_half_up`` gives the
+    kernel Spark's ``F.round`` HALF_UP semantics), so the split point
+    never shows in the output."""
+    if pair_impl == "expr":
+        return _bucket_pair_scores_expr(
+            buckets, bucket_col, id_col, vec_col, payload_cols, cross_col
+        )
+    if pair_impl == "gemm":
+        return _bucket_pair_scores_gemm(
+            buckets, bucket_col, id_col, vec_col, payload_cols, cross_col
+        )
+    if pair_impl != "auto":
+        raise ValueError(
+            f"pair_impl must be auto|expr|gemm, got {pair_impl!r}"
+        )
+    from pyspark.sql.window import Window as _W
+
+    sized = buckets.withColumn(
+        "__m", F.count(F.lit(1)).over(_W.partitionBy(bucket_col))
+    )
+    small = sized.filter(F.col("__m") < GEMM_MIN_BUCKET).drop("__m")
+    large = sized.filter(F.col("__m") >= GEMM_MIN_BUCKET).drop("__m")
+    return _bucket_pair_scores_expr(
+        small, bucket_col, id_col, vec_col, payload_cols, cross_col
+    ).unionByName(
+        _bucket_pair_scores_gemm(
+            large, bucket_col, id_col, vec_col, payload_cols, cross_col
+        )
     )
 
 
@@ -722,7 +898,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     refine_iters: int = 0,
     assign: str = "auto",
-    pair_impl: str = "expr",
+    pair_impl: str = "auto",
 ) -> DataFrame:
     """X28: SemDeDup-style embedding near-duplicate pruning (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -1007,7 +1183,7 @@ def semantic_dedup_tree(
     branching: int = 8,
     depth: int = 2,
     threshold: float = 0.95,
-    pair_impl: str = "expr",
+    pair_impl: str = "auto",
 ) -> DataFrame:
     """X28 at scale: SemDeDup over the log-depth centroid tree.
     Identical duplicate semantics to ``semantic_dedup`` (within-
@@ -1461,7 +1637,7 @@ def cosine_threshold_calibration(
         800_000,
         950_000,
     ),
-    pair_impl: str = "expr",
+    pair_impl: str = "auto",
     assign: str = "auto",
 ) -> DataFrame:
     """X137: semantic-dedup threshold calibration — the operating
@@ -1487,13 +1663,12 @@ def cosine_threshold_calibration(
     bucket kernel (``_bucket_pair_scores_gemm``) — the r9 10×
     probe showed the interpreted pair stage dominating (13.2× at
     constant bucket size); the sweep and aggregation are unchanged,
-    so both impls are bit-identical by test.  ``assign`` picks the
-    bucket-assignment engine (flat N·k vs log-depth tree) with the
-    X28 auto policy — once the pair stage is GEMM-cheap, flat
-    assignment's N·k growth is what remains superlinear when k
-    must scale with N."""
-    if pair_impl not in ("expr", "gemm"):
-        raise ValueError(f"pair_impl must be expr|gemm, got {pair_impl!r}")
+    so both impls are bit-identical by test; ``"auto"`` (default
+    since r10) splits the buckets at ``GEMM_MIN_BUCKET`` via
+    ``_pair_scores``.  ``assign`` picks the bucket-assignment engine
+    (flat N·k vs log-depth tree) with the X28 auto policy — once the
+    pair stage is GEMM-cheap, flat assignment's N·k growth is what
+    remains superlinear when k must scale with N."""
     labels = corpus.select(F.col(id_col), F.col(label_col))
     assigned = (
         _centroid_buckets(corpus, id_col, vec_col, n_centroids, assign)
@@ -1505,36 +1680,17 @@ def cosine_threshold_calibration(
             "centroid_id",
         )
     )
-    if pair_impl == "gemm":
-        pairs = _bucket_pair_scores_gemm(
-            assigned, "centroid_id", "__id", "__v", payload_cols=("__lab",)
-        ).select(
-            F.col("cos_e6").alias("__cos_e6"),
-            (F.col("__lab_a") == F.col("__lab_b")).alias("__same"),
-        )
-    else:
-        a = assigned.select(
-            "centroid_id",
-            F.col("__id").alias("__ia"),
-            F.col("__v").alias("__va"),
-            F.col("__lab").alias("__la"),
-        )
-        b = assigned.select(
-            "centroid_id",
-            F.col("__id").alias("__ib"),
-            F.col("__v").alias("__vb"),
-            F.col("__lab").alias("__lb"),
-        )
-        pairs = (
-            a.join(b, "centroid_id")
-            .filter(F.col("__ia") < F.col("__ib"))
-            .select(
-                F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
-                .cast("long")
-                .alias("__cos_e6"),
-                (F.col("__la") == F.col("__lb")).alias("__same"),
-            )
-        )
+    pairs = _pair_scores(
+        assigned,
+        "centroid_id",
+        "__id",
+        "__v",
+        payload_cols=("__lab",),
+        pair_impl=pair_impl,
+    ).select(
+        F.col("cos_e6").alias("__cos_e6"),
+        (F.col("__lab_a") == F.col("__lab_b")).alias("__same"),
+    )
     thr_arr = F.array(*[F.lit(int(t)) for t in thresholds])
     swept = pairs.select(
         "__cos_e6", "__same", F.explode(thr_arr).alias("thr_ppm")
@@ -1584,7 +1740,7 @@ def margin_knn_pairs(
     n_centroids: int = 8,
     k: int = 4,
     top_pairs: int = 20,
-    pair_impl: str = "expr",
+    pair_impl: str = "auto",
     assign: str = "auto",
 ) -> DataFrame:
     """X129: margin-based nearest-neighbor pair mining (Artetxe &
@@ -1614,12 +1770,11 @@ def margin_knn_pairs(
     pair stage at 18.6× for 10× data at constant bucket size, and
     the per-pair interpreter constant is that gap; the margin
     windows and final ranking are shared, so both impls are
-    bit-identical by test.  ``assign`` picks the bucket-assignment
-    engine (flat N·k vs log-depth tree) with the X28 auto policy."""
+    bit-identical by test; ``"auto"`` (default since r10) splits the
+    buckets at ``GEMM_MIN_BUCKET`` via ``_pair_scores``.  ``assign``
+    picks the bucket-assignment engine (flat N·k vs log-depth tree)
+    with the X28 auto policy."""
     from pyspark.sql.window import Window
-
-    if pair_impl not in ("expr", "gemm"):
-        raise ValueError(f"pair_impl must be expr|gemm, got {pair_impl!r}")
 
     labels = corpus.select(
         F.col(id_col), (F.col(label_col) % 2).alias("__g")
@@ -1634,28 +1789,18 @@ def margin_knn_pairs(
             "centroid_id",
         )
     )
-    if pair_impl == "gemm":
-        pairs = _bucket_pair_scores_gemm(
-            assigned, "centroid_id", "__id", "__v", cross_col="__g"
-        ).select("id_a", "id_b", "cos_e6").localCheckpoint(eager=True)
-    else:
-        x = assigned.filter(F.col("__g") == 0).select(
+    pairs = (
+        _pair_scores(
+            assigned,
             "centroid_id",
-            F.col("__id").alias("id_a"),
-            F.col("__v").alias("__va"),
+            "__id",
+            "__v",
+            cross_col="__g",
+            pair_impl=pair_impl,
         )
-        y = assigned.filter(F.col("__g") == 1).select(
-            "centroid_id",
-            F.col("__id").alias("id_b"),
-            F.col("__v").alias("__vb"),
-        )
-        pairs = x.join(y, "centroid_id").select(
-            "id_a",
-            "id_b",
-            F.round(F.round(cosine("__va", "__vb"), 6) * 1_000_000)
-            .cast("long")
-            .alias("cos_e6"),
-        ).localCheckpoint(eager=True)
+        .select("id_a", "id_b", "cos_e6")
+        .localCheckpoint(eager=True)
+    )
     wa = Window.partitionBy("id_a").orderBy(
         F.col("cos_e6").desc(), F.col("id_b").asc()
     )

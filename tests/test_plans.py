@@ -371,7 +371,15 @@ def test_semantic_dedup_auto_switch_plan(spark):
 
     small = semantic_dedup(e, "vec_id", "embedding", n_centroids=8)
     small_plan = X.physical_plan(small)
-    assert small_plan.count("Window") == 0, small_plan
+    # flat assignment itself is Window-free (global orderBy+limit
+    # draw); since r10 the default pair_impl='auto' adds exactly ONE
+    # Window — the bucket-size count, keyed on centroid_id (never a
+    # whole-corpus single-partition window) — that splits buckets
+    # between the codegen expr path and the BLAS kernel.
+    assert small_plan.count("Window") >= 1, small_plan
+    assert small_plan.count("Window") == small_plan.count(
+        "windowspecdefinition(centroid_id"
+    ), small_plan  # every Window is the keyed size count, nothing global
     assert "TakeOrderedAndProject" in small_plan, small_plan
 
     with pytest.raises(ValueError, match="refine_iters"):

@@ -1,0 +1,138 @@
+"""Round-10 consolidation tests: the HALF_UP rounding twin that makes
+the BLAS pair kernels decimal-identical to Spark's ``F.round`` (r9
+ADVICE item 1), and the ``pair_impl="auto"`` per-bucket engine split
+that makes the scale-proven gemm path the default (VERDICT r9 task 2).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_round6_half_up_matches_spark_round(spark):
+    """``_round6_half_up`` must agree with Spark's ``F.round(x, 6)``
+    (BigDecimal HALF_UP on the shortest-repr decimal expansion) on an
+    adversarial value set that INCLUDES the decimal-tie class where
+    ``np.round`` (binary half-to-even) diverges — e.g. the double
+    nearest 2.5e-6 rounds up under Spark but wherever its binary
+    error points under numpy. Ground truth is Spark itself."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        _round6_half_up,
+    )
+
+    rng = random.Random(7)
+    vals = [
+        2.5e-6, -2.5e-6, 1.5e-6, -1.5e-6, 5e-7, -5e-7, 3.5e-7,
+        0.0078125, -0.0078125,  # 1/128: a dyadic 7-decimal tie
+        0.9999995, -0.9999995, 0.1234565, 0.1234575, 0.12345649999,
+        1.0, -1.0, 0.0, -0.0, 0.5, -0.5,
+    ]
+    # sweep constructed 7-decimal ties (x.xxxxxx5 shapes) plus a
+    # dense uniform cloud over the cosine range
+    vals += [float(f"0.{i:06d}5") for i in range(0, 999_999, 7919)]
+    vals += [-float(f"0.{i:06d}5") for i in range(0, 999_999, 104_729)]
+    vals += [rng.uniform(-1, 1) for _ in range(5000)]
+    vals += [rng.uniform(-1, 1) * 1e-5 for _ in range(2000)]
+
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        "x", F.round("x", 6).alias("r")
+    )
+    rows = df.collect()
+    got = _round6_half_up(np.array([r.x for r in rows], dtype=np.float64))
+    for i, r in enumerate(rows):
+        assert got[i] == r.r, (r.x, r.r, got[i])
+    # NaN (the SQL NULL-cosine carrier) passes through
+    out = _round6_half_up(np.array([float("nan"), 0.25]))
+    assert math.isnan(out[0]) and out[1] == 0.25
+    # the divergence class is real: numpy's rounding must disagree
+    # with Spark somewhere in this set, else the helper is pointless
+    sparkr = np.array([r.r for r in rows])
+    xs = np.array([r.x for r in rows])
+    assert (np.round(xs, 6) != sparkr).any()
+
+
+def test_pair_impl_auto_splits_and_matches(spark, monkeypatch):
+    """``pair_impl='auto'`` must (a) route small buckets to the expr
+    engine and large ones to the BLAS kernel — both branches visible
+    in the plan when the fixture straddles the threshold — and (b)
+    return exactly the expr path's rows for every operator in the
+    family. GEMM_MIN_BUCKET is pinned mid-fixture (~500 rows over 8
+    centroids ≈ 60/bucket) so BOTH arms do real work."""
+    from poet_cloud_cost_etl_spark.catalog import table as _t
+    from poet_cloud_cost_etl_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "GEMM_MIN_BUCKET", 60)
+    emb = _t(spark, SF_SMALL, "embeddings")
+
+    auto_df = S.semantic_dedup(
+        emb, "vec_id", "embedding", threshold=0.35, pair_impl="auto"
+    )
+    plan = auto_df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, plan  # gemm arm present
+    assert "Union" in plan, plan  # expr arm unioned in
+    auto = {(r.vec_id, r.centroid_id, r.is_dup) for r in auto_df.collect()}
+    expr = {
+        (r.vec_id, r.centroid_id, r.is_dup)
+        for r in S.semantic_dedup(
+            emb, "vec_id", "embedding", threshold=0.35, pair_impl="expr"
+        ).collect()
+    }
+    assert auto == expr
+
+    cal_auto = S.cosine_threshold_calibration(
+        emb, "vec_id", "embedding", "label", pair_impl="auto"
+    ).collect()
+    cal_expr = S.cosine_threshold_calibration(
+        emb, "vec_id", "embedding", "label", pair_impl="expr"
+    ).collect()
+    assert [tuple(r) for r in cal_auto] == [tuple(r) for r in cal_expr]
+
+    m_auto = S.margin_knn_pairs(
+        emb, "vec_id", "embedding", "label", pair_impl="auto"
+    ).collect()
+    m_expr = S.margin_knn_pairs(
+        emb, "vec_id", "embedding", "label", pair_impl="expr"
+    ).collect()
+    assert [tuple(r) for r in m_auto] == [tuple(r) for r in m_expr]
+
+
+def test_pair_impl_auto_is_default_and_validated(spark):
+    """The r10 default flip: every operator in the centroid-bucketed
+    pair family defaults to ``pair_impl='auto'``; an unknown impl is
+    rejected with the full menu."""
+    import inspect
+
+    from poet_cloud_cost_etl_spark.operators import similarity as S
+
+    for fn in (
+        S.semantic_dedup,
+        S.semantic_dedup_tree,
+        S.cosine_threshold_calibration,
+        S.margin_knn_pairs,
+    ):
+        assert (
+            inspect.signature(fn).parameters["pair_impl"].default == "auto"
+        ), fn.__name__
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    with pytest.raises(ValueError, match="auto|expr|gemm"):
+        S.semantic_dedup(
+            emb, "vec_id", "embedding", pair_impl="blas"
+        ).collect()
+    with pytest.raises(ValueError, match="auto|expr|gemm"):
+        S._pair_scores(
+            emb.withColumn("b", F.lit(1)),
+            "b",
+            "vec_id",
+            "embedding",
+            pair_impl="nope",
+        )
