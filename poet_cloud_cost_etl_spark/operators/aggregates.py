@@ -976,7 +976,17 @@ def freshness_decay_weights(
             F.expr("sum(__w) div count(1)").cast("long").alias(
                 "mean_weight_ppm"
             ),
-            F.sum(F.expr("(__cents * __w) div 1000000"))
+            # sign-symmetric division (the X41 convention): Spark div
+            # truncates toward zero, DuckDB // floors — abs then
+            # re-sign so negative money values (credits/refunds)
+            # agree across engines (r9 ADVICE item 2). __w >= 0.
+            F.sum(
+                F.expr(
+                    "CASE WHEN __cents < 0 THEN "
+                    "-(((-__cents) * __w) div 1000000) "
+                    "ELSE (__cents * __w) div 1000000 END"
+                )
+            )
             .cast("long")
             .alias("weighted_cents"),
             F.sum("__cents").cast("long").alias("raw_cents"),
@@ -1020,7 +1030,12 @@ def quantile_sample_error(
 
     Scale: two value-keyed count aggregates (full + sample), one
     bounded lattice window each (distinct values, not rows), one
-    |percents|-row join."""
+    |percents|-row join.
+
+    Empty-sample convention (r9 ADVICE item 4): when no key hashes
+    to 0 mod ``sample_mod`` the exact-side rows still emit, with
+    NULL ``est_value``/``achieved_rank``/``rank_err_ppm`` — an empty
+    sample is a loud eval result, not an empty table."""
     from pyspark.sql.window import Window
 
     from .sampling import unit_hash
@@ -1078,7 +1093,7 @@ def quantile_sample_error(
         .agg(F.coalesce(F.max("__fc"), F.lit(0)).alias("__ach"))
     )
     return (
-        exact.join(achieved, "pct")
+        exact.join(achieved, "pct", "left")
         .select(
             F.col("pct").cast("long").alias("pct"),
             F.col("__n").cast("long").alias("n_rows"),

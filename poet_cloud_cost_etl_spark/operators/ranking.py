@@ -65,12 +65,21 @@ def with_global_rank(
     probs = [i / n_buckets for i in range(1, n_buckets)]
     bucket_col, bounds = order_cols[0], []
     if probs:
+        from pyspark.errors import AnalysisException, IllegalArgumentException
+
         for c in order_cols:
             try:
                 cand = sorted(set(df.stat.approxQuantile(c, probs, 0.001)))
-            except Exception:
-                # non-numeric order column: can't range-bucket past
-                # here; keep whatever the previous level gave us.
+            except (AnalysisException, IllegalArgumentException):
+                # non-numeric order column (approxQuantile's
+                # requirement check raises IllegalArgumentException;
+                # AnalysisException covers resolution variants):
+                # can't range-bucket past here; keep whatever the
+                # previous level gave us. Genuine RUNTIME failures
+                # (executor loss, codegen errors) propagate instead
+                # of silently degrading every caller to the
+                # single-bucket single-task sort this function
+                # exists to avoid (r9 ADVICE item 3).
                 break
             bucket_col = c
             if len(cand) > 1:

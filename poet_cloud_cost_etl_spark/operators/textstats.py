@@ -3305,6 +3305,10 @@ def langid_agreement_by_source(
     marg_c = cells.groupBy(source_col, "__l").agg(
         F.sum("__c").cast("long").alias("__cc")
     )
+    # pe_num is bounded by n², so its accumulation and the 1e6·pe_num
+    # chance term wrap BIGINT once a source passes ~3e6 docs (r9
+    # ADVICE item 5) — route through DECIMAL(38,0) like the Gram
+    # accumulation; output types are unchanged.
     pe = (
         marg_r.join(
             marg_c,
@@ -3313,8 +3317,13 @@ def langid_agreement_by_source(
         )
         .groupBy(marg_r[source_col].alias(source_col))
         .agg(
-            F.coalesce(F.sum(F.col("__r") * F.col("__cc")), F.lit(0))
-            .cast("long")
+            F.coalesce(
+                F.sum(
+                    F.col("__r").cast("decimal(38,0)") * F.col("__cc")
+                ),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("decimal(38,0)")
             .alias("__pe_num")
         )
     )
@@ -3327,7 +3336,13 @@ def langid_agreement_by_source(
     return (
         totals.join(pe, source_col, "left")
         .withColumn(
-            "__pe_num", F.coalesce(F.col("__pe_num"), F.lit(0).cast("long"))
+            "__pe_num",
+            F.coalesce(
+                F.col("__pe_num"), F.lit(0).cast("decimal(38,0)")
+            ),
+        )
+        .withColumn(
+            "__n2", F.expr("CAST(n_docs AS DECIMAL(38,0)) * n_docs")
         )
         .select(
             F.col(source_col),
@@ -3335,20 +3350,19 @@ def langid_agreement_by_source(
             F.expr("(1000000 * __trace) div n_docs")
             .cast("long")
             .alias("accuracy_ppm"),
-            F.expr("1000000 * __pe_num div (n_docs * n_docs)")
+            F.expr(
+                "(CAST(1000000 AS DECIMAL(38,0)) * __pe_num) div __n2"
+            )
             .cast("long")
             .alias("chance_ppm"),
             F.when(
-                F.col("n_docs") * F.col("n_docs") != F.col("__pe_num"),
+                F.col("__n2") != F.col("__pe_num"),
                 F.round(
                     (
-                        F.col("n_docs") * F.col("__trace")
+                        F.expr("CAST(n_docs AS DECIMAL(38,0)) * __trace")
                         - F.col("__pe_num")
                     ).cast("double")
-                    / (
-                        F.col("n_docs") * F.col("n_docs")
-                        - F.col("__pe_num")
-                    ).cast("double"),
+                    / (F.col("__n2") - F.col("__pe_num")).cast("double"),
                     6,
                 ),
             ).alias("kappa"),

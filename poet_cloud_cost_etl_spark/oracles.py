@@ -6780,7 +6780,9 @@ ORACLES["freshness_decay_weights"] = f"""
         CAST(COUNT(*) AS BIGINT) AS n_events,
         CAST(SUM(w) AS BIGINT) AS weight_sum_ppm,
         CAST(SUM(w) // COUNT(*) AS BIGINT) AS mean_weight_ppm,
-        CAST(SUM((c * w) // 1000000) AS BIGINT) AS weighted_cents,
+        CAST(SUM(CASE WHEN c < 0 THEN -(((-c) * w) // 1000000)
+                 ELSE (c * w) // 1000000 END) AS BIGINT)
+            AS weighted_cents,
         CAST(SUM(c) AS BIGINT) AS raw_cents
     FROM weighted GROUP BY grp ORDER BY event_type
 """
@@ -7199,7 +7201,7 @@ ORACLES["quantile_sample_error"] = f"""
         CAST(ex.tr AS BIGINT) AS target_rank,
         CAST((1000000 * abs(ach.a - ex.tr)) // ex.n AS BIGINT)
             AS rank_err_ppm
-    FROM ex JOIN ach ON ex.pct = ach.pct
+    FROM ex LEFT JOIN ach ON ex.pct = ach.pct
     ORDER BY pct
 """
 
@@ -7746,19 +7748,25 @@ R10_QUEUED_ORACLES["langid_source_agreement"] = """
     marg_c AS (SELECT source, l, CAST(SUM(c) AS BIGINT) AS cc
         FROM cells GROUP BY source, l),
     pe AS (
-        SELECT mr.source, CAST(COALESCE(SUM(mr.r * mc.cc), 0) AS BIGINT)
-            AS pe_num
+        -- HUGEINT accumulation: pe_num is bounded by n², which wraps
+        -- BIGINT past ~3e9 docs and 1e6·pe_num past ~3e6 (r9 ADVICE
+        -- item 5) — mirrors the Spark side's DECIMAL(38,0) route.
+        SELECT mr.source,
+            CAST(COALESCE(SUM(CAST(mr.r AS HUGEINT) * mc.cc), 0)
+                AS HUGEINT) AS pe_num
         FROM marg_r mr JOIN marg_c mc
             ON mr.source = mc.source AND mr.p = mc.l
         GROUP BY mr.source
     )
     SELECT t.source, t.n AS n_docs,
         CAST((1000000 * t.trace) // t.n AS BIGINT) AS accuracy_ppm,
-        CAST((1000000 * COALESCE(pe.pe_num, 0)) // (t.n * t.n) AS BIGINT)
-            AS chance_ppm,
-        CASE WHEN t.n * t.n != COALESCE(pe.pe_num, 0) THEN
-            ROUND(CAST(t.n * t.trace - COALESCE(pe.pe_num, 0) AS DOUBLE)
-                / CAST(t.n * t.n - COALESCE(pe.pe_num, 0) AS DOUBLE), 6)
+        CAST((CAST(1000000 AS HUGEINT) * COALESCE(pe.pe_num, 0))
+            // (CAST(t.n AS HUGEINT) * t.n) AS BIGINT) AS chance_ppm,
+        CASE WHEN CAST(t.n AS HUGEINT) * t.n != COALESCE(pe.pe_num, 0) THEN
+            ROUND(CAST(CAST(t.n AS HUGEINT) * t.trace
+                    - COALESCE(pe.pe_num, 0) AS DOUBLE)
+                / CAST(CAST(t.n AS HUGEINT) * t.n
+                    - COALESCE(pe.pe_num, 0) AS DOUBLE), 6)
         END AS kappa
     FROM totals t LEFT JOIN pe ON t.source = pe.source
     ORDER BY t.source

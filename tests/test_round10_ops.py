@@ -136,3 +136,99 @@ def test_pair_impl_auto_is_default_and_validated(spark):
             "embedding",
             pair_impl="nope",
         )
+
+
+def test_freshness_decay_sign_symmetric_division(spark):
+    """Negative money values (credits/refunds) must weight with the
+    abs-then-resign convention so Spark (truncating div) and DuckDB
+    (flooring //) agree: c=-151 at w=500000 ppm -> -75, where a
+    flooring engine on the raw product would say -76 (r9 ADVICE
+    item 2)."""
+    from datetime import datetime
+
+    import duckdb
+
+    from poet_cloud_cost_etl_spark.operators.aggregates import (
+        freshness_decay_weights,
+    )
+
+    rows = [
+        ("g", datetime(2026, 1, 31), -151),  # age 30d -> w=500000
+        ("g", datetime(2026, 2, 28), 200),  # age 2d -> w=1000000
+    ]
+    df = spark.createDataFrame(rows, ["grp", "ts", "cents"])
+    out = freshness_decay_weights(
+        df, "grp", "ts", F.col("cents").cast("long"), half_life_days=28
+    ).collect()[0]
+    # -151*500000 = -75500000; abs-resign: -(75500000 div 1e6) = -75
+    assert out.weighted_cents == -75 + 200
+    # the flooring engine agrees under the same CASE convention
+    duck = duckdb.connect().execute(
+        "SELECT CASE WHEN -151 < 0 THEN -(((151) * 500000) // 1000000) "
+        "ELSE 0 END + (200 * 1000000) // 1000000"
+    ).fetchone()[0]
+    assert duck == out.weighted_cents
+
+
+def test_quantile_sample_error_empty_sample_emits_rows(spark):
+    """When no key hashes to 0 mod sample_mod, the exact-side rows
+    must still emit with NULL est_value/achieved_rank/rank_err_ppm —
+    an empty sample is a loud eval result, not an empty table (r9
+    ADVICE item 4)."""
+    from poet_cloud_cost_etl_spark.operators.aggregates import (
+        quantile_sample_error,
+    )
+    from poet_cloud_cost_etl_spark.operators.sampling import unit_hash
+
+    df = spark.createDataFrame(
+        [(f"k{i}", i) for i in range(1, 21)], ["k", "v"]
+    )
+    hashes = [
+        r.h for r in df.select(unit_hash("k").alias("h")).collect()
+    ]
+    mod = next(
+        m for m in range(3, 10_000) if all(h % m != 0 for h in hashes)
+    )
+    rows = quantile_sample_error(df, "k", "v", sample_mod=mod).collect()
+    assert len(rows) == 5  # one per default percentile
+    for r in rows:
+        assert r.exact_value is not None and r.n_rows == 20
+        assert r.est_value is None
+        assert r.achieved_rank is None
+        assert r.rank_err_ppm is None
+    # and with a sample present nothing changed: mod=1 samples all
+    full = quantile_sample_error(df, "k", "v", sample_mod=1).collect()
+    assert all(r.est_value == r.exact_value for r in full)
+    assert all(r.rank_err_ppm == 0 for r in full)
+
+
+def test_langid_agreement_decimal_route_types(spark):
+    """The DECIMAL(38,0) overflow guard on pe_num (r9 ADVICE item 5)
+    must not change the output contract: chance_ppm stays BIGINT,
+    kappa stays DOUBLE, and the small-fixture values match the
+    direct integer formula."""
+    from poet_cloud_cost_etl_spark.operators.textstats import (
+        langid_agreement_by_source,
+    )
+
+    docs = [
+        (1, "the cat and the dog is a", "en", "s1"),
+        (2, "el la de los y que", "es", "s1"),
+        (3, "the of to is a and", "es", "s1"),  # mislabeled
+        (4, "le les et des une", "fr", "s2"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text", "lang", "source"])
+    out = langid_agreement_by_source(df, "doc_id", "text", "lang", "source")
+    types = dict(out.dtypes)
+    assert types["chance_ppm"] == "bigint" and types["kappa"] == "double"
+    r = {row.source: row for row in out.collect()}
+    s1 = r["s1"]
+    # s1: preds en,es,en vs labels en,es,es -> trace 2, n 3,
+    # pe_num = sum over classes of row*col marginals:
+    # en: pred 2 * label 1 = 2; es: pred 1 * label 2 = 2 -> 4
+    assert s1.n_docs == 3 and s1.accuracy_ppm == (1_000_000 * 2) // 3
+    assert s1.chance_ppm == (1_000_000 * 4) // 9
+    assert s1.kappa == round((3 * 2 - 4) / (9 - 4), 6)
+    s2 = r["s2"]
+    assert s2.accuracy_ppm == 1_000_000 and s2.chance_ppm == 1_000_000
+    assert s2.kappa is None  # degenerate denominator
