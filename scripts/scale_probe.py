@@ -121,6 +121,12 @@ HEAVY = [
     "neardup_probe_retrieval",
     "dedup_lsh_recall",
     "dedup_bbit_minhash",
+    # round-10: the ExactSubstr REWRITE (r9 verdict task 3) — the
+    # cut-span table joins back to token positions and rebuilds every
+    # doc; the span fanout deserves a measured decade point. The c{i}
+    # prefixes keep cross-copy 3-grams disjoint, so duplicated spans
+    # scale linearly.
+    "exact_substring_rewrite",
 ]
 N_RUNS = 3
 
@@ -324,6 +330,13 @@ SCALED_K = [
     ("semantic_threshold_calibration_tree_gemm",
      _threshold_calibration_scaled("gemm", "tree")),
     ("bitext_margin_mining_tree_gemm", _margin_mining_scaled("gemm", "tree")),
+    # round-10 (r9 verdict task 6): the REGISTERED configuration —
+    # pair_impl="auto" (per-bucket expr/gemm split at GEMM_MIN_BUCKET)
+    # + assign="auto" — probed with the same scaled-k deployment knob,
+    # so BENCH_SF1 reflects what a default caller actually runs.
+    ("semantic_threshold_calibration_auto",
+     _threshold_calibration_scaled("auto", "auto")),
+    ("bitext_margin_mining_auto", _margin_mining_scaled("auto", "auto")),
     ("bbit_pair_core_only", _bbit_pair_core_only),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
