@@ -443,16 +443,20 @@ def ivf_topk(
 # Above this centroid count the flat N·k assignment stops being the
 # right default: under the constant-cluster-size policy k ∝ N, so
 # flat assignment is N²/c while the tree descends b·log_b(k)
-# centroids per row. The honest (noop-action, equal-bucket-count)
-# r8 10× probe puts flat and tree STATISTICALLY EQUAL at k=64
-# (91.4s vs 93.9s at sf1.0 — within-bucket pair work dominates at
-# that size), so 64 is the neutral crossover: beyond it the flat
-# side's per-row cost keeps growing linearly in k (512 compares/row
-# at k=512) while the tree's stays b·depth (24), and the gap is
-# pure assignment arithmetic. (An earlier count()-based probe
-# claimed 34.2× vs 9.2× — that measurement pruned the per-row
-# output work and is superseded; see bench.py's noop-action note.)
-FLAT_ASSIGN_MAX_K = 64
+# centroids per row. The r8 probe put flat and tree statistically
+# equal at k=64 (91.4s vs 93.9s at sf1.0) — but that was measured
+# with the INTERPRETED pair stage dominating within-bucket cost.
+# With the BLAS pair kernel the default (r10), the pair constant is
+# gone and assignment arithmetic is what remains: the r9/r10 gemm-
+# backed probes show tree ~2× faster than flat at k=64 (X137 11.4s
+# vs 20.0s at sf1.0; flat-assign auto probe 16.6× vs tree 5.4× for
+# 10× data), so the crossover moved below 64. 32 keeps the small-k
+# oracle-pinned deployments (k=8/16, where the tree's per-level
+# draw + broadcast overhead loses: 2.1s vs 1.3s at sf0.1) on the
+# flat path. (An earlier count()-based probe claimed 34.2× vs 9.2×
+# — that measurement pruned the per-row output work and is
+# superseded; see bench.py's noop-action note.)
+FLAT_ASSIGN_MAX_K = 32
 
 # Below this bucket size the interpreted whole-stage-codegen pair
 # expression beats the BLAS kernel: the gemm path pays a fixed
@@ -513,6 +517,35 @@ def _round6_half_up(x):
     return out
 
 
+def _sized_buckets(
+    buckets: DataFrame,
+    bucket_col: str,
+    keep_cols: tuple[str, ...],
+) -> DataFrame:
+    """Shared front end of the ``pair_impl="auto"`` split: one window
+    count over the bucket key, MATERIALIZED (eager localCheckpoint)
+    before the small/large arms read it. The checkpoint is not
+    optional politeness: the two union arms prune different column
+    sets, so their exchange subtrees are no longer identical and
+    Spark's ReuseExchange cannot collapse them — without the
+    checkpoint the whole upstream (the centroid ASSIGNMENT pipeline,
+    the expensive part) executes once per arm (measured: X137
+    tree+auto 14.9s vs tree+gemm 11.3s at sf1.0 before this fix).
+    Same pattern as margin_knn_pairs' eagerly checkpointed pair
+    table; the stored footprint is one (id, vec, bucket, payload…)
+    row per corpus vector — the same table SemDeDup deployments
+    materialize anyway between assignment and pairing."""
+    from pyspark.sql.window import Window as _W
+
+    return (
+        buckets.select(*dict.fromkeys(keep_cols))
+        .withColumn(
+            "__m", F.count(F.lit(1)).over(_W.partitionBy(bucket_col))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+
 def _bucket_dups(
     buckets: DataFrame,
     id_col: str,
@@ -552,10 +585,8 @@ def _bucket_dups(
     semantics, r9 ADVICE item 1), so the split point never shows in
     the output."""
     if pair_impl == "auto":
-        from pyspark.sql.window import Window as _W
-
-        sized = buckets.withColumn(
-            "__m", F.count(F.lit(1)).over(_W.partitionBy(bucket_col))
+        sized = _sized_buckets(
+            buckets, bucket_col, (id_col, vec_col, bucket_col)
         )
         small = sized.filter(F.col("__m") < GEMM_MIN_BUCKET).drop("__m")
         large = sized.filter(F.col("__m") >= GEMM_MIN_BUCKET).drop("__m")
@@ -839,11 +870,10 @@ def _pair_scores(
         raise ValueError(
             f"pair_impl must be auto|expr|gemm, got {pair_impl!r}"
         )
-    from pyspark.sql.window import Window as _W
-
-    sized = buckets.withColumn(
-        "__m", F.count(F.lit(1)).over(_W.partitionBy(bucket_col))
-    )
+    keep = [id_col, vec_col, bucket_col, *payload_cols]
+    if cross_col is not None:
+        keep.append(cross_col)
+    sized = _sized_buckets(buckets, bucket_col, tuple(keep))
     small = sized.filter(F.col("__m") < GEMM_MIN_BUCKET).drop("__m")
     large = sized.filter(F.col("__m") >= GEMM_MIN_BUCKET).drop("__m")
     return _bucket_pair_scores_expr(

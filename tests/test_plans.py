@@ -363,24 +363,34 @@ def test_semantic_dedup_auto_switch_plan(spark):
     )
 
     e = table(spark, SF_SMALL, "embeddings")
-    big = semantic_dedup(e, "vec_id", "embedding", n_centroids=FLAT_ASSIGN_MAX_K + 1)
+    # pair_impl='expr' so the ASSIGNMENT plan stays inspectable: the
+    # default 'auto' pair engine eagerly checkpoints the sized bucket
+    # table (see _sized_buckets), which hides everything upstream of
+    # the pair stage behind an ExistingRDD in the final plan. The
+    # assignment engine choice under test is independent of the pair
+    # engine.
+    big = semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=FLAT_ASSIGN_MAX_K + 1,
+        pair_impl="expr",
+    )
     plan = X.physical_plan(big)
     assert plan.count("Window") >= 2, plan  # two-phase draw per level
     assert plan.count("BroadcastHashJoin") >= 2, plan  # bucket descent
     assert big.columns == ["vec_id", "centroid_id", "is_dup"]
 
-    small = semantic_dedup(e, "vec_id", "embedding", n_centroids=8)
+    small = semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=8, pair_impl="expr"
+    )
     small_plan = X.physical_plan(small)
-    # flat assignment itself is Window-free (global orderBy+limit
-    # draw); since r10 the default pair_impl='auto' adds exactly ONE
-    # Window — the bucket-size count, keyed on centroid_id (never a
-    # whole-corpus single-partition window) — that splits buckets
-    # between the codegen expr path and the BLAS kernel.
-    assert small_plan.count("Window") >= 1, small_plan
-    assert small_plan.count("Window") == small_plan.count(
-        "windowspecdefinition(centroid_id"
-    ), small_plan  # every Window is the keyed size count, nothing global
+    assert small_plan.count("Window") == 0, small_plan
     assert "TakeOrderedAndProject" in small_plan, small_plan
+    # the default-config (auto) plan: the checkpointed size split is
+    # visible as the union of the two pair engines over ExistingRDD
+    auto_plan = X.physical_plan(
+        semantic_dedup(e, "vec_id", "embedding", n_centroids=8)
+    )
+    assert "ExistingRDD" in auto_plan, auto_plan
+    assert "Union" in auto_plan, auto_plan
 
     with pytest.raises(ValueError, match="refine_iters"):
         semantic_dedup(
