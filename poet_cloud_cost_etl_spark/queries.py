@@ -4373,9 +4373,14 @@ def q_dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.dedup import prefix_filter_jaccard_join
 
     d = table(spark, sf_dir, "documents")
-    return prefix_filter_jaccard_join(d, "doc_id", "text", 1, 2).orderBy(
-        "doc_a", "doc_b"
-    )
+    res = prefix_filter_jaccard_join(d, "doc_id", "text", 1, 2)
+    # Checkpoint the (bounded) duplicate-pair set before the
+    # presentation sort: orderBy's range-sampling pass otherwise
+    # RE-EXECUTES the final verification-join stage — the expensive
+    # reduce — once for the sampler and once for the sort (measured
+    # 14.1s vs 8.8s at sf0.1, r10). The materialized set is the
+    # query's own output, never corpus-sized.
+    return res.localCheckpoint(eager=True).orderBy("doc_a", "doc_b")
 
 
 # Canary registry for the X87 leak scan: two phrases that occur in
