@@ -1710,12 +1710,20 @@ def prefix_filter_jaccard_join(
     only the candidate stream the verification stage must pay for."""
     from pyspark.sql.window import Window
 
+    # Tokenize+shingle ONCE: arrs feeds candidate generation AND both
+    # verification sides — un-checkpointed, the regex/shingle scan
+    # (the single most expensive stage: ~3.4s of a ~9s sf0.1 run)
+    # re-executes three times. Materializing the shingled corpus is
+    # the standard set-similarity-join deployment shape (the
+    # tokenized form is written once, reused by every pass); storage
+    # is MEMORY_AND_DISK on executors, ~3x the text bytes.
     arrs = (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(
             F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
         )
         .filter(F.size("__sh") > 0)
+        .localCheckpoint(eager=True)
     )
     ex = arrs.select(
         F.col(id_col),
@@ -2447,4 +2455,530 @@ def exact_substring_rewrite(
             ).alias("text_rewritten"),
         )
         .orderBy(id_col)
+    )
+
+
+# ---------------------------------------------------------------------------
+# r11-queue: implemented + oracled in round 10, registration deferred
+# to round 11 (the r9->r10 staging pattern: the r10 window must cover
+# the 10-name cohort + the r4-stale backlog first).
+# ---------------------------------------------------------------------------
+
+
+def _weighted_term_pairs(
+    wrows: DataFrame,
+    id_col: str,
+    min_df: int = 2,
+    max_df: int | None = None,
+    split_threshold: int = 1024,
+) -> DataFrame:
+    """Weighted sibling of ``_pair_common``: pair generation from a
+    weighted term table ``(id, term, w, s)`` — ``w`` the per-(doc,
+    term) weight, ``s`` a per-doc scalar (norm², weight mass) that
+    must travel with the pairs — emitting one row per SHARED term per
+    candidate pair: ``(doc_a, doc_b, s_a, s_b, w_a, w_b)``. The
+    caller aggregates (dot products, min-sums) per pair.
+
+    Same single-shuffle grouped shape, the same eager checkpoint
+    before the two branches, and the same hot-term split: terms
+    hotter than ``split_threshold`` re-explode into an AQE-skew-
+    splittable self-join; ``max_df`` drops stop-terms entirely (the
+    documented recall/blocking trade — the capped vocabulary IS the
+    vector space, so weights, norms, and scores are all computed on
+    the same capped support and the result is self-consistent)."""
+    grouped = wrows.groupBy("term").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("w").alias("w"),
+                    F.col("s").alias("s"),
+                )
+            )
+        ).alias("ids")
+    )
+    if min_df:
+        grouped = grouped.filter(F.size("ids") >= min_df)
+    if max_df:
+        grouped = grouped.filter(F.size("ids") <= max_df)
+    grouped = grouped.localCheckpoint(eager=True)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x.id AS doc_a, y.id AS doc_b, x.s AS s_a, "
+        "y.s AS s_b, x.w AS w_a, y.w AS w_b))))"
+    )
+    small = (
+        grouped.filter(F.size("ids") <= split_threshold)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.s_a", "p.s_b", "p.w_a", "p.w_b")
+    )
+    hot = grouped.filter(F.size("ids") > split_threshold).select(
+        "term", F.explode("ids").alias("x")
+    )
+    ha = hot.select(
+        "term",
+        F.col("x.id").alias("doc_a"),
+        F.col("x.s").alias("s_a"),
+        F.col("x.w").alias("w_a"),
+    )
+    hb = hot.select(
+        "term",
+        F.col("x.id").alias("doc_b"),
+        F.col("x.s").alias("s_b"),
+        F.col("x.w").alias("w_b"),
+    )
+    hot_pairs = (
+        ha.join(hb, "term")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "s_a", "s_b", "w_a", "w_b")
+    )
+    return small.union(hot_pairs)
+
+
+def _capped_tf(
+    df: DataFrame, id_col: str, text_col: str, max_df: int
+) -> DataFrame:
+    """Term-frequency table over the ``max_df``-capped vocabulary:
+    ``(id, term, tf, df)`` — canonical tokens (not shingles), term
+    document frequency computed BEFORE the cap so the cap is a pure
+    vocabulary restriction. One tokenize scan, two term-keyed
+    aggregates; corpus size never appears past the first."""
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return tf.join(dfreq.filter(F.col("df") <= max_df), "term")
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.3,
+    max_df: int = 100,
+    split_threshold: int = 1024,
+) -> DataFrame:
+    """X156: all-pairs TF-IDF cosine similarity join (Bayardo, Ma &
+    Srikant 2007, "Scaling Up All Pairs Similarity Search") — the
+    LEXICAL-VECTOR near-dup detector: where X2d's set Jaccard treats
+    a document as a shingle set, this scores the tf·idf-weighted
+    token multiset, so two docs sharing rare vocabulary at different
+    lengths still surface. The standard second axis every serious
+    dedup stack runs next to MinHash.
+
+    Exactness: weights are exact integers — w = tf · (10⁶ div df) —
+    norms² and dot products accumulate in DECIMAL(38,0) (HUGEINT in
+    the oracle), and the cosine is ONE double expression over exact
+    integers: dot / (sqrt(s_a)·sqrt(s_b)), round-6. sqrt and / are
+    IEEE-exact-rounded, so both engines agree bit-for-bit.
+
+    Scale: candidate generation is term-keyed (``_weighted_term_
+    pairs`` — one grouped shuffle, hot-term AQE split); ``max_df``
+    caps the vocabulary (idf already sends df→cap weights toward 0,
+    so the cap formalizes what the weighting does — and bounds the
+    worst bucket at cap²/2 pairs). Pair aggregation is map-side
+    combinable."""
+    w = _capped_tf(df, id_col, text_col, max_df).select(
+        F.col(id_col),
+        "term",
+        (F.col("tf") * F.expr("1000000 div df")).cast("long").alias("w"),
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sum(F.col("w").cast("decimal(38,0)") * F.col("w")).alias("s")
+    )
+    wrows = w.join(norms, id_col)
+    pairs = _weighted_term_pairs(
+        wrows, id_col, min_df=2, max_df=None,
+        split_threshold=split_threshold,
+    )
+    scored = (
+        pairs.groupBy("doc_a", "doc_b", "s_a", "s_b")
+        .agg(
+            F.sum(
+                F.col("w_a").cast("decimal(38,0)") * F.col("w_b")
+            ).alias("__dot")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("__dot").cast("double")
+                / (
+                    F.sqrt(F.col("s_a").cast("double"))
+                    * F.sqrt(F.col("s_b").cast("double"))
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return scored.filter(F.col("cosine") >= threshold)
+
+
+def bag_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold_ppm: int = 300_000,
+    max_df: int = 100,
+    split_threshold: int = 1024,
+) -> DataFrame:
+    """X157: weighted (bag/multiset) Jaccard similarity join — the
+    multiplicity-aware form of X2d: J_w = Σ min(tf_a, tf_b) /
+    Σ max(tf_a, tf_b) over the capped vocabulary. Catches the
+    repeat-structure near-dups set Jaccard flattens (a doc that says
+    X once vs fifty times) and is the exact form the Ioffe 2010 CWS
+    sketch approximates — here computed exactly, no sketch.
+
+    Exactness: pure integer — Σ max = S_a + S_b − Σ min (non-shared
+    terms contribute min 0, max tf), so j_ppm = (10⁶·M) div
+    (S_a + S_b − M) with M, S exact BIGINT sums.
+
+    Scale: identical candidate shape to X156 (same
+    ``_weighted_term_pairs`` core, w = tf, s = Σ tf)."""
+    tf = _capped_tf(df, id_col, text_col, max_df).select(
+        F.col(id_col), "term", F.col("tf").alias("w")
+    )
+    mass = tf.groupBy(id_col).agg(F.sum("w").cast("long").alias("s"))
+    wrows = tf.join(mass, id_col)
+    pairs = _weighted_term_pairs(
+        wrows, id_col, min_df=2, max_df=None,
+        split_threshold=split_threshold,
+    )
+    scored = (
+        pairs.groupBy("doc_a", "doc_b", "s_a", "s_b")
+        .agg(F.sum(F.least("w_a", "w_b")).cast("long").alias("__m"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("__m").alias("w_common"),
+            F.expr("(1000000 * __m) div (s_a + s_b - __m)")
+            .cast("long")
+            .alias("jaccard_w_ppm"),
+        )
+    )
+    return scored.filter(F.col("jaccard_w_ppm") >= threshold_ppm)
+
+
+# Sentence-ish line splitter shared by X161 and its oracle twin:
+# terminal punctuation runs followed by whitespace. RE2 (DuckDB) has
+# no lookbehind, so the delimiter is consumed — fine for dedup, the
+# canonical line is the sentence body.
+LINES_SQL = "split(lower({col}), '[.!?]+\\\\s+')"
+
+
+def line_dedup_by_source(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    min_chars: int = 20,
+) -> DataFrame:
+    """X161: line/sentence-level duplication census per source — the
+    CCNet line-dedup signal (Wenzek et al. 2020): boilerplate lives
+    at the LINE level (headers, footers, nav text), invisible to
+    doc-level dedup. A source whose line-duplication rate is high is
+    a template site; its doc-level survivors still carry the
+    boilerplate X96/X97 would cut.
+
+    Output per source: n_lines (instances ≥ min_chars after trim),
+    n_distinct, n_dup_instances (instances whose canonical line
+    occurs ≥ 2 times CORPUS-wide), dup_ppm.
+
+    Scale: one scan-stage split/explode; one (source, hash) keyed
+    aggregate; one hash-keyed total + hash-keyed join back; one
+    |sources| aggregate. Corpus size never survives past the second
+    aggregate."""
+    lines = (
+        df.select(
+            F.col(source_col).alias("source"),
+            F.explode(F.expr(LINES_SQL.format(col=text_col))).alias("__l"),
+        )
+        .select("source", F.trim("__l").alias("__l"))
+        .filter(F.length("__l") >= min_chars)
+        .select("source", F.md5("__l").alias("__h"))
+    )
+    per_sh = lines.groupBy("source", "__h").agg(
+        F.count(F.lit(1)).cast("long").alias("__k")
+    )
+    totals = per_sh.groupBy("__h").agg(F.sum("__k").alias("__c"))
+    return (
+        per_sh.join(totals, "__h")
+        .groupBy("source")
+        .agg(
+            F.sum("__k").cast("long").alias("n_lines"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("__c") >= 2, F.col("__k")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_instances"),
+        )
+        .select(
+            "source",
+            "n_lines",
+            "n_distinct",
+            "n_dup_instances",
+            F.expr("(1000000 * n_dup_instances) div n_lines")
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def duplication_gini(
+    df: DataFrame, id_col: str, text_col: str, source_col: str
+) -> DataFrame:
+    """X160: duplication-concentration Gini per source — the
+    inequality of exact-duplicate multiplicities: 0 when every text
+    is equally replicated, →1 when a few templates carry all the
+    duplication. The one-number complement to X82's per-cluster
+    density audit: it says whether a source's duplication is a
+    broad haze (crawl overlap — dedup normally) or a spike (a
+    template factory — consider source-level action).
+
+    Exactness: Gini over the multiplicity LATTICE — sizes are small
+    distinct integers, so for size v with count c at cumulative
+    offset o, the sorted-rank sum Σ i·x_i contributes
+    v·(c·o + c(c+1)/2) exactly; G_ppm = 10⁶·(2T − (n+1)·S) div (n·S)
+    in DECIMAL(38,0) (HUGEINT oracle twin).
+
+    Scale: groupBy(source, text) → groupBy(source, size) collapses
+    the corpus to the lattice; the only window is per-source over
+    DISTINCT SIZES (bounded — multiplicities, not documents)."""
+    from pyspark.sql.window import Window
+
+    sizes = df.groupBy(F.col(source_col).alias("source"), text_col).agg(
+        F.count(F.lit(1)).cast("long").alias("__v")
+    )
+    lat = sizes.groupBy("source", "__v").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = lat.withColumn(
+        "__o", F.coalesce(F.sum("__c").over(w), F.lit(0)).cast("long")
+    )
+    per = ranked.groupBy("source").agg(
+        F.sum("__c").cast("long").alias("n_groups"),
+        F.sum(F.col("__v") * F.col("__c")).cast("long").alias("n_docs"),
+        F.sum(
+            F.col("__v").cast("decimal(38,0)")
+            * (
+                F.col("__c") * F.col("__o")
+                + F.expr("(__c * (__c + 1)) div 2")
+            )
+        ).alias("__t"),
+    )
+    return per.select(
+        "source",
+        "n_groups",
+        "n_docs",
+        F.expr(
+            "CASE WHEN n_groups > 1 THEN "
+            "CAST((1000000 * (2 * __t - CAST(n_groups + 1 AS "
+            "DECIMAL(38,0)) * n_docs)) div (CAST(n_groups AS "
+            "DECIMAL(38,0)) * n_docs) AS BIGINT) END"
+        ).alias("gini_ppm"),
+    ).orderBy("source")
+
+
+def cluster_dilution_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    fixed_rounds: int = 4,
+) -> DataFrame:
+    """X162: near-dup cluster TRANSITIVITY audit — connected
+    components are a transitive closure over pairwise-similar edges,
+    so a member can land in a cluster while being DISSIMILAR to the
+    survivor it loses to (friends-of-friends dilution; the known
+    failure mode of CC-based dedup the SemDeDup/NearDup papers
+    flag). For every (member → survivor) star edge of the X7
+    clustering, score the DIRECT member↔survivor Jaccard and report,
+    per cluster-size bucket, how many edges fall below the edge
+    threshold the clustering was built from.
+
+    Output per size bucket: n_edges, n_diluted (direct < threshold),
+    diluted_ppm, mean_jaccard_ppm.
+
+    Scale: the X2d pair core + X7 CC build the clusters (this IS the
+    audit of that output, recomputed by design like X20/X146); the
+    star edges are linear in members; direct scoring is two id-keyed
+    joins against the once-checkpointed shingle-array table — never
+    pairwise within clusters."""
+    from .graph import connected_components
+
+    arrs = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(
+            F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sh_n = arrs.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
+    pairs = _jaccard_core(sh_n, id_col, threshold, 2, None)
+    cc = connected_components(
+        df.select(id_col),
+        pairs,
+        id_col=id_col,
+        src_col="doc_a",
+        dst_col="doc_b",
+        fixed_rounds=fixed_rounds,
+    )
+    csize = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    edges = (
+        cc.filter(F.col(id_col) != F.col("cluster_id"))
+        .join(csize, "cluster_id")
+        .select(
+            F.col(id_col).alias("__m"),
+            F.col("cluster_id").alias("__s"),
+            "__n",
+        )
+    )
+    a = arrs.select(F.col(id_col).alias("__m"), F.col("__sh").alias("__sa"))
+    b = arrs.select(F.col(id_col).alias("__s"), F.col("__sh").alias("__sb"))
+    scored = (
+        edges.join(a, "__m")
+        .join(b, "__s")
+        .select(
+            "__n",
+            F.expr(
+                "(1000000 * size(array_intersect(__sa, __sb))) div "
+                "(size(__sa) + size(__sb) "
+                "- size(array_intersect(__sa, __sb)))"
+            )
+            .cast("long")
+            .alias("__j"),
+        )
+    )
+    thr_ppm = int(round(threshold * 1_000_000))
+    bucket = F.expr(
+        "CASE WHEN __n <= 2 THEN '2' WHEN __n <= 4 THEN '3-4' "
+        "WHEN __n <= 8 THEN '5-8' ELSE '9+' END"
+    )
+    return (
+        scored.groupBy(bucket.alias("cluster_size_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum(F.when(F.col("__j") < thr_ppm, 1).otherwise(0))
+            .cast("long")
+            .alias("n_diluted"),
+            F.sum("__j").cast("long").alias("__jsum"),
+        )
+        .select(
+            "cluster_size_bucket",
+            "n_edges",
+            "n_diluted",
+            F.expr("(1000000 * n_diluted) div n_edges")
+            .cast("long")
+            .alias("diluted_ppm"),
+            F.expr("__jsum div n_edges").cast("long").alias(
+                "mean_jaccard_ppm"
+            ),
+        )
+        .orderBy("cluster_size_bucket")
+    )
+
+
+def minhash_calibration(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    min_df: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """X163: MinHash estimator calibration curve — E[matched
+    signature components] = k·J (the collision probability of one
+    minwise permutation IS the Jaccard), so bucketing candidate
+    pairs by exact Jaccard decile and comparing the EMPIRICAL mean
+    matched fraction against the decile's mean exact J answers "are
+    k=8 signatures faithful on THIS corpus's similarity range" —
+    the estimator-accuracy discipline of X45/X141 aimed at the
+    signature itself.
+
+    Output per decile: n_pairs, mean_j_ppm (exact), mean_match_ppm
+    (empirical), the gap being the calibration error.
+
+    Scale: exact pairs from the ``_pair_common`` grouped core;
+    signatures once per doc (k bounded aggregates); two id-keyed
+    joins; ≤10-row output."""
+    # shingle arrays once (eager checkpoint: feeds BOTH the pair core
+    # and the signature aggregate — the prefix-join precedent)
+    arrs = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(
+            F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+        .localCheckpoint(eager=True)
+    )
+    sh = arrs.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    sh_n = arrs.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
+    common = _pair_common(sh_n, id_col, min_df, max_df)
+    jpairs = common.select(
+        "doc_a",
+        "doc_b",
+        F.expr("(1000000 * n_common) div (n_a + n_b - n_common)")
+        .cast("long")
+        .alias("__j"),
+    )
+    sig = minhash_signatures(sh, id_col, k).localCheckpoint(eager=True)
+    siga = sig.select(
+        F.col(id_col).alias("doc_a"),
+        *[F.col(f"mh{j}").alias(f"__a{j}") for j in range(1, k + 1)],
+    )
+    sigb = sig.select(
+        F.col(id_col).alias("doc_b"),
+        *[F.col(f"mh{j}").alias(f"__b{j}") for j in range(1, k + 1)],
+    )
+    match = F.expr(
+        " + ".join(
+            f"CASE WHEN __a{j} = __b{j} THEN 1 ELSE 0 END"
+            for j in range(1, k + 1)
+        )
+    )
+    scored = (
+        jpairs.join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            F.expr("least(9, __j div 100000)").cast("long").alias(
+                "j_decile"
+            ),
+            F.col("__j"),
+            (match * (1_000_000 // k)).cast("long").alias("__mp"),
+        )
+    )
+    return (
+        scored.groupBy("j_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(__j) div count(1)").cast("long").alias(
+                "mean_j_ppm"
+            ),
+            F.expr("sum(__mp) div count(1)").cast("long").alias(
+                "mean_match_ppm"
+            ),
+        )
+        .orderBy("j_decile")
     )

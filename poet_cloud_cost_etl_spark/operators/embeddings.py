@@ -1223,3 +1223,115 @@ def participation_ratio(df: DataFrame, vec_col: str) -> DataFrame:
             ).alias("participation_ratio"),
         )
     )
+
+
+def embedding_drift_by_label(
+    df: DataFrame, id_col: str, vec_col: str, label_col: str
+) -> DataFrame:
+    """X159 (r11-queue): per-label embedding drift between the two
+    id-parity halves of the corpus — the embedding-space twin of
+    X70's snapshot diff: if half A and half B of the same label
+    populate different regions (mean-direction cosine < 1, mean-norm
+    ratio off 1e6), the label's embeddings were produced by drifting
+    models/configs and every similarity threshold tuned on one half
+    mis-fires on the other.
+
+    Exactness: cosine is scale-invariant, so the mean-direction
+    cosine is computed on the exact integer SUM vectors (per-dim
+    Σ round(1e6·x), the X50/X60 quantization); dot and norms²
+    accumulate in DECIMAL(38,0); ONE double expression (sqrt·sqrt,
+    /) at the end, round-6. Norms of the MEAN vectors are
+    ‖Σ‖/(n·1e6), reported as e6-scaled integers via the standard
+    round-×1e6 re-round.
+
+    Scale: posexplode → (label, half, dim) keyed sums (fixed-size:
+    |labels|·2·d rows) → d-element index-ordered arrays → narrow
+    fold. Corpus touched once."""
+    dims = df.select(
+        F.col(label_col).alias("label"),
+        (F.col(id_col) % 2).cast("int").alias("__half"),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    ).select(
+        "label",
+        "__half",
+        "dim",
+        F.round(F.col("val").cast("double") * 1_000_000)
+        .cast("long")
+        .alias("__q"),
+    )
+    sums = dims.groupBy("label", "__half", "dim").agg(
+        F.sum("__q").cast("long").alias("__s"),
+    )
+    counts = df.groupBy(
+        F.col(label_col).alias("label"),
+        (F.col(id_col) % 2).cast("int").alias("__half"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    vecs = (
+        sums.groupBy("label", "__half")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(struct(dim, __s))), "
+                "x -> x.__s)"
+            ).alias("__vec")
+        )
+        .join(counts, ["label", "__half"])
+    )
+    a = vecs.filter(F.col("__half") == 0).select(
+        "label", F.col("__vec").alias("__va"), F.col("__n").alias("n_a")
+    )
+    b = vecs.filter(F.col("__half") == 1).select(
+        "label", F.col("__vec").alias("__vb"), F.col("__n").alias("n_b")
+    )
+    joined = a.join(b, "label")
+    dot = F.expr(
+        "aggregate(zip_with(__va, __vb, (x, y) -> "
+        "CAST(x AS DECIMAL(38,0)) * y), CAST(0 AS DECIMAL(38,0)), "
+        "(acc, v) -> acc + v)"
+    )
+    qa = F.expr(
+        "aggregate(__va, CAST(0 AS DECIMAL(38,0)), "
+        "(acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"
+    )
+    qb = F.expr(
+        "aggregate(__vb, CAST(0 AS DECIMAL(38,0)), "
+        "(acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"
+    )
+    return (
+        joined.select(
+            "label",
+            "n_a",
+            "n_b",
+            dot.alias("__dot"),
+            qa.alias("__qa"),
+            qb.alias("__qb"),
+        )
+        .select(
+            "label",
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("__qa") != 0) & (F.col("__qb") != 0),
+                F.round(
+                    F.col("__dot").cast("double")
+                    / (
+                        F.sqrt(F.col("__qa").cast("double"))
+                        * F.sqrt(F.col("__qb").cast("double"))
+                    ),
+                    6,
+                ),
+            ).alias("mean_cos"),
+            F.round(
+                F.sqrt(F.col("__qa").cast("double"))
+                / (F.col("n_a").cast("double"))
+            )
+            .cast("long")
+            .alias("mean_norm_a_e6"),
+            F.round(
+                F.sqrt(F.col("__qb").cast("double"))
+                / (F.col("n_b").cast("double"))
+            )
+            .cast("long")
+            .alias("mean_norm_b_e6"),
+        )
+        .orderBy("label")
+    )

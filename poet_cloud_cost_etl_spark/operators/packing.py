@@ -248,3 +248,116 @@ def contrastive_pairs_plan(
         )
         .orderBy("batch_id")
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """X158 (r11-queue): content-defined chunking — variable-size
+    chunk boundaries drawn from the CONTENT (a token whose unit hash
+    ≡ 0 mod ``boundary_mod`` closes the current chunk), the
+    rolling-hash trick behind rsync/LBFS/dedup storage: an insertion
+    shifts fixed windows (X21) by one everywhere downstream, but CDC
+    boundaries re-synchronize immediately, so chunk-level dedup
+    (X26/X97) survives edits. Expected chunk length = boundary_mod
+    tokens.
+
+    Output: one row per chunk — (id, chunk_idx, n_tokens,
+    chunk_hash) with chunk_idx 0-based in token order.
+
+    Scale: scan-stage tokenize + posexplode; the ONLY shuffle is the
+    doc-keyed window/regroup (per-doc partitions, bounded by doc
+    length); the boundary test is a pure hash expression — no
+    corpus-wide state."""
+    toks = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.expr(
+                    f"filter({TOKENS_SQL.format(col=text_col)}, "
+                    "x -> x != '')"
+                )
+            ).alias("__p", "__w"),
+        )
+    )
+    flagged = toks.withColumn(
+        "__b",
+        F.when(unit_hash("__w") % boundary_mod == 0, 1).otherwise(0),
+    )
+    w = (
+        Window.partitionBy(id_col)
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = flagged.withColumn(
+        "chunk_idx", F.coalesce(F.sum("__b").over(w), F.lit(0)).cast("long")
+    )
+    return (
+        seg.groupBy(id_col, "chunk_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.expr(
+                        "transform(sort_array(collect_list("
+                        "struct(__p, __w))), x -> x.__w)"
+                    ),
+                )
+            ).alias("chunk_hash"),
+        )
+        .orderBy(id_col, "chunk_idx")
+    )
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    boundary_mod: int = 8,
+) -> DataFrame:
+    """X158 panel: per-source CDC chunk duplication census — the
+    chunk-level twin of X26 on CDC (edit-stable) boundaries. A
+    source with high chunk-duplication but low doc-duplication is
+    remixing content (aggregators, scrapers with injected chrome).
+
+    Output per source: n_chunks, n_dup_instances (chunks whose hash
+    occurs ≥ 2 corpus-wide), dup_ppm, mean_chunk_tokens.
+
+    Scale: chunk table (doc-keyed window) → one hash-keyed total +
+    join back → |sources| aggregate."""
+    chunks = cdc_chunks(df, id_col, text_col, boundary_mod)
+    src = df.select(F.col(id_col), F.col(source_col).alias("source"))
+    ch = chunks.join(src, id_col).select(
+        "source", "n_tokens", "chunk_hash"
+    )
+    totals = ch.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    return (
+        ch.join(totals, "chunk_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(F.col("__c") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_instances"),
+            F.sum("n_tokens").cast("long").alias("__tok"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_dup_instances",
+            F.expr("(1000000 * n_dup_instances) div n_chunks")
+            .cast("long")
+            .alias("dup_ppm"),
+            F.expr("__tok div n_chunks").cast("long").alias(
+                "mean_chunk_tokens"
+            ),
+        )
+        .orderBy("source")
+    )

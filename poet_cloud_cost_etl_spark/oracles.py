@@ -7816,3 +7816,363 @@ R10_QUEUED_ORACLES["embedding_participation_ratio"] = """
 # r10-cohort registration (see the block comment above): every queued
 # oracle becomes official alongside its @query twin in queries.py.
 ORACLES.update(R10_QUEUED_ORACLES)
+
+
+# ------------------------------------------------------------------
+# r11-queue oracles: written + parity-proven in round 10
+# (tests/test_r11_queue.py), registration deferred to round 11 so the
+# r10 window covers the 10-name cohort + the r4-stale backlog (the
+# same staging protocol r9 used for the r10 cohort). Round 11:
+# decorate the _r11q_* functions in queries.py with @query(...) and
+# ORACLES.update(R11_QUEUED_ORACLES).
+R11_QUEUED_ORACLES: dict[str, str] = {}
+
+# X156 (operators/dedup.py: tfidf_cosine_pairs): exact-integer tf·idf
+# weights over the df<=100-capped vocabulary, HUGEINT norm²/dot, one
+# final double sqrt·sqrt division, round-6.
+R11_QUEUED_ORACLES["tfidf_cosine_pairs"] = f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS.format(col='text')}) AS term
+              FROM documents)
+        WHERE term != '' GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    w AS (
+        SELECT t.doc_id, t.term,
+            CAST(t.tf * (1000000 // d.df) AS BIGINT) AS w
+        FROM tf t JOIN dfq d USING (term) WHERE d.df <= 100
+    ),
+    norms AS (
+        SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS s
+        FROM w GROUP BY doc_id
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, cosine
+    FROM (
+        SELECT p.doc_a, p.doc_b,
+            ROUND(CAST(p.dot AS DOUBLE)
+                / (sqrt(CAST(na.s AS DOUBLE)) * sqrt(CAST(nb.s AS DOUBLE))),
+                6) AS cosine
+        FROM pairs p
+        JOIN norms na ON na.doc_id = p.doc_a
+        JOIN norms nb ON nb.doc_id = p.doc_b
+    )
+    WHERE cosine >= 0.3
+    ORDER BY doc_a, doc_b
+"""
+
+# X157 (operators/dedup.py: bag_jaccard_pairs): multiset Jaccard in
+# pure integer arithmetic over the same capped vocabulary.
+R11_QUEUED_ORACLES["bag_jaccard_pairs"] = f"""
+    WITH tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS.format(col='text')}) AS term
+              FROM documents)
+        WHERE term != '' GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    w AS (
+        SELECT t.doc_id, t.term, t.tf AS w
+        FROM tf t JOIN dfq d USING (term) WHERE d.df <= 100
+    ),
+    mass AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS s
+             FROM w GROUP BY doc_id),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(SUM(LEAST(a.w, b.w)) AS BIGINT) AS m
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, w_common, jaccard_w_ppm
+    FROM (
+        SELECT p.doc_a, p.doc_b, p.m AS w_common,
+            CAST((1000000 * p.m) // (ma.s + mb.s - p.m) AS BIGINT)
+                AS jaccard_w_ppm
+        FROM pairs p
+        JOIN mass ma ON ma.doc_id = p.doc_a
+        JOIN mass mb ON mb.doc_id = p.doc_b
+    )
+    WHERE jaccard_w_ppm >= 300000
+    ORDER BY doc_a, doc_b
+"""
+
+# X158 (operators/packing.py: cdc_chunk_stats): content-defined
+# chunk boundaries (unit hash of the token ≡ 0 mod 8), per-source
+# chunk-duplication census.
+R11_QUEUED_ORACLES["cdc_chunk_stats"] = f"""
+    WITH base AS (
+        SELECT doc_id, source,
+            list_filter({_TOKS.format(col='text')}, x -> x != '') AS arr
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, source,
+            arr[CAST(i AS INTEGER)] AS w, CAST(i AS BIGINT) AS p
+        FROM base, UNNEST(range(1, len(arr) + 1)) AS u(i)
+    ),
+    flagged AS (
+        SELECT doc_id, source, w, p,
+            CASE WHEN {_UNIT.format(col='w')} % 8 = 0 THEN 1 ELSE 0 END
+                AS b
+        FROM toks
+    ),
+    seg AS (
+        SELECT doc_id, source, w, p,
+            COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS chunk_idx
+        FROM flagged
+    ),
+    chunks AS (
+        SELECT doc_id, ANY_VALUE(source) AS source, chunk_idx,
+            CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            md5(string_agg(w, ' ' ORDER BY p)) AS chunk_hash
+        FROM seg GROUP BY doc_id, chunk_idx
+    ),
+    tot AS (
+        SELECT chunk_hash, CAST(COUNT(*) AS BIGINT) AS c
+        FROM chunks GROUP BY chunk_hash
+    )
+    SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        CAST(SUM(CASE WHEN t.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_dup_instances,
+        CAST((1000000 * SUM(CASE WHEN t.c >= 2 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS dup_ppm,
+        CAST(SUM(n_tokens) // COUNT(*) AS BIGINT) AS mean_chunk_tokens
+    FROM chunks ch JOIN tot t USING (chunk_hash)
+    GROUP BY source ORDER BY source
+"""
+
+# X159 (operators/embeddings.py: embedding_drift_by_label): id-parity
+# halves, exact integer sum vectors, HUGEINT dot/norms², one double
+# expression at the end.
+R11_QUEUED_ORACLES["embedding_drift_by_label"] = """
+    WITH dims AS (
+        SELECT label, vec_id % 2 AS half,
+            CAST(i AS INTEGER) - 1 AS dim,
+            CAST(round(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+                * 1000000) AS BIGINT) AS q
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    sums AS (
+        SELECT label, half, dim, CAST(SUM(q) AS BIGINT) AS s
+        FROM dims GROUP BY 1, 2, 3
+    ),
+    counts AS (
+        SELECT label, vec_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY 1, 2
+    ),
+    dots AS (
+        SELECT a.label,
+            SUM(CAST(a.s AS HUGEINT) * b.s) AS dot,
+            SUM(CAST(a.s AS HUGEINT) * a.s) AS qa,
+            SUM(CAST(b.s AS HUGEINT) * b.s) AS qb
+        FROM sums a JOIN sums b
+            ON a.label = b.label AND a.dim = b.dim
+            AND a.half = 0 AND b.half = 1
+        GROUP BY a.label
+    )
+    SELECT d.label,
+        ca.n AS n_a, cb.n AS n_b,
+        CASE WHEN d.qa != 0 AND d.qb != 0 THEN
+            ROUND(CAST(d.dot AS DOUBLE)
+                / (sqrt(CAST(d.qa AS DOUBLE)) * sqrt(CAST(d.qb AS DOUBLE))),
+                6) END AS mean_cos,
+        CAST(round(sqrt(CAST(d.qa AS DOUBLE)) / CAST(ca.n AS DOUBLE))
+            AS BIGINT) AS mean_norm_a_e6,
+        CAST(round(sqrt(CAST(d.qb AS DOUBLE)) / CAST(cb.n AS DOUBLE))
+            AS BIGINT) AS mean_norm_b_e6
+    FROM dots d
+    JOIN counts ca ON ca.label = d.label AND ca.half = 0
+    JOIN counts cb ON cb.label = d.label AND cb.half = 1
+    ORDER BY d.label
+"""
+
+# X160 (operators/dedup.py: duplication_gini): exact Gini over the
+# multiplicity lattice, HUGEINT rank-sum accumulation.
+R11_QUEUED_ORACLES["duplication_gini"] = """
+    WITH sizes AS (
+        SELECT source, text, CAST(COUNT(*) AS BIGINT) AS v
+        FROM documents GROUP BY 1, 2
+    ),
+    lat AS (
+        SELECT source, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM sizes GROUP BY 1, 2
+    ),
+    rk AS (
+        SELECT source, v, c,
+            COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS o
+        FROM lat
+    ),
+    per AS (
+        SELECT source,
+            CAST(SUM(c) AS BIGINT) AS n_groups,
+            CAST(SUM(v * c) AS BIGINT) AS n_docs,
+            SUM(CAST(v AS HUGEINT) * (c * o + (c * (c + 1)) // 2)) AS t
+        FROM rk GROUP BY source
+    )
+    SELECT source, n_groups, n_docs,
+        CASE WHEN n_groups > 1 THEN
+            CAST((1000000 * (2 * t - CAST(n_groups + 1 AS HUGEINT)
+                * n_docs)) // (CAST(n_groups AS HUGEINT) * n_docs)
+                AS BIGINT) END AS gini_ppm
+    FROM per ORDER BY source
+"""
+
+# X161 (operators/dedup.py: line_dedup_by_source): CCNet-style
+# sentence/line duplication census per source.
+R11_QUEUED_ORACLES["line_dedup_by_source"] = r"""
+    WITH lines AS (
+        SELECT source, md5(trim(l)) AS h
+        FROM (SELECT source,
+                  unnest(string_split_regex(lower(text), '[.!?]+\s+'))
+                      AS l
+              FROM documents)
+        WHERE length(trim(l)) >= 20
+    ),
+    persh AS (
+        SELECT source, h, CAST(COUNT(*) AS BIGINT) AS k
+        FROM lines GROUP BY 1, 2
+    ),
+    tot AS (SELECT h, CAST(SUM(k) AS BIGINT) AS c FROM persh GROUP BY h)
+    SELECT source,
+        CAST(SUM(k) AS BIGINT) AS n_lines,
+        CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        CAST(SUM(CASE WHEN c >= 2 THEN k ELSE 0 END) AS BIGINT)
+            AS n_dup_instances,
+        CAST((1000000 * SUM(CASE WHEN c >= 2 THEN k ELSE 0 END))
+            // SUM(k) AS BIGINT) AS dup_ppm
+    FROM persh JOIN tot USING (h)
+    GROUP BY source ORDER BY source
+"""
+
+# X162 (operators/dedup.py: cluster_dilution_audit): recursive-CC
+# clusters at J>=0.5, star-edge direct Jaccard (integer ppm),
+# per-size-bucket dilution panel.
+R11_QUEUED_ORACLES["cluster_dilution_audit"] = f"""
+    WITH RECURSIVE {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+            AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM (
+            SELECT doc_a, doc_b,
+                ROUND(CAST(n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+        )
+        WHERE jaccard >= 0.5
+    ),
+    edges0 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    walk AS (
+        SELECT doc_id AS node, doc_id AS reach FROM documents
+        UNION
+        SELECT w.node, e.b AS reach FROM walk w JOIN edges0 e
+            ON w.reach = e.a
+    ),
+    cc AS (
+        SELECT node AS doc_id, MIN(reach) AS cluster_id
+        FROM walk GROUP BY node
+    ),
+    csize AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cc GROUP BY cluster_id
+    ),
+    star AS (
+        SELECT cc.doc_id AS m, cc.cluster_id AS s, cs.n
+        FROM cc JOIN csize cs USING (cluster_id)
+        WHERE cc.doc_id != cc.cluster_id
+    ),
+    scored AS (
+        SELECT st.n,
+            CAST((1000000 * cm.n_common)
+                // (sa.n_sh + sb.n_sh - cm.n_common) AS BIGINT) AS j
+        FROM star st
+        JOIN (
+            SELECT a.doc_id AS x, b.doc_id AS y,
+                CAST(COUNT(*) AS BIGINT) AS n_common
+            FROM sh a JOIN sh b ON a.shingle = b.shingle
+            GROUP BY 1, 2
+        ) cm ON cm.x = st.m AND cm.y = st.s
+        JOIN sizes sa ON sa.doc_id = st.m
+        JOIN sizes sb ON sb.doc_id = st.s
+    )
+    SELECT
+        CASE WHEN n <= 2 THEN '2' WHEN n <= 4 THEN '3-4'
+             WHEN n <= 8 THEN '5-8' ELSE '9+' END AS cluster_size_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_edges,
+        CAST(SUM(CASE WHEN j < 500000 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_diluted,
+        CAST((1000000 * SUM(CASE WHEN j < 500000 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS diluted_ppm,
+        CAST(SUM(j) // COUNT(*) AS BIGINT) AS mean_jaccard_ppm
+    FROM scored
+    GROUP BY 1 ORDER BY 1
+"""
+
+# X163 (operators/dedup.py: minhash_calibration): exact-Jaccard
+# deciles vs empirical matched-minhash fraction, k=8 signatures.
+R11_QUEUED_ORACLES["minhash_calibration"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+              FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+            AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jp AS (
+        SELECT doc_a, doc_b,
+            CAST((1000000 * n_common)
+                // (sa.n_sh + sb.n_sh - n_common) AS BIGINT) AS j
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+    ),
+    mh AS (
+        SELECT doc_id,
+            {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    scored AS (
+        SELECT LEAST(9, jp.j // 100000) AS j_decile, jp.j,
+            CAST(({" + ".join(
+                f"CASE WHEN a.mh{j} = b.mh{j} THEN 1 ELSE 0 END"
+                for j in range(1, 9)
+            )}) * 125000 AS BIGINT) AS mp
+        FROM jp
+        JOIN mh a ON a.doc_id = jp.doc_a
+        JOIN mh b ON b.doc_id = jp.doc_b
+    )
+    SELECT CAST(j_decile AS BIGINT) AS j_decile,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(j) // COUNT(*) AS BIGINT) AS mean_j_ppm,
+        CAST(SUM(mp) // COUNT(*) AS BIGINT) AS mean_match_ppm
+    FROM scored GROUP BY 1 ORDER BY 1
+"""

@@ -5672,6 +5672,104 @@ def _r10q_embedding_participation_ratio(
     return participation_ratio(e, "embedding")
 
 
+# ------------------------------------------------------------------
+# r11-queue: implemented + DuckDB-parity-proven in round 10
+# (tests/test_r11_queue.py), registration DEFERRED so the round-10
+# window covers the 10-name r10 cohort + the r4-stale backlog
+# (VERDICT r9 tasks 1/5 — the same staging protocol the r10 cohort
+# used). Round 11: decorate with @query(...) and merge
+# R11_QUEUED_ORACLES into ORACLES (oracles.py). Capacity after:
+# 286/300.
+def _r11q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X156 all-pairs tf·idf cosine join (operators/dedup.py:
+    tfidf_cosine_pairs) — exact-integer weights, DECIMAL norms/dot,
+    one final double expression."""
+    from .operators.dedup import tfidf_cosine_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(d, "doc_id", "text", threshold=0.3).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+def _r11q_bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X157 weighted (bag) Jaccard join (operators/dedup.py:
+    bag_jaccard_pairs) — pure integer multiset similarity."""
+    from .operators.dedup import bag_jaccard_pairs
+
+    d = table(spark, sf_dir, "documents")
+    return bag_jaccard_pairs(
+        d, "doc_id", "text", threshold_ppm=300_000
+    ).orderBy("doc_a", "doc_b")
+
+
+def _r11q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X158 content-defined chunking census (operators/packing.py:
+    cdc_chunk_stats) — edit-stable chunk boundaries, per-source
+    duplication panel."""
+    from .operators.packing import cdc_chunk_stats
+
+    d = table(spark, sf_dir, "documents")
+    return cdc_chunk_stats(d, "doc_id", "text", "source")
+
+
+def _r11q_embedding_drift_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X159 embedding drift (operators/embeddings.py:
+    embedding_drift_by_label) — id-parity half means compared per
+    label on exact integer sum vectors."""
+    from .operators.embeddings import embedding_drift_by_label
+
+    e = table(spark, sf_dir, "embeddings")
+    return embedding_drift_by_label(e, "vec_id", "embedding", "label")
+
+
+def _r11q_duplication_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X160 duplication-concentration Gini (operators/dedup.py:
+    duplication_gini) — exact lattice Gini of exact-dup
+    multiplicities per source."""
+    from .operators.dedup import duplication_gini
+
+    d = table(spark, sf_dir, "documents")
+    return duplication_gini(d, "doc_id", "text", "source")
+
+
+def _r11q_line_dedup_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X161 CCNet line-dedup census (operators/dedup.py:
+    line_dedup_by_source) — per-source sentence/line duplication."""
+    from .operators.dedup import line_dedup_by_source
+
+    d = table(spark, sf_dir, "documents")
+    return line_dedup_by_source(d, "doc_id", "text", "source")
+
+
+def _r11q_cluster_dilution_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X162 cluster transitivity audit (operators/dedup.py:
+    cluster_dilution_audit) — direct member-survivor Jaccard per
+    cluster-size bucket."""
+    from .operators.dedup import cluster_dilution_audit
+
+    d = table(spark, sf_dir, "documents")
+    return cluster_dilution_audit(d, "doc_id", "text", threshold=0.5)
+
+
+def _r11q_minhash_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X163 MinHash estimator calibration (operators/dedup.py:
+    minhash_calibration) — exact-J deciles vs empirical matched
+    signature fraction."""
+    from .operators.dedup import minhash_calibration
+
+    d = table(spark, sf_dir, "documents")
+    return minhash_calibration(d, "doc_id", "text", k=8)
+
+
 # Rotation reorder (staleness-first window protocol) — runs LAST so
 # every registration above, including the r10 cohort, participates.
 for _name in _rotation_order():
