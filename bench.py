@@ -229,6 +229,15 @@ HEADLINE = [
     "contrastive_pairs_plan",
     "dedup_survivor_bias",
     "pc_variance_explained",
+    # round-10 cohort (X148-X155), benched from birth.
+    "pii_cooccurrence_audit",
+    "uniform_group_sample",
+    "dedup_survival_by_source",
+    "lm_heldout_eval",
+    "exact_substring_cut_spans",
+    "exact_substring_rewrite",
+    "langid_source_agreement",
+    "embedding_participation_ratio",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
@@ -303,6 +312,9 @@ HEAVY = {
     "dedup_modularity",
     "semantic_dedup_tree",
     "split_kfold_grouped",
+    # round-10 heavy addition (>4s idle median at birth): the
+    # per-source survival funnel recomputes the X2d+X7 cluster chain.
+    "dedup_survival_by_source",
 }
 
 # How many of the slowest per-query medians make it onto the stdout

@@ -2584,6 +2584,15 @@ def tfidf_cosine_pairs(
     so the cap formalizes what the weighting does — and bounds the
     worst bucket at cap²/2 pairs). Pair aggregation is map-side
     combinable."""
+    if max_df >= 1_000_000:
+        # 10^6 div df hits 0 at df >= 10^6: zero weights make an
+        # all-common-term doc's norm 0 and its cosine 0/0 — NaN,
+        # which the engines compare differently (Spark drops
+        # NaN >= t, DuckDB sorts NaN greatest). The cap keeps every
+        # admitted weight strictly positive.
+        raise ValueError(
+            "max_df must be < 1000000 (zero-weight/NaN hazard)"
+        )
     w = _capped_tf(df, id_col, text_col, max_df).select(
         F.col(id_col),
         "term",
@@ -2766,16 +2775,25 @@ def duplication_gini(
     ranked = lat.withColumn(
         "__o", F.coalesce(F.sum("__c").over(w), F.lit(0)).cast("long")
     )
+    # c·o is (groups-with-size-v)·(groups-below): both bounded by the
+    # source's group count, so the raw BIGINT product wraps past ~3e9
+    # groups — the ADVICE-item-5 overflow class. Accumulate the
+    # DOUBLED rank sum 2T = Σ v·(2co + c(c+1)) entirely in
+    # DECIMAL(38,0) (HUGEINT in the oracle) — doubling removes the
+    # halving a LONG-returning decimal `div` would re-truncate.
     per = ranked.groupBy("source").agg(
         F.sum("__c").cast("long").alias("n_groups"),
         F.sum(F.col("__v") * F.col("__c")).cast("long").alias("n_docs"),
         F.sum(
             F.col("__v").cast("decimal(38,0)")
             * (
-                F.col("__c") * F.col("__o")
-                + F.expr("(__c * (__c + 1)) div 2")
+                F.lit(2).cast("decimal(38,0)")
+                * F.col("__c")
+                * F.col("__o")
+                + F.col("__c").cast("decimal(38,0)")
+                * (F.col("__c") + 1)
             )
-        ).alias("__t"),
+        ).alias("__t2"),
     )
     return per.select(
         "source",
@@ -2783,7 +2801,7 @@ def duplication_gini(
         "n_docs",
         F.expr(
             "CASE WHEN n_groups > 1 THEN "
-            "CAST((1000000 * (2 * __t - CAST(n_groups + 1 AS "
+            "CAST((1000000 * (__t2 - CAST(n_groups + 1 AS "
             "DECIMAL(38,0)) * n_docs)) div (CAST(n_groups AS "
             "DECIMAL(38,0)) * n_docs) AS BIGINT) END"
         ).alias("gini_ppm"),

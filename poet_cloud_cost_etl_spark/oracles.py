@@ -8019,12 +8019,13 @@ R11_QUEUED_ORACLES["duplication_gini"] = """
         SELECT source,
             CAST(SUM(c) AS BIGINT) AS n_groups,
             CAST(SUM(v * c) AS BIGINT) AS n_docs,
-            SUM(CAST(v AS HUGEINT) * (c * o + (c * (c + 1)) // 2)) AS t
+            SUM(CAST(v AS HUGEINT) * (2 * CAST(c AS HUGEINT) * o
+                + CAST(c AS HUGEINT) * (c + 1))) AS t2
         FROM rk GROUP BY source
     )
     SELECT source, n_groups, n_docs,
         CASE WHEN n_groups > 1 THEN
-            CAST((1000000 * (2 * t - CAST(n_groups + 1 AS HUGEINT)
+            CAST((1000000 * (t2 - CAST(n_groups + 1 AS HUGEINT)
                 * n_docs)) // (CAST(n_groups AS HUGEINT) * n_docs)
                 AS BIGINT) END AS gini_ppm
     FROM per ORDER BY source

@@ -399,3 +399,15 @@ def test_r11q_wrappers_run(spark):
     ):
         df = fn(spark, SF_SMALL)
         assert df.count() >= 0
+
+
+def test_tfidf_max_df_guard(spark):
+    """df >= 1e6 would zero the idf weight and open the 0/0-NaN
+    engine-divergence hazard — rejected up front."""
+    import pytest
+
+    from poet_cloud_cost_etl_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="max_df"):
+        tfidf_cosine_pairs(df, "doc_id", "text", max_df=1_000_000)
