@@ -315,6 +315,29 @@ def _bbit_pair_core_only(spark, sf_dir, k_scale):
     return _pair_common(sh_n, "doc_id", None, None)
 
 
+def _r11(wrapper_name):
+    """Probe an r11-queue staged wrapper (signature (spark, sf_dir))."""
+
+    def fn(spark, sf_dir, k_scale):
+        from poet_cloud_cost_etl_spark import queries as Q
+
+        return getattr(Q, wrapper_name)(spark, sf_dir)
+
+    return fn
+
+
+def _r10_registered(name):
+    """Probe a registered query by name (k_scale unused — the op has
+    no granularity knob; candidate generation is df-capped)."""
+
+    def fn(spark, sf_dir, k_scale):
+        from poet_cloud_cost_etl_spark.queries import QUERIES
+
+        return QUERIES[name](spark, sf_dir)
+
+    return fn
+
+
 SCALED_K = [
     ("semantic_dedup_scaled_k", _semantic_dedup_scaled),
     ("semantic_dedup_tree_scaled", _semantic_dedup_tree),
@@ -337,6 +360,18 @@ SCALED_K = [
     ("semantic_threshold_calibration_auto",
      _threshold_calibration_scaled("auto", "auto")),
     ("bitext_margin_mining_auto", _margin_mining_scaled("auto", "auto")),
+    # round-10: decade points for the r11-queue operators BEFORE they
+    # register (tests/test_r11_queue.py) — the c{i} copy prefixes keep
+    # cross-copy terms/shingles/lines disjoint, so candidate
+    # generation scales linearly and each probe measures the op, not
+    # copy-clique fiction. Wrappers take (spark, sf_dir).
+    ("tfidf_cosine_pairs_r11", _r11("_r11q_tfidf_cosine_pairs")),
+    ("bag_jaccard_pairs_r11", _r11("_r11q_bag_jaccard_pairs")),
+    ("cdc_chunk_stats_r11", _r11("_r11q_cdc_chunk_stats")),
+    ("line_dedup_by_source_r11", _r11("_r11q_line_dedup_by_source")),
+    ("cluster_dilution_audit_r11", _r11("_r11q_cluster_dilution_audit")),
+    ("minhash_calibration_r11", _r11("_r11q_minhash_calibration")),
+    ("dedup_survival_by_source", _r10_registered("dedup_survival_by_source")),
     ("bbit_pair_core_only", _bbit_pair_core_only),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),

@@ -411,3 +411,57 @@ def test_tfidf_max_df_guard(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="max_df"):
         tfidf_cosine_pairs(df, "doc_id", "text", max_df=1_000_000)
+
+
+def test_r11q_wrappers_survive_empty_input(spark, tmp_path):
+    """P9 discipline applied at staging time (the registered-query
+    sweep only covers these after round 11 registers them): every
+    r11-queue wrapper must run against schema-only empty tables."""
+    from poet_cloud_cost_etl_spark import queries as Q
+
+    out = str(tmp_path / "empty_sf")
+    for t in ("documents", "embeddings"):
+        spark.read.parquet(f"{SF_SMALL}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+    failures = {}
+    for fn in (
+        Q._r11q_tfidf_cosine_pairs,
+        Q._r11q_bag_jaccard_pairs,
+        Q._r11q_cdc_chunk_stats,
+        Q._r11q_embedding_drift_by_label,
+        Q._r11q_duplication_gini,
+        Q._r11q_line_dedup_by_source,
+        Q._r11q_cluster_dilution_audit,
+        Q._r11q_minhash_calibration,
+    ):
+        try:
+            fn(spark, out).count()
+        except Exception as exc:
+            failures[fn.__name__] = str(exc).splitlines()[0][:120]
+    assert not failures, failures
+
+
+def test_r11q_plan_guards(spark):
+    """Staging-time plan hygiene for the r11 queue: no row-at-a-time
+    Python UDF, no cartesian product, in any staged wrapper's plan."""
+    from poet_cloud_cost_etl_spark import queries as Q
+
+    for fn in (
+        Q._r11q_tfidf_cosine_pairs,
+        Q._r11q_bag_jaccard_pairs,
+        Q._r11q_cdc_chunk_stats,
+        Q._r11q_embedding_drift_by_label,
+        Q._r11q_duplication_gini,
+        Q._r11q_line_dedup_by_source,
+        Q._r11q_cluster_dilution_audit,
+        Q._r11q_minhash_calibration,
+    ):
+        plan = (
+            fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BatchEvalPython" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
