@@ -1806,16 +1806,20 @@ def prefix_filter_jaccard_join(
     # The emission test is on ROUND(J, 6) >= t, and round can lift J
     # by up to 5e-7, so the necessary condition is min/max >= t -
     # 6e-7 (6e-7 = 6/1e7 absorbs the rounding slack with margin):
-    # integer form  na·den·1e7 >= nb·(num·1e7 - 6·den).  Exact long
-    # arithmetic: sizes are bounded by the shingle count of one doc,
-    # so the products stay far inside BIGINT.
+    # integer form  na·den·1e7 >= nb·(num·1e7 - 6·den).  The compare
+    # runs in DECIMAL(38,0): with a ppm-style threshold_den (1e6) the
+    # multiplier reaches 1e13 and a ~1e6-shingle doc would wrap the
+    # raw BIGINT product negative, silently pruning a true duplicate
+    # pair (review finding).
     lf_num = threshold_num * 10_000_000 - 6 * threshold_den
     lf_den = threshold_den * 10_000_000
     cand = (
         small_pairs.union(hot_pairs)
         .filter(
-            (F.col("na") * lf_den >= F.col("nb") * lf_num)
-            & (F.col("nb") * lf_den >= F.col("na") * lf_num)
+            (F.col("na").cast("decimal(38,0)") * lf_den
+             >= F.col("nb").cast("decimal(38,0)") * lf_num)
+            & (F.col("nb").cast("decimal(38,0)") * lf_den
+               >= F.col("na").cast("decimal(38,0)") * lf_num)
         )
         .select("doc_a", "doc_b")
         .distinct()
@@ -2550,6 +2554,12 @@ def _capped_tf(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+    # eager checkpoint: the tokenize+explode scan above is the most
+    # expensive stage and the result feeds dfreq, the cap join, the
+    # per-doc norm/mass aggregate, AND the pair core — without
+    # materialization it re-executes per consumer (the prefix-join
+    # precedent; review finding).
+    tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df")
     )
@@ -2871,15 +2881,27 @@ def cluster_dilution_audit(
     )
     a = arrs.select(F.col(id_col).alias("__m"), F.col("__sh").alias("__sa"))
     b = arrs.select(F.col(id_col).alias("__s"), F.col("__sh").alias("__sb"))
+    # __j is the ppm of the ROUND-6 Jaccard — the SAME arithmetic
+    # _jaccard_core admitted the cluster edges with, so an edge the
+    # clustering accepted can never be flagged diluted by a floor-vs-
+    # round disagreement at the threshold boundary (review finding).
     scored = (
         edges.join(a, "__m")
         .join(b, "__s")
         .select(
             "__n",
-            F.expr(
-                "(1000000 * size(array_intersect(__sa, __sb))) div "
-                "(size(__sa) + size(__sb) "
-                "- size(array_intersect(__sa, __sb)))"
+            F.round(
+                F.round(
+                    F.expr(
+                        "CAST(size(array_intersect(__sa, __sb)) AS DOUBLE)"
+                    )
+                    / F.expr(
+                        "CAST(size(__sa) + size(__sb) "
+                        "- size(array_intersect(__sa, __sb)) AS DOUBLE)"
+                    ),
+                    6,
+                )
+                * 1_000_000
             )
             .cast("long")
             .alias("__j"),
@@ -2947,12 +2969,12 @@ def minhash_calibration(
         .filter(F.size("__sh") > 0)
         .localCheckpoint(eager=True)
     )
-    sh = arrs.select(F.col(id_col), F.explode("__sh").alias("shingle"))
     sh_n = arrs.select(
         F.col(id_col),
         F.size("__sh").cast("long").alias("n_sh"),
         F.explode("__sh").alias("shingle"),
     )
+    sh = sh_n.select(F.col(id_col), "shingle")
     common = _pair_common(sh_n, id_col, min_df, max_df)
     jpairs = common.select(
         "doc_a",

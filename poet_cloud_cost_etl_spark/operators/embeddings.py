@@ -1259,52 +1259,43 @@ def embedding_drift_by_label(
         .cast("long")
         .alias("__q"),
     )
-    sums = dims.groupBy("label", "__half", "dim").agg(
-        F.sum("__q").cast("long").alias("__s"),
+    # Conditional half-sums per (label, dim) — a dim observed in only
+    # one half (ragged/malformed embeddings) contributes 0 on the
+    # other side, the mathematically right zero-vector convention,
+    # and both engines aggregate the SAME dim support (a dim-keyed
+    # join diverged on exactly this class; review finding).
+    sums = dims.groupBy("label", "dim").agg(
+        F.sum(F.when(F.col("__half") == 0, F.col("__q")).otherwise(0))
+        .cast("long")
+        .alias("__sa"),
+        F.sum(F.when(F.col("__half") == 1, F.col("__q")).otherwise(0))
+        .cast("long")
+        .alias("__sb"),
+    )
+    agg = sums.groupBy("label").agg(
+        F.sum(
+            F.col("__sa").cast("decimal(38,0)") * F.col("__sb")
+        ).alias("__dot"),
+        F.sum(
+            F.col("__sa").cast("decimal(38,0)") * F.col("__sa")
+        ).alias("__qa"),
+        F.sum(
+            F.col("__sb").cast("decimal(38,0)") * F.col("__sb")
+        ).alias("__qb"),
     )
     counts = df.groupBy(
         F.col(label_col).alias("label"),
         (F.col(id_col) % 2).cast("int").alias("__half"),
     ).agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    vecs = (
-        sums.groupBy("label", "__half")
-        .agg(
-            F.expr(
-                "transform(sort_array(collect_list(struct(dim, __s))), "
-                "x -> x.__s)"
-            ).alias("__vec")
-        )
-        .join(counts, ["label", "__half"])
+    ca = counts.filter(F.col("__half") == 0).select(
+        "label", F.col("__n").alias("n_a")
     )
-    a = vecs.filter(F.col("__half") == 0).select(
-        "label", F.col("__vec").alias("__va"), F.col("__n").alias("n_a")
-    )
-    b = vecs.filter(F.col("__half") == 1).select(
-        "label", F.col("__vec").alias("__vb"), F.col("__n").alias("n_b")
-    )
-    joined = a.join(b, "label")
-    dot = F.expr(
-        "aggregate(zip_with(__va, __vb, (x, y) -> "
-        "CAST(x AS DECIMAL(38,0)) * y), CAST(0 AS DECIMAL(38,0)), "
-        "(acc, v) -> acc + v)"
-    )
-    qa = F.expr(
-        "aggregate(__va, CAST(0 AS DECIMAL(38,0)), "
-        "(acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"
-    )
-    qb = F.expr(
-        "aggregate(__vb, CAST(0 AS DECIMAL(38,0)), "
-        "(acc, x) -> acc + CAST(x AS DECIMAL(38,0)) * x)"
+    cb = counts.filter(F.col("__half") == 1).select(
+        "label", F.col("__n").alias("n_b")
     )
     return (
-        joined.select(
-            "label",
-            "n_a",
-            "n_b",
-            dot.alias("__dot"),
-            qa.alias("__qa"),
-            qb.alias("__qb"),
-        )
+        agg.join(ca, "label")
+        .join(cb, "label")
         .select(
             "label",
             "n_a",

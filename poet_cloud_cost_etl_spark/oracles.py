@@ -7964,22 +7964,27 @@ R11_QUEUED_ORACLES["embedding_drift_by_label"] = """
         FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
     ),
     sums AS (
-        SELECT label, half, dim, CAST(SUM(q) AS BIGINT) AS s
-        FROM dims GROUP BY 1, 2, 3
+        -- conditional half-sums per (label, dim): a dim observed in
+        -- only one half contributes 0 on the other side, so both
+        -- engines aggregate the same dim support even on ragged
+        -- embeddings (a dim-keyed join silently dropped such dims).
+        SELECT label, dim,
+            CAST(SUM(CASE WHEN half = 0 THEN q ELSE 0 END) AS BIGINT)
+                AS sa,
+            CAST(SUM(CASE WHEN half = 1 THEN q ELSE 0 END) AS BIGINT)
+                AS sb
+        FROM dims GROUP BY 1, 2
     ),
     counts AS (
         SELECT label, vec_id % 2 AS half, CAST(COUNT(*) AS BIGINT) AS n
         FROM embeddings GROUP BY 1, 2
     ),
     dots AS (
-        SELECT a.label,
-            SUM(CAST(a.s AS HUGEINT) * b.s) AS dot,
-            SUM(CAST(a.s AS HUGEINT) * a.s) AS qa,
-            SUM(CAST(b.s AS HUGEINT) * b.s) AS qb
-        FROM sums a JOIN sums b
-            ON a.label = b.label AND a.dim = b.dim
-            AND a.half = 0 AND b.half = 1
-        GROUP BY a.label
+        SELECT label,
+            SUM(CAST(sa AS HUGEINT) * sb) AS dot,
+            SUM(CAST(sa AS HUGEINT) * sa) AS qa,
+            SUM(CAST(sb AS HUGEINT) * sb) AS qb
+        FROM sums GROUP BY label
     )
     SELECT d.label,
         ca.n AS n_a, cb.n AS n_b,
@@ -8109,11 +8114,18 @@ R11_QUEUED_ORACLES["cluster_dilution_audit"] = f"""
         WHERE cc.doc_id != cc.cluster_id
     ),
     scored AS (
+        -- LEFT join + COALESCE: a zero-overlap member->survivor edge
+        -- (the maximally diluted case this audit exists to count) has
+        -- no shared-shingle row at all. j is the ppm of the ROUND-6
+        -- Jaccard — the same arithmetic that admitted the cluster
+        -- edges, so an edge the clustering accepted can never be
+        -- flagged diluted by floor-rounding alone.
         SELECT st.n,
-            CAST((1000000 * cm.n_common)
-                // (sa.n_sh + sb.n_sh - cm.n_common) AS BIGINT) AS j
+            CAST(ROUND(ROUND(CAST(COALESCE(cm.n_common, 0) AS DOUBLE)
+                / (sa.n_sh + sb.n_sh - COALESCE(cm.n_common, 0)), 6)
+                * 1000000) AS BIGINT) AS j
         FROM star st
-        JOIN (
+        LEFT JOIN (
             SELECT a.doc_id AS x, b.doc_id AS y,
                 CAST(COUNT(*) AS BIGINT) AS n_common
             FROM sh a JOIN sh b ON a.shingle = b.shingle
