@@ -232,3 +232,38 @@ def test_langid_agreement_decimal_route_types(spark):
     s2 = r["s2"]
     assert s2.accuracy_ppm == 1_000_000 and s2.chance_ppm == 1_000_000
     assert s2.kappa is None  # degenerate denominator
+
+
+def test_pair_impl_auto_extreme_split_points(spark, monkeypatch):
+    """The split constant is a pure engine dial: forcing ALL buckets
+    to one arm (threshold 1 -> all gemm; threshold 10^9 -> all expr)
+    must reproduce the default result exactly, zero vectors and NaN
+    cosines included."""
+    from poet_cloud_cost_etl_spark.operators import similarity as S
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.0, 0.0]),  # zero vector: NULL cosine, never a dup
+        (4, [0.0, 1.0]),
+        (5, [0.1, 0.9]),
+        (6, [1.0, 0.05]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def run():
+        return {
+            (r.vec_id, r.centroid_id, r.is_dup)
+            for r in S.semantic_dedup(
+                emb, "vec_id", "embedding", n_centroids=2, threshold=0.9
+            ).collect()
+        }
+
+    monkeypatch.setattr(S, "GEMM_MIN_BUCKET", 1)
+    all_gemm = run()
+    monkeypatch.setattr(S, "GEMM_MIN_BUCKET", 10**9)
+    all_expr = run()
+    assert all_gemm == all_expr
+    # the zero vector must never be a duplicate under either engine
+    dup_of_3 = {t for t in all_gemm if t[0] == 3}
+    assert all(not t[2] for t in dup_of_3)
