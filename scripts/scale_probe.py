@@ -315,6 +315,18 @@ def _bbit_pair_core_only(spark, sf_dir, k_scale):
     return _pair_common(sh_n, "doc_id", None, None)
 
 
+def _semantic_dedup_auto(spark, sf_dir, k_scale):
+    """X28 at the r10 DEFAULTS (assign='auto', pair_impl='auto') with
+    the scaled-k deployment knob — the configuration a default caller
+    actually runs at scale."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import semantic_dedup
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return semantic_dedup(e, "vec_id", "embedding", n_centroids=k)
+
+
 def _r11(wrapper_name):
     """Probe an r11-queue staged wrapper (signature (spark, sf_dir))."""
 
@@ -365,6 +377,7 @@ SCALED_K = [
     # cross-copy terms/shingles/lines disjoint, so candidate
     # generation scales linearly and each probe measures the op, not
     # copy-clique fiction. Wrappers take (spark, sf_dir).
+    ("semantic_dedup_auto_scaled", _semantic_dedup_auto),
     ("tfidf_cosine_pairs_r11", _r11("_r11q_tfidf_cosine_pairs")),
     ("bag_jaccard_pairs_r11", _r11("_r11q_bag_jaccard_pairs")),
     ("cdc_chunk_stats_r11", _r11("_r11q_cdc_chunk_stats")),
