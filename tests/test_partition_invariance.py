@@ -60,3 +60,46 @@ def test_result_invariant_under_partitioning(spark, name):
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_sp)
         conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+# The r11-queue staged wrappers (not yet in QUERIES): the float/
+# aggregation shapes that would drift first are the DECIMAL dot/norm
+# accumulations (tfidf, drift), the collect_list-ordered chunk hash
+# (cdc), and the lattice window (gini).
+R11_UNDER_TEST = [
+    "_r11q_tfidf_cosine_pairs",
+    "_r11q_cdc_chunk_stats",
+    "_r11q_embedding_drift_by_label",
+    "_r11q_duplication_gini",
+]
+
+
+def _rows_r11(spark, wrapper):
+    from poet_cloud_cost_etl_spark import queries as Q
+
+    df = getattr(Q, wrapper)(spark, SF)
+    cols = sorted(df.columns)
+    return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+
+@pytest.mark.parametrize("wrapper", R11_UNDER_TEST)
+def test_r11_result_invariant_under_partitioning(spark, wrapper):
+    conf = spark.conf
+    baseline = _rows_r11(spark, wrapper)
+    settings = [
+        ("2", str(512 * 1024 * 1024)),
+        ("64", str(256 * 1024)),
+    ]
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sp, mpb in settings:
+            conf.set("spark.sql.shuffle.partitions", sp)
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            assert _rows_r11(spark, wrapper) == baseline, (
+                f"{wrapper} drifted at shuffle_partitions={sp}, "
+                f"maxPartitionBytes={mpb}"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
