@@ -465,3 +465,33 @@ def test_r11q_plan_guards(spark):
         )
         assert "BatchEvalPython" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
+
+
+def test_r11q_two_leg_parity_sweep(spark):
+    """Driver-fidelity sweep over the WHOLE r11 queue: the shared
+    harness compares exact fetchall() AND the pandas-materialization
+    leg (the r8 failure class: exact values match but the driver's
+    materialization degrades DECIMAL/HUGEINT asymmetrically) — the
+    same two-leg gate every registered query passes, applied at
+    staging time."""
+    from poet_cloud_cost_etl_spark import queries as Q
+    from poet_cloud_cost_etl_spark.oracles import R11_QUEUED_ORACLES
+    from tests.oracle_harness import compare, duckdb_conn
+
+    con = duckdb_conn(SF_SMALL)
+    wrappers = {
+        "tfidf_cosine_pairs": Q._r11q_tfidf_cosine_pairs,
+        "bag_jaccard_pairs": Q._r11q_bag_jaccard_pairs,
+        "cdc_chunk_stats": Q._r11q_cdc_chunk_stats,
+        "embedding_drift_by_label": Q._r11q_embedding_drift_by_label,
+        "duplication_gini": Q._r11q_duplication_gini,
+        "line_dedup_by_source": Q._r11q_line_dedup_by_source,
+        "cluster_dilution_audit": Q._r11q_cluster_dilution_audit,
+        "minhash_calibration": Q._r11q_minhash_calibration,
+    }
+    failures = {}
+    for name, fn in wrappers.items():
+        c = compare(name, fn(spark, SF_SMALL), con, R11_QUEUED_ORACLES[name])
+        if not c.match:
+            failures[name] = c.mismatches
+    assert not failures, failures
