@@ -462,17 +462,59 @@ FLAT_ASSIGN_MAX_K = 32
 # expression beats the BLAS kernel: the gemm path pays a fixed
 # Arrow-serialize + Python-worker + pandas-group round-trip per
 # bucket, while the expr path's m²·d interpreted scalar ops stay
-# JVM-side — at m=128/d=64 that is ~0.5M scalar ops (~sub-ms in
-# codegen) vs a ~ms-scale per-group Python round-trip. Above it the
-# m² growth buys the matmul back (the r9 10× probes: X137 13.2×→5.4×,
-# X129 18.6×→5.9× at constant ~600-row buckets). ``pair_impl="auto"``
-# splits each run's buckets on this size so a corpus with many tiny
-# leaves and a few hot ones gets the right engine PER BUCKET.
-GEMM_MIN_BUCKET = 128
+# JVM-side. MEASURED crossover (r10, X137 pair stage on sf0.1,
+# local[32], median of 3 per point): bucket≈7 expr wins by 0.48s,
+# ≈15 expr by 0.19s, ≈31 statistical tie (gemm by 0.08s), ≈62 gemm
+# by 0.63s, ≈125 gemm by 1.33s, ≈250 gemm by 2.77s — the kernel
+# pays for itself from ~32 rows up and the win grows with m².
+# ``pair_impl="auto"`` splits each run's buckets on this size so a
+# corpus with many tiny leaves and a few hot ones gets the right
+# engine PER BUCKET.
+GEMM_MIN_BUCKET = 32
 
 
-def _round6_half_up(x):
-    """Vectorized twin of Spark's ``F.round(col, 6)`` on DOUBLE:
+def _make_round6_half_up():
+    """Factory for ``_round6_half_up``: the function is created as a
+    CLOSURE (non-importable qualname), so cloudpickle serializes it
+    BY VALUE into the applyInPandas kernels that call it — a worker
+    process needs only numpy, not this package on its import path.
+    (A module-level def is pickled by reference; the kernel then
+    dies with ModuleNotFoundError in any deployment whose Python
+    workers don't inherit the repo on sys.path — observed when
+    driving a session from a different working directory.)"""
+
+    def _round6_half_up(x):
+        import numpy as np
+
+        y = x * 1e6
+        finite = np.isfinite(y)
+        ay = np.abs(np.where(finite, y, 0.0))
+        fl = np.floor(ay)
+        frac = ay - fl
+        near_tie = finite & (np.abs(frac - 0.5) < 1e-8)
+        fast = np.where(frac >= 0.5, fl + 1.0, fl)
+        out = np.where(np.signbit(x), -fast, fast) / 1e6
+        out = np.where(finite, out, x)
+        if near_tie.any():
+            from decimal import ROUND_HALF_UP, Decimal
+
+            q = Decimal("0.000001")
+            flat_x = x.ravel()
+            flat_out = out.ravel()
+            for i in np.flatnonzero(near_tie.ravel()):
+                flat_out[i] = float(
+                    Decimal(repr(float(flat_x[i]))).quantize(
+                        q, rounding=ROUND_HALF_UP
+                    )
+                )
+            out = flat_out.reshape(x.shape)
+        return out
+
+    return _round6_half_up
+
+
+_round6_half_up = _make_round6_half_up()
+_round6_half_up_doc = """Vectorized twin of Spark's ``F.round(col, 6)`` on DOUBLE:
     ``BigDecimal.valueOf(x).setScale(6, HALF_UP)`` — decimal HALF_UP
     (ties away from zero) on the SHORTEST-REPR decimal expansion of
     the float, not numpy's binary round-half-even. The two disagree
@@ -490,31 +532,7 @@ def _round6_half_up(x):
     shortest round-trip string ``Double.toString`` feeds
     ``BigDecimal.valueOf``. NaN (the SQL NULL-cosine carrier) passes
     through unchanged."""
-    import numpy as np
-
-    y = x * 1e6
-    finite = np.isfinite(y)
-    ay = np.abs(np.where(finite, y, 0.0))
-    fl = np.floor(ay)
-    frac = ay - fl
-    near_tie = finite & (np.abs(frac - 0.5) < 1e-8)
-    fast = np.where(frac >= 0.5, fl + 1.0, fl)
-    out = np.where(np.signbit(x), -fast, fast) / 1e6
-    out = np.where(finite, out, x)
-    if near_tie.any():
-        from decimal import ROUND_HALF_UP, Decimal
-
-        q = Decimal("0.000001")
-        flat_x = x.ravel()
-        flat_out = out.ravel()
-        for i in np.flatnonzero(near_tie.ravel()):
-            flat_out[i] = float(
-                Decimal(repr(float(flat_x[i]))).quantize(
-                    q, rounding=ROUND_HALF_UP
-                )
-            )
-        out = flat_out.reshape(x.shape)
-    return out
+_round6_half_up.__doc__ = _round6_half_up_doc
 
 
 def _sized_buckets(
