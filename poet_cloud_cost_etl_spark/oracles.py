@@ -8189,3 +8189,8 @@ R11_QUEUED_ORACLES["minhash_calibration"] = f"""
         CAST(SUM(mp) // COUNT(*) AS BIGINT) AS mean_match_ppm
     FROM scored GROUP BY 1 ORDER BY 1
 """
+
+
+# r11-cohort registration (round 11, VERDICT r10 task 1): every queued
+# oracle becomes official alongside its @query twin in queries.py.
+ORACLES.update(R11_QUEUED_ORACLES)

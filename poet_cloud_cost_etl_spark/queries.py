@@ -5673,13 +5673,17 @@ def _r10q_embedding_participation_ratio(
 
 
 # ------------------------------------------------------------------
-# r11-queue: implemented + DuckDB-parity-proven in round 10
-# (tests/test_r11_queue.py), registration DEFERRED so the round-10
-# window covers the 10-name r10 cohort + the r4-stale backlog
-# (VERDICT r9 tasks 1/5 — the same staging protocol the r10 cohort
-# used). Round 11: decorate with @query(...) and merge
-# R11_QUEUED_ORACLES into ORACLES (oracles.py). Capacity after:
-# 286/300.
+# r11-cohort: implemented + DuckDB-parity-proven in round 10
+# (tests/test_r11_queue.py), registration deferred to round 11 so the
+# round-10 window could cover the 10-name r10 cohort + the r4-stale
+# backlog (the same staging protocol the r9/r10 cohorts used).
+# Registered here (r11, VERDICT r10 task 1); oracles merged from
+# oracles.R11_QUEUED_ORACLES. The rotation reorder at module end puts
+# these 8 no-row names first in the r11 window, followed by the 31
+# r5-stale names and 11 oldest-registered r6 names. Registered
+# count after: 286 (capacity decision recorded in the CAPACITY
+# (round 11) note above and tests/test_rotation.py).
+@query("tfidf_cosine_pairs")
 def _r11q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X156 all-pairs tf·idf cosine join (operators/dedup.py:
     tfidf_cosine_pairs) — exact-integer weights, DECIMAL norms/dot,
@@ -5692,6 +5696,7 @@ def _r11q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("bag_jaccard_pairs")
 def _r11q_bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X157 weighted (bag) Jaccard join (operators/dedup.py:
     bag_jaccard_pairs) — pure integer multiset similarity."""
@@ -5703,6 +5708,7 @@ def _r11q_bag_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a", "doc_b")
 
 
+@query("cdc_chunk_stats")
 def _r11q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X158 content-defined chunking census (operators/packing.py:
     cdc_chunk_stats) — edit-stable chunk boundaries, per-source
@@ -5713,6 +5719,7 @@ def _r11q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdc_chunk_stats(d, "doc_id", "text", "source")
 
 
+@query("embedding_drift_by_label")
 def _r11q_embedding_drift_by_label(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5725,6 +5732,7 @@ def _r11q_embedding_drift_by_label(
     return embedding_drift_by_label(e, "vec_id", "embedding", "label")
 
 
+@query("duplication_gini")
 def _r11q_duplication_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X160 duplication-concentration Gini (operators/dedup.py:
     duplication_gini) — exact lattice Gini of exact-dup
@@ -5735,6 +5743,7 @@ def _r11q_duplication_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplication_gini(d, "doc_id", "text", "source")
 
 
+@query("line_dedup_by_source")
 def _r11q_line_dedup_by_source(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5746,6 +5755,7 @@ def _r11q_line_dedup_by_source(
     return line_dedup_by_source(d, "doc_id", "text", "source")
 
 
+@query("cluster_dilution_audit")
 def _r11q_cluster_dilution_audit(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5758,6 +5768,7 @@ def _r11q_cluster_dilution_audit(
     return cluster_dilution_audit(d, "doc_id", "text", threshold=0.5)
 
 
+@query("minhash_calibration")
 def _r11q_minhash_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
