@@ -2919,7 +2919,9 @@ def cluster_dilution_audit(
             F.sum(F.when(F.col("__j") < thr_ppm, 1).otherwise(0))
             .cast("long")
             .alias("n_diluted"),
-            F.sum("__j").cast("long").alias("__jsum"),
+            # DECIMAL(38,0) accumulator (HUGEINT in the oracle): a
+            # LONG sum of per-edge ppm wraps past ~9.2e12 edges
+            F.sum(F.col("__j").cast("decimal(38,0)")).alias("__jsum"),
         )
         .select(
             "cluster_size_bucket",
@@ -3013,12 +3015,16 @@ def minhash_calibration(
         scored.groupBy("j_decile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_pairs"),
-            F.expr("sum(__j) div count(1)").cast("long").alias(
-                "mean_j_ppm"
-            ),
-            F.expr("sum(__mp) div count(1)").cast("long").alias(
-                "mean_match_ppm"
-            ),
+            # accumulate in DECIMAL(38,0): the oracle's DuckDB SUM(j)
+            # promotes BIGINT to HUGEINT, so a LONG sum here would be
+            # the one side that wraps past ~9.2e18 summed ppm
+            # (ADVICE r10 item 4 — same overflow route as X160/X162)
+            F.expr("sum(cast(__j as decimal(38,0))) div count(1)")
+            .cast("long")
+            .alias("mean_j_ppm"),
+            F.expr("sum(cast(__mp as decimal(38,0))) div count(1)")
+            .cast("long")
+            .alias("mean_match_ppm"),
         )
         .orderBy("j_decile")
     )

@@ -489,6 +489,19 @@ def _make_round6_half_up():
         y = x * 1e6
         finite = np.isfinite(y)
         ay = np.abs(np.where(finite, y, 0.0))
+        # Domain guard (r10 ADVICE item 3): the 1e-8 near-tie margin
+        # below is only sound while the repr error of x*1e6 stays
+        # under it, i.e. |x| < ~64 (0.5 ulp at |y|=6.4e7 is ~7e-9;
+        # past ~|x|=90 a true tie can hide outside the guard band and
+        # silently diverge from Spark's F.round). Every current
+        # caller feeds cosines/margins in [-2, 2]; fail loud rather
+        # than drift if a future caller widens the domain.
+        if ay.size and float(np.max(ay)) >= 64e6:
+            raise ValueError(
+                "_round6_half_up: |x| >= 64 exceeds the validated "
+                "tie-guard domain; widen the near-tie margin "
+                "proportionally to |x| before reusing it here"
+            )
         fl = np.floor(ay)
         frac = ay - fl
         near_tie = finite & (np.abs(frac - 0.5) < 1e-8)
@@ -598,10 +611,17 @@ def _bucket_dups(
     every downstream stage needs anyway — splits the buckets at
     ``GEMM_MIN_BUCKET`` rows; small buckets take the codegen expr
     path, large ones the BLAS kernel, and the union is the per-bucket
-    best engine. The two branches are arithmetic-identical: the gemm
-    kernel rounds via ``_round6_half_up`` (Spark ``F.round``
-    semantics, r9 ADVICE item 1), so the split point never shows in
-    the output."""
+    best engine. The two branches agree to rounding: the gemm kernel
+    rounds via ``_round6_half_up`` (Spark ``F.round`` HALF_UP
+    semantics, r9 ADVICE item 1), which closes the rounding-MODE gap
+    — but BLAS's blocked/FMA dot accumulation and the JVM's
+    sequential fold can still differ by a few ulps BEFORE rounding,
+    so a cosine within ~1 ulp of a 6-decimal tie could in principle
+    round differently per engine (r10 ADVICE item 1). No such
+    boundary cosine has appeared in any oracle sweep (the r11
+    semantic-family two-leg sweep re-confirmed bit-parity on this
+    corpus); deployments that need the split point provably
+    invisible should pin ``pair_impl`` to one engine."""
     if pair_impl == "auto":
         sized = _sized_buckets(
             buckets, bucket_col, (id_col, vec_col, bucket_col)

@@ -171,3 +171,42 @@ def test_sorted_neighborhood_survives_templated_prefix(spark):
     # canonical sort order == zero-padded id order, so window=1 pairs
     # are exactly consecutive ids
     assert pairs == {(i, i + 1) for i in range(n - 1)}
+
+
+def test_string_order_column_takes_fallback_not_crash(spark):
+    """r10 ADVICE item 2: the narrowed approxQuantile except clause
+    (AnalysisException, IllegalArgumentException) relies on the
+    installed PySpark CONVERTING the JVM
+    java.lang.IllegalArgumentException raised for a non-numeric
+    column into pyspark.errors.IllegalArgumentException.  Pin both
+    halves against the installed version: (1) approxQuantile on a
+    string column raises exactly a type the except clause catches,
+    and (2) with_global_rank with a STRING first order column
+    therefore degrades to the single-bucket path and still ranks
+    exactly — instead of crashing every string-ordered caller if a
+    converter change ever reroutes the exception type."""
+    from pyspark.errors import AnalysisException, IllegalArgumentException
+
+    from poet_cloud_cost_etl_spark.operators.ranking import with_global_rank
+
+    df = spark.range(200).select(
+        F.concat(F.lit("k"), F.lpad(F.col("id").cast("string"), 4, "0")).alias(
+            "s"
+        ),
+        F.col("id"),
+    )
+    # (1) the exception type contract of the installed PySpark
+    try:
+        df.stat.approxQuantile("s", [0.5], 0.001)
+    except (AnalysisException, IllegalArgumentException):
+        pass  # the except clause in with_global_rank catches this
+    else:
+        raise AssertionError(
+            "approxQuantile on a string column no longer raises — "
+            "re-audit with_global_rank's fallback break"
+        )
+    # (2) end-to-end: string-first ordering must degrade, not crash
+    out = with_global_rank(df, ["s", "id"], rank_col="r")
+    rows = out.orderBy("r").collect()
+    assert [x.r for x in rows] == list(range(1, 201))
+    assert [x.s for x in rows] == sorted(x.s for x in rows)

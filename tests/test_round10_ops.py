@@ -58,6 +58,32 @@ def test_round6_half_up_matches_spark_round(spark):
     assert (np.round(xs, 6) != sparkr).any()
 
 
+def test_round6_half_up_domain_guard():
+    """r10 ADVICE item 3: the 1e-8 near-tie margin is only validated
+    for |x| < 64 (past ~|x|=90 the repr error of x*1e6 exceeds the
+    margin and a true tie can silently round off-parity).  The kernel
+    must fail loud outside that domain, and keep working inside it —
+    including with non-finite carriers present."""
+    import numpy as np
+    import pytest
+
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        _round6_half_up,
+    )
+
+    # inside the domain: fine, and inf/NaN pass through
+    out = _round6_half_up(
+        np.array([63.9999995, -63.9999995, float("inf"), float("nan")])
+    )
+    assert out[0] == 64.0 and out[1] == -64.0
+    assert np.isinf(out[2]) and np.isnan(out[3])
+    # outside: loud failure, not silent drift
+    with pytest.raises(ValueError, match="tie-guard domain"):
+        _round6_half_up(np.array([64.0]))
+    with pytest.raises(ValueError, match="tie-guard domain"):
+        _round6_half_up(np.array([0.25, -128.5]))
+
+
 def test_pair_impl_auto_splits_and_matches(spark, monkeypatch):
     """``pair_impl='auto'`` must (a) route small buckets to the expr
     engine and large ones to the BLAS kernel — both branches visible
