@@ -86,6 +86,7 @@ def merge_spans(
     start_col: str,
     end_col: str,
     gap: int = 0,
+    ordered: bool = True,
 ) -> DataFrame:
     """X122: span coalescing (the gaps-and-islands pattern) — merge
     overlapping or near-adjacent half-open [start, end) character
@@ -106,7 +107,13 @@ def merge_spans(
     dropped before merging.  All arithmetic integer-exact.
 
     Output: one row per merged interval — (id, span_start,
-    span_end, n_merged), ordered for display.
+    span_end, n_merged), ordered for display when ``ordered``
+    (the default).  Pipeline consumers that immediately regroup or
+    join the spans (the ExactSubstr rewrite chain) pass
+    ``ordered=False``: the display sort is a full range-partitioning
+    of the span table whose range-sampling pass re-executes the
+    whole detection subtree above it (r10 verdict, What's-wrong #2
+    — the unprotected-presentation-sort tax class).
 
     Scale: ONE shuffle on the document key; both windows (running
     max, cumulative island count) share that partitioning so
@@ -137,7 +144,7 @@ def merge_spans(
             1,
         ).otherwise(0),
     ).withColumn("__island", F.sum("__new").over(wc))
-    return (
+    merged = (
         flagged.groupBy("id", "__island")
         .agg(
             F.min("s").alias("span_start"),
@@ -145,8 +152,8 @@ def merge_spans(
             F.count(F.lit(1)).cast("long").alias("n_merged"),
         )
         .select("id", "span_start", "span_end", "n_merged")
-        .orderBy("id", "span_start")
     )
+    return merged.orderBy("id", "span_start") if ordered else merged
 
 
 def pii_cooccurrence_audit(
