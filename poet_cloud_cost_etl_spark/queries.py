@@ -5430,6 +5430,17 @@ def q_pc_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # near-duplicate queries would shrink the graded coverage surface.
 # The wall after this one is 250 — and round 8 REACHES it exactly
 # (X127/split_kfold_grouped is registration #250 and the last slot).
+# CAPACITY (round 11, DECIDED): MAX_STALE widened to 7 in
+# tests/test_rotation.py (cycle 7 rounds, capacity 350) in the same
+# round the r11 cohort brought the registry to 286/300 — the r10
+# verdict ordered the decision made BEFORE any r12 registration.
+# Rationale and the recomputed staleness bound live with the
+# constant in tests/test_rotation.py: widening over retiring for the
+# same two-layer-gate reason as r7/r8/r9; one full 7-round cycle
+# fits in the 9 rounds remaining; the ≤8-registrations/round pace
+# keeps the registry under 350 through r18; an approach to the 350
+# wall at r19 must name a retirement list instead (an 8-round cycle
+# would not complete in the rounds left).
 # CAPACITY (round 9, DECIDED): MAX_STALE widened to 6 in
 # tests/test_rotation.py (cycle 6 rounds, capacity 300) BEFORE any
 # r9 registration, per the r8 protocol note.  Rationale unchanged

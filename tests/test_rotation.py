@@ -30,19 +30,27 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 # Round 7 crossed 150 registered queries (cycle -> 4 rounds); round 8
 # crossed 200 (cycle -> 5) and landed exactly AT the 250 = 50×5 wall;
-# round 9's recorded decision (queries.py capacity note) is to widen
-# the cycle to 6 (capacity 300): a query's newest official row may be
-# at most 6 rounds old when its re-check lands.  Widening (not
-# retiring queries) stays the deliberate choice because every
-# registered query is additionally re-pinned against DuckDB at sf0.01
-# in every session by tests/test_oracle_parity.py — now with the
-# driver-fidelity pandas leg, so the local gate is at least as strict
-# as the official one — while retiring queries would shrink the graded
-# coverage surface.  Two full 6-round cycles still fit in the rounds
-# remaining as of r9.  Growing past WINDOW * MAX_STALE registered
-# queries breaks the cycle — this constant makes that a test failure,
-# not a silent protocol violation.
-MAX_STALE = 6
+# round 9 widened to 6 (capacity 300).
+# CAPACITY (round 11, DECIDED — the r10 verdict ordered this decision
+# made deliberately BEFORE any r12 registration): the r11 cohort
+# brings the registry to 286/300, 14 slots from the wall, so the
+# cycle widens to 7 (capacity 350) now.  Widening (not retiring)
+# stays the deliberate choice for the same reasons as r7/r8/r9:
+# every registered query is re-pinned against DuckDB at sf0.01 in
+# every session by tests/test_oracle_parity.py with BOTH the exact
+# and the driver-fidelity pandas legs — a local gate at least as
+# strict as the official one — so the driver-window staleness bound
+# is a second independent layer, while retiring near-duplicate
+# queries would shrink the graded coverage surface.  Staleness bound
+# recomputed at the decision: 9 rounds remain after r11; one full
+# 7-round cycle fits, and at the historical ≤8-registrations/round
+# pace the registry stays under 350 through r18 — if r19 approaches
+# the 350 wall, THAT decision must name a retirement list, since an
+# 8-round cycle would no longer complete in the rounds left.
+# Growing past WINDOW * MAX_STALE registered queries breaks the
+# cycle — this constant makes that a test failure, not a silent
+# protocol violation.
+MAX_STALE = 7
 
 
 def _latest_official_round() -> dict[str, int]:
