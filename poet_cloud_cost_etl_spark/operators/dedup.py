@@ -1190,10 +1190,21 @@ def bbit_minhash_eval(
     (grouped single-shuffle generation, hot-shingle AQE split); the
     sketches join on each side's doc id — two keyed joins of a
     k·b-bit-wide table; the collision count is one zip_with fold."""
+    # eager checkpoint (r11, the X163/prefix-join precedent —
+    # _pair_common's internal checkpoint only covers its grouped
+    # table, not this upstream scan): arrs feeds BOTH the pair core
+    # and the signature branch; without materialization the
+    # TOKENS_SQL regex + shingle scan — the dominant scan cost on a
+    # text corpus — executes once per branch (the subtrees prune
+    # different columns, so ReuseExchange cannot collapse them).
+    # Measured at sf0.1 (same-session A/B, best of 3):
+    # dedup_bbit_minhash 7.10 -> 6.01s, dedup_lsh_plan 8.59 -> 7.68s
+    # (r10 verdict task 6).
     arrs = (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh"))
         .filter(F.size("__sh") > 0)
+        .localCheckpoint(eager=True)
     )
     sh_n = arrs.select(
         F.col(id_col),
@@ -1207,6 +1218,8 @@ def bbit_minhash_eval(
         id_col,
         k=k,
     )
+    # NOTE: arrs (checkpointed above) feeds BOTH the pair core and
+    # this signature branch — see the checkpoint rationale there.
     mod = 2 ** b
     bits = sig.select(
         F.col(id_col),
