@@ -238,6 +238,15 @@ HEADLINE = [
     "exact_substring_rewrite",
     "langid_source_agreement",
     "embedding_participation_ratio",
+    # round-11 cohort (X156-X163), benched from birth.
+    "tfidf_cosine_pairs",
+    "bag_jaccard_pairs",
+    "cdc_chunk_stats",
+    "embedding_drift_by_label",
+    "duplication_gini",
+    "line_dedup_by_source",
+    "cluster_dilution_audit",
+    "minhash_calibration",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

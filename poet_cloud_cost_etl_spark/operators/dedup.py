@@ -3053,3 +3053,360 @@ def minhash_calibration(
         )
         .orderBy("j_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12-queue: implemented + oracled in round 11, registration deferred
+# to round 12 (the r9→r10→r11 staging protocol: the r11 window must
+# cover the 8-name r11 cohort + the r5-stale backlog first).
+# ---------------------------------------------------------------------------
+
+
+def winnow_fingerprint_census(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    w: int = 4,
+) -> DataFrame:
+    """X164: winnowing fingerprint census (Schleimer, Wilkerson &
+    Aiken 2003 — the MOSS scheme): from each document's 3-gram hash
+    stream, every window of ``w`` consecutive grams selects its
+    RIGHTMOST minimal hash; the distinct selected positions are the
+    document's fingerprints.  Winnowing guarantees any shared run of
+    ≥ w+2 tokens yields at least one shared fingerprint (the
+    detection-density guarantee MinHash lacks: MinHash bounds
+    per-DOCUMENT similarity error, winnowing bounds per-REGION
+    detection), while storing ~2/(w+1) of the gram stream — the
+    sparse copy-detection index a 100 TB corpus can afford.
+
+    Census per source: n_fingerprints (selected instances),
+    n_distinct (distinct selected hashes within the source), and
+    n_shared (instances whose hash is selected in ≥ 2 DOCS
+    corpus-wide) with shared_ppm — the X161 census shape one level
+    below the line.
+
+    Exactness: the gram hash is the engine-portable 60-bit
+    ``conv(substring(md5(gram), 1, 15), 16, 10)``; rightmost-min is
+    the exact struct comparator min over (h, -pos) — no float
+    anywhere.
+
+    Scale: one doc-keyed shuffle for the lead() window (the only
+    corpus-sized exchange), then hash-keyed aggregates whose rows
+    are the ~2/(w+1)-sparse fingerprint set, not the corpus."""
+    from pyspark.sql.window import Window
+
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(source_col).alias("source"),
+        F.posexplode(
+            F.expr(SHINGLES_SQL.format(t=TOKENS_SQL.format(col=text_col)))
+        ).alias("__p", "__g"),
+    ).select(
+        "__id",
+        "source",
+        "__p",
+        F.conv(F.substring(F.md5("__g"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    win = Window.partitionBy("__id").orderBy("__p")
+    # the window starting at this position, as (h, -pos) structs —
+    # struct min == minimal hash, rightmost position on ties
+    sel = (
+        pos.select(
+            "__id",
+            "source",
+            F.array(
+                *[
+                    F.struct(
+                        F.lead("__h", j).over(win).alias("h"),
+                        (-(F.col("__p") + F.lit(j))).alias("negp"),
+                    )
+                    for j in range(w)
+                ]
+            ).alias("__w"),
+        )
+        # full windows only (the trailing <w grams belong to earlier
+        # windows); filter(x -> x.h IS NOT NULL) would keep ragged
+        # tails and over-select near doc ends
+        .filter(F.expr("__w[" + str(w - 1) + "].h IS NOT NULL"))
+        .select(
+            "__id",
+            "source",
+            F.expr("array_min(__w).h").alias("__h"),
+            (-F.expr("array_min(__w).negp")).alias("__selp"),
+        )
+        .distinct()  # one fingerprint per selected position
+    )
+    docs_per_hash = sel.groupBy("__h").agg(
+        F.countDistinct("__id").alias("__docs")
+    )
+    return (
+        sel.join(docs_per_hash, "__h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_fingerprints"),
+            F.countDistinct("__h").cast("long").alias("n_distinct"),
+            F.sum(F.when(F.col("__docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared"),
+        )
+        .select(
+            "source",
+            "n_fingerprints",
+            "n_distinct",
+            "n_shared",
+            F.expr("(1000000 * n_shared) div n_fingerprints")
+            .cast("long")
+            .alias("shared_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_containment_direction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    threshold: float = 0.5,
+    min_df: int | None = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """X165: directed containment census by source pair — X69 finds
+    WHICH pairs subsume; this says WHO subsumes WHOM at the source
+    level: for every containment pair above ``threshold``, the
+    SMALLER document (by distinct-shingle count) is the contained
+    side, and the (contained_source → container_source) cell
+    accumulates.  The syndication/mirror direction matrix: a source
+    whose row mass is high is being wrapped/quoted wholesale by the
+    column sources — cut it once at the source level instead of
+    pair-by-pair.  Equal-size pairs have no direction (containment
+    == Jaccard there) and are excluded by construction.
+
+    Output per directed cell: (source_contained, source_container,
+    n_pairs, mean_containment_ppm) — DECIMAL-summed exact integer
+    mean.
+
+    Scale: the X2d ``_pair_common`` grouped core (one shuffle,
+    hot-shingle AQE split) + two id-keyed joins against the slim
+    (id, source) projection; the output is ≤ |sources|² rows."""
+    arrs = (
+        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        .select(
+            F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
+        )
+        .filter(F.size("__sh") > 0)
+    )
+    sh_n = arrs.select(
+        F.col(id_col),
+        F.size("__sh").cast("long").alias("n_sh"),
+        F.explode("__sh").alias("shingle"),
+    )
+    common = _pair_common(sh_n, id_col, min_df, max_df)
+    scored = common.filter(F.col("n_a") != F.col("n_b")).select(
+        F.when(F.col("n_a") < F.col("n_b"), F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("__small"),
+        F.when(F.col("n_a") < F.col("n_b"), F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("__large"),
+        F.expr("(1000000 * n_common) div least(n_a, n_b)")
+        .cast("long")
+        .alias("__c_ppm"),
+    ).filter(F.col("__c_ppm") >= F.lit(int(round(threshold * 1_000_000))))
+    src_small = df.select(
+        F.col(id_col).alias("__small"),
+        F.col(source_col).alias("source_contained"),
+    )
+    src_large = df.select(
+        F.col(id_col).alias("__large"),
+        F.col(source_col).alias("source_container"),
+    )
+    return (
+        scored.join(src_small, "__small")
+        .join(src_large, "__large")
+        .groupBy("source_contained", "source_container")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.expr("sum(cast(__c_ppm as decimal(38,0))) div count(1)")
+            .cast("long")
+            .alias("mean_containment_ppm"),
+        )
+        .orderBy("source_contained", "source_container")
+    )
+
+
+def dup_span_position_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """X166: WHERE in documents does duplication live — the X148 cut
+    spans projected onto relative document position: duplicated
+    token mass per position decile per source.  Boilerplate
+    concentrates at the edges (headers, footers, nav); a source
+    whose dup mass is flat across deciles is re-crawled CONTENT, one
+    whose mass spikes in deciles 0 and 9 is a template site whose
+    bodies are fine — two different curation actions the corpus-wide
+    X66 number cannot distinguish.
+
+    Decile d of an n-token doc covers 1-based half-open positions
+    [1 + (d·n) div 10, 1 + ((d+1)·n) div 10); span overlap per
+    decile is exact integer interval arithmetic; totals come from
+    the docs themselves so the denominator is the decile's true
+    token mass.
+
+    Scale: the X148 span table (doc-bounded) exploded ×10, one
+    (source, decile) aggregate; the doc-side totals are a second
+    ×10 explode of a 3-column projection — nothing corpus-sized
+    beyond the shared span-detection pass."""
+    base = df.select(
+        F.col(id_col), F.col(source_col).alias("source"),
+        tokens(text_col).alias("__t"),
+    ).localCheckpoint(eager=True)
+    spans = _cut_spans_from_tokens(
+        base.select(F.col(id_col), "__t"), id_col, min_count
+    )
+    sized = base.select(
+        F.col(id_col), "source", F.size("__t").cast("long").alias("__n")
+    )
+    dec = F.explode(F.expr("sequence(0, 9)")).alias("decile")
+    lo = F.expr("1 + (decile * __n) div 10")
+    hi = F.expr("1 + ((decile + 1) * __n) div 10")
+    totals = (
+        sized.select(F.col(id_col), "source", "__n", dec)
+        .select(
+            "source", "decile", (hi - lo).cast("long").alias("__tok")
+        )
+        .groupBy("source", "decile")
+        .agg(F.sum("__tok").cast("long").alias("n_tokens"))
+    )
+    dups = (
+        spans.join(sized, id_col)
+        .select("source", "__n", "span_start", "span_end", dec)
+        .select(
+            "source",
+            "decile",
+            F.greatest(
+                F.lit(0),
+                F.least(F.col("span_end"), hi)
+                - F.greatest(F.col("span_start"), lo),
+            ).cast("long").alias("__dup"),
+        )
+        .groupBy("source", "decile")
+        .agg(F.sum("__dup").cast("long").alias("n_dup_tokens"))
+    )
+    return (
+        totals.join(dups, ["source", "decile"], "left")
+        .select(
+            "source",
+            F.col("decile").cast("long").alias("decile"),
+            "n_tokens",
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias(
+                "n_dup_tokens"
+            ),
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0 ELSE "
+                "(1000000 * coalesce(n_dup_tokens, 0)) div n_tokens END"
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source", "decile")
+    )
+
+
+def line_dedup_rewrite(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_chars: int = 20,
+) -> DataFrame:
+    """X171: CCNet line-level dedup REWRITE — the action half of
+    X161's census, exactly as X149 is the action half of X66/X148:
+    every duplicated line (canonical form occurring ≥ 2 times
+    corpus-wide) is dropped EXCEPT its global first occurrence
+    (minimal (doc_id, line_pos) — the deterministic survivor
+    convention X1/X7 use at doc level), and each document is rebuilt
+    from its surviving lines.  Lines shorter than ``min_chars``
+    after trim are always kept: cutting tiny fragments costs more
+    signal than the boilerplate it removes (Wenzek et al. 2020 cut
+    at the paragraph/line granularity with the same floor).
+
+    Output: (doc_id, n_lines, n_lines_kept, kept_ppm,
+    text_rewritten) — text_rewritten joins surviving lines with
+    '. ' (the same canonical-form convention as X149's
+    single-space token rebuild); '' when every line is cut.
+
+    Scale: one scan-stage split/posexplode; ONE line-hash shuffle
+    for (count, global-min instance); one doc-keyed regroup with an
+    in-group sort_array — no corpus-wide sort anywhere (the X149
+    lesson), and nothing broadcasts."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.expr(f"split({text_col}, '[.!?]+\\\\s+')")).alias(
+            "__p", "__l"
+        ),
+    ).select(
+        F.col(id_col),
+        "__p",
+        F.trim("__l").alias("__l"),
+    ).filter(F.length("__l") > 0)
+    hashed = lines.select(
+        F.col(id_col),
+        "__p",
+        "__l",
+        F.when(
+            F.length("__l") >= min_chars, F.md5(F.lower("__l"))
+        ).alias("__h"),  # NULL hash = always-keep short line
+    )
+    stats = (
+        hashed.filter(F.col("__h").isNotNull())
+        .groupBy("__h")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("__p").alias("p")))
+            .alias("__first"),
+        )
+    )
+    kept = (
+        hashed.join(stats, "__h", "left")
+        .withColumn(
+            "__keep",
+            F.col("__h").isNull()
+            | (F.col("__c") == 1)
+            | (
+                (F.col("__first.i") == F.col(id_col))
+                & (F.col("__first.p") == F.col("__p"))
+            ),
+        )
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("__keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lines_kept"),
+            F.concat_ws(
+                ". ",
+                F.expr(
+                    "transform(array_sort(collect_list(CASE WHEN __keep "
+                    "THEN struct(__p AS p, __l AS l) END)), x -> x.l)"
+                ),
+            ).alias("text_rewritten"),
+        )
+        .select(
+            F.col(id_col),
+            "n_lines",
+            "n_lines_kept",
+            F.expr("(1000000 * n_lines_kept) div n_lines")
+            .cast("long")
+            .alias("kept_ppm"),
+            "text_rewritten",
+        )
+    )

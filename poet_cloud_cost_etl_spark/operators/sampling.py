@@ -963,3 +963,98 @@ def uniform_group_sample(
         .withColumn("draw_rank", F.col("draw_rank").cast("long"))
         .orderBy(group_col, "draw_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12-queue: implemented + oracled in round 11, registration deferred
+# to round 12 (the r9→r10→r11 staging protocol).
+# ---------------------------------------------------------------------------
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    budget_tokens: int,
+    alpha: float = 0.5,
+    cap_epochs_e6: int = 4_000_000,
+) -> DataFrame:
+    """X170: data-constrained mixture plan — X19 computes the
+    temperature weights; this computes what those weights COST in
+    repetition: each source's token allocation under a total
+    ``budget_tokens``, the implied epochs over its available unique
+    tokens, and the one-shot cap at ``cap_epochs_e6`` (default 4
+    epochs — the Muennighoff et al. 2023 point past which repeated
+    tokens stop buying loss).  A plan whose small-source epochs blow
+    past the cap is the temperature telling you it wants data that
+    does not exist; the capped deficit is exactly the budget that
+    must move to the uncapped sources (reported, not silently
+    reallocated — reallocation is a POLICY, this is the
+    accounting).
+
+    Exactness: X19's rounded-before-sum ^alpha weights; allocation
+    = (budget·w_s) div Σw (exact integer); epochs_e6 = (10⁶·alloc)
+    div n_tokens; the cap is integer min; deficit = alloc −
+    capped_alloc.  All arithmetic DECIMAL(38,0)-safe (budget·w
+    reaches 1e6·1e12 at web scale).
+
+    Scale: one corpus scan for per-source token counts (size of the
+    canonical token array, map-side combinable), then a |sources|-
+    row table crossed with its own 1-row broadcast total."""
+    from .dedup import tokens
+
+    counts = df.groupBy(F.col(group_col).alias("source")).agg(
+        F.sum(F.size(tokens(text_col))).cast("long").alias("n_tokens")
+    )
+    powed = (
+        F.sqrt(F.col("n_tokens").cast("double"))
+        if alpha == 0.5
+        else F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+    )
+    scaled = counts.withColumn(
+        "__ws", F.round(powed * 1_000_000.0).cast("long")
+    )
+    total = scaled.agg(F.sum(F.col("__ws").cast("decimal(38,0)")).alias("__wt"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_tokens",
+            F.expr("(1000000 * __ws) div CAST(__wt AS LONG)")
+            .cast("long")
+            .alias("weight_ppm"),
+            F.expr(
+                f"CAST((CAST({budget_tokens} AS DECIMAL(38,0)) * __ws) "
+                "div __wt AS LONG)"
+            ).alias("alloc_tokens"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "weight_ppm",
+            "alloc_tokens",
+            F.expr(
+                "CASE WHEN n_tokens = 0 THEN 0 ELSE "
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * alloc_tokens) "
+                "div n_tokens AS LONG) END"
+            ).alias("epochs_e6"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "weight_ppm",
+            "alloc_tokens",
+            "epochs_e6",
+            F.expr(f"least(epochs_e6, CAST({cap_epochs_e6} AS LONG))")
+            .cast("long")
+            .alias("capped_epochs_e6"),
+            F.expr(
+                f"CASE WHEN epochs_e6 <= {cap_epochs_e6} THEN 0 ELSE "
+                f"alloc_tokens - CAST((CAST({cap_epochs_e6} AS "
+                "DECIMAL(38,0)) * n_tokens) div 1000000 AS LONG) END"
+            )
+            .cast("long")
+            .alias("deficit_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -1925,3 +1925,182 @@ def margin_knn_pairs(
         )
         .limit(top_pairs)
     )
+
+
+# ---------------------------------------------------------------------------
+# r12-queue: implemented + oracled in round 11, registration deferred
+# to round 12 (the r9→r10→r11 staging protocol).
+# ---------------------------------------------------------------------------
+
+
+def semantic_decontamination(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bench_mod: int = 97,
+    threshold: float = 0.9,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """X167: SEMANTIC decontamination — X13 catches benchmark leakage
+    by shared n-grams; paraphrased leakage (translated, reworded,
+    format-shifted eval items) has no shared n-grams but lands next
+    to the benchmark in embedding space.  Flag every candidate
+    vector whose round-6 cosine to ANY benchmark vector reaches
+    ``threshold``, using the X8 IVF buckets as the candidate
+    generator: the benchmark side probes its ``nprobe`` nearest
+    centroids (recall knob), the corpus side lives in its rank-1
+    bucket — the SemDeDup bucketed-pair discipline aimed across two
+    sets instead of within one.
+
+    The benchmark set here is the deterministic pseudo-benchmark
+    ``id % bench_mod == 0`` (fixture convention, like X13's probe
+    set); deployments pass a real benchmark table by unioning it in
+    with ids in a reserved range.
+
+    Output: one row per FLAGGED candidate — (vec_id, n_bench_hits,
+    max_cos) with max_cos round-6.
+
+    Scale: centroid table is k rows broadcast; the join is
+    bucket-keyed with the benchmark side ~|bench|·nprobe rows —
+    bounded candidate generation, never |corpus|×|bench|; the
+    constant-cluster-size policy (k ∝ N) is the same scaling knob
+    as X28."""
+    bench = emb.filter((F.col(id_col) % bench_mod) == 0)
+    cand = emb.filter((F.col(id_col) % bench_mod) != 0)
+    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+    cand_b = ivf_assign(cand, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col), F.col(vec_col).alias("__cv"), "centroid_id"
+    )
+    bench_b = ivf_assign(bench, cents, id_col, vec_col, nprobe=nprobe).select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        "centroid_id",
+    )
+    thr = F.lit(threshold)
+    return (
+        cand_b.join(bench_b, "centroid_id")
+        .select(
+            F.col(id_col),
+            "__bid",
+            F.round(cosine("__cv", "__bv"), 6).alias("__cos"),
+        )
+        # a benchmark vector probing 2 centroids can meet the same
+        # candidate twice — count distinct benchmark ids
+        .filter(F.col("__cos") >= thr)
+        .groupBy(id_col)
+        .agg(
+            F.countDistinct("__bid").cast("long").alias("n_bench_hits"),
+            F.max("__cos").alias("max_cos"),
+        )
+        .orderBy(id_col)
+    )
+
+
+def ivf_nprobe_recall_curve(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    query_mod: int = 101,
+    n_centroids: int = 8,
+    nprobes: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """X168: the IVF recall-vs-nprobe dial, measured on this corpus —
+    X73/X125 grade ONE configuration; this sweeps ``nprobes`` and
+    reports exact recall@k against the brute-force ground truth for
+    the deterministic query set ``id % query_mod == 0``, so "how
+    many probes does THIS corpus need for 95% recall" is a table,
+    not folklore.  The recall loss IS the quantity a deployment
+    trades for the nprobe/k speedup; measuring it on the corpus's
+    own geometry (cluster sizes, boundary density) is the only
+    honest way to pick the knob.
+
+    Exactness: ground truth and IVF candidates rank by the same
+    (round-6 cosine DESC, id ASC) comparator; per-query recall is
+    exact integer 10⁶·|∩| div k; the mean is a DECIMAL-summed
+    integer division.
+
+    Scale: queries are ~N/query_mod; ground truth is the broadcast
+    brute-force pass (|Q|·N narrow map, no shuffle); the IVF side
+    joins queries to the rank-1 inverted lists at max(nprobes) once
+    and re-ranks per nprobe from that ONE candidate table — the
+    sweep multiplies a query-bounded table, never the corpus."""
+    from pyspark.sql.window import Window
+
+    queries = emb.filter((F.col(id_col) % query_mod) == 0)
+    truth = brute_force_topk(queries, emb, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+    lists = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        "centroid_id",
+    )
+    maxp = max(nprobes)
+    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=maxp).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        "centroid_id",
+        "probe_rank",
+    )
+    # ONE candidate table at max nprobe, re-ranked per sweep point
+    cand = (
+        probes.join(lists, "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "probe_rank",
+            F.round(cosine("__qv", "__cv"), 6).alias("__cos"),
+        )
+        .withColumn(
+            "nprobe",
+            F.explode(F.array(*[F.lit(p) for p in sorted(nprobes)])),
+        )
+        .filter(F.col("probe_rank") <= F.col("nprobe"))
+    )
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("__cos"), F.asc("neighbor_id")
+    )
+    got = (
+        cand.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    hits = got.join(truth, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe", "query_id"
+    ).agg(F.count(F.lit(1)).alias("__hit"))
+    # base = EVERY (query, nprobe) cell, not just queries with
+    # candidates: a query whose probed lists hold only itself has
+    # recall 0, and dropping it would flatter the curve
+    base = queries.select(F.col(id_col).alias("query_id")).withColumn(
+        "nprobe",
+        F.explode(F.array(*[F.lit(p) for p in sorted(nprobes)])),
+    )
+    per_q = (
+        base.join(hits, ["nprobe", "query_id"], "left")
+        .select(
+            "nprobe",
+            "query_id",
+            F.expr(f"(1000000 * coalesce(__hit, 0)) div {k}")
+            .cast("long")
+            .alias("__rec"),
+        )
+    )
+    return (
+        per_q.groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.expr("sum(cast(__rec as decimal(38,0))) div count(1)")
+            .cast("long")
+            .alias("mean_recall_ppm"),
+        )
+        .select(
+            F.col("nprobe").cast("long").alias("nprobe"),
+            "n_queries",
+            "mean_recall_ppm",
+        )
+        .orderBy("nprobe")
+    )

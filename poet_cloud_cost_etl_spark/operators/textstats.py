@@ -3369,3 +3369,112 @@ def langid_agreement_by_source(
         )
         .orderBy(source_col)
     )
+
+
+# ---------------------------------------------------------------------------
+# r12-queue: implemented + oracled in round 11, registration deferred
+# to round 12 (the r9→r10→r11 staging protocol).
+# ---------------------------------------------------------------------------
+
+
+def source_crossentropy_matrix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+) -> DataFrame:
+    """X169: source-pair cross-entropy matrix — for every ordered
+    source pair (A, B), the cross-entropy of A's unigram stream
+    under B's add-one-smoothed unigram model:
+    H(A|B) = −Σ_w p_A(w)·ln q_B(w),  q_B(w) = (c_B(w)+1)/(N_B+V).
+    X34's TVD says how far two sources' token distributions sit;
+    cross-entropy says how EXPENSIVE one source is to model with
+    another's statistics — the quantity mixture design actually
+    trades (low off-diagonal H = redundant sources; a row far above
+    its diagonal = a source nothing else covers).  The diagonal is
+    the source's own smoothed entropy, so KL(A‖B) falls out as
+    H(A|B) − H(A|A) without a second pass.
+
+    Exactness (the X99 scaled-integer-ln convention): with
+    L(x) = round(10⁶·ln x) per value,
+    H_e6 = L(N_B + V) − (Σ_w c_A(w)·L(c_B(w)+1)) div N_A
+    — every product and sum is exact integer arithmetic AFTER the
+    per-value rounds (terms absent from B contribute L(1) = 0, so
+    the matched-vocabulary join is the complete sum), DECIMAL(38,0)
+    accumulation (c·L products reach ~2e13 per term; an int64 sum
+    wraps at web scale).
+
+    Scale: ONE (source, term) count aggregate over the corpus, then
+    a term-keyed self-join bounded by |V|·|S|² rows and two
+    broadcast-sized per-source total tables; the corpus is touched
+    once."""
+    cnt = (
+        df.select(
+            F.col(source_col).alias("__s"),
+            F.explode(tokens(text_col)).alias("__w"),
+        )
+        .filter(F.col("__w") != "")
+        .groupBy("__s", "__w")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=True)  # feeds totals + both join sides
+    )
+    totals = cnt.groupBy("__s").agg(
+        F.sum("__c").cast("long").alias("__n")
+    )
+    vocab = cnt.select("__w").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("__v")
+    )
+    a = cnt.select(
+        F.col("__s").alias("source_a"),
+        "__w",
+        F.col("__c").alias("__ca"),
+    )
+    b = cnt.select(
+        F.col("__s").alias("source_b"),
+        "__w",
+        # L(c_B + 1) = round(1e6·ln(c_B + 1)), the per-value round
+        F.round(F.log(F.col("__c") + 1) * 1_000_000.0)
+        .cast("long")
+        .alias("__lb"),
+    )
+    matched = (
+        a.join(b, "__w")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            F.sum(
+                F.col("__ca").cast("decimal(38,0)") * F.col("__lb")
+            ).alias("__sm"),
+        )
+    )
+    na = totals.select(
+        F.col("__s").alias("source_a"), F.col("__n").alias("__na")
+    )
+    nb = totals.select(
+        F.col("__s").alias("source_b"), F.col("__n").alias("__nb")
+    )
+    # complete |S|² grid (broadcast-sized): a pair sharing zero vocab
+    # still has H = L(N_B + V) — an inner join alone would drop it
+    grid = na.crossJoin(nb)
+    return (
+        grid.join(matched, ["source_a", "source_b"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_terms_matched", F.lit(0))
+            .cast("long")
+            .alias("n_terms_matched"),
+            (
+                F.round(F.log(F.col("__nb") + F.col("__v")) * 1_000_000.0)
+                .cast("long")
+                - F.expr(
+                    "CAST(coalesce(__sm, CAST(0 AS DECIMAL(38,0))) "
+                    "div __na AS LONG)"
+                )
+            )
+            .cast("long")
+            .alias("crossentropy_nats_e6"),
+        )
+        .orderBy("source_a", "source_b")
+    )

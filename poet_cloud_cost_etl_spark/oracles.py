@@ -8194,3 +8194,353 @@ R11_QUEUED_ORACLES["minhash_calibration"] = f"""
 # r11-cohort registration (round 11, VERDICT r10 task 1): every queued
 # oracle becomes official alongside its @query twin in queries.py.
 ORACLES.update(R11_QUEUED_ORACLES)
+
+
+# ------------------------------------------------------------------
+# r12-queue oracles: written + parity-proven in round 11
+# (tests/test_r12_queue.py), registration deferred to round 12 so the
+# r11 window covers the 8-name r11 cohort + the r5-stale backlog (the
+# same staging protocol the r10/r11 cohorts used). Round 12:
+# decorate the _r12q_* functions in queries.py with @query(...) and
+# ORACLES.update(R12_QUEUED_ORACLES).
+R12_QUEUED_ORACLES: dict[str, str] = {}
+
+# X164 (operators/dedup.py: winnow_fingerprint_census): Schleimer
+# 2003 winnowing over the 3-gram 60-bit md5 hash stream, rightmost
+# minimum of every w=4 window (LEAST + rightmost-CASE == the Spark
+# side's struct-min over (h, -pos)), distinct selected positions,
+# per-source shared-fingerprint census.
+R12_QUEUED_ORACLES["winnow_fingerprints"] = f"""
+    WITH toks AS (SELECT doc_id, source, {_TOKS.format(col='text')} AS t
+                  FROM documents),
+    grams AS (
+        SELECT doc_id, source, CAST(i AS BIGINT) AS p,
+            CAST(('0x' || substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]),
+                                 1, 15)) AS BIGINT) AS h
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    win AS (
+        SELECT doc_id, source, p, h,
+            lead(h, 1) OVER w AS h1,
+            lead(h, 2) OVER w AS h2,
+            lead(h, 3) OVER w AS h3
+        FROM grams WINDOW w AS (PARTITION BY doc_id ORDER BY p)
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, source,
+            LEAST(h, h1, h2, h3) AS selh,
+            CASE WHEN h3 = LEAST(h, h1, h2, h3) THEN p + 3
+                 WHEN h2 = LEAST(h, h1, h2, h3) THEN p + 2
+                 WHEN h1 = LEAST(h, h1, h2, h3) THEN p + 1
+                 ELSE p END AS selp
+        FROM win WHERE h3 IS NOT NULL
+    ),
+    dph AS (SELECT selh, COUNT(DISTINCT doc_id) AS docs
+            FROM sel GROUP BY selh)
+    SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+        CAST(COUNT(DISTINCT selh) AS BIGINT) AS n_distinct,
+        CAST(SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_shared,
+        CAST((1000000 * SUM(CASE WHEN docs >= 2 THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS shared_ppm
+    FROM sel JOIN dph USING (selh)
+    GROUP BY source ORDER BY source
+"""
+
+# X165 (operators/dedup.py: source_containment_direction): X69's
+# containment pairs with the smaller-side doc as the contained
+# direction, integer-ppm containment, per directed source-pair cell.
+R12_QUEUED_ORACLES["source_containment_direction"] = f"""
+    WITH {_SHINGLE_CTE},
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n
+              FROM sh GROUP BY 1),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT
+            CASE WHEN sa.n < sb.n THEN doc_a ELSE doc_b END AS small_id,
+            CASE WHEN sa.n < sb.n THEN doc_b ELSE doc_a END AS large_id,
+            CAST((1000000 * n_common) // LEAST(sa.n, sb.n) AS BIGINT)
+                AS c_ppm
+        FROM pairs
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE sa.n != sb.n
+    )
+    SELECT ds.source AS source_contained, dl.source AS source_container,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(c_ppm) // COUNT(*) AS BIGINT) AS mean_containment_ppm
+    FROM scored
+    JOIN documents ds ON small_id = ds.doc_id
+    JOIN documents dl ON large_id = dl.doc_id
+    WHERE c_ppm >= 500000
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# X166 (operators/dedup.py: dup_span_position_profile): the X148 cut
+# spans projected onto 1-based half-open position deciles
+# [1 + (d*n)//10, 1 + ((d+1)*n)//10), exact integer interval overlap,
+# per (source, decile) dup-token mass over the decile's true mass.
+R12_QUEUED_ORACLES["dup_span_position_profile"] = """
+    WITH toks AS (SELECT doc_id, source, string_split_regex(trim(
+            regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t
+            FROM documents),
+    pos AS (
+        SELECT doc_id, i AS s, i + 3 AS e,
+            t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    cnt AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+    dup AS (SELECT doc_id, s, e FROM pos JOIN cnt USING (g)),
+    flagged AS (
+        SELECT doc_id, s, e,
+            CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                -4611686018427387904)
+                THEN 1 ELSE 0 END AS nw
+        FROM dup
+    ),
+    islands AS (
+        SELECT doc_id, s, e, SUM(nw) OVER (
+            PARTITION BY doc_id ORDER BY s, e
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM flagged
+    ),
+    spans AS (
+        SELECT doc_id, MIN(s) AS span_start, MAX(e) AS span_end
+        FROM islands GROUP BY doc_id, isl
+    ),
+    sized AS (SELECT doc_id, source, CAST(len(t) AS BIGINT) AS n
+              FROM toks),
+    totals AS (
+        SELECT source, d AS decile,
+            SUM((1 + ((d + 1) * n) // 10) - (1 + (d * n) // 10))
+                AS n_tokens
+        FROM sized, UNNEST(range(0, 10)) AS u(d)
+        GROUP BY 1, 2
+    ),
+    dups AS (
+        SELECT source, d AS decile,
+            SUM(GREATEST(0,
+                LEAST(span_end, 1 + ((d + 1) * n) // 10)
+                - GREATEST(span_start, 1 + (d * n) // 10))) AS nd
+        FROM spans JOIN sized USING (doc_id), UNNEST(range(0, 10)) AS u(d)
+        GROUP BY 1, 2
+    )
+    SELECT source, CAST(decile AS BIGINT) AS decile,
+        CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(COALESCE(nd, 0) AS BIGINT) AS n_dup_tokens,
+        CAST(CASE WHEN n_tokens = 0 THEN 0
+             ELSE (1000000 * COALESCE(nd, 0)) // n_tokens END AS BIGINT)
+            AS dup_ppm
+    FROM totals LEFT JOIN dups USING (source, decile)
+    ORDER BY source, decile
+"""
+
+# X167 (operators/similarity.py: semantic_decontamination): IVF
+# bucketed cross-set cosine flags — candidate side rank-1, benchmark
+# side nprobe=2, round-6 cosine >= 0.3 against the deterministic
+# pseudo-benchmark vec_id % 97 = 0 (threshold measured against the
+# fixture geometry: in-bucket cross-set cosines top out ~0.41 with
+# p99 ~0.31, so 0.3 flags a real, bounded set instead of zero rows).
+R12_QUEUED_ORACLES["semantic_decontamination"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    cand AS (
+        SELECT vec_id, embedding AS cv, centroid_id
+        FROM ({_IVF_ASSIGN.format(
+            src="(SELECT * FROM embeddings WHERE vec_id % 97 != 0)",
+            cents="cents")})
+        WHERE probe_rank = 1
+    ),
+    bench AS (
+        SELECT vec_id AS bid, embedding AS bv, centroid_id
+        FROM ({_IVF_ASSIGN.format(
+            src="(SELECT * FROM embeddings WHERE vec_id % 97 = 0)",
+            cents="cents")})
+        WHERE probe_rank <= 2
+    ),
+    scored AS (
+        SELECT c.vec_id, b.bid,
+            ROUND(list_cosine_similarity(CAST(c.cv AS DOUBLE[]),
+                                         CAST(b.bv AS DOUBLE[])), 6) AS cs
+        FROM cand c JOIN bench b USING (centroid_id)
+    )
+    SELECT vec_id,
+        CAST(COUNT(DISTINCT bid) AS BIGINT) AS n_bench_hits,
+        MAX(cs) AS max_cos
+    FROM scored WHERE cs >= 0.3
+    GROUP BY vec_id ORDER BY vec_id
+"""
+
+# X168 (operators/similarity.py: ivf_nprobe_recall_curve): exact
+# recall@5 of the IVF candidate ranking vs brute force for the
+# vec_id % 101 = 0 query set, swept over nprobe in (1, 2, 4); the
+# same (round-6 cosine DESC, id ASC) comparator on both sides.
+R12_QUEUED_ORACLES["ivf_nprobe_recall_curve"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 = 0),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                    ROUND(list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                    e.vec_id ASC) AS r
+            FROM q, embeddings e WHERE e.vec_id != q.vec_id
+        ) WHERE r <= 5
+    ),
+    lists AS (
+        SELECT vec_id AS neighbor_id, embedding AS cv, centroid_id
+        FROM ({_IVF_ASSIGN.format(src='embeddings', cents='cents')})
+        WHERE probe_rank = 1
+    ),
+    probes AS (
+        SELECT vec_id AS query_id, embedding AS qv, centroid_id,
+            probe_rank
+        FROM ({_IVF_ASSIGN.format(
+            src='(SELECT * FROM embeddings WHERE vec_id % 101 = 0)',
+            cents='cents')})
+        WHERE probe_rank <= 4
+    ),
+    np AS (SELECT unnest([1, 2, 4]) AS nprobe),
+    cand AS (
+        SELECT nprobe, query_id, neighbor_id,
+            ROW_NUMBER() OVER (PARTITION BY nprobe, query_id ORDER BY
+                ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+                                             CAST(cv AS DOUBLE[])), 6)
+                    DESC, neighbor_id ASC) AS r
+        FROM probes p JOIN lists l USING (centroid_id), np
+        WHERE p.probe_rank <= np.nprobe AND l.neighbor_id != p.query_id
+    ),
+    hits AS (
+        SELECT nprobe, query_id, COUNT(*) AS h
+        FROM cand JOIN truth USING (query_id, neighbor_id)
+        WHERE r <= 5 GROUP BY 1, 2
+    ),
+    base AS (SELECT np.nprobe, q.vec_id AS query_id FROM q, np)
+    SELECT CAST(nprobe AS BIGINT) AS nprobe,
+        CAST(COUNT(*) AS BIGINT) AS n_queries,
+        CAST(SUM((1000000 * COALESCE(h, 0)) // 5) // COUNT(*) AS BIGINT)
+            AS mean_recall_ppm
+    FROM base LEFT JOIN hits USING (nprobe, query_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+# X169 (operators/textstats.py: source_crossentropy_matrix): add-one
+# smoothed unigram cross-entropy per ordered source pair in the X99
+# scaled-integer-ln convention; HUGEINT numerator matches the Spark
+# side's DECIMAL(38,0).
+R12_QUEUED_ORACLES["source_crossentropy_matrix"] = f"""
+    WITH cnt AS (
+        SELECT s, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT source AS s,
+                  unnest({_TOKS.format(col='text')}) AS w
+              FROM documents)
+        WHERE w != '' GROUP BY 1, 2
+    ),
+    totals AS (SELECT s, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    vocab AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM cnt),
+    matched AS (
+        SELECT a.s AS source_a, b.s AS source_b,
+            CAST(COUNT(*) AS BIGINT) AS m,
+            SUM(a.c * CAST(ROUND(1000000 * ln(b.c + 1)) AS BIGINT)) AS sm
+        FROM cnt a JOIN cnt b USING (w) GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT ta.s AS source_a, tb.s AS source_b, ta.n AS na, tb.n AS nb
+        FROM totals ta, totals tb
+    )
+    SELECT source_a, source_b,
+        CAST(COALESCE(m, 0) AS BIGINT) AS n_terms_matched,
+        CAST(CAST(ROUND(1000000 * ln(nb + v)) AS BIGINT)
+             - (COALESCE(sm, 0) // na) AS BIGINT) AS crossentropy_nats_e6
+    FROM grid LEFT JOIN matched USING (source_a, source_b), vocab
+    ORDER BY source_a, source_b
+"""
+
+# X170 (operators/sampling.py: mixture_epoch_plan): X19's
+# rounded-before-sum sqrt weights, exact integer allocation over a
+# 2e6-token budget, epochs_e6 with the 4-epoch cap and the deficit.
+R12_QUEUED_ORACLES["mixture_epoch_plan"] = f"""
+    WITH counts AS (
+        SELECT source, CAST(SUM(len({_TOKS.format(col='text')})) AS BIGINT)
+            AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    scaled AS (
+        SELECT source, n_tokens,
+            CAST(ROUND(1000000.0 * sqrt(CAST(n_tokens AS DOUBLE)))
+                AS BIGINT) AS ws
+        FROM counts
+    ),
+    tot AS (SELECT SUM(ws) AS wt FROM scaled),
+    alloc AS (
+        SELECT source, n_tokens,
+            CAST((1000000 * ws) // CAST(wt AS BIGINT) AS BIGINT)
+                AS weight_ppm,
+            CAST((2000000 * ws) // wt AS BIGINT) AS alloc_tokens
+        FROM scaled, tot
+    ),
+    ep AS (
+        SELECT source, n_tokens, weight_ppm, alloc_tokens,
+            CAST(CASE WHEN n_tokens = 0 THEN 0
+                 ELSE (1000000 * alloc_tokens) // n_tokens END AS BIGINT)
+                AS epochs_e6
+        FROM alloc
+    )
+    SELECT source, n_tokens, weight_ppm, alloc_tokens, epochs_e6,
+        CAST(LEAST(epochs_e6, 4000000) AS BIGINT) AS capped_epochs_e6,
+        CAST(CASE WHEN epochs_e6 <= 4000000 THEN 0
+             ELSE alloc_tokens - (4000000 * n_tokens) // 1000000 END
+            AS BIGINT) AS deficit_tokens
+    FROM ep ORDER BY source
+"""
+
+# X171 (operators/dedup.py: line_dedup_rewrite): global
+# first-occurrence line survivorship (min (doc_id, pos) per
+# duplicated canonical line; short lines always kept), document
+# rebuild with '. '.
+R12_QUEUED_ORACLES["line_dedup_rewrite"] = r"""
+    WITH raw AS (
+        SELECT doc_id, string_split_regex(text, '[.!?]+\s+') AS ls
+        FROM documents
+    ),
+    lines AS (
+        SELECT doc_id, CAST(p AS BIGINT) AS p, trim(ls[p]) AS l
+        FROM raw, UNNEST(range(1, len(ls) + 1)) AS u(p)
+        WHERE length(trim(ls[p])) > 0
+    ),
+    hashed AS (
+        SELECT doc_id, p, l,
+            CASE WHEN length(l) >= 20 THEN md5(lower(l)) END AS h
+        FROM lines
+    ),
+    st AS (
+        SELECT doc_id, p, l,
+            COUNT(*) OVER (PARTITION BY h) AS c,
+            ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        FROM hashed WHERE h IS NOT NULL
+    ),
+    kept AS (
+        SELECT doc_id, p, l, TRUE AS keep FROM hashed WHERE h IS NULL
+        UNION ALL
+        SELECT doc_id, p, l, (c = 1 OR rn = 1) AS keep FROM st
+    )
+    SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_lines,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_lines_kept,
+        CAST((1000000 * SUM(CASE WHEN keep THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS kept_ppm,
+        COALESCE(string_agg(CASE WHEN keep THEN l END, '. ' ORDER BY p),
+                 '') AS text_rewritten
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+"""

@@ -5792,6 +5792,110 @@ def _r11q_minhash_calibration(
     return minhash_calibration(d, "doc_id", "text", k=8)
 
 
+# ------------------------------------------------------------------
+# r12-queue: implemented + DuckDB-parity-proven in round 11
+# (tests/test_r12_queue.py), registration DEFERRED so the round-11
+# window covers the 8-name r11 cohort + the r5-stale backlog (the
+# same staging protocol the r10/r11 cohorts used). Round 12:
+# decorate with @query(...) and merge R12_QUEUED_ORACLES into
+# ORACLES (oracles.py). Registered count after: 294/350.
+def _r12q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164 winnowing fingerprint census (operators/dedup.py:
+    winnow_fingerprint_census) — Schleimer 2003 rightmost-min window
+    selection; per-source shared-fingerprint rates."""
+    from .operators.dedup import winnow_fingerprint_census
+
+    d = table(spark, sf_dir, "documents")
+    return winnow_fingerprint_census(d, "doc_id", "text", "source", w=4)
+
+
+def _r12q_source_containment_direction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X165 directed containment census (operators/dedup.py:
+    source_containment_direction) — who subsumes whom, by source
+    pair."""
+    from .operators.dedup import source_containment_direction
+
+    d = table(spark, sf_dir, "documents")
+    return source_containment_direction(
+        d, "doc_id", "text", "source", threshold=0.5
+    )
+
+
+def _r12q_dup_span_position_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X166 duplication-position profile (operators/dedup.py:
+    dup_span_position_profile) — X148 cut spans projected onto
+    position deciles per source."""
+    from .operators.dedup import dup_span_position_profile
+
+    d = table(spark, sf_dir, "documents")
+    return dup_span_position_profile(d, "doc_id", "text", "source")
+
+
+def _r12q_semantic_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X167 semantic decontamination (operators/similarity.py:
+    semantic_decontamination) — IVF-bucketed cosine flags against
+    the deterministic pseudo-benchmark."""
+    from .operators.similarity import semantic_decontamination
+
+    e = table(spark, sf_dir, "embeddings")
+    return semantic_decontamination(
+        e, "vec_id", "embedding", bench_mod=97, threshold=0.3
+    )
+
+
+def _r12q_ivf_nprobe_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X168 IVF recall-vs-nprobe curve (operators/similarity.py:
+    ivf_nprobe_recall_curve) — exact recall@k against brute force
+    per sweep point."""
+    from .operators.similarity import ivf_nprobe_recall_curve
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_nprobe_recall_curve(e, "vec_id", "embedding", k=5)
+
+
+def _r12q_source_crossentropy_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X169 source-pair cross-entropy matrix (operators/textstats.py:
+    source_crossentropy_matrix) — add-one-smoothed unigram H(A|B) in
+    the X99 scaled-integer-ln convention."""
+    from .operators.textstats import source_crossentropy_matrix
+
+    d = table(spark, sf_dir, "documents")
+    return source_crossentropy_matrix(d, "doc_id", "text", "source")
+
+
+def _r12q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X170 data-constrained mixture plan (operators/sampling.py:
+    mixture_epoch_plan) — token allocations, epochs, and the
+    4-epoch-cap deficit per source."""
+    from .operators.sampling import mixture_epoch_plan
+
+    d = table(spark, sf_dir, "documents")
+    return mixture_epoch_plan(
+        d, "source", "text", budget_tokens=2_000_000, alpha=0.5
+    )
+
+
+def _r12q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X171 line-dedup rewrite (operators/dedup.py:
+    line_dedup_rewrite) — global first-occurrence line survivorship
+    and document rebuild; completes the X161 census -> rewritten
+    corpus chain."""
+    from .operators.dedup import line_dedup_rewrite
+
+    d = table(spark, sf_dir, "documents")
+    return line_dedup_rewrite(d, "doc_id", "text")
+
+
 # Rotation reorder (staleness-first window protocol) — runs LAST so
 # every registration above, including the r10 cohort, participates.
 for _name in _rotation_order():

@@ -127,6 +127,26 @@ HEAVY = [
     # prefixes keep cross-copy 3-grams disjoint, so duplicated spans
     # scale linearly.
     "exact_substring_rewrite",
+    # round-11 (r10 verdict task 5): the two unprobed r10
+    # registrations. lm_heldout_eval's train/held-out split is by
+    # doc-id residue (scale-invariant under the 10^7 offsets, see the
+    # round-9b note) and the c{i} prefixes keep cross-copy grams
+    # disjoint, so the two keyed model joins grow linearly with the
+    # corpus; langid_source_agreement's kappa cells are bounded by
+    # |classes|^2 per source and the source column is copy-invariant,
+    # so only the marker scan grows.
+    "lm_heldout_eval",
+    "langid_source_agreement",
+    # round-11: the two r11-cohort ops BENCH_SF1_r10 did not probe.
+    # embedding_drift_by_label: label-keyed exact integer sum vectors
+    # — one fixed-width shuffle per label, linear scan. The id-parity
+    # halves stay balanced under the 10^7 offsets (even offset flips
+    # no parity class). duplication_gini: the c{i} prefixes keep
+    # cross-copy texts distinct, so each copy replicates the base
+    # multiplicity lattice and the per-source size-lattice window
+    # stays bounded by distinct sizes, never documents.
+    "embedding_drift_by_label",
+    "duplication_gini",
 ]
 N_RUNS = 3
 

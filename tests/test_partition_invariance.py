@@ -103,3 +103,39 @@ def test_r11_result_invariant_under_partitioning(spark, wrapper):
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_sp)
         conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+# The r12-queue staged wrappers (not yet in QUERIES): the shapes that
+# would drift first are the window-function selection (winnow — lead
+# over a doc-keyed sort), the HUGEINT/DECIMAL ln-product sums
+# (crossentropy), the global first-occurrence min-struct (line
+# rewrite), and the sweep-rank recall (nprobe curve).
+R12_UNDER_TEST = [
+    "_r12q_winnow_fingerprints",
+    "_r12q_source_crossentropy_matrix",
+    "_r12q_line_dedup_rewrite",
+    "_r12q_ivf_nprobe_recall_curve",
+]
+
+
+@pytest.mark.parametrize("wrapper", R12_UNDER_TEST)
+def test_r12_result_invariant_under_partitioning(spark, wrapper):
+    conf = spark.conf
+    baseline = _rows_r11(spark, wrapper)
+    settings = [
+        ("2", str(512 * 1024 * 1024)),
+        ("64", str(256 * 1024)),
+    ]
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sp, mpb in settings:
+            conf.set("spark.sql.shuffle.partitions", sp)
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            assert _rows_r11(spark, wrapper) == baseline, (
+                f"{wrapper} drifted at shuffle_partitions={sp}, "
+                f"maxPartitionBytes={mpb}"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
