@@ -3410,3 +3410,109 @@ def line_dedup_rewrite(
             "text_rewritten",
         )
     )
+
+
+def paradigm_agreement(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+    bands: int = 4,
+    cos_threshold: float = 0.3,
+    max_df: int = 100,
+) -> DataFrame:
+    """X178: cross-paradigm near-dup agreement census — the X2b/X2c
+    MinHash-LSH candidate set against the X156 tf·idf-cosine
+    candidate set, with every pair in the UNION re-scored by exact
+    set Jaccard (the shared ground-truth axis).  The two paradigms
+    see different structure: LSH banding fires on shared shingle
+    runs; tf·idf cosine fires on shared rare vocabulary at any
+    length ratio.  Where they disagree is exactly the recall a
+    single-paradigm dedup stack silently loses — 'both' pairs are
+    safe, 'lsh_only' pairs are LOW-Jaccard-tolerant boilerplate the
+    cosine threshold rejects, 'cosine_only' pairs are reweighted
+    templates banding cannot catch.  The mean exact Jaccard per
+    bucket quantifies each claim on this corpus.
+
+    Exactness: candidate membership is deterministic (md5 MinHash,
+    integer tf·idf weights, round-6 cosine); Jaccard is exact
+    integer |∩| div |∪|; means are scaled integer divisions.
+
+    Scale: both candidate generators are the production-bounded
+    implementations (banded buckets with AQE hot split; term-keyed
+    weighted pairs with df cap); the verification join is keyed by
+    the bounded pair union, never all-pairs.  Pairs where one side
+    has no shingles (sub-3-token docs reachable by the cosine
+    paradigm) verify at Jaccard 0 via the left joins."""
+    sh = doc_shingles(df, id_col, text_col)
+    sh = sh.localCheckpoint(eager=True)
+    sig = minhash_signatures(sh, id_col, k)
+    lsh = (
+        lsh_candidate_pairs(sig, id_col, k, bands)
+        .select("doc_a", "doc_b")
+        .withColumn("__lsh", F.lit(1))
+    )
+    cos = (
+        tfidf_cosine_pairs(df, id_col, text_col, cos_threshold, max_df)
+        .select("doc_a", "doc_b")
+        .withColumn("__cos", F.lit(1))
+    )
+    pairs = (
+        lsh.join(cos, ["doc_a", "doc_b"], "full")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.when(
+                F.col("__lsh").isNotNull() & F.col("__cos").isNotNull(),
+                F.lit("both"),
+            )
+            .when(F.col("__lsh").isNotNull(), F.lit("lsh_only"))
+            .otherwise(F.lit("cosine_only"))
+            .alias("paradigm"),
+        )
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("__n"))
+    common = (
+        pairs.join(
+            sh.select(F.col(id_col).alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col(id_col).alias("doc_b"), F.col("shingle")),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    scored = (
+        pairs.join(common, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col(id_col).alias("doc_a"), F.col("__n").alias("__na")),
+            "doc_a",
+            "left",
+        )
+        .join(
+            sizes.select(F.col(id_col).alias("doc_b"), F.col("__n").alias("__nb")),
+            "doc_b",
+            "left",
+        )
+        .select(
+            "paradigm",
+            F.expr(
+                "CASE WHEN coalesce(__na, 0) + coalesce(__nb, 0) "
+                "- coalesce(__common, 0) = 0 THEN 0 "
+                "ELSE (1000000 * coalesce(__common, 0)) div "
+                "(coalesce(__na, 0) + coalesce(__nb, 0) "
+                "- coalesce(__common, 0)) END"
+            ).alias("__j_ppm"),
+        )
+    )
+    return (
+        scored.groupBy("paradigm")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(__j_ppm) div count(1)").alias("mean_jaccard_ppm"),
+            F.min("__j_ppm").alias("min_jaccard_ppm"),
+            F.max("__j_ppm").alias("max_jaccard_ppm"),
+        )
+        .orderBy("paradigm")
+    )

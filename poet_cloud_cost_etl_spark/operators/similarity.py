@@ -2104,3 +2104,92 @@ def ivf_nprobe_recall_curve(
         )
         .orderBy("nprobe")
     )
+
+
+def knn_hubness_audit(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """X177: hubness audit of the exact kNN graph (Radovanovic et
+    al. 2010) — in high-dimensional embedding spaces the
+    k-occurrence distribution (how often each point appears in OTHER
+    points' top-k) grows a heavy right tail: "hub" vectors crowd
+    into everyone's neighbor lists while "antihubs" appear in none.
+    Hubs poison kNN-based curation (X28 SemDeDup, X39 hard-negative
+    mining, X120 MMR): a hub survives every cluster and mines as a
+    negative for everything.  This panel measures the pathology per
+    label before those operators trust the geometry: antihub share,
+    hub count (k-occurrence >= 2k, the standard dial), max
+    k-occurrence, mean k-occurrence (== k globally; per-label skew
+    is the signal), and kNN reciprocity (mutual-neighbor rate —
+    low reciprocity is the same pathology seen edge-wise).
+
+    Exactness: the graph ranks by (round-6 cosine DESC, id ASC) —
+    the X4 comparator; every output is an exact integer count or a
+    ppm/e6 integer division.
+
+    Scale: ground truth is the X4 broadcast brute-force pass (|N|²
+    narrow map — fixture-honest); at 100 TB the candidate generator
+    swaps to the IVF lists (X8/X168 machinery) with this audit
+    unchanged.  The k-occurrence aggregate, reciprocity self-join
+    (|edges| = k·N rows), and label panels are all keyed shuffles
+    bounded by the edge table."""
+    edges = brute_force_topk(emb, emb, id_col, vec_col, k).select(
+        "query_id", "neighbor_id"
+    )
+    edges = edges.localCheckpoint(eager=True)
+    vecs = emb.select(
+        F.col(id_col).alias("__vid"), F.col(label_col).alias("label")
+    )
+    kocc = (
+        vecs.join(
+            edges.groupBy("neighbor_id").agg(
+                F.count(F.lit(1)).alias("__k")
+            ),
+            vecs.__vid == F.col("neighbor_id"),
+            "left",
+        )
+        .select(
+            "__vid", "label", F.coalesce("__k", F.lit(0)).alias("__kocc")
+        )
+    )
+    occ_panel = kocc.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("__kocc") == 0).cast("long")).alias("n_antihubs"),
+        F.sum((F.col("__kocc") >= 2 * k).cast("long")).alias("n_hubs"),
+        F.max("__kocc").alias("max_kocc"),
+        F.expr("(1000000 * sum(__kocc)) div count(1)").alias(
+            "mean_kocc_e6"
+        ),
+    )
+    rev = edges.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("query_id"),
+        F.lit(1).alias("__mutual"),
+    )
+    recip = (
+        edges.join(rev, ["query_id", "neighbor_id"], "left")
+        .join(vecs, F.col("query_id") == F.col("__vid"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "(1000000 * sum(coalesce(__mutual, 0))) div count(1)"
+            ).alias("reciprocity_ppm")
+        )
+    )
+    return (
+        occ_panel.join(recip, "label")
+        .select(
+            "label",
+            "n_vecs",
+            "n_antihubs",
+            "n_hubs",
+            "max_kocc",
+            "mean_kocc_e6",
+            "reciprocity_ppm",
+        )
+        .orderBy("label")
+    )

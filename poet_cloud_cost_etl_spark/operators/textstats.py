@@ -3478,3 +3478,164 @@ def source_crossentropy_matrix(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def hll_register_estimate(
+    df: DataFrame, group_col: str, text_col: str, m: int = 64
+) -> DataFrame:
+    """X175: register-level HyperLogLog distinct-token estimate per
+    group (Flajolet et al. 2007), next to the KMV sketch (X62) — HLL
+    is what production engines actually ship (Spark's own
+    ``hll_sketch_agg``, used by the timeseries rolling twin, is a
+    black box whose estimate no oracle can re-derive).  This operator
+    IS oracle-checkable: deterministic md5 register assignment, so
+    the sketch itself — every register value, the estimate, and the
+    signed error vs the exact count — is reproduced bit-for-bit by
+    the DuckDB twin.
+
+    Register math (m=64): bucket = first-8-md5-bits mod 64; the next
+    60 bits are the value stream w; rho(w) = 61 - bitlength(w)
+    (w = 0 -> 61), via the engine-portable ``length(bin(w))``.  The
+    harmonic sum stays INTEGER: S = sum over registers of
+    2^(61 - M_j), empty registers contributing 2^61, accumulated in
+    DECIMAL(38,0) (DuckDB SUM promotes to HUGEINT — the r9/r10
+    overflow-asymmetry route).  With alpha_64 = 0.709 = 709/1000
+    exactly, raw = (709 * 4096 * 2^61) div (1000 * S) is a pure
+    integer estimator; the small-range branch (raw <= 2.5m with
+    empty registers) uses linear counting m*ln(m/V) through the X99
+    scaled-integer-ln convention.  No float survives into the
+    output.
+
+    Scale: one (group, bucket)-keyed MAX aggregate over the token
+    stream — map-side partial like any MAX, 64 rows per group out of
+    the shuffle regardless of vocabulary; the exact-distinct column
+    exists for the fixture-scale audit and would be dropped at
+    100 TB (the estimate is the product)."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).filter(F.col("t") != "")
+    hashed = toks.select(
+        "grp",
+        "t",
+        F.expr(
+            "CAST(conv(substring(md5(t), 1, 2), 16, 10) AS BIGINT) % 64"
+        ).alias("__b"),
+        F.expr(
+            "CAST(conv(substring(md5(t), 3, 15), 16, 10) AS BIGINT)"
+        ).alias("__w"),
+    )
+    regs = (
+        hashed.withColumn(
+            "__rho",
+            F.expr(
+                "CASE WHEN __w = 0 THEN 61 "
+                "ELSE 61 - length(bin(__w)) END"
+            ),
+        )
+        .groupBy("grp", "__b")
+        .agg(F.max("__rho").alias("__m"))
+    )
+    panel = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("registers_used"),
+        F.sum(F.expr("shiftleft(1L, 61 - __m)").cast("decimal(38,0)")).alias(
+            "__s_used"
+        ),
+    )
+    exact = toks.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("t").alias("exact_distinct"),
+    )
+    est = F.expr(
+        "CASE WHEN __raw <= 160 AND registers_used < 64 THEN "
+        # linear counting: 64 * ln(64 / V), scaled-integer ln
+        "(64 * CAST(ROUND(LN(64.0 / (64 - registers_used)) * 1000000) "
+        "AS BIGINT)) div 1000000 "
+        "ELSE __raw END"
+    )
+    return (
+        exact.join(panel, "grp")
+        .withColumn(
+            "__s",
+            F.col("__s_used")
+            + (64 - F.col("registers_used")).cast("decimal(38,0)")
+            * F.lit(2305843009213693952).cast("decimal(38,0)"),
+        )
+        .withColumn(
+            "__raw",
+            F.expr(
+                "CAST((CAST(709 AS DECIMAL(38,0)) * 4096 * "
+                "2305843009213693952) div (1000 * __s) AS BIGINT)"
+            ),
+        )
+        .withColumn("__est0", est.cast("long"))
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "exact_distinct",
+            "registers_used",
+            F.col("__est0").alias("hll_estimate"),
+            F.expr(
+                "CASE WHEN __est0 >= exact_distinct THEN "
+                "((__est0 - exact_distinct) * 1000000) div exact_distinct "
+                "ELSE -(((exact_distinct - __est0) * 1000000) "
+                "div exact_distinct) END"
+            ).alias("err_ppm"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def vocab_richness_estimators(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """X176: nonparametric vocabulary-richness estimators per group —
+    Chao1 (Chao 1984, bias-corrected form) and the first-order
+    jackknife (Burnham & Overton 1978) — the how-much-vocabulary-is
+    -LEFT question next to X101's Good-Turing missing MASS and X117's
+    Heaps-law growth FIT.  Curation reading: observed/chao1 is the
+    sample-coverage dial — a source whose Chao1 far exceeds its
+    observed vocabulary rewards more crawling; one whose estimators
+    have converged is exhausted.
+
+    chao1_e6 = 1e6*D + (1e6*f1*(f1-1)) div (2*(f2+1)) — the
+    bias-corrected form is defined at f2 = 0, exact integer
+    throughout; jackknife1 = D + f1 exactly.
+
+    Scale: one (group, token) count aggregate (vocab-bounded,
+    map-side partial), then a |G|-row panel off the
+    frequency-of-frequencies — the X101 shape."""
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    return (
+        counts.groupBy("grp")
+        .agg(
+            F.sum("__c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("observed_distinct"),
+            F.sum((F.col("__c") == 1).cast("long")).alias("f1_singletons"),
+            F.sum((F.col("__c") == 2).cast("long")).alias("f2_doubletons"),
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "n_tokens",
+            "observed_distinct",
+            "f1_singletons",
+            "f2_doubletons",
+            F.expr(
+                "1000000 * observed_distinct + "
+                "(1000000 * f1_singletons * (f1_singletons - 1)) "
+                "div (2 * (f2_doubletons + 1))"
+            ).alias("chao1_e6"),
+            (F.col("observed_distinct") + F.col("f1_singletons")).alias(
+                "jackknife1"
+            ),
+        )
+        .orderBy(group_col)
+    )

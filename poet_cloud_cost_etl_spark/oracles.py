@@ -8544,3 +8544,380 @@ R12_QUEUED_ORACLES["line_dedup_rewrite"] = r"""
                  '') AS text_rewritten
     FROM kept GROUP BY doc_id ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# r13-queue oracles: implemented + parity-proven in round 11
+# (tests/test_r13_queue.py), registration deferred per the staging
+# protocol (the r12 window is budgeted for the r12 cohort + the
+# staleness backlog). Round 13: decorate the _r13q_* functions in
+# queries.py with @query(...) and ORACLES.update(R13_QUEUED_ORACLES).
+R13_QUEUED_ORACLES: dict[str, str] = {}
+
+# X172 (operators/behavior.py: markov_transitions): first-order
+# event-type transition census per user, (epoch micros, event_id)
+# order, exact ppm integer divisions.
+R13_QUEUED_ORACLES["events_markov_transitions"] = """
+    WITH seq AS (
+        SELECT user_id, event_type AS to_type,
+            LAG(event_type) OVER (
+                PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+            ) AS from_type
+        FROM events
+    ),
+    cells AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rt AS (SELECT from_type, SUM(n_transitions) AS row_n FROM cells GROUP BY 1),
+    g AS (SELECT SUM(n_transitions) AS n FROM cells)
+    SELECT from_type, to_type, n_transitions,
+        CAST((1000000 * n_transitions) // row_n AS BIGINT) AS row_ppm,
+        CAST((1000000 * n_transitions) // n AS BIGINT) AS share_ppm
+    FROM cells JOIN rt USING (from_type) CROSS JOIN g
+    ORDER BY from_type, to_type
+"""
+
+# X173 (operators/behavior.py: purchase_attribution): last-touch
+# revenue attribution — two IGNORE NULLS last_value windows carry the
+# candidate touch; 24h lookback; integer cents; ppm shares.
+R13_QUEUED_ORACLES["purchase_attribution_last_touch"] = """
+    WITH base AS (
+        SELECT event_type AS t, epoch_us(ts) AS us,
+            CAST(ROUND(value * 100) AS BIGINT) AS cents,
+            last_value(CASE WHEN event_type <> 'purchase'
+                            THEN epoch_us(ts) END IGNORE NULLS)
+                OVER w AS touch_us,
+            last_value(CASE WHEN event_type <> 'purchase'
+                            THEN event_type END IGNORE NULLS)
+                OVER w AS touch_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    attributed AS (
+        SELECT CASE WHEN touch_us IS NOT NULL
+                         AND us - touch_us <= 86400000000
+                    THEN touch_type ELSE '(none)' END AS attributed_type,
+               cents
+        FROM base WHERE t = 'purchase'
+    ),
+    tot AS (SELECT SUM(cents) AS total_cents FROM attributed)
+    SELECT attributed_type, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+        CAST((1000000 * SUM(cents)) // total_cents AS BIGINT)
+            AS revenue_share_ppm
+    FROM attributed CROSS JOIN tot
+    GROUP BY attributed_type, total_cents
+    ORDER BY attributed_type
+"""
+
+# X174 (operators/behavior.py: seasonality_chi2): hour-of-day panel
+# with the exact closed-form chi-square (24*sum(O^2) - N^2)/N; peak
+# hour ties to the earliest hour.
+R13_QUEUED_ORACLES["events_seasonality_chi2"] = """
+    WITH cells AS (
+        SELECT event_type, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+            CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    panel AS (
+        SELECT event_type, CAST(SUM(c) AS BIGINT) AS n_events,
+            CAST(COUNT(*) AS BIGINT) AS n_hours_active,
+            SUM(c * c) AS ss
+        FROM cells GROUP BY 1
+    ),
+    sel AS (
+        SELECT event_type, hour AS peak_hour, c AS peak_count,
+            ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY c DESC, hour ASC
+            ) AS rn
+        FROM cells
+    )
+    SELECT p.event_type, n_events, n_hours_active,
+        peak_hour, peak_count,
+        CAST((1000000 * (24 * ss - n_events * n_events)) // n_events
+            AS BIGINT) AS chi2_uniform_e6
+    FROM panel p JOIN sel s ON p.event_type = s.event_type AND s.rn = 1
+    ORDER BY p.event_type
+"""
+
+# X179 (operators/behavior.py: rfm_segments): RFM segmentation with
+# exact value-lattice quartile thresholds (cum >= ceil(q*N/4)).
+R13_QUEUED_ORACLES["events_rfm_segments"] = """
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS d FROM events),
+    pu AS (
+        SELECT user_id,
+            date_diff('day', MAX(CAST(ts AS DATE)), (SELECT d FROM anchor))
+                AS recency_days,
+            CAST(COUNT(*) AS BIGINT) AS frequency,
+            CAST(SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(ROUND(value * 100) AS BIGINT)
+                          ELSE 0 END) AS BIGINT) AS monetary_cents
+        FROM events GROUP BY user_id
+    ),
+    rl AS (SELECT recency_days AS v, COUNT(*) AS c FROM pu GROUP BY 1),
+    rc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM rl),
+    rt AS (SELECT MIN(CASE WHEN cum >= (1*n+3)//4 THEN v END) AS t1,
+                  MIN(CASE WHEN cum >= (2*n+3)//4 THEN v END) AS t2,
+                  MIN(CASE WHEN cum >= (3*n+3)//4 THEN v END) AS t3 FROM rc),
+    fl AS (SELECT frequency AS v, COUNT(*) AS c FROM pu GROUP BY 1),
+    fc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM fl),
+    ft AS (SELECT MIN(CASE WHEN cum >= (1*n+3)//4 THEN v END) AS t1,
+                  MIN(CASE WHEN cum >= (2*n+3)//4 THEN v END) AS t2,
+                  MIN(CASE WHEN cum >= (3*n+3)//4 THEN v END) AS t3 FROM fc),
+    ml AS (SELECT monetary_cents AS v, COUNT(*) AS c FROM pu GROUP BY 1),
+    mc AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, SUM(c) OVER () AS n FROM ml),
+    mt AS (SELECT MIN(CASE WHEN cum >= (1*n+3)//4 THEN v END) AS t1,
+                  MIN(CASE WHEN cum >= (2*n+3)//4 THEN v END) AS t2,
+                  MIN(CASE WHEN cum >= (3*n+3)//4 THEN v END) AS t3 FROM mc),
+    seg AS (
+        SELECT 'R' || CAST(1 + CAST(recency_days > rt.t1 AS INT)
+                             + CAST(recency_days > rt.t2 AS INT)
+                             + CAST(recency_days > rt.t3 AS INT) AS VARCHAR)
+            || 'F' || CAST(1 + CAST(frequency > ft.t1 AS INT)
+                             + CAST(frequency > ft.t2 AS INT)
+                             + CAST(frequency > ft.t3 AS INT) AS VARCHAR)
+            || 'M' || CAST(1 + CAST(monetary_cents > mt.t1 AS INT)
+                             + CAST(monetary_cents > mt.t2 AS INT)
+                             + CAST(monetary_cents > mt.t3 AS INT) AS VARCHAR)
+                AS segment,
+            frequency, monetary_cents
+        FROM pu, rt, ft, mt
+    )
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_users,
+        CAST(SUM(frequency) AS BIGINT) AS total_events,
+        CAST(SUM(monetary_cents) AS DOUBLE) / 100.0 AS total_revenue
+    FROM seg GROUP BY 1 ORDER BY 1
+"""
+
+# X175 (operators/textstats.py: hll_register_estimate): register-level
+# HLL, m=64, md5 bucket/value split, integer harmonic sum S in
+# HUGEINT (DECIMAL(38,0) on the Spark side), pure-integer alpha =
+# 709/1000 estimator, X99 scaled-ln linear-counting branch.
+R13_QUEUED_ORACLES["vocab_hll_estimate"] = f"""
+    WITH toks AS (
+        SELECT source, UNNEST({_TOKS.format(col='text')}) AS t FROM documents
+    ),
+    tok AS (SELECT source, t FROM toks WHERE t != ''),
+    hashed AS (
+        SELECT source, t,
+            CAST(('0x' || substr(md5(t), 1, 2)) AS BIGINT) % 64 AS b,
+            CAST(('0x' || substr(md5(t), 3, 15)) AS BIGINT) AS w
+        FROM tok
+    ),
+    regs AS (
+        SELECT source, b,
+            MAX(CASE WHEN w = 0 THEN 61 ELSE 61 - length(bin(w)) END) AS m
+        FROM hashed GROUP BY 1, 2
+    ),
+    panel AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS registers_used,
+            SUM(CAST(1 AS BIGINT) << (61 - m)) AS s_used
+        FROM regs GROUP BY 1
+    ),
+    exact AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+            CAST(COUNT(DISTINCT t) AS BIGINT) AS exact_distinct
+        FROM tok GROUP BY 1
+    ),
+    calc AS (
+        SELECT source, n_tokens, exact_distinct, registers_used,
+            s_used + CAST(64 - registers_used AS HUGEINT)
+                * CAST(2305843009213693952 AS HUGEINT) AS s
+        FROM exact JOIN panel USING (source)
+    ),
+    scored AS (
+        SELECT *, CAST((CAST(709 AS HUGEINT) * 4096 * 2305843009213693952)
+            // (1000 * s) AS BIGINT) AS raw
+        FROM calc
+    ),
+    final AS (
+        SELECT source, n_tokens, exact_distinct, registers_used,
+            CAST(CASE WHEN raw <= 160 AND registers_used < 64 THEN
+                (64 * CAST(ROUND(LN(64.0 / (64 - registers_used)) * 1000000)
+                    AS BIGINT)) // 1000000
+                ELSE raw END AS BIGINT) AS hll_estimate
+        FROM scored
+    )
+    SELECT source, n_tokens, exact_distinct, registers_used, hll_estimate,
+        CAST(CASE WHEN hll_estimate >= exact_distinct THEN
+            ((hll_estimate - exact_distinct) * 1000000) // exact_distinct
+            ELSE -(((exact_distinct - hll_estimate) * 1000000)
+                // exact_distinct) END AS BIGINT) AS err_ppm
+    FROM final
+    ORDER BY source
+"""
+
+# X176 (operators/textstats.py: vocab_richness_estimators): Chao1
+# (bias-corrected) + first-order jackknife, pure integer.
+R13_QUEUED_ORACLES["vocab_chao1_richness"] = f"""
+    WITH toks AS (
+        SELECT source, UNNEST({_TOKS.format(col='text')}) AS t FROM documents
+    ),
+    counts AS (
+        SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks WHERE t != '' GROUP BY 1, 2
+    )
+    SELECT source,
+        CAST(SUM(c) AS BIGINT) AS n_tokens,
+        CAST(COUNT(*) AS BIGINT) AS observed_distinct,
+        CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS f1_singletons,
+        CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+            AS f2_doubletons,
+        CAST(1000000 * COUNT(*) +
+            (1000000 * SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                * (SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) - 1))
+            // (2 * (SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) + 1))
+            AS BIGINT) AS chao1_e6,
+        CAST(COUNT(*) + SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+            AS jackknife1
+    FROM counts
+    GROUP BY source ORDER BY source
+"""
+
+# X177 (operators/similarity.py: knn_hubness_audit): k-occurrence +
+# reciprocity panel over the exact (round-6 cosine, id tie-break)
+# kNN graph, k=5, hub dial 2k.
+R13_QUEUED_ORACLES["knn_hubness_audit"] = """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])), 6)
+                AS cos_sim
+        FROM embeddings e, embeddings q
+        WHERE e.vec_id <> q.vec_id
+    ),
+    edges AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    kocc AS (
+        SELECT v.vec_id, v.label, COALESCE(c.k, 0) AS kocc
+        FROM embeddings v LEFT JOIN (
+            SELECT neighbor_id, COUNT(*) AS k FROM edges GROUP BY 1
+        ) c ON v.vec_id = c.neighbor_id
+    ),
+    occ AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+            CAST(SUM(CASE WHEN kocc = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_antihubs,
+            CAST(SUM(CASE WHEN kocc >= 10 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_hubs,
+            CAST(MAX(kocc) AS BIGINT) AS max_kocc,
+            CAST((1000000 * SUM(kocc)) // COUNT(*) AS BIGINT)
+                AS mean_kocc_e6
+        FROM kocc GROUP BY 1
+    ),
+    recip AS (
+        SELECT v.label,
+            CAST((1000000 * SUM(CASE WHEN r.query_id IS NOT NULL
+                                     THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS reciprocity_ppm
+        FROM edges e
+        JOIN embeddings v ON e.query_id = v.vec_id
+        LEFT JOIN edges r
+          ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
+        GROUP BY 1
+    )
+    SELECT occ.label, n_vecs, n_antihubs, n_hubs, max_kocc,
+        mean_kocc_e6, reciprocity_ppm
+    FROM occ JOIN recip USING (label) ORDER BY label
+"""
+
+# X178 (operators/dedup.py: paradigm_agreement): MinHash-LSH vs
+# tf-idf-cosine candidate sets, union re-scored by exact set Jaccard.
+R13_QUEUED_ORACLES["neardup_paradigm_agreement"] = f"""
+    WITH {_SHINGLE_CTE},
+    mh AS (
+        SELECT doc_id,
+            {_MH_COLS}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {_BAND_UNION}
+    ),
+    lsh AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest({_TOKS.format(col='text')}) AS term
+              FROM documents)
+        WHERE term != '' GROUP BY doc_id, term
+    ),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+    w AS (
+        SELECT t.doc_id, t.term,
+            CAST(t.tf * (1000000 // d.df) AS BIGINT) AS w
+        FROM tf t JOIN dfq d USING (term) WHERE d.df <= 100
+    ),
+    norms AS (
+        SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS s
+        FROM w GROUP BY doc_id
+    ),
+    tpairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+            SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
+        FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    cos AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT p.doc_a, p.doc_b,
+                ROUND(CAST(p.dot AS DOUBLE)
+                    / (sqrt(CAST(na.s AS DOUBLE))
+                       * sqrt(CAST(nb.s AS DOUBLE))), 6) AS cosine
+            FROM tpairs p
+            JOIN norms na ON na.doc_id = p.doc_a
+            JOIN norms nb ON nb.doc_id = p.doc_b
+        ) WHERE cosine >= 0.3
+    ),
+    up AS (
+        SELECT COALESCE(l.doc_a, c.doc_a) AS doc_a,
+               COALESCE(l.doc_b, c.doc_b) AS doc_b,
+            CASE WHEN l.doc_a IS NOT NULL AND c.doc_a IS NOT NULL
+                 THEN 'both'
+                 WHEN l.doc_a IS NOT NULL THEN 'lsh_only'
+                 ELSE 'cosine_only' END AS paradigm
+        FROM lsh l
+        FULL OUTER JOIN cos c
+          ON l.doc_a = c.doc_a AND l.doc_b = c.doc_b
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jscored AS (
+        SELECT paradigm,
+            CASE WHEN COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                      - COALESCE(nc, 0) = 0 THEN 0
+                 ELSE (1000000 * COALESCE(nc, 0))
+                      // (COALESCE(sa.n, 0) + COALESCE(sb.n, 0)
+                          - COALESCE(nc, 0)) END AS j
+        FROM up
+        LEFT JOIN common USING (doc_a, doc_b)
+        LEFT JOIN sizes sa ON up.doc_a = sa.doc_id
+        LEFT JOIN sizes sb ON up.doc_b = sb.doc_id
+    )
+    SELECT paradigm, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(j) // COUNT(*) AS BIGINT) AS mean_jaccard_ppm,
+        CAST(MIN(j) AS BIGINT) AS min_jaccard_ppm,
+        CAST(MAX(j) AS BIGINT) AS max_jaccard_ppm
+    FROM jscored GROUP BY 1 ORDER BY 1
+"""

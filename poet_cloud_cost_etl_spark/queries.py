@@ -5896,6 +5896,106 @@ def _r12q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_rewrite(d, "doc_id", "text")
 
 
+# ------------------------------------------------------------------
+# r13-queue: implemented + DuckDB-parity-proven in round 11
+# (tests/test_r13_queue.py), registration DEFERRED so the round-12
+# window covers the 8-name r12 cohort + the staleness backlog (the
+# staging protocol of the r10/r11/r12 cohorts). Round 13: decorate
+# with @query(...) and merge R13_QUEUED_ORACLES into ORACLES
+# (oracles.py). Registered count after: 302/350.
+def _r13q_events_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X172 event-sequence transition census (operators/behavior.py:
+    markov_transitions) — first-order Markov matrix of the per-user
+    event stream, exact ppm conditionals."""
+    from .operators.behavior import markov_transitions
+
+    e = table(spark, sf_dir, "events")
+    return markov_transitions(e, "user_id", "event_type", "ts", "event_id")
+
+
+def _r13q_purchase_attribution_last_touch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X173 last-touch revenue attribution (operators/behavior.py:
+    purchase_attribution) — latest preceding non-purchase touch
+    within 24h, integer-cents revenue shares."""
+    from .operators.behavior import purchase_attribution
+
+    e = table(spark, sf_dir, "events")
+    return purchase_attribution(
+        e, "user_id", "event_type", "ts", "event_id", "value"
+    )
+
+
+def _r13q_events_seasonality_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X174 hour-of-day seasonality panel (operators/behavior.py:
+    seasonality_chi2) — exact closed-form chi-square vs uniform per
+    event type."""
+    from .operators.behavior import seasonality_chi2
+
+    e = table(spark, sf_dir, "events")
+    return seasonality_chi2(e, "event_type", "ts")
+
+
+def _r13q_events_rfm_segments(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X179 RFM segmentation (operators/behavior.py: rfm_segments) —
+    exact value-lattice quartile bands, no per-user global window."""
+    from .operators.behavior import rfm_segments
+
+    e = table(spark, sf_dir, "events")
+    return rfm_segments(e, "user_id", "ts", "event_type", "value")
+
+
+def _r13q_vocab_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X175 register-level HyperLogLog (operators/textstats.py:
+    hll_register_estimate) — the oracle-checkable HLL next to the
+    KMV sketch (X62); integer register math, signed error vs exact."""
+    from .operators.textstats import hll_register_estimate
+
+    d = table(spark, sf_dir, "documents")
+    return hll_register_estimate(d, "source", "text")
+
+
+def _r13q_vocab_chao1_richness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X176 nonparametric vocabulary richness (operators/textstats.py:
+    vocab_richness_estimators) — Chao1 + first-order jackknife per
+    source."""
+    from .operators.textstats import vocab_richness_estimators
+
+    d = table(spark, sf_dir, "documents")
+    return vocab_richness_estimators(d, "source", "text")
+
+
+def _r13q_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X177 kNN-graph hubness audit (operators/similarity.py:
+    knn_hubness_audit) — k-occurrence skew + reciprocity per label
+    over the exact top-k graph."""
+    from .operators.similarity import knn_hubness_audit
+
+    e = table(spark, sf_dir, "embeddings")
+    return knn_hubness_audit(e, "vec_id", "embedding", "label", k=5)
+
+
+def _r13q_neardup_paradigm_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X178 cross-paradigm near-dup agreement census
+    (operators/dedup.py: paradigm_agreement) — MinHash-LSH vs
+    tf-idf-cosine candidates, union re-scored by exact Jaccard."""
+    from .operators.dedup import paradigm_agreement
+
+    d = table(spark, sf_dir, "documents")
+    return paradigm_agreement(d, "doc_id", "text")
+
+
 # Rotation reorder (staleness-first window protocol) — runs LAST so
 # every registration above, including the r10 cohort, participates.
 for _name in _rotation_order():

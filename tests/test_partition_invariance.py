@@ -139,3 +139,41 @@ def test_r12_result_invariant_under_partitioning(spark, wrapper):
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_sp)
         conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+# The r13-queue staged wrappers (not yet in QUERIES): the shapes that
+# would drift first are the per-user lag/last windows over
+# micro-second ties (markov, attribution), the lattice cumulative
+# window + broadcast thresholds (rfm), the register MAX + DECIMAL
+# harmonic sum (hll), and the dual-candidate full-outer union with
+# round-6 cosine membership (paradigm agreement).
+R13_UNDER_TEST = [
+    "_r13q_events_markov_transitions",
+    "_r13q_purchase_attribution_last_touch",
+    "_r13q_events_rfm_segments",
+    "_r13q_vocab_hll_estimate",
+    "_r13q_neardup_paradigm_agreement",
+]
+
+
+@pytest.mark.parametrize("wrapper", R13_UNDER_TEST)
+def test_r13_result_invariant_under_partitioning(spark, wrapper):
+    conf = spark.conf
+    baseline = _rows_r11(spark, wrapper)
+    settings = [
+        ("2", str(512 * 1024 * 1024)),
+        ("64", str(256 * 1024)),
+    ]
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sp, mpb in settings:
+            conf.set("spark.sql.shuffle.partitions", sp)
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            assert _rows_r11(spark, wrapper) == baseline, (
+                f"{wrapper} drifted at shuffle_partitions={sp}, "
+                f"maxPartitionBytes={mpb}"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
