@@ -338,3 +338,153 @@ def rfm_segments(
         )
         .orderBy("segment")
     )
+
+
+def session_path_trigrams(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+    top_k: int = 20,
+) -> DataFrame:
+    """X180: session-bounded user-path census — the top event-type
+    TRIGRAM paths (``a>b>c``) within gap-based sessions, the
+    sequence-mining sibling of X172's (unbounded, first-order)
+    transition matrix: trigrams see two steps of memory and the
+    session boundary stops paths from leaking across visits.  Top
+    paths are the standard UX/funnel-discovery artifact.
+
+    Sessionization is the operators/sessions.py flag-and-running-sum
+    shape (gap > ``gap_minutes`` starts a session; (epoch µs, id)
+    order); paths use the same lead window, constrained to the same
+    session.  Counts are exact; share is ppm of all trigram
+    instances; the top-k arrives via orderBy+limit
+    (TakeOrderedAndProject — nothing path-cardinality-sized crosses
+    one task; count desc, path asc tie-break).
+
+    Scale: one user-keyed window pass (two leads over one sort) +
+    one |paths|-bounded aggregate + a top-k."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    order = Window.partitionBy("__u").orderBy("__us", "__id")
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__t"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            F.col(id_col).alias("__id"),
+        )
+        .withColumn(
+            "__new",
+            F.when(
+                F.lag("__us").over(order).isNull()
+                | (F.col("__us") - F.lag("__us").over(order) > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__sess", F.sum("__new").over(running))
+    )
+    tri = (
+        base.withColumn("__t1", F.lead("__t", 1).over(order))
+        .withColumn("__t2", F.lead("__t", 2).over(order))
+        .withColumn("__s1", F.lead("__sess", 1).over(order))
+        .withColumn("__s2", F.lead("__sess", 2).over(order))
+        .filter(
+            F.col("__t2").isNotNull()
+            & (F.col("__s1") == F.col("__sess"))
+            & (F.col("__s2") == F.col("__sess"))
+        )
+        .select(
+            F.concat_ws(">", "__t", "__t1", "__t2").alias("path")
+        )
+    )
+    counts = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    total = counts.agg(F.sum("n_paths").alias("__n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "path",
+            "n_paths",
+            F.expr("(1000000 * n_paths) div __n").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(top_k)
+    )
+
+
+def cohort_ltv_curves(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    value_col: str,
+    purchase_type: str = "purchase",
+) -> DataFrame:
+    """X181: cohort lifetime-value curves — cumulative purchase
+    revenue per (first-seen-week cohort, weeks-since-cohort offset),
+    the monetary half of the retention matrix
+    (queries.retention_cohorts counts ACTIVE users; this accumulates
+    what they SPEND).  cum_ltv_cents_per_user = cumulative cents div
+    cohort size is the per-user LTV curve whose asymptote prices an
+    acquisition.
+
+    Exactness: integer cents throughout; the cumulative sum is an
+    integer window over (cohort, offset) cells — at most
+    |cohorts|·|offsets| rows, never events; per-user LTV is an
+    integer division; dollars appear once as cents/100.0.
+
+    Scale: one per-user min aggregate (cohort assignment), one
+    (cohort, offset) aggregate with map-side combine, one window
+    over the tiny cell table partitioned by cohort."""
+    cohorts = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.date_trunc("week", F.min(F.col(ts_col)))
+        .cast("date")
+        .alias("cohort_week")
+    )
+    sized = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    spend = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.date_trunc("week", F.col(ts_col)).cast("date").alias("__w"),
+            F.when(
+                F.col(type_col) == purchase_type,
+                F.expr(CENTS.format(col=value_col)),
+            )
+            .otherwise(F.lit(0))
+            .alias("__cents"),
+        )
+        .join(cohorts, "__u")
+        .groupBy(
+            "cohort_week",
+            ((F.datediff(F.col("__w"), F.col("cohort_week")) / 7))
+            .cast("int")
+            .alias("offset_weeks"),
+        )
+        .agg(F.sum("__cents").alias("__week_cents"))
+    )
+    cum_w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("offset_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spend.withColumn("__cum", F.sum("__week_cents").over(cum_w))
+        .join(F.broadcast(sized), "cohort_week")
+        .select(
+            "cohort_week",
+            "offset_weeks",
+            "cohort_size",
+            (F.col("__week_cents").cast("double") / 100.0).alias(
+                "week_revenue"
+            ),
+            (F.col("__cum").cast("double") / 100.0).alias("cum_revenue"),
+            F.expr("__cum div cohort_size").alias(
+                "cum_ltv_cents_per_user"
+            ),
+        )
+        .orderBy("cohort_week", "offset_weeks")
+    )

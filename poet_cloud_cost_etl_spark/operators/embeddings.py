@@ -1326,3 +1326,47 @@ def embedding_drift_by_label(
         )
         .orderBy("label")
     )
+
+
+def pq_distortion_by_label(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    m: int = 4,
+    ksub: int = 8,
+) -> DataFrame:
+    """X186: product-quantization distortion audit per (label,
+    subspace) — closes the X42/X54 PQ chain with the question a
+    deployment asks before trusting ADC search: WHERE does the
+    codebook hurt?  A label whose mean quantization error towers
+    over the others is under-represented in the codebook (its ADC
+    distances are systematically biased — recall loss X73/X125 would
+    measure downstream); a subspace with dead codewords
+    (codes_used < ksub) is wasted index bytes.
+
+    Exactness: X42's round-6 per-(vector, subspace) dist_sq is
+    scaled to e6 integers per row BEFORE summation (no float
+    accumulation); means are integer divisions.
+
+    Scale: rides X42's zero-shuffle encoding (broadcast codebook,
+    m*ksub comparisons per row in the scan stage) + one
+    (label, subspace)-keyed aggregate."""
+    codes = pq_encode(emb, id_col, vec_col, m, ksub)
+    labeled = codes.join(
+        emb.select(F.col(id_col), F.col(label_col).alias("label")), id_col
+    )
+    return (
+        labeled.groupBy("label", "subspace")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("code_id").alias("codes_used"),
+            F.expr(
+                "sum(CAST(ROUND(dist_sq * 1000000) AS BIGINT)) div count(1)"
+            ).alias("mean_dist_sq_e6"),
+            F.max(
+                F.expr("CAST(ROUND(dist_sq * 1000000) AS BIGINT)")
+            ).alias("max_dist_sq_e6"),
+        )
+        .orderBy("label", "subspace")
+    )

@@ -1058,3 +1058,81 @@ def mixture_epoch_plan(
         )
         .orderBy("source")
     )
+
+
+def mixture_design_effect(
+    df: DataFrame,
+    group_col: str,
+    alphas: tuple[float, ...] = (0.3, 0.5, 0.7, 1.0),
+) -> DataFrame:
+    """X185: Kish effective sample size / design effect of the X19
+    temperature-mixture weights, swept over a temperature grid — the
+    survey-statistics answer to "what does alpha COST in statistical
+    efficiency": weighting docs by w_s proportional to n_s^alpha
+    makes estimates behave like n_eff = (sum n_s*w_s)^2 /
+    (sum n_s*w_s^2) unweighted samples (Kish 1965); deff = n/n_eff
+    is the variance inflation the rebalancing buys its domain
+    coverage with.  The per-DOC importance weight of the alpha mix
+    relative to the raw corpus is w_s ∝ p_s/(n_s/N) ∝ n_s^(alpha-1)
+    — so alpha=1 (proportional) has every weight equal and deff=1
+    EXACTLY (pinned by test), and the grid shows the efficiency
+    slope as temperature sharpens, next to X19 (the weights), X92
+    (UniMax caps) and X170 (epoch costs).
+
+    Exactness: per-source weights are scaled-integer rounds
+    w = round(1e12*n^(alpha-1)) BEFORE any sum (e12 keeps
+    resolution for the sub-unity powers); the two accumulations
+    n*w and n*w^2 run in DECIMAL(38,0); n_eff and deff are each ONE
+    IEEE double expression over exact integers (cast, multiply,
+    divide — no float accumulation).
+
+    Scale: one |S|-row count aggregate crossed with the constant
+    alpha grid; everything downstream is |S|*|alphas| rows."""
+    counts = df.groupBy(F.col(group_col).alias("__g")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    grid = counts.select(
+        "__g",
+        "__n",
+        F.explode(
+            F.array(*[F.lit(int(round(a * 100))) for a in alphas])
+        ).alias("alpha_e2"),
+    ).withColumn(
+        "__w",
+        F.round(
+            F.pow(
+                F.col("__n").cast("double"),
+                F.col("alpha_e2") / 100.0 - 1.0,
+            )
+            * 1_000_000_000_000.0
+        ).cast("long"),
+    )
+    return (
+        grid.groupBy("alpha_e2")
+        .agg(
+            F.sum("__n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum(F.col("__n").cast("decimal(38,0)") * F.col("__w")).alias(
+                "__s1"
+            ),
+            F.sum(
+                F.col("__n").cast("decimal(38,0)")
+                * F.col("__w")
+                * F.col("__w")
+            ).alias("__s2"),
+        )
+        .select(
+            "alpha_e2",
+            "n_docs",
+            "n_sources",
+            F.expr(
+                "CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE) "
+                "/ CAST(__s2 AS DOUBLE)"
+            ).alias("n_eff"),
+            F.expr(
+                "CAST(n_docs AS DOUBLE) * CAST(__s2 AS DOUBLE) "
+                "/ (CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE))"
+            ).alias("deff"),
+        )
+        .orderBy("alpha_e2")
+    )

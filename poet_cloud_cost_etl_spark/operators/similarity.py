@@ -2106,12 +2106,75 @@ def ivf_nprobe_recall_curve(
     )
 
 
+def _knn_edges(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    candidates: str,
+    n_centroids: int,
+    nprobe: int,
+) -> DataFrame:
+    """Shared X177/X187 top-k graph build: (query_id, neighbor_id)
+    edges ranked by the X4 (round-6 cosine DESC, id ASC) comparator.
+    ``bruteforce`` is the oracle-exact |N|² pass; ``ivf`` is the
+    deployment shape (X8/X168 machinery, n_centroids scaled with N
+    for constant bucket pair volume)."""
+    from pyspark.sql.window import Window
+
+    if candidates == "bruteforce":
+        return brute_force_topk(emb, emb, id_col, vec_col, k).select(
+            "query_id", "neighbor_id"
+        )
+    if candidates == "ivf":
+        # probe-side memberships (cross side 0) x rank-1 inverted
+        # lists (side 1) through the X129/X137 _pair_scores engine —
+        # a (q, n) candidate appears exactly once (n lives in ONE
+        # list; q probes it or not), so no cross-bucket dedup is
+        # needed, and pair_impl="auto" gives the bucket-size-split
+        # BLAS kernel (bit-identical to the expr path by the
+        # _pair_scores contract; ranking by cos_e6 is the same
+        # round-6 comparator scaled to ppm).
+        cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+        lists = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
+            F.col(id_col), F.col(vec_col), "centroid_id"
+        ).withColumn("__side", F.lit(1))
+        probes = ivf_assign(
+            emb, cents, id_col, vec_col, nprobe=nprobe
+        ).select(
+            F.col(id_col), F.col(vec_col), "centroid_id"
+        ).withColumn("__side", F.lit(0))
+        scores = _pair_scores(
+            probes.unionByName(lists),
+            "centroid_id",
+            id_col,
+            vec_col,
+            cross_col="__side",
+        )
+        w = Window.partitionBy("id_a").orderBy(
+            F.desc("cos_e6"), F.asc("id_b")
+        )
+        return (
+            scores.filter(F.col("id_a") != F.col("id_b"))
+            .withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .select(
+                F.col("id_a").alias("query_id"),
+                F.col("id_b").alias("neighbor_id"),
+            )
+        )
+    raise ValueError(f"candidates must be bruteforce|ivf, got {candidates!r}")
+
+
 def knn_hubness_audit(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     label_col: str,
     k: int = 5,
+    candidates: str = "bruteforce",
+    n_centroids: int = 8,
+    nprobe: int = 2,
 ) -> DataFrame:
     """X177: hubness audit of the exact kNN graph (Radovanovic et
     al. 2010) — in high-dimensional embedding spaces the
@@ -2131,15 +2194,17 @@ def knn_hubness_audit(
     the X4 comparator; every output is an exact integer count or a
     ppm/e6 integer division.
 
-    Scale: ground truth is the X4 broadcast brute-force pass (|N|²
-    narrow map — fixture-honest); at 100 TB the candidate generator
-    swaps to the IVF lists (X8/X168 machinery) with this audit
-    unchanged.  The k-occurrence aggregate, reciprocity self-join
-    (|edges| = k·N rows), and label panels are all keyed shuffles
-    bounded by the edge table."""
-    edges = brute_force_topk(emb, emb, id_col, vec_col, k).select(
-        "query_id", "neighbor_id"
-    )
+    Scale: ``candidates="bruteforce"`` (the oracle-pinned default) is
+    the X4 broadcast brute-force pass (|N|² narrow map —
+    fixture-honest); ``candidates="ivf"`` swaps the graph build to
+    the IVF inverted lists (X8/X168 machinery: zero-shuffle
+    assignment, centroid-keyed candidate join, bucket pair volume
+    held constant by scaling ``n_centroids`` with N) with the audit
+    unchanged — the deployment shape, probed at 10× in BENCH_SF1.
+    The k-occurrence aggregate, reciprocity self-join (|edges| =
+    k·N rows), and label panels are all keyed shuffles bounded by
+    the edge table."""
+    edges = _knn_edges(emb, id_col, vec_col, k, candidates, n_centroids, nprobe)
     edges = edges.localCheckpoint(eager=True)
     vecs = emb.select(
         F.col(id_col).alias("__vid"), F.col(label_col).alias("label")
@@ -2192,4 +2257,172 @@ def knn_hubness_audit(
             "reciprocity_ppm",
         )
         .orderBy("label")
+    )
+
+
+def srp_cosine_calibration(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bits: int = 16,
+    n_centroids: int = 8,
+) -> DataFrame:
+    """X183: signed-random-projection (SimHash-for-cosine) estimator
+    calibration — the cosine-sketch member of the calibration family
+    (X45 LSH recall, X163 MinHash-J, X141 quantile error): per
+    exact-cosine band, the empirical sign-bit match rate against the
+    Goemans-Williamson/Charikar expectation E[match] = 1 - theta/pi.
+    The gap IS the estimator error a hyperplane-LSH deployment would
+    inherit on this corpus's similarity range — measured, not quoted
+    from the paper.
+
+    Bits are the SIGNS of the X46 Rademacher fold (same _RP_SIGN_SQL
+    cell arithmetic, sign taken BEFORE the 1/sqrt(m) scale and
+    round-6, which cannot change it); pairs come from the X8 IVF
+    buckets (nprobe=1 — the X137 candidate discipline, never
+    all-pairs); the expectation uses acos of the round-6 cosine,
+    scaled-integer-rounded per pair before summation (the X99 ln
+    convention: acos values do not land on e6 ties).
+
+    Scale: bit arrays ride the scan (d*bits multiply-adds per row);
+    bucketed pair volume is the X28-audited shape; the band panel is
+    <= 20 rows."""
+    from .embeddings import _RP_SIGN_SQL
+
+    sign_bits = (
+        "transform(sequence(0, {m} - 1), j -> "
+        "CASE WHEN aggregate(zip_with({v}, sequence(0, size({v}) - 1), "
+        "(x, i) -> CAST(x AS DOUBLE) * " + _RP_SIGN_SQL.format(i="i", j="j")
+        + "), 0.0D, (acc, t) -> acc + t) > 0 THEN 1 ELSE 0 END)"
+    ).format(m=int(bits), v=vec_col)
+    withbits = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(sign_bits).alias("__bits"),
+    )
+    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+    # ivf_assign returns (id, vec, centroid_id, probe_rank) — re-attach
+    # the bit arrays by id, then score within-bucket pairs through the
+    # X129/X137 _pair_scores engine (pair_impl="auto": BLAS kernel on
+    # big buckets, codegen on small — bit-identical cos_e6 by the
+    # _pair_scores contract; the bit arrays ride along as a payload
+    # column). cos_e6/1e6 is the SAME double as round(cos, 6) — both
+    # are the nearest double to the same 6-decimal value — so the
+    # band/acos arithmetic is unchanged from the expr form.
+    assigned = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).join(
+        withbits.select(F.col(id_col), F.col("__bits")), id_col
+    )
+    pairs = _pair_scores(
+        assigned, "centroid_id", id_col, vec_col, payload_cols=("__bits",)
+    ).select(
+        (F.col("cos_e6") / 1_000_000.0).alias("__cos"),
+        F.expr(
+            "aggregate(zip_with(__bits_a, __bits_b, (x, y) -> "
+            "CASE WHEN x = y THEN 1 ELSE 0 END), 0, (acc, v) -> acc + v)"
+        ).alias("__match"),
+    )
+    scored = pairs.select(
+        F.floor(F.col("__cos") * 10).cast("int").alias("cos_band"),
+        "__match",
+        F.expr(
+            "CAST(ROUND((1.0D - ACOS(GREATEST(-1.0D, LEAST(1.0D, __cos))) "
+            "/ PI()) * 1000000) AS BIGINT)"
+        ).alias("__exp_ppm"),
+    )
+    return (
+        scored.groupBy("cos_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("sum(__exp_ppm) div count(1)").alias(
+                "expected_match_ppm"
+            ),
+            F.expr(
+                f"(1000000 * sum(__match)) div ({int(bits)} * count(1))"
+            ).alias("empirical_match_ppm"),
+        )
+        .withColumn(
+            "gap_ppm",
+            F.col("empirical_match_ppm") - F.col("expected_match_ppm"),
+        )
+        .orderBy("cos_band")
+    )
+
+
+def mutual_knn_clusters(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+    candidates: str = "bruteforce",
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """X187: mutual-kNN clustering census — connected components over
+    the RECIPROCAL edges of the exact top-k graph (a -> b AND b -> a),
+    the classic hub-robust semantic clustering paradigm next to the
+    centroid-based X28/X8 family: one-directional edges to hubs (the
+    X177 pathology) are dropped by construction, so clusters are
+    mutual-agreement groups, not hub halos.  The panel reports, per
+    cluster size, the cluster count, vector mass, and mean
+    dominant-label purity — the label-coherence audit of the
+    geometry's own clustering.
+
+    Exactness: the graph ranks by the X4 comparator; CC labels are
+    the X7 min-label fixpoint (engine-independent); purity is ppm
+    integer division of integer counts (dominant label ties break to
+    the smaller label via the (count, -label) struct max).
+
+    Scale: the edge build is the X177 shape (brute force at fixture
+    scale; IVF candidates at deployment — the audit is unchanged);
+    the mutual filter is one self-join of the k*N edge table; CC is
+    the X7 machinery (near-clique graphs, bounded rounds); panels
+    are keyed aggregates on cluster ids."""
+    from .graph import connected_components
+
+    edges = _knn_edges(emb, id_col, vec_col, k, candidates, n_centroids, nprobe)
+    edges = edges.localCheckpoint(eager=True)
+    rev = edges.select(
+        F.col("query_id").alias("neighbor_id"),
+        F.col("neighbor_id").alias("query_id"),
+    )
+    mutual = (
+        edges.join(rev, ["query_id", "neighbor_id"])
+        .filter(F.col("query_id") < F.col("neighbor_id"))
+        .select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst")
+        )
+    )
+    nodes = emb.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, mutual)
+    labeled = cc.join(
+        emb.select(
+            F.col(id_col).alias("id"), F.col(label_col).alias("__l")
+        ),
+        "id",
+    )
+    per_cluster = (
+        labeled.groupBy("cluster_id", "__l")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .groupBy("cluster_id")
+        .agg(
+            F.sum("__c").alias("__size"),
+            F.max(F.struct(F.col("__c"), (-F.col("__l")).alias("__nl"))).alias(
+                "__dom"
+            ),
+        )
+        .select(
+            "cluster_id",
+            "__size",
+            F.expr("(1000000 * __dom.__c) div __size").alias("__purity"),
+        )
+    )
+    return (
+        per_cluster.groupBy(F.col("__size").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("__size").alias("n_vecs"),
+            F.expr("sum(__purity) div count(1)").alias("mean_purity_ppm"),
+        )
+        .orderBy("cluster_size")
     )

@@ -3480,6 +3480,51 @@ def source_crossentropy_matrix(
     )
 
 
+def _hll_token_registers(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Shared X175/X184 register build: (grp, __b, __m) — md5 bucket
+    (first 8 bits mod 64) and rho = 61 - bitlength of the 60-bit
+    value stream, MAX-aggregated per register.  One keyed MAX over
+    the token stream; 64 rows per group out of the shuffle."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).filter(F.col("t") != "")
+    return (
+        toks.select(
+            "grp",
+            F.expr(
+                "CAST(conv(substring(md5(t), 1, 2), 16, 10) AS BIGINT) % 64"
+            ).alias("__b"),
+            F.expr(
+                "CAST(conv(substring(md5(t), 3, 15), 16, 10) AS BIGINT)"
+            ).alias("__w"),
+        )
+        .withColumn(
+            "__rho",
+            F.expr(
+                "CASE WHEN __w = 0 THEN 61 ELSE 61 - length(bin(__w)) END"
+            ),
+        )
+        .groupBy("grp", "__b")
+        .agg(F.max("__rho").alias("__m"))
+    )
+
+
+# The pure-integer HLL estimator pieces shared by X175/X184:
+# S = sum of 2^(61-M_j) with empty registers at 2^61, alpha_64 =
+# 709/1000 exactly, linear-counting branch under the X99 scaled-ln
+# convention.  ``used`` / ``s_used`` are column NAMES in the caller.
+_HLL_RAW_SQL = (
+    "CAST((CAST(709 AS DECIMAL(38,0)) * 4096 * 2305843009213693952) "
+    "div (1000 * ({s})) AS BIGINT)"
+)
+_HLL_EST_SQL = (
+    "CASE WHEN {raw} <= 160 AND {used} < 64 THEN "
+    "(64 * CAST(ROUND(LN(64.0 / (64 - {used})) * 1000000) AS BIGINT)) "
+    "div 1000000 ELSE {raw} END"
+)
+
+
 def hll_register_estimate(
     df: DataFrame, group_col: str, text_col: str, m: int = 64
 ) -> DataFrame:
@@ -3515,27 +3560,7 @@ def hll_register_estimate(
         F.col(group_col).alias("grp"),
         F.explode(tokens(text_col)).alias("t"),
     ).filter(F.col("t") != "")
-    hashed = toks.select(
-        "grp",
-        "t",
-        F.expr(
-            "CAST(conv(substring(md5(t), 1, 2), 16, 10) AS BIGINT) % 64"
-        ).alias("__b"),
-        F.expr(
-            "CAST(conv(substring(md5(t), 3, 15), 16, 10) AS BIGINT)"
-        ).alias("__w"),
-    )
-    regs = (
-        hashed.withColumn(
-            "__rho",
-            F.expr(
-                "CASE WHEN __w = 0 THEN 61 "
-                "ELSE 61 - length(bin(__w)) END"
-            ),
-        )
-        .groupBy("grp", "__b")
-        .agg(F.max("__rho").alias("__m"))
-    )
+    regs = _hll_token_registers(df, group_col, text_col)
     panel = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("registers_used"),
         F.sum(F.expr("shiftleft(1L, 61 - __m)").cast("decimal(38,0)")).alias(
@@ -3546,13 +3571,7 @@ def hll_register_estimate(
         F.count(F.lit(1)).alias("n_tokens"),
         F.countDistinct("t").alias("exact_distinct"),
     )
-    est = F.expr(
-        "CASE WHEN __raw <= 160 AND registers_used < 64 THEN "
-        # linear counting: 64 * ln(64 / V), scaled-integer ln
-        "(64 * CAST(ROUND(LN(64.0 / (64 - registers_used)) * 1000000) "
-        "AS BIGINT)) div 1000000 "
-        "ELSE __raw END"
-    )
+    est = F.expr(_HLL_EST_SQL.format(raw="__raw", used="registers_used"))
     return (
         exact.join(panel, "grp")
         .withColumn(
@@ -3561,13 +3580,7 @@ def hll_register_estimate(
             + (64 - F.col("registers_used")).cast("decimal(38,0)")
             * F.lit(2305843009213693952).cast("decimal(38,0)"),
         )
-        .withColumn(
-            "__raw",
-            F.expr(
-                "CAST((CAST(709 AS DECIMAL(38,0)) * 4096 * "
-                "2305843009213693952) div (1000 * __s) AS BIGINT)"
-            ),
-        )
+        .withColumn("__raw", F.expr(_HLL_RAW_SQL.format(s="__s")))
         .withColumn("__est0", est.cast("long"))
         .select(
             F.col("grp").alias(group_col),
@@ -3638,4 +3651,199 @@ def vocab_richness_estimators(
             ),
         )
         .orderBy(group_col)
+    )
+
+
+def encoding_artifact_rewrite(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """X182: the ACTION half of X98's encoding audit (the
+    census->rewrite house pattern: X161->X171, X148->X149) — strip
+    the two artifact classes that are safe to remove mechanically
+    (U+FFFD replacement characters: the upstream decode already
+    destroyed the original bytes, the marker itself is noise; C0
+    control characters: binary bleed-through), then collapse the
+    whitespace runs the removals leave behind.  Mojibake (the Ã/Â
+    class) is COUNTED but deliberately NOT rewritten: repairing it
+    needs a byte-level re-decode of the source (Wenzek et al. 2020
+    route such pages back to the decoder) — a text-level strip would
+    corrupt legitimate Latin-1-range text, so the honest rewrite
+    flags it for re-ingestion instead.
+
+    Exactness: counts via the X87/X98 length-difference identity;
+    the rewrite is a deterministic regexp_replace chain (all-
+    occurrence semantics in both engines — DuckDB with the 'g'
+    flag).
+
+    Scale: pure narrow map — zero shuffles, zero joins; the rewrite
+    rides the scan."""
+    ln = F.length(F.col(text_col))
+
+    def _n(pat: str) -> Column:
+        return (
+            ln - F.length(F.regexp_replace(F.col(text_col), pat, ""))
+        ).cast("long")
+
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), _REPLACEMENT, ""),
+                _CTRL_RE,
+                "",
+            ),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        _n(_REPLACEMENT).alias("n_replacement_removed"),
+        _n(_CTRL_RE).alias("n_ctrl_removed"),
+        _n(_MOJIBAKE_RE).alias("n_mojibake_flagged"),
+        cleaned.alias("text_clean"),
+        (F.length(cleaned) != ln).cast("boolean").alias("changed"),
+    ).orderBy(id_col)
+
+
+def source_overlap_hll(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """X184: cross-source vocabulary overlap from MERGED HLL
+    registers — the sketch-mergeability demonstration next to X100's
+    KMV overlap: a union estimate costs one elementwise register MAX
+    (|S|^2 x 64 cells), never a second corpus pass, which is exactly
+    why register sketches are the 100 TB standard for cross-shard
+    distinct rollups (per-shard registers merge associatively; the
+    exact columns exist for the fixture-scale audit and are the
+    quantity the sketch REPLACES at scale).
+
+    est(A union B) from max-merged registers (the X175 pure-integer
+    estimator + linear-counting branch); est(A intersect B) by
+    inclusion-exclusion (signed — HLL intersection can go negative
+    on near-disjoint pairs, reported honestly).  Exact twins come
+    from the distinct (group, token) table (the X100 shape).
+    union_err_ppm is the sign-symmetric integer division.
+
+    Scale: registers are 64 rows/source; the pair-merge is
+    |S|^2 x 64 broadcast-joined cells; the exact side is one
+    vocab-bounded distinct + a token-keyed self-join."""
+    regs = _hll_token_registers(df, group_col, text_col)
+    grps = regs.select("grp").distinct()
+    pairs = (
+        grps.select(F.col("grp").alias("__ga"))
+        .crossJoin(F.broadcast(grps.select(F.col("grp").alias("__gb"))))
+        .filter(F.col("__ga") < F.col("__gb"))
+    )
+    side_a = pairs.join(
+        regs.select(F.col("grp").alias("__ga"), "__b", F.col("__m").alias("__ma")),
+        "__ga",
+    ).select("__ga", "__gb", "__b", "__ma", F.lit(None).cast("int").alias("__mb"))
+    side_b = pairs.join(
+        regs.select(F.col("grp").alias("__gb"), "__b", F.col("__m").alias("__mb")),
+        "__gb",
+    ).select("__ga", "__gb", "__b", F.lit(None).cast("int").alias("__ma"), "__mb")
+    merged = (
+        side_a.unionByName(side_b)
+        .groupBy("__ga", "__gb", "__b")
+        .agg(
+            F.greatest(
+                F.coalesce(F.max("__ma"), F.lit(0)),
+                F.coalesce(F.max("__mb"), F.lit(0)),
+            ).alias("__mu")
+        )
+    )
+    upanel = merged.groupBy("__ga", "__gb").agg(
+        F.count(F.lit(1)).alias("__used"),
+        F.sum(F.expr("shiftleft(1L, 61 - __mu)").cast("decimal(38,0)")).alias(
+            "__s_used"
+        ),
+    )
+    upanel = upanel.withColumn(
+        "__s",
+        F.col("__s_used")
+        + (64 - F.col("__used")).cast("decimal(38,0)")
+        * F.lit(2305843009213693952).cast("decimal(38,0)"),
+    ).withColumn("__raw", F.expr(_HLL_RAW_SQL.format(s="__s")))
+    upanel = upanel.withColumn(
+        "__est_u",
+        F.expr(_HLL_EST_SQL.format(raw="__raw", used="__used")).cast("long"),
+    )
+    # per-source estimates (X175 machinery) for inclusion-exclusion
+    spanel = regs.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("__used1"),
+        F.sum(F.expr("shiftleft(1L, 61 - __m)").cast("decimal(38,0)")).alias(
+            "__s_used1"
+        ),
+    )
+    spanel = (
+        spanel.withColumn(
+            "__s1",
+            F.col("__s_used1")
+            + (64 - F.col("__used1")).cast("decimal(38,0)")
+            * F.lit(2305843009213693952).cast("decimal(38,0)"),
+        )
+        .withColumn("__raw1", F.expr(_HLL_RAW_SQL.format(s="__s1")))
+        .withColumn(
+            "__est1",
+            F.expr(_HLL_EST_SQL.format(raw="__raw1", used="__used1")).cast(
+                "long"
+            ),
+        )
+        .select("grp", "__est1")
+    )
+    # exact twins: distinct (group, token) table, X100 shape
+    d = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .distinct()
+    )
+    sizes = d.groupBy("grp").agg(F.count(F.lit(1)).alias("__nd"))
+    inter = (
+        d.select(F.col("grp").alias("__ga"), "t")
+        .join(d.select(F.col("grp").alias("__gb"), "t"), "t")
+        .filter(F.col("__ga") < F.col("__gb"))
+        .groupBy("__ga", "__gb")
+        .agg(F.count(F.lit(1)).alias("__ni"))
+    )
+    return (
+        upanel.join(inter, ["__ga", "__gb"], "left")
+        .join(
+            sizes.select(F.col("grp").alias("__ga"), F.col("__nd").alias("__na")),
+            "__ga",
+        )
+        .join(
+            sizes.select(F.col("grp").alias("__gb"), F.col("__nd").alias("__nb")),
+            "__gb",
+        )
+        .join(
+            spanel.select(F.col("grp").alias("__ga"), F.col("__est1").alias("__ea")),
+            "__ga",
+        )
+        .join(
+            spanel.select(F.col("grp").alias("__gb"), F.col("__est1").alias("__eb")),
+            "__gb",
+        )
+        .select(
+            F.col("__ga").alias("source_a"),
+            F.col("__gb").alias("source_b"),
+            F.expr(
+                "__na + __nb - coalesce(__ni, 0)"
+            ).cast("long").alias("exact_union"),
+            F.coalesce("__ni", F.lit(0)).cast("long").alias("exact_inter"),
+            F.col("__est_u").alias("hll_union_estimate"),
+            (F.col("__ea") + F.col("__eb") - F.col("__est_u"))
+            .cast("long")
+            .alias("hll_inter_estimate"),
+            F.expr(
+                "CASE WHEN __est_u >= (__na + __nb - coalesce(__ni, 0)) THEN "
+                "((__est_u - (__na + __nb - coalesce(__ni, 0))) * 1000000) "
+                "div (__na + __nb - coalesce(__ni, 0)) "
+                "ELSE -((((__na + __nb - coalesce(__ni, 0)) - __est_u) "
+                "* 1000000) div (__na + __nb - coalesce(__ni, 0))) END"
+            ).alias("union_err_ppm"),
+        )
+        .orderBy("source_a", "source_b")
     )

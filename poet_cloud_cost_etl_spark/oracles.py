@@ -8921,3 +8921,405 @@ R13_QUEUED_ORACLES["neardup_paradigm_agreement"] = f"""
         CAST(MAX(j) AS BIGINT) AS max_jaccard_ppm
     FROM jscored GROUP BY 1 ORDER BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# r14-queue oracles: implemented + parity-proven in round 11
+# (tests/test_r14_queue.py), registration deferred per the staging
+# protocol (r12 window = r12 cohort + staleness backlog; r13 window =
+# r13 cohort + backlog). Round 14: decorate the _r14q_* functions in
+# queries.py with @query(...) and ORACLES.update(R14_QUEUED_ORACLES).
+R14_QUEUED_ORACLES: dict[str, str] = {}
+
+# X180 (operators/behavior.py: session_path_trigrams): session-bounded
+# event-type trigram census, 30-min gap sessions, top-20.
+# X181 (operators/behavior.py: cohort_ltv_curves): cumulative cohort
+# revenue curves, integer cents, cents-per-user LTV.
+# X182 (operators/textstats.py: encoding_artifact_rewrite): the action
+# half of X98 — strip U+FFFD/C0, flag (never strip) mojibake.
+# X185 (operators/sampling.py: mixture_design_effect): Kish n_eff /
+# deff of the X19 temperature weights over an alpha grid.
+# X183 (operators/similarity.py: srp_cosine_calibration): SRP sign-bit
+# match vs 1 - theta/pi per cosine band, IVF-bucketed pairs.
+# X186 (operators/embeddings.py: pq_distortion_by_label): X42 codes
+# re-aggregated per (label, subspace) with dead-codeword census.
+# X187 (operators/similarity.py: mutual_knn_clusters): CC over
+# reciprocal top-k edges, per-size census with label purity.
+# X184 (operators/textstats.py: source_overlap_hll): max-merged HLL
+# registers per source pair, union/intersection estimates vs exact.
+R14_QUEUED_ORACLES["session_path_trigrams"] = """
+    WITH base AS (
+        SELECT user_id, event_type AS t, epoch_us(ts) AS us, event_id,
+            CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                         > 1800000000
+                 THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, t, us, event_id,
+            SUM(new_s) OVER (
+                PARTITION BY user_id ORDER BY us, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS s
+        FROM base
+    ),
+    tri AS (
+        SELECT t || '>' || LEAD(t, 1) OVER w2 || '>' || LEAD(t, 2) OVER w2
+                AS path,
+            s, LEAD(s, 1) OVER w2 AS s1, LEAD(s, 2) OVER w2 AS s2,
+            LEAD(t, 2) OVER w2 AS t2
+        FROM sess
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    counts AS (
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_paths
+        FROM tri WHERE t2 IS NOT NULL AND s1 = s AND s2 = s GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n_paths) AS n FROM counts)
+    SELECT path, n_paths,
+        CAST((1000000 * n_paths) // n AS BIGINT) AS share_ppm
+    FROM counts CROSS JOIN tot
+    ORDER BY n_paths DESC, path ASC LIMIT 20
+"""
+
+R14_QUEUED_ORACLES["cohort_ltv_curves"] = """
+    WITH cohorts AS (
+        SELECT user_id,
+            CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    sized AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+        FROM cohorts GROUP BY 1
+    ),
+    spend AS (
+        SELECT c.cohort_week,
+            CAST(date_diff('day', c.cohort_week,
+                CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS INT)
+                AS offset_weeks,
+            SUM(CASE WHEN e.event_type = 'purchase'
+                     THEN CAST(ROUND(e.value * 100) AS BIGINT)
+                     ELSE 0 END) AS week_cents
+        FROM events e JOIN cohorts c USING (user_id)
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, offset_weeks, week_cents,
+            SUM(week_cents) OVER (
+                PARTITION BY cohort_week ORDER BY offset_weeks
+            ) AS cum_cents
+        FROM spend
+    )
+    SELECT cohort_week, offset_weeks, cohort_size,
+        CAST(week_cents AS DOUBLE) / 100.0 AS week_revenue,
+        CAST(cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+        CAST(cum_cents // cohort_size AS BIGINT) AS cum_ltv_cents_per_user
+    FROM cum JOIN sized USING (cohort_week)
+    ORDER BY cohort_week, offset_weeks
+"""
+
+R14_QUEUED_ORACLES["encoding_artifact_rewrite"] = r"""
+    WITH cleaned AS (
+        SELECT doc_id,
+            CAST(length(text)
+                - length(regexp_replace(text, '\x{FFFD}', '', 'g'))
+                AS BIGINT) AS n_replacement_removed,
+            CAST(length(text)
+                - length(regexp_replace(text,
+                    '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g'))
+                AS BIGINT) AS n_ctrl_removed,
+            CAST(length(text)
+                - length(regexp_replace(text, '[ÃÂ]', '', 'g'))
+                AS BIGINT) AS n_mojibake_flagged,
+            trim(regexp_replace(regexp_replace(regexp_replace(text,
+                '\x{FFFD}', '', 'g'),
+                '[\x01-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+                ' +', ' ', 'g')) AS text_clean,
+            CAST(length(text) AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT doc_id, n_replacement_removed, n_ctrl_removed,
+        n_mojibake_flagged, text_clean,
+        length(text_clean) != n AS changed
+    FROM cleaned ORDER BY doc_id
+"""
+
+R14_QUEUED_ORACLES["mixture_design_effect"] = """
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1
+    ),
+    grid AS (
+        SELECT source, n, a.alpha_e2
+        FROM counts, (SELECT unnest([30, 50, 70, 100]) AS alpha_e2) a
+    ),
+    w AS (
+        SELECT alpha_e2, n,
+            CAST(ROUND(POW(CAST(n AS DOUBLE), alpha_e2 / 100.0 - 1.0)
+                * 1000000000000) AS BIGINT) AS w
+        FROM grid
+    )
+    SELECT alpha_e2, CAST(SUM(n) AS BIGINT) AS n_docs,
+        CAST(COUNT(*) AS BIGINT) AS n_sources,
+        CAST(SUM(CAST(n AS HUGEINT) * w) AS DOUBLE)
+            * CAST(SUM(CAST(n AS HUGEINT) * w) AS DOUBLE)
+            / CAST(SUM(CAST(n AS HUGEINT) * w * w) AS DOUBLE) AS n_eff,
+        CAST(SUM(n) AS DOUBLE) * CAST(SUM(CAST(n AS HUGEINT) * w * w) AS DOUBLE)
+            / (CAST(SUM(CAST(n AS HUGEINT) * w) AS DOUBLE)
+               * CAST(SUM(CAST(n AS HUGEINT) * w) AS DOUBLE))
+            AS deff
+    FROM w GROUP BY 1 ORDER BY 1
+"""
+
+R14_QUEUED_ORACLES["srp_cosine_calibration"] = f"""
+    WITH cents AS ({_IVF_CENTS}),
+    assigned AS (
+        SELECT s.vec_id, e.embedding, s.centroid_id
+        FROM ({_CENT_SIMS.format(cents='cents')}) s
+        JOIN embeddings e ON s.vec_id = e.vec_id
+        WHERE s.rk = 1
+    ),
+    bits AS (
+        SELECT vec_id, list_transform(range(0, 16), j ->
+            CASE WHEN list_reduce(list_concat(
+                [CAST(0.0 AS DOUBLE)],
+                list_transform(range(1, len(embedding) + 1),
+                    i -> CAST(embedding[i] AS DOUBLE)
+                         * (CASE WHEN (((i - 1) * 2654435761 + j * 40503)
+                                       // 128) % 2 = 0
+                            THEN 1.0 ELSE -1.0 END))),
+                (a, b) -> a + b) > 0 THEN 1 ELSE 0 END) AS b
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT ROUND(list_cosine_similarity(
+                CAST(x.embedding AS DOUBLE[]),
+                CAST(y.embedding AS DOUBLE[])), 6) AS cos,
+            CAST(list_sum(list_transform(range(1, 17),
+                i -> CASE WHEN bx.b[i] = bb.b[i] THEN 1 ELSE 0 END))
+                AS BIGINT) AS match
+        FROM assigned x
+        JOIN assigned y
+          ON x.centroid_id = y.centroid_id AND x.vec_id < y.vec_id
+        JOIN bits bx ON bx.vec_id = x.vec_id
+        JOIN bits bb ON bb.vec_id = y.vec_id
+    ),
+    scored AS (
+        SELECT CAST(FLOOR(cos * 10) AS INT) AS cos_band, match,
+            CAST(ROUND((1.0 - ACOS(GREATEST(-1.0, LEAST(1.0, cos)))
+                / PI()) * 1000000) AS BIGINT) AS exp_ppm
+        FROM pairs
+    )
+    SELECT cos_band, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(SUM(exp_ppm) // COUNT(*) AS BIGINT) AS expected_match_ppm,
+        CAST((1000000 * SUM(match)) // (16 * COUNT(*)) AS BIGINT)
+            AS empirical_match_ppm,
+        CAST((1000000 * SUM(match)) // (16 * COUNT(*))
+            - SUM(exp_ppm) // COUNT(*) AS BIGINT) AS gap_ppm
+    FROM scored GROUP BY 1 ORDER BY 1
+"""
+
+R14_QUEUED_ORACLES["pq_distortion_by_label"] = """
+    WITH sel AS (
+        SELECT vec_id AS code_id, embedding
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 8
+    ),
+    cb AS (
+        SELECT s.i AS subspace, sel.code_id,
+            CAST(sel.embedding[s.i * 16 + 1 : s.i * 16 + 16] AS DOUBLE[])
+                AS codeword
+        FROM sel, (SELECT unnest(range(0, 4)) AS i) s
+    ),
+    scored AS (
+        SELECT e.vec_id, cb.subspace, cb.code_id,
+            ROUND(list_reduce(list_transform(range(1, 17),
+                i -> (CAST(e.embedding[cb.subspace * 16 + i] AS DOUBLE)
+                      - cb.codeword[i])
+                     * (CAST(e.embedding[cb.subspace * 16 + i] AS DOUBLE)
+                        - cb.codeword[i])),
+                (a, b) -> a + b), 6) AS dist_sq
+        FROM embeddings e, cb
+    ),
+    codes AS (
+        SELECT vec_id, subspace, code_id, dist_sq
+        FROM (
+            SELECT vec_id, subspace, code_id, dist_sq,
+                ROW_NUMBER() OVER (
+                    PARTITION BY vec_id, subspace
+                    ORDER BY dist_sq ASC, code_id ASC
+                ) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT v.label, CAST(c.subspace AS INTEGER) AS subspace,
+        CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(COUNT(DISTINCT c.code_id) AS BIGINT) AS codes_used,
+        CAST(SUM(CAST(ROUND(c.dist_sq * 1000000) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS mean_dist_sq_e6,
+        CAST(MAX(CAST(ROUND(c.dist_sq * 1000000) AS BIGINT)) AS BIGINT)
+            AS max_dist_sq_e6
+    FROM codes c JOIN embeddings v USING (vec_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+R14_QUEUED_ORACLES["mutual_knn_clusters"] = """
+    WITH RECURSIVE scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])), 6)
+                AS cos_sim
+        FROM embeddings e, embeddings q
+        WHERE e.vec_id <> q.vec_id
+    ),
+    edges AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    ),
+    mutual AS (
+        SELECT e.query_id AS a, e.neighbor_id AS b
+        FROM edges e
+        JOIN edges r
+          ON r.query_id = e.neighbor_id AND r.neighbor_id = e.query_id
+        WHERE e.query_id < e.neighbor_id
+    ),
+    sym AS (
+        SELECT a, b FROM mutual UNION ALL SELECT b AS a, a AS b FROM mutual
+    ),
+    walk AS (
+        SELECT vec_id AS node, vec_id AS reach FROM embeddings
+        UNION
+        SELECT w.node, s.b AS reach FROM walk w JOIN sym s ON w.reach = s.a
+    ),
+    cc AS (SELECT node, MIN(reach) AS cluster_id FROM walk GROUP BY 1),
+    pc AS (
+        SELECT cc.cluster_id, v.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cc JOIN embeddings v ON cc.node = v.vec_id
+        GROUP BY 1, 2
+    ),
+    dom AS (
+        SELECT cluster_id, c AS dom_c,
+            ROW_NUMBER() OVER (
+                PARTITION BY cluster_id ORDER BY c DESC, label ASC
+            ) AS rn
+        FROM pc
+    ),
+    per AS (
+        SELECT p.cluster_id, SUM(p.c) AS size, MAX(d.dom_c) AS dom_c
+        FROM pc p JOIN dom d ON p.cluster_id = d.cluster_id AND d.rn = 1
+        GROUP BY 1
+    ),
+    scored_cl AS (
+        SELECT cluster_id, size, (1000000 * dom_c) // size AS purity
+        FROM per
+    )
+    SELECT CAST(size AS BIGINT) AS cluster_size,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(SUM(size) AS BIGINT) AS n_vecs,
+        CAST(SUM(purity) // COUNT(*) AS BIGINT) AS mean_purity_ppm
+    FROM scored_cl GROUP BY 1 ORDER BY 1
+"""
+
+R14_QUEUED_ORACLES["source_overlap_hll"] = f"""
+    WITH toks AS (
+        SELECT source, UNNEST({_TOKS.format(col='text')}) AS t FROM documents
+    ),
+    tok AS (SELECT source, t FROM toks WHERE t != ''),
+    regs AS (
+        SELECT source, CAST(('0x' || substr(md5(t), 1, 2)) AS BIGINT) % 64
+                AS b,
+            MAX(CASE WHEN CAST(('0x' || substr(md5(t), 3, 15)) AS BIGINT) = 0
+                     THEN 61
+                     ELSE 61 - length(bin(CAST(('0x' || substr(md5(t), 3, 15))
+                          AS BIGINT))) END) AS m
+        FROM tok GROUP BY 1, 2
+    ),
+    grps AS (SELECT DISTINCT source FROM regs),
+    prs AS (
+        SELECT a.source AS ga, b.source AS gb
+        FROM grps a, grps b WHERE a.source < b.source
+    ),
+    cells AS (
+        SELECT p.ga, p.gb, r.b,
+            MAX(CASE WHEN r.source = p.ga THEN r.m ELSE 0 END) AS ma,
+            MAX(CASE WHEN r.source = p.gb THEN r.m ELSE 0 END) AS mb
+        FROM prs p JOIN regs r ON r.source IN (p.ga, p.gb)
+        GROUP BY 1, 2, 3
+    ),
+    upanel AS (
+        SELECT ga, gb, CAST(COUNT(*) AS BIGINT) AS used,
+            SUM(CAST(1 AS BIGINT) << (61 - GREATEST(ma, mb))) AS s_used
+        FROM cells GROUP BY 1, 2
+    ),
+    uest AS (
+        SELECT ga, gb, used,
+            CAST((CAST(709 AS HUGEINT) * 4096 * 2305843009213693952)
+                // (1000 * (s_used + CAST(64 - used AS HUGEINT)
+                    * CAST(2305843009213693952 AS HUGEINT))) AS BIGINT)
+                AS raw
+        FROM upanel
+    ),
+    ufinal AS (
+        SELECT ga, gb,
+            CAST(CASE WHEN raw <= 160 AND used < 64 THEN
+                (64 * CAST(ROUND(LN(64.0 / (64 - used)) * 1000000)
+                    AS BIGINT)) // 1000000
+                ELSE raw END AS BIGINT) AS est_u
+        FROM uest
+    ),
+    spanel AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS used1,
+            SUM(CAST(1 AS BIGINT) << (61 - m)) AS s_used1
+        FROM regs GROUP BY 1
+    ),
+    sest AS (
+        SELECT source, used1,
+            CAST((CAST(709 AS HUGEINT) * 4096 * 2305843009213693952)
+                // (1000 * (s_used1 + CAST(64 - used1 AS HUGEINT)
+                    * CAST(2305843009213693952 AS HUGEINT))) AS BIGINT)
+                AS raw1
+        FROM spanel
+    ),
+    sfinal AS (
+        SELECT source,
+            CAST(CASE WHEN raw1 <= 160 AND used1 < 64 THEN
+                (64 * CAST(ROUND(LN(64.0 / (64 - used1)) * 1000000)
+                    AS BIGINT)) // 1000000
+                ELSE raw1 END AS BIGINT) AS est1
+        FROM sest
+    ),
+    d AS (SELECT DISTINCT source, t FROM tok),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nd FROM d GROUP BY 1),
+    inter AS (
+        SELECT a.source AS ga, b.source AS gb, CAST(COUNT(*) AS BIGINT) AS ni
+        FROM d a JOIN d b ON a.t = b.t AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT u.ga AS source_a, u.gb AS source_b,
+        CAST(sa.nd + sb.nd - COALESCE(i.ni, 0) AS BIGINT) AS exact_union,
+        CAST(COALESCE(i.ni, 0) AS BIGINT) AS exact_inter,
+        u.est_u AS hll_union_estimate,
+        CAST(ea.est1 + eb.est1 - u.est_u AS BIGINT) AS hll_inter_estimate,
+        CAST(CASE WHEN u.est_u >= sa.nd + sb.nd - COALESCE(i.ni, 0) THEN
+            ((u.est_u - (sa.nd + sb.nd - COALESCE(i.ni, 0))) * 1000000)
+                // (sa.nd + sb.nd - COALESCE(i.ni, 0))
+            ELSE -(((sa.nd + sb.nd - COALESCE(i.ni, 0)) - u.est_u) * 1000000)
+                // (sa.nd + sb.nd - COALESCE(i.ni, 0)) END AS BIGINT)
+            AS union_err_ppm
+    FROM ufinal u
+    LEFT JOIN inter i ON u.ga = i.ga AND u.gb = i.gb
+    JOIN sizes sa ON u.ga = sa.source
+    JOIN sizes sb ON u.gb = sb.source
+    JOIN sfinal ea ON u.ga = ea.source
+    JOIN sfinal eb ON u.gb = eb.source
+    ORDER BY source_a, source_b
+"""

@@ -5996,6 +5996,104 @@ def _r13q_neardup_paradigm_agreement(
     return paradigm_agreement(d, "doc_id", "text")
 
 
+# ------------------------------------------------------------------
+# r14-queue: implemented + DuckDB-parity-proven in round 11
+# (tests/test_r14_queue.py), registration DEFERRED per the staging
+# protocol (r12 window = r12 cohort + backlog; r13 window = r13
+# cohort + backlog). Round 14: decorate with @query(...) and merge
+# R14_QUEUED_ORACLES into ORACLES (oracles.py). Registered count
+# after: 310/350.
+def _r14q_session_path_trigrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X180 session-bounded path census (operators/behavior.py:
+    session_path_trigrams) — top event-type trigram paths within
+    30-min gap sessions."""
+    from .operators.behavior import session_path_trigrams
+
+    e = table(spark, sf_dir, "events")
+    return session_path_trigrams(e, "user_id", "event_type", "ts", "event_id")
+
+
+def _r14q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X181 cohort LTV curves (operators/behavior.py:
+    cohort_ltv_curves) — cumulative cohort revenue, the monetary half
+    of retention_cohorts."""
+    from .operators.behavior import cohort_ltv_curves
+
+    e = table(spark, sf_dir, "events")
+    return cohort_ltv_curves(e, "user_id", "ts", "event_type", "value")
+
+
+def _r14q_encoding_artifact_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X182 encoding-artifact rewrite (operators/textstats.py:
+    encoding_artifact_rewrite) — the action half of X98."""
+    from .operators.textstats import encoding_artifact_rewrite
+
+    d = table(spark, sf_dir, "documents")
+    return encoding_artifact_rewrite(d, "doc_id", "text")
+
+
+def _r14q_mixture_design_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X185 mixture design effect (operators/sampling.py:
+    mixture_design_effect) — Kish n_eff/deff of the X19 weights over
+    the temperature grid."""
+    from .operators.sampling import mixture_design_effect
+
+    d = table(spark, sf_dir, "documents")
+    return mixture_design_effect(d, "source")
+
+
+def _r14q_srp_cosine_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X183 SRP cosine-sketch calibration (operators/similarity.py:
+    srp_cosine_calibration) — sign-bit match rate vs 1 - theta/pi
+    per cosine band."""
+    from .operators.similarity import srp_cosine_calibration
+
+    e = table(spark, sf_dir, "embeddings")
+    return srp_cosine_calibration(e, "vec_id", "embedding")
+
+
+def _r14q_pq_distortion_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X186 PQ distortion audit (operators/embeddings.py:
+    pq_distortion_by_label) — per-(label, subspace) quantization
+    error + dead-codeword census."""
+    from .operators.embeddings import pq_distortion_by_label
+
+    e = table(spark, sf_dir, "embeddings")
+    return pq_distortion_by_label(e, "vec_id", "embedding", "label")
+
+
+def _r14q_mutual_knn_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X187 mutual-kNN clustering census (operators/similarity.py:
+    mutual_knn_clusters) — CC over reciprocal top-k edges, per-size
+    panel with label purity."""
+    from .operators.similarity import mutual_knn_clusters
+
+    e = table(spark, sf_dir, "embeddings")
+    return mutual_knn_clusters(e, "vec_id", "embedding", "label", k=5)
+
+
+def _r14q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X184 HLL register-merge overlap matrix (operators/textstats.py:
+    source_overlap_hll) — union/intersection estimates from max-merged
+    registers vs exact."""
+    from .operators.textstats import source_overlap_hll
+
+    d = table(spark, sf_dir, "documents")
+    return source_overlap_hll(d, "source", "text")
+
+
 # Rotation reorder (staleness-first window protocol) — runs LAST so
 # every registration above, including the r10 cohort, participates.
 for _name in _rotation_order():

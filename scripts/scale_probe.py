@@ -347,6 +347,54 @@ def _semantic_dedup_auto(spark, sf_dir, k_scale):
     return semantic_dedup(e, "vec_id", "embedding", n_centroids=k)
 
 
+def _hubness_ivf_scaled(spark, sf_dir, k_scale):
+    """X177 in its scaled deployment shape: IVF candidate generation
+    with n_centroids grown with N (8 -> 64 at 10x) so bucket pair
+    volume stays constant — the same granularity knob as the
+    semantic-dedup probes."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        knn_hubness_audit,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return knn_hubness_audit(
+        e, "vec_id", "embedding", "label", k=5,
+        candidates="ivf", n_centroids=k, nprobe=2,
+    )
+
+
+def _srp_scaled(spark, sf_dir, k_scale):
+    """X183 with the scaled granularity knob (n_centroids 8 -> 64 at
+    10x): constant bucket pair volume — the deployment shape."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        srp_cosine_calibration,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return srp_cosine_calibration(e, "vec_id", "embedding", n_centroids=k)
+
+
+def _mutual_knn_ivf_scaled(spark, sf_dir, k_scale):
+    """X187 in its scaled deployment shape: IVF candidate edges with
+    n_centroids grown with N (8 -> 64 at 10x) — the same granularity
+    knob as knn_hubness_ivf_scaled; CC rides the mutual edge table."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        mutual_knn_clusters,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return mutual_knn_clusters(
+        e, "vec_id", "embedding", "label", k=5,
+        candidates="ivf", n_centroids=k, nprobe=2,
+    )
+
+
 def _r11(wrapper_name):
     """Probe an r11-queue staged wrapper (signature (spark, sf_dir))."""
 
@@ -405,6 +453,53 @@ SCALED_K = [
     ("cluster_dilution_audit_r11", _r11("_r11q_cluster_dilution_audit")),
     ("minhash_calibration_r11", _r11("_r11q_minhash_calibration")),
     ("dedup_survival_by_source", _r10_registered("dedup_survival_by_source")),
+    # round-11b: decade points for the r13-queue operators BEFORE they
+    # register (tests/test_r13_queue.py). The user-keyed window
+    # families ride the new events scale-up (10x users, constant
+    # per-user streams — see build_scaled_events); the vocab panels
+    # see 10x token mass over a c{i}-prefixed vocabulary (HLL/Chao1
+    # registers and frequency-of-frequencies scale with vocab, scans
+    # with the corpus); paradigm agreement's two candidate generators
+    # are the already-probed X2c/X156 bounded cores. knn_hubness is
+    # probed in its SCALED deployment shape (candidates="ivf",
+    # n_centroids 8->64 — constant bucket size, the semantic-family
+    # knob); the registered bruteforce config is |N|^2 BY DESIGN and
+    # is not probed as-registered (the bm25/semantic-k=8 precedent).
+    ("events_markov_transitions_r13", _r11("_r13q_events_markov_transitions")),
+    ("purchase_attribution_r13",
+     _r11("_r13q_purchase_attribution_last_touch")),
+    ("events_seasonality_chi2_r13", _r11("_r13q_events_seasonality_chi2")),
+    ("events_rfm_segments_r13", _r11("_r13q_events_rfm_segments")),
+    ("vocab_hll_estimate_r13", _r11("_r13q_vocab_hll_estimate")),
+    ("vocab_chao1_richness_r13", _r11("_r13q_vocab_chao1_richness")),
+    ("neardup_paradigm_agreement_r13",
+     _r11("_r13q_neardup_paradigm_agreement")),
+    ("knn_hubness_ivf_scaled", _hubness_ivf_scaled),
+    # round-11b: decade points for the r14-queue operators BEFORE
+    # they register. The events/window families ride the events
+    # scale-up; encoding_artifact_rewrite is a pure narrow map; the
+    # design-effect grid is |S|-row arithmetic; srp calibration's
+    # pair stage is the IVF-bucketed X137 shape (k=8 fixture pin —
+    # buckets grow 10x, so this probes the registered config's
+    # documented super-linear term honestly); pq distortion rides
+    # X42's broadcast-codebook scan; the HLL overlap matrix grows
+    # only in its token scan (registers and |S|^2 cells constant).
+    # mutual_knn_clusters probes in its scaled deployment shape
+    # (candidates="ivf", n_centroids 8->64) like knn_hubness.
+    ("session_path_trigrams_r14", _r11("_r14q_session_path_trigrams")),
+    ("cohort_ltv_curves_r14", _r11("_r14q_cohort_ltv_curves")),
+    ("encoding_artifact_rewrite_r14", _r11("_r14q_encoding_artifact_rewrite")),
+    ("mixture_design_effect_r14", _r11("_r14q_mixture_design_effect")),
+    ("srp_cosine_calibration_r14", _r11("_r14q_srp_cosine_calibration")),
+    ("pq_distortion_by_label_r14", _r11("_r14q_pq_distortion_by_label")),
+    ("source_overlap_hll_r14", _r11("_r14q_source_overlap_hll")),
+    ("mutual_knn_ivf_scaled", _mutual_knn_ivf_scaled),
+    # srp at its REGISTERED k=8 measures the fixed-granularity
+    # N^2/k term at 10x data (43x observed — the same mis-deployment
+    # the semantic-family probes document); the scaled variant
+    # applies the standard knob (n_centroids 8->64, constant bucket
+    # pair volume) — the configuration a deployment actually runs.
+    ("srp_cosine_calibration_scaled", _srp_scaled),
     ("bbit_pair_core_only", _bbit_pair_core_only),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
@@ -449,6 +544,35 @@ def build_scaled(src: str, dst: str, copies: int = COPIES) -> None:
             SELECT o.* REPLACE (o.o_orderkey + c.c * 1000000000 AS o_orderkey)
             FROM read_parquet('{src}/orders.parquet') o, copies c
         ) TO '{dst}/orders.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+    build_scaled_events(src, dst, copies)
+
+
+def build_scaled_events(src: str, dst: str, copies: int = COPIES) -> None:
+    """events: 10 id-offset copies with NEW user ids per copy — each
+    copy replicates the base per-user event streams exactly, so the
+    user-keyed window families (markov, attribution, RFM) scale as
+    10x users with constant per-user work (linear), the hour/type
+    cells keep constant cardinality with 10x counts, and the RFM
+    value lattice is copy-invariant (identical per-user metrics per
+    copy -> same distinct values). Added r11 for the r13-staged
+    behavior operators; kept separate so an existing scaled dir can
+    be upgraded without rebuilding the text/embedding tables."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW copies AS SELECT unnest(range({copies})) AS c")
+    con.execute(
+        f"""
+        COPY (
+            SELECT e.event_id + c.c * 10000000 AS event_id, e.ts,
+                   e.user_id + c.c * 10000000 AS user_id,
+                   e.event_type, e.value, e.props
+            FROM read_parquet('{src}/events.parquet') e, copies c
+        ) TO '{dst}/events.parquet' (FORMAT parquet)
         """
     )
     con.close()
@@ -525,6 +649,9 @@ def main() -> None:
     if not os.path.exists(os.path.join(SCALED, "orders.parquet")):
         print("building 10x scale-up ...", file=sys.stderr)
         build_scaled(SF01, SCALED)
+    if not os.path.exists(os.path.join(SCALED, "events.parquet")):
+        print("adding events to the 10x scale-up ...", file=sys.stderr)
+        build_scaled_events(SF01, SCALED)
 
     small: dict[str, float] = {}
     big: dict[str, float] = {}

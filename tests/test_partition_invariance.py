@@ -177,3 +177,42 @@ def test_r13_result_invariant_under_partitioning(spark, wrapper):
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_sp)
         conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+# The r14-queue staged wrappers (not yet in QUERIES): the shapes that
+# would drift first are the session-flag running sum under tied
+# micro-second orders (path trigrams), the cohort-keyed cumulative
+# cents window (ltv), the double-pow rounding + DECIMAL sums (design
+# effect), the SRP sign folds + acos rounding (srp calibration), and
+# the recursive-CC min-label fixpoint over mutual edges (knn
+# clusters).
+R14_UNDER_TEST = [
+    "_r14q_session_path_trigrams",
+    "_r14q_cohort_ltv_curves",
+    "_r14q_mixture_design_effect",
+    "_r14q_srp_cosine_calibration",
+    "_r14q_mutual_knn_clusters",
+]
+
+
+@pytest.mark.parametrize("wrapper", R14_UNDER_TEST)
+def test_r14_result_invariant_under_partitioning(spark, wrapper):
+    conf = spark.conf
+    baseline = _rows_r11(spark, wrapper)
+    settings = [
+        ("2", str(512 * 1024 * 1024)),
+        ("64", str(256 * 1024)),
+    ]
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sp, mpb in settings:
+            conf.set("spark.sql.shuffle.partitions", sp)
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            assert _rows_r11(spark, wrapper) == baseline, (
+                f"{wrapper} drifted at shuffle_partitions={sp}, "
+                f"maxPartitionBytes={mpb}"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)

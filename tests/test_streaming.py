@@ -527,12 +527,13 @@ def test_transform_with_state_in_pandas(spark, tmp_path):
     the declared output schema) is asserted unconditionally in
     test_transform_with_state_plan.
 
-    Round-11 re-check (2026-08-15): ``import google.protobuf`` still
-    raises ModuleNotFoundError in this container and the build
-    environment forbids installing packages (no pip/apt), so the
-    gate stands; the skip is an environment constraint, not missing
-    coverage — the test body below is the complete runtime exercise
-    and runs wherever protobuf exists."""
+    Round-11 re-check (2026-08-15, re-verified 2026-08-16):
+    ``import google.protobuf`` still raises ModuleNotFoundError in
+    this container and the build environment forbids installing
+    packages (no pip/apt), so the gate stands; the skip is an
+    environment constraint, not missing coverage — the test body
+    below is the complete runtime exercise and runs wherever
+    protobuf exists."""
     pytest.importorskip(
         "google.protobuf",
         reason="transformWithState state server needs protobuf at runtime",
