@@ -488,3 +488,124 @@ def cohort_ltv_curves(
         )
         .orderBy("cohort_week", "offset_weeks")
     )
+
+
+def attribution_model_compare(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    purchase_type: str = "purchase",
+    lookback_s: int = 86_400,
+) -> DataFrame:
+    """X190: multi-model revenue attribution — last-touch,
+    first-touch, and linear (equal-credit) attribution computed side
+    by side per event type, the comparison panel behind every
+    attribution-model argument (X173 ships last-touch alone; the
+    models disagree exactly where journeys are long, and the spread
+    IS the decision information).
+
+    Semantics match X173 bit-for-bit on the last-touch row: a touch
+    is a same-user non-purchase event with (epoch, id) strictly
+    before the purchase and within ``lookback_s``; purchases with no
+    touch credit ``(none)`` under every model.  Linear credit splits
+    the integer cents exactly: base = cents div n plus one extra
+    cent to the ``cents mod n`` EARLIEST touches (largest-remainder
+    — sums reproduce the purchase total exactly, pinned by test).
+
+    Scale: one bounded-fan-out join (purchases x same-user touches
+    within the lookback window — the as-of join family, J5) + two
+    rank windows keyed by purchase + a |models|x|types| aggregate."""
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+        F.col(id_col).alias("__id"),
+        F.expr(CENTS.format(col=value_col)).alias("__cents"),
+    )
+    purchases = base.filter(F.col("__t") == purchase_type).select(
+        F.col("__u"),
+        F.col("__us").alias("__pus"),
+        F.col("__id").alias("__pid"),
+        "__cents",
+    )
+    touches = base.filter(F.col("__t") != purchase_type).select(
+        F.col("__u"),
+        F.col("__us").alias("__tus"),
+        F.col("__id").alias("__tid"),
+        F.col("__t").alias("__ttype"),
+    )
+    lb_us = int(lookback_s) * 1_000_000
+    j = purchases.join(
+        touches,
+        (purchases.__u == touches.__u)
+        & (
+            F.struct(F.col("__tus"), F.col("__tid"))
+            < F.struct(F.col("__pus"), F.col("__pid"))
+        )
+        & (F.col("__pus") - F.col("__tus") <= F.lit(lb_us)),
+    ).select("__pus", "__pid", "__cents", "__tus", "__tid", "__ttype")
+    w_asc = Window.partitionBy("__pid").orderBy("__tus", "__tid")
+    w_desc = Window.partitionBy("__pid").orderBy(
+        F.desc("__tus"), F.desc("__tid")
+    )
+    ranked = (
+        j.withColumn("__r_first", F.row_number().over(w_asc))
+        .withColumn("__r_last", F.row_number().over(w_desc))
+        .withColumn("__n", F.count(F.lit(1)).over(Window.partitionBy("__pid")))
+    )
+    last = ranked.filter(F.col("__r_last") == 1).select(
+        F.lit("last").alias("model"),
+        F.col("__ttype").alias("attributed_type"),
+        F.col("__cents").alias("__credit"),
+    )
+    first = ranked.filter(F.col("__r_first") == 1).select(
+        F.lit("first").alias("model"),
+        F.col("__ttype").alias("attributed_type"),
+        F.col("__cents").alias("__credit"),
+    )
+    linear = ranked.select(
+        F.lit("linear").alias("model"),
+        F.col("__ttype").alias("attributed_type"),
+        F.expr(
+            "__cents div __n + CASE WHEN __r_first <= __cents % __n "
+            "THEN 1 ELSE 0 END"
+        ).alias("__credit"),
+    )
+    touched = ranked.select("__pid").distinct()
+    untouched = purchases.join(touched, "__pid", "left_anti")
+    none_rows = None
+    for model in ("last", "first", "linear"):
+        m = untouched.select(
+            F.lit(model).alias("model"),
+            F.lit("(none)").alias("attributed_type"),
+            F.col("__cents").alias("__credit"),
+        )
+        none_rows = m if none_rows is None else none_rows.unionByName(m)
+    credits = last.unionByName(first).unionByName(linear).unionByName(
+        none_rows
+    )
+    totals = credits.groupBy("model").agg(
+        F.sum("__credit").alias("__total")
+    )
+    return (
+        credits.groupBy("model", "attributed_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_credits"),
+            F.sum("__credit").alias("__c"),
+        )
+        .join(F.broadcast(totals), "model")
+        .select(
+            "model",
+            "attributed_type",
+            "n_credits",
+            (F.col("__c").cast("double") / 100.0).alias("revenue"),
+            F.expr(
+                "CASE WHEN __total = 0 THEN NULL "
+                "ELSE (1000000 * __c) div __total END"
+            ).alias("revenue_share_ppm"),
+        )
+        .orderBy("model", "attributed_type")
+    )

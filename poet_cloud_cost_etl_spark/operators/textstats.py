@@ -3847,3 +3847,104 @@ def source_overlap_hll(
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def stylometry_delta_matrix(
+    df: DataFrame, group_col: str, text_col: str
+) -> DataFrame:
+    """X192: Burrows' Delta stylometry matrix between sources
+    (Burrows 2002) — the function-word z-score distance that
+    authorship attribution runs on: per source, each function word's
+    rate per million tokens; per word, the cross-source mean/stddev;
+    Delta(a, b) = mean |z_a - z_b| over words.  Curation reading: a
+    source pair with near-zero Delta shares a STYLE (same generator,
+    same template farm, same author pool) even when content-level
+    dedup (X2) finds nothing — the style axis next to X34 (token
+    TVD) and X169 (cross-entropy).
+
+    The feature set is the engine's STOPWORDS list (function words
+    are exactly the style carriers); zero-variance words (identical
+    rate everywhere) carry no signal and are excluded — an exact
+    integer condition, so both engines exclude identically.
+
+    Exactness: rates are ppm integer divisions; word mean/variance
+    come from exact integer sums over the |S| sources; z-scores and
+    |z_a - z_b| are doubles from exact integers, rounded to 6 and
+    e6-scaled before the final mean division.
+
+    Scale: one vocab-FILTERED token aggregate (|S|x|W| cells, W = 8
+    stopwords), then |S|^2 x |W| broadcast-joined arithmetic."""
+    toks = df.select(
+        F.col(group_col).alias("grp"),
+        F.explode(tokens(text_col)).alias("t"),
+    ).filter(F.col("t") != "")
+    totals = toks.groupBy("grp").agg(F.count(F.lit(1)).alias("__n"))
+    sw = [F.lit(w) for w in STOPWORDS]
+    counts = (
+        toks.filter(F.col("t").isin(STOPWORDS))
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    grid = (
+        totals.crossJoin(
+            F.broadcast(
+                totals.sparkSession.createDataFrame(
+                    [(w,) for w in STOPWORDS], ["t"]
+                )
+            )
+        )
+        .join(counts, ["grp", "t"], "left")
+        .select(
+            "grp",
+            "t",
+            F.expr(
+                "(1000000 * coalesce(__c, 0)) div __n"
+            ).alias("__f_ppm"),
+        )
+    )
+    word_stats = grid.groupBy("t").agg(
+        F.count(F.lit(1)).alias("__k"),
+        F.sum("__f_ppm").alias("__s1"),
+        F.sum(F.col("__f_ppm").cast("decimal(38,0)") * F.col("__f_ppm")).alias(
+            "__s2"
+        ),
+    )
+    kept = word_stats.filter(
+        F.expr("__k * CAST(__s2 AS DECIMAL(38,0)) > CAST(__s1 AS DECIMAL(38,0)) * __s1")
+    ).select(
+        "t",
+        (F.col("__s1").cast("double") / F.col("__k")).alias("__mu"),
+        F.expr(
+            "sqrt((CAST(__k AS DOUBLE) * CAST(__s2 AS DOUBLE) "
+            "- CAST(__s1 AS DOUBLE) * CAST(__s1 AS DOUBLE)) "
+            "/ (CAST(__k AS DOUBLE) * CAST(__k AS DOUBLE)))"
+        ).alias("__sd"),
+    )
+    z = grid.join(F.broadcast(kept), "t").select(
+        "grp",
+        "t",
+        ((F.col("__f_ppm") - F.col("__mu")) / F.col("__sd")).alias("__z"),
+    )
+    za = z.select(
+        F.col("grp").alias("source_a"), "t", F.col("__z").alias("__za")
+    )
+    zb = z.select(
+        F.col("grp").alias("source_b"), "t", F.col("__z").alias("__zb")
+    )
+    return (
+        za.join(zb, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "CAST(ROUND(round(abs(__za - __zb), 6) * 1000000) AS BIGINT)"
+            ).alias("__d_e6"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.expr("sum(__d_e6) div count(1)").alias("delta_e6"),
+        )
+        .orderBy("source_a", "source_b")
+    )

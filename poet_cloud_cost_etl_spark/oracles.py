@@ -9323,3 +9323,458 @@ R14_QUEUED_ORACLES["source_overlap_hll"] = f"""
     JOIN sfinal eb ON u.gb = eb.source
     ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# r15-queue oracles: implemented + parity-proven in round 11
+# (tests/test_r15_queue.py), registration deferred per the staging
+# protocol (rN window = rN cohort + staleness backlog). Round 15:
+# decorate the _r15q_* functions in queries.py with @query(...) and
+# ORACLES.update(R15_QUEUED_ORACLES). SQL below is pre-rendered (no
+# helper interpolation) — each string is exactly what the parity
+# sweep ran.
+# X188 (operators/dedup.py: blocking_scheme_pareto): LSH / SNM /
+# prefix blocking candidates vs exact truth — reduction-ratio/
+# recall panel.
+# X193 (operators/dedup.py: threshold_sweep_clusters): X2d/X7
+# cluster census swept over Jaccard thresholds, one pair table.
+# X190 (operators/behavior.py: attribution_model_compare):
+# last/first/linear attribution with exact largest-remainder cents.
+# X191 (operators/embeddings.py: ood_mahalanobis_panel): diagonal
+# Mahalanobis OOD panel from X50-convention exact moments.
+# X192 (operators/textstats.py: stylometry_delta_matrix): Burrows'
+# Delta over the STOPWORDS function words, per source pair.
+# X194 (operators/packing.py: sentence_split): sentence-long-form
+# rewrite on the X161 boundary convention.
+# X189 (operators/joins.py: bloom_semijoin_prefilter): X67-Bloom
+# prefiltered semi-join, orders->lineitem, shuffle-reduction panel.
+# X195 (operators/joins.py: salted_skew_join): salted hot-key join
+# with the plain-join oracle as the equivalence claim.
+R15_QUEUED_ORACLES: dict[str, str] = {}
+
+R15_QUEUED_ORACLES["blocking_scheme_pareto"] = r"""
+    WITH 
+    toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(CAST(n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+    tp AS (SELECT (n * (n - 1)) // 2 AS tp FROM nd),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM truth),
+    mh AS (
+        SELECT doc_id,
+            MIN(md5('1|' || shingle)) AS mh1,
+            MIN(md5('2|' || shingle)) AS mh2,
+            MIN(md5('3|' || shingle)) AS mh3,
+            MIN(md5('4|' || shingle)) AS mh4,
+            MIN(md5('5|' || shingle)) AS mh5,
+            MIN(md5('6|' || shingle)) AS mh6,
+            MIN(md5('7|' || shingle)) AS mh7,
+            MIN(md5('8|' || shingle)) AS mh8
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band_idx, md5(mh1 || mh2) AS band_val FROM mh
+        UNION ALL SELECT doc_id, 1 AS band_idx, md5(mh3 || mh4) AS band_val FROM mh
+        UNION ALL SELECT doc_id, 2 AS band_idx, md5(mh5 || mh6) AS band_val FROM mh
+        UNION ALL SELECT doc_id, 3 AS band_idx, md5(mh7 || mh8) AS band_val FROM mh
+    ),
+    lshc AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         AND a.doc_id < b.doc_id
+    ),
+    keyed AS (
+        SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS k
+        FROM documents
+    ),
+    leads AS (
+        SELECT doc_id,
+            lead(doc_id, 1) OVER (ORDER BY k, doc_id) AS n1,
+            lead(doc_id, 2) OVER (ORDER BY k, doc_id) AS n2,
+            lead(doc_id, 3) OVER (ORDER BY k, doc_id) AS n3
+        FROM keyed
+    ),
+    snmp AS (
+        SELECT LEAST(doc_id, n1) AS doc_a, GREATEST(doc_id, n1) AS doc_b
+        FROM leads WHERE n1 IS NOT NULL
+        UNION ALL
+        SELECT LEAST(doc_id, n2), GREATEST(doc_id, n2)
+        FROM leads WHERE n2 IS NOT NULL
+        UNION ALL
+        SELECT LEAST(doc_id, n3), GREATEST(doc_id, n3)
+        FROM leads WHERE n3 IS NOT NULL
+    ),
+    pk AS (
+        SELECT doc_id,
+            md5(array_to_string(list_filter(t, x -> x != '')[1:3], ' '))
+                AS key
+        FROM toks
+    ),
+    pcand AS (
+        SELECT CAST(COALESCE(SUM((c * (c - 1)) // 2), 0) AS BIGINT) AS cand
+        FROM (SELECT key, COUNT(*) AS c FROM pk GROUP BY 1)
+    ),
+    phit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS hit
+        FROM truth t
+        JOIN pk a ON t.doc_a = a.doc_id
+        JOIN pk b ON t.doc_b = b.doc_id AND a.key = b.key
+    ),
+    lrow AS (
+        SELECT 'lsh' AS scheme,
+            CAST((SELECT COUNT(*) FROM lshc) AS BIGINT) AS n_candidates,
+            CAST((SELECT COUNT(*) FROM lshc c JOIN truth t
+                  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS BIGINT)
+                AS n_hits
+    ),
+    srow AS (
+        SELECT 'snm' AS scheme,
+            CAST((SELECT COUNT(*) FROM snmp) AS BIGINT) AS n_candidates,
+            CAST((SELECT COUNT(*) FROM snmp c JOIN truth t
+                  ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS BIGINT)
+                AS n_hits
+    ),
+    prow AS (
+        SELECT 'prefix' AS scheme, (SELECT cand FROM pcand) AS n_candidates,
+            (SELECT hit FROM phit) AS n_hits
+    ),
+    allrows AS (
+        SELECT * FROM lrow UNION ALL SELECT * FROM srow
+        UNION ALL SELECT * FROM prow
+    )
+    SELECT scheme, n_candidates, (SELECT nt FROM nt) AS n_truth, n_hits,
+        CAST(CASE WHEN (SELECT nt FROM nt) = 0 THEN NULL
+            ELSE (1000000 * n_hits) // (SELECT nt FROM nt) END AS BIGINT)
+            AS recall_ppm,
+        CAST(CASE WHEN (SELECT tp FROM tp) = 0 THEN NULL
+            ELSE 1000000 - (1000000 * n_candidates) // (SELECT tp FROM tp)
+            END AS BIGINT) AS reduction_ratio_ppm
+    FROM allrows ORDER BY scheme
+"""
+
+R15_QUEUED_ORACLES["dedup_threshold_sweep"] = r"""
+    WITH RECURSIVE 
+    toks AS (SELECT doc_id, string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b,
+            ROUND(CAST(n_common AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - n_common), 6) AS j
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE ROUND(CAST(n_common AS DOUBLE)
+                    / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.5
+    ),
+    e05 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs WHERE j >= 0.5
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs WHERE j >= 0.5
+    ),
+    walk05 AS (
+        SELECT doc_id AS node, doc_id AS reach FROM documents
+        UNION
+        SELECT w.node, e.b AS reach FROM walk05 w JOIN e05 e
+            ON w.reach = e.a
+    ),
+    cc05 AS (SELECT node, MIN(reach) AS cluster_id FROM walk05
+                GROUP BY 1),
+    sz05 AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS s
+                FROM cc05 GROUP BY 1),
+    p05 AS (
+        SELECT CAST(500000 AS BIGINT) AS threshold_ppm,
+            CAST((SELECT COUNT(*) FROM pairs WHERE j >= 0.5) AS BIGINT)
+                AS n_edges,
+            CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_clusters,
+            CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_docs_clustered,
+            CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cluster,
+            CAST(COALESCE(SUM(s), 0) - COALESCE(COUNT(*), 0) AS BIGINT)
+                AS dedup_excess
+        FROM sz05 WHERE s >= 2
+    ),
+    e07 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs WHERE j >= 0.7
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs WHERE j >= 0.7
+    ),
+    walk07 AS (
+        SELECT doc_id AS node, doc_id AS reach FROM documents
+        UNION
+        SELECT w.node, e.b AS reach FROM walk07 w JOIN e07 e
+            ON w.reach = e.a
+    ),
+    cc07 AS (SELECT node, MIN(reach) AS cluster_id FROM walk07
+                GROUP BY 1),
+    sz07 AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS s
+                FROM cc07 GROUP BY 1),
+    p07 AS (
+        SELECT CAST(700000 AS BIGINT) AS threshold_ppm,
+            CAST((SELECT COUNT(*) FROM pairs WHERE j >= 0.7) AS BIGINT)
+                AS n_edges,
+            CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_clusters,
+            CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_docs_clustered,
+            CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cluster,
+            CAST(COALESCE(SUM(s), 0) - COALESCE(COUNT(*), 0) AS BIGINT)
+                AS dedup_excess
+        FROM sz07 WHERE s >= 2
+    ),
+    e09 AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs WHERE j >= 0.9
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM pairs WHERE j >= 0.9
+    ),
+    walk09 AS (
+        SELECT doc_id AS node, doc_id AS reach FROM documents
+        UNION
+        SELECT w.node, e.b AS reach FROM walk09 w JOIN e09 e
+            ON w.reach = e.a
+    ),
+    cc09 AS (SELECT node, MIN(reach) AS cluster_id FROM walk09
+                GROUP BY 1),
+    sz09 AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS s
+                FROM cc09 GROUP BY 1),
+    p09 AS (
+        SELECT CAST(900000 AS BIGINT) AS threshold_ppm,
+            CAST((SELECT COUNT(*) FROM pairs WHERE j >= 0.9) AS BIGINT)
+                AS n_edges,
+            CAST(COALESCE(COUNT(*), 0) AS BIGINT) AS n_clusters,
+            CAST(COALESCE(SUM(s), 0) AS BIGINT) AS n_docs_clustered,
+            CAST(COALESCE(MAX(s), 0) AS BIGINT) AS largest_cluster,
+            CAST(COALESCE(SUM(s), 0) - COALESCE(COUNT(*), 0) AS BIGINT)
+                AS dedup_excess
+        FROM sz09 WHERE s >= 2
+    )
+    SELECT * FROM p05 UNION ALL SELECT * FROM p07 UNION ALL
+    SELECT * FROM p09 ORDER BY threshold_ppm
+"""
+
+R15_QUEUED_ORACLES["attribution_model_compare"] = r"""
+    WITH base AS (
+        SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us,
+            event_id AS id, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    p AS (SELECT u, us AS pus, id AS pid, cents FROM base
+          WHERE t = 'purchase'),
+    tch AS (SELECT u, us AS tus, id AS tid, t AS ttype FROM base
+            WHERE t <> 'purchase'),
+    j AS (
+        SELECT pid, cents, tus, tid, ttype
+        FROM p JOIN tch USING (u)
+        WHERE (tus, tid) < (pus, pid) AND pus - tus <= 86400000000
+    ),
+    r AS (
+        SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tus, tid) AS rf,
+            ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tus DESC, tid DESC)
+                AS rl,
+            COUNT(*) OVER (PARTITION BY pid) AS n
+        FROM j
+    ),
+    credits AS (
+        SELECT 'last' AS model, ttype AS atype, cents AS credit
+        FROM r WHERE rl = 1
+        UNION ALL
+        SELECT 'first', ttype, cents FROM r WHERE rf = 1
+        UNION ALL
+        SELECT 'linear', ttype,
+            cents // n + CASE WHEN rf <= cents % n THEN 1 ELSE 0 END
+        FROM r
+        UNION ALL
+        SELECT m.model, '(none)', cents
+        FROM p, (VALUES ('last'), ('first'), ('linear')) m(model)
+        WHERE pid NOT IN (SELECT DISTINCT pid FROM j)
+    ),
+    tot AS (SELECT model, SUM(credit) AS total FROM credits GROUP BY 1)
+    SELECT model, atype AS attributed_type,
+        CAST(COUNT(*) AS BIGINT) AS n_credits,
+        CAST(SUM(credit) AS DOUBLE) / 100.0 AS revenue,
+        CAST(CASE WHEN total = 0 THEN NULL
+            ELSE (1000000 * SUM(credit)) // total END AS BIGINT)
+            AS revenue_share_ppm
+    FROM credits JOIN tot USING (model)
+    GROUP BY model, atype, total
+    ORDER BY model, attributed_type
+"""
+
+R15_QUEUED_ORACLES["embedding_ood_mahalanobis"] = r"""
+    WITH cells AS (
+        SELECT i,
+            CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                AS xs
+        FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ),
+    stats AS (
+        SELECT i, COUNT(*) AS n, SUM(xs) AS s1,
+            SUM(CAST(xs AS HUGEINT) * xs) AS s2
+        FROM cells GROUP BY i
+    ),
+    st2 AS (
+        SELECT i, CAST(s1 AS DOUBLE) / n AS mu6,
+            (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS var12
+        FROM stats
+    ),
+    arrs AS (
+        SELECT list(mu6 ORDER BY i) AS mus, list(var12 ORDER BY i) AS vars
+        FROM st2
+    ),
+    scored AS (
+        SELECT label, len(embedding) AS d,
+            ROUND(list_reduce(list_concat([CAST(0.0 AS DOUBLE)],
+                list_transform(range(1, len(embedding) + 1), i ->
+                    (ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                     - mus[i])
+                    * (ROUND(CAST(embedding[i] AS DOUBLE) * 1000000)
+                       - mus[i]) / (vars[i] + 1.0))),
+                (a, b) -> a + b), 6) AS score
+        FROM embeddings, arrs
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(CAST(ROUND(score * 1000000) AS BIGINT)) // COUNT(*)
+            AS BIGINT) AS mean_score_e6,
+        CAST(MAX(CAST(ROUND(score * 1000000) AS BIGINT)) AS BIGINT)
+            AS max_score_e6,
+        CAST(SUM(CASE WHEN score > 2.0 * d THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_outliers
+    FROM scored GROUP BY label ORDER BY label
+"""
+
+R15_QUEUED_ORACLES["source_stylometry_delta"] = r"""
+    WITH toks AS (
+        SELECT source AS grp, UNNEST(string_split_regex(trim(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')), ' +')) AS t
+        FROM documents
+    ),
+    tok AS (SELECT grp, t FROM toks WHERE t != ''),
+    totals AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+    sw AS (SELECT UNNEST(['the', 'a', 'and', 'or', 'of', 'to', 'in', 'is'])
+               AS t),
+    counts AS (
+        SELECT grp, t, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE t IN (SELECT t FROM sw) GROUP BY 1, 2
+    ),
+    grid AS (
+        SELECT totals.grp, sw.t,
+            CAST((1000000 * COALESCE(c.c, 0)) // totals.n AS BIGINT)
+                AS f_ppm
+        FROM totals CROSS JOIN sw
+        LEFT JOIN counts c ON c.grp = totals.grp AND c.t = sw.t
+    ),
+    ws AS (
+        SELECT t, CAST(COUNT(*) AS BIGINT) AS k, SUM(f_ppm) AS s1,
+            SUM(CAST(f_ppm AS HUGEINT) * f_ppm) AS s2
+        FROM grid GROUP BY 1
+    ),
+    kept AS (
+        SELECT t, CAST(s1 AS DOUBLE) / k AS mu,
+            sqrt((CAST(k AS DOUBLE) * CAST(s2 AS DOUBLE)
+                  - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                 / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE))) AS sd
+        FROM ws WHERE k * s2 > CAST(s1 AS HUGEINT) * s1
+    ),
+    z AS (
+        SELECT g.grp, g.t, (g.f_ppm - kk.mu) / kk.sd AS z
+        FROM grid g JOIN kept kk ON g.t = kk.t
+    )
+    SELECT a.grp AS source_a, b.grp AS source_b,
+        CAST(COUNT(*) AS BIGINT) AS n_words,
+        CAST(SUM(CAST(ROUND(ROUND(ABS(a.z - b.z), 6) * 1000000) AS BIGINT))
+            // COUNT(*) AS BIGINT) AS delta_e6
+    FROM z a JOIN z b ON a.t = b.t AND a.grp < b.grp
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+R15_QUEUED_ORACLES["doc_sentence_split"] = r"""
+    SELECT doc_id, CAST(i AS INTEGER) AS sent_pos,
+        trim(ss[i]) AS sentence,
+        CAST(len(list_filter(string_split_regex(trim(regexp_replace(
+            lower(trim(ss[i])), '[^a-z0-9 ]', '', 'g')), ' +'),
+            x -> x != '')) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id, string_split_regex(text, '[.!?]+\s+') AS ss
+          FROM documents),
+        UNNEST(range(1, len(ss) + 1)) AS u(i)
+    WHERE trim(ss[i]) != ''
+    ORDER BY doc_id, sent_pos
+"""
+
+R15_QUEUED_ORACLES["bloom_semijoin_lineitem"] = r"""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey AS k FROM orders
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    bloom AS (
+        SELECT DISTINCT
+            CAST(('0x' || substr(md5(j.j || '|' || CAST(k AS VARCHAR)),
+                1, 8)) AS BIGINT) % 4096 AS pos
+        FROM keys, (SELECT UNNEST(['0', '1', '2', '3']) AS j) j
+    ),
+    gk AS (
+        SELECT l_returnflag AS grp, l_orderkey AS k,
+            CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1, 2
+    ),
+    probed AS (
+        SELECT grp, k, c,
+            SUM(CASE WHEN CAST(('0x' || substr(md5(j.j || '|'
+                || CAST(k AS VARCHAR)), 1, 8)) AS BIGINT) % 4096
+                IN (SELECT pos FROM bloom) THEN 1 ELSE 0 END) = 4 AS pass
+        FROM gk, (SELECT UNNEST(['0', '1', '2', '3']) AS j) j
+        GROUP BY 1, 2, 3
+    ),
+    flagged AS (
+        SELECT grp, c, pass,
+            CASE WHEN k IN (SELECT k FROM keys) THEN 1 ELSE 0 END AS t
+        FROM probed
+    )
+    SELECT grp AS l_returnflag,
+        CAST(SUM(c) AS BIGINT) AS n_fact,
+        CAST(SUM(CASE WHEN pass THEN c ELSE 0 END) AS BIGINT) AS n_pass,
+        CAST(SUM(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT) AS n_match,
+        CAST(SUM(CASE WHEN pass THEN c ELSE 0 END)
+            - SUM(CASE WHEN t = 1 THEN c ELSE 0 END) AS BIGINT)
+            AS n_false_pass,
+        CAST(CASE WHEN SUM(c) = 0 THEN 0 ELSE
+            1000000 - (1000000 * SUM(CASE WHEN pass THEN c ELSE 0 END))
+            // SUM(c) END AS BIGINT) AS shuffle_reduction_ppm
+    FROM flagged GROUP BY 1
+    ORDER BY l_returnflag
+"""
+
+R15_QUEUED_ORACLES["join_salted_skew"] = r"""
+    SELECT user_id % 3 AS key, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(MAX(user_id % 3 + 1) AS BIGINT) AS weight,
+        CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * (user_id % 3 + 1))
+            AS DOUBLE) / 100.0 AS weighted_revenue
+    FROM events GROUP BY 1 ORDER BY 1
+"""
+

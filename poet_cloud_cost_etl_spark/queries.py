@@ -6094,6 +6094,120 @@ def _r14q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap_hll(d, "source", "text")
 
 
+# ------------------------------------------------------------------
+# r15-queue: implemented + DuckDB-parity-proven in round 11
+# (tests/test_r15_queue.py), registration DEFERRED per the staging
+# protocol. Round 15: decorate with @query(...) and merge
+# R15_QUEUED_ORACLES into ORACLES (oracles.py). Registered count
+# after: 318/350.
+def _r15q_blocking_scheme_pareto(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X188 blocking-scheme Pareto panel (operators/dedup.py:
+    blocking_scheme_pareto) — LSH/SNM/prefix candidates vs exact
+    truth: recall + reduction ratio per scheme."""
+    from .operators.dedup import blocking_scheme_pareto
+
+    d = table(spark, sf_dir, "documents")
+    return blocking_scheme_pareto(d, "doc_id", "text")
+
+
+def _r15q_dedup_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X193 threshold-sweep cluster census (operators/dedup.py:
+    threshold_sweep_clusters) — the cluster-stability curve over
+    Jaccard thresholds."""
+    from .operators.dedup import threshold_sweep_clusters
+
+    d = table(spark, sf_dir, "documents")
+    return threshold_sweep_clusters(d, "doc_id", "text")
+
+
+def _r15q_attribution_model_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X190 multi-model attribution (operators/behavior.py:
+    attribution_model_compare) — last/first/linear revenue credit
+    side by side."""
+    from .operators.behavior import attribution_model_compare
+
+    e = table(spark, sf_dir, "events")
+    return attribution_model_compare(
+        e, "user_id", "event_type", "ts", "event_id", "value"
+    )
+
+
+def _r15q_embedding_ood_mahalanobis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X191 diagonal-Mahalanobis OOD panel (operators/embeddings.py:
+    ood_mahalanobis_panel) — per-label novelty vs the corpus
+    moments."""
+    from .operators.embeddings import ood_mahalanobis_panel
+
+    e = table(spark, sf_dir, "embeddings")
+    return ood_mahalanobis_panel(e, "vec_id", "embedding", "label")
+
+
+def _r15q_source_stylometry_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X192 Burrows' Delta matrix (operators/textstats.py:
+    stylometry_delta_matrix) — function-word z-score style distance
+    per source pair."""
+    from .operators.textstats import stylometry_delta_matrix
+
+    d = table(spark, sf_dir, "documents")
+    return stylometry_delta_matrix(d, "source", "text")
+
+
+def _r15q_doc_sentence_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X194 sentence segmentation (operators/packing.py:
+    sentence_split) — long-form sentence rows on the X161 boundary
+    convention."""
+    from .operators.packing import sentence_split
+
+    d = table(spark, sf_dir, "documents")
+    return sentence_split(d, "doc_id", "text")
+
+
+def _r15q_bloom_semijoin_lineitem(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X189 Bloom-prefiltered semi-join (operators/joins.py:
+    bloom_semijoin_prefilter) — urgent-orders keys gate lineitem
+    before the join shuffle; per-returnflag panel."""
+    from .operators.joins import bloom_semijoin_prefilter
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return bloom_semijoin_prefilter(
+        li,
+        orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            F.col("o_orderkey").alias("l_orderkey")
+        ),
+        "l_orderkey",
+        "l_returnflag",
+    )
+
+
+def _r15q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X195 salted hot-key join (operators/joins.py:
+    salted_skew_join) — (key, salt) join restoring the exact
+    unsalted aggregate; the plain join is the oracle."""
+    from .operators.joins import salted_skew_join
+
+    e = table(spark, sf_dir, "events")
+    return salted_skew_join(
+        e,
+        (F.col("user_id") % 3),
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+        weight_sql="__k + 1",
+        salt=(F.col("event_id") % 8),
+    )
+
+
 # Rotation reorder (staleness-first window protocol) — runs LAST so
 # every registration above, including the r10 cohort, participates.
 for _name in _rotation_order():

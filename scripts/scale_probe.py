@@ -365,6 +365,28 @@ def _hubness_ivf_scaled(spark, sf_dir, k_scale):
     )
 
 
+def build_scaled_lineitem(src: str, dst: str, copies: int = COPIES) -> None:
+    """lineitem: key-offset copies CONSISTENT with the orders copies
+    (same +c*1e9 l_orderkey offset as o_orderkey), so orders-lineitem
+    joins keep exactly the base join structure per copy — the r15
+    Bloom semi-join probe measures 10x fact/dim volume with the same
+    match selectivity."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW copies AS SELECT unnest(range({copies})) AS c")
+    con.execute(
+        f"""
+        COPY (
+            SELECT l.* REPLACE (l.l_orderkey + c.c * 1000000000 AS l_orderkey)
+            FROM read_parquet('{src}/lineitem.parquet') l, copies c
+        ) TO '{dst}/lineitem.parquet' (FORMAT parquet)
+        """
+    )
+    con.close()
+
+
 def _srp_scaled(spark, sf_dir, k_scale):
     """X183 with the scaled granularity knob (n_centroids 8 -> 64 at
     10x): constant bucket pair volume — the deployment shape."""
@@ -500,6 +522,25 @@ SCALED_K = [
     # applies the standard knob (n_centroids 8->64, constant bucket
     # pair volume) — the configuration a deployment actually runs.
     ("srp_cosine_calibration_scaled", _srp_scaled),
+    # round-11b: decade points for the r15-queue operators BEFORE
+    # they register. blocking_pareto/threshold_sweep ride the
+    # already-probed pair cores (c{i} prefixes keep cross-copy
+    # shingles disjoint -> truth and candidates scale linearly);
+    # attribution/salted ride the events scale-up (10x users,
+    # constant per-user streams); ood/stylometry/sentence_split are
+    # scan-plus-bounded-panel shapes; the Bloom semi-join reads the
+    # key-consistent lineitem/orders copies (same selectivity, 10x
+    # volume).
+    ("blocking_scheme_pareto_r15", _r11("_r15q_blocking_scheme_pareto")),
+    ("dedup_threshold_sweep_r15", _r11("_r15q_dedup_threshold_sweep")),
+    ("attribution_model_compare_r15",
+     _r11("_r15q_attribution_model_compare")),
+    ("embedding_ood_mahalanobis_r15",
+     _r11("_r15q_embedding_ood_mahalanobis")),
+    ("source_stylometry_delta_r15", _r11("_r15q_source_stylometry_delta")),
+    ("doc_sentence_split_r15", _r11("_r15q_doc_sentence_split")),
+    ("bloom_semijoin_lineitem_r15", _r11("_r15q_bloom_semijoin_lineitem")),
+    ("join_salted_skew_r15", _r11("_r15q_join_salted_skew")),
     ("bbit_pair_core_only", _bbit_pair_core_only),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
@@ -548,6 +589,7 @@ def build_scaled(src: str, dst: str, copies: int = COPIES) -> None:
     )
     con.close()
     build_scaled_events(src, dst, copies)
+    build_scaled_lineitem(src, dst, copies)
 
 
 def build_scaled_events(src: str, dst: str, copies: int = COPIES) -> None:

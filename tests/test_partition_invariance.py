@@ -216,3 +216,42 @@ def test_r14_result_invariant_under_partitioning(spark, wrapper):
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_sp)
         conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+# The r15-queue staged wrappers (not yet in QUERIES): the shapes that
+# would drift first are the truth/candidate set intersections under
+# re-partitioned pair generation (pareto), the per-threshold CC
+# fixpoints (sweep), the bounded-fan-out join + two rank windows +
+# largest-remainder split (attribution), the broadcast-moments fold
+# (ood), and the salted join's partitioning-independence claim
+# itself.
+R15_UNDER_TEST = [
+    "_r15q_blocking_scheme_pareto",
+    "_r15q_dedup_threshold_sweep",
+    "_r15q_attribution_model_compare",
+    "_r15q_embedding_ood_mahalanobis",
+    "_r15q_join_salted_skew",
+]
+
+
+@pytest.mark.parametrize("wrapper", R15_UNDER_TEST)
+def test_r15_result_invariant_under_partitioning(spark, wrapper):
+    conf = spark.conf
+    baseline = _rows_r11(spark, wrapper)
+    settings = [
+        ("2", str(512 * 1024 * 1024)),
+        ("64", str(256 * 1024)),
+    ]
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sp, mpb in settings:
+            conf.set("spark.sql.shuffle.partitions", sp)
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            assert _rows_r11(spark, wrapper) == baseline, (
+                f"{wrapper} drifted at shuffle_partitions={sp}, "
+                f"maxPartitionBytes={mpb}"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
