@@ -247,6 +247,15 @@ HEADLINE = [
     "line_dedup_by_source",
     "cluster_dilution_audit",
     "minhash_calibration",
+    # round-12 cohort (X164-X171), benched from birth.
+    "winnow_fingerprints",
+    "source_containment_direction",
+    "dup_span_position_profile",
+    "semantic_decontamination",
+    "ivf_nprobe_recall_curve",
+    "source_crossentropy_matrix",
+    "mixture_epoch_plan",
+    "line_dedup_rewrite",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

@@ -2260,12 +2260,22 @@ def knn_hubness_audit(
     )
 
 
+# X183's default bucket granularity: one centroid per ~64 vectors, so
+# the within-bucket pair volume (N²/k with k ∝ N) stays LINEAR in N —
+# the X28 SemDeDup scaling knob applied as the default instead of as
+# documentation.  The r11 staging probe measured the alternative: a
+# fixed k=8 at 10× data is N²/8 → 43× observed, vs 13.1× for the
+# scaled knob (pure candidate-volume growth, BENCH_SF1_r11).
+SRP_TARGET_BUCKET = 64
+
+
 def srp_cosine_calibration(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     bits: int = 16,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
+    assign: str = "auto",
 ) -> DataFrame:
     """X183: signed-random-projection (SimHash-for-cosine) estimator
     calibration — the cosine-sketch member of the calibration family
@@ -2286,8 +2296,28 @@ def srp_cosine_calibration(
 
     Scale: bit arrays ride the scan (d*bits multiply-adds per row);
     bucketed pair volume is the X28-audited shape; the band panel is
-    <= 20 rows."""
+    <= 20 rows.
+
+    ``n_centroids=None`` (the default, round 12 — VERDICT r11 task 3)
+    derives k ∝ N: ``max(8, ceil(N / SRP_TARGET_BUCKET))``, so the
+    within-bucket pair volume stays linear as the corpus grows — the
+    same scaled-granularity policy ``semantic_dedup`` documents, made
+    the shipping default here because the r11 staging probe measured
+    the fixed-k=8 form quadratic (43× at 10× data vs 13.1× scaled).
+    Passing an explicit ``n_centroids`` pins the granularity (the
+    fixed-k mis-deployment is an opt-in diagnostic, not the default).
+    Assignment routes through ``_centroid_buckets`` with
+    ``assign="auto"``: flat N·k scoring up to FLAT_ASSIGN_MAX_K, the
+    log-depth centroid tree above it.  The one-job ``count()`` that
+    sizes k is the same driver-side pattern as the CC convergence
+    probes (operators/graph.py) — an action, not a collect, and the
+    result is a single long."""
     from .embeddings import _RP_SIGN_SQL
+
+    if n_centroids is None:
+        n_centroids = max(
+            8, math.ceil(emb.count() / SRP_TARGET_BUCKET)
+        )
 
     sign_bits = (
         "transform(sequence(0, {m} - 1), j -> "
@@ -2300,18 +2330,19 @@ def srp_cosine_calibration(
         F.col(vec_col),
         F.expr(sign_bits).alias("__bits"),
     )
-    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
-    # ivf_assign returns (id, vec, centroid_id, probe_rank) — re-attach
-    # the bit arrays by id, then score within-bucket pairs through the
-    # X129/X137 _pair_scores engine (pair_impl="auto": BLAS kernel on
-    # big buckets, codegen on small — bit-identical cos_e6 by the
+    # _centroid_buckets returns (id, vec, centroid_id) — flat rank-1
+    # ivf_assign up to FLAT_ASSIGN_MAX_K centroids, the log-depth tree
+    # above (assign="auto", the X28 policy).  Re-attach the bit arrays
+    # by id, then score within-bucket pairs through the X129/X137
+    # _pair_scores engine (pair_impl="auto": BLAS kernel on big
+    # buckets, codegen on small — bit-identical cos_e6 by the
     # _pair_scores contract; the bit arrays ride along as a payload
     # column). cos_e6/1e6 is the SAME double as round(cos, 6) — both
     # are the nearest double to the same 6-decimal value — so the
     # band/acos arithmetic is unchanged from the expr form.
-    assigned = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).join(
-        withbits.select(F.col(id_col), F.col("__bits")), id_col
-    )
+    assigned = _centroid_buckets(
+        emb, id_col, vec_col, n_centroids, assign
+    ).join(withbits.select(F.col(id_col), F.col("__bits")), id_col)
     pairs = _pair_scores(
         assigned, "centroid_id", id_col, vec_col, payload_cols=("__bits",)
     ).select(

@@ -8197,12 +8197,13 @@ ORACLES.update(R11_QUEUED_ORACLES)
 
 
 # ------------------------------------------------------------------
-# r12-queue oracles: written + parity-proven in round 11
-# (tests/test_r12_queue.py), registration deferred to round 12 so the
-# r11 window covers the 8-name r11 cohort + the r5-stale backlog (the
-# same staging protocol the r10/r11 cohorts used). Round 12:
-# decorate the _r12q_* functions in queries.py with @query(...) and
-# ORACLES.update(R12_QUEUED_ORACLES).
+# r12-cohort oracles: written + parity-proven in round 11
+# (tests/test_r12_queue.py), registration deferred to round 12 per
+# the staging protocol (the r11 window covered the r11 cohort + the
+# r5-stale backlog). Registered in round 12 (VERDICT r11 task 1):
+# the _r12q_* functions in queries.py carry @query(...) and the
+# ORACLES.update(R12_QUEUED_ORACLES) below makes each oracle
+# official alongside its @query twin.
 R12_QUEUED_ORACLES: dict[str, str] = {}
 
 # X164 (operators/dedup.py: winnow_fingerprint_census): Schleimer
@@ -8544,6 +8545,8 @@ R12_QUEUED_ORACLES["line_dedup_rewrite"] = r"""
                  '') AS text_rewritten
     FROM kept GROUP BY doc_id ORDER BY doc_id
 """
+
+ORACLES.update(R12_QUEUED_ORACLES)
 
 
 # ---------------------------------------------------------------------------
@@ -9073,8 +9076,24 @@ R14_QUEUED_ORACLES["mixture_design_effect"] = """
     FROM w GROUP BY 1 ORDER BY 1
 """
 
+# k ∝ N (round 12, VERDICT r11 task 3): the Spark default derives
+# n_centroids = max(8, ceil(N / 64)) so bucket pair volume stays
+# linear; the oracle computes the SAME k from COUNT(*) and takes the
+# first k md5-ordered vectors — identical to _IVF_CENTS when the
+# corpus is small enough that k = 8 (sf0.001/sf0.01: N = 500 -> 8).
 R14_QUEUED_ORACLES["srp_cosine_calibration"] = f"""
-    WITH cents AS ({_IVF_CENTS}),
+    WITH kp AS (
+        SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS k
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid_vec
+        FROM (
+            SELECT vec_id, embedding, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn <= (SELECT k FROM kp)
+    ),
     assigned AS (
         SELECT s.vec_id, e.embedding, s.centroid_id
         FROM ({_CENT_SIMS.format(cents='cents')}) s

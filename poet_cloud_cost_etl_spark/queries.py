@@ -5461,9 +5461,41 @@ def q_pc_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # query stays locally pinned by test_oracle_parity in the meantime.
 
 
+# ADVISORY PRIORITY OVERRIDE (round 12, VERDICT r11 task 2).  Pure
+# staleness-first cannot expedite a re-check when the judge flags a
+# name whose official row predates a default-change in the code that
+# computes it — the r10 ADVICE asked for post-gemm rows for the
+# semantic family in r11, and the r6/r7 backlog outranked them two
+# rounds running.  Names in this dict jump the staleness queue
+# (AFTER the no-row names, which must always lead) until their
+# newest GREEN official row is NEWER than the recorded flag round —
+# at which point the boost expires automatically and pure staleness
+# resumes.  tests/test_rotation.py carries the matching carve-out
+# and asserts every active-priority name actually lands in the
+# upcoming window.  The displaced stalest names remain covered by
+# the MAX_STALE aging guard (a displacement that would age a name
+# past MAX_STALE fails test_no_query_ages_out, so the override can
+# never orphan the backlog).
+#
+# Current entries: the semantic family, flagged by the r10 ADVICE
+# and the r11 VERDICT ("What's wrong #3") — newest official rows
+# r7/r9, all predating the round-10 pair_impl="auto" gemm default
+# flip in operators/similarity.py.  Boost active while their newest
+# green row is <= r11; the r12 green rows expire it.
+ROTATION_PRIORITY: dict[str, int] = {
+    "semantic_dedup": 11,
+    "semantic_dedup_tree": 11,
+    "hard_negative_mining": 11,
+    "semantic_threshold_calibration": 11,
+    "bitext_margin_mining": 11,
+}
+
+
 def _rotation_order() -> list[str]:
-    """All registered query names, staleness-first: names with no
-    GREEN official driver row yet first in registration order, then
+    """All registered query names, staleness-first with an advisory
+    override: names with no GREEN official driver row yet first in
+    registration order, then names whose ROTATION_PRIORITY flag is
+    still active (newest green row <= the flag round), then
     ascending by the round of their newest GREEN row in
     CORRECTNESS_r*.json (registration order as tie-break).  Only
     green rows (rows_match and hash_match true, err null) count as
@@ -5496,7 +5528,17 @@ def _rotation_order() -> list[str]:
             if green and name in QUERIES:
                 last[name] = max(last.get(name, 0), rnd)
     reg_index = {name: i for i, name in enumerate(QUERIES)}
-    return sorted(QUERIES, key=lambda n: (last.get(n, -1), reg_index[n]))
+
+    def _key(n: str) -> tuple[int, int, int]:
+        if n not in last:
+            tier = 0  # never officially checked: always leads
+        elif last[n] <= ROTATION_PRIORITY.get(n, -1):
+            tier = 1  # advisory-flagged, flag still active
+        else:
+            tier = 2  # pure staleness
+        return (tier, last.get(n, -1), reg_index[n])
+
+    return sorted(QUERIES, key=_key)
 
 
 # ------------------------------------------------------------------
@@ -5793,12 +5835,16 @@ def _r11q_minhash_calibration(
 
 
 # ------------------------------------------------------------------
-# r12-queue: implemented + DuckDB-parity-proven in round 11
-# (tests/test_r12_queue.py), registration DEFERRED so the round-11
-# window covers the 8-name r11 cohort + the r5-stale backlog (the
-# same staging protocol the r10/r11 cohorts used). Round 12:
-# decorate with @query(...) and merge R12_QUEUED_ORACLES into
-# ORACLES (oracles.py). Registered count after: 294/350.
+# r12-cohort: implemented + DuckDB-parity-proven in round 11
+# (tests/test_r12_queue.py), registration deferred to round 12 so the
+# round-11 window could cover the 8-name r11 cohort + the r5-stale
+# backlog (the same staging protocol the r10/r11 cohorts used).
+# Registered here (r12, VERDICT r11 task 1); oracles merged from
+# oracles.R12_QUEUED_ORACLES. The rotation reorder at module end puts
+# these 8 no-row names first in the r12 window, followed by the
+# advisory-priority semantic family (see ROTATION_PRIORITY below)
+# and the stalest r6 backlog. Registered count after: 294/350.
+@query("winnow_fingerprints")
 def _r12q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X164 winnowing fingerprint census (operators/dedup.py:
     winnow_fingerprint_census) — Schleimer 2003 rightmost-min window
@@ -5809,6 +5855,7 @@ def _r12q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprint_census(d, "doc_id", "text", "source", w=4)
 
 
+@query("source_containment_direction")
 def _r12q_source_containment_direction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5823,6 +5870,7 @@ def _r12q_source_containment_direction(
     )
 
 
+@query("dup_span_position_profile")
 def _r12q_dup_span_position_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5835,6 +5883,7 @@ def _r12q_dup_span_position_profile(
     return dup_span_position_profile(d, "doc_id", "text", "source")
 
 
+@query("semantic_decontamination")
 def _r12q_semantic_decontamination(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5849,6 +5898,7 @@ def _r12q_semantic_decontamination(
     )
 
 
+@query("ivf_nprobe_recall_curve")
 def _r12q_ivf_nprobe_recall_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5861,6 +5911,7 @@ def _r12q_ivf_nprobe_recall_curve(
     return ivf_nprobe_recall_curve(e, "vec_id", "embedding", k=5)
 
 
+@query("source_crossentropy_matrix")
 def _r12q_source_crossentropy_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5873,6 +5924,7 @@ def _r12q_source_crossentropy_matrix(
     return source_crossentropy_matrix(d, "doc_id", "text", "source")
 
 
+@query("mixture_epoch_plan")
 def _r12q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X170 data-constrained mixture plan (operators/sampling.py:
     mixture_epoch_plan) — token allocations, epochs, and the
@@ -5885,6 +5937,7 @@ def _r12q_mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("line_dedup_rewrite")
 def _r12q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X171 line-dedup rewrite (operators/dedup.py:
     line_dedup_rewrite) — global first-occurrence line survivorship

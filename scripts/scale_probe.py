@@ -516,11 +516,13 @@ SCALED_K = [
     ("pq_distortion_by_label_r14", _r11("_r14q_pq_distortion_by_label")),
     ("source_overlap_hll_r14", _r11("_r14q_source_overlap_hll")),
     ("mutual_knn_ivf_scaled", _mutual_knn_ivf_scaled),
-    # srp at its REGISTERED k=8 measures the fixed-granularity
-    # N^2/k term at 10x data (43x observed — the same mis-deployment
-    # the semantic-family probes document); the scaled variant
-    # applies the standard knob (n_centroids 8->64, constant bucket
-    # pair volume) — the configuration a deployment actually runs.
+    # round 12 (VERDICT r11 task 3): the shipping default is now
+    # k ∝ N (n_centroids=None -> max(8, ceil(N/64)), assign="auto"),
+    # so the _r14 registered-config probe above measures the
+    # scale-safe shape. The _scaled entry keeps the explicit
+    # fixed-k=64 point for comparison; the historical k=8 quadratic
+    # (43x at 10x, BENCH_SF1_r11) is now an opt-in mis-deployment
+    # (pass n_centroids=8 explicitly), no longer probed.
     ("srp_cosine_calibration_scaled", _srp_scaled),
     # round-11b: decade points for the r15-queue operators BEFORE
     # they register. blocking_pareto/threshold_sweep ride the

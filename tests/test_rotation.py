@@ -24,7 +24,7 @@ import glob
 import json
 import os
 
-from poet_cloud_cost_etl_spark.queries import QUERIES
+from poet_cloud_cost_etl_spark.queries import QUERIES, ROTATION_PRIORITY
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
@@ -98,9 +98,27 @@ def test_upcoming_window_is_stalest_first():
             "no-row queries in registration order"
         )
 
+    # Advisory priority override (round 12): a name whose
+    # ROTATION_PRIORITY flag is still active (newest green row <= the
+    # flag round) jumps the staleness queue — it must be IN the
+    # upcoming window (right after the no-row names), and it is
+    # exempt from the staleness-monotonicity check below.  An expired
+    # flag (green row newer than the flag round) confers nothing.
+    def _boosted(n):
+        return n in last and last[n] <= ROTATION_PRIORITY.get(n, -1)
+
+    active = [n for n in names if _boosted(n)]
+    if len(no_row) + len(active) <= WINDOW:
+        missing = [n for n in active if n not in upcoming]
+        assert not missing, (
+            f"advisory-priority names not in the upcoming window: "
+            f"{missing}"
+        )
+
     # Staleness-first: no excluded query may be staler than an
     # included one — max(last round inside) <= min(last round outside).
-    included = [last[n] for n in upcoming if n in last]
+    # Boosted names are the sanctioned exception on the inside.
+    included = [last[n] for n in upcoming if n in last and not _boosted(n)]
     excluded = [last[n] for n in rest if n in last]
     if included and excluded:
         assert max(included) <= min(excluded), (
