@@ -566,11 +566,19 @@ def attribution_model_compare(
         F.col("__ttype").alias("attributed_type"),
         F.col("__cents").alias("__credit"),
     )
+    # Largest-remainder split in FLOOR-div/pmod form (r11 ADVICE):
+    # sum over r=1..n of (floor(c/n) + [r <= pmod(c, n)]) == c for ANY
+    # integer cents, refunds included — the truncating `div`/signed `%`
+    # form loses the remainder cents when c < 0 (pmod(c,n) is what `%`
+    # returns only for c >= 0, where the two forms coincide).  The
+    # floor-div is the exact integer (c - pmod(c, n)) div n, never a
+    # double round-trip.
     linear = ranked.select(
         F.lit("linear").alias("model"),
         F.col("__ttype").alias("attributed_type"),
         F.expr(
-            "__cents div __n + CASE WHEN __r_first <= __cents % __n "
+            "(__cents - pmod(__cents, __n)) div __n "
+            "+ CASE WHEN __r_first <= pmod(__cents, __n) "
             "THEN 1 ELSE 0 END"
         ).alias("__credit"),
     )

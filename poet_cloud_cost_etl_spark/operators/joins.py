@@ -225,15 +225,29 @@ def salted_skew_join(
 
     Exactness: integer cents x integer weights; the salted and
     plain plans aggregate identical (key, cents, weight) triples —
-    equality is the oracle's claim.
+    equality is the oracle's claim.  The caller's ``salt`` is
+    ``pmod``-wrapped into [0, n_salts) INSIDE the operator (r11
+    ADVICE): a raw ``%`` in Spark keeps the dividend's sign, so a
+    negative salt expression would miss every replicated dim row and
+    silently drop fact rows — the wrap makes any integer expression
+    safe.  A NULL salt (or NULL key) never equi-joins and would drop
+    the row the same silent way, so both are coalesced/guarded:
+    NULL salt lands in bucket 0; NULL-key rows are excluded from
+    BOTH the fact and dim sides by construction (distinct() keeps a
+    NULL dim key, but the equi-join would never match it — dropping
+    them explicitly keeps the plain-join-equality contract honest
+    and documented rather than incidental).
 
     Scale: dim replication is |dim| x n_salts broadcast-sized rows;
     the fact-side exchange partitions on (key, salt)."""
+    raw_salt = salt if salt is not None else F.lit(0)
     f = fact.select(
         key.alias("__k"),
         cents.alias("__cents"),
-        (salt if salt is not None else F.lit(0)).alias("__salt"),
-    )
+        F.pmod(F.coalesce(raw_salt, F.lit(0)), F.lit(int(n_salts))).alias(
+            "__salt"
+        ),
+    ).filter(F.col("__k").isNotNull())
     dim = (
         f.select("__k")
         .distinct()

@@ -2432,20 +2432,37 @@ def mutual_knn_clusters(
         ),
         "id",
     )
-    per_cluster = (
-        labeled.groupBy("cluster_id", "__l")
-        .agg(F.count(F.lit(1)).alias("__c"))
-        .groupBy("cluster_id")
-        .agg(
-            F.sum("__c").alias("__size"),
-            F.max(F.struct(F.col("__c"), (-F.col("__l")).alias("__nl"))).alias(
-                "__dom"
+    # Dominant label = highest count, smallest label on ties — a rank
+    # window (ORDER BY count DESC, label ASC), matching the oracle's
+    # ROW_NUMBER formulation and analyzable for ANY orderable label
+    # type (r11 ADVICE: the earlier max(struct(__c, -__l)) negated the
+    # label, so a string label_col failed analysis).  Both frames are
+    # per-(cluster, label) aggregates — tiny next to the edge work.
+    from pyspark.sql.window import Window as _W
+
+    counts = labeled.groupBy("cluster_id", "__l").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    dom = (
+        counts.withColumn(
+            "__rn",
+            F.row_number().over(
+                _W.partitionBy("cluster_id").orderBy(
+                    F.desc("__c"), F.asc("__l")
+                )
             ),
         )
+        .filter(F.col("__rn") == 1)
+        .select("cluster_id", F.col("__c").alias("__domc"))
+    )
+    per_cluster = (
+        counts.groupBy("cluster_id")
+        .agg(F.sum("__c").alias("__size"))
+        .join(dom, "cluster_id")
         .select(
             "cluster_id",
             "__size",
-            F.expr("(1000000 * __dom.__c) div __size").alias("__purity"),
+            F.expr("(1000000 * __domc) div __size").alias("__purity"),
         )
     )
     return (

@@ -3489,6 +3489,14 @@ def _hll_token_registers(df: DataFrame, group_col: str, text_col: str) -> DataFr
         F.col(group_col).alias("grp"),
         F.explode(tokens(text_col)).alias("t"),
     ).filter(F.col("t") != "")
+    return _hll_registers_from_toks(toks)
+
+
+def _hll_registers_from_toks(toks: DataFrame) -> DataFrame:
+    """Register build from an ALREADY-exploded (grp, t) token stream —
+    split out (r11 ADVICE) so a caller that also needs exact token
+    aggregates (X175) can tokenize ONCE and feed both legs instead of
+    re-deriving the identical explode per branch."""
     return (
         toks.select(
             "grp",
@@ -3556,11 +3564,21 @@ def hll_register_estimate(
     the shuffle regardless of vocabulary; the exact-distinct column
     exists for the fixture-scale audit and would be dropped at
     100 TB (the estimate is the product)."""
-    toks = df.select(
-        F.col(group_col).alias("grp"),
-        F.explode(tokens(text_col)).alias("t"),
-    ).filter(F.col("t") != "")
-    regs = _hll_token_registers(df, group_col, text_col)
+    # One tokenize+explode scan feeds BOTH the register MAX and the
+    # exact n_tokens/exact_distinct aggregate (r11 ADVICE: the two
+    # branches each re-derived the identical explode).  The eager
+    # localCheckpoint is the repo's shared-scan discipline (the X74
+    # bbit pattern) — the exploded stream is written once and both
+    # aggregates read it.
+    toks = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("t"),
+        )
+        .filter(F.col("t") != "")
+        .localCheckpoint(eager=True)
+    )
+    regs = _hll_registers_from_toks(toks)
     panel = regs.groupBy("grp").agg(
         F.count(F.lit(1)).alias("registers_used"),
         F.sum(F.expr("shiftleft(1L, 61 - __m)").cast("decimal(38,0)")).alias(

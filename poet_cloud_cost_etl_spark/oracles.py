@@ -9626,7 +9626,11 @@ R15_QUEUED_ORACLES["attribution_model_compare"] = r"""
         SELECT 'first', ttype, cents FROM r WHERE rf = 1
         UNION ALL
         SELECT 'linear', ttype,
-            cents // n + CASE WHEN rf <= cents % n THEN 1 ELSE 0 END
+            -- floor-div (DuckDB // already floors) + pmod remainder
+            -- (r11 ADVICE): the identity sum(credits) = cents holds
+            -- for refunds too; == the signed-% form when cents >= 0.
+            cents // n + CASE WHEN rf <= ((cents % n) + n) % n
+                         THEN 1 ELSE 0 END
         FROM r
         UNION ALL
         SELECT m.model, '(none)', cents

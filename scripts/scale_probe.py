@@ -524,6 +524,31 @@ SCALED_K = [
     # (43x at 10x, BENCH_SF1_r11) is now an opt-in mis-deployment
     # (pass n_centroids=8 explicitly), no longer probed.
     ("srp_cosine_calibration_scaled", _srp_scaled),
+    # round 12 (VERDICT r11 task 6): decade points for the r12 cohort
+    # AT its registration round — the only cohort that reached
+    # registration without BENCH_SF1 entries. All eight ride the
+    # c{i}-prefixed documents / shifted embeddings scale-ups:
+    # winnowing + line-rewrite are linear selections over the token/
+    # line streams (cross-copy shingles and lines disjoint by
+    # construction); containment-direction and dup-span ride the
+    # already-probed X69/X148 bounded pair/span cores; semantic
+    # decontamination and the nprobe recall curve are IVF-bucketed
+    # shapes (the family where the X183 quadratic hid — the point of
+    # probing them); crossentropy grows in its token scan (|S|^2
+    # cells constant); mixture_epoch_plan is a per-source token
+    # aggregate into a |S|-row panel.
+    ("winnow_fingerprints_r12", _r11("_r12q_winnow_fingerprints")),
+    ("source_containment_direction_r12",
+     _r11("_r12q_source_containment_direction")),
+    ("dup_span_position_profile_r12",
+     _r11("_r12q_dup_span_position_profile")),
+    ("semantic_decontamination_r12",
+     _r11("_r12q_semantic_decontamination")),
+    ("ivf_nprobe_recall_curve_r12", _r11("_r12q_ivf_nprobe_recall_curve")),
+    ("source_crossentropy_matrix_r12",
+     _r11("_r12q_source_crossentropy_matrix")),
+    ("mixture_epoch_plan_r12", _r11("_r12q_mixture_epoch_plan")),
+    ("line_dedup_rewrite_r12", _r11("_r12q_line_dedup_rewrite")),
     # round-11b: decade points for the r15-queue operators BEFORE
     # they register. blocking_pareto/threshold_sweep ride the
     # already-probed pair cores (c{i} prefixes keep cross-copy

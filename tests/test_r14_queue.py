@@ -229,6 +229,36 @@ def test_mutual_knn_toy_clusters(spark):
     assert out[1].n_clusters == 1 and out[1].n_vecs == 1
 
 
+def test_mutual_knn_string_labels_and_tie_break(spark):
+    """r11 ADVICE regression: a STRING label column must analyze (the
+    old max(struct(count, -label)) negated the label), and a tied
+    dominant count must break toward the SMALLEST label — 'a' beats
+    'b' in a 1-1 pair, purity 500000."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        mutual_knn_clusters,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "b"),
+        (2, [0.99, 0.01, 0.0, 0.0], "a"),
+        (3, [0.0, 0.0, 0.0, 1.0], "c"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id",
+        F.col("embedding").cast("array<float>").alias("embedding"),
+        "label",
+    )
+    out = {
+        r.cluster_size: r
+        for r in mutual_knn_clusters(
+            df, "vec_id", "embedding", "label", k=1
+        ).collect()
+    }
+    assert out[2].n_clusters == 1 and out[2].n_vecs == 2
+    assert out[2].mean_purity_ppm == 500_000
+    assert out[1].n_clusters == 1
+
+
 # ----- X184 HLL overlap ------------------------------------------------------
 
 

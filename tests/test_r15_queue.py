@@ -126,6 +126,38 @@ def test_attribution_linear_largest_remainder(spark):
     assert out["error"].revenue == 0.01
 
 
+def test_attribution_linear_exact_for_refunds(spark):
+    """r11 ADVICE regression: a REFUND (-$0.05) over 3 touches must
+    still sum exactly to the purchase total under the linear model —
+    floor-div/pmod semantics distribute -2/-2/-1 cents; the old
+    truncating div + signed % form credited -1/-1/-1 and lost 2
+    cents."""
+    from poet_cloud_cost_etl_spark.operators.behavior import (
+        attribution_model_compare,
+    )
+
+    rows = [
+        (1, _ts("2024-01-01T00:00:00"), 1, "view", 0.0, ""),
+        (2, _ts("2024-01-01T00:01:00"), 1, "click", 0.0, ""),
+        (3, _ts("2024-01-01T00:02:00"), 1, "error", 0.0, ""),
+        (4, _ts("2024-01-01T00:03:00"), 1, "purchase", -0.05, ""),
+    ]
+    df = spark.createDataFrame(rows, _EV_COLS)
+    out = {
+        r.attributed_type: r
+        for r in attribution_model_compare(
+            df, "user_id", "event_type", "ts", "event_id", "value"
+        ).collect()
+        if r.model == "linear"
+    }
+    # floor(-5/3) = -2 everywhere; pmod(-5, 3) = 1 adds the +1 cent
+    # back to the earliest touch: -1/-2/-2 summing to -5.
+    assert out["view"].revenue == -0.01
+    assert out["click"].revenue == -0.02
+    assert out["error"].revenue == -0.02
+    assert sum(r.revenue for r in out.values()) == -0.05
+
+
 # ----- X191 OOD panel ---------------------------------------------------------
 
 
@@ -286,6 +318,46 @@ def test_salted_join_equals_plain(spark):
         s = salted[r.key]
         assert s.n_rows == r.n
         assert s.weighted_revenue == r.s * (r.key + 1) / 100.0
+
+
+def test_salted_join_wraps_out_of_range_and_null_salt(spark):
+    """r11 ADVICE regression: the operator pmod-wraps the caller's
+    salt into [0, n_salts) and coalesces NULL salts to bucket 0 —
+    a negative % result (Spark % keeps the dividend's sign) or a
+    NULL would otherwise match no replicated dim row and silently
+    drop fact rows, breaking the equals-the-plain-join contract."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.joins import salted_skew_join
+
+    e = table(spark, SF_SMALL, "events")
+    plain = {
+        r.key: r
+        for r in e.select(
+            (F.col("user_id") % 3).alias("key"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("c").alias("s"))
+        .collect()
+    }
+    for bad_salt in (
+        -(F.col("event_id") % 8),  # in [-7, 0]: out of range
+        F.when(F.col("event_id") % 2 == 0, F.col("event_id") % 8),  # NULLs
+    ):
+        salted = {
+            r.key: r
+            for r in salted_skew_join(
+                e,
+                (F.col("user_id") % 3),
+                F.expr("CAST(ROUND(value * 100) AS BIGINT)"),
+                weight_sql="__k + 1",
+                salt=bad_salt,
+            ).collect()
+        }
+        assert set(salted) == set(plain)
+        for k, r in plain.items():
+            assert salted[k].n_rows == r.n
+            assert salted[k].weighted_revenue == r.s * (k + 1) / 100.0
 
 
 def test_salted_join_plan_shuffles_on_salt(spark):
