@@ -458,6 +458,18 @@ def ivf_topk(
 # superseded; see bench.py's noop-action note.)
 FLAT_ASSIGN_MAX_K = 32
 
+# The adaptive-granularity default (round 12): when an IVF-bucketed
+# operator's ``n_centroids`` is None, derive k = max(8, ceil(N /
+# IVF_TARGET_BUCKET)) so the expected bucket size — and with it the
+# within-bucket pair volume per row — stays CONSTANT as the corpus
+# grows.  One driver-side count() sizes k (the graph.py
+# convergence-probe pattern); above FLAT_ASSIGN_MAX_K the consumer
+# must switch to tree assignment or the N·k flat scoring
+# reintroduces the quadratic the knob just removed.  The r11/r12
+# staging probes measured the fixed-k alternative directly: 43×
+# (X183, k=8) and 33.9× (X168) at 10× data.
+IVF_TARGET_BUCKET = 64
+
 # Below this bucket size the interpreted whole-stage-codegen pair
 # expression beats the BLAS kernel: the gemm path pays a fixed
 # Arrow-serialize + Python-worker + pandas-group round-trip per
@@ -1223,11 +1235,21 @@ def ivf_tree_assign(
         F.col(id_col), F.col(vec_col), F.lit(-1).cast("long").alias("__bucket")
     )
     for _level in range(int(depth)):
-        cents = _topb_per_group(assigned, "__bucket", id_col, int(branching)).select(
+        # Eager-checkpoint each level's draw (≤ b^(l+1) rows — tiny):
+        # the level-l draw's lineage contains the FULL corpus
+        # assignment through levels 0..l-1, and a consumer that
+        # broadcasts the grouped table would otherwise replay that
+        # corpus pass per broadcast job (measured on the r12 X167
+        # tree experiment: construction replay, not arithmetic, was
+        # the time).  The draw is deterministic, so the checkpoint
+        # is bit-neutral.
+        cents = _topb_per_group(
+            assigned, "__bucket", id_col, int(branching)
+        ).select(
             F.col("__bucket"),
             F.col(id_col).alias("cid"),
             F.col(vec_col).alias("cvec"),
-        )
+        ).localCheckpoint(eager=True)
         grouped = cents.groupBy("__bucket").agg(
             F.collect_list(F.struct("cid", "cvec")).alias("__cands")
         )
@@ -1241,6 +1263,230 @@ def ivf_tree_assign(
         )
     return assigned.select(
         F.col(id_col), F.col(vec_col), F.col("__bucket").alias("leaf_id")
+    )
+
+
+def _gemm_assign(
+    df: DataFrame,
+    cents: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+    n_groups: int = 32,
+) -> DataFrame:
+    """BLAS assignment kernel (round 12) — the vectorized twin of
+    ``ivf_assign``'s broadcast expr scoring, for the adaptive-k
+    regime where k ∝ N makes the INTERPRETED higher-order cosine the
+    dominant cost.  Measured on the r12 X167/X168 fixes: ~20–30 µs
+    per interpreted eval, so the ~1M evals the tree path still needed
+    at sf1.0 cost ~30 s while the same arithmetic is a ~400 MFLOP
+    matmul.  Rows are salted into ``n_groups`` deterministic groups
+    (``pmod(id, G)`` — the result is per-row, so ANY grouping yields
+    identical output); the centroid table (k rows, the ``ivf_
+    centroids`` contract) is replicated once per group; one
+    ``applyInPandas`` per group computes the m×k cosine block in
+    float64 with the ``_round6_half_up`` discipline and emits ONLY
+    each row's top ``nprobe`` — ``(id, vec, centroid_id,
+    probe_rank)``, never the m×k block.
+
+    Exactness: same comparator as ``topk_centroid_expr`` — round-6
+    cosine DESC, centroid id ASC (centroids are pre-sorted by id in
+    the kernel, so numpy's stable argsort on the negated sims breaks
+    ties by id).  A zero-norm side scores NaN and ranks LAST (the
+    fixture has no zero vectors; the expr path's NULL-sim ordering
+    is likewise undefined-but-deterministic there).
+
+    Scale: per-task memory is one group's m×d block plus k×d
+    centroids; FLOPs are N·k·d — with k ∝ N this flat form holds to
+    ~10⁵–10⁶ centroids on a cluster's FLOP budget, past which the
+    per-level-gemm centroid tree (the FAISS coarse-quantizer shape)
+    is the documented path."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, df.schema[id_col].dataType),
+            T.StructField(vec_col, df.schema[vec_col].dataType),
+            T.StructField("centroid_id", df.schema[id_col].dataType),
+            T.StructField("probe_rank", T.IntegerType()),
+        ]
+    )
+    npb = int(nprobe)
+
+    def _kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        side = pdf["__side"].to_numpy()
+        x_pdf = pdf.iloc[side == 0]
+        c_pdf = pdf.iloc[side == 1]
+        if len(x_pdf) == 0 or len(c_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    id_col: pd.Series([], dtype="object"),
+                    vec_col: pd.Series([], dtype="object"),
+                    "centroid_id": pd.Series([], dtype="object"),
+                    "probe_rank": pd.Series([], dtype="int32"),
+                }
+            )
+        corder = np.argsort(c_pdf[id_col].to_numpy(), kind="stable")
+        c_pdf = c_pdf.iloc[corder]
+        cids = c_pdf[id_col].to_numpy()
+        X = np.array(list(x_pdf[vec_col]), dtype=np.float64)
+        C = np.array(list(c_pdf[vec_col]), dtype=np.float64)
+        nx = np.linalg.norm(X, axis=1)
+        nc = np.linalg.norm(C, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (X @ C.T) / np.outer(nx, nc)
+        r6 = _round6_half_up(sims)
+        take = min(npb, len(cids))
+        # stable argsort on -r6: ties fall back to position = cid asc
+        # (NaN sorts last, matching "zero-norm ranks last")
+        idx = np.argsort(-r6, axis=1, kind="stable")[:, :take]
+        m = len(x_pdf)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(x_pdf[id_col].to_numpy(), take),
+                vec_col: np.repeat(x_pdf[vec_col].to_numpy(), take),
+                "centroid_id": cids[idx].ravel(),
+                "probe_rank": np.tile(
+                    np.arange(1, take + 1, dtype=np.int32), m
+                ),
+            }
+        )
+
+    g = F.pmod(F.col(id_col), F.lit(int(n_groups)))
+    side0 = df.select(
+        g.alias("__g"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.lit(0).alias("__side"),
+    )
+    side1 = cents.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(int(n_groups)).select(
+                F.col("id").alias("__g")
+            )
+        )
+    ).select(
+        F.col("__g"),
+        F.col("centroid_id").alias(id_col),
+        F.col("centroid_vec").alias(vec_col),
+        F.lit(1).alias("__side"),
+    )
+    return (
+        side0.unionByName(side1)
+        .groupBy("__g")
+        .applyInPandas(_kern, out_schema)
+    )
+
+
+def _gemm_topk(
+    probe: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    n_groups: int = 32,
+) -> DataFrame:
+    """BLAS exact top-k — ``brute_force_topk``'s vectorized twin for
+    a SMALL probe set against a large corpus (round 12; the X168
+    ground-truth pass at sf1.0 was ~1.3M interpreted cosines ≈ 30 s,
+    vs an ~80 MFLOP matmul).  The CORPUS is salted into ``n_groups``
+    groups and the probe set is replicated per group (|Q|·G rows —
+    |Q| is constant by the fixed-size-query-set contract); each
+    group's kernel emits its per-query top ``k`` (round-6 cosine
+    DESC, id ASC, self excluded), and a final window over the G·k·|Q|
+    partial winners — map-side top-k then a bounded re-rank, the
+    two-phase global-rank discipline — yields the exact global top-k:
+    the global winners are a subset of the per-group winners by
+    transitivity of the comparator.
+
+    Output contract = ``brute_force_topk``: ``(query_id,
+    neighbor_id, cos_sim, rank)``."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", probe.schema[id_col].dataType),
+            T.StructField("neighbor_id", corpus.schema[id_col].dataType),
+            T.StructField("cos_sim", T.DoubleType()),
+        ]
+    )
+    kk = int(k)
+
+    def _kern(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        side = pdf["__side"].to_numpy()
+        c_pdf = pdf.iloc[side == 0]
+        q_pdf = pdf.iloc[side == 1]
+        if len(c_pdf) == 0 or len(q_pdf) == 0:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series([], dtype="object"),
+                    "neighbor_id": pd.Series([], dtype="object"),
+                    "cos_sim": pd.Series([], dtype="float64"),
+                }
+            )
+        norder = np.argsort(c_pdf[id_col].to_numpy(), kind="stable")
+        c_pdf = c_pdf.iloc[norder]
+        nids = c_pdf[id_col].to_numpy()
+        Q = np.array(list(q_pdf[vec_col]), dtype=np.float64)
+        C = np.array(list(c_pdf[vec_col]), dtype=np.float64)
+        nq = np.linalg.norm(Q, axis=1)
+        nc = np.linalg.norm(C, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = (Q @ C.T) / np.outer(nq, nc)
+        r6 = _round6_half_up(sims)
+        qids = q_pdf[id_col].to_numpy()
+        # self-exclusion: -inf sorts after every real cosine
+        r6 = np.where(
+            qids[:, None] == nids[None, :], -np.inf, r6
+        )
+        take = min(kk, r6.shape[1])
+        idx = np.argsort(-r6, axis=1, kind="stable")[:, :take]
+        rows = np.repeat(np.arange(len(qids)), take)
+        cols = idx.ravel()
+        vals = r6[rows, cols]
+        keep = np.isfinite(vals)
+        return pd.DataFrame(
+            {
+                "query_id": qids[rows[keep]],
+                "neighbor_id": nids[cols[keep]],
+                "cos_sim": vals[keep],
+            }
+        )
+
+    g = F.pmod(F.col(id_col), F.lit(int(n_groups)))
+    side0 = corpus.select(
+        g.alias("__g"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.lit(0).alias("__side"),
+    )
+    side1 = probe.crossJoin(
+        F.broadcast(
+            probe.sparkSession.range(int(n_groups)).select(
+                F.col("id").alias("__g")
+            )
+        )
+    ).select(
+        F.col("__g"),
+        F.col(id_col),
+        F.col(vec_col),
+        F.lit(1).alias("__side"),
+    )
+    partial = (
+        side0.unionByName(side1).groupBy("__g").applyInPandas(_kern, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= kk)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -1939,7 +2185,7 @@ def semantic_decontamination(
     vec_col: str,
     bench_mod: int = 97,
     threshold: float = 0.9,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
 ) -> DataFrame:
     """X167: SEMANTIC decontamination — X13 catches benchmark leakage
@@ -1961,22 +2207,58 @@ def semantic_decontamination(
     Output: one row per FLAGGED candidate — (vec_id, n_bench_hits,
     max_cos) with max_cos round-6.
 
-    Scale: centroid table is k rows broadcast; the join is
-    bucket-keyed with the benchmark side ~|bench|·nprobe rows —
-    bounded candidate generation, never |corpus|×|bench|; the
-    constant-cluster-size policy (k ∝ N) is the same scaling knob
-    as X28."""
+    Scale (round 12 — the r12 staging probe measured the fixed-k=8
+    form at 8.35× for 10× data, the X183 class): ``n_centroids=None``
+    derives k = max(8, ceil(N / IVF_TARGET_BUCKET)) so bucket size —
+    and the per-candidate pair volume — stays constant as the corpus
+    grows.  At k ≤ FLAT_ASSIGN_MAX_K assignment is the flat broadcast
+    expr scoring; above it both sides assign through the BLAS
+    ``_gemm_assign`` kernel (same round-6/tie-break comparator;
+    N·k·d float64 FLOPs instead of N·k ~25µs interpreted cosine
+    evals — the tree experiment this replaced spent its time on
+    interpreted per-level scoring, BENCH_SF1_r12 history).  A real
+    deployment's benchmark set is CONSTANT-sized, so the bucket join
+    is linear in N; the fixture's ``id % bench_mod`` proxy grows the
+    bench side ∝ N, where the join is still 64·N/bench_mod pairs —
+    linear."""
+    if n_centroids is None:
+        n_centroids = max(
+            8, math.ceil(emb.count() / IVF_TARGET_BUCKET)
+        )
     bench = emb.filter((F.col(id_col) % bench_mod) == 0)
     cand = emb.filter((F.col(id_col) % bench_mod) != 0)
-    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
-    cand_b = ivf_assign(cand, cents, id_col, vec_col, nprobe=1).select(
-        F.col(id_col), F.col(vec_col).alias("__cv"), "centroid_id"
-    )
-    bench_b = ivf_assign(bench, cents, id_col, vec_col, nprobe=nprobe).select(
-        F.col(id_col).alias("__bid"),
-        F.col(vec_col).alias("__bv"),
-        "centroid_id",
-    )
+    if n_centroids <= FLAT_ASSIGN_MAX_K:
+        cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+        cand_b = ivf_assign(cand, cents, id_col, vec_col, nprobe=1).select(
+            F.col(id_col), F.col(vec_col).alias("__cv"), "centroid_id"
+        )
+        bench_b = ivf_assign(
+            bench, cents, id_col, vec_col, nprobe=nprobe
+        ).select(
+            F.col(id_col).alias("__bid"),
+            F.col(vec_col).alias("__bv"),
+            "centroid_id",
+        )
+    else:
+        # adaptive-k regime: BLAS assignment (same round-6/tie-break
+        # comparator as the flat expr path — _gemm_assign docstring).
+        # The k-row centroid draw is checkpointed so the two kernel
+        # calls don't each replay the corpus TakeOrdered.
+        cents = ivf_centroids(
+            emb, id_col, vec_col, n_centroids
+        ).localCheckpoint(eager=True)
+        cand_b = _gemm_assign(cand, cents, id_col, vec_col, 1).select(
+            F.col(id_col),
+            F.col(vec_col).alias("__cv"),
+            "centroid_id",
+        )
+        bench_b = _gemm_assign(
+            bench, cents, id_col, vec_col, nprobe
+        ).select(
+            F.col(id_col).alias("__bid"),
+            F.col(vec_col).alias("__bv"),
+            "centroid_id",
+        )
     thr = F.lit(threshold)
     return (
         cand_b.join(bench_b, "centroid_id")
@@ -2002,49 +2284,106 @@ def ivf_nprobe_recall_curve(
     id_col: str,
     vec_col: str,
     k: int = 5,
-    query_mod: int = 101,
-    n_centroids: int = 8,
+    n_queries: int = 64,
+    query_mod: int | None = None,
+    n_centroids: int | None = None,
     nprobes: tuple[int, ...] = (1, 2, 4),
 ) -> DataFrame:
     """X168: the IVF recall-vs-nprobe dial, measured on this corpus —
     X73/X125 grade ONE configuration; this sweeps ``nprobes`` and
     reports exact recall@k against the brute-force ground truth for
-    the deterministic query set ``id % query_mod == 0``, so "how
-    many probes does THIS corpus need for 95% recall" is a table,
-    not folklore.  The recall loss IS the quantity a deployment
-    trades for the nprobe/k speedup; measuring it on the corpus's
-    own geometry (cluster sizes, boundary density) is the only
-    honest way to pick the knob.
+    a deterministic query sample, so "how many probes does THIS
+    corpus need for 95% recall" is a table, not folklore.  The
+    recall loss IS the quantity a deployment trades for the
+    nprobe/k speedup; measuring it on the corpus's own geometry
+    (cluster sizes, boundary density) is the only honest way to
+    pick the knob.
 
     Exactness: ground truth and IVF candidates rank by the same
     (round-6 cosine DESC, id ASC) comparator; per-query recall is
     exact integer 10⁶·|∩| div k; the mean is a DECIMAL-summed
     integer division.
 
-    Scale: queries are ~N/query_mod; ground truth is the broadcast
-    brute-force pass (|Q|·N narrow map, no shuffle); the IVF side
-    joins queries to the rank-1 inverted lists at max(nprobes) once
-    and re-ranks per nprobe from that ONE candidate table — the
-    sweep multiplies a query-bounded table, never the corpus."""
+    Scale (round 12 — the r12 staging probe measured the original
+    ``id % query_mod`` + fixed-k=8 config at 33.9× for 10× data:
+    BOTH the query count and the bucket size grew ∝ N, so truth and
+    candidate volume were each N²-terms): the default query set is
+    now FIXED-SIZE — the ``n_queries`` vectors with the smallest
+    (md5('q#'||id), id), a salted draw so it never coincides with
+    the centroid seed draw — which is how a deployment grades
+    recall (a constant evaluation sample, not a constant FRACTION);
+    ``query_mod`` remains as an explicit opt-in diagnostic.  Ground
+    truth is then |Q|·N work — linear.  ``n_centroids=None`` derives
+    k = max(8, ceil(N / IVF_TARGET_BUCKET)) so bucket size stays
+    constant; above FLAT_ASSIGN_MAX_K ground truth runs through the
+    BLAS ``_gemm_topk`` kernel and assignment (corpus rank-1,
+    queries at max(nprobes)) through ``_gemm_assign`` — identical
+    round-6/tie-break comparators, float64 matmuls instead of the
+    ~25µs-per-eval interpreted cosine that dominated the tree
+    experiment (BENCH_SF1_r12 history) — every term linear in N."""
     from pyspark.sql.window import Window
 
-    queries = emb.filter((F.col(id_col) % query_mod) == 0)
-    truth = brute_force_topk(queries, emb, id_col, vec_col, k).select(
-        "query_id", "neighbor_id"
-    )
-    cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
-    lists = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        "centroid_id",
-    )
+    if n_centroids is None:
+        n_centroids = max(
+            8, math.ceil(emb.count() / IVF_TARGET_BUCKET)
+        )
+    if query_mod is not None:
+        queries = emb.filter((F.col(id_col) % query_mod) == 0)
+    else:
+        # eager checkpoint: the bounded query draw feeds the truth
+        # pass, the probe assignment AND the per-sweep base — without
+        # it each consumer replays the corpus TakeOrdered.
+        queries = (
+            emb.orderBy(
+                F.md5(F.concat(F.lit("q#"), F.col(id_col).cast("string"))),
+                F.col(id_col),
+            )
+            .limit(int(n_queries))
+            .localCheckpoint(eager=True)
+        )
     maxp = max(nprobes)
-    probes = ivf_assign(queries, cents, id_col, vec_col, nprobe=maxp).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        "centroid_id",
-        "probe_rank",
-    )
+    if n_centroids <= FLAT_ASSIGN_MAX_K:
+        truth = brute_force_topk(queries, emb, id_col, vec_col, k).select(
+            "query_id", "neighbor_id"
+        )
+        cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
+        lists = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "centroid_id",
+        )
+        probes = ivf_assign(
+            queries, cents, id_col, vec_col, nprobe=maxp
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            "centroid_id",
+            "probe_rank",
+        )
+    else:
+        # adaptive-k regime: BLAS ground truth + BLAS assignment
+        # (same round-6/tie-break comparator as the expr path — see
+        # _gemm_topk/_gemm_assign; the interpreted higher-order
+        # cosine at this scale was the measured ~30s term).
+        truth = _gemm_topk(queries, emb, id_col, vec_col, k).select(
+            "query_id", "neighbor_id"
+        )
+        cents = ivf_centroids(
+            emb, id_col, vec_col, n_centroids
+        ).localCheckpoint(eager=True)
+        lists = _gemm_assign(emb, cents, id_col, vec_col, 1).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            "centroid_id",
+        )
+        probes = _gemm_assign(
+            queries, cents, id_col, vec_col, maxp
+        ).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            "centroid_id",
+            "probe_rank",
+        )
     # ONE candidate table at max nprobe, re-ranked per sweep point
     cand = (
         probes.join(lists, "centroid_id")
@@ -2260,13 +2599,12 @@ def knn_hubness_audit(
     )
 
 
-# X183's default bucket granularity: one centroid per ~64 vectors, so
-# the within-bucket pair volume (N²/k with k ∝ N) stays LINEAR in N —
-# the X28 SemDeDup scaling knob applied as the default instead of as
-# documentation.  The r11 staging probe measured the alternative: a
-# fixed k=8 at 10× data is N²/8 → 43× observed, vs 13.1× for the
-# scaled knob (pure candidate-volume growth, BENCH_SF1_r11).
-SRP_TARGET_BUCKET = 64
+# X183's default bucket granularity — the shared IVF_TARGET_BUCKET
+# adaptive-k policy (see the constant next to FLAT_ASSIGN_MAX_K).
+# The r11 staging probe measured the alternative: a fixed k=8 at 10×
+# data is N²/8 → 43× observed, vs 13.1× for the scaled knob (pure
+# candidate-volume growth, BENCH_SF1_r11).
+SRP_TARGET_BUCKET = IVF_TARGET_BUCKET
 
 
 def srp_cosine_calibration(

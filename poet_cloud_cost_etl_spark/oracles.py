@@ -8351,8 +8351,25 @@ R12_QUEUED_ORACLES["dup_span_position_profile"] = """
 # pseudo-benchmark vec_id % 97 = 0 (threshold measured against the
 # fixture geometry: in-bucket cross-set cosines top out ~0.41 with
 # p99 ~0.31, so 0.3 flags a real, bounded set instead of zero rows).
+# k ∝ N (round 12): the Spark default derives n_centroids =
+# max(8, ceil(N / 64)); the oracle computes the SAME k from COUNT(*)
+# and takes the first k md5-ordered vectors — identical to _IVF_CENTS
+# when the corpus is small enough that k = 8 (sf0.001/0.01: N = 500).
+# The oracle models the FLAT regime (k <= 32, i.e. through sf0.1);
+# the tree regime above it is probe-verified, not oracle-run.
 R12_QUEUED_ORACLES["semantic_decontamination"] = f"""
-    WITH cents AS ({_IVF_CENTS}),
+    WITH kp AS (
+        SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS k
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid_vec
+        FROM (
+            SELECT vec_id, embedding, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn <= (SELECT k FROM kp)
+    ),
     cand AS (
         SELECT vec_id, embedding AS cv, centroid_id
         FROM ({_IVF_ASSIGN.format(
@@ -8381,12 +8398,36 @@ R12_QUEUED_ORACLES["semantic_decontamination"] = f"""
 """
 
 # X168 (operators/similarity.py: ivf_nprobe_recall_curve): exact
-# recall@5 of the IVF candidate ranking vs brute force for the
-# vec_id % 101 = 0 query set, swept over nprobe in (1, 2, 4); the
-# same (round-6 cosine DESC, id ASC) comparator on both sides.
+# recall@5 of the IVF candidate ranking vs brute force, swept over
+# nprobe in (1, 2, 4); the same (round-6 cosine DESC, id ASC)
+# comparator on both sides.  Round 12: the query set is the FIXED-
+# SIZE bottom-64 draw by (md5('q#'||id), id) — salted so it never
+# coincides with the centroid seed draw — and n_centroids is the
+# adaptive k ∝ N (flat regime modeled here, k <= 32 through sf0.1;
+# the tree regime is probe-verified).  The original % 101 query set
+# grew ∝ N and made BOTH truth and candidate volume quadratic
+# (33.9× at 10×, BENCH_SF1_r12).
 R12_QUEUED_ORACLES["ivf_nprobe_recall_curve"] = f"""
-    WITH cents AS ({_IVF_CENTS}),
-    q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 101 = 0),
+    WITH kp AS (
+        SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 64.0) AS BIGINT)) AS k
+        FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS centroid_vec
+        FROM (
+            SELECT vec_id, embedding, ROW_NUMBER() OVER (
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+            FROM embeddings
+        ) WHERE rn <= (SELECT k FROM kp)
+    ),
+    q AS (
+        SELECT vec_id, embedding FROM (
+            SELECT vec_id, embedding, ROW_NUMBER() OVER (
+                ORDER BY md5('q#' || CAST(vec_id AS VARCHAR)), vec_id
+            ) AS rn
+            FROM embeddings
+        ) WHERE rn <= 64
+    ),
     truth AS (
         SELECT query_id, neighbor_id FROM (
             SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
@@ -8406,9 +8447,7 @@ R12_QUEUED_ORACLES["ivf_nprobe_recall_curve"] = f"""
     probes AS (
         SELECT vec_id AS query_id, embedding AS qv, centroid_id,
             probe_rank
-        FROM ({_IVF_ASSIGN.format(
-            src='(SELECT * FROM embeddings WHERE vec_id % 101 = 0)',
-            cents='cents')})
+        FROM ({_IVF_ASSIGN.format(src='(SELECT * FROM q)', cents='cents')})
         WHERE probe_rank <= 4
     ),
     np AS (SELECT unnest([1, 2, 4]) AS nprobe),

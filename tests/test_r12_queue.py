@@ -275,6 +275,32 @@ def test_semantic_decontamination_duckdb_parity(spark):
     assert len(srows) > 0  # threshold tuned so the fixture flags rows
 
 
+def test_semantic_decontamination_gemm_regime(spark):
+    """Above FLAT_ASSIGN_MAX_K the operator switches to the BLAS
+    _gemm_assign kernel (same round-6/tie-break comparator) — an
+    identical candidate/benchmark pair assigns to the same bucket,
+    so it is still flagged with max_cos 1.0 in the gemm regime."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        semantic_decontamination,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    # plant an exact duplicate of benchmark vector 0 as candidate 1
+    bench0 = e.filter(F.col("vec_id") == 0).select(
+        F.lit(100001).alias("vec_id"), "embedding", "label"
+    )
+    df = e.unionByName(bench0)
+    out = {
+        r.vec_id: r
+        for r in semantic_decontamination(
+            df, "vec_id", "embedding", bench_mod=97, threshold=0.99,
+            n_centroids=40, nprobe=2,
+        ).collect()
+    }
+    assert 100001 in out and out[100001].max_cos == 1.0
+
+
 # ----- X168 IVF nprobe recall curve -------------------------------------------
 
 
@@ -296,6 +322,29 @@ def test_nprobe_recall_monotone(spark):
     assert rows[0].mean_recall_ppm <= rows[1].mean_recall_ppm
     assert rows[1].mean_recall_ppm <= rows[2].mean_recall_ppm
     assert rows[2].mean_recall_ppm > 0
+
+
+def test_nprobe_recall_gemm_regime(spark):
+    """Above FLAT_ASSIGN_MAX_K the curve runs on the BLAS kernels
+    (_gemm_topk ground truth, _gemm_assign lists/probes): still
+    monotone in nprobe, still one row per sweep point, still a
+    fixed-size query set."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        ivf_nprobe_recall_curve,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    rows = sorted(
+        ivf_nprobe_recall_curve(
+            e, "vec_id", "embedding", k=5, n_centroids=40
+        ).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == [1, 2, 4]
+    assert {r.n_queries for r in rows} == {64}
+    assert rows[0].mean_recall_ppm <= rows[1].mean_recall_ppm
+    assert rows[1].mean_recall_ppm <= rows[2].mean_recall_ppm
 
 
 def test_nprobe_recall_duckdb_parity(spark):
