@@ -348,15 +348,17 @@ def test_mixture_sample_single_corpus_shuffle(spark):
 def test_semantic_dedup_auto_switch_plan(spark):
     """X28 scale default: above FLAT_ASSIGN_MAX_K centroids the
     default (assign='auto') call must use the log-depth tree. The
-    tree's signature in the physical plan: the per-node two-phase
-    centroid draw runs Window operators and the level-1+ descent is
-    an equi-join on the parent bucket (BroadcastHashJoin); the flat
-    path has NO Window at all (its draw is a global orderBy+limit →
-    TakeOrderedAndProject) and scores the one-row centroid array via
-    crossJoin. (The level-0 tree join also folds to a
-    BroadcastNestedLoopJoin — the bucket is the literal -1 — so BNLJ
-    presence alone does not discriminate.) Below the threshold the
-    flat path remains the default."""
+    tree's signature in the physical plan (round 12: each level's
+    centroid draw is eagerly checkpointed — semantic_dedup_tree
+    2.57 → 1.96s at sf0.1 — so the draw's Window operators now sit
+    behind ExistingRDD scans): per-level ExistingRDD centroid
+    tables and a level-1+ descent equi-join on the parent bucket
+    (BroadcastHashJoin); the flat path has NO per-level draw at all
+    (one global orderBy+limit → TakeOrderedAndProject) and scores
+    the one-row centroid array via crossJoin. (The level-0 tree
+    join folds to a BroadcastNestedLoopJoin — the bucket is the
+    literal -1 — so BNLJ presence alone does not discriminate.)
+    Below the threshold the flat path remains the default."""
     from poet_cloud_cost_etl_spark.operators.similarity import (
         FLAT_ASSIGN_MAX_K,
         semantic_dedup,
@@ -374,8 +376,10 @@ def test_semantic_dedup_auto_switch_plan(spark):
         pair_impl="expr",
     )
     plan = X.physical_plan(big)
-    assert plan.count("Window") >= 2, plan  # two-phase draw per level
-    assert plan.count("BroadcastHashJoin") >= 2, plan  # bucket descent
+    # checkpointed per-level draws + the level-1 bucket descent
+    assert plan.count("ExistingRDD") >= 2, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan  # bucket descent
+    assert "TakeOrderedAndProject" not in plan, plan  # no flat draw
     assert big.columns == ["vec_id", "centroid_id", "is_dup"]
 
     small = semantic_dedup(

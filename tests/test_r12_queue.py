@@ -347,6 +347,35 @@ def test_nprobe_recall_gemm_regime(spark):
     assert rows[1].mean_recall_ppm <= rows[2].mean_recall_ppm
 
 
+def test_gemm_regime_partition_invariance(spark):
+    """The BLAS kernels salt by pmod(id, G) and score per row against
+    the full centroid set, so the result must not depend on the input
+    partitioning — repartition(3) and repartition(11) yield identical
+    rows for both X167 and X168 in the gemm regime."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        ivf_nprobe_recall_curve, semantic_decontamination,
+    )
+
+    e = table(spark, SF_SMALL, "embeddings")
+    for op, kw in (
+        (semantic_decontamination, dict(bench_mod=97, threshold=0.3,
+                                        n_centroids=40, nprobe=2)),
+        (ivf_nprobe_recall_curve, dict(k=5, n_centroids=40)),
+    ):
+        a = sorted(
+            tuple(r) for r in op(
+                e.repartition(3), "vec_id", "embedding", **kw
+            ).collect()
+        )
+        b = sorted(
+            tuple(r) for r in op(
+                e.repartition(11), "vec_id", "embedding", **kw
+            ).collect()
+        )
+        assert a == b and len(a) > 0
+
+
 def test_nprobe_recall_duckdb_parity(spark):
     from poet_cloud_cost_etl_spark.catalog import table
     from poet_cloud_cost_etl_spark.operators.similarity import (
