@@ -2475,14 +2475,30 @@ def _knn_edges(
         # _pair_scores contract; ranking by cos_e6 is the same
         # round-6 comparator scaled to ppm).
         cents = ivf_centroids(emb, id_col, vec_col, n_centroids)
-        lists = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
-            F.col(id_col), F.col(vec_col), "centroid_id"
-        ).withColumn("__side", F.lit(1))
-        probes = ivf_assign(
-            emb, cents, id_col, vec_col, nprobe=nprobe
-        ).select(
-            F.col(id_col), F.col(vec_col), "centroid_id"
-        ).withColumn("__side", F.lit(0))
+        if n_centroids > FLAT_ASSIGN_MAX_K:
+            # scaled-k regime (k ∝ N): BLAS assignment — the flat
+            # expr scoring here is N·k ~25µs interpreted cosines,
+            # the same term the r12 X167/X168 fixes measured and
+            # removed (round-6/tie-break comparator identical by
+            # the _gemm_assign contract).
+            cents = cents.localCheckpoint(eager=True)
+            lists = _gemm_assign(emb, cents, id_col, vec_col, 1).select(
+                F.col(id_col), F.col(vec_col), "centroid_id"
+            ).withColumn("__side", F.lit(1))
+            probes = _gemm_assign(
+                emb, cents, id_col, vec_col, nprobe
+            ).select(
+                F.col(id_col), F.col(vec_col), "centroid_id"
+            ).withColumn("__side", F.lit(0))
+        else:
+            lists = ivf_assign(emb, cents, id_col, vec_col, nprobe=1).select(
+                F.col(id_col), F.col(vec_col), "centroid_id"
+            ).withColumn("__side", F.lit(1))
+            probes = ivf_assign(
+                emb, cents, id_col, vec_col, nprobe=nprobe
+            ).select(
+                F.col(id_col), F.col(vec_col), "centroid_id"
+            ).withColumn("__side", F.lit(0))
         scores = _pair_scores(
             probes.unionByName(lists),
             "centroid_id",

@@ -72,3 +72,55 @@ def test_blas_impl_is_opt_in_only(spark):
 
     sig = inspect.signature(cosine_near_dup_pairs)
     assert sig.parameters["impl"].default == "block"
+
+
+def test_gemm_assign_matches_expr_ivf_assign(spark):
+    """The r12 BLAS assignment kernel must reproduce the expr path
+    bit-for-bit: same (id, centroid_id, probe_rank) rows as
+    ivf_assign for the same centroid table, any nprobe — the round-6
+    cosine + centroid-id-asc comparator is the contract both engines
+    implement."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        _gemm_assign, ivf_assign, ivf_centroids,
+    )
+
+    e = table(spark, SF_MEDIUM, "embeddings")
+    cents = ivf_centroids(e, "vec_id", "embedding", 16)
+    for nprobe in (1, 3):
+        expr_rows = sorted(
+            (r.vec_id, r.centroid_id, r.probe_rank)
+            for r in ivf_assign(
+                e, cents, "vec_id", "embedding", nprobe=nprobe
+            ).collect()
+        )
+        gemm_rows = sorted(
+            (r.vec_id, r.centroid_id, r.probe_rank)
+            for r in _gemm_assign(
+                e, cents, "vec_id", "embedding", nprobe
+            ).collect()
+        )
+        assert gemm_rows == expr_rows and len(gemm_rows) > 0
+
+
+def test_gemm_topk_matches_brute_force(spark):
+    """_gemm_topk must reproduce brute_force_topk exactly —
+    (query_id, neighbor_id, cos_sim, rank) — for a bounded query
+    set: per-group partial top-k + global re-rank is lossless by
+    comparator transitivity."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        _gemm_topk, brute_force_topk,
+    )
+
+    e = table(spark, SF_MEDIUM, "embeddings")
+    q = e.filter(F.col("vec_id") % 37 == 0)
+    bf = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in brute_force_topk(q, e, "vec_id", "embedding", 5).collect()
+    )
+    gm = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in _gemm_topk(q, e, "vec_id", "embedding", 5).collect()
+    )
+    assert gm == bf and len(gm) > 0
