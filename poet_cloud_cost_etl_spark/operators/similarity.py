@@ -944,17 +944,25 @@ def _centroid_buckets(
 ) -> DataFrame:
     """Shared bucket-assignment front end for the centroid-bucketed
     pair family (X28/X129/X137): returns ``(id, vec, centroid_id)``
-    via flat N·k scoring (``ivf_assign``) or the log-depth centroid
-    tree (``ivf_tree_assign``), with ``"auto"`` switching to the
-    tree above ``FLAT_ASSIGN_MAX_K`` — the same policy
-    ``semantic_dedup`` pins, applied uniformly so every op whose
-    granularity knob must grow with the corpus inherits the
-    N·b·log k assignment instead of re-discovering the N²/c flat
-    form at scale."""
-    if assign not in ("auto", "flat", "tree"):
-        raise ValueError(f"assign must be auto|flat|tree, got {assign!r}")
+    via flat N·k expr scoring (``ivf_assign``), the BLAS kernel
+    (``_gemm_assign`` — FLAT SEMANTICS, bit-identical buckets, the
+    engine swap proven by test_gemm_assign_matches_expr_ivf_assign),
+    or the log-depth centroid tree (``ivf_tree_assign``, a DIFFERENT
+    bucketing of the same family).  ``"auto"`` (round 12) switches
+    to the gemm kernel above ``FLAT_ASSIGN_MAX_K``: the r12
+    measurements showed the scaled-k cost was never assignment
+    structure but the ~25µs interpreted per-eval cosine — the gemm
+    engine keeps exact flat semantics (better recall than the tree's
+    approximate descent) AND removes the interpreted term
+    (BENCH_SF1_r12: X167 tree 28.1s vs gemm 1.7s at sf1.0).  The
+    tree remains the explicit opt-in for the >10⁵–10⁶-centroid
+    regime where even vectorized N·k FLOPs break the budget."""
+    if assign not in ("auto", "flat", "gemm", "tree"):
+        raise ValueError(
+            f"assign must be auto|flat|gemm|tree, got {assign!r}"
+        )
     if assign == "auto":
-        assign = "flat" if n_centroids <= FLAT_ASSIGN_MAX_K else "tree"
+        assign = "flat" if n_centroids <= FLAT_ASSIGN_MAX_K else "gemm"
     if assign == "tree":
         branching = math.ceil(math.sqrt(n_centroids))
         return ivf_tree_assign(
@@ -965,6 +973,11 @@ def _centroid_buckets(
             F.col("leaf_id").alias("centroid_id"),
         )
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    if assign == "gemm":
+        cents = cents.localCheckpoint(eager=True)
+        return _gemm_assign(corpus, cents, id_col, vec_col, 1).select(
+            id_col, vec_col, "centroid_id"
+        )
     return ivf_assign(corpus, cents, id_col, vec_col, nprobe=1).select(
         id_col, vec_col, "centroid_id"
     )
@@ -1011,14 +1024,28 @@ def semantic_dedup(
     the r7 probe vs tree 9.2×; BENCH_SF1_r07.json). Flat and tree
     bucket the space differently — both are approximations of the
     same SemDeDup family; the bucketing is the documented recall
-    knob. ``refine_iters`` applies to the flat path only (the tree
-    draw is per-node, un-refined) and is rejected with the tree
-    engine rather than silently ignored.
+    knob. ``refine_iters`` (Lloyd refinement of the centroid draw)
+    applies to the flat/gemm paths and is rejected with the tree
+    engine (the tree draw is per-node, un-refined) rather than
+    silently ignored.
+
+    Round 12: ``"auto"`` above FLAT_ASSIGN_MAX_K now picks
+    ``"gemm"`` — the BLAS twin of flat assignment (bit-identical
+    buckets, test_gemm_assign_matches_expr_ivf_assign) — instead of
+    the tree: the r12 measurements showed the scaled-k cost was the
+    ~25µs interpreted per-eval cosine, not assignment structure, so
+    the gemm engine keeps exact flat semantics (better recall than
+    the tree's approximate descent) and removes the interpreted
+    term. ``"tree"`` stays the explicit dial for the
+    >10⁵–10⁶-centroid regime where even vectorized N·k FLOPs break
+    the budget.
     """
-    if assign not in ("auto", "flat", "tree"):
-        raise ValueError(f"assign must be auto|flat|tree, got {assign!r}")
+    if assign not in ("auto", "flat", "gemm", "tree"):
+        raise ValueError(
+            f"assign must be auto|flat|gemm|tree, got {assign!r}"
+        )
     if assign == "auto":
-        assign = "flat" if n_centroids <= FLAT_ASSIGN_MAX_K else "tree"
+        assign = "flat" if n_centroids <= FLAT_ASSIGN_MAX_K else "gemm"
     if assign == "tree":
         if refine_iters:
             raise ValueError(
@@ -1035,7 +1062,12 @@ def semantic_dedup(
             "is_dup",
         )
     cents = ivf_centroids(corpus, id_col, vec_col, n_centroids, refine_iters)
-    assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+    if assign == "gemm":
+        assigned = _gemm_assign(
+            corpus, cents.localCheckpoint(eager=True), id_col, vec_col, 1
+        )
+    else:
+        assigned = ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
     return _bucket_dups(
         assigned, id_col, vec_col, "centroid_id", threshold, pair_impl
     )

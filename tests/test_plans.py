@@ -347,18 +347,17 @@ def test_mixture_sample_single_corpus_shuffle(spark):
 
 def test_semantic_dedup_auto_switch_plan(spark):
     """X28 scale default: above FLAT_ASSIGN_MAX_K centroids the
-    default (assign='auto') call must use the log-depth tree. The
-    tree's signature in the physical plan (round 12: each level's
-    centroid draw is eagerly checkpointed — semantic_dedup_tree
-    2.57 → 1.96s at sf0.1 — so the draw's Window operators now sit
-    behind ExistingRDD scans): per-level ExistingRDD centroid
-    tables and a level-1+ descent equi-join on the parent bucket
-    (BroadcastHashJoin); the flat path has NO per-level draw at all
-    (one global orderBy+limit → TakeOrderedAndProject) and scores
-    the one-row centroid array via crossJoin. (The level-0 tree
-    join folds to a BroadcastNestedLoopJoin — the bucket is the
-    literal -1 — so BNLJ presence alone does not discriminate.)
-    Below the threshold the flat path remains the default."""
+    default (assign='auto') call must use the BLAS gemm assignment
+    (round 12 — flat SEMANTICS, vectorized engine; the tree is the
+    explicit >10⁵-centroid dial). Gemm signature: the kernel's
+    FlatMapGroupsInPandas over the checkpointed centroid draw
+    (ExistingRDD — the TakeOrderedAndProject draw runs inside the
+    checkpoint job, not the final plan). Tree signature (explicit
+    assign='tree'): per-level checkpointed ExistingRDD centroid
+    tables + the bucket-descent BroadcastHashJoin, no Python stage.
+    Below the threshold the flat path keeps its global
+    orderBy+limit draw (TakeOrderedAndProject) and pure-JVM
+    scoring."""
     from poet_cloud_cost_etl_spark.operators.similarity import (
         FLAT_ASSIGN_MAX_K,
         semantic_dedup,
@@ -376,11 +375,20 @@ def test_semantic_dedup_auto_switch_plan(spark):
         pair_impl="expr",
     )
     plan = X.physical_plan(big)
-    # checkpointed per-level draws + the level-1 bucket descent
-    assert plan.count("ExistingRDD") >= 2, plan
-    assert plan.count("BroadcastHashJoin") >= 1, plan  # bucket descent
-    assert "TakeOrderedAndProject" not in plan, plan  # no flat draw
+    # gemm kernel stage + checkpointed centroid draw, no flat draw
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "ExistingRDD" in plan, plan
+    assert "TakeOrderedAndProject" not in plan, plan
     assert big.columns == ["vec_id", "centroid_id", "is_dup"]
+
+    tree = semantic_dedup(
+        e, "vec_id", "embedding", n_centroids=FLAT_ASSIGN_MAX_K + 1,
+        assign="tree", pair_impl="expr",
+    )
+    tree_plan = X.physical_plan(tree)
+    assert tree_plan.count("ExistingRDD") >= 2, tree_plan
+    assert tree_plan.count("BroadcastHashJoin") >= 1, tree_plan
+    assert "FlatMapGroupsInPandas" not in tree_plan, tree_plan
 
     small = semantic_dedup(
         e, "vec_id", "embedding", n_centroids=8, pair_impl="expr"
@@ -396,9 +404,11 @@ def test_semantic_dedup_auto_switch_plan(spark):
     assert "ExistingRDD" in auto_plan, auto_plan
     assert "Union" in auto_plan, auto_plan
 
+    # refine_iters is legal on flat AND gemm (the draw is the same
+    # Lloyd-refinable table); only the per-node tree draw rejects it
     with pytest.raises(ValueError, match="refine_iters"):
         semantic_dedup(
-            e, "vec_id", "embedding",
+            e, "vec_id", "embedding", assign="tree",
             n_centroids=FLAT_ASSIGN_MAX_K + 1, refine_iters=1,
         )
 
