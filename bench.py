@@ -256,6 +256,15 @@ HEADLINE = [
     "source_crossentropy_matrix",
     "mixture_epoch_plan",
     "line_dedup_rewrite",
+    # round-13 cohort (X172-X179), benched from birth.
+    "events_markov_transitions",
+    "purchase_attribution_last_touch",
+    "events_seasonality_chi2",
+    "events_rfm_segments",
+    "vocab_hll_estimate",
+    "vocab_chao1_richness",
+    "knn_hubness_audit",
+    "neardup_paradigm_agreement",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable

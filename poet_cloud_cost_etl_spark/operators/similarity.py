@@ -121,7 +121,14 @@ def cosine_near_dup_pairs(
     ``n_blocks`` ≈ N·d·8B / executor-task-memory keeps every block
     pair in RAM regardless of corpus size. All three impls round to 6
     decimals and agree bit-for-bit.
-    """
+
+    Zero-norm convention (round 13, unified with the r12 gemm
+    kernels): a zero-norm vector's cosine is NaN in the numpy
+    kernels (``errstate`` guards silence the divide) and NULL in the
+    expr path — both fail every ``>= threshold`` comparison, so a
+    zero vector simply emits no pairs in all three impls.  Pinned by
+    ``tests/test_similarity.py`` on a zero-vector fixture; the X80
+    norm audit remains the upstream catch."""
     if impl == "expr":
         a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
         b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
@@ -172,7 +179,8 @@ def cosine_near_dup_pairs(
             pa, pb = int(pdf["pb_a"].iloc[0]), int(pdf["pb_b"].iloc[0])
             if pa == pb:
                 X = np.array(list(pdf["v"]), dtype=np.float64)
-                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    X /= np.linalg.norm(X, axis=1, keepdims=True)
                 Xi = pdf["id"].to_numpy(dtype=np.int64)
                 sims = np.round(X @ X.T, 6)
                 ia, ib = np.nonzero((sims >= threshold) & (Xi[:, None] < Xi[None, :]))
@@ -186,9 +194,10 @@ def cosine_near_dup_pairs(
                     {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
                 )
             X = np.array(list(left["v"]), dtype=np.float64)
-            X /= np.linalg.norm(X, axis=1, keepdims=True)
             Y = np.array(list(right["v"]), dtype=np.float64)
-            Y /= np.linalg.norm(Y, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                X /= np.linalg.norm(X, axis=1, keepdims=True)
+                Y /= np.linalg.norm(Y, axis=1, keepdims=True)
             Xi = left["id"].to_numpy(dtype=np.int64)
             Yi = right["id"].to_numpy(dtype=np.int64)
             sims = np.round(X @ Y.T, 6)
@@ -207,7 +216,8 @@ def cosine_near_dup_pairs(
     corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).collect()
     ids = np.array([r.id for r in corpus], dtype=np.int64)
     mat = np.array([r.v for r in corpus], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mat /= np.linalg.norm(mat, axis=1, keepdims=True)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
 
@@ -215,7 +225,8 @@ def cosine_near_dup_pairs(
         B, Bi = b_mat.value, b_ids.value
         for pdf in batches:
             A = np.array(list(pdf["v"]), dtype=np.float64)
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
             Ai = pdf["id"].to_numpy(dtype=np.int64)
             sims = np.round(A @ B.T, 6)
             ia, ib = np.nonzero((sims >= threshold) & (Ai[:, None] < Bi[None, :]))
@@ -1019,9 +1030,11 @@ def semantic_dedup(
     delegates to ``semantic_dedup_tree`` (log-depth descent,
     branching = ceil(sqrt(n_centroids)), depth 2 — same dup rule,
     leaf relabeled ``centroid_id``), and the default ``"auto"``
-    switches to the tree once ``n_centroids > FLAT_ASSIGN_MAX_K`` so
-    the default call scales (flat-k measured 34.2× at 10× data in
-    the r7 probe vs tree 9.2×; BENCH_SF1_r07.json). Flat and tree
+    switches off interpreted flat scoring once ``n_centroids >
+    FLAT_ASSIGN_MAX_K`` — since round 12 to the ``"gemm"`` kernel
+    (see the Round 12 paragraph below; r7–r11 it picked the tree:
+    flat-k measured 34.2× at 10× data vs tree 9.2×,
+    BENCH_SF1_r07.json). Flat and tree
     bucket the space differently — both are approximations of the
     same SemDeDup family; the bucketing is the documented recall
     knob. ``refine_iters`` (Lloyd refinement of the centroid draw)
@@ -1298,6 +1311,15 @@ def ivf_tree_assign(
     )
 
 
+# Rows per matmul inside the BLAS kernels (r13, ADVICE r12): bounds
+# the live sims block to BLOCK×k (assign) / |Q|×BLOCK (topk) doubles
+# per task instead of the whole group's m×k.  4096×(N/64) doubles at
+# N=10⁶ adaptive-k is ~512 MB FLOP-chunk → still one ~130 GFLOP gemm
+# per chunk at d=32; small enough to keep two live, big enough that
+# the BLAS call dominates the Python loop.
+_GEMM_ROW_BLOCK = 4096
+
+
 def _gemm_assign(
     df: DataFrame,
     cents: DataFrame,
@@ -1328,11 +1350,20 @@ def _gemm_assign(
     fixture has no zero vectors; the expr path's NULL-sim ordering
     is likewise undefined-but-deterministic there).
 
-    Scale: per-task memory is one group's m×d block plus k×d
-    centroids; FLOPs are N·k·d — with k ∝ N this flat form holds to
-    ~10⁵–10⁶ centroids on a cluster's FLOP budget, past which the
-    per-level-gemm centroid tree (the FAISS coarse-quantizer shape)
-    is the documented path."""
+    Scale (r13 chunking, ADVICE r12): the kernel matmuls X in fixed
+    ``_GEMM_ROW_BLOCK``-row chunks, keeping only each chunk's top
+    ``nprobe`` — so per-task memory is the k×d centroid block plus
+    one BLOCK×k sims chunk (linear in k, NOT the former m×k block,
+    which with k ∝ N grew ~N²/(64·G) doubles).  The group's m×d rows
+    arrive as one Arrow batch regardless (applyInPandas contract),
+    so the m-side footprint is the input itself.  FLOPs are N·k·d —
+    with k ∝ N this flat form holds to ~10⁵–10⁶ centroids on a
+    cluster's FLOP budget, past which the per-level-gemm centroid
+    tree (the FAISS coarse-quantizer shape) is the documented path.
+
+    Salting is ``pmod(hash(id), G)`` — type-agnostic (string ids
+    work; the former ``pmod(id, G)`` required a numeric id), and
+    per the contract above ANY grouping yields identical output."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1363,22 +1394,34 @@ def _gemm_assign(
         corder = np.argsort(c_pdf[id_col].to_numpy(), kind="stable")
         c_pdf = c_pdf.iloc[corder]
         cids = c_pdf[id_col].to_numpy()
-        X = np.array(list(x_pdf[vec_col]), dtype=np.float64)
         C = np.array(list(c_pdf[vec_col]), dtype=np.float64)
-        nx = np.linalg.norm(X, axis=1)
         nc = np.linalg.norm(C, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = (X @ C.T) / np.outer(nx, nc)
-        r6 = _round6_half_up(sims)
         take = min(npb, len(cids))
-        # stable argsort on -r6: ties fall back to position = cid asc
-        # (NaN sorts last, matching "zero-norm ranks last")
-        idx = np.argsort(-r6, axis=1, kind="stable")[:, :take]
         m = len(x_pdf)
+        xids = x_pdf[id_col].to_numpy()
+        xvecs = x_pdf[vec_col].to_numpy()
+        idx_parts = []
+        # fixed-row chunks: one BLOCK×k sims block live at a time,
+        # only the chunk's top-nprobe indices are retained (ADVICE
+        # r12 — the former whole-group m×k block was ~N²/(64·G)
+        # doubles under the adaptive k ∝ N default).
+        for lo in range(0, m, _GEMM_ROW_BLOCK):
+            X = np.array(list(xvecs[lo : lo + _GEMM_ROW_BLOCK]),
+                         dtype=np.float64)
+            nx = np.linalg.norm(X, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (X @ C.T) / np.outer(nx, nc)
+            r6 = _round6_half_up(sims)
+            # stable argsort on -r6: ties fall back to position =
+            # cid asc (NaN sorts last: "zero-norm ranks last")
+            idx_parts.append(
+                np.argsort(-r6, axis=1, kind="stable")[:, :take]
+            )
+        idx = np.concatenate(idx_parts, axis=0)
         return pd.DataFrame(
             {
-                id_col: np.repeat(x_pdf[id_col].to_numpy(), take),
-                vec_col: np.repeat(x_pdf[vec_col].to_numpy(), take),
+                id_col: np.repeat(xids, take),
+                vec_col: np.repeat(xvecs, take),
                 "centroid_id": cids[idx].ravel(),
                 "probe_rank": np.tile(
                     np.arange(1, take + 1, dtype=np.int32), m
@@ -1386,7 +1429,7 @@ def _gemm_assign(
             }
         )
 
-    g = F.pmod(F.col(id_col), F.lit(int(n_groups)))
+    g = F.pmod(F.hash(F.col(id_col)), F.lit(int(n_groups)))
     side0 = df.select(
         g.alias("__g"),
         F.col(id_col),
@@ -1431,7 +1474,13 @@ def _gemm_topk(
     partial winners — map-side top-k then a bounded re-rank, the
     two-phase global-rank discipline — yields the exact global top-k:
     the global winners are a subset of the per-group winners by
-    transitivity of the comparator.
+    transitivity of the comparator.  Inside the kernel the corpus is
+    matmul'd in ``_GEMM_ROW_BLOCK``-row chunks, each reduced to its
+    per-query top-k before the next (so per-task live memory is the
+    |Q|×BLOCK chunk, not the |Q|×(N/G) block); the chunk winners
+    merge under the same comparator (round-6 cosine DESC, id ASC),
+    exact by transitivity.  Salting is ``pmod(hash(id), G)`` —
+    type-agnostic, output grouping-invariant.
 
     Output contract = ``brute_force_topk``: ``(query_id,
     neighbor_id, cos_sim, rank)``."""
@@ -1464,33 +1513,53 @@ def _gemm_topk(
         norder = np.argsort(c_pdf[id_col].to_numpy(), kind="stable")
         c_pdf = c_pdf.iloc[norder]
         nids = c_pdf[id_col].to_numpy()
+        cvecs = c_pdf[vec_col].to_numpy()
         Q = np.array(list(q_pdf[vec_col]), dtype=np.float64)
-        C = np.array(list(c_pdf[vec_col]), dtype=np.float64)
         nq = np.linalg.norm(Q, axis=1)
-        nc = np.linalg.norm(C, axis=1)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            sims = (Q @ C.T) / np.outer(nq, nc)
-        r6 = _round6_half_up(sims)
         qids = q_pdf[id_col].to_numpy()
-        # self-exclusion: -inf sorts after every real cosine
-        r6 = np.where(
-            qids[:, None] == nids[None, :], -np.inf, r6
-        )
-        take = min(kk, r6.shape[1])
-        idx = np.argsort(-r6, axis=1, kind="stable")[:, :take]
+        n = len(nids)
+        take = min(kk, n)
+        val_parts, pos_parts = [], []
+        # corpus-chunked gemm: one |Q|×BLOCK sims block live at a
+        # time, each chunk reduced to its per-query top-take before
+        # the next matmul (ADVICE r12 — the former |Q|×(N/G) block
+        # grew linearly with the corpus per task).
+        for lo in range(0, n, _GEMM_ROW_BLOCK):
+            C = np.array(list(cvecs[lo : lo + _GEMM_ROW_BLOCK]),
+                         dtype=np.float64)
+            nc = np.linalg.norm(C, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = (Q @ C.T) / np.outer(nq, nc)
+            r6 = _round6_half_up(sims)
+            # self-exclusion: -inf sorts after every real cosine
+            r6 = np.where(
+                qids[:, None] == nids[None, lo : lo + len(nc)],
+                -np.inf,
+                r6,
+            )
+            t = min(take, r6.shape[1])
+            idx = np.argsort(-r6, axis=1, kind="stable")[:, :t]
+            val_parts.append(np.take_along_axis(r6, idx, axis=1))
+            pos_parts.append(idx + lo)
+        cand_vals = np.concatenate(val_parts, axis=1)
+        cand_pos = np.concatenate(pos_parts, axis=1)
+        # merge chunk winners: round-6 cosine DESC, then global
+        # position ASC == corpus id ASC (nids is id-sorted).  NaN
+        # (zero-norm) sorts last, matching the chunk comparator.
+        order = np.lexsort((cand_pos, -cand_vals), axis=-1)[:, :take]
         rows = np.repeat(np.arange(len(qids)), take)
-        cols = idx.ravel()
-        vals = r6[rows, cols]
+        cols = order.ravel()
+        vals = cand_vals[rows, cols]
         keep = np.isfinite(vals)
         return pd.DataFrame(
             {
                 "query_id": qids[rows[keep]],
-                "neighbor_id": nids[cols[keep]],
+                "neighbor_id": nids[cand_pos[rows, cols][keep]],
                 "cos_sim": vals[keep],
             }
         )
 
-    g = F.pmod(F.col(id_col), F.lit(int(n_groups)))
+    g = F.pmod(F.hash(F.col(id_col)), F.lit(int(n_groups)))
     side0 = corpus.select(
         g.alias("__g"),
         F.col(id_col),
@@ -2694,7 +2763,10 @@ def srp_cosine_calibration(
     fixed-k mis-deployment is an opt-in diagnostic, not the default).
     Assignment routes through ``_centroid_buckets`` with
     ``assign="auto"``: flat N·k scoring up to FLAT_ASSIGN_MAX_K, the
-    log-depth centroid tree above it.  The one-job ``count()`` that
+    ``_gemm_assign`` BLAS kernel above it (r12 policy —
+    bit-identical flat buckets, so the flat-modeled DuckDB oracle
+    holds at every k; the log-depth tree is a DIFFERENT bucketing
+    and stays an explicit opt-in dial).  The one-job ``count()`` that
     sizes k is the same driver-side pattern as the CC convergence
     probes (operators/graph.py) — an action, not a collect, and the
     result is a single long."""
@@ -2717,8 +2789,10 @@ def srp_cosine_calibration(
         F.expr(sign_bits).alias("__bits"),
     )
     # _centroid_buckets returns (id, vec, centroid_id) — flat rank-1
-    # ivf_assign up to FLAT_ASSIGN_MAX_K centroids, the log-depth tree
-    # above (assign="auto", the X28 policy).  Re-attach the bit arrays
+    # ivf_assign up to FLAT_ASSIGN_MAX_K centroids, the gemm kernel
+    # above (assign="auto", the r12 X28 policy: flat buckets
+    # bit-for-bit, tree only as explicit opt-in).  Re-attach the bit
+    # arrays
     # by id, then score within-bucket pairs through the X129/X137
     # _pair_scores engine (pair_impl="auto": BLAS kernel on big
     # buckets, codegen on small — bit-identical cos_e6 by the

@@ -3564,18 +3564,24 @@ def hll_register_estimate(
     the shuffle regardless of vocabulary; the exact-distinct column
     exists for the fixture-scale audit and would be dropped at
     100 TB (the estimate is the product)."""
-    # One tokenize+explode scan feeds BOTH the register MAX and the
-    # exact n_tokens/exact_distinct aggregate (r11 ADVICE: the two
-    # branches each re-derived the identical explode).  The eager
-    # localCheckpoint is the repo's shared-scan discipline (the X74
-    # bbit pattern) — the exploded stream is written once and both
-    # aggregates read it.
+    # One tokenize+explode scan feeds ONE (grp, t) count aggregate —
+    # vocab-bounded, map-side-partial — and BOTH branches (register
+    # MAX and exact n_tokens/exact_distinct) read that small frame.
+    # r12 ADVICE: the r11 fix checkpointed the raw exploded stream,
+    # a corpus-scale intermediate on non-replicated executor storage
+    # whose write likely cost more than the duplicated narrow scan it
+    # saved; the checkpoint now pins the PRE-AGGREGATE (|G|·vocab
+    # rows), so the corpus is scanned once and the shared frame is
+    # small.  Register MAX over distinct (grp, t) equals MAX over the
+    # raw stream — rho depends on the token value only.
     toks = (
         df.select(
             F.col(group_col).alias("grp"),
             F.explode(tokens(text_col)).alias("t"),
         )
         .filter(F.col("t") != "")
+        .groupBy("grp", "t")
+        .agg(F.count(F.lit(1)).alias("__c"))
         .localCheckpoint(eager=True)
     )
     regs = _hll_registers_from_toks(toks)
@@ -3586,8 +3592,8 @@ def hll_register_estimate(
         ),
     )
     exact = toks.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_tokens"),
-        F.countDistinct("t").alias("exact_distinct"),
+        F.sum("__c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("exact_distinct"),
     )
     est = F.expr(_HLL_EST_SQL.format(raw="__raw", used="registers_used"))
     return (

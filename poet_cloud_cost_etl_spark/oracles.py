@@ -8589,11 +8589,13 @@ ORACLES.update(R12_QUEUED_ORACLES)
 
 
 # ---------------------------------------------------------------------------
-# r13-queue oracles: implemented + parity-proven in round 11
-# (tests/test_r13_queue.py), registration deferred per the staging
-# protocol (the r12 window is budgeted for the r12 cohort + the
-# staleness backlog). Round 13: decorate the _r13q_* functions in
-# queries.py with @query(...) and ORACLES.update(R13_QUEUED_ORACLES).
+# r13-cohort oracles: implemented + parity-proven in round 11
+# (tests/test_r13_queue.py), registration deferred to round 13 per
+# the staging protocol (the r12 window covered the r12 cohort + the
+# staleness backlog). Registered in round 13 (VERDICT r12 task 1):
+# the _r13q_* functions in queries.py carry @query(...) and the
+# ORACLES.update(R13_QUEUED_ORACLES) below makes each oracle
+# official alongside its @query twin.
 R13_QUEUED_ORACLES: dict[str, str] = {}
 
 # X172 (operators/behavior.py: markov_transitions): first-order
@@ -8963,6 +8965,8 @@ R13_QUEUED_ORACLES["neardup_paradigm_agreement"] = f"""
         CAST(MAX(j) AS BIGINT) AS max_jaccard_ppm
     FROM jscored GROUP BY 1 ORDER BY 1
 """
+
+ORACLES.update(R13_QUEUED_ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -5950,12 +5950,14 @@ def _r12q_line_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------------------
-# r13-queue: implemented + DuckDB-parity-proven in round 11
-# (tests/test_r13_queue.py), registration DEFERRED so the round-12
-# window covers the 8-name r12 cohort + the staleness backlog (the
-# staging protocol of the r10/r11/r12 cohorts). Round 13: decorate
-# with @query(...) and merge R13_QUEUED_ORACLES into ORACLES
-# (oracles.py). Registered count after: 302/350.
+# r13-cohort: implemented + DuckDB-parity-proven in round 11
+# (tests/test_r13_queue.py), registration deferred to round 13 per
+# the staging protocol (the r12 window covered the 8-name r12 cohort
+# + the staleness backlog). Registered here (r13, VERDICT r12 task
+# 1); oracles merged from oracles.R13_QUEUED_ORACLES. The rotation
+# reorder puts these 8 no-row names first in the r13 window,
+# followed by the stalest backlog. Registered count after: 302/350.
+@query("events_markov_transitions")
 def _r13q_events_markov_transitions(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5968,6 +5970,7 @@ def _r13q_events_markov_transitions(
     return markov_transitions(e, "user_id", "event_type", "ts", "event_id")
 
 
+@query("purchase_attribution_last_touch")
 def _r13q_purchase_attribution_last_touch(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5982,6 +5985,7 @@ def _r13q_purchase_attribution_last_touch(
     )
 
 
+@query("events_seasonality_chi2")
 def _r13q_events_seasonality_chi2(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5994,6 +5998,7 @@ def _r13q_events_seasonality_chi2(
     return seasonality_chi2(e, "event_type", "ts")
 
 
+@query("events_rfm_segments")
 def _r13q_events_rfm_segments(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6005,6 +6010,7 @@ def _r13q_events_rfm_segments(
     return rfm_segments(e, "user_id", "ts", "event_type", "value")
 
 
+@query("vocab_hll_estimate")
 def _r13q_vocab_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X175 register-level HyperLogLog (operators/textstats.py:
     hll_register_estimate) — the oracle-checkable HLL next to the
@@ -6015,6 +6021,7 @@ def _r13q_vocab_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_register_estimate(d, "source", "text")
 
 
+@query("vocab_chao1_richness")
 def _r13q_vocab_chao1_richness(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6027,6 +6034,7 @@ def _r13q_vocab_chao1_richness(
     return vocab_richness_estimators(d, "source", "text")
 
 
+@query("knn_hubness_audit")
 def _r13q_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X177 kNN-graph hubness audit (operators/similarity.py:
     knn_hubness_audit) — k-occurrence skew + reciprocity per label
@@ -6037,6 +6045,7 @@ def _r13q_knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_hubness_audit(e, "vec_id", "embedding", "label", k=5)
 
 
+@query("neardup_paradigm_agreement")
 def _r13q_neardup_paradigm_agreement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -124,3 +124,97 @@ def test_gemm_topk_matches_brute_force(spark):
         for r in _gemm_topk(q, e, "vec_id", "embedding", 5).collect()
     )
     assert gm == bf and len(gm) > 0
+
+
+def test_gemm_kernels_chunked_parity(spark, monkeypatch):
+    """r13 (ADVICE r12): the kernels matmul in fixed
+    _GEMM_ROW_BLOCK-row chunks so per-task live memory is BLOCK×k /
+    |Q|×BLOCK, not the whole m×k block.  Shrinking the block to 7
+    forces many chunks through the merge path — rows (including
+    ranks) must stay bit-identical to the expr twins."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "_GEMM_ROW_BLOCK", 7)
+    e = table(spark, SF_MEDIUM, "embeddings")
+    cents = S.ivf_centroids(e, "vec_id", "embedding", 16)
+    expr_rows = sorted(
+        (r.vec_id, r.centroid_id, r.probe_rank)
+        for r in S.ivf_assign(
+            e, cents, "vec_id", "embedding", nprobe=3
+        ).collect()
+    )
+    gemm_rows = sorted(
+        (r.vec_id, r.centroid_id, r.probe_rank)
+        for r in S._gemm_assign(
+            e, cents, "vec_id", "embedding", 3
+        ).collect()
+    )
+    assert gemm_rows == expr_rows and len(gemm_rows) > 0
+
+    q = e.filter(F.col("vec_id") % 37 == 0)
+    bf = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in S.brute_force_topk(
+            q, e, "vec_id", "embedding", 5
+        ).collect()
+    )
+    gm = sorted(
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in S._gemm_topk(q, e, "vec_id", "embedding", 5).collect()
+    )
+    assert gm == bf and len(gm) > 0
+
+
+def test_gemm_assign_string_ids(spark):
+    """r13 (ADVICE r12): the salt is pmod(hash(id), G) — a STRING id
+    corpus must plan and reproduce the expr path (the former
+    pmod(id, G) salt raised AnalysisException on non-numeric ids)."""
+    from pyspark.sql import functions as F
+
+    from poet_cloud_cost_etl_spark.operators import similarity as S
+
+    e = table(spark, SF_MEDIUM, "embeddings").select(
+        F.concat(F.lit("v"), F.format_string("%06d", "vec_id")).alias(
+            "sid"
+        ),
+        "embedding",
+    )
+    cents = S.ivf_centroids(e, "sid", "embedding", 16)
+    expr_rows = sorted(
+        (r.sid, r.centroid_id, r.probe_rank)
+        for r in S.ivf_assign(
+            e, cents, "sid", "embedding", nprobe=2
+        ).collect()
+    )
+    gemm_rows = sorted(
+        (r.sid, r.centroid_id, r.probe_rank)
+        for r in S._gemm_assign(e, cents, "sid", "embedding", 2).collect()
+    )
+    assert gemm_rows == expr_rows and len(gemm_rows) > 0
+
+
+def test_zero_norm_vectors_emit_no_pairs_all_impls(spark):
+    """r13 zero-norm convention (VERDICT r12 #3): a zero vector's
+    cosine is NaN (numpy kernels) / NULL (expr) — it fails every
+    >= threshold comparison, so ALL impls drop its pairs and agree
+    on the remaining ones."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 0.0]),  # zero-norm: never pairs
+        (4, [0.9, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        impl: _pairs(
+            cosine_near_dup_pairs(
+                df, "vec_id", "embedding", 0.5, impl=impl, n_blocks=2
+            )
+        )
+        for impl in ("expr", "blas", "block")
+    }
+    assert got["expr"] == got["blas"] == got["block"]
+    assert got["expr"], "non-zero rows should still pair"
+    assert all(3 not in (a, b) for a, b, _ in got["expr"])
