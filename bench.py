@@ -393,6 +393,36 @@ def main() -> None:
     spark = build_session(app_name="bench", **cfg.session_kwargs())
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Host calibration (round 13): the per-job fixed cost of a
+    # canonical data-free 1-shuffle job, reported alongside the query
+    # timings.  The gate compares medians against pins recorded in a
+    # PARTICULAR host mode; this machine is documented bimodal (r11
+    # investigation) and in round 13 the slow mode was measured at
+    # ~4x the pin era's per-job cost (~0.5s vs ~0.13s steady for this
+    # exact micro) — enough to flag every multi-job sub-second-pin
+    # query without any plan change.  Recording the micro with every
+    # run makes the mode VISIBLE in the artifact: pin-era calibration
+    # lives next to the pins (BENCH_PINNED.json "calibration_sec"),
+    # and a re-pin note can point at the measured shift instead of
+    # inferring it from control queries.  12 warm-up-inclusive reps;
+    # the reported best/median use the last 5 (JIT steady state).
+    from pyspark.sql import functions as _F
+
+    _cal_df = spark.range(5000)
+    _cal_df.count()
+    _cal_runs = []
+    for _ in range(12):
+        _t = time.perf_counter()
+        _cal_df.groupBy((_F.col("id") % 523).alias("g")).count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+        _cal_runs.append(time.perf_counter() - _t)
+    _tail = sorted(_cal_runs[-5:])
+    calibration = {
+        "best": round(_tail[0], 4),
+        "median": round(_tail[len(_tail) // 2], 4),
+    }
+
     names = [n for n in HEADLINE if n in QUERIES]
     # Guard the cross-round anchor: if any of the first R1_SUBSET
     # headline names were renamed/removed, the subset would silently
@@ -480,6 +510,7 @@ def main() -> None:
         "r1_subset_sec": subset,
         "n_runs": N_RUNS,
         "heavy_n_runs": HEAVY_N_RUNS,
+        "host_calibration_sec": calibration,
     }
     # A SPARK_GRAFT_BENCH_ONLY subset run must NOT clobber the
     # committed full-pass record (observed r9: a 2-query A/B
@@ -531,6 +562,7 @@ def main() -> None:
         "n_queries": len(timings),
         "n_runs": N_RUNS,
         "full_record": out_path,
+        "host_calibration_sec": calibration,
     }
     if regressions:
         line["regressions"] = regressions

@@ -5482,6 +5482,12 @@ def q_pc_variance_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # r7/r9, all predating the round-10 pair_impl="auto" gemm default
 # flip in operators/similarity.py.  Boost active while their newest
 # green row is <= r11; the r12 green rows expire it.
+#
+# Round-13 status (2026-08-16): all five drew green post-gemm rows
+# in CORRECTNESS_r12.json, so every entry below is EXPIRED — the
+# dict is kept as the dated record of the flag (tier-1 membership is
+# computed, not declared, so an expired entry confers nothing).  No
+# new advisory flags in the r12 verdict.
 ROTATION_PRIORITY: dict[str, int] = {
     "semantic_dedup": 11,
     "semantic_dedup_tree": 11,
