@@ -1463,12 +1463,17 @@ def _gemm_topk(
     k: int,
     n_groups: int = 32,
 ) -> DataFrame:
-    """BLAS exact top-k — ``brute_force_topk``'s vectorized twin for
-    a SMALL probe set against a large corpus (round 12; the X168
-    ground-truth pass at sf1.0 was ~1.3M interpreted cosines ≈ 30 s,
-    vs an ~80 MFLOP matmul).  The CORPUS is salted into ``n_groups``
-    groups and the probe set is replicated per group (|Q|·G rows —
-    |Q| is constant by the fixed-size-query-set contract); each
+    """BLAS exact top-k — ``brute_force_topk``'s vectorized twin
+    (round 12; the X168 ground-truth pass at sf1.0 was ~1.3M
+    interpreted cosines ≈ 30 s, vs an ~80 MFLOP matmul).  Since r13
+    the kernel chunks BOTH matmul axes, so the probe set may be
+    anything up to the corpus itself (the X177 self-kNN routing —
+    86 s interpreted at sf0.1 as registered, ~1 s through this
+    kernel, bit-identical rows by the pinned parity test); the
+    probe-replication shuffle is |Q|·G rows, the one term that says
+    keep G modest when Q is corpus-sized.  The CORPUS is salted into
+    ``n_groups`` groups and the probe set is replicated per group
+    (|Q|·G rows); each
     group's kernel emits its per-query top ``k`` (round-6 cosine
     DESC, id ASC, self excluded), and a final window over the G·k·|Q|
     partial winners — map-side top-k then a bounded re-rank, the
@@ -1514,48 +1519,63 @@ def _gemm_topk(
         c_pdf = c_pdf.iloc[norder]
         nids = c_pdf[id_col].to_numpy()
         cvecs = c_pdf[vec_col].to_numpy()
-        Q = np.array(list(q_pdf[vec_col]), dtype=np.float64)
-        nq = np.linalg.norm(Q, axis=1)
-        qids = q_pdf[id_col].to_numpy()
+        all_qids = q_pdf[id_col].to_numpy()
+        all_qvecs = q_pdf[vec_col].to_numpy()
         n = len(nids)
         take = min(kk, n)
-        val_parts, pos_parts = [], []
-        # corpus-chunked gemm: one |Q|×BLOCK sims block live at a
-        # time, each chunk reduced to its per-query top-take before
-        # the next matmul (ADVICE r12 — the former |Q|×(N/G) block
-        # grew linearly with the corpus per task).
-        for lo in range(0, n, _GEMM_ROW_BLOCK):
-            C = np.array(list(cvecs[lo : lo + _GEMM_ROW_BLOCK]),
-                         dtype=np.float64)
-            nc = np.linalg.norm(C, axis=1)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                sims = (Q @ C.T) / np.outer(nq, nc)
-            r6 = _round6_half_up(sims)
-            # self-exclusion: -inf sorts after every real cosine
-            r6 = np.where(
-                qids[:, None] == nids[None, lo : lo + len(nc)],
-                -np.inf,
-                r6,
+        out_q, out_n, out_v = [], [], []
+        # both sides chunked (r13): the self-kNN routing makes the
+        # probe side corpus-sized, so the live sims block is
+        # BLOCK×BLOCK regardless of |Q| or N — each (Q-chunk,
+        # C-chunk) gemm is reduced to the Q-chunk's per-query
+        # top-take before the next matmul (ADVICE r12 shape applied
+        # to both axes).
+        for qlo in range(0, len(all_qids), _GEMM_ROW_BLOCK):
+            qids = all_qids[qlo : qlo + _GEMM_ROW_BLOCK]
+            Q = np.array(
+                list(all_qvecs[qlo : qlo + _GEMM_ROW_BLOCK]),
+                dtype=np.float64,
             )
-            t = min(take, r6.shape[1])
-            idx = np.argsort(-r6, axis=1, kind="stable")[:, :t]
-            val_parts.append(np.take_along_axis(r6, idx, axis=1))
-            pos_parts.append(idx + lo)
-        cand_vals = np.concatenate(val_parts, axis=1)
-        cand_pos = np.concatenate(pos_parts, axis=1)
-        # merge chunk winners: round-6 cosine DESC, then global
-        # position ASC == corpus id ASC (nids is id-sorted).  NaN
-        # (zero-norm) sorts last, matching the chunk comparator.
-        order = np.lexsort((cand_pos, -cand_vals), axis=-1)[:, :take]
-        rows = np.repeat(np.arange(len(qids)), take)
-        cols = order.ravel()
-        vals = cand_vals[rows, cols]
-        keep = np.isfinite(vals)
+            nq = np.linalg.norm(Q, axis=1)
+            val_parts, pos_parts = [], []
+            for lo in range(0, n, _GEMM_ROW_BLOCK):
+                C = np.array(list(cvecs[lo : lo + _GEMM_ROW_BLOCK]),
+                             dtype=np.float64)
+                nc = np.linalg.norm(C, axis=1)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = (Q @ C.T) / np.outer(nq, nc)
+                r6 = _round6_half_up(sims)
+                # self-exclusion: -inf sorts after every real cosine
+                r6 = np.where(
+                    qids[:, None] == nids[None, lo : lo + len(nc)],
+                    -np.inf,
+                    r6,
+                )
+                t = min(take, r6.shape[1])
+                idx = np.argsort(-r6, axis=1, kind="stable")[:, :t]
+                val_parts.append(np.take_along_axis(r6, idx, axis=1))
+                pos_parts.append(idx + lo)
+            cand_vals = np.concatenate(val_parts, axis=1)
+            cand_pos = np.concatenate(pos_parts, axis=1)
+            # merge chunk winners: round-6 cosine DESC, then global
+            # position ASC == corpus id ASC (nids is id-sorted).
+            # NaN (zero-norm) sorts last, matching the chunk
+            # comparator.
+            order = np.lexsort(
+                (cand_pos, -cand_vals), axis=-1
+            )[:, :take]
+            rows = np.repeat(np.arange(len(qids)), take)
+            cols = order.ravel()
+            vals = cand_vals[rows, cols]
+            keep = np.isfinite(vals)
+            out_q.append(qids[rows[keep]])
+            out_n.append(nids[cand_pos[rows, cols][keep]])
+            out_v.append(vals[keep])
         return pd.DataFrame(
             {
-                "query_id": qids[rows[keep]],
-                "neighbor_id": nids[cand_pos[rows, cols][keep]],
-                "cos_sim": vals[keep],
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "cos_sim": np.concatenate(out_v),
             }
         )
 
@@ -2563,7 +2583,13 @@ def _knn_edges(
     from pyspark.sql.window import Window
 
     if candidates == "bruteforce":
-        return brute_force_topk(emb, emb, id_col, vec_col, k).select(
+        # r13: the |N|² ground truth runs through the BLAS kernel —
+        # bit-identical rows to brute_force_topk (pinned by
+        # test_gemm_topk_matches_brute_force + the self-kNN twin
+        # test), but the 25M round-6 cosines at sf0.1 drop from ~86 s
+        # of ~25µs interpreted evals to ~1 s of chunked gemm.  The
+        # oracle models the same comparator, so parity is unchanged.
+        return _gemm_topk(emb, emb, id_col, vec_col, k).select(
             "query_id", "neighbor_id"
         )
     if candidates == "ivf":

@@ -497,6 +497,14 @@ SCALED_K = [
     ("neardup_paradigm_agreement_r13",
      _r11("_r13q_neardup_paradigm_agreement")),
     ("knn_hubness_ivf_scaled", _hubness_ivf_scaled),
+    # round 13: the REGISTERED bruteforce config became probe-able —
+    # _knn_edges routes the |N|² ground truth through the
+    # double-chunked _gemm_topk kernel (bit-identical rows), so the
+    # 100× FLOP growth at 10× is vectorized gemm, not interpreted
+    # evals (86 s -> ~5 s at sf0.1).  Expected super-linear BY
+    # DESIGN (exact N² ground truth); the ivf entry above remains
+    # the linear deployment shape.
+    ("knn_hubness_bruteforce_r13", _r11("_r13q_knn_hubness_audit")),
     # round-11b: decade points for the r14-queue operators BEFORE
     # they register. The events/window families ride the events
     # scale-up; encoding_artifact_rewrite is a pure narrow map; the

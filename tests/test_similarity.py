@@ -218,3 +218,28 @@ def test_zero_norm_vectors_emit_no_pairs_all_impls(spark):
     assert got["expr"] == got["blas"] == got["block"]
     assert got["expr"], "non-zero rows should still pair"
     assert all(3 not in (a, b) for a, b, _ in got["expr"])
+
+
+def test_knn_edges_bruteforce_rides_gemm_bit_identical(spark):
+    """r13: the X177/X187 brute-force ground truth routes through
+    _gemm_topk (both matmul axes chunked, so probe == corpus is
+    fine).  Edges must be bit-identical to the interpreted
+    brute_force_topk pass — same comparator, ~100x cheaper."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        _knn_edges, brute_force_topk,
+    )
+
+    e = table(spark, SF_MEDIUM, "embeddings")
+    expr = sorted(
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(
+            e, e, "vec_id", "embedding", 5
+        ).collect()
+    )
+    gemm = sorted(
+        (r.query_id, r.neighbor_id)
+        for r in _knn_edges(
+            e, "vec_id", "embedding", 5, "bruteforce", 8, 2
+        ).collect()
+    )
+    assert gemm == expr and len(gemm) > 0
