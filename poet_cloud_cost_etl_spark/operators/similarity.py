@@ -1471,7 +1471,14 @@ def _gemm_topk(
     86 s interpreted at sf0.1 as registered, ~1 s through this
     kernel, bit-identical rows by the pinned parity test); the
     probe-replication shuffle is |Q|·G rows, the one term that says
-    keep G modest when Q is corpus-sized.  The CORPUS is salted into
+    keep G modest when Q is corpus-sized.  Honest ceiling of the
+    self-kNN regime: applyInPandas materializes each group as one
+    pandas frame, so per-task INPUT is |Q| + N/G rows even though
+    the sims blocks are chunked — exact all-pairs ground truth is a
+    bounded-corpus diagnostic by nature (the oracle fixture shape);
+    the 100 TB deployment path for kNN graphs is the IVF branch of
+    ``_knn_edges`` (linear, probed), never this.  The CORPUS is
+    salted into
     ``n_groups`` groups and the probe set is replicated per group
     (|Q|·G rows); each
     group's kernel emits its per-query top ``k`` (round-6 cosine

@@ -243,3 +243,65 @@ def test_knn_edges_bruteforce_rides_gemm_bit_identical(spark):
         ).collect()
     )
     assert gemm == expr and len(gemm) > 0
+
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4),  # 5 distinct directions
+        min_size=4,
+        max_size=24,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+@settings(max_examples=8, deadline=None)
+def test_gemm_topk_chunk_merge_vs_reference(spark, dirs, k):
+    """Property (r13): _gemm_topk with a tiny chunk block must equal
+    a pure-Python (round-6 cosine DESC, id ASC, self-excluded) top-k
+    reference.  Vectors are drawn from 5 distinct directions so
+    cosine TIES are constant — the id-asc tie-break must hold across
+    chunk-merge boundaries, the subtlest part of the r13 kernel."""
+    import numpy as np
+
+    from poet_cloud_cost_etl_spark.operators import similarity as S
+
+    basis = [
+        [1.0, 0.0, 0.0],
+        [0.0, 1.0, 0.0],
+        [0.7, 0.7, 0.0],
+        [0.0, 0.0, 1.0],
+        [0.5, 0.5, 0.5],
+    ]
+    rows = [(i, basis[d]) for i, d in enumerate(dirs)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+    def r6(x):
+        return float(S._round6_half_up(np.array([x]))[0])
+
+    expect = set()
+    for qid, qv in rows:
+        cands = []
+        for nid, nv in rows:
+            if nid == qid:
+                continue
+            q, n = np.array(qv), np.array(nv)
+            c = r6(float(q @ n / (np.linalg.norm(q) * np.linalg.norm(n))))
+            cands.append((-c, nid))
+        cands.sort()
+        for rank, (negc, nid) in enumerate(cands[:k], start=1):
+            expect.add((qid, nid, -negc, rank))
+
+    old = S._GEMM_ROW_BLOCK
+    S._GEMM_ROW_BLOCK = 3
+    try:
+        got = {
+            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+            for r in S._gemm_topk(
+                df, df, "vec_id", "embedding", k, n_groups=4
+            ).collect()
+        }
+    finally:
+        S._GEMM_ROW_BLOCK = old
+    assert got == expect
