@@ -1326,7 +1326,7 @@ def _gemm_assign(
     id_col: str,
     vec_col: str,
     nprobe: int = 1,
-    n_groups: int = 32,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """BLAS assignment kernel (round 12) — the vectorized twin of
     ``ivf_assign``'s broadcast expr scoring, for the adaptive-k
@@ -1363,10 +1363,23 @@ def _gemm_assign(
 
     Salting is ``pmod(hash(id), G)`` — type-agnostic (string ids
     work; the former ``pmod(id, G)`` required a numeric id), and
-    per the contract above ANY grouping yields identical output."""
+    per the contract above ANY grouping yields identical output.
+
+    ``n_groups=None`` (the default since r13) derives G from the
+    session's ``defaultParallelism`` (min 32) — a fixed G=32 capped
+    assignment at 32 tasks however many executors the cluster has,
+    an idle-cluster ceiling invisible at local[32] where the two
+    coincide.  Centroid replication grows as k·G rows, still
+    negligible next to the N input rows; ``_gemm_topk`` deliberately
+    KEEPS its fixed G=32 default because its probe-replication
+    shuffle is |Q|·G — corpus-sized probe sets (the self-kNN
+    diagnostic) must not multiply with cluster width."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
+
+    if n_groups is None:
+        n_groups = max(32, df.sparkSession.sparkContext.defaultParallelism)
 
     out_schema = T.StructType(
         [
