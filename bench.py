@@ -349,11 +349,20 @@ HEAVY = {
 SLOWEST_N = 10
 
 
+# Ceiling on the calibration scaling of the gate threshold: however
+# slow the host mode, the effective gate never exceeds
+# threshold_x * CAL_SCALE_CAP (2.0 * 3.0 = 6x with the shipped pins)
+# — a genuine plan regression still flags even in the worst observed
+# host mode, while host drift alone cannot.
+CAL_SCALE_CAP = 3.0
+
+
 def check_regressions(
     timings: dict[str, float],
     sf_val,
     pin: dict | None,
     best: dict[str, float] | None = None,
+    cal_best: float | None = None,
 ) -> dict[str, dict[str, float]]:
     """Round-7 ask #7: flag any per-query time beyond ``threshold_x``
     times its pinned value. The pin only applies at its own sf;
@@ -366,10 +375,26 @@ def check_regressions(
     spikes one or two runs and leaves the best run at the true cost
     (observed r8: ann_ivf ran 1.0/4.9/5.2s in one bench pass and
     1.2s standalone — a median gate flags a phantom; a min gate
-    doesn't, and still trips when the operator itself got slower)."""
+    doesn't, and still trips when the operator itself got slower).
+
+    Calibration scaling (round 13): pins are medians recorded in a
+    PARTICULAR host mode; this machine's per-job fixed cost is
+    bimodal and drifted 0.34 → 0.45 → 0.80s best across THREE
+    same-day idle full runs, each run flagging a DIFFERENT disjoint
+    set of sub-second-pin names with zero code changes — the gate
+    was measuring the host.  When both the pin file and the current
+    run carry the 1-shuffle calibration micro, the threshold scales
+    by the host-mode ratio ``cal_best / pin_cal_best``, floored at 1
+    (a fast host never shrinks the gate) and capped at
+    ``CAL_SCALE_CAP`` (a slow host cannot hide an unbounded
+    regression).  A plan regression is calibration-neutral, so it
+    still flags; host drift alone no longer does."""
     if not pin or pin.get("sf") != sf_val:
         return {}
     thr = float(pin.get("threshold_x", 2.0))
+    pin_cal = (pin.get("calibration_sec") or {}).get("best")
+    if cal_best and pin_cal:
+        thr *= min(max(cal_best / float(pin_cal), 1.0), CAL_SCALE_CAP)
     out: dict[str, dict[str, float]] = {}
     for name, med in timings.items():
         base = pin.get("medians", {}).get(name)
@@ -548,7 +573,9 @@ def main() -> None:
         except (OSError, ValueError):
             pin = None
         best = {n: s["min"] for n, s in stats.items()}
-        regressions = check_regressions(timings, sf_val, pin, best)
+        regressions = check_regressions(
+            timings, sf_val, pin, best, calibration["best"]
+        )
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:SLOWEST_N]
     )

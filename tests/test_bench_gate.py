@@ -64,3 +64,56 @@ def test_gate_uses_best_run_when_available(pin):
     real = check_regressions({"q_a": 4.9}, 0.1, pin, best={"q_a": 4.5})
     assert set(real) == {"q_a"}
     assert real["q_a"]["ratio"] == 4.5
+
+
+@pytest.fixture()
+def cal_pin():
+    return {
+        "sf": 0.1,
+        "threshold_x": 2.0,
+        "medians": {"q_a": 1.0},
+        "calibration_sec": {"best": 0.2},
+    }
+
+
+def test_gate_scales_with_host_calibration(cal_pin):
+    """r13: with calibration in both the pins and the run, the
+    threshold scales by the host-mode ratio — a 2.3x reading on a
+    2.5x-slower host passes; the same reading on a same-mode host
+    flags."""
+    slow_host = check_regressions(
+        {"q_a": 2.3}, 0.1, cal_pin, best={"q_a": 2.3}, cal_best=0.5
+    )
+    assert slow_host == {}
+    same_host = check_regressions(
+        {"q_a": 2.3}, 0.1, cal_pin, best={"q_a": 2.3}, cal_best=0.2
+    )
+    assert set(same_host) == {"q_a"}
+
+
+def test_gate_calibration_scaling_is_floored_and_capped(cal_pin):
+    """A FAST host never shrinks the gate below threshold_x (floor
+    at 1), and a slow host cannot scale it past CAL_SCALE_CAP —
+    a genuine plan regression flags even in the worst host mode."""
+    fast_host = check_regressions(
+        {"q_a": 1.9}, 0.1, cal_pin, best={"q_a": 1.9}, cal_best=0.05
+    )
+    assert fast_host == {}  # 1.9 < 2.0: floor keeps the base gate
+    # cal ratio 10x, capped at 3 -> effective gate 6x: 6.1 flags
+    capped = check_regressions(
+        {"q_a": 6.1}, 0.1, cal_pin, best={"q_a": 6.1}, cal_best=2.0
+    )
+    assert set(capped) == {"q_a"}
+    under_cap = check_regressions(
+        {"q_a": 5.9}, 0.1, cal_pin, best={"q_a": 5.9}, cal_best=2.0
+    )
+    assert under_cap == {}
+
+
+def test_gate_unscaled_without_pin_calibration(pin):
+    """Pins without a calibration snapshot keep the plain gate —
+    the run's own calibration alone confers nothing."""
+    out = check_regressions(
+        {"q_a": 2.3}, 0.1, pin, best={"q_a": 2.3}, cal_best=0.9
+    )
+    assert set(out) == {"q_a"}
