@@ -1370,10 +1370,11 @@ def _gemm_assign(
     assignment at 32 tasks however many executors the cluster has,
     an idle-cluster ceiling invisible at local[32] where the two
     coincide.  Centroid replication grows as k·G rows, still
-    negligible next to the N input rows; ``_gemm_topk`` deliberately
-    KEEPS its fixed G=32 default because its probe-replication
-    shuffle is |Q|·G — corpus-sized probe sets (the self-kNN
-    diagnostic) must not multiply with cluster width."""
+    negligible next to the N input rows.  ``_gemm_topk`` gets the
+    same derived default, but its self-kNN CALL SITE (``_knn_edges``
+    bruteforce) pins G=32 explicitly: there the probe-replication
+    shuffle is |Q|·G with Q the corpus itself, and must not multiply
+    with cluster width."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -1474,7 +1475,7 @@ def _gemm_topk(
     id_col: str,
     vec_col: str,
     k: int,
-    n_groups: int = 32,
+    n_groups: int | None = None,
 ) -> DataFrame:
     """BLAS exact top-k — ``brute_force_topk``'s vectorized twin
     (round 12; the X168 ground-truth pass at sf1.0 was ~1.3M
@@ -1508,11 +1509,23 @@ def _gemm_topk(
     type-agnostic, output grouping-invariant.
 
     Output contract = ``brute_force_topk``: ``(query_id,
-    neighbor_id, cos_sim, rank)``."""
+    neighbor_id, cos_sim, rank)``.
+
+    ``n_groups=None`` (default, r13) derives G from
+    ``defaultParallelism`` (min 32) — right for the small-probe-set
+    contract, where replication is |Q|·G of a bounded Q and G is
+    pure corpus parallelism.  The self-kNN call site pins G=32
+    explicitly (corpus-sized Q: replication must not grow with
+    cluster width)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
+
+    if n_groups is None:
+        n_groups = max(
+            32, corpus.sparkSession.sparkContext.defaultParallelism
+        )
 
     out_schema = T.StructType(
         [
@@ -2609,7 +2622,10 @@ def _knn_edges(
         # test), but the 25M round-6 cosines at sf0.1 drop from ~86 s
         # of ~25µs interpreted evals to ~1 s of chunked gemm.  The
         # oracle models the same comparator, so parity is unchanged.
-        return _gemm_topk(emb, emb, id_col, vec_col, k).select(
+        # G pinned at 32 here: the probe side IS the corpus, so the
+        # |Q|·G replication shuffle must not scale with cluster
+        # width (see _gemm_topk's docstring).
+        return _gemm_topk(emb, emb, id_col, vec_col, k, n_groups=32).select(
             "query_id", "neighbor_id"
         )
     if candidates == "ivf":
