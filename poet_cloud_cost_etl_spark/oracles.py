@@ -8970,11 +8970,12 @@ ORACLES.update(R13_QUEUED_ORACLES)
 
 
 # ---------------------------------------------------------------------------
-# r14-queue oracles: implemented + parity-proven in round 11
-# (tests/test_r14_queue.py), registration deferred per the staging
-# protocol (r12 window = r12 cohort + staleness backlog; r13 window =
-# r13 cohort + backlog). Round 14: decorate the _r14q_* functions in
-# queries.py with @query(...) and ORACLES.update(R14_QUEUED_ORACLES).
+# r14-cohort oracles: implemented + parity-proven in round 11
+# (tests/test_r14_queue.py), registration deferred to round 14 per
+# the staging protocol (r12/r13 windows covered their cohorts + the
+# staleness backlog). Registered in round 14: the _r14q_* functions
+# in queries.py carry @query(...) and ORACLES.update(
+# R14_QUEUED_ORACLES) below the block makes each oracle official.
 R14_QUEUED_ORACLES: dict[str, str] = {}
 
 # X180 (operators/behavior.py: session_path_trigrams): session-bounded
@@ -9385,6 +9386,8 @@ R14_QUEUED_ORACLES["source_overlap_hll"] = f"""
     JOIN sfinal eb ON u.gb = eb.source
     ORDER BY source_a, source_b
 """
+
+ORACLES.update(R14_QUEUED_ORACLES)
 
 
 # ---------------------------------------------------------------------------

@@ -6065,12 +6065,18 @@ def _r13q_neardup_paradigm_agreement(
 
 
 # ------------------------------------------------------------------
-# r14-queue: implemented + DuckDB-parity-proven in round 11
-# (tests/test_r14_queue.py), registration DEFERRED per the staging
-# protocol (r12 window = r12 cohort + backlog; r13 window = r13
-# cohort + backlog). Round 14: decorate with @query(...) and merge
-# R14_QUEUED_ORACLES into ORACLES (oracles.py). Registered count
+# r14-cohort: implemented + DuckDB-parity-proven in round 11
+# (tests/test_r14_queue.py), registration deferred to round 14 per
+# the staging protocol (r12/r13 windows covered their cohorts + the
+# staleness backlog). Registered here (r14, VERDICT r13 task 1);
+# oracles merged from oracles.R14_QUEUED_ORACLES. The rotation
+# reorder puts these 8 no-row names first in the r14 window,
+# followed by the stalest backlog (incl. the six r7-stale names at
+# MAX_STALE: embedding_pq_codes, mixture_token_sample,
+# training_order_shuffle, dedup_lsh_recall,
+# embedding_random_projection, curation_manifest). Registered count
 # after: 310/350.
+@query("session_path_trigrams")
 def _r14q_session_path_trigrams(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6083,6 +6089,7 @@ def _r14q_session_path_trigrams(
     return session_path_trigrams(e, "user_id", "event_type", "ts", "event_id")
 
 
+@query("cohort_ltv_curves")
 def _r14q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X181 cohort LTV curves (operators/behavior.py:
     cohort_ltv_curves) — cumulative cohort revenue, the monetary half
@@ -6093,6 +6100,7 @@ def _r14q_cohort_ltv_curves(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_ltv_curves(e, "user_id", "ts", "event_type", "value")
 
 
+@query("encoding_artifact_rewrite")
 def _r14q_encoding_artifact_rewrite(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6104,6 +6112,7 @@ def _r14q_encoding_artifact_rewrite(
     return encoding_artifact_rewrite(d, "doc_id", "text")
 
 
+@query("mixture_design_effect")
 def _r14q_mixture_design_effect(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6116,6 +6125,7 @@ def _r14q_mixture_design_effect(
     return mixture_design_effect(d, "source")
 
 
+@query("srp_cosine_calibration")
 def _r14q_srp_cosine_calibration(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6128,6 +6138,7 @@ def _r14q_srp_cosine_calibration(
     return srp_cosine_calibration(e, "vec_id", "embedding")
 
 
+@query("pq_distortion_by_label")
 def _r14q_pq_distortion_by_label(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6140,6 +6151,7 @@ def _r14q_pq_distortion_by_label(
     return pq_distortion_by_label(e, "vec_id", "embedding", "label")
 
 
+@query("mutual_knn_clusters")
 def _r14q_mutual_knn_clusters(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6152,6 +6164,7 @@ def _r14q_mutual_knn_clusters(
     return mutual_knn_clusters(e, "vec_id", "embedding", "label", k=5)
 
 
+@query("source_overlap_hll")
 def _r14q_source_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X184 HLL register-merge overlap matrix (operators/textstats.py:
     source_overlap_hll) — union/intersection estimates from max-merged
