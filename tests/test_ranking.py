@@ -210,3 +210,108 @@ def test_string_order_column_takes_fallback_not_crash(spark):
     rows = out.orderBy("r").collect()
     assert [x.r for x in rows] == list(range(1, 201))
     assert [x.s for x in rows] == sorted(x.s for x in rows)
+
+
+def test_global_cumsum_matches_global_window(spark):
+    """with_global_cumsum (two-phase, r14) == the single-task
+    Window.orderBy running sum, on a weighted value lattice."""
+    from poet_cloud_cost_etl_spark.operators.ranking import with_global_cumsum
+
+    o = table(spark, SF_MEDIUM, "orders")
+    lattice = o.groupBy(F.col("o_totalprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    got = {
+        (r.v, r.cum, r.n)
+        for r in with_global_cumsum(
+            lattice, ["v"], "c", cum_col="cum", total_col="n"
+        ).collect()
+    }
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.v, r.cum, r.n)
+        for r in lattice.withColumn("cum", F.sum("c").over(w))
+        .withColumn("n", F.sum("c").over(Window.partitionBy()))
+        .collect()
+    }
+    assert got == want
+
+
+def test_lattice_band_two_phase_parity(spark):
+    """VERDICT r13 task 2: _lattice_quartile_band re-planned onto
+    with_global_cumsum must be BIT-IDENTICAL to the old
+    unpartitioned-window form — checked on a real per-user panel for
+    both a heavily-collided metric (frequency) and a near-user-
+    cardinality one (exact monetary cents, the lattice that made the
+    old form a single-task sort at 1e9 users)."""
+    from poet_cloud_cost_etl_spark.operators.behavior import (
+        _lattice_quartile_band,
+    )
+
+    e = table(spark, SF_MEDIUM, "events")
+    users = e.groupBy(F.col("user_id").alias("u")).agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("monetary_cents"),
+    )
+    for metric in ("frequency", "monetary_cents"):
+        got = {
+            (r["u"], r["band"])
+            for r in _lattice_quartile_band(users, metric, "band")
+            .select("u", "band")
+            .collect()
+        }
+        # the pre-r14 implementation, inline (behavior.py@r13):
+        lattice = users.groupBy(metric).agg(F.count(F.lit(1)).alias("__c"))
+        cum_w = Window.orderBy(metric).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = lattice.withColumn("__cum", F.sum("__c").over(cum_w)).withColumn(
+            "__n", F.sum("__c").over(Window.partitionBy())
+        )
+        thresholds = cum.agg(
+            *[
+                F.min(
+                    F.when(
+                        F.expr(f"__cum >= (({q} * __n + 3) div 4)"),
+                        F.col(metric),
+                    )
+                ).alias(f"__t{q}")
+                for q in (1, 2, 3)
+            ]
+        )
+        want = {
+            (r["u"], r["band"])
+            for r in users.crossJoin(F.broadcast(thresholds))
+            .withColumn(
+                "band",
+                F.lit(1)
+                + (F.col(metric) > F.col("__t1")).cast("int")
+                + (F.col(metric) > F.col("__t2")).cast("int")
+                + (F.col(metric) > F.col("__t3")).cast("int"),
+            )
+            .select("u", "band")
+            .collect()
+        }
+        assert got == want, metric
+
+
+def test_rfm_plan_has_no_unpartitioned_data_window(spark):
+    """After the r14 re-plan, every order-carrying Window in the
+    events_rfm_segments physical plan is either bucket-partitioned
+    (the two-phase local cumsum) or runs over the bounded
+    <= n_buckets-row bucket-offset table — no data-cardinality rows
+    ever funnel through a single window task."""
+    df = QUERIES["events_rfm_segments"](spark, SF_MEDIUM)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-*( ")
+        if s.startswith("Window ") or s.startswith("WindowExec"):
+            if " ASC" in s or " DESC" in s:
+                ok = "__bucket" in s.split("], [")[-2] if s.count("], [") >= 2 else False
+                # unpartitioned order-carrying windows are allowed
+                # only over the bounded bucket-count/offset table
+                assert ok or "__bsum" in s or "__off" in s, (
+                    f"global data window survived the re-plan: {s}"
+                )
