@@ -265,6 +265,15 @@ HEADLINE = [
     "vocab_chao1_richness",
     "knn_hubness_audit",
     "neardup_paradigm_agreement",
+    # round-14 cohort (X180-X187), benched from birth.
+    "session_path_trigrams",
+    "cohort_ltv_curves",
+    "encoding_artifact_rewrite",
+    "mixture_design_effect",
+    "srp_cosine_calibration",
+    "pq_distortion_by_label",
+    "mutual_knn_clusters",
+    "source_overlap_hll",
 ]
 
 # The first 18 names above are the round-1 headline set — the stable
@@ -356,6 +365,17 @@ SLOWEST_N = 10
 # host mode, while host drift alone cannot.
 CAL_SCALE_CAP = 3.0
 
+# r14 (ADVICE r13 item 1): host fixed-cost drift is ADDITIVE (a few
+# tenths of a second per Spark job), so the multiplicative scaling is
+# only the right model where the fixed cost DOMINATES the pin.  Pins
+# up to CAL_DOMINATED_X * pin_cal_best (~1.3s with the shipped pins)
+# get the full scaled threshold (unchanged r13 behavior — exactly the
+# stall-burst band the four same-day idle runs flagged); larger pins
+# get the scaling only on that dominated slice as an ADDITIVE
+# allowance, so a slow host day grants a 10s-pin query ~2.8x, not 6x
+# — a genuine 3x regression in real work now flags on any host mode.
+CAL_DOMINATED_X = 10.0
+
 
 def check_regressions(
     timings: dict[str, float],
@@ -388,18 +408,35 @@ def check_regressions(
     (a fast host never shrinks the gate) and capped at
     ``CAL_SCALE_CAP`` (a slow host cannot hide an unbounded
     regression).  A plan regression is calibration-neutral, so it
-    still flags; host drift alone no longer does."""
+    still flags; host drift alone no longer does.
+
+    Dominance-bounded scaling (round 14, ADVICE r13 item 1): the
+    fixed cost is additive per job, so uniform multiplicative scaling
+    over-grants multi-second pins (a 3x-slower host day would let a
+    10s-pin query run 60s undetected).  The scaled threshold applies
+    in full only to the fixed-cost-dominated slice of each pin
+    (min(pin, CAL_DOMINATED_X * pin_cal_best)); beyond it the slack
+    is additive: gate = thr*pin + (cal_scale-1)*thr*dominated_slice.
+    Identical to r13 behavior for every pin inside the dominated band
+    (which is where every observed host-drift flag lived); sharply
+    tighter above it."""
     if not pin or pin.get("sf") != sf_val:
         return {}
     thr = float(pin.get("threshold_x", 2.0))
     pin_cal = (pin.get("calibration_sec") or {}).get("best")
+    cal_scale = 1.0
     if cal_best and pin_cal:
-        thr *= min(max(cal_best / float(pin_cal), 1.0), CAL_SCALE_CAP)
+        cal_scale = min(max(cal_best / float(pin_cal), 1.0), CAL_SCALE_CAP)
     out: dict[str, dict[str, float]] = {}
     for name, med in timings.items():
         base = pin.get("medians", {}).get(name)
         probe = (best or {}).get(name, med)
-        if base and probe > thr * base:
+        if base and cal_scale > 1.0:
+            dominated = min(base, CAL_DOMINATED_X * float(pin_cal))
+            gate = thr * base + (cal_scale - 1.0) * thr * dominated
+        else:
+            gate = thr * (base or 0.0)
+        if base and probe > gate:
             out[name] = {
                 "best": probe,
                 "median": med,

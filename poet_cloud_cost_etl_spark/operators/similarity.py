@@ -1319,6 +1319,12 @@ def ivf_tree_assign(
 # the BLAS call dominates the Python loop.
 _GEMM_ROW_BLOCK = 4096
 
+# r14 (ADVICE r13): ceiling on the |Q|·G probe-replication shuffle of
+# _gemm_topk when the caller supplies the probe size — the derived
+# group count stops growing with cluster width once |Q|·G would pass
+# this many replicated probe rows (floor 32 groups).
+_GEMM_REPL_CAP = 1_000_000
+
 
 def _gemm_assign(
     df: DataFrame,
@@ -1327,6 +1333,7 @@ def _gemm_assign(
     vec_col: str,
     nprobe: int = 1,
     n_groups: int | None = None,
+    row_block: int | None = None,
 ) -> DataFrame:
     """BLAS assignment kernel (round 12) — the vectorized twin of
     ``ivf_assign``'s broadcast expr scoring, for the adaptive-k
@@ -1350,13 +1357,19 @@ def _gemm_assign(
     fixture has no zero vectors; the expr path's NULL-sim ordering
     is likewise undefined-but-deterministic there).
 
-    Scale (r13 chunking, ADVICE r12): the kernel matmuls X in fixed
-    ``_GEMM_ROW_BLOCK``-row chunks, keeping only each chunk's top
-    ``nprobe`` — so per-task memory is the k×d centroid block plus
-    one BLOCK×k sims chunk (linear in k, NOT the former m×k block,
-    which with k ∝ N grew ~N²/(64·G) doubles).  The group's m×d rows
-    arrive as one Arrow batch regardless (applyInPandas contract),
-    so the m-side footprint is the input itself.  FLOPs are N·k·d —
+    Scale (r13 chunking, ADVICE r12; bound restated r14, ADVICE r13):
+    the kernel matmuls X in fixed ``_GEMM_ROW_BLOCK``-row chunks,
+    keeping only each chunk's top ``nprobe``.  Per-task memory is
+    INPUT-DOMINATED, three terms precisely: (1) the group's m×d rows
+    arrive as ONE Arrow batch (the applyInPandas contract — chunking
+    cannot shrink this term, only G can); (2) the k×d centroid block
+    plus one live BLOCK×k sims chunk (the r13 fix: linear in k, NOT
+    the former m×k block, which with k ∝ N grew ~N²/(64·G) doubles);
+    (3) the output frame is m×nprobe rows WITH each input vector
+    repeated nprobe times — for nprobe>1 the output term is nprobe×
+    the input's vector payload.  Only term (2) is what the chunking
+    bounds; terms (1) and (3) scale with m = N/G and are the reason
+    G derives from cluster parallelism.  FLOPs are N·k·d —
     with k ∝ N this flat form holds to ~10⁵–10⁶ centroids on a
     cluster's FLOP budget, past which the per-level-gemm centroid
     tree (the FAISS coarse-quantizer shape) is the documented path.
@@ -1381,6 +1394,10 @@ def _gemm_assign(
 
     if n_groups is None:
         n_groups = max(32, df.sparkSession.sparkContext.defaultParallelism)
+    # row_block: test hook (r14, ADVICE r13) — the kernels' chunk size
+    # as an argument, so exactness-under-chunking tests never mutate
+    # the module global (leak-prone under parallel/hypothesis runs).
+    blk = int(row_block) if row_block else _GEMM_ROW_BLOCK
 
     out_schema = T.StructType(
         [
@@ -1419,8 +1436,8 @@ def _gemm_assign(
         # only the chunk's top-nprobe indices are retained (ADVICE
         # r12 — the former whole-group m×k block was ~N²/(64·G)
         # doubles under the adaptive k ∝ N default).
-        for lo in range(0, m, _GEMM_ROW_BLOCK):
-            X = np.array(list(xvecs[lo : lo + _GEMM_ROW_BLOCK]),
+        for lo in range(0, m, blk):
+            X = np.array(list(xvecs[lo : lo + blk]),
                          dtype=np.float64)
             nx = np.linalg.norm(X, axis=1)
             with np.errstate(divide="ignore", invalid="ignore"):
@@ -1469,6 +1486,19 @@ def _gemm_assign(
     )
 
 
+def _derive_topk_groups(parallelism: int, probe_rows: int | None) -> int:
+    """_gemm_topk's default group count: cluster parallelism
+    (floor 32), capped so the |Q|·G probe-replication shuffle never
+    exceeds ``_GEMM_REPL_CAP`` replicated probe rows when the caller
+    knows |Q| (r14, ADVICE r13 — without the cap, a moderately large
+    probe set on a wide cluster silently multiplies shuffle volume
+    and the plan shape becomes environment-dependent)."""
+    g = max(32, int(parallelism))
+    if probe_rows:
+        g = max(32, min(g, _GEMM_REPL_CAP // max(1, int(probe_rows))))
+    return g
+
+
 def _gemm_topk(
     probe: DataFrame,
     corpus: DataFrame,
@@ -1476,6 +1506,8 @@ def _gemm_topk(
     vec_col: str,
     k: int,
     n_groups: int | None = None,
+    probe_rows: int | None = None,
+    row_block: int | None = None,
 ) -> DataFrame:
     """BLAS exact top-k — ``brute_force_topk``'s vectorized twin
     (round 12; the X168 ground-truth pass at sf1.0 was ~1.3M
@@ -1516,16 +1548,24 @@ def _gemm_topk(
     contract, where replication is |Q|·G of a bounded Q and G is
     pure corpus parallelism.  The self-kNN call site pins G=32
     explicitly (corpus-sized Q: replication must not grow with
-    cluster width)."""
+    cluster width).  ``probe_rows`` (r14, ADVICE r13): callers that
+    KNOW |Q| (the recall-curve site draws exactly ``n_queries``)
+    pass it so the derived G is capped at
+    ``_GEMM_REPL_CAP // probe_rows`` — the replication shuffle stays
+    bounded (≤ ~1M replicated probe rows) however wide the cluster,
+    and the plan shape stops being environment-dependent once the
+    cap binds.  Callers with an unbounded/unknown probe set should
+    pin ``n_groups`` explicitly instead of relying on the default."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
     from pyspark.sql.window import Window
 
     if n_groups is None:
-        n_groups = max(
-            32, corpus.sparkSession.sparkContext.defaultParallelism
+        n_groups = _derive_topk_groups(
+            corpus.sparkSession.sparkContext.defaultParallelism, probe_rows
         )
+    blk = int(row_block) if row_block else _GEMM_ROW_BLOCK
 
     out_schema = T.StructType(
         [
@@ -1563,16 +1603,16 @@ def _gemm_topk(
         # C-chunk) gemm is reduced to the Q-chunk's per-query
         # top-take before the next matmul (ADVICE r12 shape applied
         # to both axes).
-        for qlo in range(0, len(all_qids), _GEMM_ROW_BLOCK):
-            qids = all_qids[qlo : qlo + _GEMM_ROW_BLOCK]
+        for qlo in range(0, len(all_qids), blk):
+            qids = all_qids[qlo : qlo + blk]
             Q = np.array(
-                list(all_qvecs[qlo : qlo + _GEMM_ROW_BLOCK]),
+                list(all_qvecs[qlo : qlo + blk]),
                 dtype=np.float64,
             )
             nq = np.linalg.norm(Q, axis=1)
             val_parts, pos_parts = [], []
-            for lo in range(0, n, _GEMM_ROW_BLOCK):
-                C = np.array(list(cvecs[lo : lo + _GEMM_ROW_BLOCK]),
+            for lo in range(0, n, blk):
+                C = np.array(list(cvecs[lo : lo + blk]),
                              dtype=np.float64)
                 nc = np.linalg.norm(C, axis=1)
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -2519,9 +2559,18 @@ def ivf_nprobe_recall_curve(
         # (same round-6/tie-break comparator as the expr path — see
         # _gemm_topk/_gemm_assign; the interpreted higher-order
         # cosine at this scale was the measured ~30s term).
-        truth = _gemm_topk(queries, emb, id_col, vec_col, k).select(
-            "query_id", "neighbor_id"
-        )
+        # probe_rows: the default query draw is exactly n_queries
+        # rows, so the kernel can bound its |Q|*G replication
+        # shuffle (r14, ADVICE r13); the query_mod opt-in diagnostic
+        # has data-dependent |Q| and keeps the parallelism default.
+        truth = _gemm_topk(
+            queries,
+            emb,
+            id_col,
+            vec_col,
+            k,
+            probe_rows=None if query_mod is not None else int(n_queries),
+        ).select("query_id", "neighbor_id")
         cents = ivf_centroids(
             emb, id_col, vec_col, n_centroids
         ).localCheckpoint(eager=True)

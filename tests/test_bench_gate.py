@@ -117,3 +117,35 @@ def test_gate_unscaled_without_pin_calibration(pin):
         {"q_a": 2.3}, 0.1, pin, best={"q_a": 2.3}, cal_best=0.9
     )
     assert set(out) == {"q_a"}
+
+
+def test_gate_slow_host_does_not_unbound_large_pins(cal_pin):
+    """r14 (ADVICE r13 item 1): fixed-cost drift is additive, so a
+    slow host must NOT multiply a multi-second pin's gate by the full
+    calibration ratio.  pin 10s, pin_cal 0.2, cal_best 0.6 (scale 3):
+    dominated slice = min(10, 10*0.2) = 2s, gate = 2*10 + 2*2*2 = 28s
+    — a genuine 3x regression (30s) flags, where the r13 uniform
+    scaling would have let anything under 60s pass."""
+    cal_pin["medians"]["q_big"] = 10.0
+    flagged = check_regressions(
+        {"q_big": 30.0}, 0.1, cal_pin, best={"q_big": 30.0}, cal_best=0.6
+    )
+    assert set(flagged) == {"q_big"}
+    within = check_regressions(
+        {"q_big": 27.9}, 0.1, cal_pin, best={"q_big": 27.9}, cal_best=0.6
+    )
+    assert within == {}
+
+
+def test_gate_dominated_band_keeps_full_scaling(cal_pin):
+    """Pins inside the dominated band (<= CAL_DOMINATED_X * pin_cal)
+    keep exactly the r13 multiplicative behavior: pin 1.0 with
+    pin_cal 0.2 is fully dominated, so scale 2.5 -> gate 5.0."""
+    ok = check_regressions(
+        {"q_a": 4.9}, 0.1, cal_pin, best={"q_a": 4.9}, cal_best=0.5
+    )
+    assert ok == {}
+    over = check_regressions(
+        {"q_a": 5.1}, 0.1, cal_pin, best={"q_a": 5.1}, cal_best=0.5
+    )
+    assert set(over) == {"q_a"}

@@ -126,17 +126,16 @@ def test_gemm_topk_matches_brute_force(spark):
     assert gm == bf and len(gm) > 0
 
 
-def test_gemm_kernels_chunked_parity(spark, monkeypatch):
+def test_gemm_kernels_chunked_parity(spark):
     """r13 (ADVICE r12): the kernels matmul in fixed
     _GEMM_ROW_BLOCK-row chunks so per-task live memory is BLOCK×k /
     |Q|×BLOCK, not the whole m×k block.  Shrinking the block to 7
-    forces many chunks through the merge path — rows (including
-    ranks) must stay bit-identical to the expr twins."""
+    (via the row_block argument — r14, ADVICE r13: no module-global
+    mutation) forces many chunks through the merge path — rows
+    (including ranks) must stay bit-identical to the expr twins."""
     from pyspark.sql import functions as F
 
     from poet_cloud_cost_etl_spark.operators import similarity as S
-
-    monkeypatch.setattr(S, "_GEMM_ROW_BLOCK", 7)
     e = table(spark, SF_MEDIUM, "embeddings")
     cents = S.ivf_centroids(e, "vec_id", "embedding", 16)
     expr_rows = sorted(
@@ -148,7 +147,7 @@ def test_gemm_kernels_chunked_parity(spark, monkeypatch):
     gemm_rows = sorted(
         (r.vec_id, r.centroid_id, r.probe_rank)
         for r in S._gemm_assign(
-            e, cents, "vec_id", "embedding", 3
+            e, cents, "vec_id", "embedding", 3, row_block=7
         ).collect()
     )
     assert gemm_rows == expr_rows and len(gemm_rows) > 0
@@ -162,7 +161,9 @@ def test_gemm_kernels_chunked_parity(spark, monkeypatch):
     )
     gm = sorted(
         (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
-        for r in S._gemm_topk(q, e, "vec_id", "embedding", 5).collect()
+        for r in S._gemm_topk(
+            q, e, "vec_id", "embedding", 5, row_block=7
+        ).collect()
     )
     assert gm == bf and len(gm) > 0
 
@@ -293,15 +294,34 @@ def test_gemm_topk_chunk_merge_vs_reference(spark, dirs, k):
         for rank, (negc, nid) in enumerate(cands[:k], start=1):
             expect.add((qid, nid, -negc, rank))
 
-    old = S._GEMM_ROW_BLOCK
-    S._GEMM_ROW_BLOCK = 3
-    try:
-        got = {
-            (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
-            for r in S._gemm_topk(
-                df, df, "vec_id", "embedding", k, n_groups=4
-            ).collect()
-        }
-    finally:
-        S._GEMM_ROW_BLOCK = old
+    # row_block=3 as an ARGUMENT (r14, ADVICE r13): the former
+    # try/finally module-global mutation could leak a 3-row block
+    # into unrelated tests under parallel execution.
+    got = {
+        (r.query_id, r.neighbor_id, r.cos_sim, r.rank)
+        for r in S._gemm_topk(
+            df, df, "vec_id", "embedding", k, n_groups=4, row_block=3
+        ).collect()
+    }
     assert got == expect
+
+
+def test_gemm_topk_group_derivation_caps_replication():
+    """r14 (ADVICE r13): the derived group count follows cluster
+    parallelism only while |Q|*G stays under _GEMM_REPL_CAP; a known
+    probe size caps it (floor 32), so the probe-replication shuffle
+    is bounded on any cluster width."""
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        _GEMM_REPL_CAP,
+        _derive_topk_groups,
+    )
+
+    # unknown probe size: pure parallelism (floored)
+    assert _derive_topk_groups(8, None) == 32
+    assert _derive_topk_groups(8000, None) == 8000
+    # known small probe: cap doesn't bind at sane widths
+    assert _derive_topk_groups(256, 64) == 256
+    # wide cluster + moderate probe: cap binds
+    assert _derive_topk_groups(8000, 1000) == _GEMM_REPL_CAP // 1000
+    # corpus-sized probe: floor holds (the self-kNN G=32 shape)
+    assert _derive_topk_groups(8000, 10_000_000) == 32

@@ -528,8 +528,8 @@ def test_transform_with_state_in_pandas(spark, tmp_path):
     test_transform_with_state_plan.
 
     Round-11 re-check (2026-08-15, re-verified 2026-08-16;
-    round-12 re-check 2026-08-16; round-13 re-check 2026-08-16 —
-    still absent):
+    round-12 re-check 2026-08-16; round-13 re-check 2026-08-16;
+    round-14 re-check 2026-08-16 — still absent):
     ``import google.protobuf`` still raises ModuleNotFoundError in
     this container and the build environment forbids installing
     packages (no pip/apt), so the gate stands; the skip is an
