@@ -250,10 +250,24 @@ def _lattice_quartile_band(
     by construction (groupBy key), satisfying the helper's unique-
     total-order requirement; results are bit-identical to the old
     global-window form (parity-pinned in
-    tests/test_ranking.py::test_lattice_band_two_phase_parity)."""
+    tests/test_ranking.py::test_lattice_band_two_phase_parity).
+
+    The lattice is eagerly checkpointed before the cumsum (r14, the
+    X74/X175 shared-scan discipline): with_global_cumsum consumes
+    its input THREE times (the approxQuantile bucket probe, the
+    bucketed window, the offset aggregate), and without the pin each
+    consumer replays the lattice's whole upstream — for rfm_segments
+    that is the events scan + per-user aggregate + the previous
+    bands' joins, measured 9.1s vs 1.5s at sf0.1 in the first r14
+    full run.  The checkpoint is the lattice itself (distinct metric
+    values + counts), never the user panel."""
     from .ranking import with_global_cumsum
 
-    lattice = users.groupBy(metric_col).agg(F.count(F.lit(1)).alias("__c"))
+    lattice = (
+        users.groupBy(metric_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     cum = with_global_cumsum(
         lattice, [metric_col], "__c", cum_col="__cum", total_col="__n"
     )
@@ -277,6 +291,66 @@ def _lattice_quartile_band(
             + (F.col(metric_col) > F.col("__t3")).cast("int")
         ),
     ).drop("__t1", "__t2", "__t3")
+
+
+def _lattice_quartile_bands_multi(
+    users: DataFrame, metric_cols: list[str]
+) -> DataFrame:
+    """All of ``metric_cols`` banded in ONE two-phase pass (r14):
+    the three per-metric value lattices union into a single (metric,
+    value, count) frame — values cast to long, exact for day counts,
+    event counts and cents — and ``ranking.with_grouped_cumsum``
+    computes every metric's cumulative counts in one bucketed window
+    pass (groups = metric names: few and huge, the helper's exact
+    regime).  Thresholds pivot to ONE broadcast row; banding is one
+    narrow select.  Bit-identical to folding
+    ``_lattice_quartile_band`` per metric (parity-pinned in
+    tests/test_ranking.py::test_lattice_multi_band_parity) at a
+    third of the two-phase machinery — the first r14 full run
+    measured the 3x-fold shape at 9.1s/sf0.1 vs the r13 1.5s
+    global-window form; this single-pass shape + the lattice/panel
+    checkpoints close most of that gap while keeping the re-plan's
+    scale property (no unpartitioned data window anywhere)."""
+    from .ranking import with_grouped_cumsum
+
+    lat = None
+    for m in metric_cols:
+        part = users.groupBy(
+            F.lit(m).alias("__metric"),
+            F.col(m).cast("long").alias("__v"),
+        ).agg(F.count(F.lit(1)).alias("__c"))
+        lat = part if lat is None else lat.unionByName(part)
+    lat = lat.localCheckpoint(eager=True)
+    cum = with_grouped_cumsum(
+        lat, ["__metric"], ["__v"], "__c", cum_col="__cum", total_col="__n"
+    )
+    thresholds = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("__metric") == m)
+                    & F.expr(f"__cum >= (({q} * __n + 3) div 4)"),
+                    F.col("__v"),
+                )
+            ).alias(f"__t_{m}_{q}")
+            for m in metric_cols
+            for q in (1, 2, 3)
+        ]
+    )
+    out = users.crossJoin(F.broadcast(thresholds))
+    for m in metric_cols:
+        out = out.withColumn(
+            f"__band_{m}",
+            (
+                F.lit(1)
+                + (F.col(m).cast("long") > F.col(f"__t_{m}_1")).cast("int")
+                + (F.col(m).cast("long") > F.col(f"__t_{m}_2")).cast("int")
+                + (F.col(m).cast("long") > F.col(f"__t_{m}_3")).cast("int")
+            ),
+        )
+    return out.drop(
+        *[f"__t_{m}_{q}" for m in metric_cols for q in (1, 2, 3)]
+    )
 
 
 def rfm_segments(
@@ -323,10 +397,22 @@ def rfm_segments(
         .withColumn(
             "recency_days", F.datediff(F.col("__asof"), F.col("__last"))
         )
+        # eager checkpoint (r14): the three band passes each derive a
+        # value lattice from this panel — without the pin each lattice
+        # aggregate replays the events scan + per-user aggregate (the
+        # X74 shared-scan lesson; same discipline as the X177 edge
+        # checkpoint).  One user-cardinality frame, stored distributed.
+        .localCheckpoint(eager=True)
     )
-    banded = _lattice_quartile_band(per_user, "recency_days", "__r")
-    banded = _lattice_quartile_band(banded, "frequency", "__f")
-    banded = _lattice_quartile_band(banded, "monetary_cents", "__m")
+    banded = _lattice_quartile_bands_multi(
+        per_user, ["recency_days", "frequency", "monetary_cents"]
+    ).withColumnsRenamed(
+        {
+            "__band_recency_days": "__r",
+            "__band_frequency": "__f",
+            "__band_monetary_cents": "__m",
+        }
+    )
     return (
         banded.select(
             F.concat(
@@ -628,4 +714,242 @@ def attribution_model_compare(
             ).alias("revenue_share_ppm"),
         )
         .orderBy("model", "attributed_type")
+    )
+
+
+def funnel_steps_conversion(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    horizon_days: int = 30,
+) -> DataFrame:
+    """X196 (r16 queue): ordered k-step funnel — how many users
+    complete each step of ``steps`` IN ORDER within ``horizon_days``
+    of their first step-1 event.  The sequential generalization of
+    the registered 2-step ``funnel_click_to_purchase`` (min-per-stage
+    over two fixed types): here step i counts only events STRICTLY
+    AFTER the user's first completion of step i-1, so out-of-order
+    histories (purchase before view) never convert, and the horizon
+    anchors at the funnel ENTRY, the product-analytics convention.
+
+    Output panel, one row per step: (step_idx, step, users_reached,
+    conv_from_first_ppm, conv_from_prev_ppm) — ppm via exact integer
+    division; an empty first step yields zero rows reached and NULL
+    conversions (0-denominator guard), never a division error.
+
+    Scale: |steps| user-keyed aggregates, each co-partitioned with
+    the previous stage frame on the user key (one shuffle partitioning
+    reused down the chain; AQE collapses the re-uses), no windows, no
+    self-joins of the raw log."""
+    horizon_us = int(horizon_days) * 86_400 * 1_000_000
+    base = events.select(
+        F.col(user_col).alias("__u"),
+        F.col(type_col).alias("__t"),
+        F.unix_micros(F.col(ts_col)).alias("__us"),
+    )
+    cur = (
+        base.filter(F.col("__t") == steps[0])
+        .groupBy("__u")
+        .agg(F.min("__us").alias("__t0"))
+        .select("__u", "__t0", F.col("__t0").alias("__tprev"))
+    )
+    stage_counts = [
+        cur.agg(F.count(F.lit(1)).cast("long").alias("__reached"))
+        .select(F.lit(0).alias("__idx"), F.lit(steps[0]).alias("__step"), "__reached")
+    ]
+    for i, step in enumerate(steps[1:], start=1):
+        cur = (
+            base.filter(F.col("__t") == step)
+            .join(cur, "__u")
+            .filter(
+                (F.col("__us") > F.col("__tprev"))
+                & (F.col("__us") <= F.col("__t0") + F.lit(horizon_us))
+            )
+            .groupBy("__u", "__t0")
+            .agg(F.min("__us").alias("__tprev"))
+            .select("__u", "__t0", "__tprev")
+        )
+        stage_counts.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("__reached"))
+            .select(
+                F.lit(i).alias("__idx"), F.lit(step).alias("__step"), "__reached"
+            )
+        )
+    panel = stage_counts[0]
+    for sc in stage_counts[1:]:
+        panel = panel.unionByName(sc)
+    first = panel.filter(F.col("__idx") == 0).select(
+        F.col("__reached").alias("__n0")
+    )
+    w_prev = Window.orderBy("__idx")  # |steps|-row panel: bounded
+    return (
+        panel.crossJoin(F.broadcast(first))
+        .withColumn("__nprev", F.lag("__reached").over(w_prev))
+        .select(
+            F.col("__idx").alias("step_idx"),
+            F.col("__step").alias("step"),
+            F.col("__reached").alias("users_reached"),
+            F.expr(
+                "CASE WHEN __n0 = 0 THEN NULL "
+                "ELSE (1000000 * __reached) div __n0 END"
+            ).alias("conv_from_first_ppm"),
+            F.expr(
+                "CASE WHEN __nprev IS NULL OR __nprev = 0 THEN NULL "
+                "ELSE (1000000 * __reached) div __nprev END"
+            ).alias("conv_from_prev_ppm"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def inter_event_gap_quantiles(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000),
+) -> DataFrame:
+    """X197 (r16 queue): EXACT quantiles of the inter-event gap per
+    event type — per (user, type) stream, the microsecond gap between
+    consecutive events ((epoch µs, event_id) order), then for each
+    type the exact q-quantiles over all gaps: t_q = min gap g with
+    cum_gaps(≤ g) · 10⁶ ≥ q_ppm · N_type — the X141/X179 lattice
+    definition (pure integer, no interpolation), the cadence panel
+    that sizes session-gap thresholds and watermark delays from data
+    instead of folklore.
+
+    Scale (the operator exists to showcase this): the cumulative
+    count runs over the (type, gap)-value LATTICE through
+    ``ranking.with_grouped_cumsum`` — range-buckets on the numeric
+    gap globally, windows partitioned by (type, bucket), per-(type,
+    bucket) offset table — so neither users nor a per-type
+    gap-lattice (near-corpus-cardinality for continuous timestamps)
+    ever funnels through one window task.  A plain
+    ``Window.partitionBy(type).orderBy(gap)`` would be exactly the
+    few-huge-groups single-task sort the W-family exists to remove.
+
+    Output: (event_type, q_ppm, gap_us_quantile, n_gaps), ordered."""
+    from .ranking import with_grouped_cumsum
+
+    order = Window.partitionBy("__u", "__t").orderBy("__us", "__id")
+    gaps = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__t"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            F.col(id_col).alias("__id"),
+        )
+        .withColumn("__prev", F.lag("__us").over(order))
+        .filter(F.col("__prev").isNotNull())
+        .select("__t", (F.col("__us") - F.col("__prev")).alias("gap_us"))
+    )
+    lattice = gaps.groupBy("__t", "gap_us").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    cum = with_grouped_cumsum(
+        lattice, ["__t"], ["gap_us"], "__c", cum_col="__cum", total_col="__n"
+    )
+    qgrid = events.sparkSession.createDataFrame(
+        [(int(q),) for q in qs_ppm], "q_ppm long"
+    )
+    return (
+        cum.crossJoin(F.broadcast(qgrid))
+        .groupBy(F.col("__t").alias("event_type"), "q_ppm")
+        .agg(
+            F.min(
+                F.when(
+                    F.expr("__cum * 1000000 >= q_ppm * __n"),
+                    F.col("gap_us"),
+                )
+            ).alias("gap_us_quantile"),
+            F.max("__n").alias("n_gaps"),
+        )
+        .orderBy("event_type", "q_ppm")
+    )
+
+
+def session_type_cooccurrence(
+    events: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    id_col: str,
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """X198 (r16 queue): event-type co-occurrence lift within
+    sessions — for each unordered type pair (a < b), in how many
+    30-min-gap sessions both appear, with support and lift: lift_ppm
+    = 10⁶·N_sessions·n_both div (n_a·n_b) through DECIMAL(38,0) (the
+    X48 PMI-lift discipline moved from token windows to session
+    scopes; lift > 10⁶ means the pair co-occurs above independence).
+    The session-scoped sibling of X180's ordered trigrams: unordered
+    co-presence catches associations order-blind paths miss.
+
+    Scale: sessionization is the X180 flag-and-running-sum user
+    window; the pair stage self-joins the DISTINCT (session, type)
+    table on the session key, so per-session work is bounded by the
+    type-vocabulary (|T|² pairs max per session, |T| tiny), linear in
+    sessions; the panel is ≤ |T|² rows."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    order = Window.partitionBy("__u").orderBy("__us", "__id")
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    base = (
+        events.select(
+            F.col(user_col).alias("__u"),
+            F.col(type_col).alias("__t"),
+            F.unix_micros(F.col(ts_col)).alias("__us"),
+            F.col(id_col).alias("__id"),
+        )
+        .withColumn(
+            "__new",
+            F.when(
+                F.lag("__us").over(order).isNull()
+                | (F.col("__us") - F.lag("__us").over(order) > gap_us),
+                F.lit(1),
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("__sess", F.sum("__new").over(running))
+    )
+    sess_types = base.select(
+        F.concat_ws("#", F.col("__u"), F.col("__sess")).alias("__sid"),
+        "__t",
+    ).distinct()
+    totals = sess_types.agg(
+        F.count_distinct("__sid").cast("long").alias("__N")
+    )
+    type_counts = sess_types.groupBy("__t").agg(
+        F.count(F.lit(1)).cast("long").alias("__nt")
+    )
+    pa = sess_types.select("__sid", F.col("__t").alias("type_a"))
+    pb = sess_types.select("__sid", F.col("__t").alias("type_b"))
+    pairs = (
+        pa.join(pb, "__sid")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    na = type_counts.select(
+        F.col("__t").alias("type_a"), F.col("__nt").alias("__na")
+    )
+    nb = type_counts.select(
+        F.col("__t").alias("type_b"), F.col("__nt").alias("__nb")
+    )
+    return (
+        pairs.join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.expr("(1000000 * n_both) div __N").alias("support_ppm"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * __N * n_both) "
+                "div (CAST(__na AS DECIMAL(38,0)) * __nb) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("type_a", "type_b")
     )

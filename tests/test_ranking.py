@@ -315,3 +315,36 @@ def test_rfm_plan_has_no_unpartitioned_data_window(spark):
                 assert ok or "__bsum" in s or "__off" in s, (
                     f"global data window survived the re-plan: {s}"
                 )
+
+
+def test_lattice_multi_band_parity(spark):
+    """The fused multi-metric band pass (one grouped cumsum over the
+    unioned lattices) is bit-identical to folding the single-metric
+    band per column."""
+    from poet_cloud_cost_etl_spark.operators.behavior import (
+        _lattice_quartile_band,
+        _lattice_quartile_bands_multi,
+    )
+
+    e = table(spark, SF_MEDIUM, "events")
+    users = e.groupBy(F.col("user_id").alias("u")).agg(
+        F.count(F.lit(1)).alias("frequency"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)"
+        ).alias("monetary_cents"),
+    )
+    multi = {
+        (r["u"], r["__band_frequency"], r["__band_monetary_cents"])
+        for r in _lattice_quartile_bands_multi(
+            users, ["frequency", "monetary_cents"]
+        )
+        .select("u", "__band_frequency", "__band_monetary_cents")
+        .collect()
+    }
+    folded_df = _lattice_quartile_band(users, "frequency", "bf")
+    folded_df = _lattice_quartile_band(folded_df, "monetary_cents", "bm")
+    folded = {
+        (r["u"], r["bf"], r["bm"])
+        for r in folded_df.select("u", "bf", "bm").collect()
+    }
+    assert multi == folded
