@@ -237,3 +237,65 @@ def percent_rank_from_rank(rank: Column, n: Column) -> Column:
 def cume_dist_from_rank(rank: Column, n: Column) -> Column:
     """cume_dist for a unique ordering: rank/n."""
     return rank.cast("double") / n.cast("double")
+
+
+def with_grouped_cumsum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    weight_col: str,
+    cum_col: str = "grouped_cumsum",
+    total_col: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Exact inclusive running sum of ``weight_col`` over
+    ``order_cols`` WITHIN each ``group_cols`` group — the grouped
+    sibling of ``with_global_cumsum``, for the few-huge-groups regime
+    where ``Window.partitionBy(group)`` funnels an entire group
+    through one task (e.g. a per-event-type gap-value lattice: 5
+    groups, each potentially near-corpus-cardinality).
+
+    Same two-phase shape: range-bucket on the leading (numeric) ORDER
+    column globally — group values share bucket boundaries, which is
+    fine because the running sum is per-(group, bucket) — the local
+    window partitions by (group, bucket), and the offsets table is
+    the per-(group, bucket) totals' exclusive prefix WITHIN group
+    (≤ |G|·n_buckets rows, broadcast).  ``total_col`` attaches the
+    per-GROUP weight total (falls out of the same bucket totals).
+    ``order_cols`` must be unique within each group; exact integer/
+    decimal sums, approxQuantile only balances buckets."""
+    bucket = _range_bucket_expr(df, order_cols, n_buckets)
+    bucketed = df.withColumn("__bucket", bucket)
+
+    w_local = (
+        Window.partitionBy(*group_cols, "__bucket")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_cnt = Window.partitionBy(*group_cols, "__bucket")
+    local = bucketed.withColumn(
+        "__lcum", F.sum(weight_col).over(w_local)
+    ).withColumn("__bsum", F.sum(weight_col).over(w_cnt))
+
+    counts = local.select(*group_cols, "__bucket", "__bsum").distinct()
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        *group_cols,
+        "__bucket",
+        F.coalesce(F.sum("__bsum").over(w_off), F.lit(0)).alias("__off"),
+    )
+    if total_col is not None:
+        totals = counts.groupBy(*group_cols).agg(
+            F.sum("__bsum").alias(total_col)
+        )
+        offsets = offsets.join(totals, list(group_cols))
+
+    return (
+        local.join(F.broadcast(offsets), [*group_cols, "__bucket"])
+        .withColumn(cum_col, F.col("__off") + F.col("__lcum"))
+        .drop("__bucket", "__lcum", "__bsum", "__off")
+    )

@@ -9847,3 +9847,296 @@ R15_QUEUED_ORACLES["join_salted_skew"] = r"""
     FROM events GROUP BY 1 ORDER BY 1
 """
 
+
+
+# ---------------------------------------------------------------------------
+# r16-queue oracles: implemented + parity-proven in round 14
+# (tests/test_r16_queue.py), registration deferred per the staging
+# protocol (rN window = rN cohort + staleness backlog). Round 16:
+# decorate the _r16q_* functions in queries.py with @query(...) and
+# ORACLES.update(R16_QUEUED_ORACLES).
+R16_QUEUED_ORACLES: dict[str, str] = {}
+
+# X196 (operators/behavior.py: funnel_steps_conversion): ordered
+# view>click>purchase funnel, step i strictly after first step i-1,
+# 30-day horizon anchored at funnel entry.
+R16_QUEUED_ORACLES["funnel_steps_conversion"] = """
+    WITH base AS (
+        SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us
+        FROM events
+    ),
+    s0 AS (SELECT u, MIN(us) AS t0 FROM base WHERE t = 'view' GROUP BY u),
+    s1 AS (
+        SELECT b.u, s0.t0, MIN(b.us) AS tprev
+        FROM base b JOIN s0 ON b.u = s0.u
+        WHERE b.t = 'click' AND b.us > s0.t0
+          AND b.us <= s0.t0 + 2592000000000
+        GROUP BY b.u, s0.t0
+    ),
+    s2 AS (
+        SELECT b.u, s1.t0, MIN(b.us) AS tprev
+        FROM base b JOIN s1 ON b.u = s1.u
+        WHERE b.t = 'purchase' AND b.us > s1.tprev
+          AND b.us <= s1.t0 + 2592000000000
+        GROUP BY b.u, s1.t0
+    ),
+    counts AS (
+        SELECT 0 AS step_idx, 'view' AS step,
+               (SELECT COUNT(*) FROM s0) AS n
+        UNION ALL
+        SELECT 1, 'click', (SELECT COUNT(*) FROM s1)
+        UNION ALL
+        SELECT 2, 'purchase', (SELECT COUNT(*) FROM s2)
+    )
+    SELECT CAST(step_idx AS INTEGER) AS step_idx, step,
+        CAST(n AS BIGINT) AS users_reached,
+        CASE WHEN (SELECT n FROM counts WHERE step_idx = 0) = 0 THEN NULL
+             ELSE CAST((1000000 * n) //
+                  (SELECT n FROM counts WHERE step_idx = 0) AS BIGINT)
+        END AS conv_from_first_ppm,
+        CASE WHEN LAG(n) OVER (ORDER BY step_idx) IS NULL
+               OR LAG(n) OVER (ORDER BY step_idx) = 0 THEN NULL
+             ELSE CAST((1000000 * n) //
+                  LAG(n) OVER (ORDER BY step_idx) AS BIGINT)
+        END AS conv_from_prev_ppm
+    FROM counts ORDER BY step_idx
+"""
+
+# X197 (operators/behavior.py: inter_event_gap_quantiles): exact
+# per-type gap quantiles over the (type, gap) lattice, t_q = min gap
+# with cum*1e6 >= q_ppm*N.
+R16_QUEUED_ORACLES["inter_event_gap_quantiles"] = """
+    WITH base AS (
+        SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us,
+               event_id AS id
+        FROM events
+    ),
+    g AS (
+        SELECT t,
+            us - LAG(us) OVER (PARTITION BY u, t ORDER BY us, id) AS gap
+        FROM base
+    ),
+    lat AS (
+        SELECT t, gap, COUNT(*) AS c FROM g WHERE gap IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT t, gap,
+            SUM(c) OVER (PARTITION BY t ORDER BY gap) AS cum,
+            SUM(c) OVER (PARTITION BY t) AS n
+        FROM lat
+    ),
+    qs AS (SELECT * FROM (VALUES (500000), (900000), (990000)) v(q_ppm))
+    SELECT t AS event_type, CAST(q_ppm AS BIGINT) AS q_ppm,
+        CAST(MIN(CASE WHEN cum * 1000000 >= q_ppm * n THEN gap END)
+             AS BIGINT) AS gap_us_quantile,
+        CAST(MAX(n) AS BIGINT) AS n_gaps
+    FROM cum CROSS JOIN qs
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# X198 (operators/behavior.py: session_type_cooccurrence): unordered
+# type-pair lift within 30-min-gap sessions; lift through HUGEINT.
+R16_QUEUED_ORACLES["session_type_cooccurrence"] = """
+    WITH base AS (
+        SELECT user_id AS u, event_type AS t, epoch_us(ts) AS us,
+               event_id AS id
+        FROM events
+    ),
+    flg AS (
+        SELECT u, t, us, id,
+            CASE WHEN LAG(us) OVER (PARTITION BY u ORDER BY us, id)
+                      IS NULL
+                   OR us - LAG(us) OVER (PARTITION BY u ORDER BY us, id)
+                      > 1800000000
+                 THEN 1 ELSE 0 END AS nw
+        FROM base
+    ),
+    sess AS (
+        SELECT u, t,
+            SUM(nw) OVER (PARTITION BY u ORDER BY us, id
+                          ROWS UNBOUNDED PRECEDING) AS s
+        FROM flg
+    ),
+    st AS (
+        SELECT DISTINCT
+            CAST(u AS VARCHAR) || '#' || CAST(s AS VARCHAR) AS sid, t
+        FROM sess
+    ),
+    tot AS (SELECT COUNT(DISTINCT sid) AS N FROM st),
+    tc AS (SELECT t, COUNT(*) AS nt FROM st GROUP BY 1),
+    p AS (
+        SELECT a.t AS type_a, b.t AS type_b, COUNT(*) AS n_both
+        FROM st a JOIN st b ON a.sid = b.sid AND a.t < b.t
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, CAST(n_both AS BIGINT) AS n_both,
+        CAST((1000000 * n_both) // N AS BIGINT) AS support_ppm,
+        CAST((CAST(1000000 AS HUGEINT) * N * n_both) //
+             (CAST(na.nt AS HUGEINT) * nb.nt) AS BIGINT) AS lift_ppm
+    FROM p, tot
+    JOIN tc na ON na.t = p.type_a
+    JOIN tc nb ON nb.t = p.type_b
+    ORDER BY 1, 2
+"""
+
+# X199 (operators/market.py: market_basket_pairs): top-25 co-ordered
+# part pairs; support/confidence/lift, lift through HUGEINT.
+R16_QUEUED_ORACLES["market_basket_pairs"] = """
+    WITH items AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+    ),
+    tot AS (SELECT COUNT(DISTINCT o) AS N FROM items),
+    ic AS (SELECT i, COUNT(*) AS ni FROM items GROUP BY 1),
+    pairs AS (
+        SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS n_both
+        FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+        GROUP BY 1, 2
+        ORDER BY n_both DESC, item_a, item_b
+        LIMIT 25
+    )
+    SELECT item_a, item_b, CAST(n_both AS BIGINT) AS n_both,
+        CAST((1000000 * n_both) // N AS BIGINT) AS support_ppm,
+        CAST((1000000 * n_both) // na.ni AS BIGINT) AS conf_a_to_b_ppm,
+        CAST((1000000 * n_both) // nb.ni AS BIGINT) AS conf_b_to_a_ppm,
+        CAST((CAST(1000000 AS HUGEINT) * N * n_both) //
+             (CAST(na.ni AS HUGEINT) * nb.ni) AS BIGINT) AS lift_ppm
+    FROM pairs, tot
+    JOIN ic na ON na.i = pairs.item_a
+    JOIN ic nb ON nb.i = pairs.item_b
+    ORDER BY n_both DESC, item_a, item_b
+"""
+
+# X200 (operators/market.py: discount_qty_elasticity): per-brand OLS
+# slope of quantity on e2 discount, HUGEINT sums, one integer div.
+R16_QUEUED_ORACLES["discount_qty_elasticity"] = """
+    WITH j AS (
+        SELECT p.p_brand AS grp,
+            CAST(ROUND(l.l_discount * 100) AS HUGEINT) AS x,
+            CAST(ROUND(l.l_quantity) AS HUGEINT) AS y
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    agg AS (
+        SELECT grp, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+            SUM(x * y) AS sxy, SUM(x * x) AS sxx
+        FROM j GROUP BY 1
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n_lines,
+        CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             ELSE CAST((CAST(1000000 AS HUGEINT) * (n * sxy - sx * sy))
+                  // (n * sxx - sx * sx) AS BIGINT)
+        END AS slope_e6
+    FROM agg ORDER BY grp
+"""
+
+# X201 (operators/similarity.py: knn_1nn_label_error): exact 1-NN by
+# the (round-6 cosine DESC, id ASC) comparator; per-label error
+# census + most-confused label (count desc, label asc tie).
+R16_QUEUED_ORACLES["knn_1nn_label_error"] = """
+    WITH scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+            ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                         CAST(q.embedding AS DOUBLE[])), 6)
+                AS cos_sim
+        FROM embeddings e, embeddings q
+        WHERE e.vec_id <> q.vec_id
+    ),
+    edges AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                ROW_NUMBER() OVER (
+                    PARTITION BY query_id
+                    ORDER BY cos_sim DESC, neighbor_id ASC
+                ) AS rank
+            FROM scored
+        ) WHERE rank <= 1
+    ),
+    labeled AS (
+        SELECT o.label AS label, nb.label AS nbl
+        FROM edges e
+        JOIN embeddings o ON e.query_id = o.vec_id
+        JOIN embeddings nb ON e.neighbor_id = nb.vec_id
+    ),
+    per_label AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+            CAST(SUM(CASE WHEN nbl <> label THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_errors
+        FROM labeled GROUP BY 1
+    ),
+    conf AS (
+        SELECT label, nbl, COUNT(*) AS nc FROM labeled
+        WHERE nbl <> label GROUP BY 1, 2
+    ),
+    top_conf AS (
+        SELECT label, nbl, nc FROM (
+            SELECT label, nbl, nc,
+                ROW_NUMBER() OVER (
+                    PARTITION BY label ORDER BY nc DESC, nbl ASC
+                ) AS rn
+            FROM conf
+        ) WHERE rn = 1
+    )
+    SELECT p.label, p.n_vectors, p.n_errors,
+        CAST((1000000 * p.n_errors) // p.n_vectors AS BIGINT)
+            AS error_ppm,
+        CAST(t.nbl AS BIGINT) AS confused_with,
+        CAST(t.nc AS BIGINT) AS n_confused
+    FROM per_label p LEFT JOIN top_conf t ON p.label = t.label
+    ORDER BY p.label
+"""
+
+# X202 (operators/sampling.py: weighted_systematic_sample): k=37 PPS
+# systematic picks along the md5-permuted cumulative n_chars axis.
+R16_QUEUED_ORACLES["weighted_systematic_sample"] = """
+    WITH base AS (
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+            CAST(('0x' || substr(md5('wss#' || CAST(doc_id AS VARCHAR)),
+                                 1, 15)) AS BIGINT) AS hk
+        FROM documents WHERE n_chars > 0
+    ),
+    cum AS (
+        SELECT doc_id, w, SUM(w) OVER (ORDER BY hk, doc_id) AS cum
+        FROM base
+    ),
+    tot AS (SELECT SUM(w) AS W FROM base),
+    picks AS (
+        SELECT r.i AS pick_idx, ((2 * r.i + 1) * W) // (2 * 37) AS T
+        FROM range(37) r(i), tot
+    ),
+    hits AS (
+        SELECT doc_id, w, pick_idx
+        FROM cum, picks WHERE T >= cum - w AND T < cum
+    )
+    SELECT CAST(MIN(pick_idx) AS BIGINT) AS pick_idx, doc_id,
+        CAST(w AS BIGINT) AS weight,
+        CAST(COUNT(*) AS BIGINT) AS multiplicity
+    FROM hits GROUP BY doc_id, w ORDER BY pick_idx
+"""
+
+# X203 (operators/market.py: part_revenue_abc): A/B/C by inclusive
+# cumulative e4-revenue share at 80/95%, (revenue desc, partkey)
+# order; revenue and running sums in HUGEINT.
+R16_QUEUED_ORACLES["part_revenue_abc"] = """
+    WITH rev AS (
+        SELECT l_partkey AS pk,
+            SUM(CAST(ROUND(l_extendedprice * 100) AS HUGEINT) *
+                (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS r
+        FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT SUM(r) AS W FROM rev),
+    cum AS (
+        SELECT pk, r, SUM(r) OVER (ORDER BY r DESC, pk) AS cum FROM rev
+    ),
+    classed AS (
+        SELECT CASE WHEN cum * 1000000 <= 800000 * W THEN 'A'
+                    WHEN cum * 1000000 <= 950000 * W THEN 'B'
+                    ELSE 'C' END AS abc_class,
+            r, W
+        FROM cum, tot
+    )
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        CAST(SUM(r) AS BIGINT) AS revenue_e4,
+        CAST((CAST(1000000 AS HUGEINT) * SUM(r)) // MAX(W) AS BIGINT)
+            AS share_ppm
+    FROM classed GROUP BY 1 ORDER BY 1
+"""

@@ -6289,6 +6289,117 @@ def _r15q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------
+# r16-queue: implemented + DuckDB-parity-proven in round 14
+# (tests/test_r16_queue.py), registration DEFERRED per the staging
+# protocol (rN window = rN cohort + staleness backlog). Round 16:
+# decorate with @query(...) and merge R16_QUEUED_ORACLES into
+# ORACLES (oracles.py). Registered count after: 326/350.
+def _r16q_funnel_steps_conversion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X196 ordered k-step funnel (operators/behavior.py:
+    funnel_steps_conversion) — sequential view>click>purchase
+    conversion within a 30-day horizon; the k-step generalization of
+    the registered 2-step funnel_click_to_purchase."""
+    from .operators.behavior import funnel_steps_conversion
+
+    e = table(spark, sf_dir, "events")
+    return funnel_steps_conversion(e, "user_id", "event_type", "ts")
+
+
+def _r16q_inter_event_gap_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X197 exact per-type inter-event gap quantiles
+    (operators/behavior.py: inter_event_gap_quantiles) — the cadence
+    panel through the grouped two-phase cumsum (no per-type
+    single-task lattice sort)."""
+    from .operators.behavior import inter_event_gap_quantiles
+
+    e = table(spark, sf_dir, "events")
+    return inter_event_gap_quantiles(
+        e, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def _r16q_session_type_cooccurrence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X198 session-scoped type co-occurrence lift
+    (operators/behavior.py: session_type_cooccurrence) — X48's lift
+    discipline over 30-min sessions instead of token windows."""
+    from .operators.behavior import session_type_cooccurrence
+
+    e = table(spark, sf_dir, "events")
+    return session_type_cooccurrence(
+        e, "user_id", "event_type", "ts", "event_id"
+    )
+
+
+def _r16q_market_basket_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X199 market-basket pair affinity (operators/market.py:
+    market_basket_pairs) — top co-ordered part pairs with
+    support/confidence/lift, basket-bounded pair generation."""
+    from .operators.market import market_basket_pairs
+
+    li = table(spark, sf_dir, "lineitem")
+    return market_basket_pairs(li)
+
+
+def _r16q_discount_qty_elasticity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X200 discount->quantity elasticity per brand
+    (operators/market.py: discount_qty_elasticity) — exact
+    DECIMAL-summed OLS slope, one final integer division."""
+    from .operators.market import discount_qty_elasticity
+
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part")
+    return discount_qty_elasticity(li, pt)
+
+
+def _r16q_knn_1nn_label_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X201 leave-one-out 1-NN label-error census
+    (operators/similarity.py: knn_1nn_label_error) — label-noise /
+    class-overlap audit over the exact 1-NN graph; the labeling twin
+    of X177's geometry audit."""
+    from .operators.similarity import knn_1nn_label_error
+
+    e = table(spark, sf_dir, "embeddings")
+    return knn_1nn_label_error(e, "vec_id", "embedding", "label")
+
+
+def _r16q_weighted_systematic_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X202 deterministic PPS systematic sample
+    (operators/sampling.py: weighted_systematic_sample) — k=37
+    integer-threshold picks along the md5-permuted cumulative
+    n_chars axis via the two-phase global cumsum."""
+    from .operators.sampling import weighted_systematic_sample
+
+    d = table(spark, sf_dir, "documents")
+    return weighted_systematic_sample(d, "doc_id", "n_chars", 37)
+
+
+def _r16q_part_revenue_abc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X203 ABC (Pareto) revenue classification (operators/market.py:
+    part_revenue_abc) — parts classed A/B/C at 80/95% cumulative
+    revenue share through the two-phase cumsum; exact e4 revenue."""
+    from .operators.market import part_revenue_abc
+
+    li = table(spark, sf_dir, "lineitem")
+    return part_revenue_abc(li)
+
+
 # Rotation reorder (staleness-first window protocol) — runs LAST so
 # every registration above, including the r10 cohort, participates.
 for _name in _rotation_order():

@@ -384,6 +384,16 @@ def build_scaled_lineitem(src: str, dst: str, copies: int = COPIES) -> None:
         ) TO '{dst}/lineitem.parquet' (FORMAT parquet)
         """
     )
+    # dimension pass-through (r14, for the r16 basket/elasticity
+    # probes): part keys are NOT offset — facts scale, dims don't,
+    # so per-part fact volume grows 10x at constant dim cardinality,
+    # exactly the warehouse scale-up shape.
+    con.execute(
+        f"""
+        COPY (SELECT * FROM read_parquet('{src}/part.parquet'))
+        TO '{dst}/part.parquet' (FORMAT parquet)
+        """
+    )
     con.close()
 
 
@@ -413,6 +423,25 @@ def _mutual_knn_ivf_scaled(spark, sf_dir, k_scale):
     k = 8 ** (2 if k_scale > 1 else 1)
     return mutual_knn_clusters(
         e, "vec_id", "embedding", "label", k=5,
+        candidates="ivf", n_centroids=k, nprobe=2,
+    )
+
+
+def _knn_1nn_ivf_scaled(spark, sf_dir, k_scale):
+    """X201 in its scaled deployment shape: IVF candidate edges with
+    n_centroids grown with N (8 -> 64 at 10x) — the registered
+    config is the N²-by-design bruteforce oracle shape (same policy
+    as knn_hubness: the audit tool probes honestly, the deployment
+    dial probes linearly)."""
+    from poet_cloud_cost_etl_spark.catalog import table
+    from poet_cloud_cost_etl_spark.operators.similarity import (
+        knn_1nn_label_error,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    k = 8 ** (2 if k_scale > 1 else 1)
+    return knn_1nn_label_error(
+        e, "vec_id", "embedding", "label",
         candidates="ivf", n_centroids=k, nprobe=2,
     )
 
@@ -576,6 +605,29 @@ SCALED_K = [
     ("doc_sentence_split_r15", _r11("_r15q_doc_sentence_split")),
     ("bloom_semijoin_lineitem_r15", _r11("_r15q_bloom_semijoin_lineitem")),
     ("join_salted_skew_r15", _r11("_r15q_join_salted_skew")),
+    # round-14: decade points for the r16-queue operators BEFORE
+    # they register. funnel/gaps/cooccurrence ride the events
+    # scale-up (10x users, constant per-user streams: funnel joins
+    # stay user-keyed, the gap lattice densifies sub-linearly, the
+    # session pair stage is |T|-bounded per session); basket/abc/
+    # elasticity ride the key-offset lineitem copies (part dims
+    # unchanged -> per-pair counts and per-part revenue grow 10x,
+    # pair/lattice cardinality constant); the systematic sample's
+    # cumsum lattice is row-cardinality but two-phase-bucketed.
+    # knn_1nn registered config is the bruteforce oracle shape (N²
+    # by design, same policy as knn_hubness) — the probe measures
+    # the ivf deployment dial.
+    ("funnel_steps_conversion_r16", _r11("_r16q_funnel_steps_conversion")),
+    ("inter_event_gap_quantiles_r16",
+     _r11("_r16q_inter_event_gap_quantiles")),
+    ("session_type_cooccurrence_r16",
+     _r11("_r16q_session_type_cooccurrence")),
+    ("market_basket_pairs_r16", _r11("_r16q_market_basket_pairs")),
+    ("discount_qty_elasticity_r16", _r11("_r16q_discount_qty_elasticity")),
+    ("knn_1nn_ivf_scaled", _knn_1nn_ivf_scaled),
+    ("weighted_systematic_sample_r16",
+     _r11("_r16q_weighted_systematic_sample")),
+    ("part_revenue_abc_r16", _r11("_r16q_part_revenue_abc")),
     ("bbit_pair_core_only", _bbit_pair_core_only),
     ("curation_manifest_recompute", _curation_ab(False)),
     ("curation_manifest_persist", _curation_ab(True)),
