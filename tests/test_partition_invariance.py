@@ -255,3 +255,44 @@ def test_r15_result_invariant_under_partitioning(spark, wrapper):
     finally:
         conf.set("spark.sql.shuffle.partitions", prev_sp)
         conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+
+
+# The r16-queue staged wrappers (not yet in QUERIES): the shapes that
+# would drift first are the co-partitioned min-ts funnel chain
+# (funnel), the range-bucketed grouped cumsum over the gap lattice
+# (gaps — the with_grouped_cumsum bucket boundaries come from
+# approxQuantile, so invariance IS the claim that bucket balance
+# never leaks into results), the md5-ordered global cumsum + interval
+# pick join (wss), and the double-leading-key ranked revenue cumsum
+# (abc — decimal->double monotone-collapse ordering must not drift
+# under re-bucketing).
+R16_UNDER_TEST = [
+    "_r16q_funnel_steps_conversion",
+    "_r16q_inter_event_gap_quantiles",
+    "_r16q_weighted_systematic_sample",
+    "_r16q_part_revenue_abc",
+    "_r16q_market_basket_pairs",
+]
+
+
+@pytest.mark.parametrize("wrapper", R16_UNDER_TEST)
+def test_r16_result_invariant_under_partitioning(spark, wrapper):
+    conf = spark.conf
+    baseline = _rows_r11(spark, wrapper)
+    settings = [
+        ("2", str(512 * 1024 * 1024)),
+        ("64", str(256 * 1024)),
+    ]
+    prev_sp = conf.get("spark.sql.shuffle.partitions")
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for sp, mpb in settings:
+            conf.set("spark.sql.shuffle.partitions", sp)
+            conf.set("spark.sql.files.maxPartitionBytes", mpb)
+            assert _rows_r11(spark, wrapper) == baseline, (
+                f"{wrapper} drifted at shuffle_partitions={sp}, "
+                f"maxPartitionBytes={mpb}"
+            )
+    finally:
+        conf.set("spark.sql.shuffle.partitions", prev_sp)
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
