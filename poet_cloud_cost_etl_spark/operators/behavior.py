@@ -846,8 +846,14 @@ def inter_event_gap_quantiles(
         .filter(F.col("__prev").isNotNull())
         .select("__t", (F.col("__us") - F.col("__prev")).alias("gap_us"))
     )
-    lattice = gaps.groupBy("__t", "gap_us").agg(
-        F.count(F.lit(1)).cast("long").alias("__c")
+    lattice = (
+        gaps.groupBy("__t", "gap_us")
+        .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        # eager checkpoint (the rfm/X175 discipline): the grouped
+        # cumsum consumes its input three times (bucket probe,
+        # window, offsets) — without the pin each consumer replays
+        # the events scan + the per-(user,type) lag window.
+        .localCheckpoint(eager=True)
     )
     cum = with_grouped_cumsum(
         lattice, ["__t"], ["gap_us"], "__c", cum_col="__cum", total_col="__n"
