@@ -376,6 +376,27 @@ CAL_SCALE_CAP = 3.0
 # — a genuine 3x regression in real work now flags on any host mode.
 CAL_DOMINATED_X = 10.0
 
+# r14 (the structural fix for the per-session stall bursts six idle
+# runs documented across r13/r14): the bursts hit DISJOINT sub-second
+# -pin names each run (r13: 1 name, then 8 others, then the r1
+# anchor; r14: 3 names incl. two at 5-10x pin, then 5 different ones
+# at 3.5-5.5x) and every standalone fresh-JVM re-measure read at or
+# near pin — the burst adds an ABSOLUTE ~1-2s to whichever queries it
+# lands on, regardless of their pin, and the calibration micro does
+# NOT capture it (run 2's bursts came with fast calibration).  A
+# multiplicative gate can never be robust to an additive disturbance
+# on a 0.3s pin, and inflating pins to a "stall-burst envelope"
+# (the r13 treatment of 23 names) is whack-a-mole: this round's
+# bursts simply flagged OTHER names.  So the gate carries an
+# absolute allowance instead: a query only flags when its best run
+# exceeds max(scaled 2x gate, pin + STALL_ALLOWANCE_SEC).  For
+# multi-second pins the 2x term dominates (unchanged behavior); for
+# sub-second pins a catastrophic regression (0.3s -> >2.3s, ~8x)
+# still flags while the documented 1-2s burst band cannot.  With
+# this in place the r13 envelope pins are repealed (re-pinned back
+# down to fast-mode medians — the dated r13 condition, executed).
+STALL_ALLOWANCE_SEC = 2.0
+
 
 def check_regressions(
     timings: dict[str, float],
@@ -419,7 +440,14 @@ def check_regressions(
     is additive: gate = thr*pin + (cal_scale-1)*thr*dominated_slice.
     Identical to r13 behavior for every pin inside the dominated band
     (which is where every observed host-drift flag lived); sharply
-    tighter above it."""
+    tighter above it.
+
+    Stall allowance (round 14, the structural replacement for the
+    r13 envelope pins): the gate is additionally floored at
+    ``pin + STALL_ALLOWANCE_SEC`` — see the constant's comment for
+    the six-run evidence trail.  Purely additive, so multi-second
+    pins are unaffected; a sub-second-pin query still flags on any
+    genuine blow-up past the documented burst band."""
     if not pin or pin.get("sf") != sf_val:
         return {}
     thr = float(pin.get("threshold_x", 2.0))
@@ -436,6 +464,8 @@ def check_regressions(
             gate = thr * base + (cal_scale - 1.0) * thr * dominated
         else:
             gate = thr * (base or 0.0)
+        if base:
+            gate = max(gate, base + STALL_ALLOWANCE_SEC)
         if base and probe > gate:
             out[name] = {
                 "best": probe,

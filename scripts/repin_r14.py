@@ -97,11 +97,13 @@ def main() -> None:
         best = r14_best.get(n)
         if best is None:
             kept_envelope[n] = "not in r14 run"
-        elif best <= 2.0 * target:
+        elif best <= max(2.0 * target, target + 2.0):
+            # consistent with the shipped gate: scaled 2x floored at
+            # pin + STALL_ALLOWANCE_SEC
             repinned[n] = target
         else:
             kept_envelope[n] = (
-                f"r14 best {best} > 2x fast-mode {target}"
+                f"r14 best {best} > gate of fast-mode {target}"
             )
 
     for n, v in repinned.items():
@@ -113,9 +115,19 @@ def main() -> None:
             first_pins[n] = r14["queries"][n]
 
     note = (
-        " r14 re-pin-down (2026-08-16, executing the dated r13"
-        " condition): the r14 idle full run was clean (rc=0, zero"
-        f" gate hits), so {len(repinned)} of the 23 envelope names"
+        " r14 re-pin-down (2026-08-17, executing the dated r13"
+        " condition): across THREE r14 idle full runs (421.9s slow-"
+        "mode cal 0.90; 368.3s cal 0.52; 336.4s cal 0.56) the 23"
+        " envelope names read 1.06x/1.16x/1.18x median of the"
+        " e863d94 fast-mode medians (max 1.7x) - the envelope"
+        " cluster itself was CLEAN every run; the 9 names the runs"
+        " DID flag were disjoint non-envelope sub-second-pin names"
+        " (3+5+1), every one adjudicated at-or-near pin in a"
+        " standalone fresh-JVM re-measure (0.43-1.03s), plus one"
+        " real find (events_rfm_segments 7.2x - the r14 two-phase"
+        " re-plan's naive first cut, fixed same session to 1.3x"
+        " in-run via the fused grouped cumsum + checkpoints)."
+        f" So {len(repinned)} of the 23 envelope names"
         " re-pin DOWN to the e863d94 fast-mode medians"
         + (
             f"; kept at envelope: {sorted(kept_envelope)}"
@@ -126,9 +138,12 @@ def main() -> None:
         + f". First pins for the 8 r14-cohort names from the same"
         f" run. Calibration best this run:"
         f" {r14.get('host_calibration_sec', {}).get('best')}"
-        " (pin-era 0.3413 unchanged — the dominance-bounded gate"
-        " scaling from the r14 ADVICE closure bounds what a slow"
-        " host day can excuse)."
+        " (pin-era 0.3413 unchanged). The envelope's structural"
+        " replacement is the gate's absolute stall allowance"
+        " (bench.STALL_ALLOWANCE_SEC=2.0, six-run evidence trail in"
+        " the constant's comment): sub-second-pin names can no"
+        " longer flag inside the documented 1-2s per-session burst"
+        " band, so the pins go back to measuring the operators."
     )
     pin["comment"] = pin["comment"] + note
 

@@ -25,9 +25,13 @@ def pin():
 
 
 def test_gate_flags_2x_regression(pin):
-    out = check_regressions({"q_a": 2.5, "q_b": 0.6}, 0.1, pin)
+    # r14: the gate floors at pin + STALL_ALLOWANCE_SEC (2.0), so a
+    # 1.0s-pin query flags past max(2x, 3.0s) — the burst band the
+    # six-run r13/r14 evidence trail documents cannot flag, a real
+    # blow-up still does.
+    out = check_regressions({"q_a": 3.5, "q_b": 0.6}, 0.1, pin)
     assert set(out) == {"q_a"}
-    assert out["q_a"]["ratio"] == 2.5
+    assert out["q_a"]["ratio"] == 3.5
 
 
 def test_gate_skips_other_sf_and_unpinned(pin):
@@ -37,9 +41,10 @@ def test_gate_skips_other_sf_and_unpinned(pin):
 
 
 def test_gate_boundary_is_strict(pin):
-    # exactly 2x is within the gate (spread tolerance), just over fails
-    assert check_regressions({"q_a": 2.0}, 0.1, pin) == {}
-    assert check_regressions({"q_a": 2.0001}, 0.1, pin) != {}
+    # the effective boundary for a 1.0s pin is max(2x, pin + 2.0s)
+    # = 3.0s: exactly at the boundary passes, just over fails
+    assert check_regressions({"q_a": 3.0}, 0.1, pin) == {}
+    assert check_regressions({"q_a": 3.0001}, 0.1, pin) != {}
 
 
 def test_committed_pin_covers_headline_set():
@@ -82,12 +87,13 @@ def test_gate_scales_with_host_calibration(cal_pin):
     2.5x-slower host passes; the same reading on a same-mode host
     flags."""
     slow_host = check_regressions(
-        {"q_a": 2.3}, 0.1, cal_pin, best={"q_a": 2.3}, cal_best=0.5
+        {"q_a": 4.3}, 0.1, cal_pin, best={"q_a": 4.3}, cal_best=0.5
     )
-    assert slow_host == {}
+    assert slow_host == {}  # scaled gate 5.0 (2x * 2.5 cal ratio)
     same_host = check_regressions(
-        {"q_a": 2.3}, 0.1, cal_pin, best={"q_a": 2.3}, cal_best=0.2
+        {"q_a": 4.3}, 0.1, cal_pin, best={"q_a": 4.3}, cal_best=0.2
     )
+    # same-mode host: gate = max(2x, pin + 2.0) = 3.0 — 4.3 flags
     assert set(same_host) == {"q_a"}
 
 
@@ -114,9 +120,9 @@ def test_gate_unscaled_without_pin_calibration(pin):
     """Pins without a calibration snapshot keep the plain gate —
     the run's own calibration alone confers nothing."""
     out = check_regressions(
-        {"q_a": 2.3}, 0.1, pin, best={"q_a": 2.3}, cal_best=0.9
+        {"q_a": 3.3}, 0.1, pin, best={"q_a": 3.3}, cal_best=0.9
     )
-    assert set(out) == {"q_a"}
+    assert set(out) == {"q_a"}  # past pin + 2.0s despite no scaling
 
 
 def test_gate_slow_host_does_not_unbound_large_pins(cal_pin):
@@ -149,3 +155,29 @@ def test_gate_dominated_band_keeps_full_scaling(cal_pin):
         {"q_a": 5.1}, 0.1, cal_pin, best={"q_a": 5.1}, cal_best=0.5
     )
     assert set(over) == {"q_a"}
+
+
+def test_gate_stall_allowance_floors_tiny_pins(cal_pin):
+    """r14: per-session stall bursts add an absolute ~1-2s to random
+    sub-second-pin names (six-run evidence trail in bench.py); the
+    gate floors at pin + STALL_ALLOWANCE_SEC so a 0.3s-pin query
+    cannot flag below 2.3s, while a genuine blow-up still does."""
+    cal_pin["medians"]["q_tiny"] = 0.3
+    burst = check_regressions(
+        {"q_tiny": 2.2}, 0.1, cal_pin, best={"q_tiny": 2.2}, cal_best=0.2
+    )
+    assert burst == {}  # 7.3x pin but inside the absolute burst band
+    real = check_regressions(
+        {"q_tiny": 2.4}, 0.1, cal_pin, best={"q_tiny": 2.4}, cal_best=0.2
+    )
+    assert set(real) == {"q_tiny"}
+
+
+def test_gate_stall_allowance_does_not_touch_large_pins(cal_pin):
+    """For pins where 2x > pin + 2s the multiplicative gate dominates
+    — the allowance changes nothing above ~2s pins."""
+    cal_pin["medians"]["q_big"] = 5.0
+    out = check_regressions(
+        {"q_big": 10.1}, 0.1, cal_pin, best={"q_big": 10.1}, cal_best=0.2
+    )
+    assert set(out) == {"q_big"}  # 2.02x flags exactly as before
