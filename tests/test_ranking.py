@@ -348,3 +348,68 @@ def test_lattice_multi_band_parity(spark):
         for r in folded_df.select("u", "bf", "bm").collect()
     }
     assert multi == folded
+
+
+def test_cumsum_property_random_weighted_lattices(spark):
+    """Property (hypothesis): with_global_cumsum and
+    with_grouped_cumsum equal the naive single-task running sums on
+    arbitrary weighted lattices — duplicate-free order keys, weights
+    incl. large values, group counts 1..4, bucket counts that force
+    multi-bucket and single-bucket paths."""
+    from hypothesis import given, settings, strategies as st
+
+    from poet_cloud_cost_etl_spark.operators.ranking import (
+        with_global_cumsum,
+        with_grouped_cumsum,
+    )
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),  # group
+                st.integers(min_value=-10**6, max_value=10**6),  # order v
+                st.integers(min_value=1, max_value=10**9),  # weight
+            ),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda t: (t[0], t[1]),
+        ),
+        st.sampled_from([1, 2, 8]),
+    )
+    @settings(max_examples=12, deadline=None)
+    def check(rows, n_buckets):
+        df = spark.createDataFrame(rows, ["g", "v", "w"])
+        got = {
+            (r.g, r.v, r.c, r.t)
+            for r in with_global_cumsum(
+                df, ["g", "v"], "w", cum_col="c", total_col="t",
+                n_buckets=n_buckets,
+            ).collect()
+        }
+        rows_sorted = sorted(rows)
+        total = sum(w for _, _, w in rows)
+        cum = 0
+        want = set()
+        for g, v, w in rows_sorted:
+            cum += w
+            want.add((g, v, cum, total))
+        assert got == want
+
+        gotg = {
+            (r.g, r.v, r.c, r.t)
+            for r in with_grouped_cumsum(
+                df, ["g"], ["v"], "w", cum_col="c", total_col="t",
+                n_buckets=n_buckets,
+            ).collect()
+        }
+        wantg = set()
+        for g in {r[0] for r in rows}:
+            grp = sorted((v, w) for gg, v, w in rows if gg == g)
+            gtot = sum(w for _, w in grp)
+            cum = 0
+            for v, w in grp:
+                cum += w
+                wantg.add((g, v, cum, gtot))
+        assert gotg == wantg
+
+    check()
