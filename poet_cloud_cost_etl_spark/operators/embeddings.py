@@ -614,6 +614,88 @@ def _exact_gram(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
+# The X60 normalization: divide by the max-|w| element (first such
+# index on ties) — pivot loading exactly 1.0, sign inherited from the
+# pivot. ``__w`` is a LAMBDA-BOUND variable (see _power_u_sql), so
+# the 4 references here never re-evaluate the matvec that produced it.
+_NORMALIZE_SQL = (
+    "transform(__w, x -> x / element_at(__w, "
+    "CAST(array_position(transform(__w, y -> abs(y)), "
+    "array_max(transform(__w, y -> abs(y)))) AS INT)))"
+)
+
+
+def _power_u_sql(dim: int, iters: int) -> str:
+    """The X60 power iteration u ← normalize(G·u), u₀ = 1, as ONE SQL
+    expression over a ``mat`` column (the j-ordered Gram rows).
+
+    Let-binding discipline (the SHINGLES_SQL trick, twice per step):
+    every step wraps the previous u in ``transform(array(u), __u ->
+    ...)`` so u is EVALUATED ONCE and referenced as a lambda variable
+    inside the matvec lambda (a bare subexpression inside
+    ``transform(mat, row -> ...)`` would re-evaluate per matrix row —
+    d× per step, dᵎᵗᵉʳˢ overall), and binds the matvec result to
+    ``__w`` the same way for the 4 normalize references.  Optimizer
+    rules cannot inline through lambda variables, so the tree stays
+    linear in ``iters`` under any Project/Generate rewriting —
+    chained per-step Projects measurably do NOT survive that (the
+    CollapseProject/ColumnPruning fixpoint inlines single-use aliases
+    into lambda bodies and the optimizer pass itself blows up).
+
+    Per-row cost: iters·d² interpreted multiply-adds on the single
+    collected row — microseconds for real embedding dims."""
+    matvec = (
+        "transform(mat, row -> aggregate(zip_with(row, __u, "
+        "(g, x) -> g * x), CAST(0.0 AS DOUBLE), (a, b) -> a + b))"
+    )
+    u = f"transform(sequence(1, {dim}), x -> CAST(1.0 AS DOUBLE))"
+    for _ in range(iters):
+        u = (
+            "element_at(transform(array(" + u + "), __u -> "
+            "element_at(transform(array(" + matvec + "), __w -> "
+            + _NORMALIZE_SQL + "), 1)), 1)"
+        )
+    return u
+
+
+def _power_iteration_1row(
+    df: DataFrame, vec_col: str, dim: int, iters: int
+) -> DataFrame:
+    """The X60 power iteration as ONE single-row expression — shared
+    by ``top_principal_component``, ``remove_top_pc`` and
+    ``pc_variance_explained``.
+
+    Returns a 1-row frame ``(mat, u)``: ``mat`` the j-ordered exact
+    Gram (rows i-ordered, ÷1e12 doubles), ``u`` the unrounded power
+    vector after exactly ``iters`` steps from u₀ = 1.
+
+    r14 optimization (guide §2.4 — remove shuffles outright): the
+    former loop ran each step as a d-row crossJoin + collect_list
+    aggregate — 2 Exchanges and a broadcast per iteration, ~32
+    latency-bound micro-stages per query at ANY corpus size, plus an
+    eager localCheckpoint (a blocking driver sync) to keep the Gram
+    from re-planning per step.  Collecting the d-row Gram into one
+    d×d array row first (d² doubles — KB-sized for real embedding
+    dims) turns the whole iteration into one expression on a 1-row
+    frame (``_power_u_sql``): zero per-iteration exchanges, one Spark
+    job, no checkpoint.  Arithmetic is bit-identical: each matvec is
+    the same zip_with fold over the same i-ordered row arrays, the
+    j-ordered ``mat`` reproduces the old collect-sorted warr
+    ordering, and the normalize expression is unchanged."""
+    gram = _exact_gram(df, vec_col)
+    gj = gram.groupBy("j").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, __g))), "
+            "s -> CAST(s.__g AS DOUBLE) / 1000000000000.0)"
+        ).alias("row")
+    )
+    return gj.groupBy().agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, row))), s -> s.row)"
+        ).alias("mat")
+    ).select("mat", F.expr(_power_u_sql(dim, iters)).alias("u"))
+
+
 def top_principal_component(
     df: DataFrame, vec_col: str, dim: int, iters: int = 8
 ) -> DataFrame:
@@ -648,46 +730,13 @@ def top_principal_component(
     aggregate), and map-side partial aggregation collapses every
     partition to ≤d(d+1)/2 rows — the Gram shuffle is FIXED-SIZE,
     independent of corpus size, and the scan-stage multiply-add work
-    is half the GEMM lower bound a full-matrix method pays. The iteration chain runs on
-    d-row / 1-row frames (broadcast joins only). ``dim`` must match
-    the vector length: a mismatch surfaces as NULL loadings (zip_with
-    pads with null and the fold propagates it), never as a silent
-    truncation."""
-    gram = _exact_gram(df, vec_col)
-    gj = gram.groupBy("j").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(i, __g))), "
-            "s -> CAST(s.__g AS DOUBLE) / 1000000000000.0)"
-        ).alias("row")
-    )
-    # Materialize the d-row Gram ONCE: every iteration references gj,
-    # and without a checkpoint Spark re-plans (and re-scans the
-    # corpus for) the whole Gram subtree per iteration — 8 corpus
-    # passes instead of 1 (the lsh_candidate_pairs precedent; Spark
-    # reuses exchanges, not operator outputs).
-    gj = gj.localCheckpoint(eager=True)
-    spark = df.sparkSession
-    u = spark.range(1).select(
-        F.expr(f"transform(sequence(1, {dim}), x -> CAST(1.0 AS DOUBLE))").alias("u")
-    )
-    normalize = (
-        "transform(warr, x -> x / element_at(warr, "
-        "CAST(array_position(transform(warr, y -> abs(y)), "
-        "array_max(transform(warr, y -> abs(y)))) AS INT)))"
-    )
-    for _ in range(iters):
-        w = gj.crossJoin(F.broadcast(u)).select(
-            "j",
-            F.expr(
-                "aggregate(zip_with(row, u, (g, x) -> g * x), "
-                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            ).alias("w"),
-        )
-        u = w.groupBy().agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(j, w))), s -> s.w)"
-            ).alias("warr")
-        ).select(F.expr(normalize).alias("u"))
+    is half the GEMM lower bound a full-matrix method pays. The
+    iteration itself runs as chained Projects on the collected d×d
+    array row (``_power_iteration_1row`` — zero per-step exchanges).
+    ``dim`` must match the vector length: a mismatch surfaces as NULL
+    loadings (zip_with pads with null and the fold propagates it),
+    never as a silent truncation."""
+    u = _power_iteration_1row(df, vec_col, dim, iters)
     return u.select(F.posexplode("u").alias("dim", "__l")).select(
         "dim", F.round(F.col("__l"), 6).alias("loading")
     )
@@ -716,23 +765,17 @@ def remove_top_pc(
     resulting 1-row (u, u·u) frame BROADCASTS onto the corpus, and
     the deflation itself is a narrow per-row map — zero additional
     shuffles beyond X60."""
-    u = top_principal_component(df, vec_col, dim, iters)
-    uarr = (
-        u.groupBy()
-        .agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(dim, loading))), "
-                "s -> s.loading)"
-            ).alias("u")
-        )
-        .select(
-            "u",
-            F.expr(
-                "aggregate(transform(u, x -> x * x), CAST(0.0 AS DOUBLE), "
-                "(a, b) -> a + b)"
-            ).alias("uu"),
-        )
-    )
+    # The X60 power vector, rounded to the same 6 digits the X60
+    # loadings publish — already one row, so the former posexplode →
+    # collect_list round-trip (two extra exchanges) is gone (r14).
+    # __u let-binds the rounded vector once (_power_u_sql discipline).
+    uarr = _power_iteration_1row(df, vec_col, dim, iters).select(
+        F.expr(
+            "element_at(transform(array(transform(u, x -> round(x, 6))), "
+            "__u -> struct(__u AS u, aggregate(transform(__u, x -> x * x), "
+            "CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS uu)), 1)"
+        ).alias("__s")
+    ).select(F.col("__s.u").alias("u"), F.col("__s.uu").alias("uu"))
     vecs = df.select(
         F.col(id_col),
         F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -1081,75 +1124,35 @@ def pc_variance_explained(
     engines; the ratio is emitted as a ROUND(×1e6) BIGINT ppm.
 
     Scale: the corpus is touched once (the fixed-size Gram
-    shuffle); everything after runs on d-row / 1-row frames."""
-    gram = _exact_gram(df, vec_col)
-    gj = gram.groupBy("j").agg(
-        F.expr(
-            "transform(array_sort(collect_list(struct(i, __g))), "
-            "s -> CAST(s.__g AS DOUBLE) / 1000000000000.0)"
-        ).alias("row")
-    ).localCheckpoint(eager=True)
-    # Power-iterate on THIS gj instead of calling
-    # top_principal_component (which would rebuild the Gram — the
-    # corpus scan and the fixed-size shuffle would run twice; the r9
-    # bench measured the double-Gram form at ~2x the cost).  Same
-    # iteration, same normalization, same final round-to-6 as X60.
-    spark = df.sparkSession
-    u = spark.range(1).select(
-        F.expr(
-            f"transform(sequence(1, {dim}), x -> CAST(1.0 AS DOUBLE))"
-        ).alias("u")
+    shuffle); the iteration and the final folds run as chained
+    Projects on the collected d×d array row
+    (``_power_iteration_1row`` — zero per-step exchanges, no
+    checkpoint; r14, bit-identical arithmetic)."""
+    # Same iteration, same normalization, same final round-to-6 as
+    # X60 — the (mat, u) row IS the former (gj, power vector) pair.
+    # The final matvec with the ROUNDED u and the three j-ordered
+    # folds (identical fold order to the former collect-sorted struct
+    # form: mat/u/w are all j-ordered arrays) run as one let-bound
+    # expression — __u binds the rounded vector once (_power_u_sql's
+    # lambda discipline).
+    cur = _power_iteration_1row(df, vec_col, dim, iters)
+    final = (
+        "element_at(transform(array(transform(u, x -> round(x, 6))), "
+        "__u -> struct("
+        "aggregate(zip_with(transform(mat, row -> "
+        "aggregate(zip_with(row, __u, (g, x) -> g * x), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b)), __u, (w, x) -> w * x), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS ugu, "
+        "aggregate(transform(mat, (row, j) -> "
+        "element_at(row, CAST(j + 1 AS INT))), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS trace, "
+        "aggregate(transform(__u, x -> x * x), "
+        "CAST(0.0 AS DOUBLE), (a, b) -> a + b) AS uu)), 1)"
     )
-    normalize = (
-        "transform(warr, x -> x / element_at(warr, "
-        "CAST(array_position(transform(warr, y -> abs(y)), "
-        "array_max(transform(warr, y -> abs(y)))) AS INT)))"
-    )
-    for _ in range(iters):
-        wi = gj.crossJoin(F.broadcast(u)).select(
-            "j",
-            F.expr(
-                "aggregate(zip_with(row, u, (g, x) -> g * x), "
-                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            ).alias("w"),
-        )
-        u = wi.groupBy().agg(
-            F.expr(
-                "transform(array_sort(collect_list(struct(j, w))), s -> s.w)"
-            ).alias("warr")
-        ).select(F.expr(normalize).alias("u"))
-    u = u.select(
-        F.expr("transform(u, x -> round(x, 6))").alias("u")
-    )
-    w = (
-        gj.crossJoin(F.broadcast(u))
-        .select(
-            "j",
-            F.expr(
-                "aggregate(zip_with(row, u, (g, x) -> g * x), "
-                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            ).alias("w"),
-            F.expr("element_at(row, CAST(j + 1 AS INT))").alias("__diag"),
-            F.expr("element_at(u, CAST(j + 1 AS INT))").alias("__uj"),
-        )
-        .groupBy()
-        .agg(
-            F.expr(
-                "aggregate(transform(array_sort(collect_list("
-                "struct(j, w, __diag, __uj))), s -> s.w * s.__uj), "
-                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            ).alias("__ugu"),
-            F.expr(
-                "aggregate(transform(array_sort(collect_list("
-                "struct(j, w, __diag, __uj))), s -> s.__diag), "
-                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            ).alias("__trace"),
-            F.expr(
-                "aggregate(transform(array_sort(collect_list("
-                "struct(j, w, __diag, __uj))), s -> s.__uj * s.__uj), "
-                "CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
-            ).alias("__uu"),
-        )
+    w = cur.select(F.expr(final).alias("__s")).select(
+        F.col("__s.ugu").alias("__ugu"),
+        F.col("__s.trace").alias("__trace"),
+        F.col("__s.uu").alias("__uu"),
     )
     return w.select(
         F.lit(int(dim)).cast("long").alias("dim"),
