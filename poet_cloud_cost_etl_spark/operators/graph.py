@@ -77,60 +77,104 @@ def connected_components(
         )
     if algo != "minlabel":
         raise ValueError(f"unknown algo {algo!r} (want 'minlabel' or 'star')")
+    # r14 job-count surgery (guide §2.4/§5). Three structural moves,
+    # all label-identical:
+    #
+    # 1. SELF-LOOP propagation: the adjacency carries one (v, v,
+    #    is_self=true) row per node, so a round is join → aggregate
+    #    with the label table referenced EXACTLY ONCE (the former
+    #    labs.union(neighbor_labs) referenced it twice — one more
+    #    exchange per round, and any un-materialized labs fed two
+    #    concurrent map stages that each recomputed its whole chain).
+    #    min over {lab(v)} ∪ {lab(u): u~v} is unchanged; shuffle
+    #    volume per round (|V| + 2|E| rows into the aggregate) is
+    #    unchanged.
+    # 2. The PREVIOUS label rides the same aggregate (min of the
+    #    self-row's lab — exactly one self row per node), so the
+    #    fixpoint probe is a scan-filter over the round's own
+    #    materialized output: the former separate confirm-join job is
+    #    gone.
+    # 3. Rounds chain through LAZY checkpoints (lineage cut, RDD
+    #    persisted, each round referenced once by the next) and only
+    #    the probe round is EAGER — fixed_rounds runs as ONE
+    #    driver-synced job + one scan-count, instead of five jobs.
+    #    The adjacency stays EAGER: its map stages are independent of
+    #    the round chain, so a lazy adjacency would be recomputed by
+    #    every round's concurrently-submitted join stage — measured
+    #    2× slower on the CC-heavy bench subset, not a win.
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .select("a", "b", F.lit(False).alias("is_self"))
+        .unionByName(
+            nodes.select(
+                F.col(id_col).alias("a"),
+                F.col(id_col).alias("b"),
+                F.lit(True).alias("is_self"),
+            )
+        )
+        .localCheckpoint(eager=True)
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("lab")
-    ).localCheckpoint(eager=True)
-    sym = sym.localCheckpoint(eager=True)
+    )
 
-    def _propagate(labs: DataFrame) -> DataFrame:
-        neighbor_labs = sym.join(labs, sym["b"] == labs["node"]).select(
-            F.col("a").alias("node"), F.col("lab")
-        )
-        return labs.union(neighbor_labs).groupBy("node").agg(F.min("lab").alias("lab"))
-
-    def _changed(new: DataFrame, old: DataFrame) -> int:
+    def _propagate(labs: DataFrame, with_prev: bool = False) -> DataFrame:
+        joined = sym.join(labs, sym["b"] == labs["node"])
+        aggs = [F.min("lab").alias("lab")]
+        if with_prev:
+            aggs.append(
+                F.min(F.when(F.col("is_self"), F.col("lab"))).alias("__prev")
+            )
         return (
-            new.alias("n")
-            .join(old.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
+            joined.select(F.col("a").alias("__n"), "lab", "is_self")
+            .groupBy("__n")
+            .agg(*aggs)
+            .withColumnRenamed("__n", "node")
         )
+
+    def _probe_round(labs: DataFrame) -> DataFrame:
+        """One propagation with the previous label folded into the
+        same aggregate, materialized in ONE eager job."""
+        return _propagate(labs, with_prev=True).localCheckpoint(eager=True)
+
+    def _changed(both: DataFrame) -> int:
+        return both.filter(F.col("lab") != F.col("__prev")).limit(1).count()
 
     if fixed_rounds is not None:
-        # Lineage still cut per round (the lazy checkpoint wraps each
-        # round's plan in an RDD scan) but nothing materializes until
-        # the single eager checkpoint below — no per-round driver sync.
+        # fixed_rounds lazy rounds + the eager probe round = one
+        # materializing job; the confirm is the probe round itself.
         for _ in range(fixed_rounds):
             labels = _propagate(labels).localCheckpoint(eager=False)
-        labels = labels.localCheckpoint(eager=True)
-        confirm = _propagate(labels).localCheckpoint(eager=True)
-        if _changed(confirm, labels) != 0:
+        both = _probe_round(labels)
+        if _changed(both) != 0:
             raise RuntimeError(
                 f"connected_components(fixed_rounds={fixed_rounds}) had not "
                 "reached the fixpoint — the graph's diameter exceeds the "
                 "assumed bound; raise fixed_rounds or use the probe path"
             )
-        return labels.select(
+        return both.select(
             F.col("node").alias(id_col), F.col("lab").alias("cluster_id")
         )
 
     converged = False
-    for it in range(max_iter):
-        new_labels = _propagate(labels).localCheckpoint(eager=True)
-        # The first round always changes something when any edge
-        # exists, so the convergence probe (an extra job) starts at
-        # round 2.
-        if it > 0 and _changed(new_labels, labels) == 0:
-            labels = new_labels
+    it = 0
+    while it < max_iter:
+        # Two propagation rounds per materialization+probe: labels are
+        # MONOTONE non-increasing under propagation, so the chunk
+        # probe (round 2k vs 2k−1) detects exactly the fixpoint the
+        # per-round probe found, at half the driver-job count.
+        step = min(2, max_iter - it)
+        for _ in range(step - 1):
+            labels = _propagate(labels).localCheckpoint(eager=False)
+        both = _probe_round(labels)
+        it += step
+        if _changed(both) == 0:
             converged = True
+            labels = both
             break
-        labels = new_labels
+        labels = both.select("node", "lab")
     if not converged:
         # unconverged labels are WRONG (a component would be reported
         # as several clusters) — never return them silently
@@ -281,6 +325,13 @@ def pagerank_ppm(
         )
     ).distinct()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    # r14: the 8 per-iteration checkpoints are LAZY (lineage cut, RDD
+    # persisted, each iteration referenced once by the next) so the
+    # whole chain materializes inside the caller's single job — the
+    # former eager form was 8 driver-synced jobs.  sym_deg stays EAGER:
+    # its join stage is independent of the score chain, so every
+    # iteration's concurrently-submitted map stage would recompute a
+    # lazy sym_deg (and its upstream pair generation) from scratch.
     sym_deg = sym.join(deg, "src").localCheckpoint(eager=True)
     deg = sym_deg.select("src", "deg").distinct()
     p = deg.select(
@@ -301,7 +352,7 @@ def pagerank_ppm(
                     f"{base} + ({damping_pct} * __s) div 100"
                 ).cast("long").alias("p"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return p.select(
         F.col("node"),
@@ -392,10 +443,26 @@ def cluster_hops(
         nodes, edges, id_col=id_col, src_col=src_col, dst_col=dst_col,
         max_iter=max_iter,
     )
+    # r14: the same self-loop/lazy-round/folded-probe surgery as the
+    # minlabel CC (see connected_components) — a relax round is join →
+    # aggregate with the distance table referenced ONCE (the self row
+    # contributes d + 0, a neighbor d + 1), the previous distance
+    # rides the same aggregate, rounds chain lazily in chunks of 2
+    # with one eager probe round each.  Exact by monotonicity:
+    # min-plus relaxation never increases a distance, so the chunk
+    # probe detects exactly the fixpoint the per-round probe found.
     sym = (
         edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .distinct()
+        .select("a", "b", F.lit(False).alias("is_self"))
+        .unionByName(
+            nodes.select(
+                F.col(id_col).alias("a"),
+                F.col(id_col).alias("b"),
+                F.lit(True).alias("is_self"),
+            )
+        )
         .localCheckpoint(eager=True)
     )
     INF = 1_000_000_000
@@ -405,30 +472,39 @@ def cluster_hops(
         .otherwise(F.lit(INF))
         .cast("long")
         .alias("d"),
-    ).localCheckpoint(eager=True)
+    )
 
-    def _relax(dd: DataFrame) -> DataFrame:
-        nbr = sym.join(dd, sym["b"] == dd["node"]).select(
-            F.col("a").alias("node"), (F.col("d") + 1).alias("d")
+    def _relax(dd: DataFrame, with_prev: bool = False) -> DataFrame:
+        joined = sym.join(dd, sym["b"] == dd["node"]).select(
+            F.col("a").alias("__n"),
+            (
+                F.col("d")
+                + F.when(F.col("is_self"), F.lit(0)).otherwise(F.lit(1))
+            ).alias("d"),
+            "is_self",
         )
-        return dd.union(nbr).groupBy("node").agg(F.min("d").alias("d"))
+        aggs = [F.min("d").alias("d")]
+        if with_prev:
+            aggs.append(
+                F.min(
+                    F.when(F.col("is_self"), F.col("d"))
+                ).alias("__prev")
+            )
+        return joined.groupBy("__n").agg(*aggs).withColumnRenamed("__n", "node")
 
     converged = False
-    for it in range(max_iter):
-        new = _relax(dist).localCheckpoint(eager=True)
-        if it > 0:
-            changed = (
-                new.alias("n")
-                .join(dist.alias("o"), "node")
-                .filter(F.col("n.d") != F.col("o.d"))
-                .limit(1)
-                .count()
-            )
-            if changed == 0:
-                dist = new
-                converged = True
-                break
-        dist = new
+    it = 0
+    while it < max_iter:
+        step = min(2, max_iter - it)
+        for _ in range(step - 1):
+            dist = _relax(dist).localCheckpoint(eager=False)
+        both = _relax(dist, with_prev=True).localCheckpoint(eager=True)
+        it += step
+        if both.filter(F.col("d") != F.col("__prev")).limit(1).count() == 0:
+            dist = both.select("node", "d")
+            converged = True
+            break
+        dist = both.select("node", "d")
     if not converged:
         raise RuntimeError(
             f"cluster_hops did not stabilize in {max_iter} rounds — "
