@@ -102,9 +102,26 @@ def connected_components(
     #    the round chain, so a lazy adjacency would be recomputed by
     #    every round's concurrently-submitted join stage — measured
     #    2× slower on the CC-heavy bench subset, not a win.
+    # Single-reference symmetrization (r14): both orientations explode
+    # out of ONE pass over the edge list — the former union of two
+    # selects referenced the (typically expensive) upstream pair chain
+    # twice, and two union branches are two concurrently-submitted map
+    # stages that each re-execute everything after the pair core's
+    # internal checkpoint.
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .select("a", "b", F.lit(False).alias("is_self"))
         .unionByName(
@@ -116,8 +133,13 @@ def connected_components(
         )
         .localCheckpoint(eager=True)
     )
-    labels = nodes.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("lab")
+    # Initial labels come from the MATERIALIZED self rows, not from
+    # ``nodes`` directly — the node frame may itself be an expensive
+    # pipeline (e.g. a kNN-derived vertex set), and referencing it here
+    # would execute it a second time (r14: measured 1.6× on
+    # mutual_knn_clusters, whose nodes are the gemm top-k vertex set).
+    labels = sym.filter(F.col("is_self")).select(
+        F.col("a").alias("node"), F.col("a").alias("lab")
     )
 
     def _propagate(labs: DataFrame, with_prev: bool = False) -> DataFrame:
@@ -317,13 +339,25 @@ def pagerank_ppm(
     8 iterations cost 8 pair-generations instead of 1.
     localCheckpoint per round caps the score lineage exactly like
     CC."""
-    sym = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).unionByName(
+    # Single-reference symmetrization (r14; see connected_components).
+    sym = (
         edges.select(
-            F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"),
+                        F.col(dst_col).alias("dst"),
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"),
+                        F.col(src_col).alias("dst"),
+                    ),
+                )
+            ).alias("__e")
         )
-    ).distinct()
+        .select("__e.src", "__e.dst")
+        .distinct()
+    )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).cast("long").alias("deg"))
     # r14: the 8 per-iteration checkpoints are LAZY (lineage cut, RDD
     # persisted, each iteration referenced once by the next) so the
@@ -396,6 +430,11 @@ def hyperedge_components(
     minlabel/checkpoint CC machinery over a member-count-sized edge
     list."""
     g = [F.col(c) for c in group_cols]
+    # The membership table feeds BOTH the bucket-min aggregate and the
+    # star join (and the default nodes) — materialize it once (r14):
+    # un-pinned, each reference re-executed the whole upstream banded-
+    # signature chain (the expensive md5 pipeline) in its own stage.
+    members = members.localCheckpoint(eager=True)
     mins = members.groupBy(*g).agg(F.min(member_col).alias("__gmin"))
     star = (
         members.join(mins, group_cols)
@@ -452,8 +491,19 @@ def cluster_hops(
     # min-plus relaxation never increases a distance, so the chunk
     # probe detects exactly the fixpoint the per-round probe found.
     sym = (
-        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("a"), F.col(src_col).alias("b")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.a", "__e.b")
         .distinct()
         .select("a", "b", F.lit(False).alias("is_self"))
         .unionByName(
@@ -559,8 +609,9 @@ def modularity(
         F.count(F.lit(1)).alias("ec")
     )
     deg = (
-        edges.select(F.col(src_col).alias("__id"))
-        .unionAll(edges.select(F.col(dst_col).alias("__id")))
+        edges.select(
+            F.explode(F.array(F.col(src_col), F.col(dst_col))).alias("__id")
+        )
         .groupBy("__id")
         .agg(F.count(F.lit(1)).alias("d"))
     )

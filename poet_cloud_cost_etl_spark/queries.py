@@ -4311,8 +4311,11 @@ def q_dedup_cluster_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_from_docs(d, "doc_id", "text", threshold=0.5,
-                                    min_df=2)
+    # Bounded pair set shared by CC and the density scorer —
+    # materialized once (r14, the X193 shared-scan discipline).
+    pairs = ngram_jaccard_from_docs(
+        d, "doc_id", "text", threshold=0.5, min_df=2
+    ).localCheckpoint(eager=True)
     cc = connected_components(
         d.select("doc_id"), pairs,
         id_col="doc_id", src_col="doc_a", dst_col="doc_b",
@@ -4538,9 +4541,11 @@ def q_dedup_cluster_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import cluster_hops
 
     d = table(spark, sf_dir, "documents")
+    # Bounded pair set consumed by BOTH the CC inside cluster_hops and
+    # the BFS adjacency — materialized once (r14, the X193 discipline).
     edges = ngram_jaccard_from_docs(d, "doc_id", "text", 0.5).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
+    ).localCheckpoint(eager=True)
     hops = cluster_hops(d.select("doc_id"), edges, id_col="doc_id")
     return (
         hops.groupBy("cluster_id")
@@ -5074,8 +5079,13 @@ def q_dedup_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import connected_components, modularity
 
     d = table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_from_docs(d, "doc_id", "text", threshold=0.5,
-                                    min_df=2)
+    # The bounded pair set feeds CC once and modularity three times
+    # (within-edges, degrees, edge count) — materialize it once (r14,
+    # the threshold_sweep/X193 shared-scan discipline); un-pinned,
+    # each consumer re-executed the pair explode + aggregate.
+    pairs = ngram_jaccard_from_docs(
+        d, "doc_id", "text", threshold=0.5, min_df=2
+    ).localCheckpoint(eager=True)
     cc = connected_components(
         d.select("doc_id"), pairs,
         id_col="doc_id", src_col="doc_a", dst_col="doc_b",
