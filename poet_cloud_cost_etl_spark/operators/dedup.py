@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import spread_small_scan
+
 # Canonicalized token array from raw text: lowercase, strip
 # non-alphanumerics, split on whitespace runs.
 TOKENS_SQL = "split(trim(regexp_replace(lower({col}), '[^a-z0-9 ]', '')), ' +')"
@@ -57,9 +59,16 @@ def fingerprint(col: Column) -> Column:
 
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, shingle) pairs, distinct per doc."""
+    """(id, shingle) pairs, distinct per doc.
+
+    The input is spread to cluster parallelism when it is a small
+    single-split scan (r14, catalog.spread_small_scan — a no-op at
+    scale): the tokenize/shingle/explode chain and the md5 signature
+    banks downstream are scan-stage per-row compute, which a
+    single-row-group file otherwise serializes onto one core."""
     return (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        spread_small_scan(df)
+        .select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(F.col(id_col), F.explode(shingles("__t")).alias("shingle"))
         .distinct()
     )
@@ -212,8 +221,12 @@ def ngram_jaccard_from_docs(
     zero joins, one evaluation of the (expensive) shingle expression.
     Results are identical to
     ``ngram_jaccard_pairs(doc_shingles(df, ...), ...)``."""
+    # Spread a small single-split scan before the heavy per-row chain
+    # (r14, catalog.spread_small_scan — no-op at scale); the chain is
+    # consumed by _pair_common's single materializing checkpoint job.
     arrs = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        spread_small_scan(df)
+        .select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh"))
         .filter(F.size("__sh") > 0)
     )
@@ -330,7 +343,9 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     16-bit hash (first 4 hex chars of md5, parsed base-16); bit j of
     the fingerprint is 1 iff the vote sum is ≥ 0. All integer
     arithmetic — engine-portable."""
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    toks = spread_small_scan(df).select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
+    )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
     toks = toks.select(F.col(id_col), h.alias("h"))
     votes = toks.groupBy(id_col).agg(
@@ -743,8 +758,11 @@ def neardup_degree_profile(
     pairs = ngram_jaccard_from_docs(
         df, id_col, text_col, threshold=threshold, min_df=min_df
     )
-    ends = pairs.select(F.col("doc_a").alias("__id")).unionAll(
-        pairs.select(F.col("doc_b").alias("__id"))
+    # Both endpoints explode out of ONE pass over the pair table (r14)
+    # — the former two-select union referenced (and re-executed) the
+    # post-checkpoint pair segment once per branch.
+    ends = pairs.select(
+        F.explode(F.array(F.col("doc_a"), F.col("doc_b"))).alias("__id")
     )
     deg = ends.groupBy("__id").agg(F.count(F.lit(1)).alias("__deg"))
     per_doc = (
@@ -1201,7 +1219,8 @@ def bbit_minhash_eval(
     # dedup_bbit_minhash 7.10 -> 6.01s, dedup_lsh_plan 8.59 -> 7.68s
     # (r10 verdict task 6).
     arrs = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        spread_small_scan(df)
+        .select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh"))
         .filter(F.size("__sh") > 0)
         .localCheckpoint(eager=True)
@@ -1656,6 +1675,9 @@ def sorted_neighborhood_pairs(
     b = arrs.select(
         F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb")
     )
+    # __i as an explicit multi-use column (r14): inlined, the two
+    # references evaluated array_intersect — the expensive per-pair
+    # op — twice.
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -1663,16 +1685,19 @@ def sorted_neighborhood_pairs(
             "doc_a",
             "doc_b",
             "sort_gap",
+            F.expr("size(array_intersect(__sa, __sb))").alias("__i"),
+            F.expr("size(__sa)").alias("__na"),
+            F.expr("size(__sb)").alias("__nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "sort_gap",
             F.when(
-                F.size("__sa") + F.size("__sb") > 0,
+                F.col("__na") + F.col("__nb") > 0,
                 F.round(
-                    F.expr(
-                        "CAST(size(array_intersect(__sa, __sb)) AS DOUBLE)"
-                    )
-                    / F.expr(
-                        "CAST(size(__sa) + size(__sb) "
-                        "- size(array_intersect(__sa, __sb)) AS DOUBLE)"
-                    ),
+                    F.expr("CAST(__i AS DOUBLE)")
+                    / F.expr("CAST(__na + __nb - __i AS DOUBLE)"),
                     6,
                 ),
             )
@@ -1731,7 +1756,8 @@ def prefix_filter_jaccard_join(
     # tokenized form is written once, reused by every pass); storage
     # is MEMORY_AND_DISK on executors, ~3x the text bytes.
     arrs = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        spread_small_scan(df)
+        .select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(
             F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
         )
@@ -1839,18 +1865,28 @@ def prefix_filter_jaccard_join(
     )
     a = arrs.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sa"))
     b = arrs.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__sb"))
+    # The intersection size is an explicit COLUMN (r14): inlined, the
+    # expression held two array_intersect calls and the jaccard filter
+    # below pushed a third+fourth copy into the Filter — the most
+    # expensive per-pair operation of the verification stage evaluated
+    # up to 4×.  As a multi-use non-cheap alias it stays a Project
+    # boundary, so every candidate pair intersects exactly once.
     scored = (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
             "doc_a",
             "doc_b",
+            F.expr("size(array_intersect(__sa, __sb))").alias("__i"),
+            F.expr("size(__sa)").alias("__na"),
+            F.expr("size(__sb)").alias("__nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
             F.round(
-                F.expr("CAST(size(array_intersect(__sa, __sb)) AS DOUBLE)")
-                / F.expr(
-                    "CAST(size(__sa) + size(__sb) "
-                    "- size(array_intersect(__sa, __sb)) AS DOUBLE)"
-                ),
+                F.expr("CAST(__i AS DOUBLE)")
+                / F.expr("CAST(__na + __nb - __i AS DOUBLE)"),
                 6,
             ).alias("jaccard"),
         )
@@ -2871,7 +2907,8 @@ def cluster_dilution_audit(
     from .graph import connected_components
 
     arrs = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        spread_small_scan(df)
+        .select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(
             F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
         )
@@ -2910,20 +2947,23 @@ def cluster_dilution_audit(
     # _jaccard_core admitted the cluster edges with, so an edge the
     # clustering accepted can never be flagged diluted by a floor-vs-
     # round disagreement at the threshold boundary (review finding).
+    # __i as an explicit multi-use column (r14; see
+    # prefix_filter_jaccard_join): one array_intersect per edge.
     scored = (
         edges.join(a, "__m")
         .join(b, "__s")
         .select(
             "__n",
+            F.expr("size(array_intersect(__sa, __sb))").alias("__i"),
+            F.expr("size(__sa)").alias("__na"),
+            F.expr("size(__sb)").alias("__nb"),
+        )
+        .select(
+            "__n",
             F.round(
                 F.round(
-                    F.expr(
-                        "CAST(size(array_intersect(__sa, __sb)) AS DOUBLE)"
-                    )
-                    / F.expr(
-                        "CAST(size(__sa) + size(__sb) "
-                        "- size(array_intersect(__sa, __sb)) AS DOUBLE)"
-                    ),
+                    F.expr("CAST(__i AS DOUBLE)")
+                    / F.expr("CAST(__na + __nb - __i AS DOUBLE)"),
                     6,
                 )
                 * 1_000_000
@@ -2989,7 +3029,8 @@ def minhash_calibration(
     # shingle arrays once (eager checkpoint: feeds BOTH the pair core
     # and the signature aggregate — the prefix-join precedent)
     arrs = (
-        df.select(F.col(id_col), tokens(text_col).alias("__t"))
+        spread_small_scan(df)
+        .select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(
             F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh")
         )

@@ -589,7 +589,14 @@ def _exact_gram(df: DataFrame, vec_col: str) -> DataFrame:
     (d(d+1)/2 pairs per row); map-side partials collapse every
     partition to ≤ d(d+1)/2 rows — the shuffle is FIXED-SIZE,
     independent of corpus size."""
-    quant = df.select(
+    # Spread a small single-split scan before the d(d+1)/2-per-row
+    # pair explode (r14, catalog.spread_small_scan — no-op at scale):
+    # the explode + map-side partial aggregation are scan-stage
+    # per-row compute, which a single-row-group file otherwise
+    # serializes onto one core.
+    from ..catalog import spread_small_scan
+
+    quant = spread_small_scan(df).select(
         F.expr(
             "transform({v}, x -> CAST(round(CAST(x AS DOUBLE) * 1000000)"
             " AS BIGINT))".format(v=vec_col)
