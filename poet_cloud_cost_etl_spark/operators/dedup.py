@@ -2167,7 +2167,9 @@ def levenshtein_block_join(
         f"__x -> __x != ''), ' '), 1, {prefix_chars})"
     )
     ntok = f"size(filter({TOKENS_SQL.format(col=text_col)}, __x -> __x != ''))"
-    b = df.select(
+    # r14: spread a small single-split scan before the per-row regex
+    # chain (catalog.spread_small_scan — no-op at scale).
+    b = spread_small_scan(df).select(
         F.col(id_col).alias("__id"),
         F.expr(canon).alias("__pfx"),
         F.expr(ntok).alias("__nt"),

@@ -382,8 +382,13 @@ def random_projection(
         "(x, i) -> CAST(x AS DOUBLE) * " + _RP_SIGN_SQL.format(i="i", j="j") + "), "
         "0.0D, (acc, t) -> acc + t) / sqrt(CAST({m} AS DOUBLE)), 6) AS val))"
     ).format(m=int(out_dim), v=vec_col)
+    # r14: spread a small single-split scan before the d·out_dim
+    # per-row folds (catalog.spread_small_scan — no-op at scale).
+    from ..catalog import spread_small_scan
+
     return (
-        df.select(F.col(id_col), F.col(vec_col))
+        spread_small_scan(df)
+        .select(F.col(id_col), F.col(vec_col))
         .select(F.col(id_col), F.explode(F.expr(j_struct)).alias("__p"))
         .select(
             F.col(id_col),

@@ -381,12 +381,17 @@ def ivf_assign(
     X144 Lloyd diagnostics) read it here instead of re-joining the
     centroid table and re-scoring, keeping the parity-sensitive
     comparator expression in ONE place."""
+    from ..catalog import spread_small_scan
+
     cent_arr = centroids.agg(
         F.collect_list(F.struct("centroid_id", "centroid_vec")).alias("__cents")
     )
     top_expr = topk_centroid_expr(vec_col, nprobe)
+    # r14: spread a small single-split corpus scan before the per-row
+    # k-centroid comparator (catalog.spread_small_scan — no-op at
+    # scale; derived/unstamped probe frames pass through unchanged).
     return (
-        corpus.select(F.col(id_col), F.col(vec_col))
+        spread_small_scan(corpus).select(F.col(id_col), F.col(vec_col))
         .crossJoin(F.broadcast(cent_arr))
         .select(
             F.col(id_col),

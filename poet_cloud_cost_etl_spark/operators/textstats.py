@@ -1475,7 +1475,11 @@ def compressibility_profile(
         "i -> concat(element_at(__a, i), element_at(__a, i + 1))) "
         "ELSE array() END))"
     ).format(c=text_col)
-    per = df.select(
+    # r14: spread a small single-split scan before the per-row bigram
+    # explode (catalog.spread_small_scan — no-op at scale).
+    from ..catalog import spread_small_scan
+
+    per = spread_small_scan(df).select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
         F.expr(bi).alias("__b"),
