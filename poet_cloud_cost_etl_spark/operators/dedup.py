@@ -533,6 +533,7 @@ def shingle_novelty(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     doc-frequency skew, AQE-splittable); the join back is keyed on
     the shingle and re-uses that partitioning; then one per-doc
     aggregate. Same shape as dup_shingle_fraction — no pairs."""
+    df = spread_small_scan(df)  # r14: no-op at scale (catalog docstring)
     sh = doc_shingles(df, id_col, text_col)
     first = sh.groupBy("shingle").agg(F.min(F.col(id_col)).alias("__first"))
     return (
@@ -708,6 +709,7 @@ def lsh_pair_recall(
     anywhere); the eval joins are pair-keyed. Sized for a
     deterministic SAMPLE (this is an offline quality probe, not a
     per-corpus pass)."""
+    df = spread_small_scan(df)  # r14: no-op at scale (catalog docstring)
     truth = ngram_jaccard_from_docs(df, id_col, text_col, threshold).select(
         "doc_a", "doc_b"
     )
@@ -989,6 +991,7 @@ def bloom_gate_eval(
     m_bits).  Incoming positions join the broadcast bit-set and
     re-agg by id.  The exact-membership leg (eval only) is a keyed
     left join against the distinct history fingerprints."""
+    history = spread_small_scan(history)  # r14: no-op at scale (catalog docstring)
     probes = F.array(*[
         (
             F.expr(
@@ -1067,6 +1070,7 @@ def containment_pairs(
     pairs), the shared ``_pair_common`` grouped pair generation (one
     shuffle, hot-shingle AQE-join split), then a narrow scoring
     map.  No additional shuffle over X2d."""
+    df = spread_small_scan(df)  # r14: no-op at scale (catalog docstring)
     arrs = (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(F.col(id_col), F.array_distinct(shingles("__t")).alias("__sh"))
@@ -2065,6 +2069,7 @@ def kmv_source_overlap(
     per-group window compiles to WindowGroupLimit — at most k rows
     per map partition reach the shuffle); everything after is
     sketch-sized.  The pair grid joins broadcast."""
+    df = spread_small_scan(df)  # r14: no-op at scale (catalog docstring)
     from pyspark.sql.window import Window
 
     from ..operators.sampling import unit_hash
@@ -3137,6 +3142,7 @@ def winnow_fingerprint_census(
     Scale: one doc-keyed shuffle for the lead() window (the only
     corpus-sized exchange), then hash-keyed aggregates whose rows
     are the ~2/(w+1)-sparse fingerprint set, not the corpus."""
+    df = spread_small_scan(df)  # r14: no-op at scale (catalog docstring)
     from pyspark.sql.window import Window
 
     pos = df.select(
@@ -3235,6 +3241,7 @@ def source_containment_direction(
     Scale: the X2d ``_pair_common`` grouped core (one shuffle,
     hot-shingle AQE split) + two id-keyed joins against the slim
     (id, source) projection; the output is ≤ |sources|² rows."""
+    df = spread_small_scan(df)  # r14: no-op at scale (catalog docstring)
     arrs = (
         df.select(F.col(id_col), tokens(text_col).alias("__t"))
         .select(

@@ -897,6 +897,9 @@ def greedy_source_coverage(
         gains = remaining.groupBy("__grp").agg(
             F.count(F.lit(1)).cast("long").alias("gain")
         )
+        # Lazy checkpoint (r14): the winner row persists when the
+        # covered set below materializes (one driver sync per step
+        # instead of two); the final union re-reads the persisted row.
         winner = (
             gains.orderBy(F.col("gain").desc(), F.col("__grp").asc())
             .limit(1)
@@ -905,7 +908,7 @@ def greedy_source_coverage(
                 F.col("__grp"),
                 "gain",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         winners.append(winner)
         newly = remaining.join(

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..catalog import spread_small_scan
 from .dedup import TOKENS_SQL, tokens
 
 # BPE-ish token pattern: letter runs, digit runs, single punctuation.
@@ -1223,6 +1224,7 @@ def trigram_backoff_scores(
     context or pivot unigram is absent from the model is dropped by
     the inner count joins — the documented OOV policy (scores cover
     model-known contexts only; coverage shows up in n_trigrams)."""
+    df = spread_small_scan(df)  # r14: no-op at scale (catalog docstring)
     t = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     tri = (
         t.select(F.col(id_col), F.explode(F.expr(_TRIGRAMS_SQL.format(t="__t"))).alias("g"))
@@ -1477,8 +1479,6 @@ def compressibility_profile(
     ).format(c=text_col)
     # r14: spread a small single-split scan before the per-row bigram
     # explode (catalog.spread_small_scan — no-op at scale).
-    from ..catalog import spread_small_scan
-
     per = spread_small_scan(df).select(
         F.col(id_col),
         F.length(F.col(text_col)).alias("n_chars"),
@@ -2040,6 +2040,10 @@ def agreement_kappa(
 
     Scale: one hash aggregate to the confusion cells (bounded by
     |classes|²); every downstream step runs on that bounded table."""
+    # The |classes|²-bounded confusion table feeds FIVE consumers
+    # (totals, both marginals, the class union twice) — materialize it
+    # once (r14); un-pinned, each consumer re-executed the corpus
+    # aggregate AND its upstream scoring chain.
     cells = (
         df.select(
             F.col(pred_col).cast("string").alias("__p"),
@@ -2047,6 +2051,7 @@ def agreement_kappa(
         )
         .groupBy("__p", "__l")
         .agg(F.count(F.lit(1)).cast("long").alias("__c"))
+        .localCheckpoint(eager=True)
     )
     totals = cells.agg(
         F.sum("__c").cast("long").alias("n"),
