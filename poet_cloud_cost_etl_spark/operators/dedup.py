@@ -343,9 +343,9 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     16-bit hash (first 4 hex chars of md5, parsed base-16); bit j of
     the fingerprint is 1 iff the vote sum is ≥ 0. All integer
     arithmetic — engine-portable."""
-    toks = spread_small_scan(df).select(
-        F.col(id_col), F.explode(tokens(text_col)).alias("tok")
-    )
+    # No spread here (r14): measured +0.5s — the 16-way vote aggregate
+    # dominates this op, not the scan-stage token hash.
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
     toks = toks.select(F.col(id_col), h.alias("h"))
     votes = toks.groupBy(id_col).agg(
