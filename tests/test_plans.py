@@ -492,16 +492,22 @@ def test_round8b_queries_plan_shapes(spark):
     bp = X.physical_plan(bpe_merge_candidates(d, "text"))
     assert "TakeOrderedAndProject" in bp, bp
 
+    # r14: the only Exchange allowed is the scale-adaptive round-robin
+    # compute spread (a no-op at scale; catalog.spread_small_scan) —
+    # the op itself must stay free of DATA-KEYED shuffles and joins.
     cp = X.physical_plan(compressibility_profile(d, "doc_id", "text"))
-    assert "Exchange" not in cp, cp
+    assert "Exchange hashpartitioning" not in cp, cp
+    assert "Exchange rangepartitioning" not in cp, cp
     assert "Join" not in cp, cp
 
 
 def test_top_pc_plan_shape(spark):
-    """X60: the Gram aggregate is the ONLY corpus-scale stage (one
-    keyed HashAggregate with map-side partials); every iteration
-    joins a broadcast 1-row u frame — no cartesian product, no
-    sort-merge join anywhere in the chain."""
+    """X60 (r14 form): the Gram aggregate is the ONLY corpus-scale
+    stage (one keyed HashAggregate with map-side partials); the whole
+    power iteration is ONE let-bound expression on the collected d×d
+    row — ZERO joins of any kind and zero per-iteration exchanges
+    (the former shape was a broadcast join + 2 exchanges per
+    iteration)."""
     from poet_cloud_cost_etl_spark.operators.embeddings import (
         top_principal_component,
     )
@@ -509,8 +515,13 @@ def test_top_pc_plan_shape(spark):
     e = table(spark, SF_SMALL, "embeddings")
     p = X.physical_plan(top_principal_component(e, "embedding", dim=64))
     assert "CartesianProduct" not in p, p
-    assert "SortMergeJoin" not in p, p
-    assert p.count("BroadcastNestedLoopJoin") >= 8, p  # one per iteration
+    assert "Join" not in p, p
+    # exchanges: the scale-adaptive spread (round-robin), the Gram
+    # (i,j) aggregate (listed twice in the initial plan — the mirror
+    # union's branches share ONE exchange via ReuseExchange at
+    # runtime), the per-j regroup and the final 1-row collect —
+    # nothing iteration-proportional (the old shape grew 2/iteration)
+    assert p.count("Exchange") <= 6, p
 
 
 def test_characteristic_terms_and_kmv_plan_shapes(spark):
