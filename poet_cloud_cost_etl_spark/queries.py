@@ -3718,6 +3718,8 @@ def curation_manifest_df(
     ``pin_base`` persists the shared ``base`` frame (MEMORY_AND_DISK)
     instead of recomputing it in each of the four downstream
     branches — the scale-side arm of the A/B documented below."""
+    from pyspark.sql.window import Window
+
     from .operators.dedup import fingerprint, ngram_jaccard_from_docs
     from .operators.graph import connected_components
     from .operators.sampling import mixture_budget_sample
@@ -3730,12 +3732,6 @@ def curation_manifest_df(
         .select("doc_id")
     )
     kept = d.join(q, "doc_id")
-    exact_surv = (
-        kept.select("doc_id", fingerprint(F.col("text")).alias("__fp"))
-        .groupBy("__fp")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
     # base feeds four downstream branches (pair-gen, CC seed ids,
     # survivor join, budget fill), each replaying the scan + quality
     # + fingerprint chain. A/B history: the r7 sf0.1 A/B pinned with
@@ -3748,6 +3744,12 @@ def curation_manifest_df(
     # 3.45x vs 5.8x at 10x data — so pin_base=True is the registered
     # default (q_curation_manifest) and the recompute arm stays as
     # the probe control.
+    exact_surv = (
+        kept.select("doc_id", fingerprint(F.col("text")).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
     base = kept.join(exact_surv, "doc_id")
     if pin_base:
         from pyspark import StorageLevel

@@ -147,3 +147,36 @@ def test_fixed_rounds_rejected_for_star(spark):
     edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
     with pytest.raises(ValueError, match="minlabel-only"):
         connected_components(nodes, edges, algo="star", fixed_rounds=4)
+
+
+# ---------------------------------------------------------------------------
+# r15 (ADVICE r14 items 1-2): contract violations — an edge endpoint
+# missing from ``nodes`` — must be DETECTED (loud error), never
+# silently returned as split components / wrong distances.  The
+# missing endpoint has no self row, so its __prev is NULL; the
+# NULL-safe probes keep flagging it as changed until max_iter (probe
+# path) or the fixed_rounds confirm raises.
+# ---------------------------------------------------------------------------
+
+
+def test_missing_endpoint_detected_probe_path(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])  # 3 ∉ nodes
+    with pytest.raises(RuntimeError):
+        connected_components(nodes, edges, max_iter=4)
+
+
+def test_missing_endpoint_detected_fixed_rounds(spark):
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    with pytest.raises(RuntimeError):
+        connected_components(nodes, edges, fixed_rounds=3)
+
+
+def test_missing_endpoint_detected_cluster_hops(spark):
+    from poet_cloud_cost_etl_spark.operators.graph import cluster_hops
+
+    nodes = spark.createDataFrame([(1,), (2,)], ["id"])
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    with pytest.raises(RuntimeError):
+        cluster_hops(nodes, edges, max_iter=4)

@@ -1119,3 +1119,18 @@ def test_prefix_filter_equals_full_blocking(spark):
     p2 = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in
           prefix_filter_jaccard_join(sdf, "doc_id", "text", 1, 2).collect()}
     assert p2 == f2
+
+
+def test_power_iteration_dim_ceiling_guard(spark):
+    """r15 (VERDICT r14 item 8): the single-row Gram form must fail
+    loudly above the dim ceiling instead of OOMing an executor."""
+    import pytest
+
+    from poet_cloud_cost_etl_spark.operators.embeddings import (
+        _MAX_1ROW_GRAM_DIM,
+        top_principal_component,
+    )
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], ["id", "vec"])
+    with pytest.raises(ValueError, match="single-row Gram ceiling"):
+        top_principal_component(df, "vec", dim=_MAX_1ROW_GRAM_DIM + 1)
